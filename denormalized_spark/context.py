@@ -1,0 +1,90 @@
+"""Context — session wrapper + source registration.
+
+Mirrors the reference's ``Context`` (crates/core/src/context.rs:19-88;
+Python py-denormalized/src/context.rs:53-116): the single entry point
+that owns the session and turns sources into DataStreams. Here the
+session is a SparkSession and each ``from_*`` returns a
+:class:`~denormalized_spark.datastream.DataStream`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from denormalized_spark.datastream import DataStream
+from denormalized_spark.session import get_spark
+
+
+class Context:
+    def __init__(self, spark: SparkSession | None = None, **session_kwargs):
+        self.spark = spark or get_spark(**session_kwargs)
+
+    # -- streaming sources ------------------------------------------------
+
+    def from_topic(
+        self,
+        topic: str,
+        sample_event: str,
+        bootstrap_servers: str,
+        group_id: str | None = None,
+        timestamp_column: str | None = None,
+        timestamp_unit: str = "ms",
+        *,
+        starting_offsets: str = "latest",
+    ) -> DataStream:
+        """Kafka topic → DataStream with schema inferred from one
+        sample JSON event (reference Context::from_topic,
+        context.rs:65-72 + py context.rs:81-116).
+
+        Event time: ``timestamp_column`` (normalized from
+        ``timestamp_unit``) when given, else the Kafka message
+        timestamp — the reference's default (kafka_stream_read.rs:233-238).
+        """
+        from denormalized_spark.sources.kafka import infer_schema_from_json, read_kafka_json
+
+        schema = infer_schema_from_json(sample_event)
+        df = read_kafka_json(
+            self.spark,
+            topic,
+            bootstrap_servers,
+            schema,
+            group_id=group_id,
+            starting_offsets=starting_offsets,
+        )
+        ds = DataStream(df, event_time="_kafka_timestamp")
+        if timestamp_column is not None:
+            ds = ds.with_timestamp(timestamp_column, timestamp_unit)
+        return ds
+
+    def from_stream_parquet(self, sf_dir: str, table: str, event_time: str | None = None) -> DataStream:
+        """Parquet directory as an unbounded stream (deterministic
+        test source standing in for the reference's Kafka+generator)."""
+        from denormalized_spark.sources.files import stream_table
+
+        return DataStream(stream_table(self.spark, sf_dir, table), event_time=event_time)
+
+    # -- batch sources ------------------------------------------------------
+
+    def from_parquet(self, path: str, event_time: str | None = None) -> DataStream:
+        import os
+
+        from denormalized_spark.sources.files import load_table
+
+        sf_dir, fname = os.path.split(path.rstrip("/"))
+        if fname.endswith(".parquet") and sf_dir:
+            return DataStream(
+                load_table(self.spark, sf_dir, fname[: -len(".parquet")]),
+                event_time=event_time,
+            )
+        return DataStream(self.spark.read.parquet(path), event_time=event_time)
+
+    def from_batch(self, df: DataFrame, event_time: str | None = None) -> DataStream:
+        """Wrap an existing DataFrame (the reference's Joinable batch
+        side, datastream.rs:379-395)."""
+        return DataStream(df, event_time=event_time)
+
+    def sql(self, query: str) -> DataStream:
+        """SQL entry point (vendored SessionContext.sql in the
+        reference, context.py:501-533 — batch-only there; Spark SQL
+        also composes with streaming views, a superset)."""
+        return DataStream(self.spark.sql(query))

@@ -1,0 +1,322 @@
+"""DataStream — the fluent stream/batch façade.
+
+Mirrors the reference's ``DataStream`` API (reference:
+crates/core/src/datastream.rs:35-395 and the Python wrapper
+py-denormalized/python/denormalized/data_stream.py) as a thin layer
+over a pyspark DataFrame. The wrapped DataFrame may be batch or
+streaming — Spark's stream/batch unification replaces the reference's
+``Joinable`` trait polymorphism (datastream.rs:379-395).
+
+Every method declares logical plan only; Catalyst plans the physical
+execution. The raw DataFrame is always reachable via ``.df`` so users
+can drop to the full Spark surface (SQL included) at any point —
+a strict superset of the reference, whose streaming path has no SQL
+entry point (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from denormalized_spark.eventtime import with_event_time
+from denormalized_spark.operators import windows as _w
+
+_JOIN_TYPES = {
+    # reference JoinType mapping: py-denormalized/src/datastream.rs:117-130
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "full": "full",
+    "semi": "left_semi",
+    "left_semi": "left_semi",
+    "anti": "left_anti",
+    "left_anti": "left_anti",
+}
+
+
+def _as_col(e: Column | str) -> Column:
+    return F.col(e) if isinstance(e, str) else e
+
+
+class DataStream:
+    """Fluent wrapper over a (batch or streaming) DataFrame.
+
+    ``event_time`` names the designated TimestampType event-time
+    column (the reference's canonical_timestamp contract, SURVEY §1.2
+    — but visible, not hidden). ``watermark`` is the lateness
+    allowance applied before stateful streaming ops.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        event_time: str | None = None,
+        watermark: str = "0 seconds",
+    ):
+        self._df = df
+        self.event_time = event_time
+        self.watermark = watermark
+
+    # -- plumbing ------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying DataFrame (escape hatch to full Spark)."""
+        return self._df
+
+    def _wrap(self, df: DataFrame) -> "DataStream":
+        return DataStream(df, event_time=self.event_time, watermark=self.watermark)
+
+    def schema(self):
+        """Visible schema (reference strips its metadata column,
+        datastream.rs:198-210; we have no hidden columns)."""
+        return self._df.schema
+
+    # -- event time ----------------------------------------------------
+
+    def with_timestamp(
+        self, column: str, unit: str = "ms", target: str = "_event_time"
+    ) -> "DataStream":
+        """Designate + normalize the event-time column
+        (reference kafka_config.rs:129-135)."""
+        out = with_event_time(self._df, column, unit, target)
+        return DataStream(out, event_time=target, watermark=self.watermark)
+
+    def with_watermark(self, delay: str) -> "DataStream":
+        """Set the lateness allowance. The reference's watermark has no
+        configurable delay (max-of-batch-min, streaming_window.rs:732-744);
+        Spark's watermark = max event time − delay. delay='0 seconds'
+        gives the closest behavior on ordered data (SURVEY §7.4)."""
+        return DataStream(self._df, event_time=self.event_time, watermark=delay)
+
+    # -- row ops (reference datastream.rs:74-123) -----------------------
+
+    def select(self, *exprs: Column | str) -> "DataStream":
+        return self._wrap(self._df.select(*[_as_col(e) for e in exprs]))
+
+    def filter(self, predicate: Column | str) -> "DataStream":
+        p = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._wrap(self._df.filter(p))
+
+    def with_column(self, name: str, expr: Column) -> "DataStream":
+        return self._wrap(self._df.withColumn(name, expr))
+
+    def with_column_renamed(self, old: str, new: str) -> "DataStream":
+        return self._wrap(self._df.withColumnRenamed(old, new))
+
+    def drop_columns(self, *cols: str) -> "DataStream":
+        return self._wrap(self._df.drop(*cols))
+
+    # -- batch-surface ops (vendored dataframe.py in the reference) -----
+
+    def sort(self, *cols: Column | str) -> "DataStream":
+        return self._wrap(self._df.orderBy(*[_as_col(c) for c in cols]))
+
+    def limit(self, count: int, offset: int = 0) -> "DataStream":
+        if offset:
+            return self._wrap(self._df.offset(offset).limit(count))
+        return self._wrap(self._df.limit(count))
+
+    def distinct(self) -> "DataStream":
+        return self._wrap(self._df.distinct())
+
+    def union(self, other: "DataStream | DataFrame", distinct: bool = False) -> "DataStream":
+        o = other.df if isinstance(other, DataStream) else other
+        out = self._df.union(o)
+        return self._wrap(out.distinct() if distinct else out)
+
+    def intersect(self, other: "DataStream | DataFrame") -> "DataStream":
+        o = other.df if isinstance(other, DataStream) else other
+        return self._wrap(self._df.intersect(o))
+
+    def except_all(self, other: "DataStream | DataFrame") -> "DataStream":
+        o = other.df if isinstance(other, DataStream) else other
+        return self._wrap(self._df.exceptAll(o))
+
+    def repartition(self, n: int, *cols: str) -> "DataStream":
+        if cols:
+            return self._wrap(self._df.repartition(n, *cols))
+        return self._wrap(self._df.repartition(n))
+
+    def count(self) -> int:
+        return self._df.count()
+
+    # -- joins (reference datastream.rs:126-175) ------------------------
+
+    def join(
+        self,
+        right: "DataStream | DataFrame",
+        join_type: str = "inner",
+        left_cols: Sequence[str] | None = None,
+        right_cols: Sequence[str] | None = None,
+        filter: Column | None = None,  # noqa: A002 - reference arg name
+        *,
+        broadcast_right: bool = False,
+    ) -> "DataStream":
+        """Equi-join on named columns + optional residual filter.
+
+        Matches ``DataStream::join(right, type, left_cols, right_cols,
+        filter)`` (reference datastream.rs:149-175). When the right
+        side is a small dimension table, pass ``broadcast_right=True``
+        (or rely on AQE/autoBroadcast) to avoid shuffling the big side.
+        """
+        how = _JOIN_TYPES[join_type]
+        r = right.df if isinstance(right, DataStream) else right
+        if broadcast_right:
+            r = F.broadcast(r)
+        if left_cols is None:
+            raise ValueError("join requires left_cols/right_cols; use join_on for expressions")
+        right_cols = right_cols or left_cols
+        cond = None
+        for lc, rc in zip(left_cols, right_cols):
+            c = self._df[lc] == r[rc]
+            cond = c if cond is None else (cond & c)
+        if filter is not None:
+            cond = cond & filter
+        return self._wrap(self._df.join(r, cond, how))
+
+    def join_on(
+        self,
+        right: "DataStream | DataFrame",
+        join_type: str = "inner",
+        on: Column | None = None,
+        *,
+        broadcast_right: bool = False,
+    ) -> "DataStream":
+        """Theta join on an arbitrary boolean expression (reference
+        datastream.rs:126-145; the reference's Python binding is
+        ``todo!()`` — py-denormalized/src/datastream.rs:97-104)."""
+        how = _JOIN_TYPES[join_type]
+        r = right.df if isinstance(right, DataStream) else right
+        if broadcast_right:
+            r = F.broadcast(r)
+        return self._wrap(self._df.join(r, on, how))
+
+    # -- windowed aggregation (reference datastream.rs:178-196) ----------
+
+    def window(
+        self,
+        group_exprs: Sequence[Column | str],
+        aggr_exprs: Sequence[Column],
+        window_length_ms: int,
+        slide_ms: int | None = None,
+    ) -> "DataStream":
+        """Tumbling/sliding event-time window aggregation — the
+        reference's core custom operator (SURVEY §2.4), expressed as
+        Spark's built-in windowed groupBy. Requires a designated
+        event-time column (``with_timestamp`` or a TimestampType
+        column named at construction)."""
+        if self.event_time is None:
+            raise ValueError("window() requires an event-time column; call with_timestamp()")
+        df = self._df
+        if df.isStreaming:
+            df = df.withWatermark(self.event_time, self.watermark)
+        out = _w.window_aggregate(
+            df, self.event_time, group_exprs, aggr_exprs, window_length_ms, slide_ms
+        )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
+    def session_window(
+        self,
+        group_exprs: Sequence[Column | str],
+        aggr_exprs: Sequence[Column],
+        gap_ms: int,
+    ) -> "DataStream":
+        """Session windows — declared-but-unimplemented in the
+        reference (planner/streaming_window.rs:130); native here."""
+        if self.event_time is None:
+            raise ValueError("session_window() requires an event-time column")
+        df = self._df
+        if df.isStreaming:
+            df = df.withWatermark(self.event_time, self.watermark)
+        out = _w.session_window_aggregate(
+            df, self.event_time, group_exprs, aggr_exprs, gap_ms
+        )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
+    # -- sinks (reference datastream.rs:309-374, data_stream.py:223-232) --
+
+    def sink(
+        self,
+        func: Callable[[DataFrame, int], Any] | Callable[[DataFrame], Any],
+        *,
+        checkpoint: str | None = None,
+        trigger: dict | None = None,
+        query_name: str | None = None,
+    ):
+        """Per-batch Python callback sink (reference ``ds.sink(func)``,
+        py-denormalized/src/datastream.rs:229-270) via foreachBatch.
+
+        Batch DataFrames invoke ``func`` once, immediately — the
+        degenerate single-batch stream — so tests and batch backfills
+        share sink code with live streams.
+        """
+        if not self._df.isStreaming:
+            import inspect
+
+            sig = inspect.signature(func)
+            return func(self._df) if len(sig.parameters) == 1 else func(self._df, 0)
+
+        def _call(batch_df: DataFrame, epoch: int):
+            import inspect
+
+            sig = inspect.signature(func)
+            if len(sig.parameters) == 1:
+                func(batch_df)
+            else:
+                func(batch_df, epoch)
+
+        writer = self._df.writeStream.foreachBatch(_call)
+        if query_name:
+            writer = writer.queryName(query_name)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        return writer.start()
+
+    def sink_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        *,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ):
+        """JSON-encode every row and produce to Kafka (reference
+        datastream.rs:346-374 + utils/row_encoder.rs:16-44)."""
+        from denormalized_spark.sources.kafka import write_kafka_json
+
+        return write_kafka_json(
+            self._df, bootstrap_servers, topic, checkpoint=checkpoint, trigger=trigger
+        )
+
+    def print_stream(self, *, trigger: dict | None = None, num_rows: int = 20):
+        """Console sink (reference datastream.rs:309-344)."""
+        if not self._df.isStreaming:
+            self._df.show(num_rows, truncate=False)
+            return None
+        return (
+            self._df.writeStream.format("console")
+            .outputMode("append")
+            .option("numRows", str(num_rows))
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    # -- introspection (reference datastream.rs:214-242) -----------------
+
+    def print_schema(self) -> "DataStream":
+        self._df.printSchema()
+        return self
+
+    def print_plan(self) -> "DataStream":
+        self._df.explain(extended=False)
+        return self
+
+    def print_physical_plan(self) -> "DataStream":
+        self._df.explain(mode="formatted")
+        return self

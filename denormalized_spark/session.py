@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference tunes its engine for single-node latency (batch_size=32,
+coalesce_batches=false — crates/core/src/context.rs:27-37). A Spark
+build tunes the opposite direction: large columnar batches, AQE for
+runtime re-planning, and shuffle-partition counts sized to the
+cluster. These defaults are chosen so the same code runs on
+``local[32]`` for tests and on a 1000-executor cluster unchanged:
+
+- AQE on: coalesces post-shuffle partitions at runtime, rewrites
+  skewed joins, and converts sort-merge joins to broadcast when the
+  runtime size allows — this is what makes one static config survive
+  a 100× scale-up.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+  AQE coalesces it down. On a real cluster, set it to 2-3× total
+  cores via ``extra_conf``.
+- UTC session timezone: parquet/DuckDB timestamps are UTC-naive;
+  pinning the session TZ makes event-time arithmetic deterministic.
+- Arrow enabled: every Python-boundary crossing (pandas UDFs,
+  toPandas, applyInPandas) is Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pre-AQE shuffle parallelism. Local default: ~cores. Cluster:
+    # override to 2-3x total executor cores.
+    "spark.sql.shuffle.partitions": "32",
+    # Keep scan partitions big enough to amortize task overhead but
+    # small enough to fit in executor memory at 100 TB inputs.
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    # Broadcast threshold: dimension tables (region/nation/customer/
+    # supplier/part at reasonable SFs) should broadcast, not shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",  # 64 MiB
+    "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise
+    # unreadable; read as long and convert in sources.files.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "denormalized_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and
+    no cluster manager is configured, so tests and bench share one
+    code path with production (where ``master`` comes from
+    spark-submit and this argument stays None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master("local[*]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
