@@ -1,38 +1,72 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship pipeline (streaming-window aggregation on
+  the events table at sf0.001) through the DataStream façade.
+- ``queries()``: every implemented operator from SURVEY.md §2 plus the
+  LLM-data-pipeline extensions (registry in denormalized_spark.queries).
+- ``oracle_sql()``: the DuckDB-equivalent SQL for each (omitted only
+  for approximate/LSH ops whose values are engine-specific; those get
+  the weaker rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine settings to a driver-provided session (the driver
+    builds its own SparkSession; these are all runtime-settable)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf already fixed; defaults are acceptable
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: filter → tumbling
+    1h window → count/sum/avg by event_type, via the DataStream API."""
+    from pyspark.sql import functions as F
+
+    from denormalized_spark import Context
+
+    ctx = Context(_configure(spark))
+    ds = ctx.from_parquet("/root/testdata/sf0.001/events.parquet", event_time="ts")
+    return ds.filter(F.col("value") >= 0).window(
+        ["event_type"],
+        [
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
+        3600_000,
+    ).df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from denormalized_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from denormalized_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Convention: a modality column is ``binary`` payload + a typed
+metadata struct (``{mime, width, height, duration_ms, ...}``). The
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested; the actual codecs (PIL/ffmpeg/...)
+are not in this container, so the decode kernels are STUBBED: they
+raise ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic md5-seeded fake is produced (tests use the fake path).
+
+Scale notes: binary payloads ride the normal columnar path
+(parquet binary columns), so partition sizing is governed by
+``spark.sql.files.maxPartitionBytes`` like any column. Decode runs in
+``mapInPandas`` — per-partition Arrow batches, one Python worker per
+task, no shuffle. Feature vectors come back as array<float> ready for
+operators.similarity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_image_meta(df: DataFrame, binary_col: str, mime: str = "image/png") -> DataFrame:
+    """Attach a metadata struct column for an opaque image payload.
+    Real pipelines read this from the container header at ingest."""
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature vector: md5-chained floats in
+    [0,1). Stable across runs/engines — usable in assertions."""
+    out = []
+    seed = payload or b""
+    h = hashlib.md5(seed).digest()
+    while len(out) < dim:
+        for i in range(0, len(h), 4):
+            out.append(int.from_bytes(h[i : i + 4], "big") / 2**32)
+            if len(out) == dim:
+                break
+        h = hashlib.md5(h).digest()
+    return out
+
+
+def image_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    dim: int = 16,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """binary image -> feature vector via mapInPandas.
+
+    The Arrow plumbing (batch iterator in, batch iterator out,
+    schema = input + features array<float>) is the real operator;
+    only the kernel is stubbed (no image libs in this container).
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv (not in this container); "
+                    "pass fake=True for the deterministic test kernel"
+                )
+            pdf = pdf.copy()
+            pdf["features"] = [
+                _fake_features(bytes(p) if p is not None else b"", dim)
+                for p in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def resize_images(
+    df: DataFrame, binary_col: str = "payload", size: tuple[int, int] = (224, 224), *, fake: bool = False
+) -> DataFrame:
+    """binary -> resized binary. Stub kernel: identity passthrough in
+    fake mode (real kernel: PIL resize per Arrow batch)."""
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires PIL (not in this container)")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    every_ms: int = 1000,
+    n_frames: int = 4,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """video binary -> exploded frame rows (frame_idx, frame binary).
+    Fan-out operator: output rows = input rows × n_frames; partition
+    counts must be sized for the POST-explode volume at scale."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame sampling requires ffmpeg (not in this container)")
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col]) if row[binary_col] is not None else b""
+                for i in range(n_frames):
+                    r = row.to_dict()
+                    r["frame_idx"] = i
+                    r["frame"] = hashlib.md5(payload + str(i).encode()).digest()
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(kernel, out_schema)

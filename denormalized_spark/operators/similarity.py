@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, matching how ANN is actually deployed on Spark:
+
+- ``cosine_topk`` — brute-force scan against one query vector. The
+  dot product is ``F.aggregate``/``F.zip_with`` (JVM, codegen'd); the
+  top-k is a single ``orderBy(...).limit(k)`` which Spark executes as
+  TakeOrderedAndProject — per-partition heaps + driver merge of k
+  rows, NOT a full sort. This is the exact plan you want at 100 TB:
+  embarrassingly parallel scan, k rows cross the wire per partition.
+
+- ``lsh_bucketed_neighbors`` — random-hyperplane LSH: each vector
+  gets a b-bit signature (sign of dot with b deterministic
+  hyperplanes); candidates share a signature bucket. Turns all-pairs
+  O(n²) into per-bucket joins. Hyperplane components are derived from
+  md5 (deterministic, reproducible across engines and runs — no
+  driver-side randomness to ship to executors).
+
+An IVF variant would k-means the corpus and probe nearest centroids;
+at the test's 500×64 scale LSH demonstrates the same
+bucket-then-verify plan shape with zero ML dependencies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + sum, all JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors of a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_self_join_topk(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every vector, its top-k nearest other vectors (brute force
+    all-pairs). Correctness baseline only: O(n²) — at scale use
+    ``lsh_bucketed_neighbors``. The per-id top-k is a window rank
+    (per-partition heap would need an RDD; rank after AQE-coalesced
+    join is acceptable because the join output, not the rank, is the
+    bottleneck)."""
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane in [-0.5, 0.5]^dim:
+    component j = md5("p<i>:<j>") -> 60-bit uint -> unit interval."""
+    comps = []
+    for j in range(dim):
+        h = F.conv(F.substring(F.md5(F.lit(f"p{plane_idx}:{j}")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        comps.append(h / F.lit(float(1 << 60)) - F.lit(0.5))
+    return F.array(*comps)
+
+
+def lsh_signature(vec_col: Column, dim: int, num_planes: int = 8) -> Column:
+    """b-bit random-hyperplane signature as a long."""
+    sig = F.lit(0).cast("long")
+    for i in range(num_planes):
+        bit = F.when(dot(vec_col, _hyperplane(i, dim)) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        sig = sig + bit
+    return sig
+
+
+def lsh_bucketed_neighbors(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    min_cosine: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate neighbor pairs sharing an LSH bucket, scored exactly.
+
+    Plan shape: project signature (scan-speed) → shuffle once on the
+    bucket → within-bucket self-join → exact cosine on candidates
+    only. Buckets are ~n/2^b vectors; pick num_planes so buckets fit
+    comfortably in a task (b=16 → 65k buckets)."""
+    sig = df.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), dim, num_planes).alias("bucket")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine_sim"),
+        )
+    )
+    if min_cosine > 0:
+        out = out.filter(F.col("cosine_sim") >= min_cosine)
+    return out

@@ -1,0 +1,109 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — so a 100 TB
+documents table processes at scan speed with zero shuffles (all
+operators are per-row projections; only the optional aggregations
+shuffle).
+
+These extend beyond the reference's surface (it has no text
+operators) per the build goal: token counting, quality scoring,
+language ID, and document fingerprinting over a ``documents`` table
+with a ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal English stopword list used by the quality / language-ID
+#: heuristics. Deliberately small and frozen: it is part of the
+#: operator's contract (the DuckDB oracle embeds the same list).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization; drops empty tokens so leading/trailing
+    whitespace doesn't produce phantom tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND
+    word/punctuation boundaries (a cheap stand-in for a BPE
+    tokenizer's count, usable for budget estimates at scale)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|\s+")
+    return F.size(F.filter(pieces, lambda t: (t != F.lit("")) & (t != F.lit(" "))))
+
+
+def stopword_ratio(text: Column | str, stopwords=STOPWORDS) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: reasonable length, low
+    punctuation noise, healthy stopword density. Deterministic,
+    SQL-expressible (oracle mirrors it)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(c)
+    stop_ok = F.when((stop > 0.01) & (stop < 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_id(text: Column | str, threshold: float = 0.02) -> Column:
+    """N-gram-free language heuristic: English if the stopword hit
+    ratio clears ``threshold``, else 'und'. (A real model plugs in
+    behind the same column contract.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (Broder-style). Identical content with
+    shuffled word order collides — by design, it's a near-dup
+    prefilter key."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def content_hash(text: Column | str) -> Column:
+    """Exact-content hash (normalization: trim + whitespace collapse)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        avg_token_length(text_col).alias("avg_token_len"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+    )

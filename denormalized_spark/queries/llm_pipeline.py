@@ -1,0 +1,374 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity
+search — with DuckDB oracles built from the same md5-based hashing so
+both engines compute identical values.
+
+SQL fragments shared by the oracles are assembled in Python; the
+Spark implementations live in operators/{dedup,text,similarity}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import dedup, similarity, text
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- shared oracle SQL fragments -----------------------------------------
+
+# tokens: whitespace split, empties dropped (matches operators.text.tokens)
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+
+# distinct word 3-gram shingles (matches operators.dedup.word_shingles)
+_SHINGLES = f"""
+CASE WHEN len(ws) >= 3
+     THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in range(1, len(ws) - 1)])
+     ELSE [array_to_string(ws, ' ')] END
+"""
+
+def _hex15(expr: str) -> str:
+    """Portable md5→60-bit-int hash (matches operators.dedup._hash64)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_list(num_hashes: int) -> str:
+    parts = []
+    for i in range(num_hashes):
+        seeded = "'" + str(i) + ":' || s"
+        parts.append(f"list_min([{_hex15(seeded)} for s in shingles])")
+    return "[" + ", ".join(parts) + "]"
+
+
+_DOC_SHINGLES_CTE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_key,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup with deterministic canonical survivor (min id)."""
+    d = t(spark, sf, "documents").withColumn("content_key", text.content_hash("text"))
+    out = dedup.exact_dedup_canonical(d, "content_key", "doc_id")
+    return out.select("content_key", "canonical_id", "n_dups")
+
+
+@q(
+    "dedup_fingerprint",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp AS fingerprint, CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_dups
+    FROM f GROUP BY fp
+    """.format(toks=_TOKS),
+)
+def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup prefilter: group by order-insensitive token-set
+    fingerprint (catches shuffled/duplicated-word docs)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fingerprint")
+    )
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups")
+    )
+
+
+@q(
+    "dedup_minhash_signatures",
+    _DOC_SHINGLES_CTE
+    + f"""
+    SELECT doc_id, mh[1] AS m0, mh[2] AS m1, mh[3] AS m2, mh[4] AS m3
+    FROM (SELECT doc_id, {_minhash_list(4)} AS mh FROM sh) t
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (4 hashes, word-3-gram shingles) — computed
+    per-row with higher-order functions, no shuffle."""
+    d = t(spark, sf, "documents")
+    sig = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"m{i}") for i in range(4)],
+    )
+
+
+@q(
+    "dedup_lsh_candidates",
+    _DOC_SHINGLES_CTE
+    + f""",
+    mh AS (SELECT doc_id, {_minhash_list(8)} AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(mh[b.b*2 + 1]::VARCHAR || ',' || mh[b.b*2 + 2]::VARCHAR) AS band_key
+      FROM mh CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+    FROM bands a JOIN bands bb
+      ON a.band = bb.band AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id
+    """,
+)
+def dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 hashes, 4 bands × 2 rows):
+    sub-quadratic near-dup discovery — the 100 TB path."""
+    d = t(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+
+
+@q(
+    "dedup_jaccard_pairs",
+    _DOC_SHINGLES_CTE
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)) AS jaccard
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    ) t WHERE jaccard >= 0.2
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join (shared-shingle
+    groupBy) — the verify stage behind LSH candidates."""
+    d = t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    tok AS (SELECT doc_id, {_hex15('s')} AS h
+            FROM (SELECT doc_id, unnest(toks) AS s FROM d) t),
+    votes AS (
+      SELECT doc_id, i.i AS bit,
+             sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tok CROSS JOIN range(32) i(i)
+      GROUP BY doc_id, i.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document (per-row, JVM-only in Spark; the
+    oracle expands the bit votes relationally)."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash("text", bits=32).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+@q(
+    "text_stats",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS stop_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1), 4) AS punct_ratio_r,
+           CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+                     / greatest(len(toks), 1) >= 0.02
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM d
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality/language metrics — one scan, zero
+    shuffles, all codegen."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(text.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(text.punct_ratio("text"), 4).alias("punct_ratio_r"),
+        text.lang_id("text").alias("lang_pred"),
+    )
+
+
+@q(
+    "text_langid_accuracy",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1) >= 0.02
+                  THEN 'en' ELSE 'und' END AS lang_pred
+      FROM d
+    )
+    SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled lang column."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("lang", text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "text_token_totals",
+    f"""
+    WITH d AS (SELECT source, {_TOKS} AS toks FROM documents)
+    SELECT source,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(max(len(toks)) AS BIGINT) AS max_tokens,
+           round(avg(len(toks)), 4)       AS avg_tokens
+    FROM d GROUP BY source
+    """,
+)
+def text_token_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token budgeting per source — the canonical pre-training
+    data-mix query."""
+    d = t(spark, sf, "documents")
+    n = text.token_count("text")
+    return d.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"),
+        F.max(n).alias("max_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(f"({a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE)" for i in range(1, dim + 1))
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return "sqrt(" + " + ".join(f"({a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE)" for i in range(1, dim + 1)) + ")"
+
+
+@q(
+    "sim_topk_query0",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(({_dot_sql('e.embedding', 'q.embedding')})
+                 / ({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')}), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_query0(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector. Plan:
+    broadcast 1-row query side, scan+score map-side, TakeOrdered —
+    k rows per partition cross the wire. This IS the 100 TB plan."""
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    return (
+        scored.select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "sim_threshold_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_dot_sql('a.embedding', 'b.embedding')})
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+                / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= 0.3
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.3 (embedding near-dup detection).
+    Correctness baseline: O(n²) self-join — at scale, LSH-bucket
+    first (sim_lsh_buckets) and verify only candidates."""
+    e = t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(similarity.cosine(F.col("v_a"), F.col("v_b")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= 0.3
+    )
+
+
+@q("sim_lsh_buckets")  # no oracle: the 512-term hyperplane SQL is impractical
+def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed neighbors — the scale path for
+    ANN. Rows-only driver check; tests assert recall against the
+    brute-force baseline."""
+    e = t(spark, sf, "embeddings")
+    return similarity.lsh_bucketed_neighbors(e, dim=64, num_planes=8, min_cosine=0.3)
+
+
+@q(
+    "sim_centroid_by_label",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(embedding[1]::DOUBLE), 6) AS c0,
+           round(avg(embedding[2]::DOUBLE), 6) AS c1,
+           round(avg(embedding[3]::DOUBLE), 6) AS c2
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_centroid_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster centroid components (the reduce step of one
+    k-means/IVF iteration) — element_at over the vector column."""
+    e = t(spark, sf, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("c0"),
+        F.round(F.avg(F.element_at("embedding", 2).cast("double")), 6).alias("c1"),
+        F.round(F.avg(F.element_at("embedding", 3).cast("double")), 6).alias("c2"),
+    )

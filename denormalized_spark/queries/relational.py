@@ -1,0 +1,783 @@
+"""Relational operator coverage (SURVEY §2.2, §2.3, §2.5-2.8).
+
+Each query exercises one operator family through the engine the way
+the reference's API exposes it, and carries a DuckDB oracle. Spark
+plans to check with .explain: dimension joins broadcast, filters and
+projections reach the parquet scan, aggregates run partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# aggregation core
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → 8-agg groupBy. Partial agg map-side,
+    one shuffle on the 2-key group."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "filter_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def filter_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: predicate pushdown into the scan, single
+    global agg (partial/final automatic)."""
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_top_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, deterministic top-k.
+    customer is broadcast (small side); lineitem⋈orders shuffles on
+    the order key."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "join_region_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_region_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. All dimensions broadcast; only
+    the lineitem⋈orders shuffle is on big data."""
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "join_semi_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_semi_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: left-semi join (EXISTS) with a residual
+    cross-table predicate."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no URGENT order."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_left_order_counts",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 50000
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (null-aware agg)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 50000), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@q(
+    "join_theta_price",
+    """
+    SELECT c.c_custkey, count(*) AS n_big_orders
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 20 * c.c_acctbal
+    GROUP BY c.c_custkey
+    """,
+)
+def join_theta_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join: equi key + arbitrary residual expression (the
+    reference's join_on, datastream.rs:126-145)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (o.o_totalprice > 20 * c.c_acctbal),
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / distinct / sort+limit
+# ---------------------------------------------------------------------------
+
+@q("setop_distinct", "SELECT DISTINCT user_id, event_type FROM events")
+def setop_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@q(
+    "setop_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@q(
+    "setop_except",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_except(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.exceptAll(buyers.distinct())
+
+
+@q(
+    "setop_union",
+    """
+    SELECT user_id, 'high_value' AS reason FROM events WHERE value > 95
+    UNION
+    SELECT user_id, 'error' AS reason FROM events WHERE event_type = 'error' AND value > 90
+    """,
+)
+def setop_union(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    a = e.filter(F.col("value") > 95).select("user_id", F.lit("high_value").alias("reason"))
+    b = e.filter((F.col("event_type") == "error") & (F.col("value") > 90)).select(
+        "user_id", F.lit("error").alias("reason")
+    )
+    return a.union(b).distinct()
+
+
+@q(
+    "sort_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort+limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort)."""
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate function surface (§2.5)
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_pop(l_quantity), 4)                     AS varp_qty,
+           round(corr(l_extendedprice, l_quantity), 4)       AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+           round(median(l_quantity), 4)                      AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("varp_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+
+
+@q(
+    "agg_regression",
+    """
+    SELECT l_linestatus,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@q(
+    "agg_filter_distinct",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_returnflag = 'R')            AS n_returned,
+           round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_discounted,
+           count(DISTINCT l_suppkey)                             AS n_suppliers,
+           round(sum(DISTINCT l_quantity), 2)                    AS sum_distinct_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_filter_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's agg-builder options filter=/distinct=
+    (expr.py:489-544) → FILTER-clause rewrites."""
+    from denormalized_spark import functions as dnf
+
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dnf.count("*", filter=F.col("l_returnflag") == "R").alias("n_returned"),
+        F.round(dnf.sum("l_quantity", filter=F.col("l_discount") > 0.05), 2).alias(
+            "qty_discounted"
+        ),
+        dnf.count("l_suppkey", distinct=True).alias("n_suppliers"),
+        F.round(dnf.sum("l_quantity", distinct=True), 2).alias("sum_distinct_qty"),
+    )
+
+
+@q(
+    "agg_minmax_by",
+    """
+    SELECT event_type,
+           arg_min(user_id, event_id) AS first_user,
+           arg_max(user_id, event_id) AS last_user,
+           min(ts)                    AS first_ts,
+           max(ts)                    AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional aggregates: the reference's first_value/last_value
+    with order_by (functions.py:2108-2172) → min_by/max_by on a
+    unique ordering key."""
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@q(
+    "agg_collect",
+    """
+    SELECT event_type,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM (SELECT e.event_type, d.lang
+          FROM events e JOIN documents d ON e.user_id % 500 = d.doc_id) t
+    GROUP BY event_type
+    """,
+)
+def agg_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """Collection aggregates: array_agg(distinct) + string_agg
+    (functions.py:1608, :2628) → collect_set + sorted array_join."""
+    e = t(spark, sf, "events")
+    d = t(spark, sf, "documents")
+    joined = e.join(F.broadcast(d), (e.user_id % 500) == d.doc_id).select(
+        "event_type", "lang"
+    )
+    return joined.groupBy("event_type").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs")
+    )
+
+
+@q(
+    "agg_bitwise_bool",
+    """
+    SELECT l_returnflag,
+           bit_and(l_linenumber)          AS band,
+           bit_or(l_linenumber)           AS bor,
+           bit_xor(l_linenumber)          AS bxor,
+           bool_and(l_quantity > 1)       AS all_multi,
+           bool_or(l_discount > 0.09)     AS any_big_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+    )
+
+
+@q(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (the reference exposes
+    approx_percentile_cont; Spark's exact percentile matches DuckDB's
+    quantile_cont definition — approx variants are also exposed but
+    not oracle-checkable)."""
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 4).alias("p25"),
+        F.round(F.percentile("value", 0.50), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )
+
+
+@q("agg_approx_distinct")  # no oracle: approximate by construction
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the reference's approx_distinct
+    (functions.py:1508). Rows-only driver check: the estimate is
+    engine-specific."""
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window (OVER) functions (§2.6)
+# ---------------------------------------------------------------------------
+
+@q(
+    "over_rank_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def over_rank_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via ranking window (partitioned — scales)."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "over_running_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    """,
+)
+def over_running_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@q(
+    "over_ntile_percentrank",
+    """
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def over_ntile_percentrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-window ranking. NOTE: an unpartitioned OVER is a
+    single-reducer sort by construction — fine for reports, never on
+    the 100 TB path (partition it like over_rank_per_customer)."""
+    o = t(spark, sf, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface (§2.7)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_math_checksums",
+    """
+    SELECT round(sum(sqrt(l_quantity)), 2)                 AS s_sqrt,
+           round(sum(ln(l_extendedprice)), 2)              AS s_ln,
+           round(sum(abs(l_discount - 0.05)), 4)           AS s_abs,
+           round(sum(pow(l_tax, 2)), 4)                    AS s_pow,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT) + CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS s_floor_ceil,
+           round(sum(exp(l_discount)), 4)                  AS s_exp,
+           round(sum(log10(l_extendedprice)), 4)           AS s_log10
+    FROM lineitem
+    """,
+)
+def scalar_math_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.sum(F.sqrt("l_quantity")), 2).alias("s_sqrt"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 2).alias("s_ln"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("s_abs"),
+        F.round(F.sum(F.pow("l_tax", F.lit(2))), 4).alias("s_pow"),
+        F.sum(
+            F.floor("l_quantity").cast("long") + F.ceil(F.col("l_discount") * 100).cast("long")
+        ).alias("s_floor_ceil"),
+        F.round(F.sum(F.exp("l_discount")), 4).alias("s_exp"),
+        F.round(F.sum(F.log10("l_extendedprice")), 4).alias("s_log10"),
+    )
+
+
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substr(p_name, 1, 5)                            AS name_prefix,
+           length(p_name)                                  AS name_len,
+           concat_ws('-', p_brand, p_type)                 AS brand_type,
+           replace(p_type, 'A', '_')                       AS type_repl,
+           lpad(CAST(p_size AS VARCHAR), 5, '0')           AS size_padded,
+           levenshtein(p_brand, 'Brand#13')                AS brand_dist,
+           reverse(p_name)                                 AS name_rev,
+           split_part(p_name, ' ', 1)                      AS first_word
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("type_repl"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_dist"),
+        F.reverse("p_name").alias("name_rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@q(
+    "scalar_datetime",
+    """
+    SELECT date_trunc('month', o_orderdate)          AS month,
+           CAST(date_part('year', o_orderdate) AS INTEGER)  AS yr,
+           count(*)                                  AS n,
+           round(sum(o_totalprice), 2)               AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@q(
+    "scalar_case_json",
+    """
+    SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 33 THEN 'low'
+                WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 66 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def scalar_case_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction (Spark superset: the reference only decodes
+    JSON at ingest) + CASE WHEN chains."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    bucket = F.when(k < 33, "low").when(k < 66, "mid").otherwise("high")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum(k).alias("k_sum")
+    )
+
+
+@q(
+    "scalar_hash_funcs",
+    """
+    SELECT d.doc_id, md5(d.text) AS text_md5, sha256(d.text) AS text_sha256
+    FROM documents d WHERE d.doc_id < 50
+    """,
+)
+def scalar_hash_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+
+
+@q(
+    "array_funcs",
+    """
+    SELECT doc_id,
+           len(list_distinct(regexp_split_to_array(text, '\\s+')))            AS n_unique,
+           list_sort(list_distinct(regexp_split_to_array(text, '\\s+')))[1]   AS first_token,
+           array_to_string(list_slice(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), 1, 3), '|') AS first3,
+           list_contains(regexp_split_to_array(text, '\\s+'), 'spark')        AS has_spark
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function family (§2.7): distinct/sort/slice/join/contains."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), r"\s+")
+    uniq = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(uniq, 1).alias("first_token"),
+        F.array_join(F.slice(uniq, 1, 3), "|").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@q(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click_n,
+           count(*) FILTER (WHERE event_type = 'view')     AS view_n,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           count(*) FILTER (WHERE event_type = 'error')    AS error_n,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup_n
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with explicit values (avoids the extra distinct-values
+    job — required practice at scale)."""
+    e = t(spark, sf, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    out = e.groupBy("user_bucket").pivot("event_type", kinds).count()
+    for k in kinds:
+        out = out.withColumnRenamed(k, f"{k}_n")
+    # pivot yields null for empty cells; counts are 0 in the oracle
+    return out.select(
+        "user_bucket", *[F.coalesce(F.col(f"{k}_n"), F.lit(0)).alias(f"{k}_n") for k in kinds]
+    )
+
+
+@q(
+    "explode_top_tokens",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents
+    ) t GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def explode_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """explode/unnest (the reference's unnest_column, dataframe.py:337)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,0 +1,209 @@
+"""Windowed-aggregation semantics (SURVEY §2.4 — the reference's core
+custom operator) verified against SQL oracles.
+
+``F.window`` works identically in batch and streaming (same
+epoch-aligned assignment), so the oracle runs the batch plan while
+tests/test_streaming.py re-runs the same pipelines as real streams
+and asserts stream == batch. DuckDB's ``time_bucket`` uses the same
+epoch alignment as Spark's ``window``.
+
+Output schema parity: flattened ``window_start_time`` /
+``window_end_time`` columns (reference logical_plan/streaming_window.rs:83-107).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denormalized_spark.datastream import DataStream
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "window_tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start_time,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end_time,
+           event_type,
+           count(*)                    AS n,
+           round(sum(value), 2)        AS total,
+           round(avg(value), 4)        AS avg_value,
+           round(min(value), 2)        AS min_value,
+           round(max(value), 2)        AS max_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling window, grouped — the reference's
+    GroupedWindowAggStream path (grouped_window_agg_stream.rs:63-441)."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    return ds.window(
+        ["event_type"],
+        [
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        ],
+        3600_000,
+    ).df
+
+
+@q(
+    "window_sliding_1h_30m",
+    """
+    WITH raw AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - i.i * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) i(i)
+    )
+    SELECT ws                          AS window_start_time,
+           ws + INTERVAL '1 hour'      AS window_end_time,
+           event_type,
+           count(*)                    AS n,
+           round(sum(value), 2)        AS total
+    FROM raw GROUP BY 1, 2, 3
+    """,
+)
+def window_sliding_1h_30m(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (length 1h, slide 30m): each row lands in 2
+    windows (reference get_windows_for_watermark,
+    streaming_window.rs:1053-1086)."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    return ds.window(
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        3600_000,
+        1800_000,
+    ).df
+
+
+@q(
+    "window_global_tumbling_6h",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts)                      AS window_start_time,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end_time,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_global_tumbling_6h(spark: SparkSession, sf: str) -> DataFrame:
+    """Global (no group keys) window — the reference's Partial+Final
+    two-stage path (planner/streaming_window.rs:133-165). Spark's
+    partial/final split is automatic and the final stage is
+    per-window-key parallel, not single-partition like the reference
+    (streaming_window.rs:484-489) — strictly better at scale."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    return ds.window(
+        [], [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")], 21600_000
+    ).df
+
+
+@q(
+    "window_session_30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts)                           AS window_start_time,
+           max(ts) + INTERVAL '30 minutes'   AS window_end_time,
+           count(*)                          AS n,
+           round(sum(value), 2)              AS total
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_session_30m(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30m gap) per user — declared but ``todo!()``
+    in the reference (planner/streaming_window.rs:130); native in
+    Spark. Oracle = gaps-and-islands SQL."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    return ds.session_window(
+        ["user_id"], [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        1800_000,
+    ).df
+
+
+@q(
+    "window_then_join",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)  AS window_start_time,
+             event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.window_start_time, a.n AS click_n, a.total AS click_total,
+           b.n AS purchase_n, b.total AS purchase_total
+    FROM w a JOIN w b ON a.window_start_time = b.window_start_time
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def window_then_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's idiomatic stream⋈stream pattern: window-
+    aggregate both sides, then equi-join on the window bounds
+    (examples/examples/stream_join.rs:61-80). Joining on the window
+    key means both sides share partitioning — no extra shuffle after
+    the aggregations."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    win = ds.window(
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        3600_000,
+    )
+    clicks = win.filter(F.col("event_type") == "click").df.select(
+        "window_start_time",
+        F.col("n").alias("click_n"),
+        F.col("total").alias("click_total"),
+    )
+    buys = win.filter(F.col("event_type") == "purchase").df.select(
+        F.col("window_start_time").alias("ws2"),
+        F.col("n").alias("purchase_n"),
+        F.col("total").alias("purchase_total"),
+    )
+    return clicks.join(buys, clicks.window_start_time == buys.ws2).drop("ws2")
+
+
+@q(
+    "window_event_time_normalization",
+    """
+    SELECT to_timestamp(CAST(epoch_ms(ts) // 1000 AS BIGINT))::TIMESTAMP AS ts_sec,
+           count(*) AS n
+    FROM events
+    WHERE event_id < 100
+    GROUP BY 1
+    """,
+)
+def window_event_time_normalization(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time unit conversion (reference TimestampUnit,
+    physical_plan/utils/time.rs:14-19): ms-int → TimestampType via
+    the with_timestamp path."""
+    e = t(spark, sf, "events").filter(F.col("event_id") < 100)
+    # simulate an int64-seconds source column, then normalize
+    e = e.withColumn("epoch_s", (F.unix_timestamp("ts")).cast("long"))
+    ds = DataStream(e).with_timestamp("epoch_s", unit="s", target="ts_sec")
+    return ds.df.groupBy("ts_sec").agg(F.count("*").alias("n"))

@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its
+``oracle_sql()`` on DuckDB, then compares row count, column names,
+and order-insensitive values. Usage:
+
+    python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # unify timestamps/None repr
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype in ("float32",):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(bool)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from denormalized_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:150]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} ({dt:.1f}s) [no oracle]")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:150]}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            print(f"ok   {name}: rows={len(sdf)} ({dt:.1f}s)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch ({dt:.1f}s)")
+            diff = (s != o)
+            bad_cols = [c for c in s.columns if diff[c].any()]
+            for c in bad_cols[:3]:
+                idx = diff[c].idxmax()
+                print(f"   col={c} first_diff_row={idx} spark={s[c][idx]!r} oracle={o[c][idx]!r}")
+            n_fail += 1
+    print(f"\n{n_pass} ok, {n_fail} FAIL, {n_weak} weak (no oracle)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
