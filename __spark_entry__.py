@@ -38,14 +38,19 @@ def _configure(spark: SparkSession) -> SparkSession:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: filter → tumbling
-    1h window → count/sum/avg by event_type, via the DataStream API."""
+    """Flagship query: filter → tumbling 1h window → count/sum/avg by
+    event_type, via the DataStream API. Scale factor comes from
+    $SPARK_GRAFT_SF_DIR (default sf0.001) so the driver's bench scale
+    is honored."""
+    import os
+
     from pyspark.sql import functions as F
 
     from denormalized_spark import Context
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     ctx = Context(_configure(spark))
-    ds = ctx.from_parquet("/root/testdata/sf0.001/events.parquet", event_time="ts")
+    ds = ctx.from_parquet(os.path.join(sf_dir, "events.parquet"), event_time="ts")
     return ds.filter(F.col("value") >= 0).window(
         ["event_type"],
         [

@@ -1,0 +1,84 @@
+"""Benchmark harness — times the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+    $SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+    $SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+
+Each query is forced with a noop sink (full execution, no driver
+collect) and timed wall-clock. Output:
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per major operator family, weighted toward the
+# scale-critical plans (shuffle joins, windowed aggs, LSH dedup, ANN).
+HEADLINE = [
+    "agg_pricing_summary",      # TPC-H Q1 shape: scan + partial/final agg
+    "filter_revenue",           # pushdown filter + agg
+    "join_top_orders",          # lineitem⋈orders shuffle join + topk
+    "join_region_volume",       # 6-table join, 5 broadcast dims
+    "over_rank_per_customer",   # partitioned OVER window
+    "window_tumbling_1h",       # event-time tumbling window agg
+    "window_sliding_1h_30m",    # sliding window agg
+    "window_session_30m",       # session window agg
+    "dedup_exact",              # hash-groupBy dedup
+    "dedup_lsh_candidates",     # MinHash-LSH banded self-join
+    "dedup_simhash",            # per-row simhash signatures
+    "text_stats",               # scan-speed text projections
+    "sim_topk_query0",          # brute-force cosine top-k (broadcast)
+    "sim_lsh_buckets",          # hyperplane-LSH ANN buckets
+]
+
+
+def main() -> None:
+    t_start = time.time()
+    from denormalized_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # JVM/codegen warmup so q1 isn't charged for session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "wall_total": round(time.time() - t_start, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,9 @@ def _filtered(agg_input: Column, filter: Column | None) -> Column:  # noqa: A002
 # --------------------------------------------------------------------------
 
 def count(expr: Column | str = "*", distinct: bool = False, filter: Column | None = None) -> Column:  # noqa: A002
-    c = F.lit(1) if expr == "*" else _c(expr)
+    # isinstance guard first: Column.__eq__ returns a Column, which
+    # cannot be used in a boolean context.
+    c = F.lit(1) if (isinstance(expr, str) and expr == "*") else _c(expr)
     if filter is not None:
         c = F.when(filter, c)
     return F.count_distinct(c) if distinct else F.count(c)
@@ -264,10 +266,14 @@ ln = F.log  # one-arg F.log is natural log
 
 
 def log(base, expr=None):
-    """DataFusion log(base, x) or log(x) (=log10)."""
+    """DataFusion log(base, x) or log(x) (=log10). Column-typed bases
+    use the change-of-base identity ln(x)/ln(b), which Spark's two-arg
+    F.log (literal base only) cannot express."""
     if expr is None:
         return F.log10(_c(base))
-    return F.log(base if isinstance(base, (int, float)) else None, _c(expr))
+    if isinstance(base, (int, float)):
+        return F.log(base, _c(expr))
+    return F.log(_c(expr)) / F.log(_c(base))
 
 
 log2 = F.log2
@@ -288,10 +294,14 @@ tanh = F.tanh
 
 
 def trunc(expr, places: int = 0):
-    """Numeric truncation toward zero (DataFusion trunc)."""
-    factor = 10**places
+    """Numeric truncation toward zero (DataFusion trunc). Decimal
+    round(..., HALF_UP at 0.5) is avoided by flooring the absolute
+    value; negative ``places`` truncates to tens/hundreds/…; no
+    long-cast, so no overflow at |x| > 9.2e18/factor."""
     c = _c(expr)
-    return (c * factor).cast("long").cast("double") / factor
+    factor = F.lit(10.0 ** places)
+    shifted = F.floor(F.abs(c) * factor) / factor
+    return (F.when(c < 0, -shifted).otherwise(shifted)).cast("double")
 
 
 def iszero(expr):
@@ -502,7 +512,12 @@ def to_timestamp_micros(e):
 
 
 def to_timestamp_nanos(e):
-    return F.timestamp_micros((_c(e).cast("long") / 1000).cast("long"))
+    # ns → µs via decimal integer division: double division loses
+    # precision above 2^53 (epoch nanos ~1.7e18). decimal(38,0)/1000
+    # is exact; the long cast truncates the fraction (toward zero),
+    # matching `x div 1000` (cf. sources/files.py:58).
+    micros = (_c(e).cast("long").cast("decimal(38,0)") / 1000).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def to_timestamp_seconds(e):
@@ -584,9 +599,18 @@ array = make_array
 
 
 def range(start, stop=None, step=1):  # noqa: A001
+    """DataFusion range(stop) / range(start, stop[, step]) — half-open
+    [start, stop), unlike F.sequence's inclusive bounds. Int args are
+    wrapped in F.lit (F.sequence rejects bare Python ints)."""
+
+    def _n(x):
+        return F.lit(x) if isinstance(x, int) else _c(x)
+
     if stop is None:
-        return F.sequence(F.lit(0), _c(start) - 1, F.lit(step))
-    return F.sequence(_c(start), _c(stop) - 1, F.lit(step))
+        return F.sequence(F.lit(0), _n(start) - 1, _n(step))
+    # half-open end: one step-direction unit short of stop
+    off = 1 if not (isinstance(step, int) and step < 0) else -1
+    return F.sequence(_n(start), _n(stop) - off, _n(step))
 
 
 def array_append(arr, e):

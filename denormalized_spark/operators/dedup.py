@@ -106,14 +106,21 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
 
     banding: ``num_hashes`` split into ``bands`` rows-per-band groups;
     band key = md5 of the slice. One explode (bands per doc — constant
-    fan-out), one self-join on (band, band_key). Bucket sizes are the
-    only skew risk; at 100 TB add a bucket-size cap filter before the
-    join (boilerplate-heavy buckets explode quadratically).
+    fan-out), one self-join on (band, band_key).
+
+    ``max_bucket_size`` caps the quadratic blowup from degenerate
+    buckets (boilerplate-heavy corpora put thousands of docs in one
+    bucket; a b-doc bucket emits b(b-1)/2 pairs). Buckets above the
+    cap are dropped before the join via a windowless count-semi-join —
+    at 100 TB this is the difference between a bounded shuffle and an
+    executor OOM. Docs in a dropped bucket can still pair through
+    their other bands (and exact dedup catches full duplicates first).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -136,6 +143,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(small, ["band", "band_key"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -172,19 +187,22 @@ def jaccard_pairs(
     exploded = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("n_shared"))
+    matched = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.n_sh").alias("n_b"),
+    )
+    if candidates is not None:
+        # gate BEFORE the aggregation so only LSH survivors are
+        # counted — this is what keeps the verify stage sub-quadratic
+        matched = matched.join(candidates, ["id_a", "id_b"], "left_semi")
+    shared = matched.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count("*").alias("n_shared")
     )
     out = shared.select(
         "id_a",
@@ -194,8 +212,6 @@ def jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         ).alias("jaccard"),
     )
-    if candidates is not None:
-        out = out.join(candidates, ["id_a", "id_b"], "left_semi")
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
@@ -205,24 +221,35 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over tokens: bit b of the output is 1 when the sum of
     (±1 per token, sign = token-hash bit b) is positive. Hamming
     distance between simhashes approximates cosine similarity of the
-    bag-of-words vectors. Per-row, JVM-only."""
+    bag-of-words vectors. Per-row, JVM-only.
+
+    Single pass over the token array: the fold accumulator is the
+    ``bits``-element vote vector (zip_with adds each token's ±1
+    contribution for all bits at once), so the expression tree is
+    O(bits + tokens), not the O(bits × tokens) of folding once per
+    bit."""
     toks = F.array_distinct(tokens(text))
     hashed = F.transform(toks, lambda t: _hash64(t))
-
-    def vote_for_bit(b: int):
-        mask = F.lit(1 << b)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(hashed, F.lit(0), vote_for_bit(b))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out.cast("long")
+    masks = F.array(*[F.lit(1 << b) for b in range(bits)])
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # fold the vote vector into the simhash long: bit b set iff vote>0
+    weights = F.array(*[F.lit(1 << b) for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
 
 
 def simhash_near_dups(

@@ -88,25 +88,36 @@ def cosine_self_join_topk(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int) -> Column:
+def hyperplane_components(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane in [-0.5, 0.5]^dim:
-    component j = md5("p<i>:<j>") -> 60-bit uint -> unit interval."""
+    component j = md5("p<i>:<j>") -> first 15 hex chars -> 60-bit uint
+    -> unit interval. Computed driver-side with hashlib (identical to
+    what md5() in any engine yields), so the plane is a plain float
+    literal array — Catalyst constant-folds it, and the DuckDB oracle
+    can embed the very same literals."""
+    import hashlib
+
     comps = []
     for j in range(dim):
-        h = F.conv(F.substring(F.md5(F.lit(f"p{plane_idx}:{j}")), 1, 15), 16, 10).cast(
-            "double"
-        )
-        comps.append(h / F.lit(float(1 << 60)) - F.lit(0.5))
-    return F.array(*comps)
+        h = int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        comps.append(h / float(1 << 60) - 0.5)
+    return comps
 
 
-def lsh_signature(vec_col: Column, dim: int, num_planes: int = 8) -> Column:
-    """b-bit random-hyperplane signature as a long."""
+def _hyperplane(plane_idx: int, dim: int) -> Column:
+    return F.array(*[F.lit(c) for c in hyperplane_components(plane_idx, dim)])
+
+
+def lsh_signature(
+    vec_col: Column, dim: int, num_planes: int = 8, table: int = 0
+) -> Column:
+    """b-bit random-hyperplane signature as a long. ``table`` offsets
+    the plane indices so multiple independent hash tables (the
+    OR-construction that buys recall) draw disjoint hyperplanes."""
     sig = F.lit(0).cast("long")
     for i in range(num_planes):
-        bit = F.when(dot(vec_col, _hyperplane(i, dim)) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        plane = _hyperplane(table * num_planes + i, dim)
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = sig + bit
     return sig
 
@@ -118,29 +129,55 @@ def lsh_bucketed_neighbors(
     min_cosine: float = 0.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Candidate neighbor pairs sharing an LSH bucket, scored exactly.
 
-    Plan shape: project signature (scan-speed) → shuffle once on the
-    bucket → within-bucket self-join → exact cosine on candidates
-    only. Buckets are ~n/2^b vectors; pick num_planes so buckets fit
-    comfortably in a task (b=16 → 65k buckets)."""
+    Plan shape: project per-table signatures (scan-speed) → explode
+    ``num_tables`` (constant fan-out, like MinHash bands) → shuffle
+    once on (table, bucket) → within-bucket self-join → distinct →
+    exact cosine on candidates only.
+
+    Recall math: a pair at angle θ shares one table's bucket with
+    p = (1 − θ/π)^num_planes; OR across tables gives
+    1 − (1 − p)^num_tables. More tables = recall, more planes =
+    precision (smaller buckets). num_planes=16 → 65k buckets per
+    table; size so buckets fit a task at the target corpus."""
     sig = df.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), dim, num_planes).alias("bucket")
-    )
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_signature(F.col(vec_col), dim, num_planes, t).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
     a = sig.alias("a")
     b = sig.alias("b")
-    out = (
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine_sim"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
         )
+        # dedupe pairs found in several tables BEFORE the O(dim) score
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
     )
     if min_cosine > 0:
         out = out.filter(F.col("cosine_sim") >= min_cosine)

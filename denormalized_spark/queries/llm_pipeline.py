@@ -164,6 +164,54 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_LSH_GATE_CTES = (
+    _DOC_SHINGLES_CTE
+    + f""",
+    mh AS (SELECT doc_id, {_minhash_list(8)} AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(mh[b.b*2 + 1]::VARCHAR || ',' || mh[b.b*2 + 2]::VARCHAR) AS band_key
+      FROM mh CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      FROM bands a JOIN bands bb
+        ON a.band = bb.band AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    """
+)
+
+
+@q(
+    "dedup_jaccard_lsh_verified",
+    _LSH_GATE_CTES
+    + """
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT j.id_a, j.id_b,
+             count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+    ) t WHERE jaccard >= 0.2
+    """,
+)
+def dedup_jaccard_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB dedup plan end-to-end: LSH candidates gate the exact
+    Jaccard verify (``candidates=`` semi-join), so the inverted-index
+    join only scores sub-quadratic LSH survivors instead of every
+    shingle-sharing pair. ``dedup_jaccard_pairs`` keeps the ungated
+    small-scale oracle variant."""
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.2, candidates=cand
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @q(
     "dedup_simhash",
     f"""
@@ -342,13 +390,60 @@ def sim_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("sim_lsh_buckets")  # no oracle: the 512-term hyperplane SQL is impractical
+def _lsh_sig_sql(tbl: int, num_planes: int, dim: int) -> str:
+    """Per-table LSH signature as SQL. The hyperplanes are the same
+    Python-computed (hashlib-md5-derived) float literals the Spark
+    side constant-folds, so both engines evaluate identical
+    arithmetic in identical order — the sign bits agree exactly."""
+    from denormalized_spark.operators.similarity import hyperplane_components
+
+    terms = []
+    for i in range(num_planes):
+        comps = hyperplane_components(tbl * num_planes + i, dim)
+        dot = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE * {comps[j]!r})" for j in range(dim)
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_LSH_PLANES, _LSH_TABLES = 4, 4
+
+@q(
+    "sim_lsh_buckets",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_lsh_sig_sql(t_, _LSH_PLANES, 64)} AS s{t_}" for t_ in range(_LSH_TABLES))}
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id
+       AND ({" OR ".join(f"a.s{t_} = b.s{t_}" for t_ in range(_LSH_TABLES))})
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT id_a, id_b,
+             round(({_dot_sql('va', 'vb')}) / ({_norm_sql('va')} * {_norm_sql('vb')}), 6) AS cosine_sim
+      FROM pairs
+    ) t WHERE cosine_sim >= 0.3
+    """,
+)
 def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed neighbors — the scale path for
-    ANN. Rows-only driver check; tests assert recall against the
-    brute-force baseline."""
+    """Random-hyperplane LSH ANN — the scale path. 4 tables × 4 planes
+    (OR-construction): recall for a pair at angle θ is
+    1 − (1 − (1 − θ/π)⁴)⁴ ≈ 87% at cos 0.8. Fully oracle-checked
+    (the hyperplanes are engine-portable literals); tests additionally
+    assert recall ≥ bound vs the brute-force sim_threshold_pairs."""
     e = t(spark, sf, "embeddings")
-    return similarity.lsh_bucketed_neighbors(e, dim=64, num_planes=8, min_cosine=0.3)
+    out = similarity.lsh_bucketed_neighbors(
+        e, dim=64, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= 0.3)
 
 
 @q(

@@ -499,15 +499,30 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("agg_approx_distinct")  # no oracle: approximate by construction
+@q(
+    "agg_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_15pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL) — the reference's approx_distinct
-    (functions.py:1508). Rows-only driver check: the estimate is
-    engine-specific."""
+    (functions.py:1508). The HLL estimate itself is engine-specific,
+    so the oracle-checkable contract is its error bound: default
+    rsd=0.05 ⇒ |approx − exact| ≤ 15% of exact (3σ) — asserted as a
+    boolean column both engines must agree on."""
     e = t(spark, sf, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id") - F.count_distinct("user_id")
+            )
+            <= 0.15 * F.count_distinct("user_id")
+        ).alias("approx_within_15pct"),
     )
 
 

@@ -164,28 +164,36 @@ def window_session_30m(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def window_then_join(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference's idiomatic stream⋈stream pattern: window-
-    aggregate both sides, then equi-join on the window bounds
-    (examples/examples/stream_join.rs:61-80). Joining on the window
-    key means both sides share partitioning — no extra shuffle after
-    the aggregations."""
-    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    """The reference's idiomatic stream⋈stream pattern
+    (examples/examples/stream_join.rs:61-80): align two event streams
+    on window bounds. Expressed as ONE windowed aggregate + an
+    explicit-values pivot — the naive two-branch self-join re-executes
+    the scan+shuffle+agg per branch (2× the work); the pivot computes
+    the aggregate once and the 'join' is a zero-shuffle projection of
+    the already-grouped row."""
+    ds = DataStream(
+        t(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase")),
+        event_time="ts",
+    )
     win = ds.window(
         ["event_type"],
         [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
         3600_000,
+    ).df
+    pivoted = (
+        win.groupBy("window_start_time")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("n").alias("n"), F.first("total").alias("total"))
     )
-    clicks = win.filter(F.col("event_type") == "click").df.select(
+    return pivoted.filter(
+        F.col("click_n").isNotNull() & F.col("purchase_n").isNotNull()
+    ).select(
         "window_start_time",
-        F.col("n").alias("click_n"),
-        F.col("total").alias("click_total"),
+        "click_n",
+        "click_total",
+        F.col("purchase_n"),
+        F.col("purchase_total"),
     )
-    buys = win.filter(F.col("event_type") == "purchase").df.select(
-        F.col("window_start_time").alias("ws2"),
-        F.col("n").alias("purchase_n"),
-        F.col("total").alias("purchase_total"),
-    )
-    return clicks.join(buys, clicks.window_start_time == buys.ws2).drop("ws2")
 
 
 @q(

@@ -36,15 +36,24 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
-
-        schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    except Exception:
+    except ImportError:
         return []
+    try:
+        schema = pq.read_schema(path)
+    except (FileNotFoundError, OSError):
+        if os.path.isdir(path):
+            # multi-file dataset: take the schema of any one part
+            parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not parts:
+                return []
+            schema = pq.read_schema(os.path.join(path, parts[0]))
+        else:
+            raise
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
