@@ -272,7 +272,7 @@ def log(base, expr=None):
     if expr is None:
         return F.log10(_c(base))
     if isinstance(base, (int, float)):
-        return F.log(base, _c(expr))
+        return F.log(float(base), _c(expr))  # F.log requires a float base
     return F.log(_c(expr)) / F.log(_c(base))
 
 
@@ -294,13 +294,18 @@ tanh = F.tanh
 
 
 def trunc(expr, places: int = 0):
-    """Numeric truncation toward zero (DataFusion trunc). Decimal
-    round(..., HALF_UP at 0.5) is avoided by flooring the absolute
-    value; negative ``places`` truncates to tens/hundreds/…; no
-    long-cast, so no overflow at |x| > 9.2e18/factor."""
+    """Numeric truncation toward zero (DataFusion trunc). Floors the
+    absolute value (round() would round-half-up); negative ``places``
+    truncates to tens/hundreds/…. F.floor(double) returns long, which
+    overflows above 2^63 — but any double that large has no
+    fractional digits at the requested scale, so it passes through
+    unchanged instead."""
     c = _c(expr)
     factor = F.lit(10.0 ** places)
-    shifted = F.floor(F.abs(c) * factor) / factor
+    absx = F.abs(c)
+    shifted = F.when(
+        absx * factor >= F.lit(9.0e18), absx  # beyond long: already integral at this scale
+    ).otherwise(F.floor(absx * factor) / factor)
     return (F.when(c < 0, -shifted).otherwise(shifted)).cast("double")
 
 

@@ -1,0 +1,125 @@
+"""Dedup operator behavior: LSH bucket-size cap, candidate gating,
+signature determinism, canonical-survivor semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """Pathological dedup input: 30 identical boilerplate docs (one
+    giant LSH bucket) + 2 genuinely similar pairs + unique docs."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy cat today"))
+    rows.append((200, "completely different text about spark execution engines"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bucket_cap_bounds_pair_blowup(boilerplate_corpus):
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            boilerplate_corpus, num_hashes=8, bands=4
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            boilerplate_corpus, num_hashes=8, bands=4, max_bucket_size=5
+        ).collect()
+    }
+    # 30 identical docs → all C(30,2)=435 pairs uncapped (every band
+    # bucket holds all 30); the cap drops exactly those buckets
+    # (exact dedup handles identical content), keeping everything else
+    boiler_pairs = {p for p in uncapped if p[0] < 30 and p[1] < 30}
+    assert len(boiler_pairs) == 435
+    assert capped == uncapped - boiler_pairs
+
+
+def test_jaccard_gating_equals_semijoin(documents):
+    d = documents.limit(200)
+    cand = dedup.lsh_candidate_pairs(d, num_hashes=8, bands=4)
+    ungated = dedup.jaccard_pairs(d, min_jaccard=0.2)
+    gated = dedup.jaccard_pairs(d, min_jaccard=0.2, candidates=cand)
+    expected = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ungated.join(cand, ["id_a", "id_b"], "left_semi").collect()
+    }
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in gated.collect()}
+    assert got.keys() == expected.keys()
+    for k in got:
+        assert got[k] == pytest.approx(expected[k])
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(df).collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in got  # no shared shingles → no pair emitted
+
+
+def test_minhash_signature_shape_and_determinism(documents):
+    sig1 = dedup.minhash_signatures(documents.limit(20), num_hashes=6).collect()
+    sig2 = dedup.minhash_signatures(documents.limit(20), num_hashes=6).collect()
+    assert all(len(r["minhash"]) == 6 for r in sig1)
+    assert {r["doc_id"]: r["minhash"] for r in sig1} == {
+        r["doc_id"]: r["minhash"] for r in sig2
+    }
+
+
+def test_simhash_order_insensitive_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),  # same token set, shuffled
+            (3, "totally unrelated words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dedup.simhash("text").alias("sh")).collect()}
+    assert got[1] == got[2]  # bag-of-words: order must not matter
+    assert got[1] != got[3]
+    assert 0 <= got[1] < (1 << 32)
+
+
+def test_simhash_near_dups_hamming(spark):
+    """Deterministic contract: identical token sets → identical
+    simhash → same prefix bucket, hamming 0, for any prefix width."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "lazy the dog quick jumps fox brown over the"),  # shuffled
+            (3, "entirely different content about database query optimization plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_near_dups(df, max_hamming=3, prefix_bits=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0
+    # the unrelated doc may share a bucket but must fail the hamming
+    # verify (md5-derived hashes: deterministic for this input)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_exact_dedup_canonical_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other")], ["doc_id", "text"]
+    )
+    from denormalized_spark.operators.text import content_hash
+
+    d = df.withColumn("key", content_hash("text"))
+    got = {
+        r["canonical_id"]: r["n_dups"]
+        for r in dedup.exact_dedup_canonical(d, "key", "doc_id").collect()
+    }
+    assert got == {2: 2, 9: 1}

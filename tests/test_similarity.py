@@ -1,0 +1,100 @@
+"""Similarity/ANN: exactness of the brute-force tier, recall of the
+LSH tier against it (the promise at queries/llm_pipeline.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import similarity
+
+
+def test_dot_norm_cosine_known_values(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    got = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.cosine(F.col("a"), F.col("b")).alias("c"),
+        similarity.norm(F.col("a")).alias("n"),
+    ).collect()
+    assert got[0]["d"] == 0.0 and got[0]["c"] == pytest.approx(0.0)
+    assert got[1]["c"] == pytest.approx(1.0)
+    assert got[0]["n"] == pytest.approx(1.0)
+    assert got[1]["n"] == pytest.approx(math.sqrt(2))
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    import numpy as np
+
+    rows = embeddings.limit(100).select("vec_id", "embedding").collect()
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    df = embeddings.limit(100)
+    got = similarity.cosine_topk(df, qvec, k=5).collect()
+
+    m = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    q = np.array(qvec)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip([r["vec_id"] for r in rows], cos), key=lambda t: (-t[1], t[0])
+    )[:5]
+    assert [r["vec_id"] for r in got] == [i for i, _ in order]
+    for r, (_, c) in zip(got, order):
+        assert r["cosine_sim"] == pytest.approx(float(c), abs=1e-9)
+
+
+def test_lsh_recall_vs_brute_force(embeddings):
+    """The 4-table × 4-plane OR-construction must recover a healthy
+    fraction of true cos≥0.3 pairs. Theory: pair recall at cosine s is
+    1−(1−(1−acos(s)/π)^4)^4 ≈ 0.42 at s=0.3 (rising steeply with s);
+    measured 0.475 on this corpus — deterministic (fixed hyperplanes,
+    fixed data), asserted with a small margin."""
+    e = embeddings
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", similarity.cosine(F.col("v_a"), F.col("v_b")).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    )
+    truth_pairs = {(r["id_a"], r["id_b"]) for r in truth}
+    assert truth_pairs, "test data has no cos>=0.3 pairs"
+
+    found = similarity.lsh_bucketed_neighbors(
+        e, dim=64, num_planes=4, num_tables=4
+    ).collect()
+    found_pairs = {(r["id_a"], r["id_b"]) for r in found}
+    recall = len(truth_pairs & found_pairs) / len(truth_pairs)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} on {len(truth_pairs)} true pairs"
+
+
+def test_lsh_candidates_scored_exactly(embeddings):
+    """Every emitted candidate's cosine must equal the brute-force
+    value (the LSH tier only prunes, never rescores approximately)."""
+    found = similarity.lsh_bucketed_neighbors(
+        embeddings.limit(50), dim=64, num_planes=4, num_tables=2
+    ).collect()
+    if not found:
+        pytest.skip("no candidates in the 50-vector sample")
+    e = embeddings.limit(50)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .collect()
+    }
+    for r in found:
+        assert r["cosine_sim"] == pytest.approx(exact[(r["id_a"], r["id_b"])], abs=1e-9)
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.hyperplane_components(3, 8)
+    b = similarity.hyperplane_components(3, 8)
+    assert a == b
+    assert all(-0.5 <= x < 0.5 for x in a)
+    assert similarity.hyperplane_components(4, 8) != a

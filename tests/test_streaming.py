@@ -1,0 +1,220 @@
+"""Real streaming execution of the §2.4 window operators.
+
+Each test runs the SAME pipeline twice: once as a batch DataFrame and
+once as a genuine Structured Streaming query (file stream source +
+``foreachBatch`` sink, ``availableNow`` trigger), then asserts the
+streamed emissions equal the batch result restricted to the windows
+the final watermark closed. This executes the façade's
+``sink()``/``writeStream`` path for real — the reference semantics
+being verified are the streaming-window emission/watermark contract
+(crates/core/src/physical_plan/continuous/streaming_window.rs:703-744)
+and late-data drop (streaming_window.rs:982-991).
+
+Streaming append mode holds back windows the watermark has not passed
+(the reference does the same — a window only emits when
+``watermark >= window_end``), so the comparison filter is
+``window_end_time <= final_watermark`` (boundary checked both ways —
+Spark's strictness at exact equality is an implementation detail).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.context import Context
+
+GAP_FLOAT_COLS = ("total", "avg_value", "min_value", "max_value")
+
+
+def run_stream_to_rows(windowed_ds, timeout: int = 180):
+    """Drive a windowed DataStream through foreachBatch and collect
+    every appended row."""
+    rows = []
+    q = windowed_ds.sink(
+        lambda df: rows.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_stream_"),
+    )
+    q.awaitTermination(timeout)
+    return rows
+
+
+def rows_to_map(rows, float_cols=GAP_FLOAT_COLS):
+    """Rows → {non-float key tuple: {float col: value}} for
+    order-insensitive comparison with float tolerance (partial-agg
+    order differs between stream and batch)."""
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        key = tuple((k, d[k]) for k in sorted(d) if k not in float_cols)
+        assert key not in out, f"duplicate emission for {key}"
+        out[key] = {k: d[k] for k in d if k in float_cols}
+    return out
+
+
+def assert_stream_equals_closed_batch(stream_rows, batch_df, watermark, end_col="window_end_time"):
+    batch_rows = batch_df.collect()
+    smap = rows_to_map(stream_rows)
+    for boundary in ("le", "lt"):
+        closed = [
+            r
+            for r in batch_rows
+            if (r[end_col] <= watermark if boundary == "le" else r[end_col] < watermark)
+        ]
+        bmap = rows_to_map(closed)
+        if set(smap) == set(bmap):
+            for k in smap:
+                for col, v in smap[k].items():
+                    assert v == pytest.approx(bmap[k][col], abs=1e-6), (k, col)
+            return
+    raise AssertionError(
+        f"stream emissions ({len(smap)}) do not match closed batch windows "
+        f"({len(batch_rows)} total batch rows, watermark={watermark})"
+    )
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return Context(spark)
+
+
+@pytest.fixture(scope="module")
+def final_watermark(events):
+    return events.agg(F.max("ts")).collect()[0][0]
+
+
+def _aggs():
+    return [
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    ]
+
+
+def test_tumbling_stream_equals_batch(ctx, sf_dir, events, final_watermark):
+    batch = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .window(["event_type"], _aggs(), 3600_000)
+        .df
+    )
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = run_stream_to_rows(sds.window(["event_type"], _aggs(), 3600_000))
+    assert rows, "stream emitted nothing"
+    assert_stream_equals_closed_batch(rows, batch, final_watermark)
+
+
+def test_sliding_stream_equals_batch(ctx, sf_dir, events, final_watermark):
+    batch = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .window(["event_type"], _aggs(), 3600_000, 1800_000)
+        .df
+    )
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = run_stream_to_rows(sds.window(["event_type"], _aggs(), 3600_000, 1800_000))
+    assert_stream_equals_closed_batch(rows, batch, final_watermark)
+
+
+def test_global_window_stream_equals_batch(ctx, sf_dir, events, final_watermark):
+    """No-key window — the reference's Partial+Final global path
+    (planner/streaming_window.rs:133-165)."""
+    batch = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .window([], _aggs(), 21600_000)
+        .df
+    )
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = run_stream_to_rows(sds.window([], _aggs(), 21600_000))
+    assert_stream_equals_closed_batch(rows, batch, final_watermark)
+
+
+def test_session_window_stream_equals_batch(ctx, sf_dir, events, final_watermark):
+    """Session windows — ``todo!()`` in the reference
+    (planner/streaming_window.rs:130), native in Spark, including as
+    a real stream."""
+    batch = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .session_window(["user_id"], _aggs(), 1800_000)
+        .df
+    )
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = run_stream_to_rows(sds.session_window(["user_id"], _aggs(), 1800_000))
+    assert_stream_equals_closed_batch(rows, batch, final_watermark)
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """Watermark semantics end-to-end: an event for an already-closed
+    and already-emitted window must be dropped, not re-emitted
+    (reference late-data drop, streaming_window.rs:982-991).
+
+    Spark filters late rows with the watermark as of the PREVIOUS
+    micro-batch (eviction uses the current one), so the late event
+    arrives two batches after the watermark-advancing event:
+    file A (3 events hour 0 + one at 02:00) advances wm to 02:00 and
+    hour-0 emits during file B's batch; file C then carries a LATE
+    hour-0 event — by then the filter watermark (02:00) is past
+    hour-0's end, so it must be dropped. A re-opened window would
+    re-emit hour 0 with n=1 at the final flush.
+    """
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    base = "2024-01-01 "
+    files = {
+        "a.parquet": [
+            Row(ts_str=base + "00:10:00", v=1),
+            Row(ts_str=base + "00:20:00", v=1),
+            Row(ts_str=base + "00:50:00", v=1),
+            Row(ts_str=base + "02:00:00", v=1),
+        ],
+        "b.parquet": [Row(ts_str=base + "02:10:00", v=1)],
+        "c.parquet": [
+            Row(ts_str=base + "00:30:00", v=1),  # late: hour-0 emitted already
+            Row(ts_str=base + "02:30:00", v=1),
+        ],
+    }
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    now = time.time()
+    for i, (name, rows) in enumerate(files.items()):
+        df = spark.createDataFrame(rows).select(
+            F.to_timestamp("ts_str").alias("ts"), "v"
+        )
+        tmp_out = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / name)
+        os.rename(os.path.join(tmp_out, part), dest)
+        t = now - 300 + i * 100  # a < b < c by mtime → micro-batch order
+        os.utime(dest, (t, t))
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    from denormalized_spark.datastream import DataStream
+
+    ds = DataStream(sdf, event_time="ts")
+    rows = run_stream_to_rows(ds.window([], [F.count("*").alias("n")], 3600_000))
+    hour0 = [r for r in rows if r["window_start_time"].hour == 0]
+    # exactly one emission for hour 0, with the on-time count only —
+    # the late event neither re-opened the window nor re-emitted it
+    assert len(hour0) == 1 and hour0[0]["n"] == 3, rows
+
+
+def test_stream_sink_batch_degenerate(spark, events):
+    """Batch DataFrames run the sink callback once, immediately —
+    shared sink code between backfills and live streams."""
+    from denormalized_spark.datastream import DataStream
+
+    seen = []
+    out = DataStream(events.limit(5)).sink(lambda df: seen.append(df.count()))
+    assert seen == [5]
