@@ -21,6 +21,15 @@ the DataFrame API and Catalyst/Tungsten pick the physical strategy.
 from denormalized_spark.context import Context
 from denormalized_spark.datastream import DataStream
 from denormalized_spark.session import get_spark
+from denormalized_spark.udf import Accumulator, Volatility, udaf, udf
 
-__all__ = ["Context", "DataStream", "get_spark"]
+__all__ = [
+    "Accumulator",
+    "Context",
+    "DataStream",
+    "Volatility",
+    "get_spark",
+    "udaf",
+    "udf",
+]
 __version__ = "0.1.0"

@@ -14,11 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from denormalized_spark.queries import llm_pipeline, relational, streaming_windows
+from denormalized_spark.queries import llm_pipeline, relational, streaming_windows, udf_queries
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, streaming_windows, llm_pipeline):
+for mod in (relational, streaming_windows, llm_pipeline, udf_queries):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
