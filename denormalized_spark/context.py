@@ -78,6 +78,35 @@ class Context:
             )
         return DataStream(self.spark.read.parquet(path), event_time=event_time)
 
+    def from_csv(
+        self,
+        path: str,
+        event_time: str | None = None,
+        *,
+        header: bool = True,
+        infer_schema: bool = True,
+        schema=None,
+        **options,
+    ) -> DataStream:
+        """Batch CSV source (reference vendored SessionContext.read_csv,
+        datafusion/context.py:671-744; csv_streaming.rs:14-63)."""
+        reader = self.spark.read.options(
+            header=str(header).lower(), inferSchema=str(infer_schema).lower(), **options
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return DataStream(reader.csv(path), event_time=event_time)
+
+    def from_json(
+        self, path: str, event_time: str | None = None, *, schema=None, **options
+    ) -> DataStream:
+        """Batch newline-delimited JSON source (reference
+        SessionContext.read_json, datafusion/context.py:746-812)."""
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return DataStream(reader.json(path), event_time=event_time)
+
     def from_batch(self, df: DataFrame, event_time: str | None = None) -> DataStream:
         """Wrap an existing DataFrame (the reference's Joinable batch
         side, datastream.rs:379-395)."""

@@ -145,6 +145,38 @@ class DataStream:
     def count(self) -> int:
         return self._df.count()
 
+    def describe(self, *cols: str) -> "DataStream":
+        """Summary statistics (reference DataFrame.describe,
+        vendored dataframe.py:79: count/null_count/mean/std/min/max).
+        Spark's describe covers count/mean/stddev/min/max; null_count
+        is appended as count(*) − count(col) per column."""
+        target = list(cols) or [
+            f.name
+            for f in self._df.schema.fields
+            if f.dataType.typeName() in ("long", "integer", "double", "float", "short", "decimal")
+        ]
+        desc = self._df.describe(*target)
+        nulls = self._df.agg(
+            *[
+                (F.count(F.lit(1)) - F.count(c)).cast("string").alias(c)
+                for c in target
+            ]
+        ).withColumn("summary", F.lit("null_count")).select("summary", *target)
+        return self._wrap(desc.unionByName(nulls))
+
+    def unnest_column(self, column: str, *, preserve_nulls: bool = True) -> "DataStream":
+        """Explode an array column to one row per element (reference
+        DataFrame.unnest_column, vendored dataframe.py:337-361)."""
+        fn = F.explode_outer if preserve_nulls else F.explode
+        others = [c for c in self._df.columns if c != column]
+        return self._wrap(self._df.select(*others, fn(column).alias(column)))
+
+    def unnest_columns(self, *columns: str, preserve_nulls: bool = True) -> "DataStream":
+        out = self
+        for c in columns:
+            out = out.unnest_column(c, preserve_nulls=preserve_nulls)
+        return out
+
     # -- joins (reference datastream.rs:126-175) ------------------------
 
     def join(

@@ -467,3 +467,43 @@ def sim_centroid_by_label(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg(F.element_at("embedding", 2).cast("double")), 6).alias("c1"),
         F.round(F.avg(F.element_at("embedding", 3).cast("double")), 6).alias("c2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@q(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           {", ".join(
+               f"round(CAST(('0x' || substr(md5(text), {8*j+1}, 8))::BIGINT"
+               f" / 4294967296.0 AS REAL)::DOUBLE, 6) AS f{j}"
+               for j in range(4)
+           )}
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas
+    plumbing (operators/multimodal.py): documents' text bytes stand in
+    for image payloads; the deterministic md5 fake kernel makes the
+    Arrow path fully oracle-checkable (the oracle recomputes the same
+    md5-chained floats, float32-rounded like the array<float> schema).
+    Swapping the fake for a PIL/ffmpeg kernel changes no plumbing."""
+    from denormalized_spark.operators import multimodal
+
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    feats = multimodal.image_features(d, "payload", dim=4, fake=True)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", j + 1).cast("double"), 6).alias(f"f{j}")
+            for j in range(4)
+        ],
+    )

