@@ -65,25 +65,57 @@ def exact_dedup_canonical(
     )
 
 
+#: Mersenne prime 2^61−1: modulus of the universal hash family. All
+#: intermediates stay below 2^62, so 64-bit arithmetic never
+#: overflows — in Spark longs AND DuckDB BIGINTs alike.
+MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash
+    h_i(x) = (a·x + b) mod (2^61−1): md5-derived constants, identical
+    in any engine that embeds them as literals. a is 29-bit nonzero,
+    b 30-bit: with x < 2^32, a·x + b < 2^61 + 2^30 < 2^62."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:8], 16) % ((1 << 29) - 1) + 1
+    b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:8], 16) % (1 << 30)
+    return a, b
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature as array<long>, one min per seeded hash.
+    """MinHash signature as array<long>, one min per hash function.
 
-    hash_i(s) = md5(i || ':' || s); the signature is computed per-row
-    with higher-order functions — no explode, no shuffle.
+    ONE md5 per shingle (the 32-bit base hash), then ``num_hashes``
+    cheap affine transforms (a_i·h + b_i mod 2^61−1) — the standard
+    universal-hashing trick that replaces k crypto hashes per shingle
+    with one. Computed per-row with higher-order functions: no
+    explode, no shuffle, and the md5→affine pipeline is portable
+    (the DuckDB oracles recompute it bit-identically).
     """
     sh = word_shingles(text, shingle_n)
-
-    def seeded(i: int):
-        # NOTE: pyspark binds a 2-arg lambda as (element, index) — a
-        # default arg would capture the index column, so close over a
-        # prebuilt prefix instead.
-        prefix = F.lit(f"{i}:")
-        return lambda s: _hash64(F.concat(prefix, s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
+    # 32-bit base hash, ONE md5 per shingle (appears once in the tree)
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in (minhash_params(i) for i in range(num_hashes))
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE61).cast("long"), num_hashes)
+    # single fold: each base hash updates all num_hashes running mins
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE61)),
+        ),
     )
 
 
@@ -143,24 +175,31 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+    # bucket-collect instead of self-join: the signature subtree would
+    # otherwise be evaluated once per join side (no exchange to
+    # reuse). One aggregation collects each bucket's ids; pairs are
+    # generated per bucket with higher-order functions. Bucket arrays
+    # are bounded by max_bucket_size at scale.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count("*").alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .select("band", "band_key")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    ids = F.col("_ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = banded.join(small, ["band", "band_key"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

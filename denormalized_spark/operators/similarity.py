@@ -158,27 +158,39 @@ def lsh_bucketed_neighbors(
             )
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
-        )
-        # dedupe pairs found in several tables BEFORE the O(dim) score
-        .dropDuplicates(["id_a", "id_b"])
+    # bucket-collect instead of a self-join: one aggregation gathers
+    # each bucket's (id, vector) members (signatures computed ONCE —
+    # a self-join would re-evaluate the num_planes dot products per
+    # side); pairs are generated per bucket with higher-order
+    # functions, then deduped across tables BEFORE the O(dim) score.
+    member = F.struct(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+    buckets = (
+        sig.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list(member)).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
     )
-    out = cand.select(
-        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+    ms = F.col("_ms")
+    # score INSIDE the pair generation: the dedup shuffle then carries
+    # narrow (id_a, id_b, cos) rows, not two 64-float vectors, and the
+    # min_cosine filter prunes before the exchange. A pair found in k
+    # tables is scored k times (k ≤ num_tables, dupes only) — far
+    # cheaper than shuffling vectors.
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["mid"].alias("id_a"),
+                    y["mid"].alias("id_b"),
+                    cosine(x["mvec"], y["mvec"]).alias("cosine_sim"),
+                ),
+            ),
+        )
+    )
+    out = buckets.select(F.explode(pair_arrays).alias("p")).select(
+        "p.id_a", "p.id_b", "p.cosine_sim"
     )
     if min_cosine > 0:
         out = out.filter(F.col("cosine_sim") >= min_cosine)
-    return out
+    return out.dropDuplicates(["id_a", "id_b"])

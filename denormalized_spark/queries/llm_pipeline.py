@@ -47,10 +47,19 @@ def _hex15(expr: str) -> str:
 
 
 def _minhash_list(num_hashes: int) -> str:
+    """Universal-hash MinHash matching operators.dedup.minhash_signature:
+    base = first-8-hex-chars of md5(shingle) (32-bit), then
+    h_i = (a_i·base + b_i) mod 2^61−1 with the same md5-derived
+    (a_i, b_i) literals the Spark side folds with."""
+    from denormalized_spark.operators.dedup import MERSENNE61, minhash_params
+
+    base = "list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
     parts = []
     for i in range(num_hashes):
-        seeded = "'" + str(i) + ":' || s"
-        parts.append(f"list_min([{_hex15(seeded)} for s in shingles])")
+        a, b = minhash_params(i)
+        parts.append(
+            f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {MERSENNE61}))"
+        )
     return "[" + ", ".join(parts) + "]"
 
 
@@ -438,8 +447,12 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     (the hyperplanes are engine-portable literals); tests additionally
     assert recall ≥ bound vs the brute-force sim_threshold_pairs."""
     e = t(spark, sf, "embeddings")
+    # inner prune at the exact pre-image of round(c,6) >= 0.3, so the
+    # cheap filter runs before the dedup shuffle without changing the
+    # rounded-value semantics the oracle checks
     out = similarity.lsh_bucketed_neighbors(
-        e, dim=64, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
+        e, dim=64, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES,
+        min_cosine=0.2999995,
     )
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")

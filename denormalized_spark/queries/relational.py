@@ -596,16 +596,27 @@ def over_running_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def over_ntile_percentrank(spark: SparkSession, sf: str) -> DataFrame:
-    """Global-window ranking. NOTE: an unpartitioned OVER is a
-    single-reducer sort by construction — fine for reports, never on
-    the 100 TB path (partition it like over_rank_per_customer)."""
+    """Global-window ranking WITHOUT the single-reducer sort: an
+    unpartitioned ``Window.orderBy`` cannot finish at 100 TB, so this
+    runs operators.ranking.global_ranks — range-repartition + local
+    row_number + broadcast prefix-sum offsets (same results, bounded
+    parallelism; see ranking.py module docs)."""
+    from denormalized_spark.operators.ranking import global_ranks
+
     o = t(spark, sf, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
+    ranked = global_ranks(
+        o,
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        # the oracle's OVER (ORDER BY price DESC, orderkey) ranks on
+        # the full (unique) key — rank == row_number, no tie groups
+        rank_keys=["o_totalprice", "o_orderkey"],
+        ntile=4,
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.col("ntile_4").alias("quartile"),
+        F.round("percent_rank", 6).alias("pct_rank"),
+        F.round("cume_dist", 6).alias("cdist"),
     )
 
 
