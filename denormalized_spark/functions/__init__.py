@@ -92,14 +92,44 @@ def approx_percentile_cont(expr, percentile: float, filter=None):  # noqa: A002
 
 
 def approx_percentile_cont_with_weight(expr, weight, percentile: float):
-    """No weighted approx-percentile built-in; documented recipe:
-    exact weighted percentile via cumulative-weight window (batch),
-    or a UDAF. Raises to keep the gap explicit, like the reference's
-    Avro logical-type ``todo!()``s."""
+    """Spark has no weighted-percentile aggregate Column; the engine
+    provides the EXACT equivalent as a DataFrame-level operator —
+    :func:`weighted_percentile` below (cumulative-weight window,
+    partitioned per group: scale-safe). This stub points there."""
     raise NotImplementedError(
-        "weighted approx percentile: use exact cumulative-weight recipe "
-        "(Window.orderBy(expr) + sum(weight) running / total)"
+        "use denormalized_spark.functions.weighted_percentile(df, group_cols, "
+        "value_col, weight_col, percentile) — the exact DataFrame-level form"
     )
+
+
+def weighted_percentile(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    percentile: float,
+    out_col: str = "weighted_percentile",
+):
+    """Exact weighted percentile per group (the reference's
+    approx_percentile_cont_with_weight, functions.py:1582, made
+    exact): the smallest value whose running cumulative weight reaches
+    ``percentile`` × total weight.
+
+    Plan: one window over (group ORDER BY value) — partitioned by the
+    group key, so state is bounded per group; then a min-aggregate.
+    Zero-weight rows are excluded (they cannot carry mass)."""
+    from pyspark.sql import Window as _W
+
+    v, w = F.col(value_col), F.col(weight_col)
+    win = _W.partitionBy(*group_cols).orderBy(value_col).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    tot = _W.partitionBy(*group_cols)
+    cum = df.filter(w > 0).withColumn("_cw", F.sum(w).over(win)).withColumn(
+        "_tw", F.sum(w).over(tot)
+    )
+    hit = cum.filter(F.col("_cw") >= F.lit(percentile) * F.col("_tw"))
+    return hit.groupBy(*group_cols).agg(F.min(v).alias(out_col))
 
 
 def array_agg(expr, distinct=False, filter=None):  # noqa: A002
@@ -551,12 +581,18 @@ datetrunc = date_trunc
 
 
 def date_bin(interval_ms: int, e, origin=None):
-    """Epoch-aligned binning: F.window start, or explicit arithmetic
-    when an origin is given."""
+    """Bin timestamps to ``interval_ms`` strides (DataFusion date_bin).
+    Epoch-aligned without ``origin``; with one, bins are aligned to it
+    (bin start = largest origin + k·stride ≤ ts, correct for ts before
+    the origin too — floor-mod arithmetic in integer micros)."""
     c = _c(e)
     if origin is None:
         return F.window(c, f"{interval_ms // 1000} seconds").start
-    raise NotImplementedError("date_bin with custom origin: use F.window(..., startTime=)")
+    o = F.lit(origin).cast("timestamp") if isinstance(origin, str) else _c(origin)
+    stride = F.lit(interval_ms * 1000).cast("long")  # micros
+    delta = F.unix_micros(c) - F.unix_micros(o)
+    offset = ((delta % stride) + stride) % stride  # true floor-mod
+    return F.timestamp_micros(F.unix_micros(c) - offset)
 
 
 make_date = F.make_date
@@ -571,12 +607,43 @@ def in_list(e, values, negated: bool = False):
     return ~c if negated else c
 
 
-def case(e=None):
-    """CaseBuilder (reference expr.py:658-694) → use F.when chains."""
-    raise NotImplementedError("use pyspark F.when(cond, v).when(...).otherwise(...)")
+class CaseBuilder:
+    """CASE builder (reference CaseBuilder, expr.py:658-694):
+    ``case(col).when(v, then)`` (simple CASE, compares col == v) or
+    ``when(cond, then)`` (searched CASE); finish with ``otherwise(x)``
+    or ``end()`` (non-matches → NULL). Compiles to one F.when chain —
+    pure Catalyst expression, codegen'd."""
+
+    def __init__(self, base: Column | None = None, branches=None):
+        self._base = base
+        self._branches = list(branches or [])
+
+    def when(self, when_expr, then_expr) -> "CaseBuilder":
+        return CaseBuilder(self._base, [*self._branches, (when_expr, then_expr)])
+
+    def _build(self) -> Column:
+        if not self._branches:
+            raise ValueError("case requires at least one when()")
+        out = None
+        for w, t in self._branches:
+            cond = (self._base == w) if self._base is not None else w
+            out = F.when(cond, t) if out is None else out.when(cond, t)
+        return out
+
+    def otherwise(self, else_expr) -> Column:
+        return self._build().otherwise(else_expr)
+
+    def end(self) -> Column:
+        return self._build()
 
 
-when = F.when
+def case(e) -> CaseBuilder:
+    """Start a simple CASE on an expression (reference
+    functions.py:385-393)."""
+    return CaseBuilder(base=_c(e))
+
+
+when = F.when  # searched CASE: F.when already chains .when().otherwise()
 
 
 def between(e, low, high):

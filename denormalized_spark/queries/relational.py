@@ -986,3 +986,33 @@ def over_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         dnf.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@q(
+    "agg_weighted_percentile",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+    FROM c WHERE cw >= 0.5 * tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted percentile (the reference's
+    approx_percentile_cont_with_weight, functions.py:1582, exact):
+    quantity-weighted median extended price per return flag.
+    Integer-valued weights keep the cumulative sums exact, so the
+    crossing point is engine-deterministic."""
+    from denormalized_spark import functions as dnf
+
+    li = t(spark, sf, "lineitem")
+    return dnf.weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5,
+        out_col="weighted_median_price",
+    )

@@ -166,3 +166,50 @@ def test_date_part_and_trunc(spark):
         dnf.date_trunc("day", dnf.to_timestamp("s")).cast("string").alias("d"),
     ).collect()[0]
     assert got["h"] == 13 and got["d"].startswith("2024-03-15 00:00")
+
+
+def test_case_builder_simple_and_end(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    c = (
+        dnf.case(F.col("x"))
+        .when(F.lit(1), F.lit("one"))
+        .when(F.lit(2), F.lit("two"))
+        .otherwise(F.lit("many"))
+    )
+    got = [r[0] for r in df.select(c).collect()]
+    assert got == ["one", "two", "many"]
+    # end(): non-matches are NULL
+    c2 = dnf.case(F.col("x")).when(F.lit(1), F.lit("one")).end()
+    got2 = [r[0] for r in df.select(c2).collect()]
+    assert got2 == ["one", None, None]
+
+
+def test_date_bin_with_origin(spark):
+    df = spark.createDataFrame([("2024-01-01 00:37:00",), ("2023-12-31 23:50:00",)], ["s"])
+    ts = dnf.to_timestamp("s")
+    # 15-minute bins anchored at 00:05
+    binned = df.select(
+        dnf.date_bin(900_000, ts, "2024-01-01 00:05:00").cast("string").alias("b")
+    ).collect()
+    assert binned[0]["b"].startswith("2024-01-01 00:35:00")
+    # before the origin: floor-mod must still bin downward
+    assert binned[1]["b"].startswith("2023-12-31 23:50:00")
+
+
+def test_weighted_percentile_matches_manual(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8), ("b", 5.0, 1), ("b", 6.0, 0)],
+        ["g", "v", "w"],
+    )
+    got = {
+        r["g"]: r["weighted_percentile"]
+        for r in dnf.weighted_percentile(df, ["g"], "v", "w", 0.5).collect()
+    }
+    # a: total w=10, target 5 -> crossing inside v=3 -> 3.0
+    # b: zero-weight row excluded -> only v=5 carries mass
+    assert got == {"a": 3.0, "b": 5.0}
+
+
+def test_approx_percentile_with_weight_stub_points_to_exact():
+    with pytest.raises(NotImplementedError, match="weighted_percentile"):
+        dnf.approx_percentile_cont_with_weight("x", "w", 0.5)
