@@ -159,11 +159,17 @@ def lsh_bucketed_neighbors(
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
     # bucket-collect instead of a self-join: one aggregation gathers
-    # each bucket's (id, vector) members (signatures computed ONCE —
-    # a self-join would re-evaluate the num_planes dot products per
-    # side); pairs are generated per bucket with higher-order
+    # each bucket's (id, vector, norm) members (signatures computed
+    # ONCE — a self-join would re-evaluate the num_planes dot products
+    # per side); pairs are generated per bucket with higher-order
     # functions, then deduped across tables BEFORE the O(dim) score.
-    member = F.struct(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+    # The norm is precomputed per VECTOR (it was recomputed per pair:
+    # 3 array folds per pair → 1), same expression → same value.
+    member = F.struct(
+        F.col(id_col).alias("mid"),
+        F.col(vec_col).alias("mvec"),
+        norm(F.col(vec_col)).alias("mnorm"),
+    )
     buckets = (
         sig.groupBy("tbl", "bucket")
         .agg(F.array_sort(F.collect_list(member)).alias("_ms"))
@@ -183,7 +189,9 @@ def lsh_bucketed_neighbors(
                 lambda y: F.struct(
                     x["mid"].alias("id_a"),
                     y["mid"].alias("id_b"),
-                    cosine(x["mvec"], y["mvec"]).alias("cosine_sim"),
+                    (dot(x["mvec"], y["mvec"]) / (x["mnorm"] * y["mnorm"])).alias(
+                        "cosine_sim"
+                    ),
                 ),
             ),
         )

@@ -33,39 +33,54 @@ def q(name: str, oracle: str | None = None):
 # tokens: whitespace split, empties dropped (matches operators.text.tokens)
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
 
-# distinct word 3-gram shingles (matches operators.dedup.word_shingles)
-_SHINGLES = f"""
-CASE WHEN len(ws) >= 3
-     THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                         for i in range(1, len(ws) - 1)])
-     ELSE [array_to_string(ws, ' ')] END
-"""
 
 def _hex15(expr: str) -> str:
     """Portable md5→60-bit-int hash (matches operators.dedup._hash64)."""
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _shingle_hash_sql() -> str:
+    """Numeric 3-gram shingle hashes matching
+    operators.dedup.shingle_hashes: 32-bit md5 token hashes mixed with
+    the same positional constants, identical per-term-mod structure."""
+    from denormalized_spark.operators.dedup import SHINGLE_MOD, shingle_params
+
+    c0, c1, c2 = (shingle_params(j) for j in range(3))
+    m = SHINGLE_MOD
+    gram = (
+        f"(((th[i] * {c0}) % {m}) + ((th[i+1] * {c1}) % {m})"
+        f" + ((th[i+2] * {c2}) % {m})) % {m}"
+    )
+    return f"""
+    CASE WHEN len(th) >= 3
+         THEN list_distinct([{gram} for i in range(1, len(th) - 1)])
+         ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                           (acc, x) -> (acc * 31 + x) % {m})] END
+    """
+
+
 def _minhash_list(num_hashes: int) -> str:
     """Universal-hash MinHash matching operators.dedup.minhash_signature:
-    base = first-8-hex-chars of md5(shingle) (32-bit), then
+    base = the 32-bit numeric shingle hash, then
     h_i = (a_i·base + b_i) mod 2^61−1 with the same md5-derived
     (a_i, b_i) literals the Spark side folds with."""
     from denormalized_spark.operators.dedup import MERSENNE61, minhash_params
 
-    base = "list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
     parts = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
         parts.append(
-            f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {MERSENNE61}))"
+            f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MERSENNE61}))"
         )
     return "[" + ", ".join(parts) + "]"
 
 
 _DOC_SHINGLES_CTE = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d)
+hh AS (SELECT doc_id,
+              list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+       FROM d),
+sh AS (SELECT doc_id, {_shingle_hash_sql()} AS shingles FROM hh)
 """
 
 # ---------------------------------------------------------------------------
