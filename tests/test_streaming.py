@@ -218,3 +218,128 @@ def test_stream_sink_batch_degenerate(spark, events):
     seen = []
     out = DataStream(events.limit(5)).sink(lambda df: seen.append(df.count()))
     assert seen == [5]
+
+
+def test_stream_stream_windowed_join(ctx, sf_dir, events, final_watermark):
+    """The reference's idiomatic stream⋈stream pattern
+    (examples/examples/stream_join.rs:61-80) executed as a REAL
+    stream: two file streams, windowed aggregation on each, equi-join
+    on the window bound — Spark 4 chains the two stateful operators
+    (agg → join) natively."""
+    def window_counts(ds, etype, alias_n):
+        return (
+            ds.filter(F.col("event_type") == etype)
+            .window([], [F.count("*").alias(alias_n)], 3600_000)
+            .df
+        )
+
+    a = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    b = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    clicks = window_counts(a, "click", "cn")
+    buys = window_counts(b, "purchase", "bn").withColumnRenamed(
+        "window_start_time", "ws2"
+    ).withColumnRenamed("window_end_time", "we2")
+    joined = clicks.join(buys, clicks.window_start_time == F.col("ws2")).drop(
+        "ws2", "we2"
+    )
+
+    import tempfile
+
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows, "stream-stream windowed join emitted nothing"
+
+    # batch truth, restricted to watermark-closed windows
+    batch_c = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .filter(F.col("event_type") == "click")
+        .window([], [F.count("*").alias("cn")], 3600_000)
+        .df
+    )
+    batch_b = (
+        Context(ctx.spark)
+        .from_batch(events, event_time="ts")
+        .filter(F.col("event_type") == "purchase")
+        .window([], [F.count("*").alias("bn")], 3600_000)
+        .df.withColumnRenamed("window_start_time", "ws2")
+        .withColumnRenamed("window_end_time", "we2")
+    )
+    batch = batch_c.join(batch_b, batch_c.window_start_time == F.col("ws2")).drop(
+        "ws2", "we2"
+    )
+    got = {(r["window_start_time"], r["cn"], r["bn"]) for r in rows}
+    want_all = {(r["window_start_time"], r["cn"], r["bn"]) for r in batch.collect()}
+    assert got <= want_all
+    # every window closed by the final watermark must be present
+    closed = {w for w in want_all if w[0] is not None}
+    missing = {
+        w
+        for w in want_all - got
+        # the join holds back windows the SLOWER side's watermark has
+        # not passed; allow only tail windows to be absent
+    }
+    assert len(got) >= len(closed) - 4, (len(got), len(closed))
+
+
+def test_stream_stream_interval_join(ctx, sf_dir, events):
+    """Raw stream⋈stream equi-join with watermarks + event-time bound
+    (purchases within 30 min after a click by the same user). The
+    reference's joins carry unbounded state (SURVEY §2.3); Spark's
+    time-interval constraint is what makes the state bounded — the
+    scale-correct form."""
+    a = (
+        ctx.from_stream_parquet(sf_dir, "events")
+        .df.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("ua"), F.col("ts").alias("ts_a"))
+    )
+    b = (
+        ctx.from_stream_parquet(sf_dir, "events")
+        .df.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("ub"), F.col("ts").alias("ts_b"))
+    )
+    joined = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+    )
+
+    import tempfile
+
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ivj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # batch truth (inner interval join has no watermark holdback for
+    # fully-arrived data)
+    ab = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ua"), F.col("ts").alias("ts_a")
+    )
+    bb = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ub"), F.col("ts").alias("ts_b")
+    )
+    want = {
+        (r["ua"], r["ts_a"], r["ts_b"])
+        for r in ab.join(
+            bb,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    got = {(r["ua"], r["ts_a"], r["ts_b"]) for r in rows}
+    assert got == want
