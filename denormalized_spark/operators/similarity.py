@@ -202,3 +202,103 @@ def lsh_bucketed_neighbors(
     if min_cosine > 0:
         out = out.filter(F.col("cosine_sim") >= min_cosine)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed clusters
+# ---------------------------------------------------------------------------
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean vectors — the coarse quantizer. (In an unlabeled
+    corpus these come from a k-means pass; the centroid-update step is
+    exactly sim_centroid_by_label's aggregation.) Components are
+    rounded so both engines' averages agree bit-for-bit downstream."""
+    aggs = [
+        F.round(F.avg(F.element_at(vec_col, j + 1).cast("double")), round_digits).alias(
+            f"_c{j}"
+        )
+        for j in range(dim)
+    ]
+    cent = df.groupBy(label_col).agg(*aggs)
+    return cent.select(
+        F.col(label_col).alias("cluster"),
+        F.array(*[f"_c{j}" for j in range(dim)]).alias("centroid"),
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid.
+
+    Plan: broadcast the (tiny) centroid table, score every vector
+    against every centroid map-side, keep the argmax with a window
+    PARTITIONED by the vector id (bounded state, deterministic
+    label tie-break). At 100 TB the assignment is computed once at
+    ingest and stored as a partition column — which is exactly what
+    this projection produces."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cluster"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` clusters nearest to
+    the query, brute-force only inside them.
+
+    The scan cost drops from N vectors to ~N·nprobe/n_clusters; the
+    probed-cluster scan is the same broadcast + TakeOrdered plan as
+    the exact brute force. Recall loss is confined to neighbors that
+    live in unprobed clusters."""
+    cent = label_centroids(df, label_col, vec_col, dim)
+    assigned = assign_clusters(df, cent, id_col, vec_col)
+    qv = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    # rank clusters by cosine to the query: n_clusters rows — tiny
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("cluster", cosine(F.col("centroid"), F.col("_qvec")).alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand = assigned.join(F.broadcast(probe), "cluster", "left_semi").filter(
+        F.col(id_col) != query_vec_id
+    )
+    score = cosine(F.col(vec_col), F.col("_qvec"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)  # rank on the rounded value
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .select(id_col, score.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

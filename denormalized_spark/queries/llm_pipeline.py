@@ -535,3 +535,67 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(4)
         ],
     )
+
+
+def _ivf_oracle(dim: int = 64, nprobe: int = 3, k: int = 10, qid: int = 0) -> str:
+    """IVF oracle: identical coarse quantizer (rounded per-label mean
+    centroids), identical argmax assignment (window with label
+    tie-break), identical probe ranking — same arithmetic order as
+    the Spark operators, so the probed sets agree exactly."""
+    cent_comps = ", ".join(
+        f"round(avg(embedding[{j + 1}]::DOUBLE), 6) AS c{j}" for j in range(dim)
+    )
+    cent_list = "[" + ", ".join(f"c{j}" for j in range(dim)) + "]"
+    cos_vc = (
+        f"({_dot_sql('v.embedding', 'c.centroid')})"
+        f" / ({_norm_sql('v.embedding')} * {_norm_sql('c.centroid')})"
+    )
+    cos_cq = (
+        f"({_dot_sql('c.centroid', 'q.qvec')})"
+        f" / ({_norm_sql('c.centroid')} * {_norm_sql('q.qvec')})"
+    )
+    cos_aq = (
+        f"({_dot_sql('a.embedding', 'q.qvec')})"
+        f" / ({_norm_sql('a.embedding')} * {_norm_sql('q.qvec')})"
+    )
+    return f"""
+    WITH cent0 AS (SELECT label, {cent_comps} FROM embeddings GROUP BY label),
+    cent AS (SELECT label AS cluster, {cent_list} AS centroid FROM cent0),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {qid}),
+    scored AS (
+      SELECT v.vec_id, v.embedding, c.cluster, {cos_vc} AS s
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cluster FROM (
+        SELECT c.cluster, row_number() OVER (ORDER BY {cos_cq} DESC, c.cluster) AS rn
+        FROM cent c CROSS JOIN q
+      ) t WHERE rn <= {nprobe}
+    )
+    SELECT a.vec_id, round({cos_aq}, 6) AS cosine_sim
+    FROM assign a SEMI JOIN probe p ON a.cluster = p.cluster
+    CROSS JOIN q
+    WHERE a.vec_id != {qid}
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@q("sim_ivf_topk_query0", _ivf_oracle())
+def sim_ivf_topk_query0(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN — the other scale path beside LSH: per-label centroid
+    coarse quantizer, broadcast cluster assignment, probe the 3
+    nearest clusters, brute-force only inside them. At 100 TB the
+    assignment is a stored partition column; the probed scan is the
+    same broadcast + TakeOrdered plan as the exact brute force over
+    ~nprobe/n_clusters of the data."""
+    e = t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, query_vec_id=0, k=10, nprobe=3, dim=64, round_digits=6
+    )

@@ -98,3 +98,56 @@ def test_hyperplanes_deterministic():
     assert a == b
     assert all(-0.5 <= x < 0.5 for x in a)
     assert similarity.hyperplane_components(4, 8) != a
+
+
+def test_ivf_topk_subset_of_brute_force_order(embeddings):
+    """IVF results must be exactly the brute-force ranking RESTRICTED
+    to the probed clusters — the approximation only ever drops
+    unprobed clusters, never misranks a scored vector."""
+    got = similarity.ivf_topk(embeddings, query_vec_id=0, k=10, nprobe=3).collect()
+    assert len(got) == 10
+
+    cent = similarity.label_centroids(embeddings)
+    assigned = similarity.assign_clusters(embeddings, cent)
+    qv = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    probe = (
+        cent.crossJoin(qv)
+        .select("cluster", similarity.cosine(F.col("centroid"), F.col("q")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("cluster"))
+        .limit(3)
+    )
+    probed_ids = {
+        r["vec_id"]
+        for r in assigned.join(probe.select("cluster"), "cluster", "left_semi").collect()
+    }
+    exact = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", similarity.cosine(F.col("embedding"), F.col("q")).alias("cos"))
+        .collect()
+    )
+    want = sorted(
+        ((r["vec_id"], r["cos"]) for r in exact if r["vec_id"] in probed_ids),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+
+
+def test_assign_clusters_beats_random_baseline(embeddings):
+    """Coarse-quantizer sanity: own-label assignment rate must be well
+    above the 1/n_clusters random baseline. (The synthetic embeddings
+    are only weakly clustered — max pairwise cosine 0.48 — so exact
+    own-label assignment is ~37%, vs 10% random; correctness proper is
+    pinned by test_ivf_topk_subset_of_brute_force_order.)"""
+    cent = similarity.label_centroids(embeddings)
+    assigned = similarity.assign_clusters(embeddings, cent)
+    agree = (
+        assigned.join(embeddings.select("vec_id", "label"), "vec_id")
+        .filter(F.col("cluster") == F.col("label"))
+        .count()
+    )
+    total = embeddings.count()
+    n_clusters = cent.count()
+    assert agree / total > 2.0 / n_clusters, f"{agree}/{total} own-label"
