@@ -228,6 +228,57 @@ class DataStream:
             r = F.broadcast(r)
         return self._wrap(self._df.join(r, on, how))
 
+    def join_asof(
+        self,
+        right: "DataStream | DataFrame",
+        on: Sequence[str],
+        left_time: str,
+        right_time: str,
+        right_cols: Sequence[str],
+        *,
+        direction: str = "backward",
+        tolerance_ms: int | None = None,
+        matched_time_col: str | None = "matched_time",
+    ) -> "DataStream":
+        """As-of join (nearest past/future right row per key) — see
+        operators/temporal.asof_join for the union+window plan. Not in
+        the reference; standard in time-series/feature-store engines."""
+        from denormalized_spark.operators.temporal import asof_join
+
+        r = right.df if isinstance(right, DataStream) else right
+        return self._wrap(
+            asof_join(
+                self._df, r, on, left_time, right_time, right_cols,
+                direction=direction, tolerance_ms=tolerance_ms,
+                matched_time_col=matched_time_col,
+            )
+        )
+
+    def join_range(
+        self,
+        right: "DataStream | DataFrame",
+        left_point: str,
+        right_start: str,
+        right_end: str,
+        *,
+        on: Sequence[str] = (),
+        bin_width_s: int = 604_800,
+        how: str = "inner",
+        end_inclusive: bool = False,
+    ) -> "DataStream":
+        """Interval-containment join via bin-bucketed equi-join — see
+        operators/temporal.range_join."""
+        from denormalized_spark.operators.temporal import range_join
+
+        r = right.df if isinstance(right, DataStream) else right
+        return self._wrap(
+            range_join(
+                self._df, r, left_point, right_start, right_end,
+                on=on, bin_width_s=bin_width_s, how=how,
+                end_inclusive=end_inclusive,
+            )
+        )
+
     # -- windowed aggregation (reference datastream.rs:178-196) ----------
 
     def window(

@@ -1,0 +1,194 @@
+"""Temporal joins: as-of (nearest-past match) and range (interval
+containment) — the two join shapes time-series/feature-store engines
+add on top of relational equi-joins.
+
+Neither exists in the reference (its joins are equi/theta only,
+crates/core/src/datastream.rs:126-175); both are table stakes for the
+training-data pipelines this engine targets (point-in-time-correct
+feature lookup, event-to-interval attribution).
+
+Scale design — the whole point of these implementations:
+
+- A naive as-of join is a non-equi join (``l.t >= r.t`` + argmax),
+  which Spark plans as BroadcastNestedLoopJoin: O(|L|·|R|) per key.
+  :func:`asof_join` instead UNIONS the two sides and runs one
+  running-frame window per key — one shuffle of |L|+|R| rows, O(1)
+  state per row (``last(..., ignorenulls=True)`` over an unbounded-
+  preceding running frame is computed incrementally, not by
+  re-scanning the frame). This is the plan that survives 100 TB.
+
+- A naive range join is the same BNLJ trap. :func:`range_join` bins
+  time into fixed-width buckets: each interval explodes to the bins
+  it covers (bounded fan-out when ``bin_width`` ≈ interval length),
+  each point computes its single bin, and the join becomes an
+  EQUI-join on the bin (+ keys) with a residual containment filter —
+  shuffle-hash/sort-merge, never a cartesian product. This is the
+  same strategy Databricks' range-join optimization applies via hint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seconds(c: Column, dtype) -> Column:
+    """Numeric seconds for comparison/binning. TIMESTAMP_NTZ has no
+    direct numeric cast in Spark 4 — hop through TIMESTAMP_LTZ (the
+    session TZ is UTC, so the epoch value is preserved)."""
+    if dtype.typeName() in ("timestamp", "timestamp_ntz"):
+        return c.cast("timestamp_ltz").cast("double")
+    return c.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    *,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+    matched_time_col: str | None = "matched_time",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach ``right_cols`` from
+    the single right row with the greatest ``right_time`` <=
+    ``left_time`` (direction='backward'; 'forward' = smallest >=)
+    sharing the ``on`` keys. Unmatched left rows keep NULLs (left-join
+    semantics, like DuckDB/pandas ASOF LEFT JOIN).
+
+    Plan: union both sides (right payload NULL on left rows and vice
+    versa) → window ``last(payload, ignorenulls=True)`` over
+    (PARTITION BY keys ORDER BY time, side ROWS UNBOUNDED PRECEDING)
+    → keep left rows. Right rows sort BEFORE left rows at equal
+    timestamps, so an exactly-simultaneous right row matches
+    (inclusive semantics, matching DuckDB ``l.t >= r.t``).
+
+    If several right rows share the same (keys, right_time), the
+    surviving payload is the last in the union's arbitrary order —
+    pre-aggregate the right side to unique (keys, time) rows for
+    deterministic results (same caveat as any ASOF engine).
+
+    ``tolerance_ms`` nulls out matches farther than the tolerance
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(on)
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in keys and c != left_time]
+    collisions = set(right_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(f"right_cols collide with left columns: {sorted(collisions)}")
+
+    lu = left.select(
+        *keys,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+    )
+    ru = right.select(
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c) for c in right_cols],
+        F.col(right_time).alias("_rt"),
+    )
+    u = lu.unionByName(ru)
+
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if direction == "forward":
+        # smallest right time >= left time: scan time DESCENDING so
+        # "preceding" rows are the future; right still before left at
+        # equal times for inclusive matching.
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *keys,
+        "_t",
+        "_side",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("_mt"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+
+    if tolerance_ms is not None:
+        tdt = left.schema[left_time].dataType
+        rdt = right.schema[right_time].dataType
+        gap = F.abs(_seconds(F.col("_t"), tdt) - _seconds(F.col("_mt"), rdt)) * 1000.0
+        within = F.col("_mt").isNotNull() & (gap <= F.lit(float(tolerance_ms)))
+        out = out.select(
+            *keys,
+            "_t",
+            "_side",
+            *left_payload,
+            *[F.when(within, F.col(c)).alias(c) for c in right_cols],
+            F.when(within, F.col("_mt")).alias("_mt"),
+        )
+
+    final = [
+        *keys,
+        F.col("_t").alias(left_time),
+        *left_payload,
+        *right_cols,
+    ]
+    if matched_time_col:
+        final.append(F.col("_mt").alias(matched_time_col))
+    return out.select(*final)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    *,
+    on: Sequence[str] = (),
+    bin_width_s: int = 604_800,
+    how: str = "inner",
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Join left rows whose ``left_point`` falls inside the right
+    row's [``right_start``, ``right_end``) interval (optionally also
+    matching equi ``on`` keys).
+
+    Plan: both sides map their time(s) to ``bin_width_s``-wide bins
+    (intervals via an exploded ``sequence`` — fan-out is
+    ceil(interval/bin)+1, so pick ``bin_width_s`` near the typical
+    interval length); the join is then an EQUI-join on (keys, bin)
+    with the containment predicate as a residual filter. Each point
+    owns exactly one bin, so no post-join dedup is needed. Catalyst
+    plans shuffle-hash/sort-merge — never BroadcastNestedLoopJoin.
+
+    Skew note: at 100 TB a hot bin (burst of intervals over the same
+    week) is handled by AQE skew-join splitting, since this is a
+    plain equi-join.
+    """
+    keys = list(on)
+    w = F.lit(int(bin_width_s))
+    lp = _seconds(F.col(left_point), left.schema[left_point].dataType)
+    rs = _seconds(F.col(right_start), right.schema[right_start].dataType)
+    re_ = _seconds(F.col(right_end), right.schema[right_end].dataType)
+
+    lb = left.withColumn("_bin", F.floor(lp / w))
+    rb = right.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(rs / w), F.floor(re_ / w)))
+    )
+    contain = lp >= rs
+    upper = lp <= re_ if end_inclusive else lp < re_
+    cond = [lb["_bin"] == rb["_bin"]] + [lb[k] == rb[k] for k in keys]
+    joined = lb.join(rb, cond, how).filter(contain & upper)
+    return joined.drop("_bin")

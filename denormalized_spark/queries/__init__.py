@@ -14,11 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from denormalized_spark.queries import llm_pipeline, relational, streaming_windows, udf_queries
+from denormalized_spark.queries import (
+    llm_pipeline,
+    relational,
+    streaming_windows,
+    temporal,
+    udf_queries,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, streaming_windows, llm_pipeline, udf_queries):
+for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,115 @@
+"""Temporal-join coverage: as-of and range joins
+(operators/temporal.py). Not in the reference (equi/theta joins only,
+crates/core/src/datastream.rs:126-175) — added because point-in-time
+feature lookup and event-to-interval attribution are core operations
+for the training-data pipelines this engine targets.
+
+Both oracles use DuckDB's native forms (ASOF LEFT JOIN, non-equi
+interval join) — a genuinely independent implementation of the same
+semantics, not a restatement of our plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "join_asof_purchase_click",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, round(max(value), 2) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+           r.click_value, r.ts AS click_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before
+    it (point-in-time-correct attribution). Union+running-window plan:
+    ONE shuffle on user_id, no join operator at all — vs the
+    BroadcastNestedLoopJoin a naive `l.ts >= r.ts` non-equi join
+    produces. The right side is pre-aggregated to unique
+    (user_id, ts) so both engines match deterministically."""
+    from denormalized_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["click_value"],
+        matched_time_col="click_ts",
+    )
+
+
+@q(
+    "join_range_order_bursts",
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS iv_id, o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 7 DAY AS end_ts
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT iv.iv_id,
+           count(*) AS n_orders,
+           round(sum(pt.o_totalprice), 2) AS revenue
+    FROM iv JOIN orders pt
+      ON pt.o_orderdate >= iv.start_ts AND pt.o_orderdate < iv.end_ts
+    GROUP BY iv.iv_id
+    """,
+)
+def join_range_order_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders placed (by anyone) within 7 days of each sampled
+    order — a keyless interval join. Binned to 7-day buckets the
+    plan is an equi-join on the bin (SortMergeJoin; fan-out <= 2 bins
+    per interval) + residual containment filter — never a cartesian
+    product. tests/test_plans.py asserts no BNLJ in the plan."""
+    from denormalized_spark.operators.temporal import range_join
+
+    o = t(spark, sf, "orders")
+    iv = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+    )
+    pt = o.select("o_orderkey", "o_orderdate", "o_totalprice")
+    joined = range_join(
+        pt, iv, "o_orderdate", "start_ts", "end_ts", bin_width_s=604_800
+    )
+    return joined.groupBy("iv_id").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

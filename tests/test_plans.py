@@ -85,6 +85,17 @@ def test_global_ranking_no_single_partition_on_data(spark, queries):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_range_join_query_is_equi_join(spark, queries):
+    plan = plan_of(queries, spark, "join_range_order_bursts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_query_is_joinless(spark, queries):
+    plan = plan_of(queries, spark, "join_asof_purchase_click")
+    assert "Join" not in plan
+
+
 def test_window_agg_single_shuffle(spark, queries):
     plan = plan_of(queries, spark, "window_tumbling_1h")
     # one hash exchange on (window, keys); AQE wrapper may add a read

@@ -1,0 +1,123 @@
+"""As-of / range join semantics and plan-shape tests
+(operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:03"), 100),
+            ("A", _ts("2024-01-01 10:00:07"), 200),
+            ("B", _ts("2024-01-01 10:00:01"), 300),
+            ("C", _ts("2024-01-01 10:00:05"), 400),  # no quotes at all
+        ],
+        "sym string, t timestamp, qty int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:01"), 10.0),
+            ("A", _ts("2024-01-01 10:00:03"), 11.0),  # simultaneous w/ trade 1
+            ("A", _ts("2024-01-01 10:00:06"), 12.0),
+            ("B", _ts("2024-01-01 10:00:02"), 20.0),  # after B's only trade
+        ],
+        "sym string, qt timestamp, px double",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_basic(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"],
+    )
+    got = {(r.sym, r.qty): (r.px, r.matched_time) for r in out.collect()}
+    assert len(got) == 4
+    # simultaneous quote matches (inclusive, l.t >= r.t)
+    assert got[("A", 100)] == (11.0, _ts("2024-01-01 10:00:03"))
+    assert got[("A", 200)] == (12.0, _ts("2024-01-01 10:00:06"))
+    # B's quote is in the future -> no backward match
+    assert got[("B", 300)] == (None, None)
+    assert got[("C", 400)] == (None, None)
+
+
+def test_asof_forward(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"], direction="forward",
+    )
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[("A", 100)] == 11.0  # simultaneous still matches
+    assert got[("A", 200)] is None  # no quote at/after 10:00:07
+    assert got[("B", 300)] == 20.0
+
+
+def test_asof_tolerance_nulls_far_matches(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"], tolerance_ms=500,
+    )
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[("A", 100)] == 11.0  # 0ms gap
+    assert got[("A", 200)] is None  # 1s gap > 500ms tolerance
+
+
+def test_asof_plan_has_no_join_operator(quotes_trades):
+    """The scale claim: as-of is ONE shuffle + window, zero joins."""
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_binned_not_bnlj(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 10).cast("double").alias("pt")
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("iv"),
+        (F.col("id") * 200).cast("double").alias("s"),
+        (F.col("id") * 200 + 100).cast("double").alias("e"),
+    )
+    out = range_join(left, right, "pt", "s", "e", bin_width_s=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # each interval [s, s+100) holds pts s/10..s/10+9 -> 10 per interval
+    assert out.count() == 500
+    row = out.filter(F.col("iv") == 3).agg(
+        F.min("pt").alias("lo"), F.max("pt").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (row.lo, row.hi, row.n) == (600.0, 690.0, 10)
+
+
+def test_range_join_end_inclusive_and_keys(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 10.0), (2, 5.0)], "k int, pt double"
+    )
+    right = spark.createDataFrame([(1, 0.0, 10.0)], "k int, s double, e double")
+    excl = range_join(left, right, "pt", "s", "e", on=["k"], bin_width_s=10)
+    assert {r.pt for r in excl.collect()} == {5.0}
+    incl = range_join(
+        left, right, "pt", "s", "e", on=["k"], bin_width_s=10, end_inclusive=True
+    )
+    assert {r.pt for r in incl.collect()} == {5.0, 10.0}
