@@ -228,6 +228,50 @@ class DataStream:
             r = F.broadcast(r)
         return self._wrap(self._df.join(r, on, how))
 
+    # -- multi-dimensional aggregation (superset of the reference's
+    #    GROUP BY; DataFusion exposes these only through SQL) ---------
+
+    def rollup_agg(
+        self, group_cols: Sequence[Column | str], aggr_exprs: Sequence[Column]
+    ) -> "DataStream":
+        """GROUP BY ROLLUP — hierarchical subtotals. One shuffle;
+        Spark expands the grouping sets map-side."""
+        return self._wrap(
+            self._df.rollup(*[_as_col(c) for c in group_cols]).agg(*aggr_exprs)
+        )
+
+    def cube_agg(
+        self, group_cols: Sequence[Column | str], aggr_exprs: Sequence[Column]
+    ) -> "DataStream":
+        """GROUP BY CUBE — all grouping-key combinations."""
+        return self._wrap(
+            self._df.cube(*[_as_col(c) for c in group_cols]).agg(*aggr_exprs)
+        )
+
+    def grouping_sets_agg(
+        self,
+        sets: Sequence[Sequence[str]],
+        group_cols: Sequence[Column | str],
+        aggr_exprs: Sequence[Column],
+    ) -> "DataStream":
+        """Explicit GROUP BY GROUPING SETS (Spark 4 DataFrame API)."""
+        return self._wrap(
+            self._df.groupingSets(
+                [list(s) for s in sets], *[_as_col(c) for c in group_cols]
+            ).agg(*aggr_exprs)
+        )
+
+    def unpivot(
+        self,
+        ids: Sequence[str],
+        values: Sequence[str],
+        var_name: str = "metric",
+        value_name: str = "value",
+    ) -> "DataStream":
+        """Wide→long melt. Pure projection (constant fan-out per row),
+        no shuffle."""
+        return self._wrap(self._df.unpivot(list(ids), list(values), var_name, value_name))
+
     def join_asof(
         self,
         right: "DataStream | DataFrame",

@@ -500,6 +500,114 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "agg_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP with grouping_id — hierarchical subtotals in
+    one shuffle (Spark expands grouping sets map-side, then a single
+    partial+final aggregate; NOT one pass per level)."""
+    from denormalized_spark.datastream import DataStream
+
+    li = DataStream(t(spark, sf, "lineitem"))
+    return li.rollup_agg(
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        ],
+    ).df.select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@q(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k key combinations, same single-shuffle
+    expansion as rollup."""
+    from denormalized_spark.datastream import DataStream
+
+    o = DataStream(t(spark, sf, "orders"))
+    return o.cube_agg(
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ],
+    ).df.select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS via the Spark 4 DataFrame API
+    (df.groupingSets) — marginals without the full cube."""
+    from denormalized_spark.datastream import DataStream
+
+    li = DataStream(t(spark, sf, "lineitem"))
+    return li.grouping_sets_agg(
+        [["l_returnflag"], ["l_linestatus"], []],
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        ],
+    ).df.select("l_returnflag", "l_linestatus", "gid", "revenue")
+
+
+@q(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 500
+    ) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long melt (DataFrame.unpivot / DuckDB UNPIVOT). Pure
+    projection with constant fan-out — no shuffle. NULL values are
+    dropped by both engines' UNPIVOT semantics."""
+    from denormalized_spark.datastream import DataStream
+
+    li = DataStream(
+        t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return out.df.select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
+    )
+
+
+@q(
     "agg_approx_distinct",
     """
     SELECT event_type,

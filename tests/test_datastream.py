@@ -134,3 +134,31 @@ def test_context_sql(spark, sf_dir):
     ctx = Context(spark)
     n = ctx.sql("SELECT count(*) AS n FROM events").df.collect()[0]["n"]
     assert n == 1000
+
+
+def test_rollup_cube_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["g1", "g2", "v"]
+    )
+    ds = DataStream(df)
+    aggs = [F.grouping_id().alias("gid"), F.sum("v").alias("s")]
+
+    ru = ds.rollup_agg(["g1", "g2"], aggs).df.collect()
+    assert len(ru) == 6  # 3 leaves + 2 g1 subtotals + 1 total
+    assert {(r.g1, r.g2, r.gid, r.s) for r in ru} >= {
+        ("a", None, 1, 3), (None, None, 3, 6)
+    }
+
+    cu = ds.cube_agg(["g1", "g2"], aggs).df.collect()
+    assert len(cu) == 8  # rollup's 6 + the two g2 marginals
+
+    gs = ds.grouping_sets_agg([["g1"], []], ["g1", "g2"], aggs).df.collect()
+    assert {(r.g1, r.g2, r.gid, r.s) for r in gs} == {
+        ("a", None, 1, 3), ("b", None, 1, 3), (None, None, 3, 6)
+    }
+
+
+def test_unpivot_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "a", "b"])
+    out = DataStream(df).unpivot(["id"], ["a", "b"]).df.collect()
+    assert {(r.id, r.metric, r.value) for r in out} == {(1, "a", 10.0), (1, "b", 20.0)}
