@@ -474,6 +474,54 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("cosine_sim") >= 0.3)
 
 
+_ND_PLANES, _ND_TABLES, _ND_TAU = 4, 8, 0.4
+
+@q(
+    "dedup_embedding_neardup",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_lsh_sig_sql(t_, _ND_PLANES, 64)} AS s{t_}" for t_ in range(_ND_TABLES))}
+      FROM embeddings
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id
+       AND ({" OR ".join(f"a.s{t_} = b.s{t_}" for t_ in range(_ND_TABLES))})
+      WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+                  / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= {_ND_TAU}
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT dup_id FROM dups)
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal — the semantic-dedup
+    stage of an LLM data pipeline. LSH-gated (4 planes × 8 tables:
+    ~75% single-pass recall at cos 0.4; at production scale raise
+    tables — cost is linear, the bucket join stays sub-quadratic),
+    verify exact cosine on candidates only, drop the higher vec_id of
+    each confirmed pair (min-id survivor, one pass — the standard
+    star-dedup approximation of connected components). Fully
+    oracle-checked via engine-portable hyperplane literals."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    pairs = similarity.lsh_bucketed_neighbors(
+        e, dim=64, num_planes=_ND_PLANES, num_tables=_ND_TABLES,
+        min_cosine=_ND_TAU - 5e-7,
+    )
+    dups = (
+        pairs.filter(F.round("cosine_sim", 6) >= _ND_TAU)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return e.join(
+        dups, e["vec_id"] == dups["dup_id"], "left_anti"
+    ).select("vec_id", "label")
+
+
 @q(
     "sim_centroid_by_label",
     """

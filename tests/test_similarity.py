@@ -151,3 +151,26 @@ def test_assign_clusters_beats_random_baseline(embeddings):
     total = embeddings.count()
     n_clusters = cent.count()
     assert agree / total > 2.0 / n_clusters, f"{agree}/{total} own-label"
+
+
+def test_embedding_neardup_min_id_survives(spark):
+    """Star-dedup semantics: in a clique of near-identical vectors the
+    smallest vec_id survives and the rest are dropped; unrelated
+    vectors are untouched."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.001, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(10, base), (20, near), (30, near), (99, other)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.lsh_bucketed_neighbors(
+        df, dim=4, num_planes=2, num_tables=4, min_cosine=0.95
+    )
+    dups = pairs.select(F.col("id_b").alias("dup_id")).distinct()
+    survivors = df.join(
+        dups, df["vec_id"] == dups["dup_id"], "left_anti"
+    ).select("vec_id")
+    got = {r.vec_id for r in survivors.collect()}
+    assert 10 in got and 99 in got
+    assert got & {20, 30} == set()  # the clique collapses to id 10
