@@ -365,6 +365,23 @@ class DataStream:
         )
         return DataStream(out, event_time=None, watermark=self.watermark)
 
+    def sessionize(
+        self,
+        group_exprs: Sequence[str],
+        gap_ms: int,
+    ) -> "DataStream":
+        """Per-key sessionization with custom state — exact window-fn
+        plan on batch, applyInPandasWithState (GroupState + event-time
+        timeout) on streams. See streaming/stateful.py."""
+        from denormalized_spark.streaming.stateful import sessionize
+
+        if self.event_time is None:
+            raise ValueError("sessionize() requires an event-time column")
+        out = sessionize(
+            self._df, list(group_exprs), self.event_time, gap_ms, self.watermark
+        )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     # -- sinks (reference datastream.rs:309-374, data_stream.py:223-232) --
 
     def sink(

@@ -76,6 +76,43 @@ def join_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sessionize_users",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def sessionize_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — custom per-key state as a
+    first-class operator. Batch plan: lag → running-sum session id →
+    aggregate; ONE shuffle on user_id shared by both window passes and
+    the final partial+final agg. The streaming twin
+    (applyInPandasWithState, same emitted rows) is exercised by
+    tests/test_stateful.py."""
+    from denormalized_spark.context import Context
+
+    ds = Context(spark).from_parquet(
+        f"{sf}/events.parquet", event_time="ts"
+    )
+    return ds.sessionize(["user_id"], 1_800_000).df
+
+
+@q(
     "join_range_order_bursts",
     """
     WITH iv AS (

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator (streaming/stateful.py):
+sessionization via applyInPandasWithState, stream-vs-batch.
+
+Emission contract under append + event-time timeout:
+- a session followed by a later same-key event ALWAYS emits (in-batch
+  gap split, or state-vs-new-batch gap on the key's next batch);
+- each key's LAST session emits only if its event-time timeout fires
+  before the stream ends (availableNow runs no extra batch after the
+  final file, so trailing sessions may stay open — same N-1 behavior
+  as append-mode windows, documented in the verify skill).
+
+So the assertion is: must_emit ⊆ emitted ⊆ all_batch_sessions, with
+exact per-session values, where must_emit = every non-final session
+per key.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.datastream import DataStream
+from denormalized_spark.streaming.stateful import sessionize_batch
+
+GAP_MS = 30 * 60 * 1000
+
+
+def test_sessionize_batch_gap_boundary(spark):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [(1, at(0)), (1, at(10)), (1, at(10 + 1800)), (1, at(10 + 1800 + 1801)), (2, at(5))],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = sessionize_batch(df, ["user_id"], "ts", GAP_MS)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    # gap of exactly 1800s does NOT split (> required); 1801s does
+    assert got == {
+        (1, at(0), at(1810), 3),
+        (1, at(3611), at(3611), 1),
+        (2, at(5), at(5), 1),
+    }
+
+
+def test_sessionize_stream_equals_batch(spark, events):
+    # stage the sf0.001 events as 4 time-ordered files so sessions
+    # span micro-batches and state must carry across them
+    ev = events.select("user_id", "ts").orderBy("ts")
+    rows = ev.collect()
+    n = len(rows)
+    qsize = (n + 3) // 4
+    files = [rows[i * qsize : (i + 1) * qsize] for i in range(4)]
+    stage = tempfile.mkdtemp(prefix="sess_stage_")
+    for i, chunk in enumerate(files):
+        pdf = spark.createDataFrame(chunk, ev.schema)
+        path = os.path.join(stage, f"part{i}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        # FileStreamSource picks files oldest-mtime-first
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    ds = DataStream(sdf, event_time="ts").sessionize(["user_id"], GAP_MS)
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_sess_"),
+    )
+    q.awaitTermination(240)
+
+    batch = sessionize_batch(ev, ["user_id"], "ts", GAP_MS)
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    last_start = {}
+    for (u, s, e) in all_sessions:
+        if u not in last_start or s > last_start[u]:
+            last_start[u] = s
+    must_emit = {
+        k: v for k, v in all_sessions.items() if k[1] != last_start[k[0]]
+    }
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events for r in emitted
+    }
+    assert len(got) == len(emitted), "duplicate session emission"
+    for k, v in got.items():
+        assert all_sessions.get(k) == v, f"stream emitted wrong session {k}"
+    missing = {k for k in must_emit if k not in got}
+    assert not missing, f"{len(missing)} non-final sessions never emitted"
+    assert len(got) >= len(must_emit)
