@@ -124,6 +124,34 @@ class DataStream:
     def distinct(self) -> "DataStream":
         return self._wrap(self._df.distinct())
 
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "DataStream":
+        return self._wrap(
+            self._df.dropDuplicates(list(subset)) if subset else self._df.dropDuplicates()
+        )
+
+    def drop_duplicates_within_watermark(
+        self, subset: Sequence[str] | None = None
+    ) -> "DataStream":
+        """Streaming exact dedup with BOUNDED state: duplicate keys
+        arriving within the watermark delay are dropped, and key state
+        is evicted once the watermark passes — the only way exact
+        streaming dedup survives an unbounded stream. Requires a
+        watermark (set via with_watermark on the event-time column)."""
+        if self._df.isStreaming:
+            if self.event_time is None:
+                raise ValueError(
+                    "drop_duplicates_within_watermark requires an event-time column"
+                )
+            df = self._df.withWatermark(self.event_time, self.watermark)
+            out = (
+                df.dropDuplicatesWithinWatermark(list(subset))
+                if subset
+                else df.dropDuplicatesWithinWatermark()
+            )
+            return self._wrap(out)
+        # batch degenerate path: plain dedup (same rows for bounded input)
+        return self.drop_duplicates(subset)
+
     def union(self, other: "DataStream | DataFrame", distinct: bool = False) -> "DataStream":
         o = other.df if isinstance(other, DataStream) else other
         out = self._df.union(o)

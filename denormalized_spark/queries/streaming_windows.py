@@ -34,6 +34,51 @@ def q(name: str, oracle: str | None = None):
 
 
 @q(
+    "window_rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 day', h) AS day_start, event_type,
+           sum(n)::BIGINT AS n,
+           round(sum(total), 2) AS total,
+           round(round(sum(total), 2) / sum(n), 4) AS avg_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def window_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical window rollup (the hypertable continuous-aggregate
+    pattern): daily aggregates computed FROM the hourly aggregates,
+    not from raw events. The day level re-shuffles ~n_hours×keys rows
+    instead of the raw table — at 100 TB the cascade is the difference
+    between re-scanning the corpus per resolution and a metadata-sized
+    re-aggregation. Requires algebraic aggs (sum/count compose; avg is
+    derived sum/count at the final level)."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    hourly = ds.window(
+        ["event_type"],
+        [F.count("*").alias("n"), F.sum("value").alias("total")],
+        3600_000,
+    )
+    return (
+        hourly.df.groupBy(
+            F.date_trunc("day", "window_start_time").alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 2).alias("total"),
+            # divide the ROUNDED total: both engines then divide
+            # bit-identical inputs (raw double sums can differ by an
+            # ulp, which flips round(...,4) at a .00005 boundary)
+            F.round(F.round(F.sum("total"), 2) / F.sum("n"), 4).alias("avg_value"),
+        )
+    )
+
+
+@q(
     "window_tumbling_1h",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start_time,

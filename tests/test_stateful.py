@@ -103,3 +103,47 @@ def test_sessionize_stream_equals_batch(spark, events):
     missing = {k for k in must_emit if k not in got}
     assert not missing, f"{len(missing)} non-final sessions never emitted"
     assert len(got) >= len(must_emit)
+
+
+def test_drop_duplicates_within_watermark_stream(spark):
+    """Streaming exact dedup: duplicate keys across micro-batches are
+    dropped while their state lives within the watermark delay."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    schema = "id long, ts timestamp"
+    stage = tempfile.mkdtemp(prefix="dedup_stage_")
+    batches = [
+        [(1, at(0)), (2, at(10)), (1, at(20))],          # in-batch dup of 1
+        [(2, at(30)), (3, at(40)), (3, at(41))],         # cross-batch dup of 2
+    ]
+    for i, chunk in enumerate(batches):
+        path = os.path.join(stage, f"part{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    ds = (
+        DataStream(sdf, event_time="ts")
+        .with_watermark("1 hour")  # state outlives both batches
+        .drop_duplicates_within_watermark(["id"])
+    )
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_dedup_"),
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.id for r in emitted)
+    assert ids == [1, 2, 3]
+    first = {r.id: r.ts for r in emitted}
+    assert first[1] == at(0) and first[2] == at(10) and first[3] == at(40)
