@@ -237,6 +237,7 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its highest-cosine centroid.
 
@@ -248,15 +249,79 @@ def assign_clusters(
     this projection produces."""
     from pyspark.sql import Window
 
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("centroid"))
-    )
+    sim = cosine(F.col(vec_col), F.col("centroid"))
+    if round_digits is not None:
+        # rank on the rounded similarity: engines that differ by an
+        # ulp then rank identically (ties fall to the cluster-asc
+        # tiebreak in both)
+        sim = F.round(sim, round_digits)
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_sim", sim)
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cluster"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "cluster")
     )
+
+
+def centroids_of(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Centroid-update step: per-cluster component means (rounded so
+    every engine/iteration starts from bit-identical centroids)."""
+    aggs = [
+        F.round(F.avg(F.element_at(vec_col, j + 1).cast("double")), round_digits).alias(
+            f"_c{j}"
+        )
+        for j in range(dim)
+    ]
+    cent = assigned.groupBy("cluster").agg(*aggs)
+    return cent.select(
+        "cluster", F.array(*[f"_c{j}" for j in range(dim)]).alias("centroid")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+    materialize_every: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column: assign (broadcast
+    centroids, argmax rounded-cosine, deterministic tiebreak) →
+    update (per-cluster mean, rounded) — ``iterations`` times;
+    returns the final assignment (id, vector, cluster).
+
+    Scale shape per iteration: one broadcast crossJoin (k centroids —
+    map-side), one per-id window argmax (bounded: k rows per id), one
+    groupBy(cluster) with partial aggregation. No driver data motion
+    unless ``materialize_every`` is set, which collects the k centroid
+    ROWS (k ≈ tens — metadata, not data) to literals every N
+    iterations to keep lineage short on long runs — the same
+    k-rows-to-driver pattern Spark MLlib's KMeans uses per iteration.
+
+    Per-iteration rounding is what makes the result engine-portable:
+    each iteration re-synchronizes to 6-decimal centroids/similarities
+    so float drift cannot cascade across iterations."""
+    cent = init_centroids
+    for i in range(iterations):
+        assigned = assign_clusters(df, cent, id_col, vec_col, round_digits)
+        cent = centroids_of(assigned, vec_col, dim, round_digits)
+        if materialize_every and (i + 1) % materialize_every == 0:
+            rows = cent.collect()  # k rows of metadata, not data
+            spark = df.sparkSession
+            cent = spark.createDataFrame(
+                [(r["cluster"], [float(x) for x in r["centroid"]]) for r in rows],
+                "cluster int, centroid array<double>",
+            )
+    return assign_clusters(df, cent, id_col, vec_col, round_digits)
 
 
 def ivf_topk(

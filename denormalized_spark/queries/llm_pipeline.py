@@ -522,6 +522,78 @@ def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+def _cent_select_sql(src_vec: str, dim: int = 64) -> str:
+    """Per-cluster rounded component means c_1..c_dim."""
+    return ", ".join(
+        f"round(avg({src_vec}[{j}]::DOUBLE), 6) AS c_{j}" for j in range(1, dim + 1)
+    )
+
+
+def _assign_sql(cent_cte: str, dim: int = 64) -> str:
+    """One Lloyd assignment step: argmax of rounded cosine(e, c) with
+    a deterministic cluster-asc tiebreak."""
+    dot = " + ".join(
+        f"(e.embedding[{j}]::DOUBLE * c.c_{j})" for j in range(1, dim + 1)
+    )
+    nc = "sqrt(" + " + ".join(f"(c.c_{j} * c.c_{j})" for j in range(1, dim + 1)) + ")"
+    return f"""
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(({dot}) / ({_norm_sql('e.embedding')} * {nc}), 6) DESC,
+                          c.cluster ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c
+      ) WHERE rn = 1
+    """
+
+
+@q(
+    "kmeans_clusters",
+    f"""
+    WITH c0 AS (
+      SELECT label AS cluster, {_cent_select_sql('embedding')}
+      FROM embeddings GROUP BY label
+    ),
+    a0 AS ({_assign_sql('c0')}),
+    c1 AS (
+      SELECT cluster, {_cent_select_sql('embedding')}
+      FROM a0 GROUP BY cluster
+    ),
+    a1 AS ({_assign_sql('c1')})
+    SELECT cluster, count(*) AS n,
+           round(avg(embedding[1]::DOUBLE), 6) AS m0,
+           round(avg(embedding[2]::DOUBLE), 6) AS m1,
+           round(avg(embedding[3]::DOUBLE), 6) AS m2
+    FROM a1 GROUP BY cluster
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative k-means (Lloyd) over the embedding column: label
+    centroids seed the quantizer, one full assign→update iteration,
+    then the final assignment is summarized per cluster. Every
+    iteration is fully distributed (broadcast k centroids, window
+    argmax, partial-agg centroid update — operators/similarity.
+    kmeans_fit); per-iteration rounding makes the trajectory
+    engine-portable, so even this ITERATIVE algorithm is value-checked
+    against DuckDB (two unrolled CTE iterations)."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    init = similarity.label_centroids(e)
+    final = similarity.kmeans_fit(e, init, iterations=1)
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.avg(F.element_at("embedding", j + 1).cast("double")), 6).alias(
+                f"m{j}"
+            )
+            for j in range(3)
+        ],
+    )
+
+
 @q(
     "sim_centroid_by_label",
     """

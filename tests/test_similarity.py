@@ -174,3 +174,32 @@ def test_embedding_neardup_min_id_survives(spark):
     got = {r.vec_id for r in survivors.collect()}
     assert 10 in got and 99 in got
     assert got & {20, 30} == set()  # the clique collapses to id 10
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    """Lloyd iterations move bad initial centroids onto two clearly
+    separated direction-clusters."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        if i % 2:
+            v = [1.0 + rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05), 0.0, 0.0]
+        else:
+            v = [rng.uniform(-0.05, 0.05), 1.0 + rng.uniform(-0.05, 0.05), 0.0, 0.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # deliberately poor init: both centroids near the diagonal
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.8, 0.0, 0.0]), (1, [0.8, 1.0, 0.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+    out = similarity.kmeans_fit(
+        df, init, iterations=2, dim=4, materialize_every=1
+    )
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    # every odd id (x-cluster) lands together, every even id together
+    assert len({got[i] for i in range(1, 40, 2)}) == 1
+    assert len({got[i] for i in range(0, 40, 2)}) == 1
+    assert got[0] != got[1]
