@@ -63,6 +63,43 @@ class Context:
 
         return DataStream(stream_table(self.spark, sf_dir, table), event_time=event_time)
 
+    def from_stream_csv(
+        self,
+        path: str,
+        schema,
+        event_time: str | None = None,
+        *,
+        header: bool = True,
+        max_files_per_trigger: int | None = None,
+        **options,
+    ) -> DataStream:
+        """CSV directory as an unbounded stream (the reference's
+        csv_streaming example, examples/examples/csv_streaming.rs:14-63
+        — there it is a bounded batch; Spark's FileStreamSource makes
+        it a real tailing stream). Streaming reads require an explicit
+        schema — inference would race the growing directory."""
+        reader = self.spark.readStream.schema(schema).options(
+            header=str(header).lower(), **options
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return DataStream(reader.csv(path), event_time=event_time)
+
+    def from_stream_json(
+        self,
+        path: str,
+        schema,
+        event_time: str | None = None,
+        *,
+        max_files_per_trigger: int | None = None,
+        **options,
+    ) -> DataStream:
+        """Newline-delimited-JSON directory as an unbounded stream."""
+        reader = self.spark.readStream.schema(schema).options(**options)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return DataStream(reader.json(path), event_time=event_time)
+
     # -- batch sources ------------------------------------------------------
 
     def from_parquet(self, path: str, event_time: str | None = None) -> DataStream:

@@ -140,6 +140,44 @@ def read_kafka_avro(
     )
 
 
+# -- encoding registry (reference formats/mod.rs: the decoder is
+# -- selected by the topic's declared encoding; json + avro today,
+# -- new encodings register a decode function here) -------------------
+
+DECODERS: dict[str, object] = {
+    "json": decode_json_payload,
+    "avro": None,  # resolved lazily — needs the spark-avro jar
+}
+
+
+def decode_payload(raw: DataFrame, encoding: str, schema) -> DataFrame:
+    """Dispatch the wire decoder by declared encoding — the
+    reference's ``MessageEncoding`` registry as a plain dict."""
+    enc = encoding.lower()
+    if enc not in DECODERS:
+        raise ValueError(
+            f"unknown encoding {encoding!r}; registered: {sorted(DECODERS)}"
+        )
+    if enc == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # pragma: no cover - jar-dependent
+            raise RuntimeError(
+                "spark-avro is required for Avro topics; add the "
+                "org.apache.spark:spark-avro package to the session"
+            ) from e
+        return raw.select(
+            from_avro(F.col("value"), schema).alias("_payload")
+        ).select("_payload.*")
+    return DECODERS[enc](raw, schema)
+
+
+def register_decoder(encoding: str, fn) -> None:
+    """Register a custom wire decoder: fn(raw_kafka_df, schema) →
+    decoded DataFrame."""
+    DECODERS[encoding.lower()] = fn
+
+
 def to_kafka_json_rows(df: DataFrame) -> DataFrame:
     """Row → single JSON value column (the reference's row encoder,
     utils/row_encoder.rs:16-44, as one JVM-side to_json)."""

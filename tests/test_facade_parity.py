@@ -70,3 +70,59 @@ def test_feast_sink_gated(spark):
     ds = DataStream(spark.range(1))
     with pytest.raises(RuntimeError, match="feast is not installed"):
         write_feast_feature(ds, None, "src")
+
+
+def test_from_stream_csv_windowed(spark, tmp_path):
+    """csv_streaming as a REAL stream: two csv files drive two
+    micro-batches through a windowed aggregate."""
+    import tempfile
+
+    d = tmp_path / "csvstream"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "ts,symbol,price\n2024-01-01 00:00:00,AAPL,100\n2024-01-01 00:01:00,AAPL,104\n"
+    )
+    (d / "b.csv").write_text(
+        "ts,symbol,price\n2024-01-01 00:06:00,AAPL,110\n2024-01-01 00:11:00,AAPL,120\n"
+    )
+    ds = Context(spark).from_stream_csv(
+        str(d),
+        "ts timestamp, symbol string, price double",
+        max_files_per_trigger=1,
+    ).with_timestamp("ts", unit="timestamp", target="et")
+    win = ds.window(["symbol"], [F.round(F.avg("price"), 2).alias("avg_price")], 300_000)
+    rows = []
+    q = win.sink(
+        lambda df: rows.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_csvs_"),
+    )
+    q.awaitTermination(120)
+    # append mode: the final (00:10) window stays open; first two close
+    got = {(r.window_start_time.minute, r.avg_price) for r in rows}
+    assert got == {(0, 102.0), (5, 110.0)}
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream⋈static-dimension join — the enrichment pattern the
+    reference models with Joinable stream/batch polymorphism
+    (datastream.rs:379-395). The static side broadcasts per batch."""
+    import tempfile
+
+    d = tmp_path / "evstream"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"uid": 1, "v": 10}\n{"uid": 2, "v": 20}\n{"uid": 9, "v": 90}\n'
+    )
+    sds = Context(spark).from_stream_json(str(d), "uid long, v long")
+    dim = DataStream(
+        spark.createDataFrame([(1, "gold"), (2, "silver")], ["uid2", "tier"])
+    )
+    joined = sds.join(dim, "left", ["uid"], ["uid2"], broadcast_right=True)
+    rows = []
+    q = joined.sink(
+        lambda df: rows.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_ssj_"),
+    )
+    q.awaitTermination(120)
+    got = {(r.uid, r.tier) for r in rows}
+    assert got == {(1, "gold"), (2, "silver"), (9, None)}

@@ -107,3 +107,23 @@ def test_kafka_json_row_encoder(spark):
         {"id": 1, "name": "a"},
         {"id": 2, "name": "b"},
     ]
+
+
+def test_encoding_registry_dispatch(spark):
+    from denormalized_spark.sources import kafka as K
+
+    raw = spark.createDataFrame(
+        [(b'{"a": 1, "b": "x"}', None)], "value binary, timestamp timestamp"
+    )
+    out = K.decode_payload(raw, "JSON", "a long, b string").collect()
+    assert out[0].a == 1 and out[0].b == "x"
+
+    with pytest.raises(ValueError, match="unknown encoding"):
+        K.decode_payload(raw, "protobuf", None)
+
+    K.register_decoder("raw_bytes", lambda df, _s: df.select("value"))
+    try:
+        got = K.decode_payload(raw, "raw_bytes", None).collect()
+        assert got[0].value == b'{"a": 1, "b": "x"}'
+    finally:
+        K.DECODERS.pop("raw_bytes", None)
