@@ -313,11 +313,27 @@ class DataStream:
         matched_time_col: str | None = "matched_time",
     ) -> "DataStream":
         """As-of join (nearest past/future right row per key) — see
-        operators/temporal.asof_join for the union+window plan. Not in
-        the reference; standard in time-series/feature-store engines."""
+        operators/temporal.asof_join for the union+window batch plan.
+        When either side is a stream, dispatches to the stateful
+        stream-stream temporal join (streaming/stateful.
+        asof_join_stream; backward direction only). Not in the
+        reference; standard in time-series/feature-store engines."""
+        r = right.df if isinstance(right, DataStream) else right
+        if self._df.isStreaming or r.isStreaming:
+            if direction != "backward" or tolerance_ms is not None:
+                raise NotImplementedError(
+                    "streaming as-of supports direction='backward' without tolerance"
+                )
+            from denormalized_spark.streaming.stateful import asof_join_stream
+
+            return self._wrap(
+                asof_join_stream(
+                    self._df, r, on, left_time, right_time, right_cols,
+                    watermark=self.watermark, matched_time_col=matched_time_col,
+                )
+            )
         from denormalized_spark.operators.temporal import asof_join
 
-        r = right.df if isinstance(right, DataStream) else right
         return self._wrap(
             asof_join(
                 self._df, r, on, left_time, right_time, right_cols,

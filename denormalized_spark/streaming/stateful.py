@@ -164,3 +164,172 @@ def sessionize(
     if df.isStreaming:
         return sessionize_stream(df, keys, event_time, gap_ms, watermark)
     return sessionize_batch(df, keys, event_time, gap_ms)
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    watermark: str = "0 seconds",
+    matched_time_col: str | None = "matched_time",
+) -> DataFrame:
+    """Stream-stream as-of join (Flink's event-time temporal join;
+    Spark has no native equivalent): every left event is enriched with
+    the latest right event at-or-before it on the same keys.
+
+    Correctness under out-of-order arrival: a left event at time t can
+    only be finalized once no right event with ``rt <= t`` can still
+    arrive — i.e. once the watermark passes t. So per key the state
+    holds (a) the right-side history, (b) pending left rows; each
+    invocation emits every pending left with ``t <= watermark``,
+    matching against the history, then prunes the history to the
+    single latest right at-or-before the new watermark (earlier rights
+    can never match a future emittable left). An event-time timeout at
+    the oldest pending left flushes keys that receive no further
+    traffic. State per key is O(pending lefts + unexpired rights) —
+    bounded by the watermark delay, the same bound Spark's own
+    stream-stream joins carry.
+
+    Both inputs are unioned (tagged) so ONE stateful operator sees the
+    key's full timeline — the union+window trick of the batch
+    :func:`~denormalized_spark.operators.temporal.asof_join`, replayed
+    incrementally.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    keys = list(on)
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in keys and c != left_time]
+    ts_type = left.schema[left_time].dataType
+
+    lu = left.withWatermark(left_time, watermark).select(
+        *keys,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    ru = right.withWatermark(right_time, watermark).select(
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c) for c in right_cols],
+    )
+    u = lu.unionByName(ru)
+
+    out_schema = StructType(
+        [left.schema[k] for k in keys]
+        + [StructField(left_time, ts_type)]
+        + [left.schema[c] for c in left_payload]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + ([StructField(matched_time_col, ts_type)] if matched_time_col else [])
+    )
+    # state: JSON blobs (pandas-serializable regardless of payload
+    # types); tiny per key, rewritten per batch
+    state_schema = StructType(
+        [StructField("lefts", StringType()), StructField("rights", StringType()),
+         StructField("oldest_left_us", LongType())]
+    )
+
+    def _enc(rows) -> str:
+        import json
+
+        return json.dumps(rows)
+
+    def _dec(blob) -> list:
+        import json
+
+        return json.loads(blob) if blob else []
+
+    def fn(key, pdf_iter, state):
+        import json
+
+        lefts, rights = [], []
+        if state.exists:
+            lb, rb, _ = state.get
+            lefts, rights = _dec(lb), _dec(rb)
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts_us = pdf["_t"].astype("datetime64[us]").astype("int64")
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                if int(row["_side"]) == 1:
+                    lefts.append(
+                        [int(ts_us.iloc[i]), {c: _json_safe(row[c]) for c in left_payload}]
+                    )
+                else:
+                    rights.append(
+                        [int(ts_us.iloc[i]), {c: _json_safe(row[c]) for c in right_cols}]
+                    )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        lefts.sort(key=lambda x: x[0])
+        rights.sort(key=lambda x: x[0])
+        emit, pending = [], []
+        for t_us, payload in lefts:
+            if t_us <= wm_us:
+                match = None
+                for rt_us, rp in rights:
+                    if rt_us <= t_us:
+                        match = (rt_us, rp)
+                    else:
+                        break
+                emit.append((t_us, payload, match))
+            else:
+                pending.append([t_us, payload])
+        # prune right history: everything strictly older than the
+        # latest right at-or-before the watermark can never match a
+        # future emittable left (their t > wm >= that right's time)
+        keep_from = 0
+        for i, (rt_us, _) in enumerate(rights):
+            if rt_us <= wm_us:
+                keep_from = i
+            else:
+                break
+        rights = rights[keep_from:]
+        if pending or rights:
+            oldest = pending[0][0] if pending else None
+            state.update((_enc(pending), _enc(rights), oldest))
+            # flush keys that go quiet: wake when the watermark passes
+            # the oldest pending left (+1ms so wm strictly covers it)
+            if oldest is not None:
+                state.setTimeoutTimestamp(oldest // 1000 + 1)
+        else:
+            state.remove()
+        if emit:
+            rows = []
+            for t_us, payload, match in emit:
+                r = {k: kv for k, kv in zip(keys, key)}
+                r[left_time] = pd.Timestamp(t_us, unit="us")
+                r.update(payload)
+                for c in right_cols:
+                    r[c] = match[1][c] if match else None
+                if matched_time_col:
+                    r[matched_time_col] = (
+                        pd.Timestamp(match[0], unit="us") if match else None
+                    )
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return u.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _json_safe(v):
+    """numpy/pandas scalars → plain JSON-serializable Python values."""
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if pd.isna(v):
+        return None
+    if hasattr(v, "item"):
+        return v.item()
+    return v

@@ -147,3 +147,66 @@ def test_drop_duplicates_within_watermark_stream(spark):
     assert ids == [1, 2, 3]
     first = {r.id: r.ts for r in emitted}
     assert first[1] == at(0) and first[2] == at(10) and first[3] == at(40)
+
+
+def test_asof_join_stream_out_of_order(spark):
+    """Stream-stream as-of join under cross-stream disorder: a right
+    event arriving a batch AFTER a later-timestamped left event must
+    still win the match (emission waits for the watermark — a naive
+    per-batch join would match the stale value)."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    ldir = tempfile.mkdtemp(prefix="asof_l_")
+    rdir = tempfile.mkdtemp(prefix="asof_r_")
+    lschema = "uid long, lt timestamp, amt long"
+    rschema = "uid long, rt timestamp, px string"
+    lbatches = [
+        [(1, at(30), 7)],
+        [(1, at(40), 8)],
+        [(2, at(50), 9)],
+        [(3, at(300), 99)],  # keeps batch 4 flowing; never emittable
+    ]
+    rbatches = [
+        [(1, at(10), "A")],
+        [(1, at(25), "B")],  # out-of-order: older than left t=30 seen in batch 1
+        [(1, at(100), "C")],
+        [(3, at(200), "D")],
+    ]
+    for i, (lc, rc) in enumerate(zip(lbatches, rbatches)):
+        for d, chunk, schema in ((ldir, lc, lschema), (rdir, rc, rschema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    ds = DataStream(stream(ldir, lschema), event_time="lt").join_asof(
+        DataStream(stream(rdir, rschema), event_time="rt"),
+        on=["uid"],
+        left_time="lt",
+        right_time="rt",
+        right_cols=["px"],
+    )
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_asofs_"),
+    )
+    q.awaitTermination(240)
+    got = {(r.uid, r.lt): (r.amt, r.px, r.matched_time) for r in emitted}
+    assert got == {
+        (1, at(30)): (7, "B", at(25)),   # NOT "A": the late t=25 right wins
+        (1, at(40)): (8, "B", at(25)),
+        (2, at(50)): (9, None, None),    # flushed by event-time timeout
+    }
