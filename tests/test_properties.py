@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the custom operators against
+independent reference implementations (pandas merge_asof, brute-force
+loops) on adversarial small inputs — duplicate timestamps, empty
+sides, singleton keys, boundary gaps."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from denormalized_spark.operators.temporal import asof_join, range_join
+from denormalized_spark.streaming.stateful import sessionize_batch
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=2)
+times = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    lefts=st.lists(st.tuples(keys, times), min_size=0, max_size=12),
+    rights=st.dictionaries(st.tuples(keys, times), st.integers(0, 99), max_size=12),
+)
+@settings(**SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(99, -1, -1)],
+        "k long, t long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(98, -2, -2)],
+        "k long, rt long, rv long",
+    )
+    got = {
+        (r.k, r.t, r.lid): (r.rv, r.matched_time)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="rt", right_cols=["rv"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(99, -1, -1)],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(98, -2, -2)],
+        columns=["k", "rt", "rv"],
+    ).sort_values("rt", kind="stable")
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction="backward"
+    )
+    expected = {
+        (int(r.k), int(r.t), int(r.lid)): (
+            None if pd.isna(r.rv) else int(r.rv),
+            None if pd.isna(r.rt) else int(r.rt),
+        )
+        for r in exp.itertuples()
+    }
+    assert got == expected
+
+
+@given(
+    points=st.lists(st.tuples(keys, times), min_size=0, max_size=12),
+    intervals=st.lists(
+        st.tuples(keys, times, st.integers(0, 20)), min_size=0, max_size=6
+    ),
+    bin_width=st.sampled_from([1, 3, 7, 100]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_brute_force(spark, points, intervals, bin_width):
+    pdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)] or [(99, -1, -1)],
+        "k long, pt long, pid long",
+    )
+    ivs = [(k, s, s + length, j) for j, (k, s, length) in enumerate(intervals)]
+    idf = spark.createDataFrame(
+        ivs or [(98, -5, -4, -1)], "k long, s long, e long, iv long"
+    )
+    got = {
+        (r.pid, r.iv)
+        for r in range_join(
+            pdf, idf, "pt", "s", "e", on=["k"], bin_width_s=bin_width
+        ).collect()
+    }
+    expected = {
+        (pid, iv)
+        for pid, (pk, pt) in enumerate(points)
+        for (ik, s, e, iv) in ivs
+        if pk == ik and s <= pt < e
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(st.tuples(keys, times), min_size=1, max_size=15),
+    gap=st.sampled_from([1, 3, 10]),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_naive(spark, events, gap):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [(k, at(t)) for k, t in events], "k long, ts timestamp"
+    )
+    got = {
+        (r.k, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(df, ["k"], "ts", gap * 1000).collect()
+    }
+
+    expected = set()
+    by_key: dict = {}
+    for k, t in events:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                expected.add((k, at(start), at(prev), n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        expected.add((k, at(start), at(prev), n))
+    assert got == expected
