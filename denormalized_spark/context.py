@@ -149,6 +149,22 @@ class Context:
         side, datastream.rs:379-395)."""
         return DataStream(df, event_time=event_time)
 
+    # -- table registration (reference vendored SessionContext.
+    #    register_parquet/register_csv/..., context.py:817-1017) --------
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.from_parquet(path).df.createOrReplaceTempView(name)
+
+    def register_csv(self, name: str, path: str, **options) -> None:
+        self.from_csv(path, **options).df.createOrReplaceTempView(name)
+
+    def register_json(self, name: str, path: str, **options) -> None:
+        self.from_json(path, **options).df.createOrReplaceTempView(name)
+
+    def register_table(self, name: str, df_or_ds) -> None:
+        df = df_or_ds.df if isinstance(df_or_ds, DataStream) else df_or_ds
+        df.createOrReplaceTempView(name)
+
     def sql(self, query: str) -> DataStream:
         """SQL entry point (vendored SessionContext.sql in the
         reference, context.py:501-533 — batch-only there; Spark SQL

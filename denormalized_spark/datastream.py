@@ -170,6 +170,16 @@ class DataStream:
             return self._wrap(self._df.repartition(n, *cols))
         return self._wrap(self._df.repartition(n))
 
+    def repartition_by_hash(self, n: int, *cols: str) -> "DataStream":
+        """Hash-partition on columns (reference vendored
+        dataframe.py:518-533) — pre-shuffling for co-located joins."""
+        return self._wrap(self._df.repartition(n, *[_as_col(c) for c in cols]))
+
+    def cache(self) -> "DataStream":
+        """Materialize + reuse (reference dataframe.py:241). At scale
+        prefer writing a partitioned parquet checkpoint instead."""
+        return self._wrap(self._df.cache())
+
     def count(self) -> int:
         return self._df.count()
 
@@ -494,6 +504,36 @@ class DataStream:
             .trigger(**(trigger or {"availableNow": True}))
             .start()
         )
+
+    # -- batch file writers (reference vendored dataframe.py:417-447) ----
+
+    def to_parquet(
+        self,
+        path: str,
+        *,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+        sort_within_partitions: Sequence[str] = (),
+    ) -> None:
+        """Parquet writer. ``partition_by`` lays the data out for
+        partition pruning on those keys; ``sort_within_partitions``
+        additionally orders rows inside each file so min/max row-group
+        stats prune at read time — the cheap half of a bucketed
+        layout, and the right default for a 100 TB corpus that is
+        read far more often than written."""
+        df = self._df
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def to_csv(self, path: str, *, mode: str = "overwrite", header: bool = True) -> None:
+        self._df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def to_json(self, path: str, *, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).json(path)
 
     # -- introspection (reference datastream.rs:214-242) -----------------
 

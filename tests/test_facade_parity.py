@@ -126,3 +126,76 @@ def test_stream_static_dimension_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.uid, r.tier) for r in rows}
     assert got == {(1, "gold"), (2, "silver"), (9, None)}
+
+
+def test_writers_and_registration(spark, tmp_path):
+    ds = DataStream(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ["k", "g", "v"])
+    )
+    pq = str(tmp_path / "out_pq")
+    ds.to_parquet(pq, partition_by=["g"], sort_within_partitions=["k"])
+    back = spark.read.parquet(pq)
+    assert sorted((r.k, r.g, r.v) for r in back.collect()) == [
+        (1, "a", 10.0), (2, "b", 20.0)
+    ]
+    import os
+    assert any(d.startswith("g=") for d in os.listdir(pq))  # partition layout
+
+    cs = str(tmp_path / "out_csv")
+    ds.to_csv(cs)
+    assert Context(spark).from_csv(cs).count() == 2
+
+    js = str(tmp_path / "out_json")
+    ds.to_json(js)
+    assert Context(spark).from_json(js).count() == 2
+
+    ctx = Context(spark)
+    ctx.register_parquet("t_pq_reg", pq)
+    assert ctx.sql("SELECT count(*) AS n FROM t_pq_reg").df.collect()[0].n == 2
+    ctx.register_table("t_ds_reg", ds)
+    assert ctx.sql("SELECT sum(v) AS s FROM t_ds_reg").df.collect()[0].s == 30.0
+
+
+def test_salted_window_agg_matches_plain(spark, events):
+    """The skew-salted two-stage window aggregation must produce the
+    same rows as the plain single-stage one."""
+    from denormalized_spark.operators.windows import salted_window_agg, window_aggregate
+
+    salted = salted_window_agg(
+        events,
+        "ts",
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        3600_000,
+        salt_buckets=8,
+    )
+    plain = window_aggregate(
+        events,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+        3600_000,
+    )
+
+    def key(rows):
+        return {
+            (r.window_start_time, r.event_type): (
+                r.n,
+                round(r.sum_value, 6),
+                r.min_value,
+                r.max_value,
+            )
+            for r in rows
+        }
+
+    assert key(salted.collect()) == key(plain.collect())
