@@ -381,3 +381,65 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by
+    min-label propagation — upgrades one-pass star dedup (drop the
+    larger id of each pair) to TRANSITIVE closure: a chain a~b~c
+    collapses to one canonical document even if (a, c) was never
+    directly paired.
+
+    Returns (id, component) for every id appearing in ``pairs``,
+    where component = the minimum id reachable through the pair graph.
+
+    Plan per iteration: one shuffle of the (symmetrized) edge set
+    joined to current labels, a min-aggregate per node, and a
+    metadata-sized convergence probe (sum of labels — a single
+    aggregated row; it strictly decreases until fixpoint). Label
+    frames are ``localCheckpoint``-ed each round so lineage stays
+    O(1) instead of O(iterations) — the standard Spark iterative-
+    algorithm pattern (MLlib does the same). Converges in
+    O(component diameter) rounds; near-dup clusters are shallow
+    (dozens of docs), so 3-5 rounds in practice, ``max_iterations``
+    bounds adversarial chains.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(sym["dst"].alias("id"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # convergence probe: ONE aggregated row to the driver
+        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

@@ -237,6 +237,48 @@ def dedup_jaccard_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_connected_components",
+    _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    vp AS (
+      SELECT id_a, id_b FROM (
+        SELECT j.id_a, j.id_b,
+               count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+        FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+        GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+      ) t WHERE jaccard >= 0.2
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+    reach(id, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    )
+    SELECT id AS doc_id, min(label) AS canonical_id FROM reach GROUP BY id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """TRANSITIVE near-dup dedup: LSH-gated Jaccard pairs → connected
+    components (min-label propagation, operators/dedup.
+    connected_components) → every chained duplicate maps to one
+    canonical doc_id. The oracle replays the same graph closure as a
+    DuckDB recursive CTE — an iterative distributed algorithm checked
+    value-for-value against a declarative fixpoint."""
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.2, candidates=cand
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+@q(
     "dedup_simhash",
     f"""
     WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),

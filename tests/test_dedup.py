@@ -123,3 +123,16 @@ def test_exact_dedup_canonical_min_id(spark):
         for r in dedup.exact_dedup_canonical(d, "key", "doc_id").collect()
     }
     assert got == {2: 2, 9: 1}
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b~c collapses into one component even though (a,c) never
+    paired directly; disjoint pairs stay separate."""
+    from denormalized_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
