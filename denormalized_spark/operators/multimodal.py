@@ -139,17 +139,25 @@ def sample_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError("frame sampling requires ffmpeg (not in this container)")
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[binary_col]) if row[binary_col] is not None else b""
-                for i in range(n_frames):
-                    r = row.to_dict()
-                    r["frame_idx"] = i
-                    r["frame"] = hashlib.md5(payload + str(i).encode()).digest()
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            if pdf.empty:
+                continue
+            # vectorized fan-out: repeat each row n_frames times, tile
+            # the frame index — no per-row python loop over the frame
+            # (the md5 itself is per-cell; a real ffmpeg kernel decodes
+            # per payload the same way)
+            out = pdf.loc[np.repeat(pdf.index.values, n_frames)].reset_index(drop=True)
+            out["frame_idx"] = np.tile(np.arange(n_frames, dtype="int32"), len(pdf))
+            out["frame"] = [
+                hashlib.md5(
+                    (bytes(p) if p is not None else b"") + str(i).encode()
+                ).digest()
+                for p, i in zip(out[binary_col], out["frame_idx"])
+            ]
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(kernel, out_schema)

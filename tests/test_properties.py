@@ -134,3 +134,34 @@ def test_sessionize_matches_naive(spark, events, gap):
             prev = t
         expected.add((k, at(start), at(prev), n))
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from denormalized_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
