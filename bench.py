@@ -46,6 +46,7 @@ HEADLINE = [
     "sessionize_users",         # stateful gap sessionization (batch twin)
     "dedup_embedding_neardup",  # LSH-gated semantic dedup
     "agg_rollup_pricing",       # multi-dim rollup aggregation
+    "curation_pipeline",        # decontaminate → mixture-sample funnel
 ]
 
 

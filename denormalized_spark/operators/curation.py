@@ -1,0 +1,205 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, context-window chunking, and
+deterministic mixture sampling.
+
+These extend beyond the reference's surface (it has no curation
+operators) per the build goal — they are the steps between "raw
+crawl" and "training set" that a 100 TB pipeline runs after dedup
+(:mod:`~denormalized_spark.operators.dedup`) and quality scoring
+(:mod:`~denormalized_spark.operators.text`).
+
+Scale design:
+
+- ``decontaminate`` never shuffles the corpus: the benchmark n-gram
+  set is distinct-ed and BROADCAST (test sets are MBs, corpora are
+  TBs), the corpus explode is a flatMap, the contaminated-id set that
+  comes back is tiny and broadcast again for the anti-join. Total
+  shuffles on the 100 TB side: zero.
+- ``chunk_documents`` is a pure projection + explode — scan speed.
+- ``mixture_sample`` filters on a deterministic md5 fraction against
+  a broadcast rate table — scan speed, reproducible across reruns
+  and engines (the DuckDB oracles recompute the same fractions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators.dedup import shingle_hashes
+from denormalized_spark.operators.text import tokens
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    return_flags: bool = False,
+) -> DataFrame:
+    """Remove corpus documents that share any word ``n``-gram with a
+    benchmark/eval set (training-set decontamination, the standard
+    13-gram-overlap rule; pass smaller ``n`` for small-vocabulary
+    corpora).
+
+    Plan shape (the corpus side never shuffles):
+
+    1. benchmark → distinct n-gram hashes (small; broadcast),
+    2. corpus → explode n-gram hashes (flatMap, no shuffle) →
+       broadcast LEFT SEMI against the benchmark grams,
+    3. the surviving (id, gram) rows — only contaminated docs — are
+       distinct-ed into a tiny id set, broadcast back, and
+    4. corpus LEFT ANTI (or a flag column) against that id set.
+
+    With ``return_flags=True`` the full corpus is returned with a
+    boolean ``contaminated`` column instead of being filtered — for
+    audit queries that count contamination by source.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("gram")
+    )
+    contaminated_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if return_flags:
+        flagged = contaminated_ids.withColumn("contaminated", F.lit(True))
+        return corpus.join(F.broadcast(flagged), id_col, "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    return corpus.join(F.broadcast(contaminated_ids), id_col, "left_anti")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks for context-window
+    packing: chunk ``k`` covers tokens ``[k·stride, k·stride +
+    chunk_tokens)``; the default stride equals ``chunk_tokens``
+    (disjoint chunks), a smaller stride overlaps them (the usual
+    sliding-window prep for long-document training).
+
+    Emits one row per (doc, chunk): ``chunk_id`` (0-based), the chunk
+    text (tokens re-joined with single spaces), and
+    ``n_chunk_tokens``. Every token of every document lands in ≥1
+    chunk; trailing fragments shorter than ``chunk_tokens`` are kept.
+
+    Pure projection + explode — no shuffle, scan speed at any corpus
+    size. ``keep_text=False`` drops the chunk text and keeps only its
+    md5 (for dedup-over-chunks pipelines where the text re-join would
+    dominate IO).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # chunk starts: 0, stride, 2·stride, … < n_tok (empty docs get none)
+    starts = F.when(n_tok > 0, F.sequence(F.lit(0), n_tok - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.array_join(
+                    F.slice(toks, s + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    out = chunked.select(
+        F.col(id_col),
+        "chunk_id",
+        *(["chunk_text"] if keep_text else []),
+        F.md5("chunk_text").alias("chunk_hash"),
+        F.size(F.split("chunk_text", " ")).alias("n_chunk_tokens"),
+    )
+    return out
+
+
+def sample_fraction(id_col: Column | str, seed: str = "s0") -> Column:
+    """Deterministic per-row uniform fraction in [0, 1): the first 8
+    md5 hex chars of ``seed || id`` scaled by 2^-32. Reproducible
+    across reruns, partitionings, AND engines (DuckDB computes the
+    identical value), unlike ``rand(seed)`` which is
+    partition-dependent."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def quota_select(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "source",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-``quota`` rows per stratum by score (id as the
+    deterministic tiebreak) — the "best N documents per domain" step
+    that bounds any one domain's contribution to a training mix.
+
+    One shuffle on the stratum key, then a per-partition window
+    row_number — the per-group top-k plan Spark pushes into a
+    WindowGroupLimit (rank-limit pushdown), so no group ever
+    materializes more than ``quota`` rows post-sort. Strata counts are
+    usually in the thousands; if one stratum dominates the corpus
+    (heavy skew), pre-filter with an approximate per-stratum score
+    threshold so the sort stays balanced."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Down-sample a corpus to a target source mixture: each stratum
+    (source/domain/language) keeps a deterministic ``rates[stratum]``
+    fraction of its rows — how training mixtures ("2 parts web, 1
+    part code, 0.1 parts forums") are materialized.
+
+    The rate table is a broadcast join (dozens of strata); the keep
+    decision is a per-row md5 fraction — scan speed, zero shuffles,
+    and idempotent: re-running over the same ids keeps the same rows,
+    so incremental pipeline runs stay consistent.
+    """
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()], [strata_col, "_rate"]
+    )
+    return (
+        df.join(F.broadcast(rate_df), strata_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .filter(sample_fraction(id_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )

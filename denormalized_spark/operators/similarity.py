@@ -130,6 +130,7 @@ def lsh_bucketed_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate neighbor pairs sharing an LSH bucket, scored exactly.
 
@@ -142,7 +143,14 @@ def lsh_bucketed_neighbors(
     p = (1 − θ/π)^num_planes; OR across tables gives
     1 − (1 − p)^num_tables. More tables = recall, more planes =
     precision (smaller buckets). num_planes=16 → 65k buckets per
-    table; size so buckets fit a task at the target corpus."""
+    table; size so buckets fit a task at the target corpus — bucket
+    population grows LINEARLY with the corpus at fixed planes, and
+    in-bucket pair generation is quadratic in population, so planes
+    must scale with log2(corpus). ``max_bucket_size`` is the backstop
+    for under-planed configs and degenerate data (a constant embedding
+    region puts a whole corpus in one bucket): oversized buckets are
+    dropped before pair generation, bounding memory; pairs inside them
+    can still surface through the other tables."""
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -175,6 +183,8 @@ def lsh_bucketed_neighbors(
         .agg(F.array_sort(F.collect_list(member)).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ms") <= max_bucket_size)
     ms = F.col("_ms")
     # score INSIDE the pair generation: the dedup shuffle then carries
     # narrow (id_a, id_b, cos) rows, not two 64-float vectors, and the

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from denormalized_spark.queries import (
+    curation,
     llm_pipeline,
     relational,
     streaming_windows,
@@ -25,6 +26,6 @@ from denormalized_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal):
+for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, curation):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

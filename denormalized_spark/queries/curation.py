@@ -1,0 +1,205 @@
+"""Corpus-curation queries: benchmark decontamination, context-window
+chunking, deterministic mixture sampling, and the end-to-end curation
+pipeline — each with a DuckDB oracle recomputing the identical
+md5-based decisions.
+
+Spark implementations live in operators/curation.py; the oracles
+reuse the engine-portable hashing contracts from operators/dedup.py
+(token hash = first 8 md5 hex chars; n-gram hash = positional-constant
+mix mod 2^32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import curation, text
+from denormalized_spark.operators.dedup import SHINGLE_MOD, shingle_params
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+
+
+def _gram_sql(n: int) -> str:
+    """Word n-gram hashes for arbitrary n, matching
+    operators.dedup.shingle_hashes: same positional constants, same
+    per-term mod, same short-doc rolling-hash fallback. (The n=3
+    variant in llm_pipeline.py predates this; kept there for the
+    minhash oracles' literal stability.)"""
+    m = SHINGLE_MOD
+    cs = [shingle_params(j) for j in range(n)]
+    gram = " + ".join(f"((th[i+{j}] * {cs[j]}) % {m})" for j in range(n))
+    return f"""
+    CASE WHEN len(th) >= {n}
+         THEN list_distinct([({gram}) % {m} for i in range(1, len(th) - {n - 2})])
+         ELSE [list_reduce(list_prepend(0::BIGINT, th), (acc, x) -> (acc * 31 + x) % {m})] END
+    """
+
+
+#: documents CTE → per-doc 5-gram hash arrays (benchmark split on doc_id % 20 == 7)
+_GRAMS_CTE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+hh AS (SELECT doc_id,
+              list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+       FROM d),
+g AS (SELECT doc_id, {_gram_sql(5)} AS grams FROM hh),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 7),
+cont AS (SELECT DISTINCT x.doc_id
+         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 7) x
+         JOIN bench USING (gram))
+"""
+
+
+def _split(spark: SparkSession, sf: str):
+    """Benchmark/corpus split used by the decontamination queries:
+    every 20th doc (doc_id % 20 == 7) plays the eval set."""
+    d = t(spark, sf, "documents")
+    return d.filter(F.col("doc_id") % 20 != 7), d.filter(F.col("doc_id") % 20 == 7)
+
+
+@q(
+    "curation_decontaminate",
+    _GRAMS_CTE
+    + """
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 20 != 7 AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word
+    5-gram with the held-out eval split (the 13-gram rule scaled to
+    this corpus's ~30-word vocabulary). Corpus side never shuffles:
+    broadcast gram set in, broadcast contaminated-id set out."""
+    corpus, bench = _split(spark, sf)
+    clean = curation.decontaminate(corpus, bench, n=5)
+    return clean.select("doc_id", "source")
+
+
+@q(
+    "curation_chunks",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    u AS (SELECT doc_id,
+                 unnest([{{'cid': s // 24, 'txt': array_to_string(ws[s+1 : s+32], ' ')}}
+                         for s in range(0, len(ws), 24)]) AS c
+          FROM d)
+    SELECT doc_id, CAST(c.cid AS INT) AS chunk_id, md5(c.txt) AS chunk_hash,
+           len(string_split(c.txt, ' ')) AS n_chunk_tokens
+    FROM u
+    """,
+)
+def curation_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, stride 24 (8-token
+    overlap). Pure projection + explode — scan speed; chunk text is
+    reduced to its md5 so the result stays narrow."""
+    d = t(spark, sf, "documents")
+    out = curation.chunk_documents(
+        d, chunk_tokens=32, stride=24, keep_text=False
+    )
+    return out.select("doc_id", "chunk_id", "chunk_hash", "n_chunk_tokens")
+
+
+#: target mixture: web-ish sources kept at 90%, the long tail at 25%,
+#: src15+ absent from the rate table → dropped (default_rate=0)
+_MIX_RATES = {f"src{i}": (0.9 if i < 5 else 0.25) for i in range(15)}
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_RATES.items())
+
+
+@q(
+    "curation_mixture",
+    f"""
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN (VALUES {_MIX_VALUES}) r(source, rate) USING (source)
+    WHERE ('0x' || substr(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.rate
+    """,
+)
+def curation_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source keep rates applied
+    via an md5 fraction — reproducible across reruns, partitionings,
+    and engines (rand(seed) is partition-dependent; this is not)."""
+    d = t(spark, sf, "documents")
+    out = curation.mixture_sample(d, _MIX_RATES, seed="mix1")
+    return out.select("doc_id", "source")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+
+@q(
+    "curation_quota",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+                      / greatest(len({_TOKS}), 1) AS score
+               FROM documents),
+    r AS (SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id ASC) AS rk
+          FROM d)
+    SELECT doc_id, source, round(score, 4) AS score FROM r WHERE rk <= 10
+    """,
+)
+def curation_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quota selection: the 10 best docs per source by
+    stopword density (stand-in for a model-based quality score; same
+    column contract). Per-group top-k via window row_number — Spark
+    rewrites it to a WindowGroupLimit, so no group materializes more
+    than the quota past the sort. Ties broken by doc_id: fully
+    deterministic, hence oracle-checkable."""
+    d = t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "source", text.stopword_ratio("text").alias("score")
+    )
+    out = curation.quota_select(
+        scored, quota=10, strata_col="source", score_col="score"
+    )
+    return out.select("doc_id", "source", F.round("score", 4).alias("score"))
+
+
+@q(
+    "curation_pipeline",
+    _GRAMS_CTE
+    + f"""
+    , clean AS (
+      SELECT * FROM documents
+      WHERE doc_id % 20 != 7 AND doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    sampled AS (
+      SELECT c.doc_id, c.source, c.text FROM clean c
+      JOIN (VALUES {_MIX_VALUES}) r(source, rate) USING (source)
+      WHERE ('0x' || substr(md5('mix1' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < r.rate
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM sampled GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation: decontaminate → mixture-sample → token
+    budget by source. One broadcast-gated pass over the corpus plus a
+    final partial/final aggregation — the full pre-training data-prep
+    funnel as a single Catalyst plan."""
+    corpus, bench = _split(spark, sf)
+    clean = curation.decontaminate(corpus, bench, n=5)
+    sampled = curation.mixture_sample(clean, _MIX_RATES, seed="mix1")
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
+    )

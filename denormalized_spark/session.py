@@ -46,6 +46,11 @@ _DEFAULTS = {
     # unreadable; read as long and convert in sources.files.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.showConsoleProgress": "false",
+    # Local-mode JVM heap. Spark's 1g default OOMs collect_list-heavy
+    # aggregations long before the box's memory is used; on a real
+    # cluster this is spark.executor.memory territory instead. Only
+    # effective at JVM launch (first session build).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

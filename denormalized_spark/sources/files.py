@@ -63,8 +63,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same file, so oracle comparisons see identical values."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    return _convert_nanos_longs(df, path)
+
+
+def _convert_nanos_longs(df: DataFrame, path: str) -> DataFrame:
+    """Convert ns-timestamp columns that Spark actually read as long.
+    The Spark-side dtype check matters: INT96 timestamps (Spark's own
+    default parquet output) are reported as ns by pyarrow but read as
+    proper timestamps by Spark — converting those would be a type
+    error."""
+    from pyspark.sql.types import LongType
+
+    long_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, LongType)}
     for c in _nanos_timestamp_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if c in long_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 
@@ -108,6 +121,4 @@ def stream_table(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(stream_path)
-    for c in _nanos_timestamp_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return _convert_nanos_longs(df, path)

@@ -1,0 +1,192 @@
+"""Curation-operator semantics: decontamination, chunking, mixture
+sampling — plus the ANN bucket-size cap that bounds degenerate LSH
+buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "web"),
+        (1, "one two three four five six seven", "web"),
+        # shares the 3-gram "three four five" with doc 1
+        (2, "zz three four five qq rr ss tt", "forum"),
+        (3, "totally unrelated words here now ok", "forum"),
+        (4, "alpha beta gamma delta epsilon zeta", "code"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestDecontaminate:
+    def test_removes_ngram_overlap_only(self, spark, docs):
+        bench = docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") != 1)
+        clean = curation.decontaminate(corpus, bench, n=3)
+        assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [0, 3, 4]
+
+    def test_flag_variant_matches_filter_variant(self, spark, docs):
+        bench = docs.filter(F.col("doc_id") == 1).select("text")
+        corpus = docs.filter(F.col("doc_id") != 1)
+        flagged = curation.decontaminate(corpus, bench, n=3, return_flags=True)
+        clean_ids = {
+            r.doc_id for r in flagged.filter(~F.col("contaminated")).collect()
+        }
+        filt_ids = {
+            r.doc_id for r in curation.decontaminate(corpus, bench, n=3).collect()
+        }
+        assert clean_ids == filt_ids
+        # flag variant keeps the whole corpus
+        assert flagged.count() == corpus.count()
+
+    def test_short_benchmark_doc_uses_rolling_hash(self, spark):
+        # benchmark doc shorter than n → its rolling-hash "gram" only
+        # matches an identical short corpus doc, not substrings
+        bench = spark.createDataFrame([(0, "tiny doc")], ["doc_id", "text"])
+        corpus = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc extended further here")],
+            ["doc_id", "text"],
+        )
+        clean = curation.decontaminate(corpus, bench, n=5)
+        assert [r.doc_id for r in clean.collect()] == [2]
+
+    def test_corpus_side_has_no_shuffle(self, spark, docs):
+        """The 100 TB contract: both joins against the corpus are
+        broadcast — no Exchange ships corpus rows."""
+        bench = docs.filter(F.col("doc_id") == 1).select("text")
+        corpus = docs.filter(F.col("doc_id") != 1)
+        plan = curation.decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestChunkDocuments:
+    def test_disjoint_chunks_partition_tokens(self, spark, docs):
+        out = curation.chunk_documents(docs, chunk_tokens=4, stride=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc in docs.collect():
+            n_tok = len(doc.text.split())
+            chunks = sorted(by_doc[doc.doc_id], key=lambda r: r.chunk_id)
+            assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+            assert sum(c.n_chunk_tokens for c in chunks) == n_tok
+            # re-joining disjoint chunks reconstructs the document
+            assert " ".join(c.chunk_text for c in chunks) == " ".join(doc.text.split())
+
+    def test_overlapping_stride(self, spark, docs):
+        out = curation.chunk_documents(
+            docs.filter(F.col("doc_id") == 1), chunk_tokens=4, stride=2
+        ).collect()
+        chunks = sorted(out, key=lambda r: r.chunk_id)
+        toks = "one two three four five six seven".split()
+        for c in chunks:
+            start = c.chunk_id * 2
+            assert c.chunk_text == " ".join(toks[start : start + 4])
+        # every token covered, tail fragment kept
+        assert {t for c in chunks for t in c.chunk_text.split()} == set(toks)
+        assert chunks[-1].n_chunk_tokens == 1  # "seven"
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        d = spark.createDataFrame([(0, ""), (1, "a b")], ["doc_id", "text"])
+        out = curation.chunk_documents(d, chunk_tokens=4, stride=4).collect()
+        assert {r.doc_id for r in out} == {1}
+
+    def test_keep_text_false_drops_text(self, spark, docs):
+        out = curation.chunk_documents(docs, chunk_tokens=4, keep_text=False)
+        assert "chunk_text" not in out.columns
+        assert "chunk_hash" in out.columns
+
+
+class TestMixtureSample:
+    def test_deterministic_and_rate_bounded(self, spark):
+        n = 2000
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("web").alias("source")
+        )
+        s1 = {r.doc_id for r in curation.mixture_sample(d, {"web": 0.3}).collect()}
+        s2 = {r.doc_id for r in curation.mixture_sample(d, {"web": 0.3}).collect()}
+        assert s1 == s2  # same seed → identical sample
+        assert abs(len(s1) / n - 0.3) < 0.05  # md5 fraction is uniform
+        s3 = {
+            r.doc_id
+            for r in curation.mixture_sample(d, {"web": 0.3}, seed="other").collect()
+        }
+        assert s3 != s1
+
+    def test_unknown_stratum_dropped_by_default(self, spark, docs):
+        out = curation.mixture_sample(docs, {"web": 1.0})
+        assert {r.source for r in out.collect()} == {"web"}
+
+    def test_nested_rates(self, spark, docs):
+        out = curation.mixture_sample(
+            docs, {"web": 1.0, "forum": 0.0, "code": 1.0}
+        ).collect()
+        assert sorted(r.doc_id for r in out) == [0, 1, 4]
+
+    def test_subset_property(self, spark):
+        """Lower rate samples are subsets of higher rate samples (the
+        fraction threshold is monotone) — what makes mixture re-weights
+        incremental instead of a full resample."""
+        d = spark.range(500).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("source")
+        )
+        lo = {r.doc_id for r in curation.mixture_sample(d, {"s": 0.2}).collect()}
+        hi = {r.doc_id for r in curation.mixture_sample(d, {"s": 0.6}).collect()}
+        assert lo < hi
+
+
+class TestQuotaSelect:
+    def test_top_k_per_stratum_with_tiebreak(self, spark):
+        rows = [
+            (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.9), (4, "a", 0.1),
+            (5, "b", 0.2),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+        out = curation.quota_select(d, quota=2).collect()
+        got = {(r.doc_id, r.source) for r in out}
+        # ties at 0.9 break by min doc_id: 1 then 3; b keeps its only doc
+        assert got == {(1, "a"), (3, "a"), (5, "b")}
+
+    def test_plan_uses_window_group_limit(self, spark):
+        """Rank-limit pushdown: the per-group top-k must not sort whole
+        groups to completion — Spark's WindowGroupLimit caps each."""
+        d = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).alias("source"),
+            F.rand(7).alias("quality"),
+        )
+        plan = curation.quota_select(d, quota=3)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestAnnBucketCap:
+    def test_cap_bounds_degenerate_bucket(self, spark):
+        from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
+
+        # 40 identical vectors: every table puts them all in ONE bucket
+        d = spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+        )
+        uncapped = lsh_bucketed_neighbors(d, dim=8, num_planes=4, num_tables=1)
+        assert uncapped.count() == 40 * 39 // 2
+        capped = lsh_bucketed_neighbors(
+            d, dim=8, num_planes=4, num_tables=1, max_bucket_size=10
+        )
+        assert capped.count() == 0  # the one oversized bucket is dropped
+
+    def test_cap_keeps_small_buckets(self, spark, sf_dir):
+        from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
+        from denormalized_spark.sources.files import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        base = lsh_bucketed_neighbors(e, dim=64, num_planes=4, num_tables=2)
+        capped = lsh_bucketed_neighbors(
+            e, dim=64, num_planes=4, num_tables=2, max_bucket_size=10**6
+        )
+        assert base.count() == capped.count()

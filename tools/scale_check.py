@@ -32,6 +32,110 @@ QUERIES = [
 ]
 
 
+def build_stress_tier(spark, base_sf: str, out_dir: str, factor: int = 10) -> str:
+    """Synthesize a tier ``factor``× beyond base_sf for the LLM-ops
+    tables (documents/embeddings/events) by replicating with id
+    offsets and DECORRELATING each replica — per-replica token
+    vocabulary for documents, cyclic component rotation for
+    embeddings — so the tier models a ``factor``× LARGER corpus with
+    the same duplicate/cluster density, not a ``factor``× denser dup
+    graph (naive replication makes every doc a near-dup of its copies:
+    the true-pair count then grows quadratically in ``factor`` and the
+    measurement says nothing about corpus scaling). Written to
+    ``out_dir`` under /tmp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.sources.files import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+
+    d = load_table(spark, base_sf, "documents")
+    n_docs = d.count()
+    # replica r > 0 suffixes every token with "_r": an independent
+    # corpus with identical intra-replica dup structure and zero
+    # cross-replica shingle collisions
+    retok = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda t: F.concat(t, F.lit("_"), F.col("_rep").cast("string")),
+        ),
+        " ",
+    )
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * n_docs).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(retok).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    e = load_table(spark, base_sf, "embeddings")
+    n_vec = e.count()
+    # replica r rotates the vector by r components: norms and
+    # intra-replica geometry preserved, cross-replica cosine decorrelated
+    emb = F.col("embedding")
+    rot = F.concat(
+        F.slice(emb, F.col("_rep") + 1, 64 - F.col("_rep")),
+        F.slice(emb, 1, F.col("_rep")),
+    )
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_rep") * n_vec).alias("vec_id"),
+            F.when(F.col("_rep") == 0, emb).otherwise(rot).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+    ev = load_table(spark, base_sf, "events")
+    n_ev = ev.count()
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("_rep") * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_rep") * 100000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    return out_dir
+
+
+STRESS_QUERIES = [
+    "dedup_lsh_candidates",
+    "dedup_jaccard_lsh_verified",
+    "join_asof_purchase_click",
+    "sessionize_users",
+]
+
+
+def stress_ann(spark, sf_dir: str) -> None:
+    """ANN at the stress tier, with the plane count scaled to the
+    corpus (the query entries pin 4 planes = 16 buckets for the sf0.01
+    oracle; at 50k vectors that is deliberately under-planed — bucket
+    population, and so in-bucket pair generation, grows linearly with
+    the corpus). 10 planes → 1024 buckets/table keeps expected bucket
+    size ~50; the cap bounds the degenerate tail. This is the knob a
+    100 TB deployment turns, so it is what the stress tier measures."""
+    import time
+
+    from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
+    from denormalized_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    n = lsh_bucketed_neighbors(
+        e, dim=64, num_planes=10, num_tables=4, min_cosine=0.3,
+        max_bucket_size=2000,
+    ).count()
+    print(f"{'ann_10planes_4tables':30s} {time.time() - t0:9.2f}s  ({n} pairs)")
+
+
 def main() -> None:
     from denormalized_spark.session import get_spark
 
@@ -59,6 +163,16 @@ def main() -> None:
             + " ".join(f"{t:9.2f}" for t in times)
             + f"   {ratio:6.1f}x for 10x data"
         )
+
+    if "--stress" in sys.argv:
+        # one decade past sf0.1: 50k docs / 50k vectors / 600k events
+        stress = build_stress_tier(spark, SFS[-1], "/tmp/stress_tier", 10)
+        print(f"\nstress tier (10x sf0.1) at {stress}:")
+        for name in STRESS_QUERIES:
+            t0 = time.time()
+            queries[name](spark, stress).write.format("noop").mode("overwrite").save()
+            print(f"{name:30s} {time.time() - t0:9.2f}s")
+        stress_ann(spark, stress)
 
 
 if __name__ == "__main__":
