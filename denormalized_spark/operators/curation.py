@@ -131,6 +131,71 @@ def chunk_documents(
     return out
 
 
+def pack_documents(
+    df: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens: Column | str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end to end
+    in ``id_col`` order and the token stream is chopped every
+    ``seq_tokens`` — the standard way pre-training batches are packed.
+    Each doc gets its global ``token_offset`` plus the first/last
+    training sequence it lands in (a doc straddling a boundary spans
+    ``first_seq..last_seq``).
+
+    The offset is a corpus-wide running sum — computed scale-safely
+    via :func:`~denormalized_spark.operators.ranking.with_global_running_sum`
+    (range shuffle + local cumsum + broadcast prefix offsets), never a
+    single-reducer global window. At 100 TB you'd typically pack per
+    shard instead (drop the global order for a per-partition one);
+    this global form is what makes runs bit-reproducible."""
+    from denormalized_spark.operators.ranking import with_global_running_sum
+
+    nt = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    out = with_global_running_sum(
+        df.withColumn("_nt", nt),
+        [F.col(id_col)],
+        F.col("_nt"),
+        out_col="token_offset",
+        exclusive=True,
+        num_partitions=num_partitions,
+    )
+    return (
+        out.withColumn(
+            "first_seq", (F.col("token_offset") / seq_tokens).cast("long")
+        )
+        .withColumn(
+            "last_seq",
+            F.when(F.col("_nt") > 0,
+                   ((F.col("token_offset") + F.col("_nt") - 1) / seq_tokens).cast("long"))
+            .otherwise((F.col("token_offset") / seq_tokens).cast("long")),
+        )
+        .drop("_nt")
+    )
+
+
+#: PII scrub patterns: kept to constructs whose semantics agree across
+#: Java regex (Spark) and RE2 (DuckDB) so oracles can replay them.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Scrub PII-shaped spans (emails, IPv4s, SSN-format numbers) with
+    typed placeholder tokens — chained ``regexp_replace``, pure
+    projection, scan speed. Order matters: earlier patterns must not
+    produce text later ones match."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def sample_fraction(id_col: Column | str, seed: str = "s0") -> Column:
     """Deterministic per-row uniform fraction in [0, 1): the first 8
     md5 hex chars of ``seed || id`` scaled by 2^-32. Reproducible

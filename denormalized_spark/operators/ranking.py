@@ -86,6 +86,55 @@ def with_global_row_number(
     return out.drop("_total")
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value: Column,
+    out_col: str = "running_sum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global running sum of ``value`` under a total order —
+    same shape as :func:`with_global_row_number` (range shuffle +
+    local cumsum + numPartitions-row prefix-sum broadcast), so a
+    corpus-wide cumulative token count never needs a single-reducer
+    sort. ``exclusive=True`` gives each row the sum of everything
+    strictly BEFORE it (an offset); ``False`` includes the row."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.withColumn("_rs_val", value.cast("long"))
+        .repartitionByRange(int(n), *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    end = -1 if exclusive else Window.currentRow
+    local = ranged.withColumn(
+        "_rs_local",
+        F.coalesce(
+            F.sum("_rs_val").over(
+                Window.partitionBy(_PID)
+                .orderBy(*order_by)
+                .rowsBetween(Window.unboundedPreceding, end)
+            ),
+            F.lit(0),
+        ),
+    )
+    sums = local.groupBy(_PID).agg(F.sum("_rs_val").alias("_cnt"))
+    offsets = sums.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(_PID, "_offset")
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col("_rs_local") + F.col("_offset"))
+        .drop(_PID, "_rs_val", "_rs_local", "_offset")
+    )
+
+
 def global_ranks(
     df: DataFrame,
     order_by: Sequence[Column],

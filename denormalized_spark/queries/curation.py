@@ -138,6 +138,86 @@ def curation_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+@q(
+    "curation_pack",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS token_offset
+          FROM d)
+    SELECT doc_id, n_tokens, token_offset,
+           token_offset // 256 AS first_seq,
+           CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // 256
+                ELSE token_offset // 256 END AS last_seq
+    FROM o
+    """,
+)
+def curation_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: docs laid end-to-end in doc_id order, chopped
+    into 256-token training sequences; each doc reports its global
+    token offset and first/last sequence. The running sum is computed
+    without a single-reducer window (range shuffle + broadcast prefix
+    offsets — operators/ranking.py), unlike the oracle's global OVER."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    out = curation.pack_documents(d, seq_tokens=256)
+    return out.select("doc_id", "n_tokens", "token_offset", "first_seq", "last_seq")
+
+
+#: deterministic PII injection for the redaction query: the corpus has
+#: no real PII, so both engines append the same synthetic spans
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ssn 123-45-' "
+    "|| CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@q(
+    "curation_redact",
+    f"""
+    WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+    r AS (SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g') AS redacted
+          FROM d)
+    SELECT doc_id, md5(redacted) AS redacted_hash,
+           len(regexp_extract_all(redacted, '<EMAIL>|<IP>|<SSN>')) AS n_redactions
+    FROM r
+    """,
+)
+def curation_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: emails / IPv4s / SSN-format spans replaced with
+    typed placeholders. The corpus is synthetic (no real PII), so the
+    query injects deterministic spans first; both engines then redact
+    identically. Pure projection — scan speed."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    red = d.select("doc_id", curation.redact_pii("text").alias("redacted"))
+    return red.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_hash"),
+        F.size(F.expr(r"regexp_extract_all(redacted, '<EMAIL>|<IP>|<SSN>', 0)")).alias(
+            "n_redactions"
+        ),
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 

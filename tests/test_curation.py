@@ -140,6 +140,55 @@ class TestMixtureSample:
         assert lo < hi
 
 
+class TestPackDocuments:
+    def test_concat_and_chop_invariants(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(0, 40)) for i in range(200)]
+        d = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = sorted(
+            curation.pack_documents(d, seq_tokens=64).collect(),
+            key=lambda r: r.doc_id,
+        )
+        # offsets are the exclusive prefix sum in doc_id order
+        run = 0
+        for r, (i, nt) in zip(out, rows):
+            assert r.token_offset == run
+            assert r.first_seq == run // 64
+            last = (run + nt - 1) // 64 if nt > 0 else run // 64
+            assert r.last_seq == last
+            run += nt
+
+    def test_no_single_reducer_over_data(self, spark):
+        """The only unpartitioned window must be over the tiny
+        per-partition sums relation, never the data: the plan's
+        range-repartition carries the rows, and the offsets join is a
+        broadcast."""
+        d = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 17).alias("n_tokens")
+        )
+        plan = curation.pack_documents(d, seq_tokens=128)._jdf.queryExecution().executedPlan().toString()
+        assert "RangePartitioning" in plan or "rangepartitioning" in plan
+        assert "BroadcastHashJoin" in plan
+
+
+class TestRedactPii:
+    def test_redacts_each_kind(self, spark):
+        d = spark.createDataFrame(
+            [(0, "mail a.b+c@ex.co at 192.168.0.1 ssn 123-45-6789 keep 1.2 words")],
+            ["doc_id", "text"],
+        )
+        out = d.select(curation.redact_pii("text").alias("r")).collect()[0].r
+        assert out == "mail <EMAIL> at <IP> ssn <SSN> keep 1.2 words"
+
+    def test_no_pii_is_noop(self, spark, docs):
+        same = docs.select(
+            (curation.redact_pii("text") == F.col("text")).alias("eq")
+        ).collect()
+        assert all(r.eq for r in same)
+
+
 class TestQuotaSelect:
     def test_top_k_per_stratum_with_tiebreak(self, spark):
         rows = [

@@ -47,6 +47,7 @@ ALLOW_SINGLE_PART = {
     "filter_revenue",         # final stage of a global agg: partial-agg rows only
     "scalar_math_checksums",  # same — 1-row checksum aggregate
     "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
+    "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
 }
 MARKERS_PY = (
     "BatchEvalPython",
