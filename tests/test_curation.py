@@ -189,6 +189,44 @@ class TestRedactPii:
         assert all(r.eq for r in same)
 
 
+class TestStreamingCuration:
+    def test_decontaminate_per_microbatch_matches_batch(self, spark, sf_dir):
+        """The streaming recipe for decontamination: the benchmark is
+        static, so each micro-batch runs the batch operator inside
+        foreachBatch (per-row scrubbing needs no cross-batch state —
+        contamination is a property of the doc alone). Streamed union
+        must equal the batch run."""
+        import tempfile
+
+        from denormalized_spark.sources.files import load_table, stream_table
+
+        d = load_table(spark, sf_dir, "documents")
+        bench = d.filter(F.col("doc_id") % 20 == 7)
+        batch_ids = {
+            r.doc_id
+            for r in curation.decontaminate(
+                d.filter(F.col("doc_id") % 20 != 7), bench, n=5
+            ).collect()
+        }
+
+        stream = stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 20 != 7
+        )
+        got = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _e: got.extend(
+                    r.doc_id for r in curation.decontaminate(b, bench, n=5).collect()
+                )
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_decon_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert sorted(got) == sorted(batch_ids)
+
+
 class TestQuotaSelect:
     def test_top_k_per_stratum_with_tiebreak(self, spark):
         rows = [
