@@ -79,6 +79,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    stream_rows, stream_wall = _stream_throughput(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
     out = {
@@ -87,9 +89,44 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stream_rows": stream_rows,
+        "stream_wall": round(stream_wall, 3),
+        "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
         "wall_total": round(time.time() - t_start, 3),
     }
     print(json.dumps(out))
+
+
+def _stream_throughput(spark) -> tuple[int, float]:
+    """End-to-end Structured Streaming throughput: events table →
+    event-time tumbling window aggregation → foreachBatch sink,
+    availableNow trigger (the whole file drains through the streaming
+    engine with real state-store updates). The reference's only
+    published workload figure is its Kafka generator's ~58k msgs per
+    60 s run (docs/kafka_rideshare_example.md); this measures the
+    analogous pipeline at the bench scale factor."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.context import Context
+
+    ctx = Context(spark)
+    ds = ctx.from_stream_parquet(SF_DIR, "events", event_time="ts")
+    windowed = ds.window(
+        ["event_type"],
+        [F.count("*").alias("n"), F.sum("value").alias("total")],
+        window_length_ms=3600_000,
+    )
+    n_in = ctx.from_parquet(f"{SF_DIR}/events.parquet").df.count()
+    emitted = []
+    t0 = time.time()
+    q = windowed.sink(
+        lambda df: emitted.append(df.count()),
+        checkpoint=tempfile.mkdtemp(prefix="bench_stream_"),
+    )
+    q.awaitTermination(600)
+    return n_in, time.time() - t0
 
 
 if __name__ == "__main__":
