@@ -165,3 +165,57 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {x: find(x) for x in parent}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# curation: chunking and packing vs brute-force reimplementations
+# ---------------------------------------------------------------------------
+
+words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=20
+)
+
+
+@given(
+    docs=st.lists(words, min_size=1, max_size=8),
+    chunk=st.integers(min_value=1, max_value=6),
+    stride=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_chunking_matches_brute_force(spark, docs, chunk, stride):
+    from denormalized_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    expected = {}
+    for i, toks in enumerate(docs):
+        for cid, s in enumerate(range(0, len(toks), stride)):
+            expected[(i, cid)] = " ".join(toks[s : s + chunk])
+    assert got == expected
+
+
+@given(
+    ntoks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=15),
+    seq=st.integers(min_value=1, max_value=16),
+)
+@settings(**SETTINGS)
+def test_packing_matches_brute_force(spark, ntoks, seq):
+    from denormalized_spark.operators.curation import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ntoks)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.token_offset, r.first_seq, r.last_seq)
+        for r in pack_documents(df, seq_tokens=seq).collect()
+    }
+    off = 0
+    for i, n in enumerate(ntoks):
+        last = (off + n - 1) // seq if n > 0 else off // seq
+        assert got[i] == (off, off // seq, last), (i, n, off, seq)
+        off += n
