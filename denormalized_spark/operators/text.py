@@ -96,6 +96,53 @@ def content_hash(text: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram counts: explode tokens (flatMap, no pre-shuffle)
+    → one shuffle on token with map-side partial counts. Output is
+    vocabulary-sized — bounded however big the corpus, so it broadcast
+    back onto scoring joins."""
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    return toks.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_floor: float = 1e-9,
+) -> DataFrame:
+    """Per-document unigram language-model score — the cheap stand-in
+    for a perplexity-based quality filter (score = mean token
+    log-probability under the corpus LM; low scorers are gibberish or
+    out-of-domain). ``vocab`` defaults to the corpus itself; pass a
+    reference corpus's :func:`unigram_vocab` to score against an
+    external LM (unseen tokens get ``unseen_floor``).
+
+    Plan: explode tokens, broadcast-join the vocabulary-sized LM,
+    re-aggregate per doc — two shuffles over the token stream, zero
+    Python. The doc-side aggregation is sum/count (deterministic
+    modulo float association; oracle rounds)."""
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col)
+    total = vocab.agg(F.sum("cnt").alias("_t"))
+    vocab_p = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.log(F.col("cnt").cast("double") / F.col("_t")).alias("logp"),
+    )
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    scored = exploded.join(F.broadcast(vocab_p), "token", "left")
+    floor = F.log(F.lit(float(unseen_floor)))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("cnt", F.lit(0))).alias("sum_freq"),
+        F.avg(F.coalesce("logp", floor)).alias("avg_logp"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats projection."""
     return df.select(

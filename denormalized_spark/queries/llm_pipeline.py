@@ -387,6 +387,37 @@ def text_token_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "text_unigram_quality",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS t FROM vocab),
+    scored AS (
+      SELECT tok.doc_id, v.cnt, ln(v.cnt::DOUBLE / tot.t) AS logp
+      FROM tok JOIN vocab v USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS sum_freq,
+           round(avg(logp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality scoring — the perplexity-filter stand-in:
+    score every doc by its mean token log-probability under the
+    corpus's own unigram model. Explode → token-shuffle for the
+    vocabulary (bounded output) → broadcast the LM back → per-doc
+    re-aggregation; zero Python, two shuffles of the token stream."""
+    d = t(spark, sf, "documents")
+    out = text.unigram_logprob_scores(d)
+    return out.select(
+        "doc_id", "n_tokens", "sum_freq", F.round("avg_logp", 4).alias("avg_logp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

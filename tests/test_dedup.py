@@ -136,3 +136,34 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r.id: r.label for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+class TestUnigramLM:
+    def test_self_scored_corpus(self, spark):
+        from denormalized_spark.operators.text import unigram_logprob_scores
+        import math
+
+        d = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], ["doc_id", "text"]
+        )
+        # corpus counts: a=2, b=2, c=1, total=5
+        out = {r.doc_id: r for r in unigram_logprob_scores(d).collect()}
+        assert out[0].n_tokens == 3 and out[0].sum_freq == 2 + 2 + 2
+        assert out[1].n_tokens == 2 and out[1].sum_freq == 2 + 1
+        exp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+        assert abs(out[0].avg_logp - exp0) < 1e-9
+
+    def test_external_vocab_floors_unseen(self, spark):
+        from denormalized_spark.operators.text import (
+            unigram_logprob_scores,
+            unigram_vocab,
+        )
+        import math
+
+        ref = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        target = spark.createDataFrame([(0, "a zz")], ["doc_id", "text"])
+        vocab = unigram_vocab(ref)
+        r = unigram_logprob_scores(target, vocab=vocab, unseen_floor=1e-9).collect()[0]
+        exp = (math.log(1 / 2) + math.log(1e-9)) / 2
+        assert abs(r.avg_logp - exp) < 1e-9
+        assert r.sum_freq == 1  # unseen token contributes 0
