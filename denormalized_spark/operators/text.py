@@ -143,6 +143,75 @@ def unigram_logprob_scores(
     )
 
 
+def lines_of(text: Column | str) -> Column:
+    """Non-empty trimmed lines of a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def duplicate_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (Gopher-rule C4/MassiveText-style repetition signal: boilerplate
+    and scraped nav bars score high). Pure per-row projection."""
+    ls = lines_of(text)
+    return F.when(
+        F.size(ls) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """ORDERED, non-distinct word n-grams (contrast
+    :func:`~denormalized_spark.operators.dedup.word_shingles`, which
+    distincts — repetition metrics need the multiplicity). Built by
+    zip_with over n sliced copies of the token array: each slice
+    evaluates the tokenization once per row; random access
+    (``element_at`` in a transform lambda) would re-evaluate it per
+    ELEMENT (see dedup.shingle_hashes for the measured pitfall)."""
+    toks = tokens(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, j + 1, cnt) for j in range(n)]
+    grams = slices[0]
+    for j in range(1, n):
+        grams = F.zip_with(grams, slices[j], lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def ngram_repetition(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram repetition stats — the Gopher/MassiveText
+    quality-filter family (Rae et al. 2021 §A1.1): fraction of n-gram
+    occurrences taken by the single most frequent n-gram
+    (``top_frac``) and by any n-gram occurring more than once
+    (``dup_frac``). High scorers are machine-generated or templated
+    text.
+
+    Plan: explode n-grams → groupBy (doc, gram) with map-side partial
+    counts → re-aggregate per doc. Two shuffles, both keyed by doc_id
+    (+gram), no skew hotter than the longest single document. Docs
+    with fewer than ``n`` tokens emit no rows."""
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (F.col("top_cnt") / F.col("n_grams")).alias("top_frac"),
+            (F.col("dup_cnt") / F.col("n_grams")).alias("dup_frac"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats projection."""
     return df.select(

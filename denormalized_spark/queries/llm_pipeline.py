@@ -418,6 +418,79 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "text_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM d WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram),
+    bstat AS (
+      SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_cnt,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      FROM bgc GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM d WHERE len(toks) >= 3
+    ),
+    tgc AS (SELECT doc_id, gram, count(*) AS cnt FROM tg GROUP BY doc_id, gram),
+    tstat AS (
+      SELECT doc_id, sum(cnt) AS t_n,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS t_dup
+      FROM tgc GROUP BY doc_id
+    ),
+    ln AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS ls
+      FROM d
+    )
+    SELECT b.doc_id,
+           round(CASE WHEN len(ls) > 0
+                      THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                      ELSE 0.0 END, 4) AS dup_line_frac,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(top_cnt::DOUBLE / n_bigrams, 4) AS top_bigram_frac,
+           round(dup_cnt::DOUBLE / n_bigrams, 4) AS dup_bigram_frac,
+           round(t_dup::DOUBLE / t_n, 4) AS dup_trigram_frac
+    FROM bstat b JOIN tstat t USING (doc_id) JOIN ln USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition quality filters (Rae et al. 2021
+    §A1.1): duplicate-line fraction plus top-/duplicated-n-gram
+    occurrence fractions for n=2,3. The line metric is a scan-speed
+    projection; each n-gram metric is explode → (doc, gram) count →
+    per-doc re-agg, all map-side-combinable and keyed by doc_id, so
+    the plan holds at corpus scale (no global state, no skew hotter
+    than the longest document)."""
+    d = t(spark, sf, "documents")
+    bi = text.ngram_repetition(d, 2)
+    tri = text.ngram_repetition(d, 3).select(
+        "doc_id", F.round("dup_frac", 4).alias("dup_trigram_frac")
+    )
+    ln = d.select("doc_id", F.round(text.duplicate_line_fraction("text"), 4).alias("dup_line_frac"))
+    return (
+        bi.join(tri, "doc_id")
+        .join(ln, "doc_id")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            F.col("n_grams").alias("n_bigrams"),
+            F.round("top_frac", 4).alias("top_bigram_frac"),
+            F.round("dup_frac", 4).alias("dup_bigram_frac"),
+            "dup_trigram_frac",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -167,3 +167,53 @@ class TestUnigramLM:
         exp = (math.log(1 / 2) + math.log(1e-9)) / 2
         assert abs(r.avg_logp - exp) < 1e-9
         assert r.sum_freq == 1  # unseen token contributes 0
+
+
+class TestRepetition:
+    def test_duplicate_line_fraction(self, spark):
+        from denormalized_spark.operators.text import duplicate_line_fraction
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame(
+            [
+                (0, "nav bar\nbody text\nnav bar\n  \nfooter"),
+                (1, "one line only"),
+                (2, "a\na\na\na"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.f
+            for r in d.select("doc_id", duplicate_line_fraction("text").alias("f")).collect()
+        }
+        # doc 0: 4 non-empty lines, 3 distinct -> 1/4 duplicated
+        assert abs(got[0] - 0.25) < 1e-9
+        assert got[1] == 0.0
+        assert abs(got[2] - 0.75) < 1e-9
+
+    def test_ngram_repetition_fractions(self, spark):
+        from denormalized_spark.operators.text import ngram_repetition
+
+        # "a b a b a" -> bigrams: [a b, b a, a b, b a]: top=2/4, dup=4/4
+        d = spark.createDataFrame(
+            [(0, "a b a b a"), (1, "w x y z"), (2, "q")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in ngram_repetition(d, 2).collect()}
+        assert out[0].n_grams == 4
+        assert abs(out[0].top_frac - 0.5) < 1e-9
+        assert abs(out[0].dup_frac - 1.0) < 1e-9
+        # all-unique bigrams
+        assert out[1].n_grams == 3 and out[1].dup_frac == 0.0
+        assert abs(out[1].top_frac - 1 / 3) < 1e-9
+        # doc shorter than n emits no row
+        assert 2 not in out
+
+    def test_word_ngrams_order_and_multiplicity(self, spark):
+        from denormalized_spark.operators.text import word_ngrams
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame([("x y x y",)], ["text"])
+        [r] = d.select(word_ngrams("text", 2).alias("g")).collect()
+        assert r.g == ["x y", "y x", "x y"]
+        [r3] = d.select(word_ngrams("text", 3).alias("g")).collect()
+        assert r3.g == ["x y x", "y x y"]
