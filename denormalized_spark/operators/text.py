@@ -143,6 +143,79 @@ def unigram_logprob_scores(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus-wide adjacent-pair counts — the inner loop of BPE/
+    WordPiece tokenizer training (Sennrich et al. 2016): each merge
+    step picks the most frequent adjacent symbol pair. This computes
+    one full counting pass at word granularity (symbol-level merges
+    iterate the same plan over re-segmented arrays).
+
+    Plan: the pair stream is built per-row with zip_with over two
+    slices of the token array (flatMap, no pre-shuffle), then ONE
+    count shuffle keyed by pair with map-side combine — the output is
+    pair-vocabulary-sized, bounded regardless of corpus size. With
+    ``top_k``, a TakeOrderedAndProject replaces the full sort."""
+    pairs = df.select(F.explode(word_ngrams(text_col, 2)).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_k)
+    return counts
+
+
+def doc_term_freq(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document term frequencies: explode → one shuffle keyed
+    (doc, token) with map-side partial counts."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document (idf = ln(N/df)).
+
+    Plan: (doc, token) count → token-keyed document frequency
+    (vocabulary-sized, broadcast back) → per-doc row_number window.
+    Every shuffle is keyed by doc or token — no global stage, so the
+    plan survives corpus scale-up; the window partitions by doc_id
+    (never a single-reducer global sort).
+
+    Determinism contract for the oracle: scores are rounded to 6
+    decimals BEFORE ranking and ties break on token, so rank order is
+    engine-portable despite float association."""
+    from pyspark.sql import Window
+
+    tf = doc_term_freq(df, id_col, text_col)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df_t", "tfidf")
+    )
+
+
 def lines_of(text: Column | str) -> Column:
     """Non-empty trimmed lines of a document."""
     c = F.col(text) if isinstance(text, str) else text

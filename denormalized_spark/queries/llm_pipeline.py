@@ -419,6 +419,61 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "text_bpe_pairs",
+    f"""
+    WITH d AS (SELECT {_TOKS} AS toks FROM documents),
+    pr AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM d WHERE len(toks) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pr GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training primitive: the BPE merge-candidate count —
+    top-20 most frequent adjacent token pairs across the corpus. One
+    flatMap + one map-side-combined count shuffle; top-k via
+    TakeOrderedAndProject, never a global sort."""
+    d = t(spark, sf, "documents")
+    return text.bpe_pair_counts(d, top_k=20)
+
+
+@q(
+    "text_tfidf_keywords",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_t,
+             round(tf.tf * ln(n_docs::DOUBLE / df_t), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t, tfidf
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document — corpus keyword extraction
+    with a vocabulary-sized document-frequency table broadcast back
+    onto the (doc, token) counts and a per-doc (never global) ranking
+    window. Scores rounded before ranking for engine portability."""
+    d = t(spark, sf, "documents")
+    return text.tfidf_top_terms(d, k=5)
+
+
+@q(
     "text_repetition",
     f"""
     WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

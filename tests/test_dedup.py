@@ -217,3 +217,53 @@ class TestRepetition:
         assert r.g == ["x y", "y x", "x y"]
         [r3] = d.select(word_ngrams("text", 3).alias("g")).collect()
         assert r3.g == ["x y x", "y x y"]
+
+
+class TestTfidf:
+    def test_top_terms_hand_computed(self, spark):
+        from denormalized_spark.operators.text import tfidf_top_terms
+        import math
+
+        d = spark.createDataFrame(
+            [(0, "cat dog cat"), (1, "dog fish")], ["doc_id", "text"]
+        )
+        out = tfidf_top_terms(d, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # N=2; df: cat=1 dog=2 fish=1; idf(dog)=0
+        r0 = sorted(by_doc[0], key=lambda r: r.rank)
+        assert [r.token for r in r0] == ["cat", "dog"]
+        assert abs(r0[0].tfidf - round(2 * math.log(2), 6)) < 1e-9
+        assert r0[1].tfidf == 0.0 and r0[0].tf == 2 and r0[0].df_t == 1
+        r1 = sorted(by_doc[1], key=lambda r: r.rank)
+        assert [r.token for r in r1] == ["fish", "dog"]
+
+    def test_k_truncates_with_token_tiebreak(self, spark):
+        from denormalized_spark.operators.text import tfidf_top_terms
+
+        # all tokens unique within the doc and absent elsewhere:
+        # equal tfidf -> rank by token ascending
+        d = spark.createDataFrame(
+            [(0, "b a c"), (1, "zz yy")], ["doc_id", "text"]
+        )
+        out = [r.token for r in tfidf_top_terms(d, k=2).filter("doc_id = 0").orderBy("rank").collect()]
+        assert out == ["a", "b"]
+
+
+class TestBpePairs:
+    def test_counts_hand_computed(self, spark):
+        from denormalized_spark.operators.text import bpe_pair_counts
+
+        d = spark.createDataFrame(
+            [("lo w lo w",), ("lo w er",)], ["text"]
+        )
+        got = {r.pair: r.cnt for r in bpe_pair_counts(d).collect()}
+        assert got == {"lo w": 3, "w lo": 1, "w er": 1}
+
+    def test_topk_plan_is_take_ordered(self, spark):
+        from denormalized_spark.operators.text import bpe_pair_counts
+
+        d = spark.createDataFrame([("a b c",)], ["text"])
+        plan = bpe_pair_counts(d, top_k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
