@@ -36,6 +36,8 @@ ALLOW_BNLJ = {
     "sim_topk_query0",       # 1-row broadcast to every row — constant fan-out
     "sim_ivf_topk_query0",   # broadcast 1-row query vector / tiny centroid table
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
+    "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
+    "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -48,6 +50,8 @@ ALLOW_SINGLE_PART = {
     "scalar_math_checksums",  # same — 1-row checksum aggregate
     "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
+    "text_unigram_quality",   # 1-row total over the vocab-sized count table
+    "text_tfidf_keywords",    # 1-row corpus doc count
 }
 MARKERS_PY = (
     "BatchEvalPython",
