@@ -26,15 +26,17 @@ class Context:
         topic: str,
         sample_event: str,
         bootstrap_servers: str,
-        group_id: str | None = None,
         timestamp_column: str | None = None,
+        group_id: str | None = None,
         timestamp_unit: str = "ms",
         *,
         starting_offsets: str = "latest",
     ) -> DataStream:
         """Kafka topic → DataStream with schema inferred from one
         sample JSON event (reference Context::from_topic,
-        context.rs:65-72 + py context.rs:81-116).
+        context.rs:65-72 + py context.rs:81-116). Positional argument
+        order matches the reference (context.py:32-39):
+        ``timestamp_column`` fourth, ``group_id`` fifth.
 
         Event time: ``timestamp_column`` (normalized from
         ``timestamp_unit``) when given, else the Kafka message

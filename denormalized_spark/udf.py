@@ -188,10 +188,23 @@ class Accumulator(metaclass=ABCMeta):
 
 def _scalar_to_py(value, spark_type):
     """pa.Scalar → Python value in the shape Spark's Arrow writer
-    expects (map scalars as_py() to [(k, v), ...]; Spark wants dict)."""
+    expects (map scalars as_py() to [(k, v), ...]; Spark wants dict) —
+    recursively, so map-in-struct states like the reference's
+    udaf_example.py:33 round-trip."""
     v = value.as_py() if isinstance(value, pa.Scalar) else value
-    if isinstance(spark_type, T.MapType) and isinstance(v, list):
-        v = dict(v)
+    return _normalize_maps(v, spark_type)
+
+
+def _normalize_maps(v, t):
+    if v is None:
+        return None
+    if isinstance(t, T.MapType):
+        items = v.items() if isinstance(v, dict) else v
+        return {k: _normalize_maps(val, t.valueType) for k, val in items}
+    if isinstance(t, T.StructType) and isinstance(v, dict):
+        return {f.name: _normalize_maps(v.get(f.name), f.dataType) for f in t.fields}
+    if isinstance(t, T.ArrayType) and isinstance(v, list):
+        return [_normalize_maps(x, t.elementType) for x in v]
     return v
 
 

@@ -1,0 +1,34 @@
+"""The examples/ directory: 1:1 translations of the reference's
+example scripts (py-denormalized/python/examples/*.py,
+examples/examples/csv_streaming.rs). Kafka forms need a broker; every
+script has a broker-free ``--demo``/self-contained mode, hand-run in
+CI-like verification. Here: all must at least compile, and the batch
+one runs end-to-end as a subprocess."""
+
+import os
+import pathlib
+import py_compile
+import subprocess
+import sys
+
+EXAMPLES = pathlib.Path(__file__).resolve().parents[1] / "examples"
+
+
+def test_all_examples_compile():
+    scripts = sorted(EXAMPLES.glob("*.py"))
+    assert len(scripts) >= 5
+    for s in scripts:
+        py_compile.compile(str(s), doraise=True)
+
+
+def test_csv_streaming_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "csv_streaming.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Data written to csv" in out.stdout

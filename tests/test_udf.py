@@ -150,3 +150,46 @@ def test_windowed_udaf(spark):
     out = window_udaf(ds, s, "v", [], 3600_000, alias="total")
     got = {r["window_start_time"].hour: r["total"] for r in out.collect()}
     assert got == {0: 3, 1: 10}
+
+
+class StructMapCounter(Accumulator):
+    """The reference udaf_example.py:33 state shape EXACTLY: a struct
+    wrapping a map — regression for nested map normalization."""
+
+    acc_state_type = pa.struct([("counts", pa.map_(pa.string(), pa.int64()))])
+
+    def __init__(self):
+        from collections import Counter
+
+        self.counts = Counter()
+
+    def update(self, values: pa.Array) -> None:
+        if values is not None:
+            self.counts.update(v for v in values.to_pylist() if v is not None)
+
+    def merge(self, states) -> None:
+        if states is None or len(states) == 0:
+            return
+        for state in states[0].to_pylist():
+            if state is not None:
+                for k, v in state["counts"]:
+                    self.counts[k] += v
+
+    def state(self):
+        return [pa.scalar({"counts": dict(self.counts)}, type=self.acc_state_type)]
+
+    def evaluate(self):
+        return self.state()[0]
+
+
+def test_udaf_struct_of_map_state(spark):
+    c = udaf(
+        StructMapCounter,
+        [pa.string()],
+        StructMapCounter.acc_state_type,
+        [StructMapCounter.acc_state_type],
+        "stable",
+    )
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], ["s"])
+    got = c.apply(df, [], "s", alias="out").collect()[0]["out"]
+    assert dict(got["counts"]) == {"x": 2, "y": 1}
