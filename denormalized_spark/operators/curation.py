@@ -210,6 +210,44 @@ def sample_fraction(id_col: Column | str, seed: str = "s0") -> Column:
     )
 
 
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: Column | str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split). Each row lands in a split by
+    its md5 fraction against the cumulative weight boundaries — a
+    per-row projection: zero shuffles, reproducible across reruns,
+    partitionings, and engines.
+
+    ``group_col`` makes the split GROUP-AWARE: hash that column
+    instead of the row id, so every row of a group (near-dup cluster
+    label, url domain, author) lands in the SAME split — the standard
+    guard against train/test leakage through near-duplicates. Pass
+    e.g. the ``label`` from dedup.connected_components.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    key = group_col if group_col is not None else id_col
+    frac = sample_fraction(key, seed)
+    names = list(weights)
+    bounds: list[float] = []
+    acc = 0.0
+    for n in names[:-1]:
+        acc += float(weights[n])
+        bounds.append(acc)
+    expr = F.lit(names[-1])
+    for n, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(frac < F.lit(b), F.lit(n)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def quota_select(
     df: DataFrame,
     quota: int,

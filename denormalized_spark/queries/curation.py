@@ -139,6 +139,33 @@ def curation_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_split",
+    """
+    WITH a AS (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n FROM a GROUP BY split, source
+    """,
+)
+def curation_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (md5-fraction
+    boundaries, engine-portable), reported as per-(split, source)
+    counts. The assignment itself is a zero-shuffle projection; the
+    group-aware variant (hash a near-dup cluster label instead of the
+    row id, preventing leakage across splits) is covered by unit
+    tests."""
+    d = t(spark, sf, "documents")
+    out = curation.split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "source").agg(F.count("*").alias("n"))
+
+
+@q(
     "curation_pack",
     f"""
     WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),

@@ -277,3 +277,49 @@ class TestAnnBucketCap:
             e, dim=64, num_planes=4, num_tables=2, max_bucket_size=10**6
         )
         assert base.count() == capped.count()
+
+
+class TestSplitAssign:
+    def test_partition_and_determinism(self, spark):
+        from denormalized_spark.operators.curation import split_assign
+
+        d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = split_assign(d, w).groupBy("split").count().collect()
+        got = {r.split: r["count"] for r in out}
+        assert set(got) == {"train", "val", "test"}
+        assert sum(got.values()) == 2000
+        assert 0.75 < got["train"] / 2000 < 0.85
+        # deterministic: identical assignment on rerun
+        a = {r.doc_id: r.split for r in split_assign(d, w).collect()}
+        b = {r.doc_id: r.split for r in split_assign(d, w).collect()}
+        assert a == b
+
+    def test_group_aware_no_leakage(self, spark):
+        from denormalized_spark.operators.curation import split_assign
+        from pyspark.sql import functions as F
+
+        # 100 groups x 5 members: every member must share its group's split
+        d = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 100).alias("cluster")
+        )
+        out = split_assign(d, {"train": 0.5, "test": 0.5}, group_col="cluster")
+        n_violations = (
+            out.groupBy("cluster")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+        assert n_violations == 0
+
+    def test_remainder_falls_to_last_split(self, spark):
+        from denormalized_spark.operators.curation import split_assign
+
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        got = {
+            r.split: r["count"]
+            for r in split_assign(d, {"a": 0.1, "b": 0.1}).groupBy("split").count().collect()
+        }
+        # b absorbs the undeclared 0.8 remainder
+        assert got["b"] > got["a"]
+        assert sum(got.values()) == 1000
