@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding_neardup",  # LSH-gated semantic dedup
     "agg_rollup_pricing",       # multi-dim rollup aggregation
     "curation_pipeline",        # decontaminate → mixture-sample funnel
+    "text_unigram_quality",     # unigram-LM scoring: token shuffle + broadcast LM
 ]
 
 

@@ -143,6 +143,47 @@ def unigram_logprob_scores(
     )
 
 
+def hashed_linear_score(
+    text: Column | str,
+    weights: Column | None = None,
+    n_buckets: int = 1 << 16,
+    seed: str = "qc0",
+) -> Column:
+    """fastText/CCNet-style quality-classifier inference at scan
+    speed: score = sigmoid(mean of per-token weights), with tokens
+    hashed into ``n_buckets`` feature buckets (the hashing trick — no
+    vocabulary lookup, O(1) memory).
+
+    ``weights`` is a MAP<bigint, double> column/literal of trained
+    bucket weights (typically a broadcast literal built from a model);
+    when None, deterministic md5-derived pseudo-weights in [-1, 1)
+    stand in — engine-portable, so the DuckDB oracle reproduces them
+    exactly, and the plumbing (hash → lookup → mean → sigmoid) is the
+    part under test. Pure per-row projection: zero shuffles, zero
+    Python, whole-stage codegen."""
+    from denormalized_spark.operators.dedup import token_hash32
+
+    toks = tokens(text)
+    buckets = F.transform(toks, lambda t: token_hash32(t) % F.lit(n_buckets))
+    if weights is not None:
+        w = F.transform(buckets, lambda b: F.coalesce(weights[b], F.lit(0.0)))
+    else:
+        # pseudo-weight(b) = first-8-hex(md5(seed||b)) / 2^32 * 2 - 1
+        w = F.transform(
+            buckets,
+            lambda b: F.conv(
+                F.substring(F.md5(F.concat(F.lit(seed), b.cast("string"))), 1, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(1 << 32))
+            * 2
+            - 1,
+        )
+    mean = F.aggregate(
+        w, F.lit(0.0), lambda a, x: a + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str = "text", top_k: int | None = None
 ) -> DataFrame:

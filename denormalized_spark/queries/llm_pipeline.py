@@ -419,6 +419,41 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "text_quality_classifier",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_sum(list_transform(toks, t ->
+               ('0x' || substr(md5('qc0' || CAST(
+                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 65536 AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 * 2 - 1))
+             / greatest(len(toks), 1) AS mean_w
+      FROM d
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-mean_w)), 4) AS score,
+           (1.0 / (1.0 + exp(-mean_w)) > 0.5) AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet-style pipelines): hashed-feature linear scoring + sigmoid,
+    entirely as a per-row projection — zero shuffles, scan speed at
+    any corpus size. Pseudo-weights here are md5-derived (engine-
+    portable for the oracle); production swaps in a broadcast
+    MAP<bucket, weight> literal of trained weights."""
+    d = t(spark, sf, "documents")
+    score = text.hashed_linear_score("text")
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("score"),
+        (score > 0.5).alias("keep"),
+    )
+
+
+@q(
     "text_bpe_pairs",
     f"""
     WITH d AS (SELECT {_TOKS} AS toks FROM documents),

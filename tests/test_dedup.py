@@ -267,3 +267,43 @@ class TestBpePairs:
         d = spark.createDataFrame([("a b c",)], ["text"])
         plan = bpe_pair_counts(d, top_k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestQualityClassifier:
+    def test_trained_weights_map(self, spark):
+        import hashlib
+        import math
+
+        from pyspark.sql import functions as F
+        from denormalized_spark.operators.text import hashed_linear_score
+
+        def bucket(tok: str, d: int = 1 << 16) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % d
+
+        weights = F.create_map(
+            F.lit(bucket("good")), F.lit(2.0),
+            F.lit(bucket("bad")), F.lit(-2.0),
+        )
+        d = spark.createDataFrame(
+            [(0, "good good"), (1, "bad bad"), (2, "good bad"), (3, "unseen token")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.s
+            for r in d.select(
+                "doc_id", hashed_linear_score("text", weights=weights).alias("s")
+            ).collect()
+        }
+        sig = lambda x: 1 / (1 + math.exp(-x))
+        assert abs(got[0] - sig(2.0)) < 1e-9
+        assert abs(got[1] - sig(-2.0)) < 1e-9
+        assert abs(got[2] - sig(0.0)) < 1e-9
+        assert abs(got[3] - sig(0.0)) < 1e-9  # unseen buckets -> weight 0
+
+    def test_pseudo_weights_deterministic(self, spark):
+        from denormalized_spark.operators.text import hashed_linear_score
+
+        d = spark.createDataFrame([(0, "alpha beta gamma")], ["doc_id", "text"])
+        a = d.select(hashed_linear_score("text").alias("s")).collect()[0].s
+        b = d.select(hashed_linear_score("text").alias("s")).collect()[0].s
+        assert a == b and 0.0 < a < 1.0

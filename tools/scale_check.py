@@ -29,6 +29,8 @@ QUERIES = [
     "join_asof_purchase_click",  # union+window: n log n
     "sessionize_users",          # window-fn sessionization: n log n
     "over_ntile_percentrank",    # distributed global rank: n log n
+    "text_unigram_quality",      # token explode + vocab broadcast: linear
+    "text_tfidf_keywords",       # (doc,token) counts + per-doc rank: n log n
 ]
 
 
