@@ -91,6 +91,18 @@ def approx_percentile_cont(expr, percentile: float, filter=None):  # noqa: A002
     return F.percentile_approx(_filtered(_c(expr), filter), percentile)
 
 
+# -- mergeable sketches (beyond the reference's approx_distinct) -------------
+# DataSketches HLL + Count-Min: the 100 TB pre-aggregation pattern — build
+# per-segment (day/partition/file) sketches ONCE, answer distinct-count /
+# frequency queries over arbitrary segment unions without rescanning raw
+# data. All JVM aggregates; sketch blobs are small binary columns.
+hll_sketch_agg = F.hll_sketch_agg          # values -> HLL sketch (binary)
+hll_sketch_estimate = F.hll_sketch_estimate  # sketch -> distinct estimate
+hll_union_agg = F.hll_union_agg            # sketches -> merged sketch
+hll_union = F.hll_union                    # two sketch columns -> merged
+count_min_sketch = F.count_min_sketch      # values -> CMS blob (eps, conf, seed)
+
+
 def approx_percentile_cont_with_weight(expr, weight, percentile: float):
     """Spark has no weighted-percentile aggregate Column; the engine
     provides the EXACT equivalent as a DataFrame-level operator —

@@ -634,6 +634,46 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_hll_rollup",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS rollup_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:
+    per-DAY DataSketches HLL sketches of user_id, merged with
+    hll_union_agg into per-event-type distinct counts WITHOUT
+    rescanning rows. At scale the daily sketch table is built once at
+    ingest (bounded: days × types rows) and any date-range distinct
+    query is a union over it. The estimate is engine-specific, so the
+    oracle contract is the error bound vs the exact count (lgK=12 ⇒
+    rsd ≈ 1.6%, 10% is ≳ 6σ)."""
+    import denormalized_spark.functions as dnf
+
+    e = t(spark, sf, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(dnf.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        dnf.hll_sketch_estimate(dnf.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(rolled), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("rollup_within_10pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # window (OVER) functions (§2.6)
 # ---------------------------------------------------------------------------

@@ -213,3 +213,38 @@ def test_weighted_percentile_matches_manual(spark):
 def test_approx_percentile_with_weight_stub_points_to_exact():
     with pytest.raises(NotImplementedError, match="weighted_percentile"):
         dnf.approx_percentile_cont_with_weight("x", "w", 0.5)
+
+
+class TestSketches:
+    def test_hll_union_consistent_with_direct(self, spark):
+        import denormalized_spark.functions as dnf
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 700).alias("v"), (F.col("id") % 4).alias("seg")
+        )
+        direct = df.select(
+            dnf.hll_sketch_estimate(dnf.hll_sketch_agg("v")).alias("nd")
+        ).collect()[0].nd
+        merged = (
+            df.groupBy("seg")
+            .agg(dnf.hll_sketch_agg("v").alias("sk"))
+            .select(dnf.hll_sketch_estimate(dnf.hll_union_agg("sk")).alias("nd"))
+            .collect()[0]
+            .nd
+        )
+        # mergeability contract: union of per-segment sketches stays
+        # within the sketch's error bound of both truth and the direct
+        # whole-data sketch
+        assert abs(direct - 700) <= 0.1 * 700
+        assert abs(merged - 700) <= 0.1 * 700
+
+    def test_count_min_sketch_binary(self, spark):
+        import denormalized_spark.functions as dnf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], ["t"])
+        blob = df.select(
+            dnf.count_min_sketch("t", F.lit(0.01), F.lit(0.95), F.lit(1)).alias("s")
+        ).collect()[0].s
+        assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
