@@ -218,6 +218,39 @@ def lsh_bucketed_neighbors(
 # IVF (inverted-file) ANN — coarse quantizer + probed clusters
 # ---------------------------------------------------------------------------
 
+def quantize_embeddings(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the standard
+    4-8× storage/bandwidth reduction applied to embedding tables
+    before ANN indexing at corpus scale (a 100 TB float32 embedding
+    store becomes ~25 TB int8 with ~0.2% cosine error at 64 dims).
+
+    Per vector: ``scale = max|x|``; ``q_i = round(x_i / scale * (2^
+    (bits-1) - 1))``. Pure per-row projection — zero shuffles, no
+    Python; dequantization is ``q_i * scale / qmax``."""
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(embedding_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    out = df.withColumn("q_scale", scale)
+    q = F.transform(
+        F.col(embedding_col),
+        lambda x: F.round(x / F.col("q_scale") * qmax).cast("int"),
+    )
+    return out.withColumn("q_vec", q)
+
+
+def dequantize(q_vec: Column, q_scale: Column, bits: int = 8) -> Column:
+    """Inverse of :func:`quantize_embeddings` (lossy)."""
+    qmax = (1 << (bits - 1)) - 1
+    return F.transform(q_vec, lambda q: q.cast("double") * q_scale / qmax)
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -581,6 +581,52 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(x / scale * 127) AS BIGINT))) AS BIGINT) AS q_sum,
+           round(scale, 6) AS q_scale_r,
+           round(list_max(list_transform(embedding,
+                x -> abs(round(x / scale * 127) * scale / 127 - x))), 6) AS max_abs_err
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization + reconstruction-error audit — the
+    4× storage-reduction step before ANN indexing at corpus scale.
+    Zero-shuffle per-row projection; the oracle recomputes the exact
+    quantized values (symmetric max-abs scaling is engine-portable
+    double arithmetic)."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    qd = similarity.quantize_embeddings(e)
+    err = F.array_max(
+        F.zip_with(
+            similarity.dequantize(F.col("q_vec"), F.col("q_scale")),
+            F.col("embedding"),
+            lambda d, x: F.abs(d - x),
+        )
+    )
+    q_sum = F.aggregate(
+        F.col("q_vec"), F.lit(0).cast("long"), lambda a, q: a + q
+    )
+    return qd.select(
+        "vec_id",
+        q_sum.alias("q_sum"),
+        F.round("q_scale", 6).alias("q_scale_r"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

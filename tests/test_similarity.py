@@ -203,3 +203,39 @@ def test_kmeans_recovers_separable_clusters(spark):
     assert len({got[i] for i in range(1, 40, 2)}) == 1
     assert len({got[i] for i in range(0, 40, 2)}) == 1
     assert got[0] != got[1]
+
+
+class TestQuantization:
+    def test_roundtrip_error_bound(self, spark):
+        from denormalized_spark.operators.similarity import (
+            dequantize,
+            quantize_embeddings,
+        )
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame(
+            [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.001, 0.002, -0.003, 0.004])],
+            ["vec_id", "embedding"],
+        )
+        out = quantize_embeddings(d)
+        rows = out.select(
+            "vec_id",
+            "embedding",
+            "q_scale",
+            "q_vec",
+            dequantize(F.col("q_vec"), F.col("q_scale")).alias("deq"),
+        ).collect()
+        for r in rows:
+            assert all(-127 <= q <= 127 for q in r.q_vec)
+            # per-element error <= scale / (2 * 127) (symmetric rounding)
+            bound = r.q_scale / 254 + 1e-12
+            assert all(abs(a - b) <= bound for a, b in zip(r.deq, r.embedding))
+            # max-abs element quantizes to exactly +/-127
+            assert max(abs(q) for q in r.q_vec) == 127
+
+    def test_zero_vector_safe(self, spark):
+        from denormalized_spark.operators.similarity import quantize_embeddings
+
+        d = spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
+        r = quantize_embeddings(d).collect()[0]
+        assert r.q_vec == [0, 0]
