@@ -671,6 +671,64 @@ def sim_topk_query0(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _deq_dot_sql(a: str, sa: str, b: str, sb: str, dim: int = 64) -> str:
+    """Dot product over int8-dequantized vectors, term order matching
+    the Spark left fold."""
+    term = (
+        lambda v, s, i: f"(round({v}[{i}]::DOUBLE / {s} * 127) * {s} / 127)"
+    )
+    return " + ".join(
+        f"({term(a, sa, i)} * {term(b, sb, i)})" for i in range(1, dim + 1)
+    )
+
+
+def _deq_norm_sql(a: str, sa: str, dim: int = 64) -> str:
+    return f"sqrt({_deq_dot_sql(a, sa, a, sa, dim)})"
+
+
+@q(
+    "sim_topk_quantized_query0",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) AS sc
+      FROM embeddings
+    ),
+    q AS (SELECT embedding, sc FROM s WHERE vec_id = 0)
+    SELECT s.vec_id,
+           round(({_deq_dot_sql('s.embedding', 's.sc', 'q.embedding', 'q.sc')})
+                 / ({_deq_norm_sql('s.embedding', 's.sc')}
+                    * {_deq_norm_sql('q.embedding', 'q.sc')}), 6) AS cosine_sim
+    FROM s CROSS JOIN q
+    WHERE s.vec_id != 0
+    ORDER BY cosine_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_quantized_query0(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k over the INT8-quantized embedding store — proves the
+    quantized path composes with retrieval: scan reads 4× fewer
+    bytes, scoring runs on dequantized values, same broadcast +
+    TakeOrdered plan as sim_topk_query0 (whose exact-float top-10 this
+    approximates; at 64 dims the rank order survives quantization)."""
+    e = t(spark, sf, "embeddings")
+    qd = similarity.quantize_embeddings(e)
+    qv = qd.filter(F.col("vec_id") == 0).select(
+        F.col("q_vec").alias("qq"), F.col("q_scale").alias("qs")
+    )
+    scored = qd.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    deq_a = similarity.dequantize(F.col("q_vec"), F.col("q_scale"))
+    deq_b = similarity.dequantize(F.col("qq"), F.col("qs"))
+    return (
+        scored.select(
+            "vec_id",
+            F.round(similarity.cosine(deq_a, deq_b), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @q(
     "sim_threshold_pairs",
     f"""

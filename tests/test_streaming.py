@@ -343,3 +343,46 @@ def test_stream_stream_interval_join(ctx, sf_dir, events):
     }
     got = {(r["ua"], r["ts_a"], r["ts_b"]) for r in rows}
     assert got == want
+
+
+def test_streaming_text_quality_pipeline(ctx, sf_dir):
+    """The LLM-pipeline text operators (stateless projections) run
+    unchanged on the streaming path: stream the documents table,
+    score with the hashed-linear quality classifier + repetition
+    heuristics, filter, and assert the union of micro-batch outputs
+    equals the batch run exactly (stateless ops -> no watermark
+    holdback)."""
+    from denormalized_spark.operators.text import (
+        duplicate_line_fraction,
+        hashed_linear_score,
+        token_count,
+    )
+
+    def pipeline(df):
+        return (
+            df.select(
+                "doc_id",
+                hashed_linear_score("text").alias("score"),
+                token_count("text").alias("n_tokens"),
+                duplicate_line_fraction("text").alias("dup_line_frac"),
+            )
+            .filter(F.col("score") > 0.5)
+        )
+
+    sds = ctx.from_stream_parquet(sf_dir, "documents")
+    rows = []
+    q = (
+        pipeline(sds.df)
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_txt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {r.doc_id: r for r in pipeline(ctx.from_parquet(f"{sf_dir}/documents.parquet").df).collect()}
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(batch) and len(got) > 0
+    for k in got:
+        assert abs(got[k].score - batch[k].score) < 1e-12
+        assert got[k].n_tokens == batch[k].n_tokens
