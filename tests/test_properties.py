@@ -219,3 +219,86 @@ def test_packing_matches_brute_force(spark, ntoks, seq):
         last = (off + n - 1) // seq if n > 0 else off // seq
         assert got[i] == (off, off // seq, last), (i, n, off, seq)
         off += n
+
+
+_words = st.sampled_from(["a", "bb", "ccc", "dd", "e", "longword"])
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_tfidf_matches_brute_force(spark, docs):
+    import math
+
+    from denormalized_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {}
+    for r in tfidf_top_terms(df, k=3).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.token, r.tfidf))
+
+    # brute force
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    n = len(docs)
+    dfreq = {}
+    for i, ts in toks.items():
+        for w in set(ts):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    for i, ts in toks.items():
+        scores = {}
+        for w in set(ts):
+            scores[w] = round(ts.count(w) * math.log(n / dfreq[w]), 6)
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        have = sorted(got.get(i, []))
+        assert [w for _, w in sorted(((r, t) for r, t, _ in have))] == [
+            w for w, _ in expect
+        ], (i, have, expect)
+        for (_, tok, score), (ew, es) in zip(
+            sorted(have, key=lambda x: x[0]), expect
+        ):
+            assert tok == ew and abs(score - es) < 1e-9
+
+
+@given(docs=st.lists(_texts, min_size=1, max_size=8), n=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_ngram_repetition_matches_brute_force(spark, docs, n):
+    from denormalized_spark.operators.text import ngram_repetition
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in ngram_repetition(df, n).collect()}
+    for i, t in enumerate(docs):
+        ts = t.split()
+        grams = [" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)]
+        if not grams:
+            assert i not in got
+            continue
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert abs(r.top_frac - max(counts.values()) / len(grams)) < 1e-9
+        dup = sum(c for c in counts.values() if c > 1)
+        assert abs(r.dup_frac - dup / len(grams)) < 1e-9
+
+
+@given(docs=st.lists(_texts.filter(bool), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_unigram_scores_match_brute_force(spark, docs):
+    import math
+
+    from denormalized_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    vocab = {}
+    total = 0
+    for t in docs:
+        for w in t.split():
+            vocab[w] = vocab.get(w, 0) + 1
+            total += 1
+    for i, t in enumerate(docs):
+        ts = t.split()
+        exp = sum(math.log(vocab[w] / total) for w in ts) / len(ts)
+        assert got[i].n_tokens == len(ts)
+        assert abs(got[i].avg_logp - exp) < 1e-6
