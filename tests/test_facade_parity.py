@@ -199,3 +199,43 @@ def test_salted_window_agg_matches_plain(spark, events):
         }
 
     assert key(salted.collect()) == key(plain.collect())
+
+
+def test_reference_public_api_parity():
+    """Name-level parity with the reference's public Python surface:
+    every method a py-denormalized user calls exists on our façade
+    with the same name (DataStream: data_stream.py:44-232; Context:
+    context.py:32-39; udf/udaf: datafusion/udf.py:78-248), so scripts
+    port by changing only the import line (see examples/)."""
+    import importlib
+
+    from denormalized_spark import Context
+    from denormalized_spark.datastream import DataStream
+
+    udf_mod = importlib.import_module("denormalized_spark.udf")
+
+    ds_methods = [
+        "schema", "select", "filter", "with_column", "drop_columns",
+        "join_on", "join", "window", "print_stream", "print_schema",
+        "print_plan", "print_physical_plan", "sink_kafka", "sink",
+        # vendored DataFrame surface users rely on (dataframe.py)
+        "describe", "unnest_column", "sort", "limit", "distinct",
+        "union", "intersect", "count",
+    ]
+    for m in ds_methods:
+        assert hasattr(DataStream, m), f"DataStream.{m} missing"
+
+    for m in ["from_topic", "sql", "register_table", "from_batch"]:
+        assert hasattr(Context, m), f"Context.{m} missing"
+
+    for m in ["udf", "udaf", "Accumulator", "ScalarUDF", "AggregateUDF", "Volatility"]:
+        assert hasattr(udf_mod, m), f"udf.{m} missing"
+
+    import inspect
+
+    # from_topic positional order is part of the contract
+    # (reference context.py:32-39)
+    params = list(inspect.signature(Context.from_topic).parameters)
+    assert params[1:6] == [
+        "topic", "sample_event", "bootstrap_servers", "timestamp_column", "group_id"
+    ]
