@@ -278,32 +278,60 @@ def jaccard_pairs(
     Without ``candidates`` this is the O(n²)-adjacent inverted-index
     join (explode shingles, join on shingle, count shared): correct
     at test scale, quadratic on pathological corpora. At 100 TB pass
-    ``candidates=lsh_candidate_pairs(...)`` so only LSH survivors are
-    verified.
+    ``candidates=lsh_candidate_pairs(...)``: then the plan joins the
+    (id_a, id_b) candidate table against the shingle-set table TWICE
+    (id-keyed hash joins) and intersects the two arrays per pair —
+    total work ∝ candidates × shingles-per-doc, independent of how
+    often shingles co-occur corpus-wide (the inverted-index join, even
+    semi-join-gated downstream, still materializes every shingle
+    co-occurrence first — shingle-frequency² on repetitive corpora).
     """
     sh = df.select(
         F.col(id_col), shingle_hashes(text_col, shingle_n).alias("shingles")
     ).select(F.col(id_col), "shingles", F.size("shingles").alias("n_sh"))
-    exploded = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    matched = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.n_sh").alias("n_a"),
-        F.col("b.n_sh").alias("n_b"),
-    )
     if candidates is not None:
-        # gate BEFORE the aggregation so only LSH survivors are
-        # counted — this is what keeps the verify stage sub-quadratic
-        matched = matched.join(candidates, ["id_a", "id_b"], "left_semi")
-    shared = matched.groupBy("id_a", "id_b", "n_a", "n_b").agg(
-        F.count("*").alias("n_shared")
-    )
+        a = sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        shared = (
+            candidates.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                "n_a",
+                "n_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+            )
+            # the inverted-index form only ever emits pairs sharing ≥1
+            # shingle; keep that contract
+            .filter(F.col("n_shared") > 0)
+        )
+    else:
+        exploded = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        matched = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        shared = matched.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+            F.count("*").alias("n_shared")
+        )
     out = shared.select(
         "id_a",
         "id_b",
