@@ -82,6 +82,64 @@ def lang_id(text: Column | str, threshold: float = 0.02) -> Column:
     return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(F.lit("und"))
 
 
+#: Frozen character-trigram profiles (high-frequency trigrams of each
+#: language, public knowledge). Part of the operator contract — the
+#: DuckDB oracle embeds the same profiles.
+LANG_TRIGRAM_PROFILES = {
+    "en": (" th", "the", "he ", "ing", "nd ", " an", "er ", " of", "ed ", "on "),
+    "de": ("der", "ie ", "ein", "sch", "ich", "nde", "die", "che", "ung", " de"),
+    "fr": ("es ", "le ", " de", "de ", "ent", "et ", "que", " qu", "les", "ion"),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " qu", "que", "en ", "ión"),
+}
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.005,
+    profiles: dict[str, tuple[str, ...]] = LANG_TRIGRAM_PROFILES,
+) -> DataFrame:
+    """Char-n-gram language ID (the textcat/CLD heuristic): score each
+    language as the density of its profile trigrams in the normalized
+    text, predict the argmax (deterministic lang-name tiebreak), or
+    'und' below ``threshold``.
+
+    Pure scalar expressions (occurrence counting via replace-length
+    deltas — no arrays, no shuffle): scan speed at any corpus size.
+    The normalized text is materialized ONCE as a column; Catalyst's
+    CollapseProject keeps non-cheap aliases used many times
+    un-inlined, so the regex normalization runs once per row, not once
+    per profile gram."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", " "), r" +", " "
+        ),
+        F.lit(" "),
+    )
+    out = df.withColumn("_lnorm", norm)
+    n = F.col("_lnorm")
+    denom = F.greatest(F.length(n) - 2, F.lit(1))
+
+    def density(grams: tuple[str, ...]) -> Column:
+        hits = None
+        for g in grams:
+            cnt = (F.length(n) - F.length(F.replace(n, F.lit(g), F.lit("")))) / len(g)
+            hits = cnt if hits is None else hits + cnt
+        return hits / denom
+
+    langs = sorted(profiles)
+    for lang in langs:
+        out = out.withColumn(f"_sc_{lang}", density(profiles[lang]))
+    best = F.greatest(*[F.col(f"_sc_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earliest lang name wins exact ties
+        pred = F.when(
+            (F.col(f"_sc_{lang}") == best) & (best >= threshold), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred_ngram", pred).drop("_lnorm")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (Broder-style). Identical content with

@@ -364,6 +364,52 @@ def text_langid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ngram_lang_sql() -> str:
+    """Oracle fragment mirroring text.lang_id_ngram exactly: same
+    normalization, same profiles, same left-assoc score sums."""
+    langs = sorted(text.LANG_TRIGRAM_PROFILES)
+    norm = (
+        "(' ' || regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),"
+        " ' +', ' ', 'g') || ' ')"
+    )
+    score_defs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"((length(n) - length(replace(n, '{g}', ''))) / {len(g)})"
+            for g in text.LANG_TRIGRAM_PROFILES[lang]
+        )
+        score_defs.append(f"(({terms}) / greatest(length(n) - 2, 1)) AS sc_{lang}")
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN sc_{lang} = best AND best >= 0.005 THEN '{lang}'" for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH nrm AS (SELECT lang, {norm} AS n FROM documents),
+    sc AS (SELECT lang, {", ".join(score_defs)} FROM nrm),
+    b AS (SELECT lang, {best} AS best, * FROM sc)
+    SELECT lang, {case} AS lang_pred_ngram, count(*) AS n
+    FROM b GROUP BY lang, lang_pred_ngram
+    """
+
+
+@q("text_langid_ngram_confusion", _ngram_lang_sql())
+def text_langid_ngram_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram-profile language ID (textcat/CLD-style) as a
+    confusion matrix vs the labeled lang column. Pure scalar
+    replace-count expressions — scan speed, no arrays, no shuffles
+    beyond the final small groupBy. (The synthetic corpus is
+    English-like word soup for every label, so the interesting
+    verified property is the deterministic scoring contract, not
+    accuracy.)"""
+    d = t(spark, sf, "documents")
+    out = text.lang_id_ngram(d)
+    return out.groupBy("lang", "lang_pred_ngram").agg(F.count("*").alias("n"))
+
+
 @q(
     "text_token_totals",
     f"""

@@ -307,3 +307,33 @@ class TestQualityClassifier:
         a = d.select(hashed_linear_score("text").alias("s")).collect()[0].s
         b = d.select(hashed_linear_score("text").alias("s")).collect()[0].s
         assert a == b and 0.0 < a < 1.0
+
+
+class TestNgramLangId:
+    def test_discriminates_real_sentences(self, spark):
+        from denormalized_spark.operators.text import lang_id_ngram
+
+        d = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumped over the lazy dog and then "
+                    "the rest of the evening was over before the ending"),
+                (1, "ich bin ein berliner und die kinder singen schoene "
+                    "lieder in der schule und der lehrer freut sich"),
+                (2, "le chat est sur le toit et les enfants que nous aimons "
+                    "sont dans le jardin de la maison que nous avons"),
+                (3, "la casa de mi amigo que esta en la ciudad es muy grande "
+                    "y la gente que vive en ella es muy amable"),
+                (4, "xxqz zzkk qqpp vvmm wwrr"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.lang_pred_ngram for r in lang_id_ngram(d).collect()}
+        assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
+        assert got[4] == "und"
+
+    def test_deterministic_tiebreak(self, spark):
+        from denormalized_spark.operators.text import lang_id_ngram
+
+        # empty text: all scores 0 < threshold -> und
+        d = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+        assert lang_id_ngram(d).collect()[0].lang_pred_ngram == "und"
