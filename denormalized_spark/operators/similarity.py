@@ -61,6 +61,45 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_topk` scored in a vectorized Pandas UDF (numpy
+    matmul over Arrow batches) instead of expression-tree folds.
+
+    The expression path wins at small dims (stays in codegen, zero
+    Python workers); this path wins at wide dims (≥~512) where one
+    BLAS matmul per Arrow batch beats ~dim interpreted HOF ops per
+    row. Same plan shape otherwise: scan → per-batch score →
+    TakeOrderedAndProject. numpy's pairwise summation makes scores
+    differ from the fold path in the last ulps — rank order is stable
+    (unit-tested), but hash-exact oracles should use the expression
+    path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def _kernel(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inspection can't resolve — set real ones
+    _kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _score = pandas_udf(_kernel, returnType="double")
+
+    scored = df.select(F.col(id_col), _score(F.col(vec_col)).alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 1,

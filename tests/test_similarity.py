@@ -239,3 +239,22 @@ class TestQuantization:
         d = spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
         r = quantize_embeddings(d).collect()[0]
         assert r.q_vec == [0, 0]
+
+
+def test_cosine_topk_arrow_matches_expression_path(spark):
+    """The numpy/Arrow scorer and the expression-fold scorer agree on
+    ranking and on values within float tolerance (pairwise vs fold
+    summation differ only in last ulps)."""
+    import random
+
+    from denormalized_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    a = cosine_topk(df, q, k=10).collect()
+    b = cosine_topk_arrow(df, q, k=10).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra.cosine_sim - rb.cosine_sim) < 1e-9
