@@ -265,6 +265,48 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Bucket-population histogram for the LSH banding above — the
+    ops signal for resizing bands/planes before pair generation
+    explodes (docs/SCALING.md). Returns (bucket_size, n_buckets,
+    n_pairs) where n_pairs = n_buckets · size(size−1)/2."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band), ","
+                )
+            ).alias(f"bk{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.selectExpr(
+        f"stack({bands}, "
+        + ", ".join(f"{b}, bk{b}" for b in range(bands))
+        + ") as (band, band_key)"
+    )
+    sizes = stacked.groupBy("band", "band_key").agg(F.count("*").alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn(
+            "n_pairs",
+            F.col("n_buckets") * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2,
+        )
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -337,3 +337,23 @@ class TestNgramLangId:
         # empty text: all scores 0 < threshold -> und
         d = spark.createDataFrame([(0, "")], ["doc_id", "text"])
         assert lang_id_ngram(d).collect()[0].lang_pred_ngram == "und"
+
+
+def test_lsh_bucket_histogram(spark):
+    from denormalized_spark.operators.dedup import (
+        lsh_bucket_histogram,
+        lsh_candidate_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "the same exact duplicated text body here") for i in range(4)]
+        + [(9, "completely different content entirely unrelated words")],
+        ["doc_id", "text"],
+    )
+    hist = {r.bucket_size: r for r in lsh_bucket_histogram(d, bands=4).collect()}
+    # 4 identical docs share every band bucket -> size-4 buckets exist
+    assert 4 in hist and hist[4].n_buckets == 4
+    assert hist[4].n_pairs == 4 * 6  # 4 bands x C(4,2)
+    # histogram pair count predicts the actual candidate volume shape:
+    n_pairs = lsh_candidate_pairs(d, bands=4).count()
+    assert n_pairs == 6  # C(4,2), deduped across bands
