@@ -113,6 +113,23 @@ class DataStream:
 
     # -- batch-surface ops (vendored dataframe.py in the reference) -----
 
+    def aggregate(
+        self,
+        group_by: Sequence[Column | str] | Column | str,
+        aggs: Sequence[Column] | Column,
+    ) -> "DataStream":
+        """Non-windowed aggregation (reference DataFrame.aggregate,
+        dataframe.py:183-200). Single-expression arguments are
+        accepted like the reference; empty ``group_by`` is a global
+        aggregate."""
+        group_by = [group_by] if isinstance(group_by, (str, Column)) else list(group_by)
+        aggs = [aggs] if isinstance(aggs, Column) else list(aggs)
+        if group_by:
+            return self._wrap(
+                self._df.groupBy(*[_as_col(g) for g in group_by]).agg(*aggs)
+            )
+        return self._wrap(self._df.agg(*aggs))
+
     def sort(self, *cols: Column | str) -> "DataStream":
         return self._wrap(self._df.orderBy(*[_as_col(c) for c in cols]))
 

@@ -239,3 +239,32 @@ def test_reference_public_api_parity():
     assert params[1:6] == [
         "topic", "sample_event", "bootstrap_servers", "timestamp_column", "group_id"
     ]
+
+
+def test_datafusion_compat_shim(spark):
+    """Reference scripts' import block works after renaming only the
+    package: `from denormalized_spark.datafusion import col, lit,
+    functions as f, udf, udaf, Accumulator`."""
+    from denormalized_spark.datafusion import (  # noqa: F401
+        Accumulator,
+        col,
+        functions as f,
+        lit,
+        udaf,
+        udf,
+    )
+
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], ["k", "v"])
+    from denormalized_spark.datastream import DataStream
+
+    out = {
+        r.k: (r.n, r.avg_v)
+        for r in DataStream(df)
+        .aggregate([col("k")], [f.count("*").alias("n"), f.avg(col("v")).alias("avg_v")])
+        .filter(col("n") > lit(0))
+        .df.collect()
+    }
+    assert out == {1: (2, 3.0), 2: (1, 6.0)}
+    # single-expression + global forms (reference accepts both)
+    [g] = DataStream(df).aggregate([], f.sum("v").alias("s")).df.collect()
+    assert g.s == 12.0
