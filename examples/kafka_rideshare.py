@@ -14,9 +14,9 @@ import signal
 import sys
 
 from denormalized_spark import Context
-from denormalized_spark import functions as f
+from denormalized_spark.datafusion import functions as f
 from denormalized_spark.sources.kafka import infer_schema_from_json
-from pyspark.sql.functions import col
+from denormalized_spark.datafusion import col
 
 signal.signal(signal.SIGINT, lambda sig, frame: sys.exit(0))
 

@@ -18,8 +18,8 @@ import signal
 import sys
 
 from denormalized_spark import Context
-from denormalized_spark import functions as f
-from pyspark.sql.functions import col, lit
+from denormalized_spark.datafusion import functions as f
+from denormalized_spark.datafusion import col, lit
 
 signal.signal(signal.SIGINT, lambda sig, frame: sys.exit(0))
 

@@ -19,7 +19,8 @@ from typing import List
 import pyarrow as pa
 
 from denormalized_spark import Context
-from denormalized_spark.udf import Accumulator, udaf, window_udaf
+from denormalized_spark.datafusion import Accumulator, udaf
+from denormalized_spark.udf import window_udaf
 
 signal.signal(signal.SIGINT, lambda sig, frame: sys.exit(0))
 

@@ -17,9 +17,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from denormalized_spark import Context
-from denormalized_spark import functions as f
-from denormalized_spark.udf import udf
-from pyspark.sql.functions import col, lit
+from denormalized_spark.datafusion import functions as f
+from denormalized_spark.datafusion import udf
+from denormalized_spark.datafusion import col, lit
 
 signal.signal(signal.SIGINT, lambda sig, frame: sys.exit(0))
 
