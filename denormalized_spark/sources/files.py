@@ -6,7 +6,8 @@ the same surface natively; these helpers add the test-data
 conventions (a directory of ``<table>.parquet``) and file-streaming,
 which doubles as the deterministic stream source for tests (the
 reference's equivalent is its Kafka + docker generator setup —
-docs/kafka_rideshare_example.md).
+its docs/kafka_rideshare_example.md; our broker-free translation is
+examples/kafka_rideshare.py).
 """
 
 from __future__ import annotations
