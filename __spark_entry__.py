@@ -4,9 +4,10 @@
   the events table at sf0.001) through the DataStream façade.
 - ``queries()``: every implemented operator from SURVEY.md §2 plus the
   LLM-data-pipeline extensions (registry in denormalized_spark.queries).
-- ``oracle_sql()``: the DuckDB-equivalent SQL for each (omitted only
-  for approximate/LSH ops whose values are engine-specific; those get
-  the weaker rows-only check).
+- ``oracle_sql()``: the DuckDB-equivalent SQL for EVERY query — the
+  approximate ops are oracled too (HLL via an error-bound contract;
+  LSH/minhash/hyperplanes via engine-portable md5-derived constants
+  recomputed in SQL).
 """
 
 from __future__ import annotations
