@@ -81,6 +81,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     stream_rows, stream_wall = _stream_throughput(spark)
+    state_rows, state_wall = _stateful_stream_throughput(spark)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
@@ -93,6 +94,9 @@ def main() -> None:
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
+        "stateful_stream_rows_per_sec": (
+            round(state_rows / state_wall) if state_wall else None
+        ),
         "wall_total": round(time.time() - t_start, 3),
     }
     print(json.dumps(out))
@@ -125,6 +129,29 @@ def _stream_throughput(spark) -> tuple[int, float]:
     q = windowed.sink(
         lambda df: emitted.append(df.count()),
         checkpoint=tempfile.mkdtemp(prefix="bench_stream_"),
+    )
+    q.awaitTermination(600)
+    return n_in, time.time() - t0
+
+
+def _stateful_stream_throughput(spark) -> tuple[int, float]:
+    """CUSTOM-STATE streaming throughput: the same events drained
+    through applyInPandasWithState gap sessionization (GroupState +
+    event-time timeout) — the reference's custom stateful-operator
+    path, where state crosses the Python boundary per group."""
+    import tempfile
+
+    from denormalized_spark.context import Context
+
+    ctx = Context(spark)
+    ds = ctx.from_stream_parquet(SF_DIR, "events", event_time="ts")
+    sess = ds.sessionize(["user_id"], gap_ms=1800_000)
+    n_in = ctx.from_parquet(f"{SF_DIR}/events.parquet").df.count()
+    emitted = []
+    t0 = time.time()
+    q = sess.sink(
+        lambda df: emitted.append(df.count()),
+        checkpoint=tempfile.mkdtemp(prefix="bench_state_"),
     )
     q.awaitTermination(600)
     return n_in, time.time() - t0
