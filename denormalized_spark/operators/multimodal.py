@@ -106,6 +106,61 @@ def image_features(
     return df.mapInPandas(kernel, out_schema)
 
 
+def audio_chunks(
+    df: DataFrame,
+    binary_col: str = "payload",
+    chunk_ms: int = 1000,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """audio binary → exploded fixed-duration chunk rows
+    (chunk_idx, offset_bytes, chunk binary, chunk_hash) — the audio
+    analogue of :func:`sample_frames` (ASR/audio-tokenizer pipelines
+    segment before feature extraction). Chunk boundaries come from the
+    PCM geometry ``sample_rate × bytes_per_sample × chunk_ms/1000``;
+    a real kernel would decode the container first (ffmpeg — stubbed
+    here), but the byte segmentation, fan-out shape, and Arrow batch
+    plumbing are identical and fully exercised in fake mode. Fan-out:
+    rows × ceil(len/chunk_bytes); size partitions for the post-explode
+    volume at scale."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("offset_bytes", T.LongType()),
+            T.StructField("chunk", T.BinaryType()),
+            T.StructField("chunk_hash", T.StringType()),
+        ]
+    )
+    chunk_bytes = max(1, sample_rate * bytes_per_sample * chunk_ms // 1000)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires ffmpeg/soundfile (not in this container)"
+                )
+            if pdf.empty:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col]) if row[binary_col] is not None else b""
+                n_chunks = max(1, -(-len(payload) // chunk_bytes))
+                for ci in range(n_chunks):
+                    chunk = payload[ci * chunk_bytes : (ci + 1) * chunk_bytes]
+                    d = dict(row)
+                    d["chunk_idx"] = ci
+                    d["offset_bytes"] = ci * chunk_bytes
+                    d["chunk"] = chunk
+                    d["chunk_hash"] = hashlib.md5(chunk).hexdigest()
+                    rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def resize_images(
     df: DataFrame, binary_col: str = "payload", size: tuple[int, int] = (224, 224), *, fake: bool = False
 ) -> DataFrame:

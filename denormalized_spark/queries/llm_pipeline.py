@@ -1043,6 +1043,41 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_audio_chunks",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    c AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                    CAST(ceil(length(text) / 128.0) AS INT) - 1)) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 128 AS BIGINT) AS offset_bytes,
+           md5(substr(text, chunk_idx * 128 + 1, 128)) AS chunk_hash
+    FROM c
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio segmentation through the mapInPandas fan-out plumbing
+    (operators/multimodal.audio_chunks): documents' ASCII bytes stand
+    in for PCM payloads, chunked at 128-byte (4 ms @16 kHz/16-bit)
+    boundaries; the oracle recomputes the chunk md5s from the same
+    byte ranges. Swapping the fake for an ffmpeg decode kernel changes
+    no plumbing."""
+    from denormalized_spark.operators import multimodal
+
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    out = multimodal.audio_chunks(d, "payload", chunk_ms=4, fake=True)
+    return out.select("doc_id", "chunk_idx", "offset_bytes", "chunk_hash")
+
+
 def _ivf_oracle(dim: int = 64, nprobe: int = 3, k: int = 10, qid: int = 0) -> str:
     """IVF oracle: identical coarse quantizer (rounded per-label mean
     centroids), identical argmax assignment (window with label

@@ -80,3 +80,33 @@ def test_attach_image_meta(binary_df):
     meta = out.select("payload_meta").first()["payload_meta"]
     assert meta["mime"] == "image/jpeg"
     assert meta["width"] is None
+
+
+def test_audio_chunks_fake_kernel(binary_df):
+    import hashlib
+
+    from denormalized_spark.operators.multimodal import audio_chunks
+
+    out = audio_chunks(
+        binary_df, "payload", chunk_ms=1, sample_rate=4000, bytes_per_sample=1, fake=True
+    ).collect()  # chunk_bytes = 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.img_id, []).append(r)
+    for _img, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        payload = bytes(next(r for r in rows).payload)
+        joined = b"".join(bytes(r.chunk) for r in rows)
+        assert joined == payload  # chunks reassemble the payload
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i and r.offset_bytes == i * 4
+            assert r.chunk_hash == hashlib.md5(bytes(r.chunk)).hexdigest()
+
+
+def test_audio_chunks_real_kernel_raises(binary_df):
+    import pytest
+
+    from denormalized_spark.operators.multimodal import audio_chunks
+
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        audio_chunks(binary_df, "payload", fake=False).collect()
