@@ -44,6 +44,7 @@ ALLOW_PYTHON = {
     "udf_revenue_by_flag",
     "udaf_weighted_avg_price",
     "multimodal_features",
+    "multimodal_audio_chunks",  # mapInPandas is the sanctioned media path
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
