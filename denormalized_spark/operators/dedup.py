@@ -265,6 +265,42 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Jaccard ESTIMATE from MinHash signature agreement — the
+    component-match fraction is an unbiased estimator of Jaccard with
+    stderr ≈ sqrt(J(1−J)/k). At extreme scale this replaces the exact
+    verify entirely: per candidate pair it touches 2k longs instead of
+    two full shingle sets (estimate-only dedup is how corpus-scale
+    MinHash pipelines run; raise ``num_hashes`` for tighter bounds).
+    Same pair-keyed join shape as the exact verify — work ∝
+    candidates."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    matches = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / num_hashes).alias("jaccard_est"),
+        )
+    )
+
+
 def lsh_bucket_histogram(
     df: DataFrame,
     id_col: str = "doc_id",

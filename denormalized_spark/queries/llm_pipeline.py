@@ -237,6 +237,55 @@ def dedup_jaccard_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_minhash_estimate",
+    _LSH_GATE_CTES
+    + f""",
+    mh16 AS (SELECT doc_id, {_minhash_list(16)} AS mh FROM sh),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, 17),
+                 i -> a.mh[i] = b.mh[i]))::DOUBLE / 16 AS jaccard_est
+      FROM cand c JOIN mh16 a ON c.id_a = a.doc_id
+                  JOIN mh16 b ON c.id_b = b.doc_id
+    ),
+    exact AS (
+      SELECT j.id_a, j.id_b,
+             count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.jaccard_est, 6) AS jaccard_est,
+           round(coalesce(x.jaccard, 0.0), 6) AS jaccard
+    FROM est e LEFT JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimate-only dedup verification: per LSH candidate pair, the
+    16-hash MinHash agreement fraction (unbiased Jaccard estimator,
+    stderr ≈ sqrt(J(1−J)/16)) side-by-side with the exact Jaccard.
+    At extreme scale the estimate column alone decides — 2k longs per
+    pair instead of two shingle sets — and this query verifies the
+    estimator against truth on every candidate."""
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    est = dedup.minhash_estimate_pairs(d, cand, num_hashes=16)
+    exact = dedup.jaccard_pairs(d, "doc_id", "text", shingle_n=3, candidates=cand)
+    return (
+        est.join(exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+        )
+    )
+
+
+@q(
     "dedup_connected_components",
     _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,

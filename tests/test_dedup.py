@@ -357,3 +357,23 @@ def test_lsh_bucket_histogram(spark):
     # histogram pair count predicts the actual candidate volume shape:
     n_pairs = lsh_candidate_pairs(d, bands=4).count()
     assert n_pairs == 6  # C(4,2), deduped across bands
+
+
+def test_minhash_estimate_bounds(spark):
+    from denormalized_spark.operators.dedup import minhash_estimate_pairs
+
+    d = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (2, "one two three four five six seven eight nine"),   # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in minhash_estimate_pairs(d, cand, num_hashes=16).collect()
+    }
+    assert got[(0, 1)] == 1.0   # identical shingle sets -> all hashes agree
+    assert got[(0, 2)] == 0.0   # disjoint sets -> (almost surely) no agreement
