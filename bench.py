@@ -48,6 +48,7 @@ HEADLINE = [
     "agg_rollup_pricing",       # multi-dim rollup aggregation
     "curation_pipeline",        # decontaminate → mixture-sample funnel
     "text_unigram_quality",     # unigram-LM scoring: token shuffle + broadcast LM
+    "curation_full_funnel",     # classifier→dedup→decontaminate→split, one plan
 ]
 
 

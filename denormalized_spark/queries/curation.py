@@ -280,6 +280,62 @@ def curation_quota(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_full_funnel",
+    _GRAMS_CTE
+    + f"""
+    , tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+             WHERE doc_id % 20 != 7),
+    quality AS (
+      SELECT * FROM tk
+      WHERE 1.0 / (1.0 + exp(-(
+        list_sum(list_transform(toks, t ->
+          ('0x' || substr(md5('qc0' || CAST(
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 65536 AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 * 2 - 1))
+        / greatest(len(toks), 1)))) > 0.5
+    ),
+    fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f
+           FROM quality),
+    keepers AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+    dd AS (SELECT fp.* FROM fp JOIN keepers k
+           ON fp.f = k.f AND fp.doc_id = k.keep_id),
+    clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    sp AS (
+      SELECT *, CASE WHEN ('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT / 4294967296.0 < 0.9
+                     THEN 'train' ELSE 'val' END AS split
+      FROM clean
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY split, source
+    """,
+)
+def curation_full_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE training-data funnel as one Catalyst plan:
+    model-based quality filter (hashed-linear classifier, per-row) →
+    fingerprint near-dup removal (min-id survivor) → benchmark
+    decontamination (broadcast n-gram gate) → deterministic 90/10
+    train/val split → per-(split, source) token budget. Every stage
+    is either a projection or a key-local shuffle; the only broadcast
+    is the benchmark gram set. This is the query a 100 TB pre-training
+    prep run actually executes."""
+    corpus, bench = _split(spark, sf)
+    q_pass = corpus.filter(text.hashed_linear_score("text") > 0.5)
+    fp = q_pass.withColumn("f", text.fingerprint("text"))
+    # min-id survivor per fingerprint; doc_ids are unique, so a
+    # semi-join on the keeper ids is exact
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dd = fp.join(keepers, "doc_id", "left_semi").select("doc_id", "source", "text")
+    clean = curation.decontaminate(dd, bench, n=5)
+    sp = curation.split_assign(clean, {"train": 0.9, "val": 0.1})
+    return sp.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+
+
+@q(
     "curation_pipeline",
     _GRAMS_CTE
     + f"""
