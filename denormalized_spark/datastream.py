@@ -509,6 +509,34 @@ class DataStream:
             self._df, bootstrap_servers, topic, checkpoint=checkpoint, trigger=trigger
         )
 
+    def sink_parquet(
+        self,
+        path: str,
+        *,
+        checkpoint: str,
+        trigger: dict | None = None,
+        partition_by: Sequence[str] | None = None,
+    ):
+        """Exactly-once streaming parquet sink — Spark's native file
+        sink commits each micro-batch through the `_spark_metadata`
+        transaction log, so a restarted batch is never double-counted
+        (the durable-landing analogue of the reference's checkpointed
+        Kafka sink). Append-only; batch DataStreams write once via
+        :meth:`to_parquet` semantics."""
+        if not self._df.isStreaming:
+            self.to_parquet(path, partition_by=list(partition_by or ()))
+            return None
+        w = (
+            self._df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        return w.start()
+
     def print_stream(self, *, trigger: dict | None = None, num_rows: int = 20):
         """Console sink (reference datastream.rs:309-344)."""
         if not self._df.isStreaming:

@@ -280,6 +280,43 @@ def curation_quota(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_contamination_report",
+    _GRAMS_CTE
+    + """
+    , bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+             WHERE doc_id % 20 = 7),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 7),
+    hits AS (
+      SELECT DISTINCT bg.bench_id, cg.doc_id
+      FROM bg JOIN cg USING (gram)
+    )
+    SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminating_docs
+    FROM hits GROUP BY bench_id ORDER BY n_contaminating_docs DESC, bench_id
+    """,
+)
+def curation_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The ops-side inverse of decontamination: per BENCHMARK doc, how
+    many corpus docs share ≥1 5-gram with it — the 'which eval sets
+    are compromised, how badly' report run before any training job.
+    Same broadcast-gated shape as decontaminate (the benchmark side is
+    tiny); the corpus explodes once and joins on the gram key."""
+    corpus, bench = _split(spark, sf)
+    from denormalized_spark.operators.dedup import shingle_hashes
+
+    bg = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingle_hashes("text", 5)).alias("gram"),
+    )
+    cg = corpus.select("doc_id", F.explode(shingle_hashes("text", 5)).alias("gram"))
+    hits = cg.join(F.broadcast(bg), "gram").select("bench_id", "doc_id").distinct()
+    return (
+        hits.groupBy("bench_id")
+        .agg(F.count("*").cast("long").alias("n_contaminating_docs"))
+        .orderBy(F.desc("n_contaminating_docs"), F.asc("bench_id"))
+    )
+
+
+@q(
     "curation_full_funnel",
     _GRAMS_CTE
     + f"""

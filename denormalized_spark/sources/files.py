@@ -107,16 +107,24 @@ def stream_table(
     # table is a single file (the driver's testdata layout).
     stream_path = path
     if os.path.isfile(path):
+        import hashlib
         import tempfile
 
-        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        # staging dir must be DETERMINISTIC per source path: the
+        # checkpoint log records the source directory, so a fresh
+        # mkdtemp per call would break offset resume across restarts
+        # (FileStreamSource raises a basePath mismatch)
+        tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"stream_{name}_{tag}")
+        os.makedirs(d, exist_ok=True)
         link = os.path.join(d, f"{name}.parquet")
-        try:
-            os.symlink(path, link)
-        except OSError:
-            import shutil
+        if not os.path.exists(link):
+            try:
+                os.symlink(path, link)
+            except OSError:
+                import shutil
 
-            shutil.copy(path, link)
+                shutil.copy(path, link)
         stream_path = d
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:

@@ -386,3 +386,36 @@ def test_streaming_text_quality_pipeline(ctx, sf_dir):
     for k in got:
         assert abs(got[k].score - batch[k].score) < 1e-12
         assert got[k].n_tokens == batch[k].n_tokens
+
+
+def test_sink_parquet_exactly_once(ctx, sf_dir, tmp_path):
+    """Native streaming parquet sink: all rows land once; re-running
+    the drained stream against the same checkpoint writes nothing new
+    (the _spark_metadata commit log makes replays no-ops)."""
+    out = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        sds = ctx.from_stream_parquet(sf_dir, "events")
+        q = sds.sink_parquet(out, checkpoint=ck)
+        q.awaitTermination(120)
+
+    run()
+    n_in = ctx.from_parquet(f"{sf_dir}/events.parquet").count()
+    first = ctx.spark.read.parquet(out)
+    assert first.count() == n_in
+    assert first.select(F.sum(F.hash("event_id"))).collect() == (
+        ctx.from_parquet(f"{sf_dir}/events.parquet")
+        .df.select(F.sum(F.hash("event_id")))
+        .collect()
+    )
+    run()  # drained source + same checkpoint -> no re-emission
+    assert ctx.spark.read.parquet(out).count() == n_in
+
+
+def test_sink_parquet_batch_degenerate(ctx, spark, tmp_path):
+    out = str(tmp_path / "b")
+    from denormalized_spark.datastream import DataStream
+
+    DataStream(spark.range(5)).sink_parquet(out, checkpoint=str(tmp_path / "ckb"))
+    assert spark.read.parquet(out).count() == 5
