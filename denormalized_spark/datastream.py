@@ -537,6 +537,38 @@ class DataStream:
             w = w.partitionBy(*partition_by)
         return w.start()
 
+    def sink_csv(
+        self, path: str, *, checkpoint: str, trigger: dict | None = None, header: bool = True
+    ):
+        """Streaming CSV file sink (same `_spark_metadata` exactly-once
+        commit protocol as :meth:`sink_parquet`)."""
+        if not self._df.isStreaming:
+            self.to_csv(path, header=header)
+            return None
+        return (
+            self._df.writeStream.format("csv")
+            .outputMode("append")
+            .option("path", path)
+            .option("header", str(header).lower())
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def sink_json(self, path: str, *, checkpoint: str, trigger: dict | None = None):
+        """Streaming newline-delimited-JSON file sink (exactly-once)."""
+        if not self._df.isStreaming:
+            self.to_json(path)
+            return None
+        return (
+            self._df.writeStream.format("json")
+            .outputMode("append")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
     def print_stream(self, *, trigger: dict | None = None, num_rows: int = 20):
         """Console sink (reference datastream.rs:309-344)."""
         if not self._df.isStreaming:

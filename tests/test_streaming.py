@@ -419,3 +419,21 @@ def test_sink_parquet_batch_degenerate(ctx, spark, tmp_path):
 
     DataStream(spark.range(5)).sink_parquet(out, checkpoint=str(tmp_path / "ckb"))
     assert spark.read.parquet(out).count() == 5
+
+
+def test_sink_csv_json_streaming(ctx, sf_dir, tmp_path):
+    n_in = ctx.from_parquet(f"{sf_dir}/events.parquet").count()
+    sds = ctx.from_stream_parquet(sf_dir, "events")
+    q = sds.select("event_id", "event_type").sink_json(
+        str(tmp_path / "j"), checkpoint=str(tmp_path / "ckj")
+    )
+    q.awaitTermination(120)
+    assert ctx.spark.read.json(str(tmp_path / "j")).count() == n_in
+
+    sds2 = ctx.from_stream_parquet(sf_dir, "events")
+    q2 = sds2.select("event_id", "value").sink_csv(
+        str(tmp_path / "c"), checkpoint=str(tmp_path / "ckc")
+    )
+    q2.awaitTermination(120)
+    back = ctx.spark.read.option("header", True).csv(str(tmp_path / "c"))
+    assert back.count() == n_in and back.columns == ["event_id", "value"]
