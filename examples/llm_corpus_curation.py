@@ -1,0 +1,52 @@
+"""llm_corpus_curation — showcase of this engine's extension surface
+beyond the reference: the full pre-training data-prep funnel over the
+documents table, landed as a partitioned train/val parquet layout.
+
+    python examples/llm_corpus_curation.py [sf_dir]
+
+Stages (each oracle-checked by the `curation_*`/`dedup_*`/`text_*`
+query entries; see denormalized_spark/queries/):
+  1. model-based quality filter  (hashed-linear classifier, scan-speed)
+  2. near-dup removal            (fingerprint, min-id survivor)
+  3. benchmark decontamination   (5-gram overlap, broadcast gate)
+  4. deterministic 90/10 split   (group-safe md5 fractions)
+  5. per-source token budget     + partitioned parquet landing
+"""
+
+import sys
+import tempfile
+
+from denormalized_spark import Context
+from denormalized_spark.datastream import DataStream
+from denormalized_spark.operators import curation, text
+from pyspark.sql import functions as F
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+ctx = Context()
+docs = ctx.from_parquet(f"{sf_dir}/documents.parquet").df
+corpus = docs.filter(F.col("doc_id") % 20 != 7)
+bench = docs.filter(F.col("doc_id") % 20 == 7)  # stand-in eval set
+
+# 1. quality filter
+q = corpus.filter(text.hashed_linear_score("text") > 0.5)
+# 2. fingerprint dedup (min-id survivor)
+fp = q.withColumn("f", text.fingerprint("text"))
+keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+dd = fp.join(keep, "doc_id", "left_semi").drop("f")
+# 3. decontaminate vs the benchmark
+clean = curation.decontaminate(dd, bench, n=5)
+# 4. split
+sp = curation.split_assign(clean, {"train": 0.9, "val": 0.1})
+
+# 5. report + landing
+report = sp.groupBy("split", "source").agg(
+    F.count("*").alias("n_docs"),
+    F.sum(text.token_count("text")).alias("n_tokens"),
+)
+report.orderBy("split", "source").show(20, truncate=False)
+
+out = tempfile.mkdtemp(prefix="curated_")
+DataStream(sp).to_parquet(out, partition_by=["split"])
+print(f"curated corpus written to {out}/split=train|val")
+print(f"kept {sp.count()} of {docs.count()} docs")
