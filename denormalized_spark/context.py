@@ -58,6 +58,28 @@ class Context:
             ds = ds.with_timestamp(timestamp_column, timestamp_unit)
         return ds
 
+    def with_checkpointing(
+        self, path: str, *, rocksdb: bool = True, changelog: bool = True
+    ) -> "Context":
+        """One-call checkpointing setup — the reference's
+        ``Context::with_config(checkpoint=true).with_slatedb_backend(
+        path)`` builder (README.md:100-111): enables the RocksDB state
+        store (the SlateDB-backend analogue) and sets ``path`` as the
+        default checkpoint root (``spark.sql.streaming.
+        checkpointLocation``) so sinks recover without a per-sink
+        ``checkpoint=``. NOTE: under the default root Spark mints a
+        fresh subdirectory per query START; for kill/restart recovery
+        of a specific job, pass a stable per-job ``checkpoint=`` to
+        the sink (see tests/test_checkpoint.py)."""
+        if rocksdb:
+            from denormalized_spark.streaming.checkpoint import (
+                enable_rocksdb_state_store,
+            )
+
+            enable_rocksdb_state_store(self.spark, changelog=changelog)
+        self.spark.conf.set("spark.sql.streaming.checkpointLocation", path)
+        return self
+
     def from_stream_parquet(self, sf_dir: str, table: str, event_time: str | None = None) -> DataStream:
         """Parquet directory as an unbounded stream (deterministic
         test source standing in for the reference's Kafka+generator)."""

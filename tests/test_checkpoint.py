@@ -127,3 +127,28 @@ def test_fresh_checkpoint_reprocesses_everything(spark, tmp_path):
     rows = _run(spark, stream_dir, schema, checkpoint_dir(str(tmp_path), "fresh"))
     emitted = {r["window_start_time"].hour: r["n"] for r in rows}
     assert emitted == {0: 1, 1: 1}  # hour-2 window held (wm = 02:10)
+
+
+def test_context_with_checkpointing_builder(spark, tmp_path, sf_dir):
+    """Reference README.md:100-111 builder parity: one call enables
+    the RocksDB state backend and a default checkpoint root; a sink
+    started WITHOUT checkpoint= lands its state under that root."""
+    import os
+
+    from denormalized_spark.context import Context
+    from denormalized_spark.streaming.checkpoint import ROCKSDB_PROVIDER
+
+    root = str(tmp_path / "ckroot")
+    ctx = Context(spark).with_checkpointing(root)
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
+    assert spark.conf.get("spark.sql.streaming.checkpointLocation") == root
+
+    from pyspark.sql import functions as F
+
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = []
+    q = sds.window([], [F.count("*").alias("n")], 3600_000).sink(
+        lambda df: rows.extend(df.collect())
+    )
+    q.awaitTermination(120)
+    assert rows and os.listdir(root)  # state landed under the root
