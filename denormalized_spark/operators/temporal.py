@@ -149,6 +149,68 @@ def asof_join(
     return out.select(*final)
 
 
+def resample(
+    df: DataFrame,
+    time_col: str,
+    interval_ms: int,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    fill_forward: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-interval resampling with gap filling — the time-series
+    downsample the reference's sensor domain needs (its date_bin
+    scalar bins, but nothing densifies): aggregate per (group, bin),
+    then LEFT-join onto the dense bin grid so empty intervals appear
+    as rows, optionally forward-filling listed columns from the last
+    populated bin per group.
+
+    Scale shape: the agg shuffles once on (group, bin); the grid is
+    (distinct groups) × (time span / interval) — built from a 1-row
+    min/max broadcast and a per-group sequence explode, never a
+    per-row cross join. Forward fill is a per-group ordered window
+    (last ignorenulls), partitioned — no global sort."""
+    # integer floor-division on epoch millis: double division would
+    # mis-bin exact boundary timestamps by one ulp
+    binned = df.withColumn(
+        "_bin",
+        F.timestamp_millis(
+            F.expr(f"unix_millis(`{time_col}`) div {interval_ms}")
+            * interval_ms
+        ),
+    )
+    agged = binned.groupBy(*group_cols, "_bin").agg(*aggs)
+    bounds = binned.agg(
+        F.min("_bin").alias("_lo"), F.max("_bin").alias("_hi")
+    )
+    groups = df.select(*group_cols).distinct()
+    grid = (
+        groups.crossJoin(F.broadcast(bounds))
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence(
+                    "_lo", "_hi", F.expr(f"INTERVAL {interval_ms} MILLISECONDS")
+                )
+            ).alias("_bin"),
+        )
+    )
+    out = grid.join(agged, [*group_cols, "_bin"], "left").withColumnRenamed(
+        "_bin", "bin_start"
+    )
+    if fill_forward:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("bin_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in fill_forward:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -260,3 +260,67 @@ def window_event_time_normalization(spark: SparkSession, sf: str) -> DataFrame:
     e = e.withColumn("epoch_s", (F.unix_timestamp("ts")).cast("long"))
     ds = DataStream(e).with_timestamp("epoch_s", unit="s", target="ts_sec")
     return ds.df.groupBy("ts_sec").agg(F.count("*").alias("n"))
+
+
+@q(
+    "window_resample_ffill",
+    """
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(((epoch_ms(ts) // 21600000) * 21600000) * 1000) AS bin,
+             value
+      FROM events
+    ),
+    a AS (SELECT event_type, bin, count(*) AS cnt, count(*) AS cnt_f,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cs
+          FROM b GROUP BY event_type, bin),
+    bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM b),
+    grid AS (
+      SELECT g.event_type, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bin
+      FROM (SELECT DISTINCT event_type FROM events) g CROSS JOIN bounds
+    ),
+    j AS (SELECT grid.event_type, grid.bin, a.cnt, a.cnt_f, a.cs
+          FROM grid LEFT JOIN a USING (event_type, bin))
+    SELECT event_type, bin AS bin_start,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS n,
+           CAST((last_value(cs IGNORE NULLS) OVER w) * 100
+                // (last_value(cnt_f IGNORE NULLS) OVER w) AS BIGINT) AS avg_e4
+    FROM j
+    WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling with gap filling: 6-hour bins per event
+    type, DENSE over the full time span (empty intervals appear with
+    n=0), the average forward-filled from the last populated bin.
+    Grid = distinct-groups x bin sequence from a 1-row min/max
+    broadcast; fill = per-group ordered window - no global stage."""
+    from denormalized_spark.operators.temporal import resample
+
+    e = t(spark, sf, "events")
+    # integer cent-sums + integer division: order-independent AND
+    # rounding-free (a double avg hit an exact .00005 midpoint, where
+    # Spark's shortest-string HALF_UP and DuckDB's true-double round
+    # disagree)
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = resample(
+        e,
+        "ts",
+        6 * 3600_000,
+        ["event_type"],
+        [
+            F.count("*").alias("cnt"),
+            F.count("*").alias("cnt_f"),
+            F.sum(cents).alias("cs"),
+        ],
+        fill_forward=["cs", "cnt_f"],
+    )
+    # exact integer average (x10^4): cents*100 div count — no float
+    # rounding, so no half-even vs half-up divergence at midpoints
+    return out.select(
+        "event_type",
+        "bin_start",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("n"),
+        F.expr("(cs * 100) div cnt_f").alias("avg_e4"),
+    )

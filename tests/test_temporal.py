@@ -121,3 +121,45 @@ def test_range_join_end_inclusive_and_keys(spark):
         left, right, "pt", "s", "e", on=["k"], bin_width_s=10, end_inclusive=True
     )
     assert {r.pt for r in incl.collect()} == {5.0, 10.0}
+
+
+class TestResample:
+    def test_dense_grid_and_forward_fill(self, spark):
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.temporal import resample
+
+        rows = [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 02:20:00", 5.0),  # hour 1 is a gap
+            ("b", "2024-01-01 00:30:00", 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts_str", "v"]).select(
+            "k", F.to_timestamp("ts_str").alias("ts"), "v"
+        )
+        out = resample(
+            df, "ts", 3600_000, ["k"], [F.avg("v").alias("av")], fill_forward=["av"]
+        )
+        got = {
+            (r.k, r.bin_start.hour): r.av
+            for r in out.collect()
+        }
+        # dense: every (k, hour 0..2) present
+        assert set(got) == {("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1), ("b", 2)}
+        assert got[("a", 0)] == 1.0
+        assert got[("a", 1)] == 1.0  # gap forward-filled
+        assert got[("a", 2)] == 5.0
+        assert got[("b", 1)] == 7.0 and got[("b", 2)] == 7.0
+
+    def test_no_fill_leaves_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.temporal import resample
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 02:00:00", 2.0)],
+            ["k", "ts_str", "v"],
+        ).select("k", F.to_timestamp("ts_str").alias("ts"), "v")
+        out = resample(df, "ts", 3600_000, ["k"], [F.avg("v").alias("av")])
+        gap = [r for r in out.collect() if r.bin_start.hour == 1]
+        assert len(gap) == 1 and gap[0].av is None

@@ -39,6 +39,7 @@ ALLOW_BNLJ = {
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
+    "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -54,6 +55,7 @@ ALLOW_SINGLE_PART = {
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
     "text_tfidf_keywords",    # 1-row corpus doc count
+    "window_resample_ffill",  # 1-row global min/max bin bounds
 }
 MARKERS_PY = (
     "BatchEvalPython",
