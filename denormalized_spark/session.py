@@ -45,6 +45,11 @@ _DEFAULTS = {
     # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise
     # unreadable; read as long and convert in sources.files.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (isAdjustedToUTC=false, e.g. pyarrow
+    # timestamp[us]) would otherwise read as TIMESTAMP_NTZ, which
+    # withWatermark rejects; read them as session-TZ TIMESTAMP (UTC
+    # above), matching DuckDB's naive interpretation value-for-value.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     # Local-mode JVM heap. Spark's 1g default OOMs collect_list-heavy
     # aggregations long before the box's memory is used; on a real
