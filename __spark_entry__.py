@@ -23,14 +23,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine settings to a driver-provided session (the driver
-    builds its own SparkSession; these are all runtime-settable)."""
-    for k, v in {
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.shuffle.partitions": "32",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    }.items():
+    builds its own SparkSession). RUNTIME_CONF is the single source of
+    truth shared with session.get_spark, so tests and driver see the
+    same semantics — in particular the parquet timestamp confs
+    (inferTimestampNTZ=false), without which the driver's session reads
+    events.ts as TIMESTAMP_NTZ while the test suite sees TIMESTAMP."""
+    from denormalized_spark.session import RUNTIME_CONF
+
+    for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -171,11 +171,16 @@ def resample(
     per-row cross join. Forward fill is a per-group ordered window
     (last ignorenulls), partitioned — no global sort."""
     # integer floor-division on epoch millis: double division would
-    # mis-bin exact boundary timestamps by one ulp
+    # mis-bin exact boundary timestamps by one ulp. unix_millis only
+    # accepts TIMESTAMP (not NTZ) — hop through TIMESTAMP_LTZ, which
+    # is value-preserving under the engine's UTC session timezone
+    # (same reason _seconds exists).
     binned = df.withColumn(
         "_bin",
         F.timestamp_millis(
-            F.expr(f"unix_millis(`{time_col}`) div {interval_ms}")
+            F.expr(
+                f"unix_millis(cast(`{time_col}` as timestamp_ltz)) div {interval_ms}"
+            )
             * interval_ms
         ),
     )

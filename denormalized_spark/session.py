@@ -26,7 +26,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-_DEFAULTS = {
+# Runtime-settable SQL confs — shared verbatim by __spark_entry__._configure
+# so a driver-provided session gets IDENTICAL semantics (especially the
+# timestamp confs: a session without inferTimestampNTZ=false reads naive
+# parquet timestamps as TIMESTAMP_NTZ, changing column types engine-wide).
+RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -50,6 +54,10 @@ _DEFAULTS = {
     # withWatermark rejects; read them as session-TZ TIMESTAMP (UTC
     # above), matching DuckDB's naive interpretation value-for-value.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+_DEFAULTS = {
+    **RUNTIME_CONF,
     "spark.ui.showConsoleProgress": "false",
     # Local-mode JVM heap. Spark's 1g default OOMs collect_list-heavy
     # aggregations long before the box's memory is used; on a real

@@ -151,6 +151,57 @@ class TestResample:
         assert got[("a", 2)] == 5.0
         assert got[("b", 1)] == 7.0 and got[("b", 2)] == 7.0
 
+    def test_resample_on_timestamp_ntz(self, spark, tmp_path):
+        """Regression (CORRECTNESS_r03): the external driver's session
+        read naive parquet timestamps as TIMESTAMP_NTZ and resample's
+        unix_millis(ts) crashed with DATATYPE_MISMATCH. Reproduce that
+        exact environment — naive parquet + inferTimestampNTZ=true —
+        and assert resample works on the NTZ column."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampNTZType
+
+        from denormalized_spark.operators.temporal import resample
+
+        src = spark.createDataFrame(
+            [("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 02:20:00", 5.0)],
+            ["k", "ts_str", "v"],
+        ).select("k", F.to_timestamp("ts_str").cast("timestamp_ntz").alias("ts"), "v")
+        path = str(tmp_path / "ntz.parquet")
+        src.write.parquet(path)
+
+        conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        prev = spark.conf.get(conf_key)
+        try:
+            spark.conf.set(conf_key, "true")
+            df = spark.read.parquet(path)
+            assert isinstance(df.schema["ts"].dataType, TimestampNTZType)
+            out = resample(
+                df, "ts", 3600_000, ["k"], [F.avg("v").alias("av")],
+                fill_forward=["av"],
+            )
+            got = {r.bin_start.hour: r.av for r in out.collect()}
+            assert got == {0: 1.0, 1: 1.0, 2: 5.0}
+        finally:
+            spark.conf.set(conf_key, prev)
+
+    def test_driver_configure_restores_timestamp_conf(self, spark):
+        """The r3 failure mode: session.py had the timestamp conf but
+        __spark_entry__._configure (the driver path) did not. Simulate
+        a driver session that infers NTZ and assert _configure fixes it
+        — the two surfaces now share session.RUNTIME_CONF."""
+        import __spark_entry__
+        from denormalized_spark.session import RUNTIME_CONF, _DEFAULTS
+
+        conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        assert RUNTIME_CONF[conf_key] == "false"
+        assert set(RUNTIME_CONF) <= set(_DEFAULTS)
+        spark.conf.set(conf_key, "true")
+        try:
+            __spark_entry__._configure(spark)
+            assert spark.conf.get(conf_key) == "false"
+        finally:
+            spark.conf.set(conf_key, "false")
+
     def test_no_fill_leaves_nulls(self, spark):
         from pyspark.sql import functions as F
 
