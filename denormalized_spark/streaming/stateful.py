@@ -83,6 +83,7 @@ def sessionize_stream(
     watermark passes it and flushes the session. Late rows older than
     the watermark were already dropped by ``withWatermark``.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -108,17 +109,13 @@ def sessionize_stream(
     gap_us = gap_ms * 1000
 
     def _emit(key, sessions):
-        return pd.DataFrame(
-            [
-                {
-                    **{k: kv for k, kv in zip(keys, key)},
-                    "session_start": pd.Timestamp(s, unit="us"),
-                    "session_end": pd.Timestamp(e, unit="us"),
-                    "n_events": n,
-                }
-                for (s, e, n) in sessions
-            ]
-        )
+        n = len(sessions)
+        arr = np.asarray(sessions, dtype="int64").reshape(n, 3)
+        data = {k: np.full(n, kv, dtype=object) for k, kv in zip(keys, key)}
+        data["session_start"] = pd.Series(arr[:, 0].astype("datetime64[us]"))
+        data["session_end"] = pd.Series(arr[:, 1].astype("datetime64[us]"))
+        data["n_events"] = arr[:, 2]
+        return pd.DataFrame(data)
 
     def fn(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -127,18 +124,42 @@ def sessionize_stream(
             yield _emit(key, [(s, e, n)])
             return
         rows = pd.concat(list(pdf_iter))
-        ts = rows[event_time].astype("datetime64[us]").astype("int64").sort_values()
+        ts = np.sort(
+            rows[event_time].to_numpy(dtype="datetime64[us]").astype("int64")
+        )
         open_sess = tuple(state.get) if state.exists else None
+        if not len(ts):
+            if open_sess is not None:
+                state.update(open_sess)
+                state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+            return
+        # vectorized gap-split: a session starts at element i when the
+        # gap from the running max end (which includes the restored
+        # open session's end) exceeds gap_us — identical semantics to
+        # the per-row merge loop, at numpy speed.
+        if open_sess is not None:
+            prev_end = np.maximum.accumulate(
+                np.concatenate((np.array([open_sess[1]], dtype="int64"), ts))
+            )[:-1]
+            starts_new = (ts - prev_end) > gap_us
+        else:
+            starts_new = np.empty(len(ts), dtype=bool)
+            starts_new[0] = True
+            starts_new[1:] = np.diff(ts) > gap_us
+        bounds = np.append(np.flatnonzero(starts_new), len(ts))
+        segs = [
+            (int(ts[s]), int(ts[e - 1]), int(e - s))
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
         closed = []
-        for t_us in ts:
-            t_us = int(t_us)
-            if open_sess is None:
-                open_sess = (t_us, t_us, 1)
-            elif t_us - open_sess[1] > gap_us:
+        if open_sess is not None:
+            if starts_new[0]:
                 closed.append(open_sess)
-                open_sess = (t_us, t_us, 1)
             else:
-                open_sess = (open_sess[0], max(open_sess[1], t_us), open_sess[2] + 1)
+                s0, e0, n0 = segs[0]
+                segs[0] = (open_sess[0], max(open_sess[1], e0), open_sess[2] + n0)
+        closed.extend(segs[:-1])
+        open_sess = segs[-1]
         state.update(open_sess)
         state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
         if closed:
@@ -198,6 +219,7 @@ def asof_join_stream(
     :func:`~denormalized_spark.operators.temporal.asof_join`, replayed
     incrementally.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField
@@ -231,105 +253,118 @@ def asof_join_stream(
         + ([StructField(matched_time_col, ts_type)] if matched_time_col else [])
     )
     # state: JSON blobs (pandas-serializable regardless of payload
-    # types); tiny per key, rewritten per batch
+    # types); tiny per key, rewritten per batch. COLUMN-oriented —
+    # {"t": [us...], "<col>": [values...]} — so batch ingest/emit is
+    # array slicing, never per-row dict building.
     state_schema = StructType(
         [StructField("lefts", StringType()), StructField("rights", StringType()),
          StructField("oldest_left_us", LongType())]
     )
 
-    def _enc(rows) -> str:
+    def _enc(cols) -> str:
         import json
 
-        return json.dumps(rows)
+        return json.dumps(cols)
 
-    def _dec(blob) -> list:
+    def _dec(blob, payload_cols) -> dict:
         import json
 
-        return json.loads(blob) if blob else []
+        return json.loads(blob) if blob else {"t": [], **{c: [] for c in payload_cols}}
 
     def fn(key, pdf_iter, state):
-        import json
-
-        lefts, rights = [], []
+        lefts, rights = None, None
         if state.exists:
             lb, rb, _ = state.get
-            lefts, rights = _dec(lb), _dec(rb)
+            lefts, rights = _dec(lb, left_payload), _dec(rb, right_cols)
+        else:
+            lefts, rights = _dec(None, left_payload), _dec(None, right_cols)
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            ts_us = pdf["_t"].astype("datetime64[us]").astype("int64")
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                if int(row["_side"]) == 1:
-                    lefts.append(
-                        [int(ts_us.iloc[i]), {c: _json_safe(row[c]) for c in left_payload}]
-                    )
-                else:
-                    rights.append(
-                        [int(ts_us.iloc[i]), {c: _json_safe(row[c]) for c in right_cols}]
-                    )
+            ts_us = pdf["_t"].to_numpy(dtype="datetime64[us]").astype("int64")
+            lmask = pdf["_side"].to_numpy() == 1
+            for mask, buf, cols in (
+                (lmask, lefts, left_payload),
+                (~lmask, rights, right_cols),
+            ):
+                if mask.any():
+                    buf["t"].extend(ts_us[mask].tolist())
+                    sub = pdf.loc[mask]
+                    for c in cols:
+                        buf[c].extend(_json_safe_list(sub[c]))
         wm_us = state.getCurrentWatermarkMs() * 1000
-        lefts.sort(key=lambda x: x[0])
-        rights.sort(key=lambda x: x[0])
-        emit, pending = [], []
-        for t_us, payload in lefts:
-            if t_us <= wm_us:
-                match = None
-                for rt_us, rp in rights:
-                    if rt_us <= t_us:
-                        match = (rt_us, rp)
-                    else:
-                        break
-                emit.append((t_us, payload, match))
-            else:
-                pending.append([t_us, payload])
+
+        def _sorted_arrays(buf, cols):
+            t = np.asarray(buf["t"], dtype="int64")
+            order = np.argsort(t, kind="stable")
+            return t[order], {
+                c: np.asarray(buf[c], dtype=object)[order] for c in cols
+            }
+
+        lt, lcols = _sorted_arrays(lefts, left_payload)
+        rt, rcols = _sorted_arrays(rights, right_cols)
+
+        # emit every left finalized by the watermark; match = latest
+        # right at-or-before it (vectorized binary search)
+        n_emit = int(np.searchsorted(lt, wm_us, side="right"))
         # prune right history: everything strictly older than the
         # latest right at-or-before the watermark can never match a
         # future emittable left (their t > wm >= that right's time)
-        keep_from = 0
-        for i, (rt_us, _) in enumerate(rights):
-            if rt_us <= wm_us:
-                keep_from = i
-            else:
-                break
-        rights = rights[keep_from:]
-        if pending or rights:
-            oldest = pending[0][0] if pending else None
-            state.update((_enc(pending), _enc(rights), oldest))
+        keep_from = max(int(np.searchsorted(rt, wm_us, side="right")) - 1, 0)
+        n_pending = len(lt) - n_emit
+        if n_pending or len(rt) > keep_from:
+            oldest = int(lt[n_emit]) if n_pending else None
+            pending = {
+                "t": lt[n_emit:].tolist(),
+                **{c: lcols[c][n_emit:].tolist() for c in left_payload},
+            }
+            kept = {
+                "t": rt[keep_from:].tolist(),
+                **{c: rcols[c][keep_from:].tolist() for c in right_cols},
+            }
+            state.update((_enc(pending), _enc(kept), oldest))
             # flush keys that go quiet: wake when the watermark passes
             # the oldest pending left (+1ms so wm strictly covers it)
             if oldest is not None:
                 state.setTimeoutTimestamp(oldest // 1000 + 1)
         else:
             state.remove()
-        if emit:
-            rows = []
-            for t_us, payload, match in emit:
-                r = {k: kv for k, kv in zip(keys, key)}
-                r[left_time] = pd.Timestamp(t_us, unit="us")
-                r.update(payload)
-                for c in right_cols:
-                    r[c] = match[1][c] if match else None
-                if matched_time_col:
-                    r[matched_time_col] = (
-                        pd.Timestamp(match[0], unit="us") if match else None
-                    )
-                rows.append(r)
-            yield pd.DataFrame(rows)
+        if n_emit:
+            midx = np.searchsorted(rt, lt[:n_emit], side="right") - 1
+            matched = midx >= 0
+            data = {k: np.full(n_emit, kv, dtype=object) for k, kv in zip(keys, key)}
+            data[left_time] = pd.Series(lt[:n_emit].astype("datetime64[us]"))
+            for c in left_payload:
+                data[c] = lcols[c][:n_emit]
+            for c in right_cols:
+                vals = np.full(n_emit, None, dtype=object)
+                if matched.any():
+                    vals[matched] = rcols[c][midx[matched]]
+                data[c] = vals
+            if matched_time_col:
+                mt = np.full(n_emit, np.datetime64("NaT", "us"))
+                if matched.any():
+                    mt[matched] = rt[midx[matched]].astype("datetime64[us]")
+                data[matched_time_col] = pd.Series(mt)
+            yield pd.DataFrame(data)
 
     return u.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
-def _json_safe(v):
-    """numpy/pandas scalars → plain JSON-serializable Python values."""
+def _json_safe_list(s) -> list:
+    """pandas Series → JSON-serializable Python list. ``.tolist()``
+    unboxes numpy scalars in C; only the NaN→None normalization (JSON
+    null, matching Spark NULL on the way back) touches each value."""
     import pandas as pd
 
-    if v is None or (isinstance(v, float) and v != v):
-        return None
-    if pd.isna(v):
-        return None
-    if hasattr(v, "item"):
-        return v.item()
-    return v
+    vals = s.tolist()
+    if s.dtype == object or s.dtype.kind == "f" or s.hasnans:
+        return [
+            None
+            if (v is None or v is pd.NA or (isinstance(v, float) and v != v))
+            else v
+            for v in vals
+        ]
+    return vals
