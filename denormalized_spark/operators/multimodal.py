@@ -3,10 +3,20 @@
 Convention: a modality column is ``binary`` payload + a typed
 metadata struct (``{mime, width, height, duration_ms, ...}``). The
 Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual codecs (PIL/ffmpeg/...)
-are not in this container, so the decode kernels are STUBBED: they
-raise ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic md5-seeded fake is produced (tests use the fake path).
+signatures — is real and tested everywhere.
+
+Kernel reality by modality:
+
+- **audio (WAV/PCM): REAL.** :func:`audio_features` parses RIFF/WAVE
+  containers with stdlib ``wave`` (header + PCM decode, no external
+  deps) and computes signal statistics; :func:`audio_chunks` segments
+  either raw PCM or decoded WAV. Corrupt/unparseable payloads yield
+  NULL features, never a task failure — at 100 TB some files WILL be
+  broken and a decode error must not kill the stage.
+- **image/video: STUBBED.** PIL/opencv/ffmpeg are not in this
+  container; those kernels raise ``NotImplementedError`` unless
+  ``fake=True`` (deterministic md5-seeded output for tests). Swapping
+  the fake for a real codec changes no plumbing.
 
 Scale notes: binary payloads ride the normal columnar path
 (parquet binary columns), so partition sizing is governed by
@@ -106,6 +116,145 @@ def image_features(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _parse_wav(payload: bytes):
+    """stdlib RIFF/WAVE parse → (sample_rate, n_channels, sampwidth,
+    n_frames, pcm_bytes), or None for unparseable payloads."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getsampwidth(),
+                n,
+                w.readframes(n),
+            )
+    except Exception:
+        return None
+
+
+_SAMPWIDTH_DTYPE = {1: "u1", 2: "<i2", 4: "<i4"}
+
+
+def audio_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """WAV binary → signal features, with a REAL decode kernel:
+    stdlib ``wave`` parses the RIFF container and the PCM frames are
+    analyzed with numpy (no external codec deps). Output columns:
+    sample_rate, n_channels, n_samples (frames), duration_ms, rms,
+    peak (abs), zero_crossings — rms/peak/crossings over channel 0.
+    Unparseable payloads produce NULL features (a corrupt file must
+    not kill a 100 TB stage). 8/16/32-bit PCM supported; 8-bit is
+    unsigned-offset per the WAV spec and is centered before analysis.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+    feature_cols = [f.name for f in out_schema.fields[len(df.schema.fields) :]]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for p in pdf[binary_col]:
+                parsed = _parse_wav(bytes(p)) if p is not None else None
+                if parsed is None:
+                    feats.append((None,) * 7)
+                    continue
+                sr, ch, sw, n, pcm = parsed
+                dtype = _SAMPWIDTH_DTYPE.get(sw)
+                if dtype is None or n == 0:
+                    feats.append((sr, ch, n, 1000.0 * n / sr if sr else None,
+                                  None, None, None))
+                    continue
+                try:
+                    x = np.frombuffer(pcm, dtype=dtype).astype(np.int64)
+                    if sw == 1:
+                        x -= 128  # WAV 8-bit PCM is unsigned
+                    x = x.reshape(-1, ch)[:, 0]  # analyze channel 0
+                    rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+                    peak = int(np.max(np.abs(x)))
+                    sign = x < 0
+                    crossings = int(np.count_nonzero(sign[1:] != sign[:-1]))
+                    feats.append((sr, ch, n, 1000.0 * n / sr, rms, peak, crossings))
+                except Exception:  # truncated PCM etc. → NULL features
+                    feats.append((sr, ch, n, 1000.0 * n / sr if sr else None,
+                                  None, None, None))
+            out = pdf.copy()
+            for i, c in enumerate(feature_cols):
+                out[c] = [f[i] for f in feats]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def synthesize_wav_payloads(
+    df: DataFrame,
+    id_col: str,
+    *,
+    sample_rate: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic WAV test corpus: for each row, write a REAL mono
+    16-bit RIFF/WAVE file (stdlib ``wave``) containing a square wave
+    derived from ``id_col`` in closed form, so feature oracles are
+    computable analytically in SQL:
+
+        half_period h = id % 7 + 1        (samples per half-block)
+        blocks      b = id % 50 + 10
+        amplitude   A = (id % 30 + 1) * 1000
+        n_samples   N = b * h; sign alternates per block
+
+    → rms = A exactly, peak = A, zero_crossings = b - 1,
+    duration_ms = N * 1000 / sample_rate (sample_rate divides a power
+    of two times 1000, so the double is exact)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for v in pdf[id_col]:
+                i = int(v)
+                h, b, amp = i % 7 + 1, i % 50 + 10, (i % 30 + 1) * 1000
+                sign = np.where(np.arange(b) % 2 == 0, 1, -1)
+                x = np.repeat(sign * amp, h).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def audio_chunks(
     df: DataFrame,
     binary_col: str = "payload",
@@ -113,18 +262,24 @@ def audio_chunks(
     sample_rate: int = 16_000,
     bytes_per_sample: int = 2,
     *,
+    codec: str = "pcm",
     fake: bool = False,
 ) -> DataFrame:
     """audio binary → exploded fixed-duration chunk rows
     (chunk_idx, offset_bytes, chunk binary, chunk_hash) — the audio
     analogue of :func:`sample_frames` (ASR/audio-tokenizer pipelines
-    segment before feature extraction). Chunk boundaries come from the
-    PCM geometry ``sample_rate × bytes_per_sample × chunk_ms/1000``;
-    a real kernel would decode the container first (ffmpeg — stubbed
-    here), but the byte segmentation, fan-out shape, and Arrow batch
-    plumbing are identical and fully exercised in fake mode. Fan-out:
-    rows × ceil(len/chunk_bytes); size partitions for the post-explode
-    volume at scale."""
+    segment before feature extraction).
+
+    ``codec="pcm"`` (or the legacy ``fake=True``): the payload IS raw
+    PCM; chunk boundaries come from ``sample_rate × bytes_per_sample
+    × chunk_ms/1000``. ``codec="wav"``: REAL stdlib-``wave`` decode —
+    each file's own geometry (rate/width/channels) drives its chunk
+    size and the chunks contain decoded PCM; unparseable payloads pass
+    through as a single NULL-hash chunk. Other codecs (mp3/ogg) need
+    ffmpeg and raise. Fan-out: rows × ceil(len/chunk_bytes); size
+    partitions for the POST-explode volume at scale."""
+    import numpy as np
+
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -134,29 +289,57 @@ def audio_chunks(
             T.StructField("chunk_hash", T.StringType()),
         ]
     )
-    chunk_bytes = max(1, sample_rate * bytes_per_sample * chunk_ms // 1000)
+    if fake:
+        codec = "pcm"
+    if codec not in ("pcm", "wav"):
+        raise NotImplementedError(
+            f"codec {codec!r} requires ffmpeg/soundfile (not in this container); "
+            "supported here: pcm (raw payload), wav (stdlib decode)"
+        )
+    fixed_chunk = max(1, sample_rate * bytes_per_sample * chunk_ms // 1000)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires ffmpeg/soundfile (not in this container)"
-                )
             if pdf.empty:
                 continue
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[binary_col]) if row[binary_col] is not None else b""
-                n_chunks = max(1, -(-len(payload) // chunk_bytes))
-                for ci in range(n_chunks):
-                    chunk = payload[ci * chunk_bytes : (ci + 1) * chunk_bytes]
-                    d = dict(row)
-                    d["chunk_idx"] = ci
-                    d["offset_bytes"] = ci * chunk_bytes
-                    d["chunk"] = chunk
-                    d["chunk_hash"] = hashlib.md5(chunk).hexdigest()
-                    rows.append(d)
-            yield pd.DataFrame(rows)
+            pcms, chunk_sizes = [], []
+            for p in pdf[binary_col]:
+                raw = bytes(p) if p is not None else b""
+                if codec == "wav":
+                    parsed = _parse_wav(raw)
+                    if parsed is None:
+                        pcms.append(None)
+                        chunk_sizes.append(1)
+                        continue
+                    sr, ch, sw, _, pcm = parsed
+                    pcms.append(pcm)
+                    chunk_sizes.append(max(1, sr * sw * ch * chunk_ms // 1000))
+                else:
+                    pcms.append(raw)
+                    chunk_sizes.append(fixed_chunk)
+            counts = np.array(
+                [
+                    1 if p is None else max(1, -(-len(p) // cb))
+                    for p, cb in zip(pcms, chunk_sizes)
+                ]
+            )
+            # vectorized fan-out: repeat each source row counts[i]
+            # times; only the byte slice + md5 touch each chunk
+            out = pdf.loc[np.repeat(pdf.index.values, counts)].reset_index(drop=True)
+            idx = np.concatenate([np.arange(c) for c in counts])
+            cbs = np.repeat(np.array(chunk_sizes, dtype="int64"), counts)
+            out["chunk_idx"] = idx.astype("int32")
+            out["offset_bytes"] = idx.astype("int64") * cbs
+            rep_pcm = np.repeat(np.asarray(pcms, dtype=object), counts)
+            chunks = [
+                None if p is None else p[i * cb : (i + 1) * cb]
+                for p, i, cb in zip(rep_pcm, idx, cbs)
+            ]
+            out["chunk"] = chunks
+            out["chunk_hash"] = [
+                None if c is None else hashlib.md5(c).hexdigest() for c in chunks
+            ]
+            yield out
 
     return df.mapInPandas(kernel, out_schema)
 

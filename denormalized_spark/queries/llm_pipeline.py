@@ -1127,6 +1127,47 @@ def multimodal_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "chunk_idx", "offset_bytes", "chunk_hash")
 
 
+@q(
+    "multimodal_wav_features",
+    """
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST((doc_id % 50 + 10) * (doc_id % 7 + 1) AS BIGINT) AS n_samples,
+           round((doc_id % 50 + 10) * (doc_id % 7 + 1) * 1000.0 / 8000, 3)
+               AS duration_ms,
+           round(CAST((doc_id % 30 + 1) * 1000 AS DOUBLE), 6) AS rms,
+           CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS peak,
+           CAST(doc_id % 50 + 9 AS BIGINT) AS zero_crossings
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end, no fake kernel: write genuine
+    RIFF/WAVE containers (stdlib wave, square-wave signal in closed
+    form per doc_id — operators/multimodal.synthesize_wav_payloads),
+    then parse them back and extract PCM features with the real
+    audio_features kernel. The oracle recomputes every feature
+    analytically from the signal definition: rms of a ±A square wave
+    is exactly A, zero crossings = blocks - 1, duration from the
+    header geometry."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    wavs = multimodal.synthesize_wav_payloads(d, "doc_id", sample_rate=8000)
+    feats = multimodal.audio_features(wavs, "payload")
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_ms", 3).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
 def _ivf_oracle(dim: int = 64, nprobe: int = 3, k: int = 10, qid: int = 0) -> str:
     """IVF oracle: identical coarse quantizer (rounded per-label mean
     centroids), identical argmax assignment (window with label

@@ -103,10 +103,113 @@ def test_audio_chunks_fake_kernel(binary_df):
             assert r.chunk_hash == hashlib.md5(bytes(r.chunk)).hexdigest()
 
 
-def test_audio_chunks_real_kernel_raises(binary_df):
+def test_audio_chunks_unsupported_codec_raises(binary_df):
     import pytest
 
     from denormalized_spark.operators.multimodal import audio_chunks
 
-    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
-        audio_chunks(binary_df, "payload", fake=False).collect()
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        audio_chunks(binary_df, "payload", codec="mp3")
+
+
+def _make_wav(samples, sample_rate=8000, channels=1, sampwidth=2) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+class TestRealWavKernels:
+    def test_audio_features_parses_real_wav(self, spark):
+        from denormalized_spark.operators.multimodal import audio_features
+
+        # 1 kHz-ish square wave: +1000 x4, -1000 x4, repeated 8x
+        samples = ([1000] * 4 + [-1000] * 4) * 8
+        df = spark.createDataFrame(
+            [(1, _make_wav(samples)), (2, b"not a wav"), (3, None)],
+            "audio_id int, payload binary",
+        )
+        got = {r.audio_id: r for r in audio_features(df, "payload").collect()}
+        ok = got[1]
+        assert (ok.sample_rate, ok.n_channels, ok.n_samples) == (8000, 1, 64)
+        assert ok.duration_ms == 8.0
+        assert ok.rms == 1000.0 and ok.peak == 1000
+        assert ok.zero_crossings == 15  # 16 blocks -> 15 sign flips
+        # corrupt and NULL payloads -> NULL features, no task failure
+        for bad in (got[2], got[3]):
+            assert bad.rms is None and bad.sample_rate is None
+
+    def test_audio_features_stereo_and_8bit(self, spark):
+        from denormalized_spark.operators.multimodal import audio_features
+
+        import io
+        import wave
+
+        import numpy as np
+
+        # stereo 16-bit: channel 0 is ±500, channel 1 is noise-like
+        ch0 = np.array(([500] * 2 + [-500] * 2) * 4, dtype="<i2")
+        ch1 = np.arange(16, dtype="<i2")
+        inter = np.empty(32, dtype="<i2")
+        inter[0::2], inter[1::2] = ch0, ch1
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(inter.tobytes())
+        df = spark.createDataFrame([(1, buf.getvalue())], "i int, payload binary")
+        r = audio_features(df, "payload").collect()[0]
+        assert (r.n_channels, r.n_samples, r.peak) == (2, 16, 500)
+        assert r.rms == 500.0  # channel 0 only
+
+    def test_audio_chunks_wav_codec_decodes_then_chunks(self, spark):
+        import hashlib
+
+        from denormalized_spark.operators.multimodal import audio_chunks
+
+        samples = list(range(-8, 8)) * 4  # 64 samples -> 128 PCM bytes
+        wav = _make_wav(samples, sample_rate=8000)
+        df = spark.createDataFrame(
+            [(1, wav), (2, b"corrupt")], "audio_id int, payload binary"
+        )
+        # chunk_ms=2 @8kHz/16-bit mono -> 32-byte chunks -> 4 chunks
+        out = audio_chunks(df, "payload", chunk_ms=2, codec="wav").collect()
+        good = sorted(
+            (r for r in out if r.audio_id == 1), key=lambda r: r.chunk_idx
+        )
+        assert [r.chunk_idx for r in good] == [0, 1, 2, 3]
+        assert [r.offset_bytes for r in good] == [0, 32, 64, 96]
+        import numpy as np
+
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+        assert b"".join(bytes(r.chunk) for r in good) == pcm  # decoded, not raw
+        assert all(
+            r.chunk_hash == hashlib.md5(bytes(r.chunk)).hexdigest() for r in good
+        )
+        bad = [r for r in out if r.audio_id == 2]
+        assert len(bad) == 1 and bad[0].chunk_hash is None
+
+    def test_synthesize_round_trip_closed_form(self, spark):
+        from denormalized_spark.operators.multimodal import (
+            audio_features,
+            synthesize_wav_payloads,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+        wavs = synthesize_wav_payloads(df, "doc_id", sample_rate=8000)
+        got = {r.doc_id: r for r in audio_features(wavs, "payload").collect()}
+        for i in range(20):
+            h, b, amp = i % 7 + 1, i % 50 + 10, (i % 30 + 1) * 1000
+            r = got[i]
+            assert r.n_samples == b * h
+            assert r.rms == float(amp) and r.peak == amp
+            assert r.zero_crossings == b - 1
