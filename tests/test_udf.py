@@ -193,3 +193,80 @@ def test_udaf_struct_of_map_state(spark):
     df = spark.createDataFrame([("x",), ("y",), ("x",)], ["s"])
     got = c.apply(df, [], "s", alias="out").collect()[0]["out"]
     assert dict(got["counts"]) == {"x": 2, "y": 1}
+
+
+class TestVolatilityContract:
+    """Pin the reference's volatility semantics (reference
+    py-denormalized/python/denormalized/datafusion/udf.py:34-75) onto
+    Spark's determinism model: Immutable/Stable -> deterministic
+    (the optimizer may deduplicate repeated calls and push filters
+    through them), Volatile -> nondeterministic (every reference is
+    evaluated independently; filters never reorder across it)."""
+
+    @staticmethod
+    def _rand_udf(volatility, name):
+        import numpy as np
+
+        def rand_kernel(a: pa.Array) -> pa.Array:
+            return pa.array(np.random.random(len(a)))
+
+        return udf(rand_kernel, [pa.int64()], pa.float64(),
+                   volatility=volatility, name=name)
+
+    def test_determinism_flag_mapping(self):
+        for vol, det in [
+            (Volatility.Immutable, True),
+            (Volatility.Stable, True),
+            (Volatility.Volatile, False),
+            ("immutable", True),
+            ("stable", True),
+            ("volatile", False),
+        ]:
+            u = self._rand_udf(vol, f"u_{str(vol)}")
+            assert u._judf.deterministic is det, vol
+
+    def test_immutable_duplicate_calls_collapse(self, spark):
+        """Deterministic UDFs: the optimizer may (and on this plan
+        does) evaluate duplicate calls once — a randomness-smuggling
+        kernel declared Immutable yields IDENTICAL columns."""
+        u = self._rand_udf("immutable", "imm_r")
+        out = spark.range(16).select(u("id").alias("a"), u("id").alias("b"))
+        assert all(r.a == r.b for r in out.collect())
+
+    def test_volatile_duplicate_calls_stay_independent(self, spark):
+        """Volatile: every reference evaluates independently, exactly
+        like the reference engine's Volatile class."""
+        u = self._rand_udf("volatile", "vol_r")
+        out = spark.range(16).select(u("id").alias("a"), u("id").alias("b"))
+        rows = out.collect()
+        assert any(r.a != r.b for r in rows)
+
+    def test_stable_consistent_within_query(self, spark):
+        """Stable contract: same input -> same result WITHIN one query
+        (Spark has no cross-query stability class; Stable maps to
+        deterministic, documented in udf.py)."""
+        u = self._rand_udf("stable", "stb_r")
+        out = spark.range(8).select(u("id").alias("a"), u("id").alias("b"))
+        assert all(r.a == r.b for r in out.collect())
+
+    def test_filter_pushdown_only_through_deterministic(self, spark):
+        """Optimizer reordering: a filter on a deterministic UDF's
+        output is pushed below its projection (the UDF re-evaluates
+        under the filter); a volatile UDF pins the filter above it."""
+        imm = self._rand_udf("immutable", "imm_p")
+        vol = self._rand_udf("volatile", "vol_p")
+
+        def optimized(u):
+            df = spark.range(8).select("id", u("id").alias("x"))
+            return (
+                df.filter(F.col("x") > 0.0)
+                ._jdf.queryExecution().optimizedPlan().toString()
+            )
+
+        p_imm, p_vol = optimized(imm), optimized(vol)
+        # deterministic: two ArrowEvalPython nodes (filter pushed into a
+        # re-evaluation below the project)
+        assert p_imm.count("ArrowEvalPython") == 2
+        # volatile: single evaluation, filter stays directly above it
+        assert p_vol.count("ArrowEvalPython") == 1
+        assert p_vol.index("Filter") < p_vol.index("ArrowEvalPython")
