@@ -104,14 +104,44 @@ count_min_sketch = F.count_min_sketch      # values -> CMS blob (eps, conf, seed
 
 
 def approx_percentile_cont_with_weight(expr, weight, percentile: float):
-    """Spark has no weighted-percentile aggregate Column; the engine
-    provides the EXACT equivalent as a DataFrame-level operator —
-    :func:`weighted_percentile` below (cumulative-weight window,
-    partitioned per group: scale-safe). This stub points there."""
-    raise NotImplementedError(
-        "use denormalized_spark.functions.weighted_percentile(df, group_cols, "
-        "value_col, weight_col, percentile) — the exact DataFrame-level form"
+    """Weighted percentile as a real aggregate **Column** (reference
+    approx_percentile_cont_with_weight, functions.py:1582): the
+    smallest value whose cumulative weight reaches ``percentile`` ×
+    total weight. Drop-in for ``.agg(...)`` / ``group_by`` like any
+    other aggregate; exact (the reference's t-digest is approximate).
+
+    Plan shape: sort_array(collect_list(struct(v, w))) + two
+    higher-order scans — all JVM expressions, one aggregation buffer
+    (Catalyst dedups the repeated collect_list semantically). Memory
+    is O(group size) on the agg buffer, so this Column form is for
+    moderate group sizes; for huge groups use the windowed
+    DataFrame form :func:`weighted_percentile` below, which streams
+    one row at a time per group."""
+    v, w = _c(expr).cast("double"), _c(weight).cast("double")
+    # zero/negative weights carry no mass; collect_list drops nulls
+    pairs = F.sort_array(
+        F.collect_list(
+            F.when(w > 0, F.struct(v.alias("v"), w.alias("w")))
+        )
     )
+    total = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["w"])
+    # the threshold must live in the ACCUMULATOR, evaluated once in
+    # init: a subtree captured inside a higher-order lambda body is
+    # re-evaluated per element (no CSE across HOFs — see the
+    # element_at pitfall note in operators/dedup.py), which would turn
+    # the scan into O(n^2) per group
+    init = F.struct(
+        F.lit(0.0).alias("cum"),
+        F.lit(None).cast("double").alias("ans"),
+        (F.lit(float(percentile)) * total).alias("thr"),
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["w"]
+        ans = F.coalesce(acc["ans"], F.when(cum >= acc["thr"], x["v"]))
+        return F.struct(cum.alias("cum"), ans.alias("ans"), acc["thr"].alias("thr"))
+
+    return F.aggregate(pairs, init, step)["ans"]
 
 
 def weighted_percentile(

@@ -1164,3 +1164,42 @@ def agg_weighted_percentile(spark: SparkSession, sf: str) -> DataFrame:
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5,
         out_col="weighted_median_price",
     )
+
+
+@q(
+    "agg_weighted_percentile_column",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= 0.25 * tw THEN l_extendedprice END), 2) AS wp25,
+           round(min(CASE WHEN cw >= 0.50 * tw THEN l_extendedprice END), 2) AS wp50,
+           round(min(CASE WHEN cw >= 0.90 * tw THEN l_extendedprice END), 2) AS wp90
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile_column(spark: SparkSession, sf: str) -> DataFrame:
+    """The aggregate-COLUMN form of weighted percentile — drop-in
+    inside .agg() like the reference's Column API (functions.py:1582),
+    three percentiles in one aggregation pass (one shared collect
+    buffer; Catalyst dedups the semantically-equal collect_lists).
+    Integer weights keep cumulative sums exact across engines."""
+    from denormalized_spark import functions as dnf
+
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                dnf.approx_percentile_cont_with_weight(
+                    "l_extendedprice", "l_quantity", p
+                ),
+                2,
+            ).alias(name)
+            for p, name in [(0.25, "wp25"), (0.5, "wp50"), (0.9, "wp90")]
+        ]
+    )

@@ -210,9 +210,54 @@ def test_weighted_percentile_matches_manual(spark):
     assert got == {"a": 3.0, "b": 5.0}
 
 
-def test_approx_percentile_with_weight_stub_points_to_exact():
-    with pytest.raises(NotImplementedError, match="weighted_percentile"):
-        dnf.approx_percentile_cont_with_weight("x", "w", 0.5)
+def test_approx_percentile_with_weight_column_form(spark):
+    """The aggregate-Column form agrees with the windowed DataFrame
+    form and handles the same edges (zero weights carry no mass)."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8), ("b", 5.0, 1), ("b", 6.0, 0)],
+        ["g", "v", "w"],
+    )
+    got = {
+        r["g"]: r["wp"]
+        for r in df.groupBy("g")
+        .agg(dnf.approx_percentile_cont_with_weight("v", "w", 0.5).alias("wp"))
+        .collect()
+    }
+    assert got == {"a": 3.0, "b": 5.0}
+    # percentile edges: 0 -> min massed value, 1 -> max massed value
+    edges = (
+        df.groupBy("g")
+        .agg(
+            dnf.approx_percentile_cont_with_weight("v", "w", 0.0).alias("lo"),
+            dnf.approx_percentile_cont_with_weight("v", "w", 1.0).alias("hi"),
+        )
+        .collect()
+    )
+    by_g = {r["g"]: (r["lo"], r["hi"]) for r in edges}
+    assert by_g == {"a": (1.0, 3.0), "b": (5.0, 5.0)}
+
+
+def test_column_and_dataframe_weighted_percentile_agree(spark, sf_dir):
+    from denormalized_spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    col = {
+        r["l_returnflag"]: round(r["wp"], 2)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            dnf.approx_percentile_cont_with_weight(
+                "l_extendedprice", "l_quantity", 0.5
+            ).alias("wp")
+        )
+        .collect()
+    }
+    dfm = {
+        r["l_returnflag"]: round(r["wp"], 2)
+        for r in dnf.weighted_percentile(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5, out_col="wp"
+        ).collect()
+    }
+    assert col == dfm
 
 
 class TestSketches:
