@@ -46,6 +46,7 @@ ALLOW_PYTHON = {
     "udaf_weighted_avg_price",
     "multimodal_features",
     "multimodal_audio_chunks",  # mapInPandas is the sanctioned media path
+    "multimodal_wav_features",  # real stdlib-wave decode kernel (same path)
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
