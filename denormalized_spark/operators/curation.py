@@ -306,3 +306,59 @@ def mixture_sample(
         .filter(sample_fraction(id_col, seed) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    *,
+    max_boilerplate_lines: int = 100_000,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: any line whose trimmed
+    text appears in ≥ ``min_docs`` DISTINCT documents (nav bars,
+    cookie banners, license footers — the lines that survive
+    document-level dedup because every page differs elsewhere) is
+    stripped from every document. Whitespace-only lines never count
+    and are never removed (they carry paragraph structure).
+
+    Plan shape — the corpus is never re-shuffled for the rewrite:
+
+    1. lines explode (flatMap) → partial-agged count of distinct docs
+       per trimmed line: the ONLY shuffle, sized by distinct lines;
+    2. lines crossing ``min_docs`` → top-``max_boilerplate_lines`` by
+       (doc count desc, line) — an explicit, deterministic cap so the
+       broadcast stays bounded no matter how pathological the corpus;
+    3. the capped set collapses to ONE array row, broadcast-crossJoined
+       onto the corpus (the 1-row pattern of text_unigram_quality),
+       and each document is rewritten at scan speed with a
+       higher-order filter + array_join — no corpus shuffle, no
+       per-doc join.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    line_counts = (
+        df.select(F.col(id_col), F.explode(lines).alias("_l"))
+        .select(id_col, F.trim("_l").alias("_t"))
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .orderBy(F.col("_nd").desc(), "_t")
+        .limit(max_boilerplate_lines)
+    )
+    bset = line_counts.agg(F.collect_list("_t").alias("_bl"))  # 1 row
+    cleaned = F.array_join(
+        F.filter(
+            lines,
+            lambda x: (F.trim(x) == "")
+            | ~F.coalesce(F.array_contains(F.col("_bl"), F.trim(x)), F.lit(False)),
+        ),
+        "\n",
+    )
+    return (
+        df.crossJoin(F.broadcast(bset))
+        .withColumn(out_col, cleaned)
+        .drop("_bl")
+    )

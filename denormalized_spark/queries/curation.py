@@ -403,3 +403,66 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
     )
+
+
+@q(
+    "curation_boilerplate_lines",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(chr(10), text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'all rights reserved - example corp' END,
+                       CASE WHEN doc_id % 97 = 0
+                            THEN 'rare footer line' END) AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line FROM aug
+    ),
+    bl AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM l WHERE line != ''
+        GROUP BY line
+      ) WHERE nd >= 10
+    ),
+    bset AS (SELECT coalesce(list(line), []) AS bl FROM bl)
+    SELECT a.doc_id,
+           array_to_string(
+             list_filter(string_split(a.text, chr(10)),
+                         x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))),
+             chr(10)) AS clean_text,
+           len(string_split(a.text, chr(10)))
+             - len(string_split(array_to_string(
+                 list_filter(string_split(a.text, chr(10)),
+                             x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))),
+                 chr(10)), chr(10))) AS n_removed
+    FROM aug a CROSS JOIN bset b
+    """,
+)
+def curation_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-document line dedup
+    (operators/curation.remove_boilerplate_lines): the synthetic corpus
+    has no repeated lines, so the query plants two deterministic
+    footers — one on every third doc (167 docs, over the min_docs=10
+    threshold → stripped everywhere) and one on every 97th (6 docs,
+    under threshold → kept). The oracle recomputes the same counting,
+    capping, and line filtering with DuckDB list functions."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("all rights reserved - example corp"),
+            ),
+            F.when(F.col("doc_id") % 97 == 0, F.lit("rare footer line")),
+        ).alias("text"),
+    )
+    out = curation.remove_boilerplate_lines(d, min_docs=10)
+    n_lines = F.size(F.split("text", "\n"))
+    n_clean = F.size(F.split("clean_text", "\n"))
+    return out.select(
+        "doc_id", "clean_text", (n_lines - n_clean).cast("long").alias("n_removed")
+    )

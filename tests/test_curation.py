@@ -323,3 +323,48 @@ class TestSplitAssign:
         # b absorbs the undeclared 0.8 remainder
         assert got["b"] > got["a"]
         assert sum(got.values()) == 1000
+
+
+class TestBoilerplateLines:
+    def test_threshold_and_whitespace_semantics(self, spark):
+        from denormalized_spark.operators.curation import remove_boilerplate_lines
+
+        boiler = "all rights reserved"
+        rows = [
+            (i, f"unique body {i}\n{boiler}\n\n  trailing {i}") for i in range(6)
+        ] + [(99, "no footer here\nrare line")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.clean_text
+            for r in remove_boilerplate_lines(df, min_docs=5).collect()
+        }
+        for i in range(6):
+            # boilerplate stripped; empty line and unique lines kept
+            assert out[i] == f"unique body {i}\n\n  trailing {i}"
+        assert out[99] == "no footer here\nrare line"  # below threshold
+
+    def test_no_boilerplate_is_identity(self, spark):
+        from denormalized_spark.operators.curation import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "c\nd")], ["doc_id", "text"]
+        )
+        out = remove_boilerplate_lines(df, min_docs=2).collect()
+        assert all(r.clean_text == r.text for r in out)
+
+    def test_cap_bounds_broadcast_deterministically(self, spark):
+        from denormalized_spark.operators.curation import remove_boilerplate_lines
+
+        # two boilerplate lines, cap keeps only the most frequent
+        rows = [(i, "common both\nsecond footer") for i in range(10)] + [
+            (i, "common both") for i in range(10, 15)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.clean_text
+            for r in remove_boilerplate_lines(
+                df, min_docs=5, max_boilerplate_lines=1
+            ).collect()
+        }
+        assert out[0] == "second footer"  # only the capped winner removed
+        assert out[10] == ""
