@@ -83,9 +83,14 @@ def main() -> None:
     warm = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
-    # n=3 runs per query: run 1 pays the per-plan codegen (1-3 s for
-    # the big LSH expression trees — a fixed cost that amortizes away
-    # over a 100 TB scan); min = steady-state, median = noise probe.
+    # n=3 runs per query. Run 1 builds the DataFrame AND executes —
+    # it pays driver-side analysis/optimization/codegen of the plan
+    # (1-2 s for the big LSH expression trees) and is reported as
+    # `queries_cold`. Runs 2-3 re-execute the SAME DataFrame: plan
+    # and generated code are cached, so they measure execution — the
+    # part that scales with data; planning is a fixed per-query cost
+    # that amortizes to nothing over a 100 TB scan. min = steady
+    # state, median = noise probe.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -93,10 +98,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        runs = []
-        for _ in range(3):
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        runs = [time.time() - t0]
+        for _ in range(2):
             t0 = time.time()
-            df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
