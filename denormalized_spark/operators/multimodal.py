@@ -255,6 +255,139 @@ def synthesize_wav_payloads(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _parse_bmp(payload: bytes):
+    """stdlib 24-bit BMP parse → (width, height, HxWx3 RGB uint8
+    array), or None for unparseable/unsupported payloads."""
+    import numpy as np
+
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        ah = abs(h)
+        row_size = (w * 3 + 3) // 4 * 4
+        arr = np.frombuffer(payload, np.uint8, count=row_size * ah, offset=data_off)
+        rows = arr.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)
+        if h > 0:
+            rows = rows[::-1]  # positive height = bottom-up storage
+        return w, ah, rows[:, :, ::-1]  # BGR → RGB
+    except Exception:
+        return None
+
+
+def image_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Image binary → decoded statistics with a REAL decode kernel:
+    24-bit uncompressed BMP parsed with stdlib byte ops + numpy (the
+    container a no-dependency container CAN fully decode; PNG/JPEG
+    need external codecs and stay on the stubbed
+    :func:`image_features` path). Output columns: width, height,
+    mean_r/g/b, mean_luma (Rec.601). Unparseable payloads yield NULL
+    stats — corrupt files must not kill a 100 TB stage."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+    stat_cols = [f.name for f in out_schema.fields[len(df.schema.fields) :]]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            stats = []
+            for p in pdf[binary_col]:
+                parsed = _parse_bmp(bytes(p)) if p is not None else None
+                if parsed is None:
+                    stats.append((None,) * 6)
+                    continue
+                w, h, rgb = parsed
+                means = rgb.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                luma = float(
+                    0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+                )
+                stats.append((w, h, float(means[0]), float(means[1]),
+                              float(means[2]), luma))
+            out = pdf.copy()
+            for i, c in enumerate(stat_cols):
+                out[c] = [s[i] for s in stats]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def synthesize_bmp_payloads(
+    df: DataFrame, id_col: str, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic BMP test corpus: for each row, write a REAL
+    24-bit bottom-up BMP whose pixels are closed-form in ``id_col``:
+
+        width  W = id % 16 + 4,  height H = id % 12 + 4
+        r(x) = (7x + id) % 256        (x = column)
+        g(y) = (11y + 2·id) % 256     (y = row)
+        b(x,y) = (x + y + 3·id) % 256
+
+    so channel means are analytically computable in SQL (integer
+    sums — exact in doubles)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
+    )
+
+    def _bmp_bytes(i: int) -> bytes:
+        w, h = i % 16 + 4, i % 12 + 4
+        x = np.arange(w)
+        y = np.arange(h)[:, None]
+        r = np.broadcast_to((7 * x + i) % 256, (h, w))
+        g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
+        b = (x + y + 3 * i) % 256
+        bgr = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BMP is BGR
+        row_size = (w * 3 + 3) // 4 * 4
+        padded = np.zeros((h, row_size), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        pixel_data = padded[::-1].tobytes()  # bottom-up rows
+        header = (
+            b"BM"
+            + (54 + len(pixel_data)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(pixel_data).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2
+        )
+        return header + pixel_data
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out[payload_col] = [_bmp_bytes(int(v)) for v in pdf[id_col]]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def audio_chunks(
     df: DataFrame,
     binary_col: str = "payload",

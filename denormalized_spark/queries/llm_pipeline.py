@@ -1168,6 +1168,57 @@ def multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_bmp_stats",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 16 + 4 AS INT) AS width,
+           CAST(doc_id % 12 + 4 AS INT) AS height,
+           round(list_avg([(7*x + doc_id) % 256
+                           for x in range(0, doc_id % 16 + 4)]), 6) AS mean_r,
+           round(list_avg([(11*y + 2*doc_id) % 256
+                           for y in range(0, doc_id % 12 + 4)]), 6) AS mean_g,
+           round(list_avg(flatten(
+               list_transform(range(0, doc_id % 16 + 4),
+                   x -> [(x + y + 3*doc_id) % 256
+                         for y in range(0, doc_id % 12 + 4)]))), 6) AS mean_b,
+           round(0.299 * list_avg([(7*x + doc_id) % 256
+                                   for x in range(0, doc_id % 16 + 4)])
+               + 0.587 * list_avg([(11*y + 2*doc_id) % 256
+                                   for y in range(0, doc_id % 12 + 4)])
+               + 0.114 * list_avg(flatten(
+                   list_transform(range(0, doc_id % 16 + 4),
+                       x -> [(x + y + 3*doc_id) % 256
+                             for y in range(0, doc_id % 12 + 4)]))), 6)
+               AS mean_luma
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_bmp_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end, second real modality alongside
+    WAV: write genuine 24-bit BMP containers (stdlib byte packing,
+    closed-form per-channel gradients —
+    operators/multimodal.synthesize_bmp_payloads) and decode them back
+    with the real image_stats kernel (header parse + padded bottom-up
+    BGR rows + numpy channel means). The oracle recomputes each
+    channel mean analytically from the pixel formulas (integer sums —
+    exact in doubles, identical across engines)."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    bmps = multimodal.synthesize_bmp_payloads(d, "doc_id")
+    stats = multimodal.image_stats(bmps, "payload")
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 def _ivf_oracle(dim: int = 64, nprobe: int = 3, k: int = 10, qid: int = 0) -> str:
     """IVF oracle: identical coarse quantizer (rounded per-label mean
     centroids), identical argmax assignment (window with label

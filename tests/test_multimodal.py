@@ -213,3 +213,62 @@ class TestRealWavKernels:
             assert r.n_samples == b * h
             assert r.rms == float(amp) and r.peak == amp
             assert r.zero_crossings == b - 1
+
+
+class TestRealBmpKernels:
+    def test_image_stats_parses_handcrafted_bmp(self, spark):
+        """2x2 24-bit BMP with known pixels, W*3=6 bytes -> 8-byte
+        padded rows, bottom-up storage — exact means back out."""
+        import numpy as np
+
+        from denormalized_spark.operators.multimodal import image_stats
+
+        # pixels (RGB): top row (255,0,0),(0,255,0); bottom (0,0,255),(10,20,30)
+        top = [(255, 0, 0), (0, 255, 0)]
+        bottom = [(0, 0, 255), (10, 20, 30)]
+        rows_bgr = []
+        for row in (bottom, top):  # bottom-up file order
+            rb = b"".join(bytes((b, g, r)) for r, g, b in row)
+            rows_bgr.append(rb + b"\x00\x00")  # pad 6 -> 8
+        pixel_data = b"".join(rows_bgr)
+        hdr = (
+            b"BM" + (54 + len(pixel_data)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(pixel_data).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+        )
+        df = spark.createDataFrame(
+            [(1, hdr + pixel_data), (2, b"JFIF not a bmp"), (3, None)],
+            "img_id int, payload binary",
+        )
+        got = {r.img_id: r for r in image_stats(df, "payload").collect()}
+        ok = got[1]
+        assert (ok.width, ok.height) == (2, 2)
+        assert ok.mean_r == np.mean([255, 0, 0, 10])
+        assert ok.mean_g == np.mean([0, 255, 0, 20])
+        assert ok.mean_b == np.mean([0, 0, 255, 30])
+        for bad in (got[2], got[3]):
+            assert bad.width is None and bad.mean_r is None
+
+    def test_synthesize_round_trip_closed_form(self, spark):
+        from denormalized_spark.operators.multimodal import (
+            image_stats,
+            synthesize_bmp_payloads,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+        got = {
+            r.doc_id: r
+            for r in image_stats(
+                synthesize_bmp_payloads(df, "doc_id"), "payload"
+            ).collect()
+        }
+        for i in range(24):
+            w, h = i % 16 + 4, i % 12 + 4
+            r = got[i]
+            assert (r.width, r.height) == (w, h)
+            assert r.mean_r == sum((7 * x + i) % 256 for x in range(w)) / w
+            assert r.mean_g == sum((11 * y + 2 * i) % 256 for y in range(h)) / h
