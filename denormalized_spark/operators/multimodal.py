@@ -355,27 +355,7 @@ def synthesize_bmp_payloads(
         r = np.broadcast_to((7 * x + i) % 256, (h, w))
         g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
         b = (x + y + 3 * i) % 256
-        bgr = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BMP is BGR
-        row_size = (w * 3 + 3) // 4 * 4
-        padded = np.zeros((h, row_size), dtype=np.uint8)
-        padded[:, : w * 3] = bgr.reshape(h, w * 3)
-        pixel_data = padded[::-1].tobytes()  # bottom-up rows
-        header = (
-            b"BM"
-            + (54 + len(pixel_data)).to_bytes(4, "little")
-            + b"\x00\x00\x00\x00"
-            + (54).to_bytes(4, "little")
-            + (40).to_bytes(4, "little")
-            + w.to_bytes(4, "little")
-            + h.to_bytes(4, "little")
-            + (1).to_bytes(2, "little")
-            + (24).to_bytes(2, "little")
-            + (0).to_bytes(4, "little")
-            + len(pixel_data).to_bytes(4, "little")
-            + (2835).to_bytes(4, "little") * 2
-            + (0).to_bytes(4, "little") * 2
-        )
-        return header + pixel_data
+        return _write_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -477,18 +457,66 @@ def audio_chunks(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _write_bmp(rgb) -> bytes:
+    """HxWx3 RGB uint8 array → 24-bit bottom-up BMP bytes."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    padded = np.zeros((h, row_size), dtype=np.uint8)
+    padded[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # RGB → BGR
+    pixel_data = padded[::-1].tobytes()
+    return (
+        b"BM"
+        + (54 + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    ) + pixel_data
+
+
 def resize_images(
     df: DataFrame, binary_col: str = "payload", size: tuple[int, int] = (224, 224), *, fake: bool = False
 ) -> DataFrame:
-    """binary -> resized binary. Stub kernel: identity passthrough in
-    fake mode (real kernel: PIL resize per Arrow batch)."""
+    """binary → resized binary. REAL for 24-bit BMP payloads:
+    stdlib/numpy decode → nearest-neighbor resample → BMP re-encode
+    (the standard thumbnail/normalize step before feature extraction).
+    Non-BMP payloads (PNG/JPEG need external codecs) pass through as
+    NULL — corrupt files must not kill the stage. ``fake=True`` keeps
+    the legacy identity passthrough for generic plumbing tests."""
+    import numpy as np
+
     schema = df.schema
+    tw, th = int(size[0]), int(size[1])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image resize requires PIL (not in this container)")
-            yield pdf
+            if fake:
+                yield pdf
+                continue
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            resized = []
+            for p in pdf[binary_col]:
+                parsed = _parse_bmp(bytes(p)) if p is not None else None
+                if parsed is None:
+                    resized.append(None)
+                    continue
+                w, h, rgb = parsed
+                xi = (np.arange(tw) * w) // tw  # nearest-neighbor grid
+                yi = (np.arange(th) * h) // th
+                resized.append(_write_bmp(rgb[yi][:, xi]))
+            out[binary_col] = resized
+            yield out
 
     return df.mapInPandas(kernel, schema)
 

@@ -272,3 +272,32 @@ class TestRealBmpKernels:
             assert (r.width, r.height) == (w, h)
             assert r.mean_r == sum((7 * x + i) % 256 for x in range(w)) / w
             assert r.mean_g == sum((11 * y + 2 * i) % 256 for y in range(h)) / h
+
+
+class TestRealBmpResize:
+    def test_resize_bmp_nearest_neighbor(self, spark):
+        from denormalized_spark.operators.multimodal import (
+            image_stats,
+            resize_images,
+            synthesize_bmp_payloads,
+        )
+
+        df = spark.createDataFrame([(5,), (11,)], "doc_id long")
+        bmps = synthesize_bmp_payloads(df, "doc_id")
+        small = resize_images(bmps, "payload", size=(3, 2))
+        got = {r.doc_id: r for r in image_stats(small, "payload").collect()}
+        assert all((r.width, r.height) == (3, 2) for r in got.values())
+        # nearest-neighbor of the closed-form gradient: column x of the
+        # 3-wide output samples source column (x*W)//3; r depends only
+        # on source column
+        for i in (5, 11):
+            w = i % 16 + 4
+            cols = [(x * w) // 3 for x in range(3)]
+            exp_r = sum((7 * c + i) % 256 for c in cols) / 3
+            assert got[i].mean_r == exp_r
+
+    def test_resize_non_bmp_nulls(self, spark):
+        from denormalized_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame([(1, b"nope")], "i int, payload binary")
+        assert resize_images(df, "payload", size=(4, 4)).collect()[0].payload is None
