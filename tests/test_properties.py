@@ -302,3 +302,44 @@ def test_unigram_scores_match_brute_force(spark, docs):
         exp = sum(math.log(vocab[w] / total) for w in ts) / len(ts)
         assert got[i].n_tokens == len(ts)
         assert abs(got[i].avg_logp - exp) < 1e-6
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),         # group
+            st.integers(min_value=-50, max_value=50),      # value
+            st.integers(min_value=0, max_value=9),         # weight (0 = no mass)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    pct=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_weighted_percentile_column_matches_bruteforce(spark, data, pct):
+    """Column-form approx_percentile_cont_with_weight vs the direct
+    definition: smallest value whose cumulative weight (ascending by
+    value) reaches pct * total. Integer weights -> exact arithmetic."""
+    from denormalized_spark import functions as dnf
+
+    df = spark.createDataFrame(data, "g long, v long, w long")
+    got = {
+        r.g: r.wp
+        for r in df.groupBy("g")
+        .agg(dnf.approx_percentile_cont_with_weight("v", "w", pct).alias("wp"))
+        .collect()
+    }
+    for g in {d[0] for d in data}:
+        rows = sorted((v, w) for gg, v, w in data if gg == g and w > 0)
+        total = sum(w for _, w in rows)
+        if total == 0:
+            assert got[g] is None
+            continue
+        cum, expect = 0, None
+        for v, w in rows:
+            cum += w
+            if cum >= pct * total:
+                expect = float(v)
+                break
+        assert got[g] == expect, (g, pct, rows)
