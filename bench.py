@@ -112,6 +112,8 @@ def main() -> None:
 
     oracle_sec = _oracle_timings(entry_mod)
 
+    wav_docs, wav_wall = _wav_decode_throughput(spark)
+
     stream_rows, stream_wall = _stream_throughput(spark)
     state_rows, state_wall = _stateful_stream_throughput(spark)
 
@@ -143,6 +145,7 @@ def main() -> None:
             else None
         ),
         "sf": sf,
+        "wav_decode_docs_per_sec": round(wav_docs / wav_wall) if wav_wall else None,
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
@@ -184,6 +187,33 @@ def _oracle_timings(entry_mod) -> dict[str, float]:
         out[name] = round(min(runs), 3)
     con.close()
     return out
+
+
+def _wav_decode_throughput(spark) -> tuple[int, float]:
+    """REAL-codec multimodal path at full SF: synthesize a WAV per
+    document row and decode it back with the stdlib-wave
+    audio_features kernel (mapInPandas, Arrow-batched) — measures the
+    Python-kernel lane the way the headline set measures the JVM lane.
+    Work scales with the documents table, unlike the oracled
+    multimodal queries (which cap at 200 rows for the driver compare).
+    Best-of-2 (run 1 pays plan build + worker spin-up)."""
+    from denormalized_spark.operators.multimodal import (
+        audio_features,
+        synthesize_wav_payloads,
+    )
+    from denormalized_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    pipe = audio_features(
+        synthesize_wav_payloads(docs, "doc_id"), "payload"
+    ).drop("payload")
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        pipe.write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    return n, min(walls)
 
 
 # State-store partition count for the streaming drains. The count is
