@@ -453,6 +453,47 @@ class DataStream:
         )
         return DataStream(out, event_time=None, watermark=self.watermark)
 
+    def near_dedup(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        emit_window_ms: int = 60_000,
+        payload_cols: Sequence[str] = (),
+    ) -> "DataStream":
+        """MinHash-LSH near-duplicate filter, path-polymorphic: on a
+        stream, the online first-claimant gate
+        (:func:`~denormalized_spark.operators.dedup.near_dedup_stream`,
+        two chained stateful operators, watermark-TTL'd bucket state);
+        on a batch, the deterministic earliest-(event_time, id) twin.
+        Requires an event-time column (bucket ownership is temporal)."""
+        from denormalized_spark.operators.dedup import (
+            near_dedup_batch,
+            near_dedup_stream,
+        )
+
+        if self.event_time is None:
+            raise ValueError("near_dedup() requires an event-time column")
+        kwargs = dict(
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            payload_cols=tuple(payload_cols),
+        )
+        if self._df.isStreaming:
+            out = near_dedup_stream(
+                self._df, id_col, text_col, self.event_time,
+                watermark=self.watermark, emit_window_ms=emit_window_ms, **kwargs,
+            )
+        else:
+            out = near_dedup_batch(
+                self._df, id_col, text_col, self.event_time, **kwargs
+            )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     # -- sinks (reference datastream.rs:309-374, data_stream.py:223-232) --
 
     def sink(

@@ -215,26 +215,10 @@ def lsh_candidate_pairs(
     executor OOM. Docs in a dropped bucket can still pair through
     their other bands (and exact dedup catches full duplicates first).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                                ",",
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(band_structs("minhash", num_hashes, bands)).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
     # bucket-collect instead of self-join: the signature subtree would
     # otherwise be evaluated once per join side (no exchange to
@@ -549,3 +533,132 @@ def connected_components(
             break
         prev_sum = s
     return labels
+
+
+def band_structs(minhash_col: Column | str, num_hashes: int, bands: int) -> Column:
+    """LSH banding of a minhash signature → array<struct<band int,
+    band_key string>> (band key = md5 of the band's signature slice).
+    Shared by the batch candidate-pair generator and the streaming
+    near-dup filter so both gate on identical buckets."""
+    rows_per_band = num_hashes // bands
+    c = F.col(minhash_col) if isinstance(minhash_col, str) else minhash_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(F.slice(c, b * rows_per_band + 1, rows_per_band), ",")
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def near_dedup_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str = "ts",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    watermark: str = "0 seconds",
+    emit_window_ms: int = 60_000,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup filter: emit only documents that
+    claim ALL of their LSH bands first — any band collision with an
+    earlier document (within the watermark retention) drops the doc.
+    The streaming twin of the batch LSH dedup funnel, as the high-
+    recall online gate: LSH false positives can over-drop (no Jaccard
+    verify online); run the batch verify pipeline over the survivors
+    for the exact refinement.
+
+    Plan (two chained stateful operators, append mode — Spark ≥3.5):
+
+    1. per-row signature + banding (pure JVM expressions, no Python);
+    2. band rows → ``dropDuplicatesWithinWatermark`` on (band,
+       band_key): state = one row per distinct bucket, TTL'd by the
+       watermark — the first claimant owns the bucket;
+    3. windowed count per doc: a doc that owns all ``bands`` buckets
+       survives. The window (``emit_window_ms``) exists only to give
+       append mode a close point; all of a doc's band rows share its
+       exact event time, so no doc straddles windows.
+
+    Within one micro-batch the bucket owner is arbitrary (matching
+    batch LSH, where same-bucket docs form a candidate pair and one
+    canonical survivor is kept). State is bounded: distinct buckets ×
+    watermark horizon, with no quadratic pair generation anywhere.
+    """
+    sig = df.withWatermark(event_time, watermark).select(
+        F.col(id_col),
+        F.col(event_time),
+        *[F.col(c) for c in payload_cols],
+        minhash_signature(text_col, num_hashes, shingle_n).alias("_mh"),
+    )
+    banded = sig.select(
+        id_col,
+        event_time,
+        *payload_cols,
+        F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk"),
+    ).select(id_col, event_time, *payload_cols, "_bk.band", "_bk.band_key")
+    owned = banded.dropDuplicatesWithinWatermark(["band", "band_key"])
+    win = F.window(event_time, f"{emit_window_ms // 1000} seconds")
+    surv = (
+        owned.groupBy(win, F.col(id_col))
+        .agg(
+            F.count("*").alias("_n_owned"),
+            F.min(event_time).alias("_ts"),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .filter(F.col("_n_owned") == bands)
+    )
+    return surv.select(
+        id_col, F.col("_ts").alias(event_time), *payload_cols
+    )
+
+
+def near_dedup_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str = "ts",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic batch twin of :func:`near_dedup_stream`: each LSH
+    bucket is owned by its earliest (event_time, id) claimant; a doc
+    survives iff it owns all its bands. Used for stream-vs-batch
+    parity tests and backfills that must agree with the online gate.
+    One band-key shuffle; no pair generation."""
+    from pyspark.sql import Window
+
+    sig = df.select(
+        F.col(id_col),
+        F.col(event_time),
+        *[F.col(c) for c in payload_cols],
+        minhash_signature(text_col, num_hashes, shingle_n).alias("_mh"),
+    )
+    banded = sig.select(
+        id_col,
+        event_time,
+        *payload_cols,
+        F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk"),
+    ).select(id_col, event_time, *payload_cols, "_bk.band", "_bk.band_key")
+    w = Window.partitionBy("band", "band_key").orderBy(event_time, id_col)
+    owned = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        owned.groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n_owned"),
+            F.min(event_time).alias(event_time),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .filter(F.col("_n_owned") == F.lit(bands))
+        .select(id_col, event_time, *payload_cols)
+    )

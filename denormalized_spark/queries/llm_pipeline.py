@@ -168,6 +168,39 @@ def dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_near_gate",
+    _DOC_SHINGLES_CTE
+    + f""",
+    mh AS (SELECT doc_id, {_minhash_list(8)} AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(mh[b.b*2 + 1]::VARCHAR || ',' || mh[b.b*2 + 2]::VARCHAR) AS band_key
+      FROM mh CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+    ),
+    owned AS (
+      SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+      FROM bands
+    )
+    SELECT doc_id FROM owned WHERE rn = 1
+    GROUP BY doc_id HAVING count(*) = 4
+    """,
+)
+def dedup_near_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """First-claimant LSH near-dup gate, batch twin of the STREAMING
+    near_dedup_stream operator (two chained stateful ops online;
+    deterministic earliest-claimant here): a doc survives iff it owns
+    all 4 of its LSH bands. The oracle replays the identical
+    signature → band-key → earliest-owner pipeline in SQL. Stream-vs-
+    batch parity is pinned in tests/test_near_dedup.py."""
+    d = t(spark, sf, "documents").withColumn(
+        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+    )
+    out = dedup.near_dedup_batch(d, "doc_id", "text", "ts", num_hashes=8, bands=4)
+    return out.select("doc_id")
+
+
+@q(
     "dedup_jaccard_pairs",
     _DOC_SHINGLES_CTE
     + """,

@@ -1,0 +1,114 @@
+"""Streaming MinHash-LSH near-dup gate (operators/dedup.py
+near_dedup_stream / near_dedup_batch): first claimant of every LSH
+band survives; any band collision with an earlier doc drops the doc.
+
+Append-mode emission: survivors emit when their event-time window
+closes under the watermark, so the trailing window may stay open at
+availableNow end (same N-1 contract as windowed aggs) — tests flush
+with a far-future sentinel and assert on the flushed set.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.datastream import DataStream
+from denormalized_spark.operators.dedup import near_dedup_batch
+
+T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+DOCS = [
+    # (doc_id, minute, text)
+    (1, 0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, 0, "completely different text about spark streaming state stores"),
+    (3, 5, "the quick brown fox jumps over the lazy dog near the river bank"),  # copy of 1
+    (4, 5, "yet another unrelated document mentioning parquet column pruning"),
+    (99, 120, "far future sentinel flushing every earlier emit window"),
+]
+
+
+def _rows():
+    return [
+        (i, T0 + datetime.timedelta(minutes=m), t) for i, m, t in DOCS
+    ]
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.createDataFrame(_rows(), "doc_id long, ts timestamp, text string")
+
+
+def test_batch_twin_drops_exact_near_dup(doc_df):
+    out = near_dedup_batch(doc_df, "doc_id", "text", "ts")
+    got = {r.doc_id for r in out.collect()}
+    # doc 3 collides with earlier doc 1 on every band -> dropped
+    assert got == {1, 2, 4, 99}
+
+
+def test_batch_twin_is_deterministic_earliest_wins(spark):
+    # same text at different times: earliest (ts, id) survives
+    rows = [
+        (7, T0 + datetime.timedelta(minutes=1), "alpha beta gamma delta epsilon zeta"),
+        (5, T0, "alpha beta gamma delta epsilon zeta"),
+        (6, T0, "alpha beta gamma delta epsilon zeta"),  # same ts as 5 -> id tiebreak
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    got = {r.doc_id for r in near_dedup_batch(df, "doc_id", "text", "ts").collect()}
+    assert got == {5}
+
+
+def test_batch_twin_keeps_payload_columns(spark):
+    rows = [(1, T0, "some unique text body here", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string, source string")
+    out = near_dedup_batch(
+        df, "doc_id", "text", "ts", payload_cols=("source",)
+    ).collect()
+    assert out[0].source == "web" and out[0].ts == T0
+
+
+def test_stream_matches_batch_twin(spark):
+    """Drain the docs through the two-stateful-operator streaming
+    plan, one file per micro-batch in event-time order; the emitted
+    set must equal the batch twin minus unflushed trailing windows."""
+    stage = tempfile.mkdtemp(prefix="nd_stage_")
+    schema = "doc_id long, ts timestamp, text string"
+    by_minute: dict[int, list] = {}
+    for i, m, t in DOCS:
+        by_minute.setdefault(m, []).append((i, T0 + datetime.timedelta(minutes=m), t))
+    for k, (m, chunk) in enumerate(sorted(by_minute.items())):
+        path = os.path.join(stage, f"part{k}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + k, 1_000_000 + k))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    ds = DataStream(sdf, event_time="ts").near_dedup("doc_id", "text")
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="nd_ck_"),
+    )
+    q.awaitTermination(240)
+    got = {r.doc_id for r in emitted}
+    assert len(got) == len(emitted), "duplicate emission"
+    # every survivor except (possibly) the sentinel's unclosed window
+    assert got == {1, 2, 4}
+    # stream event times survive the windowed re-aggregation exactly
+    by_id = {r.doc_id: r.ts for r in emitted}
+    assert by_id[4] == T0 + datetime.timedelta(minutes=5)
+
+
+def test_stream_batch_polymorphism(doc_df):
+    out = DataStream(doc_df, event_time="ts").near_dedup("doc_id", "text")
+    assert {r.doc_id for r in out.df.collect()} == {1, 2, 4, 99}
