@@ -31,6 +31,8 @@ QUERIES = [
     "over_ntile_percentrank",    # distributed global rank: n log n
     "text_unigram_quality",      # token explode + vocab broadcast: linear
     "text_tfidf_keywords",       # (doc,token) counts + per-doc rank: n log n
+    "dedup_near_gate",           # band-key window + per-doc count: n log n
+    "curation_boilerplate_lines",# line counts + broadcast rewrite: linear
 ]
 
 
