@@ -395,3 +395,89 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         lang_id(text_col).alias("lang_pred"),
     )
+
+
+def hashed_token_counts(text: Column | str, dim: int = 8) -> Column:
+    """Feature hashing: array<long> of token counts per bucket
+    (``token_hash32 % dim``) — the fastText-style featurizer for
+    linear text classifiers. Pure per-row higher-order functions; the
+    md5 token hash is the engine-portable one shared with the dedup
+    stack. O(dim × tokens) per row — use small dims (the point of the
+    hashing trick)."""
+    from denormalized_spark.operators.dedup import token_hash32
+
+    toks = tokens(text)
+    return F.array(
+        *[
+            F.size(F.filter(toks, lambda t: token_hash32(t) % dim == j))
+            .cast("long")
+            for j in range(dim)
+        ]
+    )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: Column | str,
+    text_col: str = "text",
+    dim: int = 8,
+    iters: int = 3,
+    lr_bits: int = 20,
+) -> list[float]:
+    """Distill a hashed-feature LINEAR classifier by batch gradient
+    descent — the train side of the quality/language filtering loop
+    (score with a big model once, train a cheap linear gate, run the
+    gate over 100 TB). Returns the learned weight list.
+
+    Each iteration is ONE distributed aggregation (sum gradient per
+    feature — partial-agged, no shuffle of the corpus beyond the
+    dim-column gradient row); the weight update happens driver-side
+    on dim numbers. iters × one-pass — the same execution shape as
+    :func:`~denormalized_spark.operators.similarity.kmeans_fit`.
+
+    **Engine-portable by construction**: integer features/labels, a
+    power-of-two learning rate (2^-lr_bits) and a floor-snap of each
+    weight back to the 2^-lr_bits grid keep every intermediate an
+    exact dyadic rational below 2^53 — sums are order-independent and
+    bit-identical across Spark, DuckDB, and Python, so the training
+    trajectory itself is oracle-checkable (no seeds, no float drift).
+    """
+    import math
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    scale = float(2 ** lr_bits)
+    feats = df.select(
+        y.cast("long").alias("_y"), hashed_token_counts(text_col, dim).alias("_x")
+    )
+    w = [0.0] * dim
+    for _ in range(iters):
+        pred = None
+        for j in range(dim):
+            term = F.element_at("_x", j + 1) * F.lit(w[j])
+            pred = term if pred is None else pred + term
+        resid = pred - F.col("_y")
+        g = feats.agg(
+            *[
+                F.sum(resid * F.element_at("_x", j + 1)).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [
+            math.floor((w[j] - g[f"g{j}"] / scale) * scale) / scale
+            for j in range(dim)
+        ]
+    return w
+
+
+def linear_classifier_score(
+    weights: list[float], text_col: Column | str = "text"
+) -> Column:
+    """Score rows with a trained hashed-feature linear model (dot of
+    :func:`hashed_token_counts` with the weight vector) — scan-speed
+    inference for the trained gate."""
+    counts = hashed_token_counts(text_col, len(weights))
+    score = None
+    for j, wj in enumerate(weights):
+        term = F.element_at(counts, j + 1) * F.lit(wj)
+        score = term if score is None else score + term
+    return score

@@ -1314,3 +1314,61 @@ def sim_ivf_topk_query0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         e, query_vec_id=0, k=10, nprobe=3, dim=64, round_digits=6
     )
+
+
+def _linear_trainer_oracle(dim: int = 8, iters: int = 3, lr_bits: int = 25) -> str:
+    """Unrolled gradient-descent oracle, bit-identical to
+    operators.text.train_linear_classifier: integer hashed features,
+    power-of-two learning rate, floor-snap of weights to the 2^-lr
+    grid each iteration — every intermediate is an exact dyadic below
+    2^53, so sums are order-independent across engines."""
+    s = f"{2 ** lr_bits}.0"
+    cnt = lambda j: (
+        f"CAST(len(list_filter({_TOKS}, "
+        f"t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} = {j})) AS BIGINT)"
+    )
+    feats = ", ".join(f"{cnt(j)} AS x{j}" for j in range(dim))
+    ctes = [
+        f"feats AS (SELECT CAST(lang = 'en' AS BIGINT) AS y, {feats} FROM documents)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(dim)) + ")",
+    ]
+    for it in range(1, iters + 1):
+        pred = " + ".join(f"f.x{j} * w.w{j}" for j in range(dim))
+        grads = ", ".join(
+            f"sum(({pred} - f.y) * f.x{j}) AS g{j}" for j in range(dim)
+        )
+        ctes.append(
+            f"g{it} AS (SELECT {grads} FROM feats f CROSS JOIN w{it - 1} w)"
+        )
+        ws = ", ".join(
+            f"floor((w.w{j} - g.g{j} / {s}) * {s}) / {s} AS w{j}"
+            for j in range(dim)
+        )
+        ctes.append(f"w{it} AS (SELECT {ws} FROM w{it - 1} w CROSS JOIN g{it} g)")
+    finals = " UNION ALL ".join(
+        f"SELECT {j} AS feature, round(w{j}, 9) AS weight FROM w{iters}"
+        for j in range(dim)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@q("text_train_linear_langid", _linear_trainer_oracle())
+def text_train_linear_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN a hashed-feature linear language gate by batch gradient
+    descent (operators/text.train_linear_classifier): label = lang='en',
+    8 hashed token-count features, 3 one-aggregation-per-iteration
+    passes. The oracle replays the exact training trajectory in SQL —
+    possible because the trainer is engine-portable by construction
+    (integer features, 2^-25 learning rate, floor-snap to the dyadic
+    grid: no float drift, no seeds). The learned weights are the
+    query result."""
+    from denormalized_spark.operators import text as txt
+
+    d = t(spark, sf, "documents")
+    w = txt.train_linear_classifier(
+        d, (F.col("lang") == "en").cast("long"), "text",
+        dim=8, iters=3, lr_bits=25,
+    )
+    return spark.createDataFrame(
+        [(j, float(wj)) for j, wj in enumerate(w)], "feature int, weight double"
+    ).select("feature", F.round("weight", 9).alias("weight"))

@@ -293,3 +293,39 @@ class TestSketches:
             dnf.count_min_sketch("t", F.lit(0.01), F.lit(0.95), F.lit(1)).alias("s")
         ).collect()[0].s
         assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+
+
+class TestLinearTrainer:
+    def test_learns_separating_weights(self, spark):
+        """Synthetic two-vocabulary corpus: the trained gate must
+        score positive-class docs above negative-class docs."""
+        from denormalized_spark.operators.text import (
+            linear_classifier_score,
+            train_linear_classifier,
+        )
+
+        rows = [(i, 1, "aaa bbb ccc aaa bbb") for i in range(30)] + [
+            (100 + i, 0, "xxx yyy zzz xxx yyy") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, y long, text string")
+        w = train_linear_classifier(df, "y", "text", dim=8, iters=3, lr_bits=20)
+        assert len(w) == 8
+        scored = df.select(
+            "y", linear_classifier_score(w, "text").alias("s")
+        ).collect()
+        pos = [r.s for r in scored if r.y == 1]
+        neg = [r.s for r in scored if r.y == 0]
+        assert min(pos) > max(neg)
+
+    def test_weights_stay_on_dyadic_grid(self, spark):
+        """The portability contract: every weight is an exact multiple
+        of 2^-lr_bits (floor-snap each iteration), so the whole
+        trajectory is engine-reproducible."""
+        from denormalized_spark.operators.text import train_linear_classifier
+
+        df = spark.createDataFrame(
+            [(1, 1, "p q r"), (2, 0, "s t u")], "doc_id long, y long, text string"
+        )
+        w = train_linear_classifier(df, "y", "text", dim=4, iters=2, lr_bits=10)
+        for wj in w:
+            assert wj == round(wj * 1024) / 1024  # exactly on the 2^-10 grid
