@@ -422,10 +422,12 @@ class DataStream:
         self,
         group_exprs: Sequence[Column | str],
         aggr_exprs: Sequence[Column],
-        gap_ms: int,
+        gap_ms: int | Column,
     ) -> "DataStream":
         """Session windows — declared-but-unimplemented in the
-        reference (planner/streaming_window.rs:130); native here."""
+        reference (planner/streaming_window.rs:130); native here.
+        ``gap_ms`` accepts a per-event millisecond Column for DYNAMIC
+        gaps (operators/windows.session_window_aggregate)."""
         if self.event_time is None:
             raise ValueError("session_window() requires an event-time column")
         df = self._df

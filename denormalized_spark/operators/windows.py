@@ -88,14 +88,27 @@ def session_window_aggregate(
     time_column: str,
     group_exprs: Sequence[Column | str],
     aggr_exprs: Sequence[Column],
-    gap_ms: int,
+    gap_ms: int | Column,
     *,
     flatten: bool = True,
 ) -> DataFrame:
     """Session windows (gap-based). The reference enum has
     ``Session(len, key)`` but execution is ``todo!()``
-    (planner/streaming_window.rs:130) — Spark gives it natively."""
-    win = F.session_window(F.col(time_column), _ms_to_interval(gap_ms))
+    (planner/streaming_window.rs:130) — Spark gives it natively.
+
+    ``gap_ms`` may be a **Column of milliseconds** for DYNAMIC gaps —
+    a per-event timeout (e.g. short for high-frequency event types,
+    long for purchases), which Spark's session_window supports via an
+    interval-string gap expression. Merge semantics (pinned by
+    tests): an event extends a session when its time is <= the
+    running max session end; session end = max(event_time + gap) over
+    members.
+    """
+    if isinstance(gap_ms, Column):
+        gap = F.concat(gap_ms.cast("long").cast("string"), F.lit(" milliseconds"))
+    else:
+        gap = _ms_to_interval(gap_ms)
+    win = F.session_window(F.col(time_column), gap)
     keys = [F.col(g) if isinstance(g, str) else g for g in group_exprs]
     out = df.groupBy(win.alias("session_window"), *keys).agg(*aggr_exprs)
     if flatten:

@@ -324,3 +324,58 @@ def window_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).cast("long").alias("n"),
         F.expr("(cs * 100) div cnt_f").alias("avg_e4"),
     )
+
+
+@q(
+    "window_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             ts + to_milliseconds(CASE WHEN event_type = 'click'
+                                       THEN 600000 ELSE 1800000 END) AS iend
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value, iend,
+             max(iend) OVER (PARTITION BY user_id ORDER BY ts, iend
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, value, iend,
+             CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END AS ns
+      FROM m
+    ),
+    sid AS (
+      SELECT user_id, ts, value, iend,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, iend
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(ts)   AS window_start_time,
+           max(iend) AS window_end_time,
+           count(*)  AS n,
+           round(sum(value), 2) AS total
+    FROM sid GROUP BY user_id, sid
+    """,
+)
+def window_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC-gap session windows: each event carries its own
+    timeout (10 min for clicks, 30 min otherwise) — the
+    activity-aware sessionization Spark's session_window supports via
+    a gap expression and the reference cannot express at all. Oracle =
+    interval-merge (running max of event_time + gap; a new island
+    starts when the event time exceeds the running max — the pinned
+    boundary semantics, inclusive merge at equality)."""
+    ds = DataStream(t(spark, sf, "events"), event_time="ts")
+    gap = F.when(F.col("event_type") == "click", F.lit(600_000)).otherwise(
+        F.lit(1_800_000)
+    )
+    return ds.session_window(
+        ["user_id"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        gap,
+    ).df

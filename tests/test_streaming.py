@@ -437,3 +437,47 @@ def test_sink_csv_json_streaming(ctx, sf_dir, tmp_path):
     q2.awaitTermination(120)
     back = ctx.spark.read.option("header", True).csv(str(tmp_path / "c"))
     assert back.count() == n_in and back.columns == ["event_id", "value"]
+
+
+def test_session_window_dynamic_gap_boundaries(spark):
+    """Dynamic per-event gaps + pinned merge semantics: an event AT
+    the running session end merges (inclusive); beyond it starts a
+    new session; each event contributes its own gap to the end."""
+    import datetime
+
+    from denormalized_spark.datastream import DataStream
+
+    T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return T0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # k=1: gaps 10s; event exactly at end(=10) merges; end = 10+10
+        (1, at(0), "s10"), (1, at(10), "s10"),
+        # k=2: first gap 5s, second at +9 > end(+5) -> new session
+        (2, at(0), "s5"), (2, at(9), "s10"),
+        # k=3: long gap (60s) first event keeps +50 in session even
+        # though the +50 event's own gap is short
+        (3, at(0), "long"), (3, at(50), "s10"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, kind string")
+    gap = (
+        F.when(F.col("kind") == "s5", F.lit(5_000))
+        .when(F.col("kind") == "s10", F.lit(10_000))
+        .otherwise(F.lit(60_000))
+    )
+    out = (
+        DataStream(df, event_time="ts")
+        .session_window(["k"], [F.count("*").alias("n")], gap)
+        .df
+    )
+    got = {
+        (r.k, r.window_start_time, r.window_end_time): r.n for r in out.collect()
+    }
+    assert got == {
+        (1, at(0), at(20)): 2,
+        (2, at(0), at(5)): 1,
+        (2, at(9), at(19)): 1,
+        (3, at(0), at(60)): 2,
+    }
