@@ -32,3 +32,18 @@ def test_csv_streaming_example_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Data written to csv" in out.stdout
+
+
+def test_streaming_llm_gate_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "streaming_llm_gate.py"), "--demo"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "trained gate weights" in out.stdout
+    assert "near-dup gate passed" in out.stdout
+    assert "dynamic-gap sessionization emitted" in out.stdout
