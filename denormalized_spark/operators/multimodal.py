@@ -281,14 +281,121 @@ def _parse_bmp(payload: bytes):
         return None
 
 
+def _parse_png(payload: bytes):
+    """stdlib PNG decode → (width, height, HxWx3 RGB uint8), or None.
+
+    Full real decode, no external codecs: signature + chunk walk,
+    zlib-inflate of the IDAT stream, and per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth — the Paeth predictor needs a
+    sequential row pass; arithmetic is vectorized across each row).
+    Supports the dominant web shapes: 8-bit truecolor (type 2) and
+    truecolor+alpha (type 6, alpha dropped), non-interlaced.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, w = 8, None
+        idat = []
+        while pos + 8 <= len(payload):
+            (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
+                pos + 4 : pos + 8
+            ]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                    return None
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc
+        if w is None or not idat:
+            return None
+        ch = 3 if ctype == 2 else 4
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+        stride = w * ch
+        raw = raw.reshape(h, stride + 1)
+        ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            cur = rows[y].copy()
+            prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+            f = ftypes[y]
+            if f == 0:
+                line = cur
+            elif f == 2:  # Up
+                line = (cur + prior) & 0xFF
+            elif f in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
+                line = np.zeros(stride, np.int16)
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    b = prior[x]
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = prior[x - ch] if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (cur[x] + pred) & 0xFF
+            else:
+                return None
+            out[y] = line.astype(np.uint8)
+        rgb = out.reshape(h, w, ch)[:, :, :3]
+        return int(w), int(h), rgb
+    except Exception:
+        return None
+
+
+def _write_png(rgb) -> bytes:
+    """HxWx3 RGB uint8 → 8-bit truecolor non-interlaced PNG (stdlib
+    zlib/struct; filter type 0 per scanline)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def image_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
-    """Image binary → decoded statistics with a REAL decode kernel:
-    24-bit uncompressed BMP parsed with stdlib byte ops + numpy (the
-    container a no-dependency container CAN fully decode; PNG/JPEG
-    need external codecs and stay on the stubbed
-    :func:`image_features` path). Output columns: width, height,
-    mean_r/g/b, mean_luma (Rec.601). Unparseable payloads yield NULL
-    stats — corrupt files must not kill a 100 TB stage."""
+    """Image binary → decoded statistics with REAL decode kernels:
+    24-bit uncompressed BMP (stdlib byte ops) and 8-bit truecolor
+    PNG (stdlib zlib inflate + scanline unfiltering) — both parsed
+    with numpy, no external codecs; JPEG needs a DCT codec and stays
+    on the stubbed :func:`image_features` path. Output columns:
+    width, height, mean_r/g/b, mean_luma (Rec.601). Unparseable
+    payloads yield NULL stats — corrupt files must not kill a 100 TB
+    stage."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -310,7 +417,12 @@ def image_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                 continue
             stats = []
             for p in pdf[binary_col]:
-                parsed = _parse_bmp(bytes(p)) if p is not None else None
+                raw = bytes(p) if p is not None else None
+                parsed = None
+                if raw is not None:
+                    parsed = _parse_bmp(raw)
+                    if parsed is None:
+                        parsed = _parse_png(raw)
                 if parsed is None:
                     stats.append((None,) * 6)
                     continue
@@ -348,21 +460,52 @@ def synthesize_bmp_payloads(
         list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
     )
 
-    def _bmp_bytes(i: int) -> bytes:
-        w, h = i % 16 + 4, i % 12 + 4
-        x = np.arange(w)
-        y = np.arange(h)[:, None]
-        r = np.broadcast_to((7 * x + i) % 256, (h, w))
-        g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
-        b = (x + y + 3 * i) % 256
-        return _write_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out[payload_col] = [
+                _write_bmp(_gradient_rgb(int(v))) for v in pdf[id_col]
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def _gradient_rgb(i: int):
+    """The closed-form per-id pixel gradient shared by the BMP and
+    PNG synthesizers (see :func:`synthesize_bmp_payloads`)."""
+    import numpy as np
+
+    w, h = i % 16 + 4, i % 12 + 4
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    r = np.broadcast_to((7 * x + i) % 256, (h, w))
+    g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
+    b = (x + y + 3 * i) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synthesize_png_payloads(
+    df: DataFrame, id_col: str, *, payload_col: str = "payload"
+) -> DataFrame:
+    """PNG twin of :func:`synthesize_bmp_payloads`: the identical
+    closed-form gradient written as a REAL zlib-compressed PNG, so
+    the decode path through inflate + unfilter is exercised end-to-end
+    against the same analytic oracle."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             out = pdf.copy()
-            out[payload_col] = [_bmp_bytes(int(v)) for v in pdf[id_col]]
+            out[payload_col] = [
+                _write_png(_gradient_rgb(int(v))) for v in pdf[id_col]
+            ]
             yield out
 
     return df.mapInPandas(kernel, out_schema)
@@ -486,12 +629,13 @@ def _write_bmp(rgb) -> bytes:
 def resize_images(
     df: DataFrame, binary_col: str = "payload", size: tuple[int, int] = (224, 224), *, fake: bool = False
 ) -> DataFrame:
-    """binary → resized binary. REAL for 24-bit BMP payloads:
-    stdlib/numpy decode → nearest-neighbor resample → BMP re-encode
-    (the standard thumbnail/normalize step before feature extraction).
-    Non-BMP payloads (PNG/JPEG need external codecs) pass through as
-    NULL — corrupt files must not kill the stage. ``fake=True`` keeps
-    the legacy identity passthrough for generic plumbing tests."""
+    """binary → resized binary. REAL for 24-bit BMP and 8-bit
+    truecolor PNG payloads: stdlib/numpy decode → nearest-neighbor
+    resample → BMP re-encode (the standard thumbnail/normalize step
+    before feature extraction). Other formats (JPEG needs a DCT
+    codec) pass through as NULL — corrupt files must not kill the
+    stage. ``fake=True`` keeps the legacy identity passthrough for
+    generic plumbing tests."""
     import numpy as np
 
     schema = df.schema
@@ -507,7 +651,10 @@ def resize_images(
             out = pdf.copy()
             resized = []
             for p in pdf[binary_col]:
-                parsed = _parse_bmp(bytes(p)) if p is not None else None
+                raw = bytes(p) if p is not None else None
+                parsed = None
+                if raw is not None:
+                    parsed = _parse_bmp(raw) or _parse_png(raw)
                 if parsed is None:
                     resized.append(None)
                     continue

@@ -1201,9 +1201,10 @@ def multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "multimodal_bmp_stats",
-    """
+# shared by the BMP and PNG stats queries: both synthesizers write the
+# identical closed-form gradient, so one analytic oracle covers both
+# container decoders
+_IMAGE_GRADIENT_ORACLE = """
     SELECT doc_id,
            CAST(doc_id % 16 + 4 AS INT) AS width,
            CAST(doc_id % 12 + 4 AS INT) AS height,
@@ -1225,8 +1226,10 @@ def multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
                              for y in range(0, doc_id % 12 + 4)]))), 6)
                AS mean_luma
     FROM documents WHERE doc_id < 200
-    """,
-)
+    """
+
+
+@q("multimodal_bmp_stats", _IMAGE_GRADIENT_ORACLE)
 def multimodal_bmp_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode end-to-end, second real modality alongside
     WAV: write genuine 24-bit BMP containers (stdlib byte packing,
@@ -1241,6 +1244,30 @@ def multimodal_bmp_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
     bmps = multimodal.synthesize_bmp_payloads(d, "doc_id")
     stats = multimodal.image_stats(bmps, "payload")
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@q("multimodal_png_stats", _IMAGE_GRADIENT_ORACLE)
+def multimodal_png_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode end-to-end: the same closed-form gradient as
+    multimodal_bmp_stats written as genuine zlib-compressed PNG
+    (operators/multimodal.synthesize_png_payloads) and decoded back
+    through the stdlib inflate + scanline-unfilter kernel — one
+    analytic oracle covers both container decoders because the pixels
+    are identical."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    pngs = multimodal.synthesize_png_payloads(d, "doc_id")
+    stats = multimodal.image_stats(pngs, "payload")
     return stats.select(
         "doc_id",
         "width",

@@ -301,3 +301,137 @@ class TestRealBmpResize:
 
         df = spark.createDataFrame([(1, b"nope")], "i int, payload binary")
         assert resize_images(df, "payload", size=(4, 4)).collect()[0].payload is None
+
+
+class TestRealPngKernels:
+    @staticmethod
+    def _filtered_png(rgb, filters):
+        """Hand-encode a PNG using a chosen filter type per scanline —
+        exercises every unfilter branch of the decoder."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w = rgb.shape[:2]
+        stride = w * 3
+        flat = rgb.reshape(h, stride).astype(np.int16)
+        raw = bytearray()
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = flat[y]
+            prior = flat[y - 1] if y else np.zeros(stride, np.int16)
+            enc = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - 3]) if x >= 3 else 0
+                b = int(prior[x])
+                c = int(prior[x - 3]) if x >= 3 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+            raw.append(f)
+            raw.extend(enc.astype(np.uint8).tobytes())
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    def test_all_filter_types_decode(self, spark):
+        """Every PNG filter type (None/Sub/Up/Average/Paeth) decodes
+        back to the exact source pixels."""
+        import numpy as np
+
+        from denormalized_spark.operators.multimodal import _parse_png
+
+        rng_rgb = (
+            np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3) * 37 % 256
+        ).astype(np.uint8)
+        png = self._filtered_png(rng_rgb, filters=[0, 1, 2, 3, 4])
+        parsed = _parse_png(png)
+        assert parsed is not None
+        w, h, rgb = parsed
+        assert (w, h) == (7, 5)
+        assert np.array_equal(rgb, rng_rgb)
+
+    def test_png_round_trip_stats(self, spark):
+        from denormalized_spark.operators.multimodal import (
+            image_stats,
+            synthesize_png_payloads,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+        got = {
+            r.doc_id: r
+            for r in image_stats(
+                synthesize_png_payloads(df, "doc_id"), "payload"
+            ).collect()
+        }
+        for i in range(12):
+            w = i % 16 + 4
+            r = got[i]
+            assert (r.width, r.height) == (w, i % 12 + 4)
+            assert r.mean_r == sum((7 * x + i) % 256 for x in range(w)) / w
+
+    def test_resize_accepts_png(self, spark):
+        from denormalized_spark.operators.multimodal import (
+            image_stats,
+            resize_images,
+            synthesize_png_payloads,
+        )
+
+        df = spark.createDataFrame([(3,)], "doc_id long")
+        small = resize_images(
+            synthesize_png_payloads(df, "doc_id"), "payload", size=(4, 4)
+        )
+        r = image_stats(small, "payload").collect()[0]
+        assert (r.width, r.height) == (4, 4)
+
+    def test_rgba_png_alpha_dropped(self, spark):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from denormalized_spark.operators.multimodal import _parse_png
+
+        h, w = 2, 3
+        rgba = np.zeros((h, w, 4), np.uint8)
+        rgba[:, :, 0] = 100
+        rgba[:, :, 3] = 255
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw.extend(rgba[y].tobytes())
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+        parsed = _parse_png(png)
+        assert parsed is not None and parsed[:2] == (3, 2)
+        assert parsed[2][0, 0, 0] == 100 and parsed[2].shape == (2, 3, 3)

@@ -49,6 +49,7 @@ ALLOW_PYTHON = {
     "multimodal_audio_chunks",  # mapInPandas is the sanctioned media path
     "multimodal_wav_features",  # real stdlib-wave decode kernel (same path)
     "multimodal_bmp_stats",     # real stdlib BMP decode kernel (same path)
+    "multimodal_png_stats",     # real stdlib PNG decode kernel (same path)
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
