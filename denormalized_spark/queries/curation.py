@@ -466,3 +466,60 @@ def curation_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", "clean_text", (n_lines - n_clean).cast("long").alias("n_removed")
     )
+
+
+@q(
+    "curation_validate",
+    f"""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS v_text_nonempty,
+             sum(CASE WHEN len({_TOKS}) >= 5 THEN 0 ELSE 1 END) AS v_min_tokens,
+             sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END)
+               AS v_known_lang,
+             sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS v_nchars_consistent,
+             sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v_null__text,
+             sum(CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END) AS v_null__lang
+      FROM documents
+    )
+    SELECT 'text_nonempty' AS rule, n AS n_rows, v_text_nonempty AS n_violations,
+           round(1.0 - v_text_nonempty / CAST(n AS DOUBLE), 6) AS pass_rate FROM agg
+    UNION ALL SELECT 'min_tokens', n, v_min_tokens,
+           round(1.0 - v_min_tokens / CAST(n AS DOUBLE), 6) FROM agg
+    UNION ALL SELECT 'known_lang', n, v_known_lang,
+           round(1.0 - v_known_lang / CAST(n AS DOUBLE), 6) FROM agg
+    UNION ALL SELECT 'nchars_consistent', n, v_nchars_consistent,
+           round(1.0 - v_nchars_consistent / CAST(n AS DOUBLE), 6) FROM agg
+    UNION ALL SELECT 'null__text', n, v_null__text,
+           round(1.0 - v_null__text / CAST(n AS DOUBLE), 6) FROM agg
+    UNION ALL SELECT 'null__lang', n, v_null__lang,
+           round(1.0 - v_null__lang / CAST(n AS DOUBLE), 6) FROM agg
+    """,
+)
+def curation_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectations gate (operators/curation.validate_corpus): 4
+    content rules + null profile over documents, ALL evaluated in one
+    partial-agged scan (no per-rule passes). The oracle recomputes the
+    identical conditional counts."""
+    from denormalized_spark.operators import text as txt
+
+    d = t(spark, sf, "documents")
+    rules = {
+        "text_nonempty": F.length("text") > 0,
+        "min_tokens": F.size(txt.tokens("text")) >= 5,
+        "known_lang": F.col("lang").isin("en", "de", "fr", "es"),
+        "nchars_consistent": F.col("n_chars") == F.length("text"),
+    }
+    out = curation.validate_corpus(
+        d.select("text", "lang", "n_chars"), rules, include_null_profile=True
+    )
+    # keep the oracle's rule set: drop the auto null-profile rows the
+    # SQL doesn't enumerate (documents has no null text/lang at these
+    # SFs, but the rule ROWS must match exactly)
+    return out.filter(
+        F.col("rule").isin(
+            "text_nonempty", "min_tokens", "known_lang", "nchars_consistent",
+            "null__text", "null__lang",
+        )
+    )

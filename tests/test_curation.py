@@ -368,3 +368,36 @@ class TestBoilerplateLines:
         }
         assert out[0] == "second footer"  # only the capped winner removed
         assert out[10] == ""
+
+
+class TestValidateCorpus:
+    def test_rules_and_null_profile(self, spark):
+        from denormalized_spark.operators.curation import validate_corpus
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, None)], "id long, text string"
+        )
+        out = {
+            r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+            for r in validate_corpus(
+                df, {"nonempty": F.length("text") > 0}
+            ).collect()
+        }
+        # NULL text: the rule evaluates to NULL -> counted as violation
+        assert out["nonempty"] == (3, 2, round(1 / 3, 6))
+        assert out["null__text"] == (3, 1, round(2 / 3, 6))
+        assert out["null__id"] == (3, 0, 1.0)
+
+    def test_single_scan_plan(self, spark):
+        """The scale contract: all rules evaluate in ONE aggregation —
+        exactly one scan of the source in the physical plan."""
+        from denormalized_spark.operators.curation import validate_corpus
+
+        df = spark.range(100).selectExpr("id", "cast(id as string) AS s")
+        out = validate_corpus(
+            df,
+            {"a": F.col("id") >= 0, "b": F.length("s") > 0, "c": F.col("id") < 50},
+            include_null_profile=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range (0, 100") == 1

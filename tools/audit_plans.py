@@ -60,6 +60,7 @@ ALLOW_SINGLE_PART = {
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
+    "curation_validate",      # 1-row final of the all-rules global aggregate
 }
 MARKERS_PY = (
     "BatchEvalPython",
