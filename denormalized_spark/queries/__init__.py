@@ -47,7 +47,7 @@ _DRIVER_PRIORITY = [
     "multimodal_wav_features", "multimodal_bmp_stats", "multimodal_png_stats",
     "agg_weighted_percentile_column", "curation_boilerplate_lines",
     "dedup_near_gate", "text_train_linear_langid", "window_session_dynamic_gap",
-    "curation_validate",
+    "curation_validate", "text_trending_tokens",
     # timestamp-heavy first: most exposed to the conf change
     "window_tumbling_1h", "window_sliding_1h_30m", "window_global_tumbling_6h",
     "window_session_30m", "window_then_join", "window_rollup_cascade",
@@ -63,10 +63,10 @@ _DRIVER_PRIORITY = [
     "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
     "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
     "agg_weighted_percentile", "over_rank_per_customer",
-    "over_ntile_percentrank",
     # positions 51+: timestamp-free, lowest regression risk — outside
     # the driver's 50-sample this round, re-rotated next round
-    "over_nth_value", "scalar_string_funcs", "scalar_hash_funcs", "scalar_case_json", "array_funcs", "explode_top_tokens", "scalar_regex",
+    "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
+    "scalar_hash_funcs", "scalar_case_json", "array_funcs", "explode_top_tokens", "scalar_regex",
     "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
 ]
 

@@ -379,3 +379,50 @@ def window_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
         [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
         gap,
     ).df
+
+
+@q(
+    "text_trending_tokens",
+    r"""
+    WITH d AS (
+      SELECT make_timestamp(doc_id * 60000000) AS ts, text FROM documents
+    ),
+    tok AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start_time,
+             unnest(regexp_split_to_array(text, '\s+')) AS token
+      FROM d
+    ),
+    cnt AS (
+      SELECT window_start_time, token, count(*) AS n
+      FROM tok WHERE token != '' GROUP BY 1, 2
+    )
+    SELECT window_start_time, token, n, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start_time
+                                   ORDER BY n DESC, token) AS rk
+      FROM cnt
+    ) WHERE rk <= 5
+    """,
+)
+def text_trending_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending tokens per hour window — token analytics with the
+    time dimension (trend/topic monitoring over a document stream):
+    explode → windowed count → per-window rank, one plan. Documents
+    get a synthetic 1-per-minute timeline from doc_id so the window
+    grouping is deterministic; explicit (count desc, token) tiebreak
+    makes the top-5 engine-stable."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents").select(
+        F.timestamp_millis(F.col("doc_id") * 60_000).alias("ts"), "text"
+    )
+    tok = d.select(
+        F.window("ts", "1 hour").start.alias("window_start_time"),
+        F.explode(F.split("text", r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("window_start_time", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("window_start_time").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("window_start_time", "token", "n", "rk")
+    )
