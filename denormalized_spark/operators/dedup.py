@@ -605,7 +605,9 @@ def near_dedup_stream(
         F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk"),
     ).select(id_col, event_time, *payload_cols, "_bk.band", "_bk.band_key")
     owned = banded.dropDuplicatesWithinWatermark(["band", "band_key"])
-    win = F.window(event_time, f"{emit_window_ms // 1000} seconds")
+    # millisecond interval string: integer-dividing to seconds would make
+    # sub-second windows the invalid '0 seconds' and silently truncate others
+    win = F.window(event_time, f"{emit_window_ms} milliseconds")
     surv = (
         owned.groupBy(win, F.col(id_col))
         .agg(

@@ -441,8 +441,21 @@ def train_linear_classifier(
     exact dyadic rational below 2^53 — sums are order-independent and
     bit-identical across Spark, DuckDB, and Python, so the training
     trajectory itself is oracle-checkable (no seeds, no float drift).
+
+    **dim bound**: the prediction/gradient expression trees grow
+    linearly in ``dim`` (one term per feature), so Catalyst analysis
+    cost and the per-iteration collect are O(dim). Sensible for the
+    hashing-trick regime this targets (dim ≤ ~256); guarded at 1024 —
+    for genuinely wide models use MLlib's LogisticRegression instead.
     """
     import math
+
+    if dim > 1024:
+        raise ValueError(
+            f"dim={dim} exceeds the supported bound (1024): the per-feature "
+            "expression tree and driver-side gradient row grow linearly in "
+            "dim; use pyspark.ml for wide models"
+        )
 
     y = F.col(label_col) if isinstance(label_col, str) else label_col
     scale = float(2 ** lr_bits)
@@ -458,7 +471,11 @@ def train_linear_classifier(
         resid = pred - F.col("_y")
         g = feats.agg(
             *[
-                F.sum(resid * F.element_at("_x", j + 1)).alias(f"g{j}")
+                # coalesce: F.sum over zero rows is NULL, which would
+                # TypeError in the driver-side weight update below
+                F.coalesce(
+                    F.sum(resid * F.element_at("_x", j + 1)), F.lit(0.0)
+                ).alias(f"g{j}")
                 for j in range(dim)
             ]
         ).collect()[0]

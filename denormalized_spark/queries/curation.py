@@ -472,15 +472,22 @@ def curation_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
     "curation_validate",
     f"""
     WITH agg AS (
+      -- CAST ... AS BIGINT: DuckDB types sum(int) as HUGEINT, which pandas
+      -- materializes as float64 and breaks the driver's value-hash vs Spark's
+      -- long column (same fix as curation_pipeline's oracle).
       SELECT count(*) AS n,
-             sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS v_text_nonempty,
-             sum(CASE WHEN len({_TOKS}) >= 5 THEN 0 ELSE 1 END) AS v_min_tokens,
-             sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END)
-               AS v_known_lang,
-             sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
-               AS v_nchars_consistent,
-             sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v_null__text,
-             sum(CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END) AS v_null__lang
+             CAST(sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_text_nonempty,
+             CAST(sum(CASE WHEN len({_TOKS}) >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_min_tokens,
+             CAST(sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_known_lang,
+             CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_nchars_consistent,
+             CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_null__text,
+             CAST(sum(CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_null__lang
       FROM documents
     )
     SELECT 'text_nonempty' AS rule, n AS n_rows, v_text_nonempty AS n_violations,

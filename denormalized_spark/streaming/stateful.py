@@ -137,11 +137,18 @@ def sessionize_stream(
         # gap from the running max end (which includes the restored
         # open session's end) exceeds gap_us — identical semantics to
         # the per-row merge loop, at numpy speed.
+        merge_first = False
         if open_sess is not None:
             prev_end = np.maximum.accumulate(
                 np.concatenate((np.array([open_sess[1]], dtype="int64"), ts))
             )[:-1]
             starts_new = (ts - prev_end) > gap_us
+            # ts[0] continuing the restored session must still open the
+            # FIRST in-batch segment (else flatnonzero skips index 0 and
+            # pre-split events vanish / cross-gap merges happen); remember
+            # to merge that segment with open_sess below instead.
+            merge_first = not starts_new[0]
+            starts_new[0] = True
         else:
             starts_new = np.empty(len(ts), dtype=bool)
             starts_new[0] = True
@@ -153,11 +160,11 @@ def sessionize_stream(
         ]
         closed = []
         if open_sess is not None:
-            if starts_new[0]:
-                closed.append(open_sess)
-            else:
+            if merge_first:
                 s0, e0, n0 = segs[0]
                 segs[0] = (open_sess[0], max(open_sess[1], e0), open_sess[2] + n0)
+            else:
+                closed.append(open_sess)
         closed.extend(segs[:-1])
         open_sess = segs[-1]
         state.update(open_sess)
@@ -294,12 +301,18 @@ def asof_join_stream(
                         buf[c].extend(_json_safe_list(sub[c]))
         wm_us = state.getCurrentWatermarkMs() * 1000
 
+        def _obj1d(vals):
+            # explicit 1-D object array: np.asarray(list-of-equal-length-lists,
+            # dtype=object) would build a 2-D array and break the masked
+            # assignment below for array-typed payload columns
+            a = np.empty(len(vals), dtype=object)
+            a[:] = vals
+            return a
+
         def _sorted_arrays(buf, cols):
             t = np.asarray(buf["t"], dtype="int64")
             order = np.argsort(t, kind="stable")
-            return t[order], {
-                c: np.asarray(buf[c], dtype=object)[order] for c in cols
-            }
+            return t[order], {c: _obj1d(buf[c])[order] for c in cols}
 
         lt, lcols = _sorted_arrays(lefts, left_payload)
         rt, rcols = _sorted_arrays(rights, right_cols)
@@ -357,6 +370,7 @@ def _json_safe_list(s) -> list:
     """pandas Series → JSON-serializable Python list. ``.tolist()``
     unboxes numpy scalars in C; only the NaN→None normalization (JSON
     null, matching Spark NULL on the way back) touches each value."""
+    import numpy as np
     import pandas as pd
 
     vals = s.tolist()
@@ -364,7 +378,10 @@ def _json_safe_list(s) -> list:
         return [
             None
             if (v is None or v is pd.NA or (isinstance(v, float) and v != v))
-            else v
+            # array-typed Spark columns arrive as numpy.ndarray cells;
+            # .tolist() both nests them as lists and unboxes their numpy
+            # scalars, keeping the state blob JSON-encodable
+            else (v.tolist() if isinstance(v, np.ndarray) else v)
             for v in vals
         ]
     return vals

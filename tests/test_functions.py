@@ -329,3 +329,21 @@ class TestLinearTrainer:
         w = train_linear_classifier(df, "y", "text", dim=4, iters=2, lr_bits=10)
         for wj in w:
             assert wj == round(wj * 1024) / 1024  # exactly on the 2^-10 grid
+
+    def test_empty_corpus_returns_zero_weights(self, spark):
+        """Regression: F.sum over zero rows is NULL; the weight update
+        used to TypeError on an empty (or fully filtered) DataFrame."""
+        from denormalized_spark.operators.text import train_linear_classifier
+
+        df = spark.createDataFrame([], "doc_id long, y long, text string")
+        w = train_linear_classifier(df, "y", "text", dim=4, iters=2)
+        assert w == [0.0] * 4
+
+    def test_dim_bound_guard(self, spark):
+        from denormalized_spark.operators.text import train_linear_classifier
+
+        df = spark.createDataFrame(
+            [(1, 1, "a")], "doc_id long, y long, text string"
+        )
+        with pytest.raises(ValueError, match="dim"):
+            train_linear_classifier(df, "y", "text", dim=2048, iters=1)

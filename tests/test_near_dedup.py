@@ -112,3 +112,75 @@ def test_stream_matches_batch_twin(spark):
 def test_stream_batch_polymorphism(doc_df):
     out = DataStream(doc_df, event_time="ts").near_dedup("doc_id", "text")
     assert {r.doc_id for r in out.df.collect()} == {1, 2, 4, 99}
+
+
+def test_subsecond_emit_window_builds(spark):
+    """Regression: emit_window_ms < 1000 used to render as the invalid
+    duration '0 seconds' (AnalysisException at plan time); non-multiples
+    of 1000 were silently truncated. Millisecond intervals must resolve."""
+    from denormalized_spark.operators.dedup import near_dedup_stream
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.col("timestamp").alias("ts"),
+            F.lit("text body").alias("text"),
+        )
+    )
+    out = near_dedup_stream(sdf, "doc_id", "text", "ts", emit_window_ms=500)
+    assert [f.name for f in out.schema] == ["doc_id", "ts"]
+
+
+def test_stream_restart_preserves_bucket_state(spark, tmp_path):
+    """Kill/restart recovery for the near-dup gate: the
+    dropDuplicatesWithinWatermark bucket-owner state must survive a
+    checkpoint restart — a post-restart copy of a pre-restart doc is
+    still dropped, and the survivor set equals the uninterrupted run."""
+    stage = tmp_path / "nd_restart"
+    stage.mkdir()
+    ckpt = str(tmp_path / "nd_restart_ck")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write_batch(k, rows, age_s):
+        import time as _time
+
+        path = os.path.join(str(stage), f"part{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        t = _time.time() - age_s
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (t, t))
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(str(stage), "part*"))
+        )
+        ds = (
+            DataStream(sdf, event_time="ts")
+            .with_watermark("30 minutes")
+            .near_dedup("doc_id", "text")
+        )
+        rows = []
+        q = ds.sink(lambda df: rows.extend(df.collect()), checkpoint=ckpt)
+        q.awaitTermination(240)
+        return rows
+
+    at = lambda m: T0 + datetime.timedelta(minutes=m)
+    # run 1: docs 1 and 2 claim their buckets
+    write_batch(0, [(1, at(0), DOCS[0][2]), (2, at(0), DOCS[1][2])], age_s=100)
+    run()
+
+    # "crash"; then doc 3 (copy of doc 1) + unique doc 4 + flush sentinel
+    write_batch(1, [(3, at(10), DOCS[0][2]), (4, at(10), DOCS[3][2])], age_s=50)
+    write_batch(2, [(99, at(300), DOCS[4][2])], age_s=0)
+
+    # run 1 closed no window (watermark still behind), so run 2 emits
+    # the full survivor set — which must exclude the post-restart dup.
+    emitted2 = run()
+    ids2 = {r.doc_id for r in emitted2}
+    assert 3 not in ids2, "restored bucket state failed to drop the dup"
+    assert ids2 == {1, 2, 4}, ids2

@@ -105,6 +105,79 @@ def test_sessionize_stream_equals_batch(spark, events):
     assert len(got) >= len(must_emit)
 
 
+def _run_session_batches(spark, batches, gap_ms=GAP_MS):
+    """Stage per-micro-batch event files for user 1 and run the
+    streaming sessionizer; returns the emitted session tuples."""
+    stage = tempfile.mkdtemp(prefix="sess_edge_")
+    schema = "user_id long, ts timestamp"
+    for i, chunk in enumerate(batches):
+        path = os.path.join(stage, f"part{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    ds = DataStream(sdf, event_time="ts").sessionize(["user_id"], gap_ms)
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_sess_edge_"),
+    )
+    q.awaitTermination(240)
+    return {(r.user_id, r.session_start, r.session_end, r.n_events) for r in emitted}
+
+
+def test_sessionize_stream_continuation_no_split(spark):
+    """Regression: a batch whose FIRST event continues the restored open
+    session and whose remaining events have no internal gap used to
+    produce an empty segment list (IndexError, query death). The open
+    session must simply extend across the batch boundary."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    got = _run_session_batches(
+        spark,
+        [
+            [(1, at(0)), (1, at(10))],        # state = open (0, 10, n=2)
+            [(1, at(600)), (1, at(700))],     # continues: 600-10 < 30min
+            [(1, at(50_000))],                # far future: closes the merge
+        ],
+    )
+    assert (1, at(0), at(700), 4) in got
+    assert not any(s == at(600) for (_, s, _, _) in got), "merge was split"
+
+
+def test_sessionize_stream_continuation_then_gap(spark):
+    """Regression: first event continues the open session, a LATER event
+    in the same batch opens a new one. Events before the split used to
+    be dropped and the open session merged across the gap."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    got = _run_session_batches(
+        spark,
+        [
+            [(1, at(0)), (1, at(10))],          # open (0, 10, n=2)
+            [(1, at(600)), (1, at(2500))],      # 600 continues; 2500 splits
+            [(1, at(50_000))],                  # closes (2500,)
+        ],
+    )
+    assert (1, at(0), at(600), 3) in got
+    assert (1, at(2500), at(2500), 1) in got
+    assert not any(
+        s == at(0) and e == at(2500) for (_, s, e, _) in got
+    ), "session wrongly merged across the gap"
+
+
 def test_drop_duplicates_within_watermark_stream(spark):
     """Streaming exact dedup: duplicate keys across micro-batches are
     dropped while their state lives within the watermark delay."""
@@ -209,4 +282,60 @@ def test_asof_join_stream_out_of_order(spark):
         (1, at(30)): (7, "B", at(25)),   # NOT "A": the late t=25 right wins
         (1, at(40)): (8, "B", at(25)),
         (2, at(50)): (9, None, None),    # flushed by event-time timeout
+    }
+
+
+def test_asof_join_stream_array_payload(spark):
+    """Regression: uniform-length array payload columns used to be
+    collapsed into a 2-D numpy array by np.asarray(dtype=object),
+    breaking the masked match assignment (broadcast ValueError)."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    ldir = tempfile.mkdtemp(prefix="asofv_l_")
+    rdir = tempfile.mkdtemp(prefix="asofv_r_")
+    lschema = "uid long, lt timestamp, amt long"
+    rschema = "uid long, rt timestamp, vec array<double>"
+    lbatches = [[(1, at(30), 7)], [(1, at(40), 8)], [(3, at(300), 99)]]
+    rbatches = [
+        [(1, at(10), [1.0, 2.0])],
+        [(1, at(35), [3.0, 4.0])],   # same length: the 2-D repro shape
+        [(3, at(200), [5.0, 6.0])],
+    ]
+    for i, (lc, rc) in enumerate(zip(lbatches, rbatches)):
+        for d, chunk, schema in ((ldir, lc, lschema), (rdir, rc, rschema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    ds = DataStream(stream(ldir, lschema), event_time="lt").join_asof(
+        DataStream(stream(rdir, rschema), event_time="rt"),
+        on=["uid"],
+        left_time="lt",
+        right_time="rt",
+        right_cols=["vec"],
+    )
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_asofv_"),
+    )
+    q.awaitTermination(240)
+    got = {(r.uid, r.lt): (r.amt, list(r.vec) if r.vec is not None else None)
+           for r in emitted}
+    assert got == {
+        (1, at(30)): (7, [1.0, 2.0]),
+        (1, at(40)): (8, [3.0, 4.0]),
     }

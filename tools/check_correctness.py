@@ -23,6 +23,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def dtype_family(dt) -> str:
+    """Coarse dtype family used by the strict pre-check. The driver's
+    value-hash distinguishes int from float reprs (0 vs 0.0), so an
+    oracle that comes back float64 where Spark returns long WILL
+    hash-mismatch even when values agree — catch that here, before
+    the lax normalized comparison (r4's ``curation_validate`` bug)."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s in ("bool", "boolean"):
+        return "bool"
+    return "object"
+
+
+def dtype_family_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sdf.columns:
+        fs, fo = dtype_family(sdf[c].dtype), dtype_family(odf[c].dtype)
+        if fs != fo and "object" not in (fs, fo):
+            # NULL-induced float64 can't false-positive here: if one side is
+            # int (NaN-free) and the other float-with-NaN, values differ too.
+            out.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -83,6 +112,15 @@ def main() -> int:
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        mism = dtype_family_mismatches(
+            sdf.reindex(sorted(sdf.columns), axis=1),
+            odf.reindex(sorted(odf.columns), axis=1),
+        )
+        if mism:
+            print(f"FAIL {name}: dtype family mismatch (driver hash would differ): "
+                  + "; ".join(mism))
             n_fail += 1
             continue
         s, o = normalize(sdf), normalize(odf)
