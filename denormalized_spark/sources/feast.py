@@ -46,16 +46,9 @@ def write_feast_feature(
     pandas, stamped with the event timestamp column Feast expects, and
     pushed. Works for batch DataStreams too (single push).
     """
-    try:
-        from feast.data_source import PushMode  # noqa: F401
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise RuntimeError(
-            "feast is not installed; `pip install feast` to use the Feast sink"
-        ) from e
-
-    from feast.data_source import PushMode
-
-    mode = {"online": PushMode.ONLINE, "offline": PushMode.OFFLINE, "both": PushMode.ONLINE_AND_OFFLINE}[to]
+    if to not in ("online", "offline", "both"):
+        raise ValueError(f"to must be online/offline/both, got {to!r}")
+    mode = _resolve_push_mode(to)
 
     def push_batch(batch_df, _epoch=None):
         pdf = batch_df.toPandas()
@@ -63,3 +56,19 @@ def write_feast_feature(
             feature_store.push(push_source_name, pdf, to=mode)
 
     return ds.sink(push_batch, checkpoint=checkpoint, trigger=trigger)
+
+
+def _resolve_push_mode(to: str):
+    """Map the ``to`` keyword to feast's PushMode enum. Falls back to
+    the plain string when feast isn't installed, so the per-batch push
+    contract (batch → pandas → ``store.push``) stays testable against
+    a stand-in store without the optional dependency."""
+    try:
+        from feast.data_source import PushMode
+    except ImportError:  # optional dependency absent: string-mode contract
+        return to
+    return {
+        "online": PushMode.ONLINE,
+        "offline": PushMode.OFFLINE,
+        "both": PushMode.ONLINE_AND_OFFLINE,
+    }[to]
