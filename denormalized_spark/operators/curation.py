@@ -30,6 +30,74 @@ from denormalized_spark.operators.dedup import shingle_hashes
 from denormalized_spark.operators.text import tokens
 
 
+def _bloom_probes(g: Column, bits: int, probes: int) -> list[Column]:
+    """``probes`` bit positions in [0, bits) for a 32-bit shingle hash
+    ``g``, by double hashing (h1 + i·h2, h2 forced odd so it cycles
+    the power-of-two table). Pure long arithmetic, no overflow:
+    h1 + i·h2 < (probes + 1)·bits."""
+    h1 = g % F.lit(bits)
+    h2 = F.lit(1) + F.lit(2) * (F.shiftright(g, 17) % F.lit(bits // 2))
+    return [(h1 + F.lit(i) * h2) % F.lit(bits) for i in range(probes)]
+
+
+def _bench_gram_bloom(
+    bench_grams: DataFrame, bits: int, probes: int
+) -> DataFrame:
+    """1-row DataFrame with a dense ``_bm`` array<long> Bloom bitmap
+    (``bits`` bits packed 64/word) over the benchmark gram hashes.
+    Built lazily and distributed: gram → probe positions → per-word
+    bit_or, then a word grid left-join fills the zero words and one
+    metadata-sized collect_list assembles the array (≤ bits/64
+    elements — 16K longs at the 2^20 default). The single-partition
+    final is the sanctioned 1-row-metadata aggregate pattern."""
+    nwords = bits // 64
+    spark = bench_grams.sparkSession
+    g = F.col("gram")
+    positions = bench_grams.select(
+        F.explode(F.array(*_bloom_probes(g, bits, probes))).alias("pos")
+    ).distinct()
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("long").alias("wi")
+    ).agg(
+        # dynamic shift count: shiftleft() only takes a literal shift,
+        # so index a constant-folded 64-entry power-of-two lookup
+        # (entry 64 is -2^63, the sign bit, two's-complement exact)
+        F.bit_or(
+            F.element_at(
+                F.array(*[F.lit((1 << k) - (1 << 64 if k == 63 else 0)).cast("long") for k in range(64)]),
+                (F.col("pos") % 64).cast("int") + 1,
+            )
+        ).alias("w")
+    )
+    # 1 partition: the grid is bits/64 longs of metadata — fanning it
+    # across the cluster costs more scheduling than it parallelizes
+    grid = spark.range(0, nwords, 1, 1).withColumnRenamed("id", "wi")
+    dense = grid.join(F.broadcast(words), "wi", "left").select(
+        "wi", F.coalesce("w", F.lit(0).cast("long")).alias("w")
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
+        ).alias("_bm")
+    )
+
+
+def _bloom_hit(bm: Column, shingles: Column, bits: int, probes: int) -> Column:
+    """True iff ANY shingle has all its probe bits set — i.e. the doc
+    MAY share a gram with the benchmark (no false negatives; false
+    positives are re-checked exactly downstream). O(probes) element_at
+    reads per shingle on the bound bitmap attribute."""
+
+    def _one(g: Column) -> Column:
+        hit = F.lit(True)
+        for pos in _bloom_probes(g, bits, probes):
+            word = F.element_at(bm, (pos / 64).cast("int") + 1)
+            hit = hit & (F.getbit(word, (pos % 64).cast("int")) == 1)
+        return hit
+
+    return F.exists(shingles, _one)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -37,6 +105,8 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     return_flags: bool = False,
+    prefilter_bits: int | None = None,
+    prefilter_probes: int = 3,
 ) -> DataFrame:
     """Remove corpus documents that share any word ``n``-gram with a
     benchmark/eval set (training-set decontamination, the standard
@@ -55,12 +125,43 @@ def decontaminate(
     With ``return_flags=True`` the full corpus is returned with a
     boolean ``contaminated`` column instead of being filtered — for
     audit queries that count contamination by source.
+
+    ``prefilter_bits`` (opt-in; 2^20 is a good starting size) gates
+    the corpus explode behind a per-row Bloom test: the benchmark grams are folded into a 1-row
+    broadcast bitmap, and only documents whose shingle set hits all
+    probe bits for ≥1 shingle (possible sharers + Bloom false
+    positives) are exploded and exactly re-checked. At 100 TB this is
+    the difference between exploding ~n_tokens rows per document for
+    the WHOLE corpus and exploding only the contaminated few percent
+    — the scan-side test is O(probes) array reads per shingle. Size
+    ``bits ≳ 20 × |bench grams|`` to keep it selective (2^20 covers
+    ~50k grams; raise for larger eval suites — the bitmap is
+    bits/8 bytes, broadcast once). Default ``None`` — at small data
+    the extra bloom-build jobs cost more than the explode they avoid;
+    enable at corpus scales where the explode dominates (the
+    100 TB default). Results are identical either way (no false
+    negatives), driver-proven by ``curation_decontaminate_bloom``.
     """
     bench_grams = (
         benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("gram"))
         .distinct()
     )
-    doc_grams = corpus.select(
+    explode_src = corpus
+    if prefilter_bits:
+        bloom = _bench_gram_bloom(bench_grams, prefilter_bits, prefilter_probes)
+        explode_src = (
+            corpus.join(F.broadcast(bloom))
+            .filter(
+                _bloom_hit(
+                    F.col("_bm"),
+                    shingle_hashes(text_col, n),
+                    prefilter_bits,
+                    prefilter_probes,
+                )
+            )
+            .drop("_bm")
+        )
+    doc_grams = explode_src.select(
         F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("gram")
     )
     contaminated_ids = (

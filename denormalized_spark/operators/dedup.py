@@ -67,6 +67,18 @@ def token_hash32(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
 
 
+def eval_once(col: Column, build) -> Column:
+    """Manual common-subexpression elimination for an array-typed
+    subexpression: Catalyst does NOT CSE across higher-order-function
+    boundaries, so k Column references to a derived array inline (and
+    re-evaluate) its producing subtree k times per row. Wrapping the
+    value in a 1-element array and binding it through ``transform``
+    evaluates it exactly once; ``build`` receives the bound lambda
+    variable, whose references are cheap attribute reads. Shrinks both
+    runtime and the whole-stage-codegen tree (~n× for n references)."""
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as 32-bit HASHES — one md5 per
     TOKEN, then positional-constant arithmetic per shingle. The
@@ -77,37 +89,44 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     at document scale and deterministic across engines).
     """
     toks = tokens(text)
-    th = F.transform(toks, token_hash32)
     consts = [shingle_params(j) for j in range(n)]
     mod = F.lit(SHINGLE_MOD)
-    sz = F.size(toks)
-    # IMPORTANT plan shape: the grams are built by zip_with over n
-    # SLICED copies of the token-hash array — each slice evaluates
-    # `th` once per ROW. Random access (element_at(th, i+j)) inside a
-    # transform lambda re-evaluates the whole transform-over-tokens
-    # subtree once per ELEMENT access: O(tokens × shingles) md5s, a
-    # ~30× slowdown measured at sf0.1.
-    cnt = F.greatest(sz - (n - 1), F.lit(1))
-    slices = [F.slice(th, j + 1, cnt) for j in range(n)]
-    # per-term mod keeps every intermediate below 2^33·n < 2^63
-    acc = F.zip_with(
-        slices[0],
-        slices[1],
-        lambda x, y: (x * F.lit(consts[0])) % mod + (y * F.lit(consts[1])) % mod,
-    )
-    def _add_term(c: int):
-        return lambda s, z: s + (z * F.lit(c)) % mod
 
-    for j in range(2, n):
-        acc = F.zip_with(acc, slices[j], _add_term(consts[j]))
-    grams = F.transform(acc, lambda s: s % mod)
-    # short doc (< n tokens): one rolling-hash shingle over all tokens
-    short = F.array(
-        F.aggregate(
-            th, F.lit(0).cast("long"), lambda a, h: (a * F.lit(31) + h) % mod
+    # IMPORTANT plan shape, two layers:
+    # 1. the grams are built by zip_with over n SLICED copies of the
+    #    token-hash array — random access (element_at(th, i+j)) inside
+    #    a transform lambda re-evaluates the whole transform-over-
+    #    tokens subtree once per ELEMENT access: O(tokens × shingles)
+    #    md5s, a ~30× slowdown measured at sf0.1;
+    # 2. the token-hash array itself is bound ONCE via eval_once — the
+    #    n slices + the short-doc branch would otherwise inline the
+    #    md5-per-token transform n+1 times per row.
+    def _build(th: Column) -> Column:
+        sz = F.size(th)
+        cnt = F.greatest(sz - (n - 1), F.lit(1))
+        slices = [F.slice(th, j + 1, cnt) for j in range(n)]
+        # per-term mod keeps every intermediate below 2^33·n < 2^63
+        acc = F.zip_with(
+            slices[0],
+            slices[1],
+            lambda x, y: (x * F.lit(consts[0])) % mod + (y * F.lit(consts[1])) % mod,
         )
-    )
-    return F.array_distinct(F.when(sz >= n, grams).otherwise(short))
+
+        def _add_term(c: int):
+            return lambda s, z: s + (z * F.lit(c)) % mod
+
+        for j in range(2, n):
+            acc = F.zip_with(acc, slices[j], _add_term(consts[j]))
+        grams = F.transform(acc, lambda s: s % mod)
+        # short doc (< n tokens): one rolling-hash shingle over all tokens
+        short = F.array(
+            F.aggregate(
+                th, F.lit(0).cast("long"), lambda a, h: (a * F.lit(31) + h) % mod
+            )
+        )
+        return F.array_distinct(F.when(sz >= n, grams).otherwise(short))
+
+    return eval_once(F.transform(toks, token_hash32), _build)
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -91,6 +91,26 @@ def curation_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_decontaminate_bloom",
+    _GRAMS_CTE
+    + """
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 20 != 7 AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+)
+def curation_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB decontamination path: same semantics as
+    ``curation_decontaminate`` (identical oracle), with the corpus
+    explode gated behind the 1-row broadcast Bloom bitmap
+    (operators/curation.py ``prefilter_bits``) so only possible
+    sharers explode. Hash-equality against the ungated oracle IS the
+    no-false-negatives proof."""
+    corpus, bench = _split(spark, sf)
+    clean = curation.decontaminate(corpus, bench, n=5, prefilter_bits=1 << 18)
+    return clean.select("doc_id", "source")
+
+
+@q(
     "curation_chunks",
     f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),

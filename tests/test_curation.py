@@ -401,3 +401,75 @@ class TestValidateCorpus:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Range (0, 100") == 1
+
+
+class TestBloomPrefilter:
+    """Bloom-gated decontamination (the 100 TB explode-avoidance
+    path): the gate may only ADD candidates (false positives are
+    re-checked exactly), never drop one — gated output must equal the
+    ungated output bit-for-bit."""
+
+    def test_gated_equals_ungated(self, spark):
+        from denormalized_spark.operators import curation
+
+        rows = []
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        words = base.split()
+        for i in range(120):
+            # every doc: a rotated window over a tiny vocab → frequent
+            # real overlaps AND high bloom-collision pressure
+            txt = " ".join(words[(i + j) % len(words)] for j in range(7))
+            rows.append((i, txt + f" unique{i}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = df.filter("doc_id % 10 != 3")
+        bench = df.filter("doc_id % 10 = 3")
+        for bits in (1 << 10, 1 << 14):  # small table = many collisions
+            gated = {
+                r.doc_id
+                for r in curation.decontaminate(
+                    corpus, bench, n=3, prefilter_bits=bits
+                ).collect()
+            }
+            ungated = {
+                r.doc_id
+                for r in curation.decontaminate(
+                    corpus, bench, n=3, prefilter_bits=None
+                ).collect()
+            }
+            assert gated == ungated
+
+    def test_gate_is_superset_of_contaminated(self, spark):
+        """Bloom candidates ⊇ truly contaminated docs (no false
+        negatives) and the bitmap actually prunes clean docs."""
+        from denormalized_spark.operators import curation
+        from denormalized_spark.operators.curation import (
+            _bench_gram_bloom,
+            _bloom_hit,
+        )
+        from denormalized_spark.operators.dedup import shingle_hashes
+
+        clean_rows = [(i, f"doc{i} private words q{i} r{i} s{i} t{i}") for i in range(50)]
+        dirty_rows = [(100 + i, "shared secret phrase canary token here") for i in range(5)]
+        bench_rows = [(999, "the shared secret phrase canary token here indeed")]
+        corpus = spark.createDataFrame(clean_rows + dirty_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        bits = 1 << 16
+        bench_grams = bench.select(
+            F.explode(shingle_hashes("text", 3)).alias("gram")
+        ).distinct()
+        bloom = _bench_gram_bloom(bench_grams, bits, 3)
+        cand = (
+            corpus.join(F.broadcast(bloom))
+            .filter(_bloom_hit(F.col("_bm"), shingle_hashes("text", 3), bits, 3))
+        )
+        cand_ids = {r.doc_id for r in cand.select("doc_id").collect()}
+        assert {100, 101, 102, 103, 104} <= cand_ids
+        assert len(cand_ids) < 55, "bloom pruned nothing"
+        # and the end-to-end operator drops exactly the dirty docs
+        kept = {
+            r.doc_id
+            for r in curation.decontaminate(
+                corpus, bench, n=3, prefilter_bits=bits
+            ).collect()
+        }
+        assert kept == {i for i in range(50)}

@@ -41,6 +41,7 @@ ALLOW_BNLJ = {
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
+    "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -61,6 +62,7 @@ ALLOW_SINGLE_PART = {
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
     "curation_validate",      # 1-row final of the all-rules global aggregate
+    "curation_decontaminate_bloom",  # 1-row Bloom bitmap assembly (bits/64 longs)
 }
 MARKERS_PY = (
     "BatchEvalPython",
