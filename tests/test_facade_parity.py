@@ -64,12 +64,23 @@ def test_unnest_column(spark):
     assert sorted((r["k"], r["xs"]) for r in strict) == [(1, 10), (1, 20)]
 
 
-def test_feast_sink_gated(spark):
+def test_feast_sink_duck_typed_without_feast(spark):
+    """Without the optional feast install the sink degrades to string
+    push modes and still pushes per batch — the contract a stand-in
+    FeatureStore (or the real one) sees is identical
+    (tests/test_feast_sink.py covers it end-to-end)."""
     from denormalized_spark.sources.feast import write_feast_feature
 
-    ds = DataStream(spark.range(1))
-    with pytest.raises(RuntimeError, match="feast is not installed"):
-        write_feast_feature(ds, None, "src")
+    pushes = []
+
+    class Store:
+        def push(self, name, pdf, to=None):
+            pushes.append((name, len(pdf), to))
+
+    write_feast_feature(DataStream(spark.range(3)), Store(), "src")
+    assert pushes == [("src", 3, "online")]
+    with pytest.raises(ValueError, match="online/offline/both"):
+        write_feast_feature(DataStream(spark.range(1)), Store(), "src", to="bogus")
 
 
 def test_from_stream_csv_windowed(spark, tmp_path):
