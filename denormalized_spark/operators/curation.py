@@ -409,6 +409,70 @@ def mixture_sample(
     )
 
 
+def mixture_solve(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    token_count_col: Column | None = None,
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> tuple[DataFrame, DataFrame]:
+    """Solve a target training mixture against what the corpus actually
+    has, then apply it. ``weights`` maps stratum → target share of the
+    final token budget; the largest achievable budget is
+    ``T = min_i(available_i / weight_i)`` (the binding stratum is fully
+    kept, every other stratum down-samples to ``weight_i·T`` tokens).
+    This is the step UPSTREAM of :func:`mixture_sample`: that operator
+    applies given rates, this one derives them from the data.
+
+    Returns ``(sampled_df, rates_df)`` — the deterministically sampled
+    corpus and the per-stratum plan
+    (stratum, available_tokens, rate, target_tokens). Both are lazy:
+    availability is a k-row aggregate, the budget is a 1-row metadata
+    min broadcast back (the sanctioned 1-row crossJoin pattern), and
+    the keep decision is the usual engine-portable md5 fraction — one
+    corpus scan + one k-row shuffle, no collect.
+
+    Rate application is per-DOCUMENT (a doc keeps all its tokens or
+    none), so realized token counts fluctuate around the target by
+    sampling noise — exact for the binding stratum (rate 1), unbiased
+    elsewhere; the standard practice for document-granular corpora.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    from denormalized_spark.operators.text import token_count
+
+    tokens_c = (
+        token_count("text") if token_count_col is None else token_count_col
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], [strata_col, "_w"]
+    )
+    avail = df.groupBy(strata_col).agg(
+        F.sum(tokens_c).cast("double").alias("_avail")
+    )
+    j = avail.join(F.broadcast(wdf), strata_col)
+    budget = j.groupBy().agg(F.min(F.col("_avail") / F.col("_w")).alias("_T"))
+    rates = (
+        j.join(F.broadcast(budget))
+        .select(
+            strata_col,
+            F.col("_avail").cast("long").alias("available_tokens"),
+            F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_avail")).alias(
+                "rate"
+            ),
+            (F.col("_w") * F.col("_T")).cast("long").alias("target_tokens"),
+        )
+    )
+    sampled = (
+        df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
+        .filter(sample_fraction(id_col, seed) < F.col("rate"))
+        .drop("rate")
+    )
+    return sampled, rates
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -346,6 +346,49 @@ def lsh_bucket_histogram(
     )
 
 
+def duplicated_ngram_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-content rate: the fraction of a doc's
+    distinct word n-grams that appear in at least one OTHER document.
+    The corpus-level memorization/boilerplate signal the C4/Gopher/
+    RefinedWeb-style pipelines threshold on — complements pairwise
+    dedup (a doc can be 60% stitched-together duplicated text without
+    having any single near-duplicate partner).
+
+    Returns (id, n_grams, n_shared, dup_gram_rate).
+
+    Plan: one explode of the distinct per-doc gram hashes, ONE shuffle
+    on gram for the document-frequency counts, the gram→count join
+    reuses that exchange (identical subplan), then a groupBy(id)
+    rollup. Gram-keyed shuffle volume ∝ corpus tokens — the same
+    budget class as the TF-IDF document-frequency table
+    (docs/SCALING.md); no pair generation anywhere.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("gram")
+    )
+    # shingle_hashes is per-doc distinct, so count(*) = document freq
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "dup_gram_rate",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

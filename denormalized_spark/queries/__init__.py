@@ -63,16 +63,17 @@ _DRIVER_PRIORITY = [
     "udf_revenue_by_flag", "udaf_weighted_avg_price",
     "join_asof_purchase_click", "sessionize_users", "join_range_order_bursts",
     "window_event_time_normalization",
-    # curation funnel (+ the new r5 bloom-gated twin, never verified)
+    # curation funnel (+ the new r5 entries, never driver-verified)
     "curation_decontaminate", "curation_decontaminate_bloom",
+    "curation_mixture_solver", "dedup_ngram_duplication_rate",
     "curation_chunks", "curation_mixture",
     "curation_split", "curation_pack", "curation_redact", "curation_quota",
     "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
-    # remaining never-r4-verified scalars that fit inside the 50-sample
-    "explode_top_tokens", "scalar_encode_digest", "scalar_struct_funcs",
+    # remaining never-r4-verified scalar that fits inside the 50-sample
+    "explode_top_tokens",
     # positions 51+: timestamp-free, lowest regression risk — outside
     # the driver's 50-sample this round, re-rotated next round
-    "scalar_math_checksums",
+    "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
     "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
     "scalar_hash_funcs", "scalar_case_json", "array_funcs", "scalar_regex",
 ]

@@ -141,6 +141,99 @@ _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_RATES.items())
 
 
 @q(
+    "dedup_ngram_duplication_rate",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    g AS (SELECT doc_id, {_gram_sql(3)} AS grams FROM hh),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    c AS (SELECT gram, count(*) AS dfreq FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN c.dfreq >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_gram_rate
+    FROM e JOIN c USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def dedup_ngram_duplication_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc duplicated-content rate (operators/dedup.py
+    duplicated_ngram_rate): fraction of each doc's distinct 3-grams
+    appearing in >=1 other document — the corpus-level boilerplate/
+    memorization signal pairwise dedup misses. One gram-keyed shuffle
+    (exchange reused for the count join), no pair generation."""
+    from denormalized_spark.operators.dedup import duplicated_ngram_rate
+
+    return duplicated_ngram_rate(t(spark, sf, "documents"), n=3)
+
+
+_SOLVER_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_SOLVER_W_VALUES = ", ".join(f"('{k}', {v})" for k, v in _SOLVER_W.items())
+
+
+@q(
+    "curation_mixture_solver",
+    f"""
+    WITH avail AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS DOUBLE) AS a
+      FROM documents GROUP BY source
+    ),
+    j AS (SELECT avail.source, a, w
+          FROM avail JOIN (VALUES {_SOLVER_W_VALUES}) wt(source, w) USING (source)),
+    t AS (SELECT min(a / w) AS t FROM j),
+    rates AS (
+      SELECT j.source, CAST(a AS BIGINT) AS available_tokens,
+             least(1.0, w * t.t / a) AS rate,
+             CAST(w * t.t AS BIGINT) AS target_tokens
+      FROM j, t
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_docs_kept,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens_kept
+      FROM documents d JOIN rates USING (source)
+      WHERE ('0x' || substr(md5('mix0' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < rates.rate
+      GROUP BY d.source
+    )
+    SELECT rates.source, available_tokens, round(rate, 6) AS rate, target_tokens,
+           coalesce(n_docs_kept, 0) AS n_docs_kept,
+           coalesce(n_tokens_kept, 0) AS n_tokens_kept
+    FROM rates LEFT JOIN kept USING (source)
+    """,
+)
+def curation_mixture_solver(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture SOLVER (operators/curation.py mixture_solve): derive
+    the largest token budget achievable under target source weights
+    (T = min available/weight — the binding source keeps rate 1),
+    then apply the solved per-source rates deterministically. Output
+    is the per-source plan plus realized counts. Lazy and collect-
+    free: k-row availability agg, 1-row budget broadcast, one corpus
+    scan."""
+    d = t(spark, sf, "documents")
+    sampled, rates = curation.mixture_solve(d, _SOLVER_W)
+    realized = sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        rates.join(realized, "source", "left")
+        .select(
+            "source",
+            "available_tokens",
+            F.round("rate", 6).alias("rate"),
+            "target_tokens",
+            F.coalesce("n_docs_kept", F.lit(0).cast("long")).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
+@q(
     "curation_mixture",
     f"""
     SELECT d.doc_id, d.source FROM documents d

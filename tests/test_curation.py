@@ -473,3 +473,55 @@ class TestBloomPrefilter:
             ).collect()
         }
         assert kept == {i for i in range(50)}
+
+
+class TestMixtureSolve:
+    def test_budget_math_and_binding_stratum(self, spark):
+        from denormalized_spark.operators.curation import mixture_solve
+
+        # src a: 1000 tokens, b: 100 tokens; weights 50/50 → binding
+        # stratum is b: T = 200, a's rate = 100/1000, b's rate = 1.0
+        rows = [(i, "a", "w " * 10) for i in range(100)] + [
+            (1000 + i, "b", "w " * 10) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        sampled, rates = mixture_solve(df, {"a": 0.5, "b": 0.5})
+        r = {x.source: x for x in rates.collect()}
+        assert r["a"].available_tokens == 1000 and r["b"].available_tokens == 100
+        assert abs(r["a"].rate - 0.1) < 1e-9 and r["b"].rate == 1.0
+        assert r["a"].target_tokens == 100 and r["b"].target_tokens == 100
+        got = sampled.groupBy("source").count().collect()
+        by = {x.source: x["count"] for x in got}
+        # b fully kept; a down-sampled (deterministic, so exact count
+        # is fixed across runs — just assert the binding contract)
+        assert by.get("b") == 10 and 0 < by.get("a", 0) < 100
+
+    def test_strata_without_weights_are_dropped(self, spark):
+        from denormalized_spark.operators.curation import mixture_solve
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y"), (2, "zzz", "x y")],
+            "doc_id long, source string, text string",
+        )
+        sampled, rates = mixture_solve(df, {"a": 1.0})
+        assert {r.source for r in rates.collect()} == {"a"}
+        assert {r.source for r in sampled.collect()} <= {"a"}
+
+
+class TestDuplicatedNgramRate:
+    def test_rates(self, spark):
+        from denormalized_spark.operators.dedup import duplicated_ngram_rate
+
+        rows = [
+            (1, "a b c d e"),        # shares all grams with doc 2
+            (2, "a b c d e"),
+            (3, "p q r s t"),        # fully unique
+            (4, "a b c x y z"),      # shares 'a b c' only
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in duplicated_ngram_rate(df, n=3).collect()}
+        assert got[1].n_grams == 3 and got[1].n_shared == 3
+        assert got[1].dup_gram_rate == 1.0
+        assert got[3].n_shared == 0 and got[3].dup_gram_rate == 0.0
+        assert got[4].n_grams == 4 and got[4].n_shared == 1
+        assert got[4].dup_gram_rate == 0.25

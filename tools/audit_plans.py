@@ -42,6 +42,7 @@ ALLOW_BNLJ = {
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
     "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
+    "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -63,6 +64,7 @@ ALLOW_SINGLE_PART = {
     "window_resample_ffill",  # 1-row global min/max bin bounds
     "curation_validate",      # 1-row final of the all-rules global aggregate
     "curation_decontaminate_bloom",  # 1-row Bloom bitmap assembly (bits/64 longs)
+    "curation_mixture_solver",  # 1-row budget min over the k-stratum table
 }
 MARKERS_PY = (
     "BatchEvalPython",
