@@ -75,6 +75,73 @@ def quality_score(text: Column | str) -> Column:
     return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al.
+    2021) as flag columns + an overall ``gopher_pass`` — the standard
+    heuristic gate a pre-training pipeline runs before model-based
+    filtering: word-count bounds, mean-word-length bounds, symbol
+    (#/ellipsis)-to-word ratio, alphabetic-word ratio, and a minimum
+    count of distinct common-English stopwords present.
+
+    Pure per-row projection: one scan, zero shuffles, fully
+    SQL-expressible (integer counts and exact ratios — engine-portable
+    without float tolerance)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / F.greatest(n, F.lit(1))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    low = F.transform(toks, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low, s),
+        )
+    )
+    return df.select(
+        "*",
+        ((n >= min_words) & (n <= max_words)).alias("gr_word_count"),
+        (
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        ).alias("gr_mean_word_len"),
+        (
+            (n_hash + n_ellipsis) / F.greatest(n, F.lit(1))
+            <= F.lit(max_symbol_ratio)
+        ).alias("gr_symbol_ratio"),
+        (
+            n_alpha.cast("double") / F.greatest(n, F.lit(1))
+            >= F.lit(min_alpha_word_ratio)
+        ).alias("gr_alpha_words"),
+        (stop_hits >= min_stopword_hits).alias("gr_stopwords"),
+    ).withColumn(
+        "gopher_pass",
+        F.col("gr_word_count")
+        & F.col("gr_mean_word_len")
+        & F.col("gr_symbol_ratio")
+        & F.col("gr_alpha_words")
+        & F.col("gr_stopwords"),
+    )
+
+
 def lang_id(text: Column | str, threshold: float = 0.02) -> Column:
     """N-gram-free language heuristic: English if the stopword hit
     ratio clears ``threshold``, else 'und'. (A real model plugs in

@@ -49,7 +49,8 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_candidates", "dedup_jaccard_pairs", "dedup_jaccard_lsh_verified",
     "dedup_minhash_estimate", "dedup_connected_components", "dedup_simhash",
     "dedup_embedding_neardup",
-    # text analysis
+    # text analysis (+ the new r5 entries, never driver-verified)
+    "text_gopher_rules", "text_quality_percentile_gate",
     "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
     "text_token_totals", "text_unigram_quality", "text_quality_classifier",
     "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
@@ -69,10 +70,9 @@ _DRIVER_PRIORITY = [
     "curation_chunks", "curation_mixture",
     "curation_split", "curation_pack", "curation_redact", "curation_quota",
     "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
-    # remaining never-r4-verified scalar that fits inside the 50-sample
-    "explode_top_tokens",
     # positions 51+: timestamp-free, lowest regression risk — outside
     # the driver's 50-sample this round, re-rotated next round
+    "explode_top_tokens",
     "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
     "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
     "scalar_hash_funcs", "scalar_case_json", "array_funcs", "scalar_regex",

@@ -1399,3 +1399,88 @@ def text_train_linear_langid(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, float(wj)) for j, wj in enumerate(w)], "feature int, weight double"
     ).select("feature", F.round("weight", 9).alias("weight"))
+
+
+_GOPHER_STOP_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@q(
+    "text_gopher_rules",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mean_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter({_GOPHER_STOP_SQL},
+                             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+               AS stop_hits
+      FROM d
+    )
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS gr_word_count,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS gr_mean_word_len,
+           n_sym / greatest(n, 1) <= 0.1 AS gr_symbol_ratio,
+           n_alpha::DOUBLE / greatest(n, 1) >= 0.8 AS gr_alpha_words,
+           stop_hits >= 2 AS gr_stopwords,
+           (n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND (n_sym / greatest(n, 1) <= 0.1)
+             AND (n_alpha::DOUBLE / greatest(n, 1) >= 0.8)
+             AND (stop_hits >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher heuristic quality gate (operators/text.gopher_rules)
+    over documents: per-rule flags + overall pass, one scan, zero
+    shuffles, boolean/integer arithmetic only (engine-portable without
+    float tolerance)."""
+    d = t(spark, sf, "documents")
+    out = text.gopher_rules(d)
+    return out.select(
+        "doc_id", "gr_word_count", "gr_mean_word_len", "gr_symbol_ratio",
+        "gr_alpha_words", "gr_stopwords", "gopher_pass",
+    )
+
+
+@q(
+    "text_quality_percentile_gate",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / greatest(len(toks), 1) AS atl
+          FROM d),
+    thr AS (SELECT quantile_cont(atl, 0.75) AS thr FROM s)
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN atl > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(any_value(thr.thr), 6) AS threshold
+    FROM s, thr
+    GROUP BY lang
+    """,
+)
+def text_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-driven quality gating: compute the corpus 75th percentile
+    of mean token length (exact, linear interpolation — identical in
+    Spark's percentile() and DuckDB's quantile_cont) as a 1-row
+    broadcast threshold, then count per-language docs above it. The
+    'keep the top quartile by metric' selection step, collect-free."""
+    d = t(spark, sf, "documents")
+    s = d.select("doc_id", "lang", text.avg_token_length("text").alias("atl"))
+    thr = s.groupBy().agg(F.expr("percentile(atl, 0.75)").alias("thr"))
+    return (
+        s.join(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("atl") > F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.round(F.first("thr"), 6).alias("threshold"),
+        )
+    )

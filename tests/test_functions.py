@@ -347,3 +347,28 @@ class TestLinearTrainer:
         )
         with pytest.raises(ValueError, match="dim"):
             train_linear_classifier(df, "y", "text", dim=2048, iters=1)
+
+
+class TestGopherRules:
+    def test_rule_flags(self, spark):
+        from denormalized_spark.operators.text import gopher_rules
+
+        long_good = " ".join(["the", "cat", "sat", "with", "joy"] * 12)  # 60 words
+        short = "too short to pass"
+        symbols = " ".join(["the", "of", "with"] + ["###"] * 60)
+        no_stop = " ".join(["alpha", "beta", "gamma", "delta"] * 15)
+        rows = [(1, long_good), (2, short), (3, symbols), (4, no_stop)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in gopher_rules(df).collect()}
+        assert got[1].gopher_pass
+        assert not got[2].gr_word_count and not got[2].gopher_pass
+        assert not got[3].gr_symbol_ratio and not got[3].gopher_pass
+        assert not got[4].gr_stopwords and not got[4].gopher_pass
+
+    def test_mean_word_len_bounds(self, spark):
+        from denormalized_spark.operators.text import gopher_rules
+
+        longwords = " ".join(["the", "of", "with"] + ["pneumonoultramicroscopic"] * 57)
+        df = spark.createDataFrame([(1, longwords)], "doc_id long, text string")
+        r = gopher_rules(df).collect()[0]
+        assert not r.gr_mean_word_len and not r.gopher_pass

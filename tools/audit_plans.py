@@ -43,6 +43,7 @@ ALLOW_BNLJ = {
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
     "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
+    "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -65,6 +66,7 @@ ALLOW_SINGLE_PART = {
     "curation_validate",      # 1-row final of the all-rules global aggregate
     "curation_decontaminate_bloom",  # 1-row Bloom bitmap assembly (bits/64 longs)
     "curation_mixture_solver",  # 1-row budget min over the k-stratum table
+    "text_quality_percentile_gate",  # 1-row exact-percentile threshold
 }
 MARKERS_PY = (
     "BatchEvalPython",
