@@ -578,3 +578,67 @@ def validate_corpus(
         F.col("p.v").cast("long").alias("n_violations"),
         F.round(1.0 - F.col("p.v") / F.col("_n"), 6).alias("pass_rate"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    dims: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The "data card" a corpus snapshot ships with: per-dimension
+    (language, source/domain, …) AND overall rollups of document
+    count, token volume, mean quality, heuristic-gate pass rate, and
+    exact-duplicate rate — everything a dataset consumer asks first,
+    in one job.
+
+    Plan shape, 100 TB framing:
+
+    1. ONE corpus scan projects the per-doc signals (token count,
+       quality score, Gopher pass, normalized content key) — all
+       scan-speed column expressions, no Python;
+    2. the duplicate flag needs cross-doc context: one shuffle keyed
+       by content hash (window count over content_key — the exact-
+       dedup shuffle, partial-agg friendly, skew bounded by the
+       largest duplicate class);
+    3. GROUPING SETS over ``dims`` + grand total in a single
+       aggregate — Spark's Expand emits |dims|+1 narrow rows per doc
+       into one partial-agged shuffle, so the whole multi-level report
+       costs one pass, not one job per breakdown level. ``grouping_id``
+       disambiguates rollup rows from genuine NULL dimension values.
+
+    Output is metadata-sized: Σ per-dim cardinalities + 1 rows.
+    """
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.text import (
+        content_hash,
+        gopher_rules,
+        quality_score,
+        token_count,
+    )
+
+    per_doc = gopher_rules(df, text_col).select(
+        *dims,
+        F.col(id_col),
+        token_count(text_col).alias("_nt"),
+        quality_score(text_col).alias("_q"),
+        F.col("gopher_pass").cast("int").alias("_gp"),
+        content_hash(text_col).alias("_ck"),
+    )
+    dup = per_doc.withColumn(
+        "_dup",
+        (F.count("*").over(Window.partitionBy("_ck")) > 1).cast("int"),
+    )
+    grouped = dup.groupingSets(
+        [[F.col(d)] for d in dims] + [[]],
+        *[F.col(d) for d in dims],
+    )
+    return grouped.agg(
+        F.grouping_id().alias("grouping_level"),
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.round(F.avg("_gp"), 6).alias("gopher_pass_rate"),
+        F.round(F.avg("_dup"), 6).alias("dup_rate"),
+    )

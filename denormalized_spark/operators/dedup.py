@@ -535,6 +535,106 @@ def simhash_near_dups(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """ASYMMETRIC overlap per candidate pair: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the partial-duplicate
+    signal Jaccard misses. A short doc fully quoted inside a long one
+    has Jaccard ≈ |A|/|B| (tiny) but containment_a = 1.0; training
+    corpora drop or down-weight such supersets/quotes, and benchmark
+    decontamination cares about exactly this one-sided inclusion.
+
+    Reference parity: extends the dedup surface of
+    py-denormalized/python/denormalized (emit_measurement-style scoring)
+    with the standard Broder containment coefficient.
+
+    Scale shape: REQUIRES an LSH candidate table — the pair list is
+    candidate-keyed (two id-hash-joins against the shingle-set table,
+    per-pair array intersect), so work ∝ candidates × shingles/doc,
+    never corpus². Emits max_containment for threshold gating.
+    """
+    sh = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("shingles")
+    ).select(F.col(id_col), "shingles", F.size("shingles").alias("n_sh"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+    out = shared.select(
+        "id_a",
+        "id_b",
+        (F.col("n_shared").cast("double") / F.col("n_a")).alias("containment_a"),
+        (F.col("n_shared").cast("double") / F.col("n_b")).alias("containment_b"),
+        F.greatest(
+            F.col("n_shared").cast("double") / F.col("n_a"),
+            F.col("n_shared").cast("double") / F.col("n_b"),
+        ).alias("max_containment"),
+    )
+    if min_containment > 0:
+        out = out.filter(F.col("max_containment") >= min_containment)
+    return out
+
+
+def cluster_representatives(
+    df: DataFrame,
+    components: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the BEST document per near-dup cluster instead of the
+    arbitrary min-id survivor: join the component labels onto the
+    corpus, then keep the argmax-``score`` member of each cluster
+    (min id as the deterministic tiebreak). Singleton docs (no label —
+    never in any pair) represent themselves.
+
+    This is the survivor policy real pipelines want — near-dup groups
+    often mix a clean original with mangled scrapes, and 'keep the
+    highest quality-score copy' beats 'keep the smallest id'.
+
+    Plan: one broadcast-or-shuffle join of the (id, label) table (tiny
+    relative to the corpus — only docs that appear in a pair), then a
+    single max_by/min partial-aggregated shuffle on the cluster label.
+    No windows, no per-cluster materialization beyond one row.
+    """
+    labeled = df.join(
+        components.select(F.col("id").alias(id_col), "label"), id_col, "left"
+    ).withColumn("cluster", F.coalesce("label", F.col(id_col)))
+    scored = labeled.withColumn("_score", score)
+    # argmax score, tiebreak min id: max_by over a (score, -id) struct
+    return scored.groupBy("cluster").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_score"), (-F.col(id_col)).cast("long"))
+        ).alias("representative_id"),
+        F.max("_score").alias("best_score"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

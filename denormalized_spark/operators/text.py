@@ -451,6 +451,69 @@ def ngram_repetition(
     )
 
 
+def token_entropy_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats)
+    plus type-token ratio — the information-density quality signals:
+    near-zero entropy flags degenerate repetition ("spam spam spam"),
+    low TTR flags templated text; both are robust complements to the
+    Gopher n-gram rules.
+
+    H = ln(n) − (1/n)·Σ_t c_t·ln(c_t) over per-doc token counts c_t.
+
+    Plan: explode tokens → groupBy (doc, token) with map-side partial
+    counts → one per-doc re-aggregate. Two shuffles keyed by doc_id
+    (+token): linear in corpus tokens, skew bounded by the longest
+    single document — the same shape as :func:`ngram_repetition`.
+    Docs with zero tokens emit no rows (no tokens → no distribution).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            (
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens")
+            ).alias("entropy"),
+        )
+    )
+
+
+def frequency_spectrum(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level token frequency-of-frequencies (the Zipf/Good-
+    Turing spectrum): for each occurrence count k, how many distinct
+    token types occur exactly k times. The shape diagnostic for a
+    training corpus — a healthy natural-language crawl is near-Zipfian
+    (n_types ∝ k^-2 at the low end); bulk duplication or synthetic
+    text bends the curve, and the hapax count (k=1) drives
+    Good-Turing unseen-mass estimates.
+
+    Plan: classic two-level wordcount — explode → groupBy token
+    (map-side partial counts absorb hot-token skew: 'the' combines
+    within each task before the shuffle) → groupBy count. The second
+    shuffle is tiny (distinct k values ≪ types). Output rows =
+    distinct frequencies: metadata-sized at any corpus scale.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    return per_tok.groupBy("freq").agg(F.count("*").alias("n_types"))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats projection."""
     return df.select(

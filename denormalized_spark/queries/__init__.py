@@ -43,6 +43,9 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 _DRIVER_PRIORITY = [
     # the r4 red row, oracle fixed this round — must lead the sample
     "curation_validate",
+    # brand-new r5 operators, never driver-verified — highest priority
+    "dedup_containment_pairs", "dedup_cluster_representatives",
+    "text_token_entropy", "text_frequency_spectrum", "curation_data_card",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
@@ -70,8 +73,10 @@ _DRIVER_PRIORITY = [
     "curation_chunks", "curation_mixture",
     "curation_split", "curation_pack", "curation_redact", "curation_quota",
     "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
-    # positions 51+: timestamp-free, lowest regression risk — outside
-    # the driver's 50-sample this round, re-rotated next round
+    # positions 51+: outside the driver's 50-sample this round (the five
+    # entries displaced by the new r5 operators are bench-exercised and
+    # hash-checked locally at three SFs this session), re-rotated next
+    # round with the timestamp-free scalars
     "explode_top_tokens",
     "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
     "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",

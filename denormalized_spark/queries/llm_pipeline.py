@@ -1484,3 +1484,232 @@ def text_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.first("thr"), 6).alias("threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: containment, cluster representatives, entropy, Zipf spectrum,
+# corpus data card
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_containment_pairs",
+    _LSH_GATE_CTES
+    + """
+    SELECT id_a, id_b,
+           round(n_shared::DOUBLE / n_a, 6) AS containment_a,
+           round(n_shared::DOUBLE / n_b, 6) AS containment_b,
+           round(greatest(n_shared::DOUBLE / n_a, n_shared::DOUBLE / n_b), 6)
+             AS max_containment
+    FROM (
+      SELECT j.id_a, j.id_b, j.n_a, j.n_b, count(*) AS n_shared
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+    ) t
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment (|A∩B|/|A|) per LSH candidate pair — the
+    partial-duplicate / quote-superset signal Jaccard misses
+    (operators/dedup.containment_pairs). Candidate-gated: work ∝
+    candidates × shingles-per-doc, never corpus²."""
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.containment_pairs(d, cand, "doc_id", "text", shingle_n=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+        F.round("max_containment", 6).alias("max_containment"),
+    )
+
+
+# quality_score (operators/text.quality_score) as a SQL fragment over a
+# CTE exposing `text` and `toks`
+_QUALITY_SQL = f"""(
+  (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
++ (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+              / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
++ (CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+              / greatest(len(toks), 1) > 0.01
+         AND len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+              / greatest(len(toks), 1) < 0.6 THEN 1.0 ELSE 0.0 END)
+) / 3.0"""
+
+
+@q(
+    "dedup_cluster_representatives",
+    _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    vp AS (
+      SELECT id_a, id_b FROM (
+        SELECT j.id_a, j.id_b,
+               count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+        FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+        GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+      ) t WHERE jaccard >= 0.2
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+    reach(id, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    ),
+    comp AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    qd AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+    scored AS (
+      SELECT q.doc_id,
+             coalesce(c.label, q.doc_id) AS cluster,
+             {_QUALITY_SQL} AS q_score
+      FROM qd q LEFT JOIN comp c ON q.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT cluster, doc_id, q_score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY q_score DESC, doc_id ASC) AS rk
+      FROM scored
+    )
+    SELECT cluster,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS representative_id,
+           round(max(q_score), 6) AS best_score,
+           count(*) AS n_members
+    FROM ranked GROUP BY cluster
+    """.replace("{toks}", _TOKS),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup connected components
+    → keep the argmax-quality member per cluster (min-id tiebreak),
+    singletons represent themselves (operators/dedup.
+    cluster_representatives). One label join + one max_by aggregate on
+    top of the iterative component labels; the oracle replays the
+    closure as a recursive CTE and the argmax as a window rank."""
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.2, candidates=cand
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    reps = dedup.cluster_representatives(d, cc, text.quality_score("text"), "doc_id")
+    return reps.select(
+        "cluster",
+        "representative_id",
+        F.round("best_score", 6).alias("best_score"),
+        "n_members",
+    )
+
+
+@q(
+    "text_token_entropy",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    pt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*)::DOUBLE / sum(cnt), 6) AS type_token_ratio,
+           round(ln(sum(cnt)::DOUBLE) - sum(cnt * ln(cnt::DOUBLE)) / sum(cnt), 6)
+             AS entropy
+    FROM pt GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon entropy + type-token ratio
+    (operators/text.token_entropy_stats): information-density quality
+    signals — explode → (doc, token) partial counts → per-doc
+    aggregate, two doc-keyed shuffles, linear in corpus tokens."""
+    d = t(spark, sf, "documents")
+    out = text.token_entropy_stats(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_types",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+@q(
+    "text_frequency_spectrum",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
+    SELECT CAST(freq AS BIGINT) AS freq, count(*) AS n_types
+    FROM tf GROUP BY freq
+    """,
+)
+def text_frequency_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf/Good-Turing frequency spectrum
+    (operators/text.frequency_spectrum): count-of-counts over the
+    token vocabulary. Classic two-level wordcount — map-side partial
+    counts absorb hot-token skew; the second shuffle is metadata-sized
+    (distinct frequencies)."""
+    d = t(spark, sf, "documents")
+    out = text.frequency_spectrum(d, "text")
+    return out.select(F.col("freq").cast("long").alias("freq"), "n_types")
+
+
+@q(
+    "curation_data_card",
+    f"""
+    WITH d AS (SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, lang, source,
+             len(toks) AS nt,
+             {_QUALITY_SQL} AS q,
+             (CASE WHEN (len(toks) >= 50 AND len(toks) <= 100000)
+                    AND (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0)
+                    AND (((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3)
+                           / greatest(len(toks), 1) <= 0.1)
+                    AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / greatest(len(toks), 1) >= 0.8)
+                    AND (len(list_filter({_GOPHER_STOP_SQL},
+                             s -> list_contains(list_transform(toks, x -> lower(x)), s))) >= 2)
+              THEN 1 ELSE 0 END) AS gp,
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ck
+      FROM d
+    ),
+    dup AS (
+      SELECT *, (CASE WHEN count(*) OVER (PARTITION BY ck) > 1 THEN 1 ELSE 0 END) AS isdup
+      FROM m
+    )
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS grouping_level,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(q), 6) AS mean_quality,
+           round(avg(gp), 6) AS gopher_pass_rate,
+           round(avg(isdup), 6) AS dup_rate
+    FROM dup
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def curation_data_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The data card a corpus snapshot ships with
+    (operators/curation.corpus_report): doc/token volumes, mean
+    quality, Gopher pass rate, and exact-dup rate, per language, per
+    source, and overall — ONE scan + one content-key shuffle + a
+    single grouping-sets aggregate (Spark Expand), not one job per
+    breakdown."""
+    from denormalized_spark.operators import curation
+
+    d = t(spark, sf, "documents")
+    out = curation.corpus_report(d, ["lang", "source"], "doc_id", "text")
+    return out.select(
+        "lang",
+        "source",
+        F.col("grouping_level").cast("long").alias("grouping_level"),
+        "n_docs",
+        "total_tokens",
+        F.round("mean_quality", 6).alias("mean_quality"),
+        F.round("gopher_pass_rate", 6).alias("gopher_pass_rate"),
+        F.round("dup_rate", 6).alias("dup_rate"),
+    )

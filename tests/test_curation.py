@@ -525,3 +525,34 @@ class TestDuplicatedNgramRate:
         assert got[3].n_shared == 0 and got[3].dup_gram_rate == 0.0
         assert got[4].n_grams == 4 and got[4].n_shared == 1
         assert got[4].dup_gram_rate == 0.25
+
+
+# ---------------------------------------------------------------------------
+# round 5: corpus data card
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_levels_and_dup_rate(spark):
+    """Grouping-sets report: per-lang, per-source, and grand-total rows
+    with consistent counts; exact dups counted via content key."""
+    from denormalized_spark.operators.curation import corpus_report
+
+    dup_text = "the same exact document body appears twice in this corpus"
+    rows = [
+        (1, dup_text, "en", "web"),
+        (2, dup_text, "en", "web"),
+        (3, "a unique document with its own words and shape", "en", "books"),
+        (4, "un documento completamente distinto de los demas", "es", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = corpus_report(df, ["lang", "source"]).collect()
+    total = [r for r in out if r["grouping_level"] == 3]
+    assert len(total) == 1 and total[0]["n_docs"] == 4
+    assert total[0]["dup_rate"] == 0.5  # docs 1+2 are the dup pair
+    by_lang = {r["lang"]: r for r in out if r["grouping_level"] == 1}
+    assert by_lang["en"]["n_docs"] == 3 and by_lang["es"]["n_docs"] == 1
+    by_src = {r["source"]: r for r in out if r["grouping_level"] == 2}
+    assert by_src["web"]["n_docs"] == 3 and by_src["books"]["n_docs"] == 1
+    # level counts are consistent: lang rows and source rows each sum to 4
+    assert sum(r["n_docs"] for r in by_lang.values()) == 4
+    assert sum(r["n_docs"] for r in by_src.values()) == 4

@@ -377,3 +377,69 @@ def test_minhash_estimate_bounds(spark):
     }
     assert got[(0, 1)] == 1.0   # identical shingle sets -> all hashes agree
     assert got[(0, 2)] == 0.0   # disjoint sets -> (almost surely) no agreement
+
+
+# ---------------------------------------------------------------------------
+# round 5: containment + cluster representatives
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment_a = 1.0
+    while Jaccard is small — the partial-dup signal."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    row = dedup.containment_pairs(df, cand, "doc_id", "text", shingle_n=3).collect()[0]
+    assert row["containment_a"] == 1.0
+    assert row["containment_b"] < 0.2
+    assert row["max_containment"] == 1.0
+    jac = dedup.jaccard_pairs(df, "doc_id", "text", candidates=cand).collect()[0]
+    assert jac["jaccard"] < 0.2  # Jaccard alone would not flag this pair
+
+
+def test_containment_requires_shared_shingle(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "vv ww xx yy zz")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert dedup.containment_pairs(df, cand).count() == 0
+
+
+def test_cluster_representatives_prefers_quality(spark):
+    """Two near-dup docs: the cluster keeps the higher-quality one,
+    not the lower id; singletons represent themselves."""
+    from denormalized_spark.operators.text import quality_score
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs to "
+        "the forest with a happy bark while the sun sets over the hills"
+    )
+    bad = "!!! ### " + good + " ### !!! ???? ;;;; @@@@ %%%% ^^^^ &&&& **** (((("
+    df = spark.createDataFrame(
+        [(1, bad), (2, good), (9, "totally unrelated standalone text here")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    cc = dedup.connected_components(pairs)
+    reps = {
+        r["cluster"]: r
+        for r in dedup.cluster_representatives(
+            df, cc, quality_score("text")
+        ).collect()
+    }
+    assert reps[1]["representative_id"] == 2  # higher quality wins over min id
+    assert reps[1]["n_members"] == 2
+    assert reps[9]["representative_id"] == 9  # singleton
+    assert reps[9]["n_members"] == 1
+
+
+def test_cluster_representatives_tiebreak_min_id(spark):
+    """Equal scores → deterministic min-id survivor."""
+    txt = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame([(5, txt), (3, txt)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(3, 5)], ["id_a", "id_b"])
+    cc = dedup.connected_components(pairs)
+    rep = dedup.cluster_representatives(df, cc, F.lit(1.0)).collect()[0]
+    assert rep["representative_id"] == 3

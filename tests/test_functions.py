@@ -372,3 +372,45 @@ class TestGopherRules:
         df = spark.createDataFrame([(1, longwords)], "doc_id long, text string")
         r = gopher_rules(df).collect()[0]
         assert not r.gr_mean_word_len and not r.gopher_pass
+
+
+# ---------------------------------------------------------------------------
+# round 5: token entropy, frequency spectrum
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_degenerate_vs_diverse(spark):
+    """All-same-token doc → entropy 0; all-distinct doc → ln(n);
+    TTR separates them the same way."""
+    import math
+
+    from denormalized_spark.operators.text import token_entropy_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in token_entropy_stats(df).collect()}
+    assert abs(rows[1]["entropy"]) < 1e-12
+    assert abs(rows[2]["entropy"] - math.log(4)) < 1e-12
+    assert rows[1]["type_token_ratio"] == 0.25
+    assert rows[2]["type_token_ratio"] == 1.0
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_types"] == 1
+
+
+def test_token_entropy_empty_doc_emits_no_row(spark):
+    from denormalized_spark.operators.text import token_entropy_stats
+
+    df = spark.createDataFrame([(1, "   "), (2, "a b")], ["doc_id", "text"])
+    assert [r["doc_id"] for r in token_entropy_stats(df).collect()] == [2]
+
+
+def test_frequency_spectrum_counts_types_per_freq(spark):
+    from denormalized_spark.operators.text import frequency_spectrum
+
+    # 'a' x3, 'b' x2, 'c' x2, 'd' x1, 'e' x1, 'f' x1
+    df = spark.createDataFrame(
+        [(1, "a a b c d"), (2, "a b c e f")], ["doc_id", "text"]
+    )
+    spec = {r["freq"]: r["n_types"] for r in frequency_spectrum(df).collect()}
+    assert spec == {3: 1, 2: 2, 1: 3}
