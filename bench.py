@@ -154,7 +154,23 @@ def main() -> None:
         ),
         "wall_total": round(time.time() - t_start, 3),
     }
-    print(json.dumps(out))
+    # The external driver keeps only the tail of stdout, so the final
+    # line must stay compact (r4's full dict outgrew the capture
+    # window and parsed as null). Full detail — medians, cold runs,
+    # per-query oracle times and ratios — goes to BENCH_DETAIL.json in
+    # the repo; the printed line carries the headline numbers.
+    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "oracle_total",
+            "spark_vs_oracle_total", "wav_decode_docs_per_sec",
+            "stream_rows_per_sec", "stateful_stream_rows_per_sec",
+            "wall_total",
+        )
+    }
+    print(json.dumps(compact))
 
 
 def _oracle_timings(entry_mod) -> dict[str, float]:
