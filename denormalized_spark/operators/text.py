@@ -330,6 +330,109 @@ def bpe_pair_counts(
     return counts
 
 
+def _merge_adjacent(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of every adjacent (a, b) symbol pair
+    into one symbol — single fold over the array; the accumulator is
+    the merged-so-far array, so 'a a a' with pair (a,a) yields
+    (aa, a), the standard BPE overlap rule."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 6,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """TRAIN a byte-pair-encoding merge table over the corpus
+    (Sennrich et al. 2016) — the tokenizer-induction loop itself, not
+    just one pair-count pass (:func:`bpe_pair_counts` is this
+    algorithm's inner statistic). Returns the learned merge list:
+    (rank, sym_a, sym_b, merged, pair_count).
+
+    Distributed shape — why this holds at 100 TB:
+
+    1. ONE corpus-sized operation total: tokens explode → word-count
+       shuffle. Everything after runs on the WORD VOCABULARY table
+       (counts attached), which is vocabulary-bounded — millions of
+       rows regardless of corpus bytes. Real BPE trainers make the
+       same reduction.
+    2. Per merge round, on the vocab table only: adjacent-pair counts
+       (zip_with over two slices — no per-element re-evaluation),
+       one pair-keyed partial-agged shuffle, then a 1-ROW argmax
+       collect (count desc, pair asc — deterministic) — the sanctioned
+       metadata probe, same shape as kmeans_fit's k-row centroids.
+    3. The merge rewrite is a per-row fold (:func:`_merge_adjacent`);
+       vocab is localCheckpoint-ed each round so lineage stays O(1)
+       across ``num_merges`` iterations (the connected_components
+       pattern).
+
+    ``max_vocab`` bounds the vocab table deterministically (top-N by
+    count desc, word asc) — the knob for adversarial corpora with
+    unbounded distinct-token counts (URLs, hashes). Words containing
+    the \\x01/\\x02 sentinel bytes are excluded (they'd break the
+    engine-portable oracle encoding; real corpora don't contain
+    control bytes in tokens).
+
+    Merges apply within words only (no cross-word pairs, no
+    end-of-word marker — the deterministic word-internal variant).
+    Stops early if no adjacent pair remains.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(~F.col("word").contains("\x01") & ~F.col("word").contains("\x02"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    if max_vocab is not None:
+        words = words.orderBy(F.desc("wcount"), F.asc("word")).limit(max_vocab)
+    vocab = words.select(
+        "word", "wcount", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        n = F.size("syms")
+        pa = F.slice("syms", 1, F.greatest(n - 1, F.lit(0)))
+        pb = F.slice("syms", 2, F.greatest(n - 1, F.lit(0)))
+        pairs = vocab.select(
+            F.col("wcount"),
+            F.explode(F.zip_with(pa, pb, lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # 1 row of metadata per round
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = vocab.withColumn(
+            "syms", _merge_adjacent(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "rank int, sym_a string, sym_b string, merged string, pair_count long",
+    )
+
+
 def doc_term_freq(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

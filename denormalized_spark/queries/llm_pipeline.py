@@ -1713,3 +1713,67 @@ def curation_data_card(spark: SparkSession, sf: str) -> DataFrame:
         F.round("gopher_pass_rate", 6).alias("gopher_pass_rate"),
         F.round("dup_rate", 6).alias("dup_rate"),
     )
+
+
+def _bpe_oracle(num_merges: int, max_vocab: int) -> str:
+    """Unrolled-iteration oracle for bpe_train: each merge round is a
+    CTE pair (pair counts + argmax) and a vocab rewrite via the
+    sentinel-encoded string replace (greedy left-to-right, matching
+    the Spark fold's overlap rule)."""
+    enc = (
+        "list_aggregate(list_transform(syms, s -> chr(1)||s||chr(2)), "
+        "'string_agg', '')"
+    )
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT word, count(*) AS wcount FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+      GROUP BY word
+      ORDER BY wcount DESC, word ASC LIMIT {max_vocab}
+    ),
+    v1 AS (SELECT word, wcount,
+                  [word[j] for j in range(1, length(word)+1)] AS syms
+           FROM w)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT t.u.a AS a, t.u.b AS b, sum(wcount) AS cnt
+      FROM v{i}, unnest([{{'a': syms[j], 'b': syms[j+1]}}
+                         for j in range(1, len(syms))]) AS t(u)
+      GROUP BY t.u.a, t.u.b
+    ),
+    b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+        if i < num_merges:
+            parts.append(f""",
+    v{i + 1} AS (
+      SELECT word, wcount,
+        list_filter(list_transform(string_split(
+            replace({enc},
+                    chr(1)||b{i}.a||chr(2)||chr(1)||b{i}.b||chr(2),
+                    chr(1)||b{i}.a||b{i}.b||chr(2)),
+            chr(2)||chr(1)),
+          x -> replace(replace(x, chr(1), ''), chr(2), '')), x -> x != '')
+          AS syms
+      FROM v{i}, b{i}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS sym_a, b AS sym_b, a||b AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@q("text_bpe_train", _bpe_oracle(num_merges=6, max_vocab=2000))
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """The BPE tokenizer-training loop itself (operators/text.
+    bpe_train): 6 merge rounds over the top-2000-word vocabulary.
+    Corpus-side cost is ONE word-count shuffle; every round after
+    runs on the vocabulary table with a 1-row argmax probe — the
+    oracle unrolls the identical rounds as chained CTEs with a
+    sentinel-encoded greedy string replace."""
+    d = t(spark, sf, "documents")
+    return text.bpe_train(d, num_merges=6, text_col="text", max_vocab=2000)

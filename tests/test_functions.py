@@ -414,3 +414,40 @@ def test_frequency_spectrum_counts_types_per_freq(spark):
     )
     spec = {r["freq"]: r["n_types"] for r in frequency_spectrum(df).collect()}
     assert spec == {3: 1, 2: 2, 1: 3}
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'aaab' dominates, so round 1 merges
+    (a,a) — counted at both overlapping positions — and later rounds
+    operate on the re-segmented symbols."""
+    from denormalized_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab"), (2, "aaab cd cd")], ["doc_id", "text"]
+    )
+    got = {r["rank"]: r for r in bpe_train(df, num_merges=3).collect()}
+    # (a,a): 2 per 'aaab' x4 = 8; (a,b): 4+1=5; (c,d): 2
+    assert (got[1]["sym_a"], got[1]["sym_b"], got[1]["pair_count"]) == ("a", "a", 8)
+    # after merge 1, 'aaab' = [aa, a, b]: pairs (aa,a) x4, (a,b) x5, (c,d) x2
+    assert (got[2]["sym_a"], got[2]["sym_b"], got[2]["pair_count"]) == ("a", "b", 5)
+    assert got[2]["merged"] == "ab"
+    # after merge 2, 'aaab' = [aa, ab]: (aa,ab) x4 beats (c,d) x2
+    assert (got[3]["sym_a"], got[3]["sym_b"]) == ("aa", "ab")
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    from denormalized_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    got = bpe_train(df, num_merges=10).collect()
+    # 'ab' -> one merge (a,b); the merged word is a single symbol, done
+    assert len(got) == 1
+    assert got[0]["merged"] == "ab"
+
+
+def test_merge_adjacent_greedy_overlap(spark):
+    from denormalized_spark.operators.text import _merge_adjacent
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], ["syms"])
+    out = [r["m"] for r in df.select(_merge_adjacent(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert out == [["aa", "a"], ["aa", "aa"]]
