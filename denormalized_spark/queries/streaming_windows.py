@@ -426,3 +426,63 @@ def text_trending_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("window_start_time", "token", "n", "rk")
     )
+
+
+@q(
+    "curation_quality_monitor",
+    r"""
+    WITH d AS (
+      SELECT make_timestamp(doc_id * 60000000) AS ts, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start_time,
+             len(toks) AS nt,
+             (
+               (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN len(list_filter(toks, x -> list_contains(
+                          ['the','a','an','and','or','of','to','in','is','it'], lower(x))))::DOUBLE
+                          / greatest(len(toks), 1) > 0.01
+                      AND len(list_filter(toks, x -> list_contains(
+                          ['the','a','an','and','or','of','to','in','is','it'], lower(x))))::DOUBLE
+                          / greatest(len(toks), 1) < 0.6 THEN 1.0 ELSE 0.0 END)
+             ) / 3.0 AS q
+      FROM d
+    )
+    SELECT window_start_time,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(avg(q), 6) AS mean_quality,
+           CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM m GROUP BY window_start_time
+    """,
+)
+def curation_quality_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window corpus-quality monitor — the live dashboard a
+    streaming ingest pipeline runs over arriving documents: doc/token
+    volume, mean quality score, and the count passing the gate, per
+    event-time hour. Identical plan batch or streaming (F.window):
+    per-row quality projection + ONE (window)-keyed partial-agged
+    shuffle; tests/test_streaming.py drives the same pipeline through
+    writeStream and asserts stream == batch. Documents get the
+    deterministic 1-per-minute timeline of text_trending_tokens."""
+    from denormalized_spark.operators.text import quality_score, token_count
+
+    d = t(spark, sf, "documents").select(
+        F.timestamp_millis(F.col("doc_id") * 60_000).alias("ts"),
+        "text",
+    )
+    m = d.select(
+        F.window("ts", "1 hour").start.alias("window_start_time"),
+        token_count("text").alias("nt"),
+        quality_score("text").alias("q"),
+    )
+    return m.groupBy("window_start_time").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )

@@ -481,3 +481,60 @@ def test_session_window_dynamic_gap_boundaries(spark):
         (2, at(9), at(19)): 1,
         (3, at(0), at(60)): 2,
     }
+
+
+def test_streaming_quality_monitor_equals_batch(ctx, sf_dir):
+    """The curation_quality_monitor pipeline (windowed corpus-quality
+    dashboard) through real writeStream: synthetic per-minute doc
+    timeline, 1h tumbling windows, quality/gate aggregates. Append
+    mode emits only watermark-closed windows; they must match the
+    batch run on those windows exactly."""
+    from denormalized_spark.operators.text import quality_score, token_count
+
+    def monitor(df):
+        m = df.select(
+            F.timestamp_millis(F.col("doc_id") * 60_000).alias("ts"),
+            "text",
+        ).withWatermark("ts", "0 seconds")
+        return (
+            m.select(
+                F.window("ts", "1 hour").alias("w"),
+                token_count("text").alias("nt"),
+                quality_score("text").alias("q"),
+            )
+            .groupBy("w")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens"),
+                F.round(F.avg("q"), 6).alias("mean_quality"),
+            )
+            .select(
+                F.col("w.start").alias("window_start_time"),
+                F.col("w.end").alias("window_end_time"),
+                "n_docs",
+                "n_tokens",
+                "mean_quality",
+            )
+        )
+
+    sds = ctx.from_stream_parquet(sf_dir, "documents")
+    rows = []
+    q = (
+        monitor(sds.df)
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_qmon_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_df = monitor(ctx.from_parquet(f"{sf_dir}/documents.parquet").df)
+    wm = (
+        ctx.from_parquet(f"{sf_dir}/documents.parquet")
+        .df.agg(F.max(F.timestamp_millis(F.col("doc_id") * 60_000)))
+        .collect()[0][0]
+    )
+    assert len(rows) > 0
+    assert_stream_equals_closed_batch(
+        rows, batch_df, wm, end_col="window_end_time"
+    )
