@@ -268,6 +268,81 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_bi: float = 0.7,
+    unseen_floor: float = 1e-9,
+) -> DataFrame:
+    """Per-document INTERPOLATED bigram language-model score — the
+    next step up from :func:`unigram_logprob_scores` toward a real
+    perplexity filter: each token position (after the first) scores
+    ln(λ·P(w2|w1) + (1−λ)·P(w2)), Jelinek-Mercer smoothing between
+    the bigram MLE and the unigram fallback. Bigram context captures
+    the word-salad failure mode unigrams miss (each token common, the
+    sequence improbable).
+
+    Plan shape at 100 TB:
+
+    1. bigram explode (zip_with over two slices — flatMap, no
+       pre-shuffle) → ONE (w1,w2)-keyed count shuffle; the bigram
+       table is bigram-TYPE-bounded (vocabulary², in practice far
+       smaller), with map-side partial counts absorbing hot pairs;
+    2. context totals c(w1) = one further w1-keyed aggregate of that
+       table (table-sized, not corpus-sized);
+    3. scoring re-joins the doc bigram stream against the bigram and
+       unigram tables — the bigram join is keyed (shuffle; broadcast
+       it when the table fits), the unigram join broadcasts;
+    4. per-doc partial-agged re-aggregation.
+
+    Documents with < 2 tokens emit no row (no bigram positions).
+    """
+    uni = unigram_vocab(df, text_col)
+    total = uni.agg(F.sum("cnt").alias("_t"))
+    uni_p = uni.crossJoin(F.broadcast(total)).select(
+        F.col("token").alias("w2"),
+        (F.col("cnt").cast("double") / F.col("_t")).alias("p_uni"),
+    )
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    w1s = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    w2s = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    doc_bi = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    ctx = bi_counts.groupBy("w1").agg(F.sum("bcnt").alias("ccnt"))
+    bi_p = bi_counts.join(ctx, "w1").select(
+        "w1", "w2", (F.col("bcnt").cast("double") / F.col("ccnt")).alias("p_bi")
+    )
+
+    lam = F.lit(float(lambda_bi))
+    scored = (
+        doc_bi.join(bi_p, ["w1", "w2"], "left")
+        .join(F.broadcast(uni_p), "w2", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                F.greatest(
+                    lam * F.coalesce("p_bi", F.lit(0.0))
+                    + (F.lit(1.0) - lam) * F.coalesce("p_uni", F.lit(0.0)),
+                    F.lit(float(unseen_floor)),
+                )
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("logp").alias("avg_logp2"),
+    )
+
+
 def hashed_linear_score(
     text: Column | str,
     weights: Column | None = None,

@@ -1777,3 +1777,49 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     sentinel-encoded greedy string replace."""
     d = t(spark, sf, "documents")
     return text.bpe_train(d, num_merges=6, text_col="text", max_vocab=2000)
+
+
+@q(
+    "text_bigram_quality",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS t FROM uni),
+    bg AS (
+      SELECT doc_id, t.u.w1 AS w1, t.u.w2 AS w2
+      FROM d, unnest([{{'w1': toks[j], 'w2': toks[j+1]}}
+                      for j in range(1, len(toks))]) AS t(u)
+    ),
+    bic AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(bcnt) AS ccnt FROM bic GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             ln(greatest(
+               0.7 * (bic.bcnt::DOUBLE / ctx.ccnt)
+               + 0.3 * (uni.cnt::DOUBLE / tot.t),
+               1e-9)) AS logp
+      FROM bg
+      JOIN bic USING (w1, w2)
+      JOIN ctx USING (w1)
+      JOIN uni ON bg.w2 = uni.token
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 4) AS avg_logp2
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring (operators/text.
+    bigram_logprob_scores): per-doc mean ln(0.7·P(w2|w1) + 0.3·P(w2))
+    — Jelinek-Mercer smoothed, catches improbable word sequences the
+    unigram filter misses. One bigram-keyed count shuffle + keyed
+    scoring joins; self-scored here so every bigram is seen (the
+    oracle's inner joins equal the Spark left joins)."""
+    d = t(spark, sf, "documents")
+    out = text.bigram_logprob_scores(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp2", 4).alias("avg_logp2")
+    )

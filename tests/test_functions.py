@@ -451,3 +451,37 @@ def test_merge_adjacent_greedy_overlap(spark):
     df = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], ["syms"])
     out = [r["m"] for r in df.select(_merge_adjacent(F.col("syms"), "a", "a").alias("m")).collect()]
     assert out == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_bigram_logprob_interpolation(spark):
+    """Hand-checked 2-doc corpus: interpolated bigram/unigram
+    probabilities; docs with <2 tokens emit no row."""
+    import math
+
+    from denormalized_spark.operators.text import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    assert set(rows) == {1, 2}
+    # corpus: tokens a x3, b x3, x x1 -> T=7; bigrams: (a,b) x3, (b,a) x1
+    # P(b|a)=3/3=1, P(a|b)=1/1=1 (ctx = bigram-left totals)
+    # doc1 positions: (a,b),(b,a),(a,b); doc2: (a,b)
+    p_ab = math.log(0.7 * 1.0 + 0.3 * (3 / 7))
+    p_ba = math.log(0.7 * 1.0 + 0.3 * (3 / 7))
+    assert rows[1]["n_bigrams"] == 3
+    assert abs(rows[1]["avg_logp2"] - (2 * p_ab + p_ba) / 3) < 1e-12
+    assert rows[2]["n_bigrams"] == 1
+    assert abs(rows[2]["avg_logp2"] - p_ab) < 1e-12
+
+
+def test_bigram_logprob_ranks_word_salad_below_natural(spark):
+    """Same unigram bag, scrambled order -> lower bigram score."""
+    from denormalized_spark.operators.text import bigram_logprob_scores
+
+    natural = "the cat sat on the mat " * 5
+    salad = "cat the on sat mat the " + "the cat sat on the mat " * 4
+    df = spark.createDataFrame([(1, natural), (2, salad)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["avg_logp2"] for r in bigram_logprob_scores(df).collect()}
+    assert rows[1] > rows[2]

@@ -38,6 +38,7 @@ ALLOW_BNLJ = {
     "sim_ivf_topk_query0",   # broadcast 1-row query vector / tiny centroid table
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
+    "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
@@ -61,6 +62,7 @@ ALLOW_SINGLE_PART = {
     "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
+    "text_bigram_quality",    # same 1-row total (unigram interpolation term)
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
     "curation_validate",      # 1-row final of the all-rules global aggregate
