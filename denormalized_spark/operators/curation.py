@@ -580,6 +580,45 @@ def validate_corpus(
     )
 
 
+def dedup_document_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal: every line whose
+    trimmed text already appeared earlier in the SAME document is
+    dropped (keep-first) — the rewrite counterpart to the
+    ``duplicate_line_fraction`` metric, and the per-doc cleanup for
+    scraped pages that repeat nav blocks mid-document. Cross-document
+    boilerplate is :func:`remove_boilerplate_lines`'s job.
+    Whitespace-only lines always survive (paragraph structure).
+
+    Pure per-row projection — zero shuffles, scan speed at any corpus
+    size. The first-occurrence test is array_position over the
+    trimmed-lines array, O(lines²) per row worst-case but row-local
+    and line counts are small; the trimmed array is materialized as a
+    real column first so the filter's per-element evaluation reads an
+    attribute, not a re-evaluated transform subtree (the measured
+    higher-order-function pitfall — see dedup.shingle_hashes).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    # NB: transform(col, F.trim) would bind trim's optional trimStr
+    # parameter to the element INDEX (two-arg callables receive
+    # (element, index)); the explicit one-arg lambda keeps plain trim
+    staged = df.withColumn("_lines", lines).withColumn(
+        "_trimmed", F.transform(F.col("_lines"), lambda l: F.trim(l))
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l, i: (F.trim(l) == "")
+        | (F.array_position(F.col("_trimmed"), F.trim(l)) == i + 1),
+    )
+    return (
+        staged.withColumn(out_col, F.array_join(kept, "\n"))
+        .drop("_lines", "_trimmed")
+    )
+
+
 def corpus_report(
     df: DataFrame,
     dims: list[str],

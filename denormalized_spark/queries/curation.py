@@ -643,3 +643,58 @@ def curation_validate(spark: SparkSession, sf: str) -> DataFrame:
             "null__text", "null__lang",
         )
     )
+
+
+@q(
+    "curation_dedup_lines",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(chr(10), text,
+                       'repeated nav block', text,
+                       CASE WHEN doc_id % 2 = 0 THEN 'repeated nav block' END,
+                       'unique footer ' || doc_id) AS text
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+    r AS (
+      SELECT doc_id, len(ls) AS n_lines_before,
+             [ls[j] for j in range(1, len(ls)+1)
+                    if trim(ls[j]) = ''
+                    OR list_position(list_transform(ls, x -> trim(x)),
+                                     trim(ls[j])) = j] AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           md5(array_to_string(kept, chr(10))) AS clean_hash,
+           CAST(n_lines_before AS INT) AS n_lines_before,
+           CAST(len(kept) AS INT) AS n_lines_after
+    FROM r
+    """,
+)
+def curation_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document duplicate-line removal (operators/curation.
+    dedup_document_lines): keep-first per trimmed line, whitespace
+    lines preserved. The synthetic corpus has no newlines, so each doc
+    is augmented with a repeated nav block (and the doc body itself
+    repeated) before the rewrite; both engines then drop the same
+    lines. Pure per-row projection — zero shuffles."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            "text",
+            F.lit("repeated nav block"),
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("repeated nav block")),
+            F.concat(F.lit("unique footer "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    before = F.size(F.split("text", "\n")).alias("n_lines_before")
+    out = curation.dedup_document_lines(d)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        before,
+        F.size(F.split("clean_text", "\n")).alias("n_lines_after"),
+    )

@@ -556,3 +556,16 @@ def test_corpus_report_levels_and_dup_rate(spark):
     # level counts are consistent: lang rows and source rows each sum to 4
     assert sum(r["n_docs"] for r in by_lang.values()) == 4
     assert sum(r["n_docs"] for r in by_src.values()) == 4
+
+
+def test_dedup_document_lines_keep_first(spark):
+    """Duplicate trimmed lines drop (keep-first); whitespace-only
+    lines always survive; later distinct lines are untouched."""
+    from denormalized_spark.operators.curation import dedup_document_lines
+
+    text = "alpha\nbeta\n  alpha  \n\nbeta\ngamma 3"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = dedup_document_lines(df).collect()[0]["clean_text"]
+    # '  alpha  ' trims to a repeat of line 1 -> dropped; '' kept;
+    # trailing digit must survive (regression: index-as-trimStr bug)
+    assert got == "alpha\nbeta\n\ngamma 3"
