@@ -343,3 +343,65 @@ def test_weighted_percentile_column_matches_bruteforce(spark, data, pct):
                 expect = float(v)
                 break
         assert got[g] == expect, (g, pct, rows)
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])),
+)
+@settings(**SETTINGS)
+def test_merge_adjacent_matches_greedy_python(spark, syms, pair):
+    """BPE merge fold vs a plain greedy left-to-right Python loop."""
+    from denormalized_spark.operators.text import _merge_adjacent
+    from pyspark.sql import functions as F
+
+    a, b = pair
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(_merge_adjacent(F.col("syms"), a, b).alias("m")).collect()[0]["m"]
+
+    exp: list[str] = []
+    for x in syms:
+        if exp and exp[-1] == a and x == b:
+            exp[-1] = a + b
+        else:
+            exp.append(x)
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_matches_set_arithmetic(spark, docs):
+    """Containment over explicit candidates vs Python set math on the
+    same shingle definition (distinct word 3-grams, short-doc rolling
+    fallback)."""
+    from denormalized_spark.operators.dedup import containment_pairs, shingle_hashes
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingle_hashes("text").alias("sh")).collect()
+    }
+    cand = spark.createDataFrame(
+        [(i, j) for i in range(len(docs)) for j in range(i + 1, len(docs))],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(df, cand).collect()
+    }
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                assert (i, j) not in got
+            else:
+                ca, cb = got[(i, j)]
+                assert ca == pytest.approx(inter / len(sets[i]))
+                assert cb == pytest.approx(inter / len(sets[j]))
