@@ -11,6 +11,8 @@ query entries; see denormalized_spark/queries/):
   3. benchmark decontamination   (5-gram overlap, broadcast gate)
   4. deterministic 90/10 split   (group-safe md5 fractions)
   5. per-source token budget     + partitioned parquet landing
+  6. data card                   (grouping-sets corpus report)
+  7. tokenizer induction         (BPE merge table over the kept split)
 """
 
 import sys
@@ -50,3 +52,17 @@ out = tempfile.mkdtemp(prefix="curated_")
 DataStream(sp).to_parquet(out, partition_by=["split"])
 print(f"curated corpus written to {out}/split=train|val")
 print(f"kept {sp.count()} of {docs.count()} docs")
+
+# 6. the data card the snapshot ships with: per-lang/per-source/overall
+#    doc+token volume, mean quality, Gopher pass rate, exact-dup rate
+print("data card (grouping_level 3 = grand total):")
+curation.corpus_report(sp.drop("split"), ["lang", "source"]).orderBy(
+    "grouping_level", "lang", "source"
+).show(30, truncate=False)
+
+# 7. induce a starter BPE merge table from the train split
+merges = text.bpe_train(
+    sp.filter(F.col("split") == "train"), num_merges=6, max_vocab=2000
+)
+print("learned BPE merges (rank order):")
+merges.orderBy("rank").show(6, truncate=False)

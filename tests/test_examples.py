@@ -47,3 +47,18 @@ def test_streaming_llm_gate_example_runs():
     assert "trained gate weights" in out.stdout
     assert "near-dup gate passed" in out.stdout
     assert "dynamic-gap sessionization emitted" in out.stdout
+
+
+def test_llm_corpus_curation_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "llm_corpus_curation.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "curated corpus written to" in out.stdout
+    assert "learned BPE merges" in out.stdout
+    assert "data card" in out.stdout

@@ -33,6 +33,12 @@ QUERIES = [
     "text_tfidf_keywords",       # (doc,token) counts + per-doc rank: n log n
     "dedup_near_gate",           # band-key window + per-doc count: n log n
     "curation_boilerplate_lines",# line counts + broadcast rewrite: linear
+    # round-5 additions
+    "dedup_containment_pairs",   # candidate-gated intersects: ∝ candidates
+    "text_token_entropy",        # (doc,token) counts + per-doc agg: linear
+    "text_bigram_quality",       # bigram-keyed counts + scoring joins: n log n
+    "text_bpe_train",            # 1 corpus shuffle + vocab-table rounds: linear
+    "curation_data_card",        # 1 scan + content-key shuffle + grouping sets
 ]
 
 
