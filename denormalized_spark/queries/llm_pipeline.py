@@ -1823,3 +1823,112 @@ def text_bigram_quality(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_logp2", 4).alias("avg_logp2")
     )
+
+
+_SPLIT_FRAC = (
+    "(('0x' || substr(md5('split0' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+@q(
+    "curation_split_leakage",
+    _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    vp AS (
+      SELECT id_a, id_b FROM (
+        SELECT j.id_a, j.id_b,
+               count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+        FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+        GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+      ) t WHERE jaccard >= 0.2
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+    reach(id, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    ),
+    comp AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    lbl AS (
+      SELECT dd.doc_id, coalesce(c.label, dd.doc_id) AS grp
+      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_FRAC.format(key='doc_id')} < 0.8
+                  THEN 'train' ELSE 'val' END AS naive_split,
+             CASE WHEN {_SPLIT_FRAC.format(key='grp')} < 0.8
+                  THEN 'train' ELSE 'val' END AS grp_split
+      FROM lbl
+    ),
+    pc AS (
+      SELECT p.id_a, p.id_b,
+             a.naive_split != b.naive_split AS naive_cross,
+             a.grp_split != b.grp_split AS grp_cross
+      FROM vp p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+    )
+    SELECT 'naive' AS mode, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN naive_cross THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+    FROM pc
+    UNION ALL
+    SELECT 'group_aware', count(*),
+           CAST(sum(CASE WHEN grp_cross THEN 1 ELSE 0 END) AS BIGINT)
+    FROM pc
+    """,
+)
+def curation_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val leakage audit — the invariant the group-aware split
+    exists for: count near-dup pairs (LSH-gated Jaccard ≥ 0.2) whose
+    endpoints land in DIFFERENT splits under (a) the naive per-doc
+    hash split and (b) the group-aware split keyed on the connected-
+    component label. Group-aware cross-split count is structurally 0
+    (same cluster → same hash input → same split); the naive count is
+    the leakage a real pipeline would silently ship. The oracle
+    replays components recursively and the md5 split boundaries
+    exactly."""
+    from denormalized_spark.operators import curation
+
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.2, candidates=cand
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    lbl = d.join(
+        cc.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
+    ).withColumn("grp", F.coalesce("label", F.col("doc_id")))
+    w = {"train": 0.8, "val": 0.2}
+    sp = curation.split_assign(
+        curation.split_assign(lbl, w, split_col="naive_split"),
+        w,
+        group_col="grp",
+        split_col="grp_split",
+    ).select("doc_id", "naive_split", "grp_split")
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("naive_split").alias("na"),
+        F.col("grp_split").alias("ga"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("naive_split").alias("nb"),
+        F.col("grp_split").alias("gb"),
+    )
+    pc = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    naive = pc.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+    ).select(F.lit("naive").alias("mode"), "n_pairs", "n_cross")
+    grp = pc.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("ga") != F.col("gb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+    ).select(F.lit("group_aware").alias("mode"), "n_pairs", "n_cross")
+    return naive.unionAll(grp)

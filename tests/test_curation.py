@@ -569,3 +569,21 @@ def test_dedup_document_lines_keep_first(spark):
     # '  alpha  ' trims to a repeat of line 1 -> dropped; '' kept;
     # trailing digit must survive (regression: index-as-trimStr bug)
     assert got == "alpha\nbeta\n\ngamma 3"
+
+
+def test_group_aware_split_never_crosses_clusters(spark):
+    """The invariant curation_split_leakage audits: with group_col set
+    to the near-dup cluster label, both members of every pair land in
+    the same split, for any weights/seed; the naive per-doc split
+    splits at least one crafted pair across the boundary."""
+    from denormalized_spark.operators.curation import split_assign
+
+    # 40 two-doc clusters: ids (2k, 2k+1) share cluster label 2k
+    rows = [(i, i - (i % 2)) for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    grouped = split_assign(df, {"train": 0.5, "val": 0.5}, group_col="grp")
+    naive = split_assign(df, {"train": 0.5, "val": 0.5})
+    g = {r["doc_id"]: r["split"] for r in grouped.collect()}
+    n = {r["doc_id"]: r["split"] for r in naive.collect()}
+    assert all(g[2 * k] == g[2 * k + 1] for k in range(40))
+    assert any(n[2 * k] != n[2 * k + 1] for k in range(40))

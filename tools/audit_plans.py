@@ -63,6 +63,7 @@ ALLOW_SINGLE_PART = {
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
     "text_bigram_quality",    # same 1-row total (unigram interpolation term)
+    "curation_split_leakage", # two 1-row global pair-count aggregates (metadata)
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
     "curation_validate",      # 1-row final of the all-rules global aggregate
