@@ -100,3 +100,35 @@ def test_window_agg_single_shuffle(spark, queries):
     plan = plan_of(queries, spark, "window_tumbling_1h")
     # one hash exchange on (window, keys); AQE wrapper may add a read
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_data_card_single_expand_plan(spark, queries):
+    """Grouping sets = ONE Expand feeding one partial/final aggregate
+    pair — the whole multi-level report costs one pass, not one job
+    per breakdown."""
+    plan = plan_of(queries, spark, "curation_data_card")
+    assert plan.count("Expand") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_dedup_lines_rewrite_is_shuffle_free(spark, queries):
+    """Within-doc line dedup is a pure projection: the only Exchange
+    allowed is none at all."""
+    plan = plan_of(queries, spark, "curation_dedup_lines")
+    assert "Exchange" not in plan
+
+
+def test_containment_joins_are_keyed(spark, queries):
+    """Candidate-gated containment: hash joins on the id keys, never a
+    nested-loop/cartesian product."""
+    plan = plan_of(queries, spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_only_cartesian_is_the_one_row_total(spark, queries):
+    """The bigram scorer's sole nested-loop join is the sanctioned
+    1-row vocab-total broadcast; every data join is keyed."""
+    plan = plan_of(queries, spark, "text_bigram_quality")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
