@@ -314,6 +314,51 @@ def label_centroids(
     )
 
 
+def outlier_scores(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    percentile: float = 0.1,
+) -> DataFrame:
+    """Embedding-space outlier detection for data curation: score each
+    vector by cosine to its OWN label's centroid, then flag the bottom
+    ``percentile`` per label — the standard screen for mislabeled or
+    out-of-distribution rows before they poison a training mix (and
+    the dual of the quality-percentile gate, in embedding space).
+
+    Plan: k-row centroid table (one partial-agged groupBy — or pass
+    precomputed ``centroids``) broadcast onto the scan; per-label
+    thresholds are ANOTHER k-row aggregate (exact interpolated
+    percentile over the rounded scores) broadcast back. Data is
+    touched twice, shuffled never; both joins are k-row broadcasts.
+    Rounded centroids/scores/thresholds keep the flag engine-portable
+    (no float-boundary flips between engines)."""
+    if centroids is None:
+        centroids = label_centroids(df, label_col, vec_col, dim)
+    cent = centroids.select(
+        F.col("cluster").alias(label_col), F.col("centroid").alias("_c")
+    )
+    scored = df.join(F.broadcast(cent), label_col).select(
+        id_col,
+        label_col,
+        F.round(cosine(F.col(vec_col), F.col("_c")), 6).alias("centroid_cos"),
+    )
+    thr = scored.groupBy(label_col).agg(
+        F.round(
+            F.expr(f"percentile(centroid_cos, {percentile})"), 6
+        ).alias("_thr")
+    )
+    return scored.join(F.broadcast(thr), label_col).select(
+        id_col,
+        label_col,
+        "centroid_cos",
+        (F.col("centroid_cos") < F.col("_thr")).alias("is_outlier"),
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame,

@@ -47,7 +47,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment_pairs", "dedup_cluster_representatives",
     "text_token_entropy", "text_frequency_spectrum", "curation_data_card",
     "text_bpe_train", "curation_quality_monitor", "text_bigram_quality",
-    "curation_dedup_lines", "curation_split_leakage",
+    "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",

@@ -1932,3 +1932,43 @@ def curation_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_cross"),
     ).select(F.lit("group_aware").alias("mode"), "n_pairs", "n_cross")
     return naive.unionAll(grp)
+
+
+_CENT64_SQL = ", ".join(
+    f"round(avg(embedding[{i}]::DOUBLE), 6) AS c{i}" for i in range(1, 65)
+)
+_CARR_SQL = "[" + ", ".join(f"c{i}" for i in range(1, 65)) + "]"
+
+
+@q(
+    "sim_outlier_scores",
+    f"""
+    WITH cent AS (
+      SELECT label, {_CENT64_SQL} FROM embeddings GROUP BY label
+    ),
+    ca AS (SELECT label, {_CARR_SQL} AS c FROM cent),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(({_dot_sql('e.embedding', 'ca.c')})
+                   / ({_norm_sql('e.embedding')} * {_norm_sql('ca.c')}), 6)
+               AS centroid_cos
+      FROM embeddings e JOIN ca USING (label)
+    ),
+    thr AS (
+      SELECT label, round(quantile_cont(centroid_cos, 0.1), 6) AS t
+      FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.centroid_cos,
+           s.centroid_cos < thr.t AS is_outlier
+    FROM scored s JOIN thr USING (label)
+    """,
+)
+def sim_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding outlier screen (operators/similarity.outlier_scores):
+    cosine of every vector to its own label centroid, bottom decile
+    per label flagged — the mislabeled/OOD filter a curation pipeline
+    runs before training. Two k-row broadcasts (centroids,
+    thresholds), zero data shuffles; rounded scores keep the flag
+    engine-portable."""
+    e = t(spark, sf, "embeddings")
+    return similarity.outlier_scores(e)

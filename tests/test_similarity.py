@@ -258,3 +258,25 @@ def test_cosine_topk_arrow_matches_expression_path(spark):
     assert [r.vec_id for r in a] == [r.vec_id for r in b]
     for ra, rb in zip(a, b):
         assert abs(ra.cosine_sim - rb.cosine_sim) < 1e-9
+
+
+def test_outlier_scores_flags_planted_outlier(spark):
+    """A vector pointing away from its label's tight cluster scores
+    lowest and is flagged; inliers are not."""
+    from denormalized_spark.operators.similarity import outlier_scores
+
+    dim = 8
+    rows = []
+    for i in range(9):  # tight cluster near e0
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1] = 0.01 * i
+        rows.append((i, v, "a"))
+    flipped = [0.0] * dim
+    flipped[0] = -1.0  # planted outlier
+    rows.append((99, flipped, "a"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r["vec_id"]: r for r in outlier_scores(df, dim=dim, percentile=0.1).collect()}
+    assert got[99]["is_outlier"]
+    assert got[99]["centroid_cos"] == min(r["centroid_cos"] for r in got.values())
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
