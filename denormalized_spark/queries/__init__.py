@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     # brand-new r5 operators, never driver-verified — highest priority
     "dedup_containment_pairs", "dedup_cluster_representatives",
     "text_token_entropy", "text_frequency_spectrum", "curation_data_card",
-    "text_bpe_train", "curation_quality_monitor", "text_bigram_quality",
+    "text_bpe_train", "text_bpe_encode", "curation_quality_monitor", "text_bigram_quality",
     "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family

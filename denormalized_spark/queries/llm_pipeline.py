@@ -1972,3 +1972,71 @@ def sim_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
     engine-portable."""
     e = t(spark, sf, "embeddings")
     return similarity.outlier_scores(e)
+
+
+def _bpe_encode_oracle(num_merges: int, max_vocab: int) -> str:
+    """Oracle for bpe_encode_counts: derive the b1..bN merges with the
+    same CTE chain as _bpe_oracle, then re-encode every corpus word —
+    sentinel string, N sequential replaces in rank order, piece
+    count."""
+    base = _bpe_oracle(num_merges, max_vocab)
+    # keep everything up to (but not including) the final merge-list
+    # UNION ALL select; splice the encode stages instead
+    chain = base[: base.rindex("\n    SELECT 1 AS rank")]
+    enc = (
+        "list_aggregate(list_transform([w[j] for j in range(1, length(w)+1)],"
+        " s -> chr(1)||s||chr(2)), 'string_agg', '')"
+    )
+    for i in range(1, num_merges + 1):
+        enc = (
+            f"replace({enc}, chr(1)||b{i}.a||chr(2)||chr(1)||b{i}.b||chr(2),"
+            f" chr(1)||b{i}.a||b{i}.b||chr(2))"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, num_merges + 1))
+    return (
+        chain
+        + f""",
+    docw AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    fw AS (
+      SELECT doc_id, w FROM docw
+      WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2))
+    ),
+    encw AS (
+      SELECT doc_id, length(w) AS nc,
+             len(string_split({enc}, chr(2)||chr(1))) AS ns
+      FROM fw, {froms}
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_words,
+             sum(nc) AS n_chars, sum(ns) AS n_bpe_tokens
+      FROM encw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS INT) AS n_words,
+           CAST(coalesce(a.n_chars, 0) AS INT) AS n_chars,
+           CAST(coalesce(a.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    )
+
+
+@q("text_bpe_encode", _bpe_encode_oracle(num_merges=6, max_vocab=2000))
+def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """The encode half of the tokenizer loop (operators/text.
+    bpe_encode_counts): train the 6-merge table, bake it into the
+    per-row greedy fold chain, and report per-document word/char/BPE-
+    token counts — the realized compression of the learned vocabulary.
+    Training is the vocab-bounded loop of text_bpe_train; encoding is
+    one scan, zero shuffles (the merge table is literals)."""
+    d = t(spark, sf, "documents")
+    merge_rows = text.bpe_train(d, num_merges=6, max_vocab=2000).collect()
+    merges = [(r["sym_a"], r["sym_b"]) for r in sorted(merge_rows, key=lambda r: r["rank"])]
+    out = text.bpe_encode_counts(d, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+    )

@@ -485,3 +485,27 @@ def test_bigram_logprob_ranks_word_salad_below_natural(spark):
     df = spark.createDataFrame([(1, natural), (2, salad)], ["doc_id", "text"])
     rows = {r["doc_id"]: r["avg_logp2"] for r in bigram_logprob_scores(df).collect()}
     assert rows[1] > rows[2]
+
+
+def test_bpe_encode_counts_compression(spark):
+    """Encoding with the learned merges shrinks token counts on the
+    corpus the merges were trained on; a no-merge encode equals the
+    char count."""
+    from denormalized_spark.operators.text import bpe_encode_counts, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab"), (2, "aaab cd cd")], ["doc_id", "text"]
+    )
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(bpe_train(df, num_merges=3).collect(), key=lambda r: r["rank"])
+    ]
+    got = {r["doc_id"]: r for r in bpe_encode_counts(df, merges).collect()}
+    # doc1: merges (a,a),(a,b),(aa,ab): 'aaab' -> [aaab] 1 sym, 'ab' -> [ab] 1
+    assert got[1]["n_words"] == 4 and got[1]["n_chars"] == 14
+    assert got[1]["n_bpe_tokens"] == 4  # 3x'aaab' + 'ab', each 1 symbol
+    # doc2: 'aaab' -> 1 sym; 'cd' stays 2 chars ((c,d) never merged in top-3)
+    assert got[2]["n_bpe_tokens"] == 1 + 2 + 2
+    # no merges -> symbols == chars
+    raw = {r["doc_id"]: r for r in bpe_encode_counts(df, []).collect()}
+    assert all(raw[k]["n_bpe_tokens"] == raw[k]["n_chars"] for k in raw)
