@@ -535,6 +535,110 @@ def simhash_near_dups(
     )
 
 
+def band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistent LSH band index of a corpus: one (band, band_key,
+    owner_id) row per distinct bucket, owner = min id. This is what a
+    pipeline STORES between runs (parquet, bucketed by band_key) so
+    tomorrow's increment dedups against all of history without
+    rescanning it — the index is bucket-count-sized, far smaller than
+    the corpus. One shuffle."""
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("_mh")
+    )
+    banded = sig.select(
+        id_col, F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk")
+    ).select(id_col, "_bk.band", "_bk.band_key")
+    return banded.groupBy("band", "band_key").agg(F.min(id_col).alias("owner_id"))
+
+
+def near_dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dedup: gate a NEW batch against the historical
+    :func:`band_index` plus itself, without touching the historical
+    corpus — the daily-increment pattern (the streaming twin is
+    near_dedup_stream; this is its batch form for scheduled loads).
+
+    Semantics, two deterministic phases:
+    1. ``dup_of_history``: a new doc sharing ANY band bucket with the
+       index is a suspected historical near-dup (same first-claimant
+       recall contract as the streaming gate);
+    2. among the remaining docs, the batch gate: survive iff the doc
+       owns (min id) ALL its band buckets within the clean batch.
+    ``kept`` = passed both. Returns ``(flags_df, updated_index)`` —
+    flags has one row per new doc; the updated index unions the kept
+    docs' buckets in (min-owner merge) for the next increment.
+
+    Plan: increment-sized band explode, one keyed join against the
+    index (at scale: index parquet bucketed by band_key → shuffle-free
+    merge join), one band-key window among clean docs, one groupBy.
+    History is never re-read.
+    """
+    from pyspark.sql import Window
+
+    sig = new_df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("_mh")
+    )
+    nb = sig.select(
+        id_col, F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk")
+    ).select(id_col, "_bk.band", "_bk.band_key")
+
+    hits = nb.join(
+        index.select("band", "band_key", F.lit(True).alias("_hit")),
+        ["band", "band_key"],
+        "left",
+    )
+    flags = hits.groupBy(id_col).agg(
+        F.max(F.coalesce("_hit", F.lit(False))).alias("dup_of_history")
+    )
+    clean_b = nb.join(
+        flags.filter(~F.col("dup_of_history")).select(id_col), id_col, "left_semi"
+    )
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    surv = (
+        clean_b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == bands)
+        .select(id_col, F.lit(True).alias("_surv"))
+    )
+    out = (
+        flags.join(surv, id_col, "left")
+        .select(
+            id_col,
+            "dup_of_history",
+            F.coalesce("_surv", F.lit(False)).alias("batch_survivor"),
+            (~F.col("dup_of_history") & F.coalesce("_surv", F.lit(False))).alias(
+                "kept"
+            ),
+        )
+    )
+    kept_bands = nb.join(
+        out.filter("kept").select(id_col), id_col, "left_semi"
+    ).select("band", "band_key", F.col(id_col).alias("owner_id"))
+    updated = (
+        index.select("band", "band_key", "owner_id")
+        .unionAll(kept_bands)
+        .groupBy("band", "band_key")
+        .agg(F.min("owner_id").alias("owner_id"))
+    )
+    return out, updated
+
+
 def containment_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -2040,3 +2040,60 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chars").cast("int").alias("n_chars"),
         F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
     )
+
+
+@q(
+    "dedup_incremental_gate",
+    _DOC_SHINGLES_CTE
+    + f""",
+    mh AS (SELECT doc_id, {_minhash_list(8)} AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(mh[b.b*2 + 1]::VARCHAR || ',' || mh[b.b*2 + 2]::VARCHAR) AS band_key
+      FROM mh CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+    ),
+    hb AS (
+      SELECT band, band_key FROM bands WHERE doc_id % 3 = 0
+      GROUP BY band, band_key
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % 3 != 0),
+    flags AS (
+      SELECT nb.doc_id,
+             max(CASE WHEN hb.band_key IS NOT NULL THEN 1 ELSE 0 END) = 1 AS dup_hist
+      FROM nb LEFT JOIN hb USING (band, band_key)
+      GROUP BY nb.doc_id
+    ),
+    cleanb AS (
+      SELECT nb.* FROM nb JOIN flags USING (doc_id) WHERE NOT dup_hist
+    ),
+    owned AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY band, band_key
+                                        ORDER BY doc_id) AS rn
+      FROM cleanb
+    ),
+    surv AS (
+      SELECT doc_id FROM owned WHERE rn = 1 GROUP BY doc_id HAVING count(*) = 4
+    )
+    SELECT f.doc_id,
+           f.dup_hist AS dup_of_history,
+           s.doc_id IS NOT NULL AS batch_survivor,
+           (NOT f.dup_hist) AND s.doc_id IS NOT NULL AS kept
+    FROM flags f LEFT JOIN surv s USING (doc_id)
+    """,
+)
+def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dedup of a new batch against a HISTORICAL band
+    index (operators/dedup.band_index + near_dedup_incremental): docs
+    with doc_id % 3 == 0 play history, the rest arrive as the
+    increment. History is scanned exactly once to build the
+    bucket-sized index; the increment then dedups against all of it
+    via one keyed join plus the within-batch first-claimant gate —
+    the daily-load pattern whose streaming twin is near_dedup_stream."""
+    d = t(spark, sf, "documents")
+    hist = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    idx = dedup.band_index(hist, "doc_id", "text", num_hashes=8, bands=4)
+    flags, _updated = dedup.near_dedup_incremental(
+        new, idx, "doc_id", "text", num_hashes=8, bands=4
+    )
+    return flags.select("doc_id", "dup_of_history", "batch_survivor", "kept")

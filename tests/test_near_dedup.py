@@ -184,3 +184,63 @@ def test_stream_restart_preserves_bucket_state(spark, tmp_path):
     ids2 = {r.doc_id for r in emitted2}
     assert 3 not in ids2, "restored bucket state failed to drop the dup"
     assert ids2 == {1, 2, 4}, ids2
+
+
+class TestIncrementalGate:
+    def test_incremental_equals_full_batch_on_union(self, spark):
+        """Processing (history, then increment) through the index must
+        keep exactly the docs the one-shot batch gate keeps on the
+        union — the incremental path is a re-partitioning of the same
+        decision, given history ids precede increment ids."""
+        from denormalized_spark.operators.dedup import (
+            band_index,
+            near_dedup_batch,
+            near_dedup_incremental,
+        )
+        from pyspark.sql import functions as F
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog today again",
+            "the quick brown fox jumps over the lazy cat today again",
+            "completely different content about distributed query engines",
+            "yet another unique document concerning stream processing",
+        ]
+        rows = [(i, texts[i % 4] + f" tail{i % 2}") for i in range(12)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        hist = df.filter(F.col("doc_id") < 6)
+        inc = df.filter(F.col("doc_id") >= 6)
+
+        idx = band_index(hist)
+        flags, updated = near_dedup_incremental(inc, idx)
+
+        # full-batch survivors over the union, ordered by doc_id
+        full = near_dedup_batch(
+            df.withColumn("ts", F.lit(0).cast("timestamp")), event_time="ts"
+        )
+        full_kept = {r["doc_id"] for r in full.collect()}
+        hist_kept = {
+            r["doc_id"] for r in near_dedup_batch(
+                hist.withColumn("ts", F.lit(0).cast("timestamp")), event_time="ts"
+            ).collect()
+        }
+        inc_kept = {r["doc_id"] for r in flags.filter("kept").collect()}
+        assert hist_kept | inc_kept == full_kept
+        # updated index owners are the earliest claimant across both loads
+        owners = {r["owner_id"] for r in updated.collect()}
+        assert owners <= set(range(12))
+
+    def test_history_dup_flagged_not_surviving(self, spark):
+        from denormalized_spark.operators.dedup import band_index, near_dedup_incremental
+
+        base = "a very specific sentence that appears in history and again later"
+        hist = spark.createDataFrame([(0, base)], ["doc_id", "text"])
+        inc = spark.createDataFrame(
+            [(10, base), (11, "entirely fresh material never seen before at all")],
+            ["doc_id", "text"],
+        )
+        flags = {
+            r["doc_id"]: r
+            for r in near_dedup_incremental(inc, band_index(hist))[0].collect()
+        }
+        assert flags[10]["dup_of_history"] and not flags[10]["kept"]
+        assert not flags[11]["dup_of_history"] and flags[11]["kept"]
