@@ -48,7 +48,7 @@ _DRIVER_PRIORITY = [
     "text_token_entropy", "text_frequency_spectrum", "curation_data_card",
     "text_bpe_train", "text_bpe_encode", "curation_quality_monitor", "text_bigram_quality",
     "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
-    "dedup_incremental_gate",
+    "dedup_incremental_gate", "sim_batch_topk", "curation_chunk_dup_rate",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",

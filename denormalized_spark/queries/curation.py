@@ -698,3 +698,55 @@ def curation_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
         before,
         F.size(F.split("clean_text", "\n")).alias("n_lines_after"),
     )
+
+
+@q(
+    "curation_chunk_dup_rate",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    u AS (SELECT doc_id,
+                 unnest([md5(array_to_string(ws[s+1 : s+32], ' '))
+                         for s in range(0, len(ws), 32)]) AS h
+          FROM d),
+    hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM u GROUP BY h)
+    SELECT u.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(sum(CASE WHEN hc.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS chunk_dup_rate
+    FROM u JOIN hc USING (h)
+    GROUP BY u.doc_id
+    """,
+)
+def curation_chunk_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """CHUNK-granular duplication: split every doc into 32-token
+    chunks (disjoint), hash them, and report per-document the
+    fraction of chunks that also appear in ANOTHER document — the
+    mid-scale dup signal between exact document dedup (too coarse:
+    one changed line defeats it) and shingle Jaccard (pairwise): a
+    doc scoring 0.8 here is mostly recycled content even if no single
+    whole-doc pair crosses a Jaccard threshold. Plan: chunk explode →
+    one chunk-hash-keyed count shuffle (distinct-doc counts) → rejoin
+    the chunk stream → per-doc aggregate. Work linear in corpus
+    tokens; the hash table is chunk-type-bounded."""
+    d = t(spark, sf, "documents")
+    chunks = curation.chunk_documents(d, chunk_tokens=32, keep_text=False).select(
+        "doc_id", F.col("chunk_hash").alias("h")
+    )
+    hc = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        chunks.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("chunk_dup_rate"),
+        )
+    )

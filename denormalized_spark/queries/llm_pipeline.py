@@ -2097,3 +2097,56 @@ def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
         new, idx, "doc_id", "text", num_hashes=8, bands=4
     )
     return flags.select("doc_id", "dup_of_history", "batch_survivor", "kept")
+
+
+@q(
+    "sim_batch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(({_dot_sql('e.embedding', 'q.qv')})
+                   / ({_norm_sql('e.embedding')} * {_norm_sql('q.qv')}), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.qid
+    )
+    SELECT qid, vec_id, cosine_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED retrieval: top-5 cosine neighbors for a whole query SET
+    (8 vectors) in one plan — broadcast the query block onto the
+    corpus scan (constant fan-out crossJoin, the multi-query
+    generalization of sim_topk_query0's 1-row pattern), score
+    map-side, per-query WindowGroupLimit rank. At 100 TB the query
+    block stays driver-small (thousands of rows broadcast once) and
+    only k rows per (partition, query) cross the wire — how a
+    retrieval service amortizes embedding-corpus scans across a query
+    batch."""
+    e = t(spark, sf, "embeddings")
+    from pyspark.sql import Window as W
+
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cosine_sim", "rk")
+    )

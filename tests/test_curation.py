@@ -587,3 +587,37 @@ def test_group_aware_split_never_crosses_clusters(spark):
     n = {r["doc_id"]: r["split"] for r in naive.collect()}
     assert all(g[2 * k] == g[2 * k + 1] for k in range(40))
     assert any(n[2 * k] != n[2 * k + 1] for k in range(40))
+
+
+def test_chunk_dup_rate_detects_recycled_blocks(spark):
+    """A doc assembled from another doc's chunks scores high even
+    though whole-doc hashes differ; a fresh doc scores 0. Chunks are
+    32 disjoint tokens, so build texts with exact 32-token blocks."""
+    from denormalized_spark.operators.curation import chunk_documents
+    from pyspark.sql import functions as F
+
+    block_a = " ".join(f"a{i}" for i in range(32))
+    block_b = " ".join(f"b{i}" for i in range(32))
+    block_c = " ".join(f"c{i}" for i in range(32))
+    rows = [
+        (1, f"{block_a} {block_b}"),       # original
+        (2, f"{block_b} {block_a}"),       # recycled, reordered: 2/2 shared
+        (3, f"{block_c}"),                 # fresh: 0 shared
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_tokens=32, keep_text=False).select(
+        "doc_id", F.col("chunk_hash").alias("h")
+    )
+    hc = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    got = {
+        r["doc_id"]: r
+        for r in chunks.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("s"),
+        )
+        .collect()
+    }
+    assert got[1]["s"] == 2 and got[2]["s"] == 2
+    assert got[3]["s"] == 0
