@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_train", "text_bpe_encode", "curation_quality_monitor", "text_bigram_quality",
     "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
     "dedup_incremental_gate", "sim_batch_topk", "curation_chunk_dup_rate",
+    "sim_hard_negatives", "text_structure_stats",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",

@@ -2150,3 +2150,122 @@ def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id", "cosine_sim", "rk")
     )
+
+
+@q(
+    "sim_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(({_dot_sql('e.embedding', 'q.qv')})
+                   / ({_norm_sql('e.embedding')} * {_norm_sql('q.qv')}), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.qid AND e.label != q.qlabel
+    )
+    SELECT qid, vec_id AS negative_id, label AS negative_label, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (16 query vectors), the single most-similar vector with a
+    DIFFERENT label — the near-miss that makes a triplet/InfoNCE
+    batch informative, versus random negatives that teach nothing.
+    Same broadcast-query-block scan as sim_batch_topk with the label
+    inequality pushed into the scoring filter; per-anchor
+    WindowGroupLimit keeps one row."""
+    e = t(spark, sf, "embeddings")
+    from pyspark.sql import Window as W
+
+    qs = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cosine_sim",
+        )
+    )
+
+
+@q(
+    "text_structure_stats",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' see https://example.org/p/' || doc_id ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' ```code block here``` ' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' "a quoted span" and (a parenthetical)' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '```')) // 2 AS n_code_fences,
+           len(regexp_extract_all(text, '"[^"]*"')) AS n_quoted_spans,
+           len(regexp_extract_all(text, '\([^)]*\)')) AS n_parentheticals,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+    FROM aug
+    """,
+)
+def text_structure_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural document features — the markup-aware quality signals
+    (URL density, code fences, quoted spans, parentheticals, digit
+    mass) that feed format-aware filtering and routing (code vs prose
+    corpora). The synthetic corpus has no markup, so deterministic
+    spans are injected first; all counting is regexp_extract_all at
+    scan speed — one projection, zero shuffles, no Python."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" see https://example.org/p/"),
+                            F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ```code block here``` ")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(' "a quoted span" and (a parenthetical)')).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    def n_matches(pat):
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    return d.select(
+        "doc_id",
+        n_matches(r"https?://[^\\s]+").alias("n_urls"),
+        (n_matches("```") / 2).cast("long").alias("n_code_fences"),
+        n_matches(r'\"[^\"]*\"').alias("n_quoted_spans"),
+        n_matches(r"\\([^)]*\\)").alias("n_parentheticals"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias(
+            "n_digits"
+        ),
+    )
