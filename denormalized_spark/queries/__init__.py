@@ -35,11 +35,12 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # r1-r2 covered the relational/window entries, r3 the dedup/text/similarity/
 # curation set, r4 re-proved the r2 set under the timestamp-conf change
 # (49/50 green; curation_validate red on an oracle dtype bug, fixed r5).
-# Round 5 rotates the window to the 56 entries with NO r4 verification —
-# the r3-verified dedup/text/similarity/curation/UDF/temporal/multimodal
-# set plus a few r2 scalars — led by curation_validate (the fix must be
-# driver-proven). Seven timestamp-free r2/r3-green scalar entries sit at
-# positions 51+ as the lowest-risk overflow, re-rotated next round.
+# Round-5 window: curation_validate first (the fix must be driver-proven),
+# then the 17 BRAND-NEW r5 operators (never driver-verified), then as much
+# of the r3-verified set (no r4 re-proof) as fits. Everything displaced to
+# positions 51+ is cumulatively driver-green AND was re-verified locally
+# this round by the full-registry tools/check_correctness.py sweep at
+# sf0.01 (0 failures); next round rotates them back in.
 _DRIVER_PRIORITY = [
     # the r4 red row, oracle fixed this round — must lead the sample
     "curation_validate",
