@@ -32,10 +32,14 @@ bench = docs.filter(F.col("doc_id") % 20 == 7)  # stand-in eval set
 
 # 1. quality filter
 q = corpus.filter(text.hashed_linear_score("text") > 0.5)
-# 2. fingerprint dedup (min-id survivor)
+# 2. fingerprint dedup (min-id survivor) — rank-limit window: one
+#    fingerprint shuffle, one corpus pass
+from pyspark.sql import Window
+
+w = Window.partitionBy("f").orderBy("doc_id")
 fp = q.withColumn("f", text.fingerprint("text"))
-keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-dd = fp.join(keep, "doc_id", "left_semi").drop("f")
+dd = (fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("f", "_rn"))
 # 3. decontaminate vs the benchmark
 clean = curation.decontaminate(dd, bench, n=5)
 # 4. split
