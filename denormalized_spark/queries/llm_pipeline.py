@@ -2269,3 +2269,44 @@ def text_structure_stats(spark: SparkSession, sf: str) -> DataFrame:
             "n_digits"
         ),
     )
+
+
+@q(
+    "text_lang_mismatch",
+    f"""
+    WITH d AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1) >= 0.02
+                  THEN 'en' ELSE 'und' END AS lang_pred
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred != lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           round(sum(CASE WHEN lang_pred != lang THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS mismatch_rate
+    FROM p GROUP BY source
+    """,
+)
+def text_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise detection: per source, how often the content-based
+    language detector disagrees with the recorded lang label — the
+    screen that catches mislabeled scrapes before a per-language
+    mixture is materialized from bad labels. One scan + one
+    source-keyed partial-agged shuffle."""
+    d = t(spark, sf, "documents")
+    p = d.select("source", "lang", text.lang_id("text").alias("lang_pred"))
+    return p.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang_pred") != F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.round(
+            F.sum(F.when(F.col("lang_pred") != F.col("lang"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("mismatch_rate"),
+    )

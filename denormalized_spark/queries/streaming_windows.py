@@ -486,3 +486,41 @@ def curation_quality_monitor(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("q"), 6).alias("mean_quality"),
         F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).cast("long").alias("n_pass"),
     )
+
+
+@q(
+    "window_ohlc",
+    r"""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start_time,
+           round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS close,
+           count(*) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    """,
+)
+def window_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlesticks per (event_type, hour): open/close via
+    min_by/max_by over the (event-time, id) struct — deterministic
+    first/last under a total order, no sort, no window function; one
+    (window, key)-shuffled partial-agged pass, identical plan batch or
+    streaming (the reference's emit_measurements aggregation family,
+    upgraded with positional aggregates)."""
+    e = t(spark, sf, "events").select("event_type", "ts", "event_id", "value")
+    g = e.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("window_start_time")
+    )
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return g.agg(
+        F.round(F.min_by("value", ord_), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", ord_), 2).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )
