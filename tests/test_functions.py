@@ -509,3 +509,16 @@ def test_bpe_encode_counts_compression(spark):
     # no merges -> symbols == chars
     raw = {r["doc_id"]: r for r in bpe_encode_counts(df, []).collect()}
     assert all(raw[k]["n_bpe_tokens"] == raw[k]["n_chars"] for k in raw)
+
+
+def test_bpe_and_bigram_empty_corpus(spark):
+    """Empty input: the trainer returns an empty merge table with the
+    right schema (no crash on the empty-argmax probe); the bigram
+    scorer returns no rows."""
+    from denormalized_spark.operators.text import bigram_logprob_scores, bpe_train
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    merges = bpe_train(empty, num_merges=3)
+    assert merges.collect() == []
+    assert set(merges.columns) == {"rank", "sym_a", "sym_b", "merged", "pair_count"}
+    assert bigram_logprob_scores(empty).collect() == []

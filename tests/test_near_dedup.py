@@ -244,3 +244,20 @@ class TestIncrementalGate:
         }
         assert flags[10]["dup_of_history"] and not flags[10]["kept"]
         assert not flags[11]["dup_of_history"] and flags[11]["kept"]
+
+
+def test_incremental_first_load_with_empty_index(spark):
+    """Bootstrap: an empty historical index degrades to the plain
+    within-batch gate, and the updated index seeds all of the kept
+    docs' buckets."""
+    from denormalized_spark.operators.dedup import band_index, near_dedup_incremental
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "hello world this is the very first corpus load today")],
+        ["doc_id", "text"],
+    )
+    flags, updated = near_dedup_incremental(docs, band_index(empty))
+    row = flags.collect()[0]
+    assert not row["dup_of_history"] and row["kept"]
+    assert updated.count() == 4  # one bucket per band
