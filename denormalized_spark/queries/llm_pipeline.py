@@ -2310,3 +2310,61 @@ def text_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("mismatch_rate"),
     )
+
+
+def _ivf_recall_oracle(k: int = 10, qid: int = 0, nprobe: int = 3) -> str:
+    """Recall@k of IVF vs exact brute force, as one SQL statement:
+    reuse the IVF oracle's CTE chain (via a subquery) intersected with
+    the exact top-k."""
+    ivf = _ivf_oracle(nprobe=nprobe, k=k, qid=qid).strip()
+    brute = f"""
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                                    WHERE vec_id = {qid}) q
+      WHERE e.vec_id != {qid}
+      ORDER BY round(({_dot_sql('e.embedding', 'q.qvec')})
+                     / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}), 6) DESC,
+               e.vec_id
+      LIMIT {k}
+    """
+    return f"""
+    WITH ivf AS ({ivf}),
+    brute AS ({brute})
+    SELECT {k} AS k,
+           CAST((SELECT count(*) FROM ivf SEMI JOIN brute USING (vec_id)) AS BIGINT)
+             AS n_overlap,
+           round((SELECT count(*) FROM ivf SEMI JOIN brute USING (vec_id))::DOUBLE
+                 / {k}, 6) AS recall_at_k
+    """
+
+
+@q("sim_ivf_recall", _ivf_recall_oracle())
+def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@10 of the IVF index against exact brute force
+    for the standard query vector — the quality metric an ANN
+    deployment monitors when tuning nprobe/cluster count; both sides
+    run in one plan (probed scan + broadcast top-k intersect), and
+    the oracle recomputes the identical quantizer, probes, and exact
+    set, so the recall NUMBER itself is driver-verified."""
+    e = t(spark, sf, "embeddings")
+    k = 10
+    ivf = similarity.ivf_topk(e, query_vec_id=0, k=k, nprobe=3, dim=64, round_digits=6)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "s"
+            ),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )
+    overlap = ivf.select("vec_id").join(brute.select("vec_id"), "vec_id", "left_semi")
+    return overlap.agg(F.count("*").alias("n_overlap")).select(
+        F.lit(k).alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall_at_k"),
+    )
