@@ -152,3 +152,80 @@ def test_context_with_checkpointing_builder(spark, tmp_path, sf_dir):
     )
     q.awaitTermination(120)
     assert rows and os.listdir(root)  # state landed under the root
+
+
+def test_quality_monitor_restart_no_reemission(spark, tmp_path):
+    """The windowed corpus-quality monitor (curation_quality_monitor's
+    plan) across a kill/restart: hour-0 quality stats emit once in run
+    1; run 2 from the same checkpoint emits the restored hour-1 window
+    exactly once, with the same mean_quality the batch plan computes —
+    windowed-agg state restore for a TEXT pipeline, not just counts."""
+    from denormalized_spark.operators.text import quality_score, token_count
+
+    stream_dir = tmp_path / "qm_stream"
+    stream_dir.mkdir()
+    ckpt = checkpoint_dir(str(tmp_path), "qmon")
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs into "
+            "the woods while it is still light outside today")
+
+    def doc_rows(specs):
+        return [Row(ts_str=t, v=txt) for t, txt in specs]
+
+    _write_file(
+        spark, tmp_path, stream_dir,
+        doc_rows([
+            (BASE + "00:05:00", good),
+            (BASE + "00:25:00", "x"),
+            (BASE + "01:10:00", good),
+            (BASE + "01:30:00", good),
+        ]),
+        "a.parquet", age_s=100,
+    )
+    schema = spark.read.parquet(str(stream_dir)).schema
+
+    def run(timeout=180):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+        m = sdf.withWatermark("ts", "0 seconds").select(
+            F.window("ts", "1 hour").alias("w"),
+            token_count("v").alias("nt"),
+            quality_score("v").alias("q"),
+        )
+        agg = (
+            m.groupBy("w")
+            .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 6).alias("mq"))
+            .select(F.col("w.start").alias("ws"), "n_docs", "mq")
+        )
+        rows = []
+        q = (
+            agg.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        return rows
+
+    rows1 = run()
+    got1 = {r["ws"].hour: (r["n_docs"], r["mq"]) for r in rows1}
+    assert set(got1) == {0} and got1[0][0] == 2
+
+    _write_file(
+        spark, tmp_path, stream_dir,
+        doc_rows([(BASE + "02:20:00", "y")]),
+        "b.parquet", age_s=0,
+    )
+    rows2 = run()
+    got2 = {r["ws"].hour: (r["n_docs"], r["mq"]) for r in rows2}
+    # hour-1 from restored state exactly once, never hour-0 again
+    assert set(got2) == {1}, rows2
+    assert got2[1][0] == 2
+    # restored-state quality equals the batch computation on hour-1 docs
+    batch = spark.createDataFrame([(good,), (good,)], ["v"]).agg(
+        F.round(F.avg(quality_score("v")), 6)
+    ).collect()[0][0]
+    assert got2[1][1] == batch
