@@ -62,3 +62,19 @@ def test_llm_corpus_curation_example_runs():
     assert "curated corpus written to" in out.stdout
     assert "learned BPE merges" in out.stdout
     assert "data card" in out.stdout
+
+
+def test_incremental_dedup_load_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "incremental_dedup_load.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "day 0:" in out.stdout and "day 2:" in out.stdout
+    assert "final index buckets:" in out.stdout
+    # day 0 starts from an empty index: nothing can be a history dup
+    assert "day 0: arrived=167 dup_of_history=0" in out.stdout
