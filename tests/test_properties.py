@@ -405,3 +405,67 @@ def test_containment_matches_set_arithmetic(spark, docs):
                 ca, cb = got[(i, j)]
                 assert ca == pytest.approx(inter / len(sets[i]))
                 assert cb == pytest.approx(inter / len(sets[j]))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=2, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_bigram_scores_match_brute_force(spark, docs):
+    """Interpolated bigram scorer vs plain Python counting on the
+    same corpus (λ=0.7, self-scored so everything is seen)."""
+    import math
+    from collections import Counter
+
+    from denormalized_spark.operators.text import bigram_logprob_scores
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+
+    toks = {i: d.split() for i, d in enumerate(docs)}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    T = sum(uni.values())
+    bi = Counter(
+        (ts[j], ts[j + 1]) for ts in toks.values() for j in range(len(ts) - 1)
+    )
+    ctx = Counter()
+    for (w1, _), c in bi.items():
+        ctx[w1] += c
+    for i, ts in toks.items():
+        pairs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not pairs:
+            assert i not in got
+            continue
+        lps = [
+            math.log(0.7 * bi[p] / ctx[p[0]] + 0.3 * uni[p[1]] / T) for p in pairs
+        ]
+        assert got[i]["n_bigrams"] == len(pairs)
+        assert got[i]["avg_logp2"] == pytest.approx(sum(lps) / len(lps), abs=1e-9)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_token_entropy_matches_brute_force(spark, docs):
+    import math
+    from collections import Counter
+
+    from denormalized_spark.operators.text import token_entropy_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_entropy_stats(df).collect()}
+    for i, d in enumerate(docs):
+        c = Counter(d.split())
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert got[i]["n_tokens"] == n and got[i]["n_types"] == len(c)
+        assert got[i]["entropy"] == pytest.approx(h, abs=1e-12)

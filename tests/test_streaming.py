@@ -538,3 +538,43 @@ def test_streaming_quality_monitor_equals_batch(ctx, sf_dir):
     assert_stream_equals_closed_batch(
         rows, batch_df, wm, end_col="window_end_time"
     )
+
+
+def test_streaming_ohlc_equals_batch(ctx, sf_dir, events, final_watermark):
+    """OHLC candles (min_by/max_by positional aggregates) through real
+    writeStream: closed windows must match the batch plan exactly —
+    positional aggs restore correctly from window state."""
+    def ohlc(df):
+        ord_ = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            df.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.round(F.min_by("value", ord_), 2).alias("open"),
+                F.round(F.max("value"), 2).alias("high"),
+                F.round(F.min("value"), 2).alias("low"),
+                F.round(F.max_by("value", ord_), 2).alias("close"),
+                F.count("*").alias("n_events"),
+            )
+            .select(
+                F.col("w.start").alias("window_start_time"),
+                F.col("w.end").alias("window_end_time"),
+                "event_type", "open", "high", "low", "close", "n_events",
+            )
+        )
+
+    sds = ctx.from_stream_parquet(sf_dir, "events", event_time="ts")
+    rows = []
+    q = (
+        ohlc(sds.df)
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ohlc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(rows) > 0
+    batch_df = ohlc(ctx.from_parquet(f"{sf_dir}/events.parquet", event_time="ts").df)
+    assert_stream_equals_closed_batch(
+        rows, batch_df, final_watermark, end_col="window_end_time"
+    )
