@@ -36,7 +36,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # curation set, r4 re-proved the r2 set under the timestamp-conf change
 # (49/50 green; curation_validate red on an oracle dtype bug, fixed r5).
 # Round-5 window: curation_validate first (the fix must be driver-proven),
-# then the 20 BRAND-NEW r5 operators (never driver-verified), then as much
+# then the 21 BRAND-NEW r5 operators (never driver-verified), then as much
 # of the r3-verified set (no r4 re-proof) as fits. Everything displaced to
 # positions 51+ is cumulatively driver-green AND was re-verified locally
 # this round by the full-registry tools/check_correctness.py sweep at
@@ -50,7 +50,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_train", "text_bpe_encode", "curation_quality_monitor", "text_bigram_quality",
     "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
     "dedup_incremental_gate", "sim_batch_topk", "curation_chunk_dup_rate",
-    "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch", "window_ohlc", "sim_ivf_recall",
+    "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch", "window_ohlc", "sim_ivf_recall", "curation_drift_report",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",

@@ -757,3 +757,54 @@ def curation_chunk_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chunk_dup_rate"),
         )
     )
+
+
+@q(
+    "curation_drift_report",
+    f"""
+    WITH d AS (
+      SELECT lang, doc_id % 2 = 0 AS prev, len({_TOKS}) AS nt,
+             (CASE WHEN len({_TOKS}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) AS len_ok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN prev THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_prev,
+           CAST(sum(CASE WHEN prev THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_curr,
+           CAST(sum(CASE WHEN prev THEN nt ELSE 0 END) AS BIGINT) AS tokens_prev,
+           CAST(sum(CASE WHEN prev THEN 0 ELSE nt END) AS BIGINT) AS tokens_curr,
+           round(avg(CASE WHEN prev THEN len_ok END), 6) AS len_ok_rate_prev,
+           round(avg(CASE WHEN prev THEN NULL ELSE len_ok END), 6) AS len_ok_rate_curr,
+           round(avg(CASE WHEN prev THEN NULL ELSE len_ok END)
+                 - avg(CASE WHEN prev THEN len_ok END), 6) AS len_ok_rate_delta
+    FROM d GROUP BY lang
+    """,
+)
+def curation_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-over-snapshot drift: per language, doc/token volume
+    and a quality-signal rate for the previous vs current crawl
+    (parity split stands in for two snapshot partitions) plus the
+    delta — the regression alarm a recurring ingest pipeline fires
+    on. ONE conditional-aggregation scan, no self-join: at 100 TB the
+    two snapshots are partition predicates on the same table, and the
+    report is a single partial-agged pass over both."""
+    d = t(spark, sf, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("prev"),
+        text.token_count("text").alias("nt"),
+        F.when(
+            text.token_count("text").between(10, 10000), F.lit(1.0)
+        ).otherwise(F.lit(0.0)).alias("len_ok"),
+    )
+    p = F.col("prev")
+    return d.groupBy("lang").agg(
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias("n_docs_prev"),
+        F.sum(F.when(p, 0).otherwise(1)).cast("long").alias("n_docs_curr"),
+        F.sum(F.when(p, F.col("nt")).otherwise(0)).cast("long").alias("tokens_prev"),
+        F.sum(F.when(p, 0).otherwise(F.col("nt"))).cast("long").alias("tokens_curr"),
+        F.round(F.avg(F.when(p, F.col("len_ok"))), 6).alias("len_ok_rate_prev"),
+        F.round(F.avg(F.when(~p, F.col("len_ok"))), 6).alias("len_ok_rate_curr"),
+        F.round(
+            F.avg(F.when(~p, F.col("len_ok"))) - F.avg(F.when(p, F.col("len_ok"))),
+            6,
+        ).alias("len_ok_rate_delta"),
+    )
