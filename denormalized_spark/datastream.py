@@ -496,6 +496,38 @@ class DataStream:
             )
         return DataStream(out, event_time=None, watermark=self.watermark)
 
+    def near_dedup_incremental(
+        self,
+        index: DataFrame | "DataStream",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ) -> tuple["DataStream", "DataStream"]:
+        """Batch-incremental near-dedup against a persistent LSH band
+        index (:func:`~denormalized_spark.operators.dedup.
+        near_dedup_incremental`): gate this batch against all of
+        history via one keyed join with the stored index, plus the
+        within-batch first-claimant rule. Returns ``(flags, updated
+        index)`` — persist the updated index for the next load
+        (see examples/incremental_dedup_load.py). Batch-only: the
+        streaming analogue is :meth:`near_dedup`'s online gate."""
+        from denormalized_spark.operators.dedup import near_dedup_incremental
+
+        if self._df.isStreaming:
+            raise ValueError(
+                "near_dedup_incremental() is the batch-load form; use "
+                "near_dedup() on streams"
+            )
+        idx = index._df if isinstance(index, DataStream) else index
+        flags, updated = near_dedup_incremental(
+            self._df, idx, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
+        return DataStream(flags), DataStream(updated)
+
     # -- sinks (reference datastream.rs:309-374, data_stream.py:223-232) --
 
     def sink(

@@ -162,3 +162,26 @@ def test_unpivot_melt(spark):
     df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "a", "b"])
     out = DataStream(df).unpivot(["id"], ["a", "b"]).df.collect()
     assert {(r.id, r.metric, r.value) for r in out} == {(1, "a", 10.0), (1, "b", 20.0)}
+
+
+def test_facade_near_dedup_incremental(spark):
+    """Facade form of the incremental gate: same flags as the
+    operator, streaming input rejected."""
+    from denormalized_spark.datastream import DataStream
+    from denormalized_spark.operators.dedup import band_index
+
+    import pytest as _pt
+
+    hist = spark.createDataFrame(
+        [(0, "shared history sentence appearing again in the increment")],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(5, "shared history sentence appearing again in the increment"),
+         (6, "completely novel text in this increment only")],
+        ["doc_id", "text"],
+    )
+    flags, updated = DataStream(inc).near_dedup_incremental(band_index(hist))
+    got = {r["doc_id"]: r["kept"] for r in flags.df.collect()}
+    assert got == {5: False, 6: True}
+    assert updated.df.count() >= 4
