@@ -148,6 +148,11 @@ def decontaminate(
     )
     explode_src = corpus
     if prefilter_bits:
+        # normalize to a multiple of 64: the bitmap packs 64 bits/word
+        # and build+probe must agree on the table size — a ragged tail
+        # would drop its set bits (Bloom FALSE negatives) or read past
+        # the array under ANSI
+        prefilter_bits = ((prefilter_bits + 63) // 64) * 64
         bloom = _bench_gram_bloom(bench_grams, prefilter_bits, prefilter_probes)
         explode_src = (
             corpus.join(F.broadcast(bloom))
@@ -452,16 +457,23 @@ def mixture_solve(
     avail = df.groupBy(strata_col).agg(
         F.sum(tokens_c).cast("double").alias("_avail")
     )
-    j = avail.join(F.broadcast(wdf), strata_col)
+    # LEFT join from the weight table: a weighted stratum ABSENT from
+    # the corpus must keep its constraint avail/w = 0 (forcing T = 0 —
+    # the requested proportions are unsatisfiable), not silently drop
+    # out of the min and yield a "solved" mixture that cannot exist
+    j = wdf.join(avail, strata_col, "left").withColumn(
+        "_avail", F.coalesce("_avail", F.lit(0.0))
+    )
     budget = j.groupBy().agg(F.min(F.col("_avail") / F.col("_w")).alias("_T"))
     rates = (
         j.join(F.broadcast(budget))
         .select(
             strata_col,
             F.col("_avail").cast("long").alias("available_tokens"),
-            F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_avail")).alias(
-                "rate"
-            ),
+            F.when(
+                F.col("_avail") > 0,
+                F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_avail")),
+            ).otherwise(F.lit(0.0)).alias("rate"),
             (F.col("_w") * F.col("_T")).cast("long").alias("target_tokens"),
         )
     )

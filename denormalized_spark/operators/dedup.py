@@ -576,11 +576,19 @@ def near_dedup_incremental(
     1. ``dup_of_history``: a new doc sharing ANY band bucket with the
        index is a suspected historical near-dup (same first-claimant
        recall contract as the streaming gate);
-    2. among the remaining docs, the batch gate: survive iff the doc
-       owns (min id) ALL its band buckets within the clean batch.
+    2. the batch gate over the WHOLE increment: survive iff the doc
+       owns (min id) ALL its band buckets among the new docs —
+       history-dups still claim the buckets they sit in, so a
+       same-batch near-dup of a history-dup loses its bucket and is
+       dropped, exactly as the one-shot ``near_dedup_batch`` over
+       history ∪ increment would drop it (equivalence requires
+       history ids to precede increment ids, the usual monotonic-id
+       load discipline; pinned by the union-parity test).
     ``kept`` = passed both. Returns ``(flags_df, updated_index)`` —
     flags has one row per new doc; the updated index unions the kept
-    docs' buckets in (min-owner merge) for the next increment.
+    docs' buckets in (min-owner merge) for the next increment. The
+    index MUST be built with the same ``num_hashes``/``bands``/
+    ``shingle_n`` as this call — band keys are config-specific.
 
     Plan: increment-sized band explode, one keyed join against the
     index (at scale: index parquet bucketed by band_key → shuffle-free
@@ -604,12 +612,11 @@ def near_dedup_incremental(
     flags = hits.groupBy(id_col).agg(
         F.max(F.coalesce("_hit", F.lit(False))).alias("dup_of_history")
     )
-    clean_b = nb.join(
-        flags.filter(~F.col("dup_of_history")).select(id_col), id_col, "left_semi"
-    )
+    # ownership over ALL new docs (history-dups included): they still
+    # claim buckets, so their same-batch near-dups are dropped too
     w = Window.partitionBy("band", "band_key").orderBy(id_col)
     surv = (
-        clean_b.withColumn("_rn", F.row_number().over(w))
+        nb.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .groupBy(id_col)
         .agg(F.count("*").alias("_n"))
@@ -725,17 +732,38 @@ def cluster_representatives(
     single max_by/min partial-aggregated shuffle on the cluster label.
     No windows, no per-cluster materialization beyond one row.
     """
+    from pyspark.sql.types import NumericType
+
     labeled = df.join(
         components.select(F.col("id").alias(id_col), "label"), id_col, "left"
     ).withColumn("cluster", F.coalesce("label", F.col(id_col)))
     scored = labeled.withColumn("_score", score)
-    # argmax score, tiebreak min id: max_by over a (score, -id) struct
-    return scored.groupBy("cluster").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col("_score"), (-F.col(id_col)).cast("long"))
-        ).alias("representative_id"),
-        F.max("_score").alias("best_score"),
-        F.count("*").alias("n_members"),
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        # argmax score, tiebreak min id: max_by over a (score, -id)
+        # struct — single partial-aggregated shuffle
+        return scored.groupBy("cluster").agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("_score"), (-F.col(id_col)).cast("long"))
+            ).alias("representative_id"),
+            F.max("_score").alias("best_score"),
+            F.count("*").alias("n_members"),
+        )
+    # non-numeric ids can't be order-inverted inside max_by: rank-limit
+    # window (score desc, id asc) — one cluster-keyed shuffle, the
+    # per-cluster sort is bounded by cluster size
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("_score"), F.asc(id_col))
+    stats = scored.groupBy("cluster").agg(
+        F.max("_score").alias("best_score"), F.count("*").alias("n_members")
+    )
+    reps = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster", F.col(id_col).alias("representative_id"))
+    )
+    return reps.join(stats, "cluster").select(
+        "cluster", "representative_id", "best_score", "n_members"
     )
 
 

@@ -98,40 +98,55 @@ def gopher_rules(
 
     Pure per-row projection: one scan, zero shuffles, fully
     SQL-expressible (integer counts and exact ratios — engine-portable
-    without float tolerance)."""
+    without float tolerance). The token array is bound ONCE via
+    eval_once — five rule expressions reference it, and Catalyst does
+    not CSE the tokenize subtree across higher-order-function
+    boundaries (the measured pitfall in dedup.shingle_hashes)."""
+    from denormalized_spark.operators.dedup import eval_once
+
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n = F.size(toks)
-    mean_len = F.aggregate(
-        toks, F.lit(0), lambda a, t: a + F.length(t)
-    ).cast("double") / F.greatest(n, F.lit(1))
-    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
-    ) / 3
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    low = F.transform(toks, F.lower)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(low, s),
+
+    def _flags(toks: Column) -> Column:
+        n = F.size(toks)
+        mean_len = F.aggregate(
+            toks, F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("double") / F.greatest(n, F.lit(1))
+        n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        n_ellipsis = (
+            F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+        ) / 3
+        n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        low = F.transform(toks, F.lower)
+        stop_hits = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(low, s),
+            )
         )
-    )
-    return df.select(
-        "*",
-        ((n >= min_words) & (n <= max_words)).alias("gr_word_count"),
-        (
-            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
-        ).alias("gr_mean_word_len"),
-        (
-            (n_hash + n_ellipsis) / F.greatest(n, F.lit(1))
-            <= F.lit(max_symbol_ratio)
-        ).alias("gr_symbol_ratio"),
-        (
-            n_alpha.cast("double") / F.greatest(n, F.lit(1))
-            >= F.lit(min_alpha_word_ratio)
-        ).alias("gr_alpha_words"),
-        (stop_hits >= min_stopword_hits).alias("gr_stopwords"),
+        return F.struct(
+            ((n >= min_words) & (n <= max_words)).alias("gr_word_count"),
+            (
+                (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+            ).alias("gr_mean_word_len"),
+            (
+                (n_hash + n_ellipsis) / F.greatest(n, F.lit(1))
+                <= F.lit(max_symbol_ratio)
+            ).alias("gr_symbol_ratio"),
+            (
+                n_alpha.cast("double") / F.greatest(n, F.lit(1))
+                >= F.lit(min_alpha_word_ratio)
+            ).alias("gr_alpha_words"),
+            (stop_hits >= min_stopword_hits).alias("gr_stopwords"),
+        )
+
+    fl = eval_once(tokens(text_col), lambda toks: _flags(toks))
+    return df.withColumn("_gf", fl).select(
+        *[col for col in df.columns],
+        F.col("_gf.gr_word_count").alias("gr_word_count"),
+        F.col("_gf.gr_mean_word_len").alias("gr_mean_word_len"),
+        F.col("_gf.gr_symbol_ratio").alias("gr_symbol_ratio"),
+        F.col("_gf.gr_alpha_words").alias("gr_alpha_words"),
+        F.col("_gf.gr_stopwords").alias("gr_stopwords"),
     ).withColumn(
         "gopher_pass",
         F.col("gr_word_count")

@@ -51,6 +51,9 @@ _DRIVER_PRIORITY = [
     "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
     "dedup_incremental_gate", "sim_batch_topk", "curation_chunk_dup_rate",
     "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch", "window_ohlc", "sim_ivf_recall", "curation_drift_report",
+    # authored pre-verdict this round, also never driver-verified
+    "curation_decontaminate_bloom", "curation_mixture_solver",
+    "dedup_ngram_duplication_rate",
     # r3-verified set, never re-proven under the r4 conf/codec changes:
     # dedup family
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
@@ -72,10 +75,8 @@ _DRIVER_PRIORITY = [
     "udf_revenue_by_flag", "udaf_weighted_avg_price",
     "join_asof_purchase_click", "sessionize_users", "join_range_order_bursts",
     "window_event_time_normalization",
-    # curation funnel (+ the new r5 entries, never driver-verified)
-    "curation_decontaminate", "curation_decontaminate_bloom",
-    "curation_mixture_solver", "dedup_ngram_duplication_rate",
-    "curation_chunks", "curation_mixture",
+    # curation funnel
+    "curation_decontaminate", "curation_chunks", "curation_mixture",
     "curation_split", "curation_pack", "curation_redact", "curation_quota",
     "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
     # positions 51+: outside the driver's 50-sample this round (the five

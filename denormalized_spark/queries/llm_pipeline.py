@@ -2063,13 +2063,10 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
       FROM nb LEFT JOIN hb USING (band, band_key)
       GROUP BY nb.doc_id
     ),
-    cleanb AS (
-      SELECT nb.* FROM nb JOIN flags USING (doc_id) WHERE NOT dup_hist
-    ),
     owned AS (
       SELECT doc_id, row_number() OVER (PARTITION BY band, band_key
                                         ORDER BY doc_id) AS rn
-      FROM cleanb
+      FROM nb
     ),
     surv AS (
       SELECT doc_id FROM owned WHERE rn = 1 GROUP BY doc_id HAVING count(*) = 4
@@ -2087,8 +2084,11 @@ def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
     with doc_id % 3 == 0 play history, the rest arrive as the
     increment. History is scanned exactly once to build the
     bucket-sized index; the increment then dedups against all of it
-    via one keyed join plus the within-batch first-claimant gate —
-    the daily-load pattern whose streaming twin is near_dedup_stream."""
+    via one keyed join plus the whole-increment first-claimant gate
+    (history-dups still claim their buckets, so their same-batch
+    near-dups drop too, matching the one-shot batch gate on the
+    union) — the daily-load pattern whose streaming twin is
+    near_dedup_stream."""
     d = t(spark, sf, "documents")
     hist = d.filter(F.col("doc_id") % 3 == 0)
     new = d.filter(F.col("doc_id") % 3 != 0)

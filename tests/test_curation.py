@@ -621,3 +621,48 @@ def test_chunk_dup_rate_detects_recycled_blocks(spark):
     }
     assert got[1]["s"] == 2 and got[2]["s"] == 2
     assert got[3]["s"] == 0
+
+
+def test_bloom_prefilter_non_multiple_of_64_bits(spark):
+    """prefilter_bits not divisible by 64 must still honor the
+    no-false-negatives guarantee (the raw value would leave a ragged
+    bitmap tail whose probes drop): results equal the ungated path."""
+    from denormalized_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"unique doc {i} alpha beta gamma delta {i}") for i in range(20)]
+        + [(100, "the secret benchmark sentence appears right here today")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark sentence appears right here today")],
+        ["doc_id", "text"],
+    )
+    plain = {r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()}
+    for bits in (1000, 100_001):
+        gated = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, bench, n=5, prefilter_bits=bits
+            ).collect()
+        }
+        assert gated == plain
+        assert 100 not in gated
+
+
+def test_mixture_solve_empty_weighted_stratum_forces_zero_budget(spark):
+    """A weighted stratum with no corpus rows makes the requested mix
+    unsatisfiable: T = 0, every rate 0, nothing sampled — instead of
+    silently dropping the constraint and over-reporting the plan."""
+    from denormalized_spark.operators.curation import mixture_solve
+
+    df = spark.createDataFrame(
+        [(1, "web", "alpha beta gamma delta"), (2, "web", "epsilon zeta eta theta")],
+        ["doc_id", "source", "text"],
+    )
+    sampled, rates = mixture_solve(df, {"web": 0.5, "books": 0.5})
+    r = {row["source"]: row for row in rates.collect()}
+    assert set(r) == {"web", "books"}
+    assert r["books"]["available_tokens"] == 0 and r["books"]["rate"] == 0.0
+    assert r["web"]["rate"] == 0.0 and r["web"]["target_tokens"] == 0
+    assert sampled.count() == 0

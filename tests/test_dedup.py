@@ -443,3 +443,23 @@ def test_cluster_representatives_tiebreak_min_id(spark):
     cc = dedup.connected_components(pairs)
     rep = dedup.cluster_representatives(df, cc, F.lit(1.0)).collect()[0]
     assert rep["representative_id"] == 3
+
+
+def test_cluster_representatives_string_ids(spark):
+    """String doc ids (common in real corpora: URLs, hashes) must not
+    crash the tiebreak (regression: numeric negation under ANSI) and
+    must keep the same argmax-quality / min-id-tiebreak semantics."""
+    txt = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [("doc-b", txt), ("doc-a", txt), ("doc-z", "unrelated standalone words here")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([("doc-a", "doc-b")], ["id_a", "id_b"])
+    cc = dedup.connected_components(pairs)
+    reps = {
+        r["cluster"]: r
+        for r in dedup.cluster_representatives(df, cc, F.lit(1.0)).collect()
+    }
+    assert reps["doc-a"]["representative_id"] == "doc-a"  # tie -> min id
+    assert reps["doc-a"]["n_members"] == 2
+    assert reps["doc-z"]["representative_id"] == "doc-z"

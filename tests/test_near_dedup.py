@@ -213,14 +213,17 @@ class TestIncrementalGate:
         idx = band_index(hist)
         flags, updated = near_dedup_incremental(inc, idx)
 
-        # full-batch survivors over the union, ordered by doc_id
+        # full-batch survivors over the union, ordered by doc_id —
+        # SAME LSH config (num_hashes=8, bands=4) as the incremental path
         full = near_dedup_batch(
-            df.withColumn("ts", F.lit(0).cast("timestamp")), event_time="ts"
+            df.withColumn("ts", F.lit(0).cast("timestamp")),
+            event_time="ts", num_hashes=8, bands=4,
         )
         full_kept = {r["doc_id"] for r in full.collect()}
         hist_kept = {
             r["doc_id"] for r in near_dedup_batch(
-                hist.withColumn("ts", F.lit(0).cast("timestamp")), event_time="ts"
+                hist.withColumn("ts", F.lit(0).cast("timestamp")),
+                event_time="ts", num_hashes=8, bands=4,
             ).collect()
         }
         inc_kept = {r["doc_id"] for r in flags.filter("kept").collect()}
@@ -261,3 +264,42 @@ def test_incremental_first_load_with_empty_index(spark):
     row = flags.collect()[0]
     assert not row["dup_of_history"] and row["kept"]
     assert updated.count() == 4  # one bucket per band
+
+
+def test_incremental_history_dup_still_claims_buckets(spark):
+    """The transitive-chain case: A is a history near-dup AND shares a
+    bucket with fresh doc B. A must still claim that bucket, so B is
+    dropped — matching the one-shot batch gate over history ∪ batch
+    (the old clean-subset window kept B)."""
+    from denormalized_spark.operators.dedup import (
+        band_index,
+        near_dedup_batch,
+        near_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    h_text = "the quick brown fox jumps over the lazy dog again today"
+    # A ~ history (one word changed), B ~ A (another word changed)
+    a_text = "the quick brown fox jumps over the lazy cat again today"
+    b_text = "the quick brown fox jumps over a lazy cat again today"
+    hist = spark.createDataFrame([(0, h_text)], ["doc_id", "text"])
+    inc = spark.createDataFrame([(10, a_text), (11, b_text)], ["doc_id", "text"])
+
+    flags = {
+        r["doc_id"]: r
+        for r in near_dedup_incremental(inc, band_index(hist))[0].collect()
+    }
+    union = spark.createDataFrame(
+        [(0, h_text), (10, a_text), (11, b_text)], ["doc_id", "text"]
+    ).withColumn("ts", F.lit(0).cast("timestamp"))
+    union_kept = {
+        r["doc_id"]
+        for r in near_dedup_batch(union, event_time="ts", num_hashes=8, bands=4).collect()
+    }
+    inc_kept = {d for d, r in flags.items() if r["kept"]}
+    # incremental keeps exactly what the union batch keeps, among new docs
+    assert inc_kept == union_kept - {0}
+    # and if A shares any bucket with B, B must not have survived via
+    # A's removal (the regression this test pins)
+    if flags[10]["dup_of_history"] and not flags[11]["dup_of_history"]:
+        assert (11 in inc_kept) == (11 in union_kept)
