@@ -474,7 +474,11 @@ def mixture_solve(
                 F.col("_avail") > 0,
                 F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_avail")),
             ).otherwise(F.lit(0.0)).alias("rate"),
-            (F.col("_w") * F.col("_T")).cast("long").alias("target_tokens"),
+            # explicit floor before the integer cast: Spark's cast('long')
+            # truncates but DuckDB's CAST(.. AS BIGINT) rounds-to-nearest,
+            # so w·T landing on x.5+ would diverge by 1 between engines;
+            # floor pins both to the same value (oracle uses floor too)
+            F.floor(F.col("_w") * F.col("_T")).cast("long").alias("target_tokens"),
         )
     )
     sampled = (

@@ -585,10 +585,16 @@ def near_dedup_incremental(
        history ids to precede increment ids, the usual monotonic-id
        load discipline; pinned by the union-parity test).
     ``kept`` = passed both. Returns ``(flags_df, updated_index)`` —
-    flags has one row per new doc; the updated index unions the kept
-    docs' buckets in (min-owner merge) for the next increment. The
-    index MUST be built with the same ``num_hashes``/``bands``/
-    ``shingle_n`` as this call — band keys are config-specific.
+    flags has one row per new doc; the updated index unions ALL the
+    batch's bucket claims in (claimants, not just survivors —
+    min-owner merge), because :func:`band_index` itself records every
+    historical doc's buckets: a bucket claimed only by a dropped dup
+    must stay remembered, or a later increment's near-dup of that
+    dropped doc would survive and multi-increment sequences would
+    diverge from the one-shot batch gate after the first increment
+    (pinned by the multi-increment parity test). The index MUST be
+    built with the same ``num_hashes``/``bands``/``shingle_n`` as
+    this call — band keys are config-specific.
 
     Plan: increment-sized band explode, one keyed join against the
     index (at scale: index parquet bucketed by band_key → shuffle-free
@@ -634,12 +640,13 @@ def near_dedup_incremental(
             ),
         )
     )
-    kept_bands = nb.join(
-        out.filter("kept").select(id_col), id_col, "left_semi"
-    ).select("band", "band_key", F.col(id_col).alias("owner_id"))
+    # ALL batch docs' claims enter the index (band_index records every
+    # history doc the same way): buckets claimed only by dropped dups
+    # must stay remembered for later increments
+    batch_bands = nb.select("band", "band_key", F.col(id_col).alias("owner_id"))
     updated = (
         index.select("band", "band_key", "owner_id")
-        .unionAll(kept_bands)
+        .unionAll(batch_bands)
         .groupBy("band", "band_key")
         .agg(F.min("owner_id").alias("owner_id"))
     )

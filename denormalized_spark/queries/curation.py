@@ -181,13 +181,19 @@ _SOLVER_W_VALUES = ", ".join(f"('{k}', {v})" for k, v in _SOLVER_W.items())
       SELECT source, CAST(sum(len({_TOKS})) AS DOUBLE) AS a
       FROM documents GROUP BY source
     ),
-    j AS (SELECT avail.source, a, w
-          FROM avail JOIN (VALUES {_SOLVER_W_VALUES}) wt(source, w) USING (source)),
+    -- LEFT join FROM the weight table, mirroring mixture_solve: a
+    -- weighted stratum absent from the corpus keeps its constraint
+    -- a/w = 0 (forcing T = 0) instead of dropping out of the min
+    j AS (SELECT wt.source, coalesce(a, 0.0) AS a, w
+          FROM (VALUES {_SOLVER_W_VALUES}) wt(source, w)
+          LEFT JOIN avail USING (source)),
     t AS (SELECT min(a / w) AS t FROM j),
     rates AS (
+      -- floor before the BIGINT cast: DuckDB CAST rounds-to-nearest,
+      -- Spark cast truncates; both sides floor explicitly
       SELECT j.source, CAST(a AS BIGINT) AS available_tokens,
-             least(1.0, w * t.t / a) AS rate,
-             CAST(w * t.t AS BIGINT) AS target_tokens
+             CASE WHEN a > 0 THEN least(1.0, w * t.t / a) ELSE 0.0 END AS rate,
+             CAST(floor(w * t.t) AS BIGINT) AS target_tokens
       FROM j, t
     ),
     kept AS (

@@ -1715,11 +1715,25 @@ def curation_data_card(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(num_merges: int, max_vocab: int) -> str:
+def _bpe_oracle(
+    num_merges: int, max_vocab: int, *, sentinel_fallback: bool = False
+) -> str:
     """Unrolled-iteration oracle for bpe_train: each merge round is a
     CTE pair (pair counts + argmax) and a vocab rewrite via the
     sentinel-encoded string replace (greedy left-to-right, matching
-    the Spark fold's overlap rule)."""
+    the Spark fold's overlap rule).
+
+    ``sentinel_fallback`` guards the ENCODE splice against early stop:
+    if the corpus yields fewer than ``num_merges`` merges, an empty
+    ``b{{i}}`` would cross-join-empty every downstream CTE, zeroing all
+    encode counts while Spark encodes with the merges actually
+    learned. The fallback unions a (chr(1), chr(1), -1) row into each
+    argmax: cnt=-1 sorts last so it only wins when the round found NO
+    pair, and the chr(1) "symbol" can never match the sentinel-encoded
+    word string (words containing chr(1)/chr(2) are excluded from the
+    vocabulary), so a fallback round is a pure no-op — exactly Spark's
+    early break. The TRAIN oracle keeps it off: there an empty b{{i}}
+    correctly truncates the output rows the way Spark's break does."""
     enc = (
         "list_aggregate(list_transform(syms, s -> chr(1)||s||chr(2)), "
         "'string_agg', '')"
@@ -1737,6 +1751,11 @@ def _bpe_oracle(num_merges: int, max_vocab: int) -> str:
                   [word[j] for j in range(1, length(word)+1)] AS syms
            FROM w)"""
     ]
+    fallback = (
+        " UNION ALL SELECT chr(1), chr(1), CAST(-1 AS BIGINT)"
+        if sentinel_fallback
+        else ""
+    )
     for i in range(1, num_merges + 1):
         parts.append(f""",
     p{i} AS (
@@ -1745,7 +1764,8 @@ def _bpe_oracle(num_merges: int, max_vocab: int) -> str:
                          for j in range(1, len(syms))]) AS t(u)
       GROUP BY t.u.a, t.u.b
     ),
-    b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+    b{i} AS (SELECT a, b, cnt FROM (SELECT a, b, cnt FROM p{i}{fallback})
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
         if i < num_merges:
             parts.append(f""",
     v{i + 1} AS (
@@ -1978,8 +1998,11 @@ def _bpe_encode_oracle(num_merges: int, max_vocab: int) -> str:
     """Oracle for bpe_encode_counts: derive the b1..bN merges with the
     same CTE chain as _bpe_oracle, then re-encode every corpus word —
     sentinel string, N sequential replaces in rank order, piece
-    count."""
-    base = _bpe_oracle(num_merges, max_vocab)
+    count. Uses the sentinel-fallback b{i} form so a corpus yielding
+    fewer than num_merges merges no-ops the missing rounds instead of
+    cross-join-emptying the encode chain (matching Spark's early
+    break)."""
+    base = _bpe_oracle(num_merges, max_vocab, sentinel_fallback=True)
     # keep everything up to (but not including) the final merge-list
     # UNION ALL select; splice the encode stages instead
     chain = base[: base.rindex("\n    SELECT 1 AS rank")]

@@ -232,6 +232,55 @@ class TestIncrementalGate:
         owners = {r["owner_id"] for r in updated.collect()}
         assert owners <= set(range(12))
 
+    def test_multi_increment_equals_full_batch(self, spark):
+        """THREE loads (history, inc1, inc2) must keep exactly what the
+        one-shot batch over the union keeps. Requires the index to
+        remember buckets claimed only by DROPPED dups: inc1 contains a
+        history-dup A; inc2 contains a near-dup of A that must still be
+        dropped even though A never entered the kept set."""
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.dedup import (
+            band_index,
+            near_dedup_batch,
+            near_dedup_incremental,
+        )
+
+        h_text = "the quick brown fox jumps over the lazy dog again today"
+        a_text = "the quick brown fox jumps over the lazy cat again today"
+        b_text = "the quick brown fox jumps over a lazy cat again today"
+        fresh = "entirely fresh material about streaming query engines"
+        hist = spark.createDataFrame([(0, h_text)], ["doc_id", "text"])
+        inc1 = spark.createDataFrame(
+            [(10, a_text), (11, fresh)], ["doc_id", "text"]
+        )
+        inc2 = spark.createDataFrame([(20, b_text)], ["doc_id", "text"])
+
+        idx = band_index(hist)
+        flags1, idx = near_dedup_incremental(inc1, idx)
+        flags2, idx = near_dedup_incremental(inc2, idx)
+
+        union = spark.createDataFrame(
+            [(0, h_text), (10, a_text), (11, fresh), (20, b_text)],
+            ["doc_id", "text"],
+        ).withColumn("ts", F.lit(0).cast("timestamp"))
+        union_kept = {
+            r["doc_id"]
+            for r in near_dedup_batch(
+                union, event_time="ts", num_hashes=8, bands=4
+            ).collect()
+        }
+        inc_kept = {r["doc_id"] for r in flags1.filter("kept").collect()} | {
+            r["doc_id"] for r in flags2.filter("kept").collect()
+        }
+        assert inc_kept == union_kept - {0}, (inc_kept, union_kept)
+        # the precondition that makes this test meaningful: A (10) was
+        # dropped as a history-dup, yet its near-dup in inc2 (20) still
+        # had to lose A's buckets
+        f1 = {r["doc_id"]: r for r in flags1.collect()}
+        if f1[10]["dup_of_history"]:
+            assert 20 not in inc_kept or 20 in union_kept
+
     def test_history_dup_flagged_not_surviving(self, spark):
         from denormalized_spark.operators.dedup import band_index, near_dedup_incremental
 
