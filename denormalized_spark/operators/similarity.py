@@ -461,6 +461,8 @@ def ivf_topk(
     label_col: str = "label",
     dim: int = 64,
     round_digits: int | None = None,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` clusters nearest to
     the query, brute-force only inside them.
@@ -468,9 +470,23 @@ def ivf_topk(
     The scan cost drops from N vectors to ~N·nprobe/n_clusters; the
     probed-cluster scan is the same broadcast + TakeOrdered plan as
     the exact brute force. Recall loss is confined to neighbors that
-    live in unprobed clusters."""
-    cent = label_centroids(df, label_col, vec_col, dim)
-    assigned = assign_clusters(df, cent, id_col, vec_col)
+    live in unprobed clusters.
+
+    **Reusable index**: pass ``centroids`` (cluster, centroid) and
+    ``assigned`` (id, vector, cluster — :func:`assign_clusters`
+    output, at scale persisted as parquet PARTITIONED BY cluster so a
+    probe prunes to nprobe partitions at the scan) to skip the
+    quantizer fit + full-corpus assignment this function otherwise
+    recomputes PER QUERY. Fit once at ingest, store, then every query
+    is just: rank k centroids, scan nprobe clusters. Omitting them
+    keeps the self-contained one-shot form (fit + assign + probe in
+    one plan — fine for a single ad-hoc query, a scale-killer in a
+    query loop; use :func:`ivf_batch_topk` for query blocks)."""
+    if centroids is None:
+        centroids = label_centroids(df, label_col, vec_col, dim)
+    cent = centroids
+    if assigned is None:
+        assigned = assign_clusters(df, cent, id_col, vec_col)
     qv = df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -493,4 +509,71 @@ def ivf_topk(
         .select(id_col, score.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_batch_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    round_digits: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF retrieval against a PREBUILT index: top-``k``
+    neighbors for a whole block of queries in ONE corpus pass — the
+    production shape of ANN serving/mining on Spark (the brute-force
+    twin is the sim_batch_topk query; this is its probed form:
+    ~nprobe/n_clusters of the scan per query instead of all of it).
+
+    Inputs: ``queries`` (qid, qvec) is a driver-small block (hundreds
+    to tens of thousands — it is broadcast); ``assigned`` and
+    ``centroids`` are the stored index from :func:`assign_clusters` /
+    :func:`label_centroids` (or a k-means fit), built once at ingest —
+    at scale ``assigned`` lives as parquet partitioned by cluster, so
+    the probe join prunes to the probed partitions.
+
+    Plan shape (corpus side scanned ONCE per batch, never per query):
+
+    1. centroids × broadcast(queries) → per-query probe list: a
+       (n_queries × n_clusters)-row metadata table, ranked to nprobe
+       rows per query by a qid-partitioned window;
+    2. the corpus joins the broadcast probe table on cluster — each
+       corpus row fans out only to the queries probing its cluster
+       (expected fan-out n_queries × nprobe / n_clusters);
+    3. exact cosine per (query, candidate), then a qid-partitioned
+       row_number ≤ k — Spark rewrites it to a WindowGroupLimit, so
+       no query materializes more than k rows past the per-partition
+       sort.
+
+    ``exclude_self`` drops the query's own row (queries drawn from the
+    corpus); set False for external query vectors whose ids don't
+    share the corpus id domain."""
+    from pyspark.sql import Window
+
+    probe_sim = cosine(F.col("centroid"), F.col(qvec_col))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_ps"), F.asc("cluster"))
+    probe = (
+        centroids.crossJoin(F.broadcast(queries))
+        .withColumn("_ps", probe_sim)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, qvec_col, "cluster")
+    )
+    cand = assigned.join(F.broadcast(probe), "cluster")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(qid_col))
+    score = cosine(F.col(vec_col), F.col(qvec_col))
+    if round_digits is not None:
+        score = F.round(score, round_digits)  # rank on the rounded value
+    wr = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.select(qid_col, id_col, score.alias("cosine_sim"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
     )

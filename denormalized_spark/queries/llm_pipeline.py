@@ -1343,6 +1343,87 @@ def sim_ivf_topk_query0(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_batch_oracle(
+    dim: int = 64, nprobe: int = 3, k: int = 5, n_queries: int = 8
+) -> str:
+    """Batched-IVF oracle: same quantizer/assignment CTEs as
+    _ivf_oracle, then a per-query probe ranking and a per-query
+    rounded top-k — the DuckDB replay of ivf_batch_topk's one-pass
+    plan."""
+    cent_comps = ", ".join(
+        f"round(avg(embedding[{j + 1}]::DOUBLE), 6) AS c{j}" for j in range(dim)
+    )
+    cent_list = "[" + ", ".join(f"c{j}" for j in range(dim)) + "]"
+    cos_vc = (
+        f"({_dot_sql('v.embedding', 'c.centroid')})"
+        f" / ({_norm_sql('v.embedding')} * {_norm_sql('c.centroid')})"
+    )
+    cos_cq = (
+        f"({_dot_sql('c.centroid', 'q.qvec')})"
+        f" / ({_norm_sql('c.centroid')} * {_norm_sql('q.qvec')})"
+    )
+    cos_ap = (
+        f"({_dot_sql('a.embedding', 'p.qvec')})"
+        f" / ({_norm_sql('a.embedding')} * {_norm_sql('p.qvec')})"
+    )
+    return f"""
+    WITH cent0 AS (SELECT label, {cent_comps} FROM embeddings GROUP BY label),
+    cent AS (SELECT label AS cluster, {cent_list} AS centroid FROM cent0),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT v.vec_id, v.embedding, c.cluster, {cos_vc} AS s
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, qvec, cluster FROM (
+        SELECT q.qid, q.qvec, c.cluster,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_cq} DESC, c.cluster) AS rn
+        FROM cent c CROSS JOIN q
+      ) t WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id, round({cos_ap}, 6) AS cosine_sim
+      FROM assign a JOIN probe p ON a.cluster = p.cluster
+      WHERE a.vec_id != p.qid
+    )
+    SELECT qid, vec_id, cosine_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= {k}
+    """
+
+
+@q("sim_ivf_batch", _ivf_batch_oracle())
+def sim_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED IVF retrieval against a prebuilt, reusable index
+    (operators/similarity.ivf_batch_topk): the quantizer is fit and
+    the corpus assigned ONCE (at scale: persisted parquet partitioned
+    by cluster at ingest), then an 8-query block is answered in a
+    single corpus pass — broadcast per-query probe list in, one
+    cluster-keyed join, per-query WindowGroupLimit top-5 out. This is
+    the scale fix for ivf_topk's one-shot form, which refits the
+    quantizer per query; the plan-shape test pins that the corpus
+    scan count does not grow with the query count."""
+    e = t(spark, sf, "embeddings")
+    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_batch_topk(
+        queries, assigned, cent, k=5, nprobe=3, round_digits=6
+    )
+
+
 def _linear_trainer_oracle(dim: int = 8, iters: int = 3, lr_bits: int = 25) -> str:
     """Unrolled gradient-descent oracle, bit-identical to
     operators.text.train_linear_classifier: integer hashed features,

@@ -280,3 +280,65 @@ def test_outlier_scores_flags_planted_outlier(spark):
     assert got[99]["is_outlier"]
     assert got[99]["centroid_cos"] == min(r["centroid_cos"] for r in got.values())
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+class TestIvfReusableIndex:
+    def test_ivf_topk_accepts_prebuilt_index(self, embeddings):
+        """Passing the persisted (centroids, assigned) pair must give
+        exactly the one-shot result — the fit-once-at-ingest path."""
+        e = embeddings.limit(200)
+        one_shot = similarity.ivf_topk(
+            e, query_vec_id=0, k=5, nprobe=2, dim=64, round_digits=6
+        ).collect()
+        cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+        assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+        reused = similarity.ivf_topk(
+            e, query_vec_id=0, k=5, nprobe=2, dim=64, round_digits=6,
+            centroids=cent, assigned=assigned,
+        ).collect()
+        assert [tuple(r) for r in one_shot] == [tuple(r) for r in reused]
+
+    def test_batch_matches_per_query(self, embeddings):
+        """ivf_batch_topk over a query block == ivf_topk per query
+        with the same prebuilt index (same probes, same rounding,
+        same tiebreaks)."""
+        e = embeddings.limit(200)
+        cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+        assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+        queries = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        batch = similarity.ivf_batch_topk(
+            queries, assigned, cent, k=5, nprobe=2, round_digits=6
+        )
+        got = {
+            (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+            for r in batch.collect()
+        }
+        for qid in range(4):
+            single = similarity.ivf_topk(
+                e, query_vec_id=qid, k=5, nprobe=2, dim=64, round_digits=6,
+                centroids=cent, assigned=assigned,
+            ).collect()
+            for rk, r in enumerate(single, start=1):
+                assert got[(qid, rk)] == (r["vec_id"], r["cosine_sim"]), (qid, rk)
+
+    def test_corpus_scan_count_independent_of_query_count(self, embeddings):
+        """The scale contract: the corpus is scanned once per BATCH.
+        The physical plan's file-scan count must not grow when the
+        query block grows 4x."""
+        e = embeddings.limit(500)
+        cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+        assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+
+        def scan_count(n_queries):
+            queries = e.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            )
+            plan = (
+                similarity.ivf_batch_topk(queries, assigned, cent, k=3, nprobe=2)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            return plan.count("Scan parquet") + plan.count("FileScan")
+
+        assert scan_count(2) == scan_count(8)

@@ -42,6 +42,7 @@ ALLOW_BNLJ = {
     "sim_batch_topk",        # broadcast query-block crossJoin — constant fan-out (8 rows)
     "sim_hard_negatives",    # same broadcast query-block pattern (16 anchors)
     "sim_ivf_recall",        # 1-row query-vector broadcast + k-row top-k intersect
+    "sim_ivf_batch",         # k-centroid × broadcast query-block crossJoin (metadata-sized probe table)
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
