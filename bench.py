@@ -113,6 +113,7 @@ def main() -> None:
     oracle_sec = _oracle_timings(entry_mod)
 
     wav_docs, wav_wall = _wav_decode_throughput(spark)
+    bpe_docs, bpe_wall = _bpe_encode_throughput(spark)
 
     stream_rows, stream_wall = _stream_throughput(spark)
     state_rows, state_wall = _stateful_stream_throughput(spark)
@@ -146,6 +147,7 @@ def main() -> None:
         ),
         "sf": sf,
         "wav_decode_docs_per_sec": round(wav_docs / wav_wall) if wav_wall else None,
+        "bpe_encode_docs_per_sec": round(bpe_docs / bpe_wall) if bpe_wall else None,
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
@@ -166,6 +168,7 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "queries", "sf", "oracle_total",
             "spark_vs_oracle_total", "wav_decode_docs_per_sec",
+            "bpe_encode_docs_per_sec",
             "stream_rows_per_sec", "stateful_stream_rows_per_sec",
             "wall_total",
         )
@@ -224,6 +227,59 @@ def _wav_decode_throughput(spark) -> tuple[int, float]:
     pipe = audio_features(
         synthesize_wav_payloads(docs, "doc_id"), "payload"
     ).drop("payload")
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        pipe.write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    return n, min(walls)
+
+
+def _bpe_encode_throughput(spark) -> tuple[int, float]:
+    """Arrow-batched BPE encode (operators/text.bpe_encode_table) with
+    a PRODUCTION-SIZED merge table (1,024 rows): corpus-exhaustive
+    merges trained driver-side on the word-count table (the synthetic
+    corpus has 31 distinct words, so real merges cap out quickly),
+    padded with never-firing rows to 1,024 — the honest model of a
+    32k-vocab table, where any given word fires only ~len(word)
+    merges and the substring prefilter skips the rest. Best-of-2
+    through the noop sink, same policy as the WAV lane."""
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators.text import bpe_encode_table, tokens
+    from denormalized_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )  # vocabulary-sized: 31 rows at these SFs
+    vocab = {r["w"]: (list(r["w"]), int(r["count"])) for r in wc}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < 1024:
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.values():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + c
+        if not pc:
+            break
+        (a, b) = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        for w, (syms, c) in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = (out, c)
+    n_real = len(merges)
+    merges += [(f"X{i}", "Y") for i in range(1024 - n_real)]
+
+    pipe = bpe_encode_table(docs, merges)
     walls = []
     for _ in range(2):
         t0 = time.time()

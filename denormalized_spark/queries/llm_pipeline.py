@@ -2146,6 +2146,32 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("text_bpe_encode_full", _bpe_encode_oracle(num_merges=6, max_vocab=2000))
+def text_bpe_encode_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION encode path (operators/text.bpe_encode_table):
+    the same trained merge table applied through the Arrow-batched
+    mapInPandas kernel instead of the literal fold chain — the form
+    whose cost does not grow with vocabulary size (per-word substring
+    prefilter + per-distinct-word cache), built for real 32k–100k
+    merge tables. Oracled against the identical unrolled-CTE as
+    text_bpe_encode at the 6-merge config: hash-equality here IS the
+    kernel's bit-parity proof with the zero-Python chain; throughput
+    at a ≥1k-merge table is measured in bench (bpe_encode_docs_per_sec)."""
+    d = t(spark, sf, "documents")
+    merge_rows = text.bpe_train(d, num_merges=6, max_vocab=2000).collect()
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(merge_rows, key=lambda r: r["rank"])
+    ]
+    out = text.bpe_encode_table(d, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+    )
+
+
 @q(
     "dedup_incremental_gate",
     _DOC_SHINGLES_CTE

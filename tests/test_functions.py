@@ -522,3 +522,84 @@ def test_bpe_and_bigram_empty_corpus(spark):
     assert merges.collect() == []
     assert set(merges.columns) == {"rank", "sym_a", "sym_b", "merged", "pair_count"}
     assert bigram_logprob_scores(empty).collect() == []
+
+
+class TestBpeEncodeTable:
+    def test_matches_literal_chain_on_trained_merges(self, spark):
+        """The Arrow kernel must be bit-identical to the fold chain on
+        the chain's own config (trained merges incl. multi-char
+        symbol merges)."""
+        from denormalized_spark.operators.text import (
+            bpe_encode_counts,
+            bpe_encode_table,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aaab aaab aaab ab"), (2, "aaab cd cd"), (3, ""), (4, "  x  ")],
+            ["doc_id", "text"],
+        )
+        merges = [
+            (r["sym_a"], r["sym_b"])
+            for r in sorted(
+                bpe_train(df, num_merges=3).collect(), key=lambda r: r["rank"]
+            )
+        ]
+        chain = {tuple(r) for r in bpe_encode_counts(df, merges).collect()}
+        arrow = {tuple(r) for r in bpe_encode_table(df, merges).collect()}
+        assert chain == arrow
+
+    def test_rank_order_and_overlap_semantics(self, spark):
+        """Adversarial table: a later merge whose operand is produced
+        by an earlier merge, plus the overlapping-pair greedy rule
+        ('aaa' + (a,a) -> [aa, a])."""
+        from denormalized_spark.operators.text import (
+            bpe_encode_counts,
+            bpe_encode_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aaa abab ababab"), (2, "ab aab aaab")], ["doc_id", "text"]
+        )
+        merges = [("a", "b"), ("ab", "ab"), ("a", "a"), ("aa", "ab")]
+        chain = {tuple(r) for r in bpe_encode_counts(df, merges).collect()}
+        arrow = {tuple(r) for r in bpe_encode_table(df, merges).collect()}
+        assert chain == arrow
+
+    def test_large_merge_table_prefilter_correct(self, spark):
+        """A 1k-row merge table where ~all rows never match: the
+        substring prefilter must skip them WITHOUT changing results
+        (padding merges use an alphabet disjoint from the corpus)."""
+        from denormalized_spark.operators.text import (
+            bpe_encode_counts,
+            bpe_encode_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "mississippi missive misfit"), (2, "ppi ssi ss ii")],
+            ["doc_id", "text"],
+        )
+        real = [("s", "s"), ("i", "ss"), ("p", "p"), ("i", "pp")]
+        pad = [(f"Q{i}", f"Z{i}") for i in range(1000)]
+        # interleave padding before/after so rank order crosses it
+        merges = pad[:500] + real[:2] + pad[500:] + real[2:]
+        chain = {tuple(r) for r in bpe_encode_counts(df, real).collect()}
+        # the chain with the full 1004-row table would take minutes to
+        # plan; padding merges are no-ops, so chain(real) is the truth
+        arrow = {tuple(r) for r in bpe_encode_table(df, merges).collect()}
+        assert chain == arrow
+
+    def test_sentinel_words_excluded(self, spark):
+        from denormalized_spark.operators.text import (
+            bpe_encode_counts,
+            bpe_encode_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ok \x01bad ok\x02 fine")], ["doc_id", "text"]
+        )
+        chain = {tuple(r) for r in bpe_encode_counts(df, [("o", "k")]).collect()}
+        arrow = {tuple(r) for r in bpe_encode_table(df, [("o", "k")]).collect()}
+        assert chain == arrow
+        row = next(iter(arrow))
+        assert row[1] == 2  # only the two sentinel-free words count

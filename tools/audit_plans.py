@@ -58,6 +58,9 @@ ALLOW_PYTHON = {
     "multimodal_wav_features",  # real stdlib-wave decode kernel (same path)
     "multimodal_bmp_stats",     # real stdlib BMP decode kernel (same path)
     "multimodal_png_stats",     # real stdlib PNG decode kernel (same path)
+    "text_bpe_encode_full",     # Arrow-batched BPE encode kernel — the sanctioned
+                                # mapInPandas path for 1k+ merge tables (the
+                                # literal-chain form is the zero-Python variant)
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
