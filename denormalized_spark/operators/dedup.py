@@ -566,6 +566,7 @@ def near_dedup_incremental(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dedup: gate a NEW batch against the historical
     :func:`band_index` plus itself, without touching the historical
@@ -600,6 +601,12 @@ def near_dedup_incremental(
     index (at scale: index parquet bucketed by band_key → shuffle-free
     merge join), one band-key window among clean docs, one groupBy.
     History is never re-read.
+
+    Skew posture matches :func:`near_dedup_batch`: the default
+    ownership window relies on WindowGroupLimit pushdown (monitor
+    buckets with :func:`lsh_bucket_histogram`); ``max_bucket_size``
+    switches to the partial-agg (winner, size) plan and exempts
+    oversized buckets from the contest (recall-loss direction).
     """
     from pyspark.sql import Window
 
@@ -620,15 +627,24 @@ def near_dedup_incremental(
     )
     # ownership over ALL new docs (history-dups included): they still
     # claim buckets, so their same-batch near-dups are dropped too
-    w = Window.partitionBy("band", "band_key").orderBy(id_col)
-    surv = (
-        nb.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") == bands)
-        .select(id_col, F.lit(True).alias("_surv"))
-    )
+    if max_bucket_size is None:
+        w = Window.partitionBy("band", "band_key").orderBy(id_col)
+        surv = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == bands)
+            .select(id_col, F.lit(True).alias("_surv"))
+        )
+    else:
+        surv = (
+            _bucket_ownership_counts(
+                nb, id_col, order_cols=[id_col], cap=max_bucket_size
+            )
+            .filter(F.col("_n_owned") == bands)
+            .select(id_col, F.lit(True).alias("_surv"))
+        )
     out = (
         flags.join(surv, id_col, "left")
         .select(
@@ -933,12 +949,27 @@ def near_dedup_batch(
     bands: int = 4,
     shingle_n: int = 3,
     payload_cols: tuple = (),
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Deterministic batch twin of :func:`near_dedup_stream`: each LSH
     bucket is owned by its earliest (event_time, id) claimant; a doc
     survives iff it owns all its bands. Used for stream-vs-batch
     parity tests and backfills that must agree with the online gate.
-    One band-key shuffle; no pair generation."""
+    One band-key shuffle; no pair generation.
+
+    Skew posture: the default (no cap) relies on the ``_rn == 1``
+    filter's WindowGroupLimit pushdown to bound a degenerate bucket's
+    post-sort materialization; the bucket's rows still land on ONE
+    task (monitor with :func:`lsh_bucket_histogram`). For corpora
+    where one bucket would swallow a task, ``max_bucket_size`` flips
+    to a partial-agg plan: per-bucket (winner, size) via groupBy —
+    map-side combine shrinks even a corpus-sized bucket to one row
+    per map partition BEFORE the shuffle — and any bucket larger than
+    the cap is exempted from the contest (all members count it as
+    owned — the recall-loss direction, mirroring
+    ``lsh_candidate_pairs``: an oversized bucket stops discriminating
+    rather than dropping every member). With a cap no bucket exceeds
+    it, results equal the uncapped gate (pinned by the parity test)."""
     from pyspark.sql import Window
 
     sig = df.select(
@@ -953,15 +984,68 @@ def near_dedup_batch(
         *payload_cols,
         F.explode(band_structs("_mh", num_hashes, bands)).alias("_bk"),
     ).select(id_col, event_time, *payload_cols, "_bk.band", "_bk.band_key")
-    w = Window.partitionBy("band", "band_key").orderBy(event_time, id_col)
-    owned = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return (
-        owned.groupBy(id_col)
-        .agg(
-            F.count("*").alias("_n_owned"),
-            F.min(event_time).alias(event_time),
-            *[F.first(c).alias(c) for c in payload_cols],
+    if max_bucket_size is None:
+        w = Window.partitionBy("band", "band_key").orderBy(event_time, id_col)
+        owned = banded.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
         )
-        .filter(F.col("_n_owned") == F.lit(bands))
+        return (
+            owned.groupBy(id_col)
+            .agg(
+                F.count("*").alias("_n_owned"),
+                F.min(event_time).alias(event_time),
+                *[F.first(c).alias(c) for c in payload_cols],
+            )
+            .filter(F.col("_n_owned") == F.lit(bands))
+            .select(id_col, event_time, *payload_cols)
+        )
+    n_owned = _bucket_ownership_counts(
+        banded, id_col, order_cols=[event_time, id_col], cap=max_bucket_size
+    )
+    doc_info = banded.groupBy(id_col).agg(
+        F.min(event_time).alias(event_time),
+        *[F.first(c).alias(c) for c in payload_cols],
+    )
+    return (
+        doc_info.join(n_owned, id_col, "left")
+        .filter(F.coalesce("_n_owned", F.lit(0)) == F.lit(bands))
         .select(id_col, event_time, *payload_cols)
+    )
+
+
+def _bucket_ownership_counts(
+    banded: DataFrame, id_col: str, order_cols: list[str], cap: int
+) -> DataFrame:
+    """Per-doc count of owned band buckets under a bucket-size cap.
+
+    One partial-agged shuffle computes each bucket's (winner, size) —
+    a degenerate bucket arrives at its reducer as ≤ one row per map
+    partition, not as its membership. Buckets over the cap are exempt
+    (every member owns them); exempt buckets are by construction few
+    (each holds > cap docs, so there are < corpus/cap of them) and
+    broadcast back against the band stream for the membership count."""
+    bucket = banded.groupBy("band", "band_key").agg(
+        F.min(F.struct(*order_cols)).alias("_w"),
+        F.count("*").alias("_sz"),
+    )
+    wins = (
+        bucket.filter(F.col("_sz") <= cap)
+        .select(F.col(f"_w.{id_col}").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_won"))
+    )
+    exempt = bucket.filter(F.col("_sz") > cap).select("band", "band_key")
+    ex_counts = (
+        banded.join(F.broadcast(exempt), ["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_ex"))
+    )
+    return (
+        wins.join(ex_counts, id_col, "full")
+        .select(
+            id_col,
+            (
+                F.coalesce("_n_won", F.lit(0)) + F.coalesce("_n_ex", F.lit(0))
+            ).alias("_n_owned"),
+        )
     )

@@ -352,3 +352,79 @@ def test_incremental_history_dup_still_claims_buckets(spark):
     # A's removal (the regression this test pins)
     if flags[10]["dup_of_history"] and not flags[11]["dup_of_history"]:
         assert (11 in inc_kept) == (11 in union_kept)
+
+
+class TestBucketSizeCap:
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog today again",
+        "the quick brown fox jumps over the lazy cat today again",
+        "completely different content about distributed query engines",
+        "yet another unique document concerning stream processing",
+    ]
+
+    def _df(self, spark, n=16):
+        from pyspark.sql import functions as F
+
+        rows = [(i, self.TEXTS[i % 4] + f" tail{i % 3}") for i in range(n)]
+        return spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+            "ts", F.lit(0).cast("timestamp")
+        )
+
+    def test_batch_cap_parity_when_no_bucket_exceeds(self, spark):
+        """A cap larger than any bucket must reproduce the uncapped
+        gate exactly — the partial-agg plan is a re-expression of the
+        same ownership decision."""
+        from denormalized_spark.operators.dedup import near_dedup_batch
+
+        df = self._df(spark)
+        base = {r["doc_id"] for r in near_dedup_batch(df, event_time="ts").collect()}
+        capped = {
+            r["doc_id"]
+            for r in near_dedup_batch(
+                df, event_time="ts", max_bucket_size=10_000
+            ).collect()
+        }
+        assert base == capped
+
+    def test_batch_oversized_bucket_exempt(self, spark):
+        """Identical docs all share every bucket; with a cap below the
+        corpus size those buckets are exempt, so ALL docs survive
+        (recall-loss direction: an over-cap bucket stops
+        discriminating, mirroring lsh_candidate_pairs)."""
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.dedup import near_dedup_batch
+
+        same = "one single repeated document body shared by every row here"
+        df = spark.createDataFrame(
+            [(i, same) for i in range(12)], ["doc_id", "text"]
+        ).withColumn("ts", F.lit(0).cast("timestamp"))
+        uncapped = {r["doc_id"] for r in near_dedup_batch(df, event_time="ts").collect()}
+        assert uncapped == {0}  # earliest claimant wins every bucket
+        capped = {
+            r["doc_id"]
+            for r in near_dedup_batch(df, event_time="ts", max_bucket_size=5).collect()
+        }
+        assert capped == set(range(12))
+
+    def test_incremental_cap_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.dedup import (
+            band_index,
+            near_dedup_incremental,
+        )
+
+        df = self._df(spark)
+        hist = df.filter(F.col("doc_id") < 6).drop("ts")
+        inc = df.filter(F.col("doc_id") >= 6).drop("ts")
+        idx = band_index(hist)
+        base = {
+            tuple(r)
+            for r in near_dedup_incremental(inc, idx)[0].collect()
+        }
+        capped = {
+            tuple(r)
+            for r in near_dedup_incremental(inc, idx, max_bucket_size=10_000)[0].collect()
+        }
+        assert base == capped
