@@ -56,10 +56,18 @@ class DataStream:
         df: DataFrame,
         event_time: str | None = None,
         watermark: str = "0 seconds",
+        watermarked: bool = False,
     ):
         self._df = df
         self.event_time = event_time
         self.watermark = watermark
+        #: True when the event-time column already sits downstream of a
+        #: watermark declaration IN THIS QUERY (e.g. the chainable
+        #: ts_mode="window_time" output of near_dedup): stateful ops
+        #: must then NOT re-declare a watermark — a second declaration
+        #: recomputes lateness from the post-aggregation stream and
+        #: holds the chained operator's windows open forever.
+        self.watermarked = watermarked
 
     # -- plumbing ------------------------------------------------------
 
@@ -411,7 +419,7 @@ class DataStream:
         if self.event_time is None:
             raise ValueError("window() requires an event-time column; call with_timestamp()")
         df = self._df
-        if df.isStreaming:
+        if df.isStreaming and not self.watermarked:
             df = df.withWatermark(self.event_time, self.watermark)
         out = _w.window_aggregate(
             df, self.event_time, group_exprs, aggr_exprs, window_length_ms, slide_ms
@@ -431,7 +439,7 @@ class DataStream:
         if self.event_time is None:
             raise ValueError("session_window() requires an event-time column")
         df = self._df
-        if df.isStreaming:
+        if df.isStreaming and not self.watermarked:
             df = df.withWatermark(self.event_time, self.watermark)
         out = _w.session_window_aggregate(
             df, self.event_time, group_exprs, aggr_exprs, gap_ms
@@ -465,13 +473,23 @@ class DataStream:
         shingle_n: int = 3,
         emit_window_ms: int = 60_000,
         payload_cols: Sequence[str] = (),
+        ts_mode: str = "exact",
     ) -> "DataStream":
         """MinHash-LSH near-duplicate filter, path-polymorphic: on a
         stream, the online first-claimant gate
         (:func:`~denormalized_spark.operators.dedup.near_dedup_stream`,
         two chained stateful operators, watermark-TTL'd bucket state);
         on a batch, the deterministic earliest-(event_time, id) twin.
-        Requires an event-time column (bucket ownership is temporal)."""
+        Requires an event-time column (bucket ownership is temporal).
+
+        ``ts_mode="window_time"`` emits the emit window's
+        ``window_time`` as the event time instead of the doc's exact
+        timestamp — on a stream that column keeps its event-time tag,
+        so the gate CHAINS into a further windowed aggregation in the
+        same query (gate → quality monitor → sink; the returned
+        DataStream keeps its event-time designation). The batch twin
+        derives the identical value from the doc timestamp, so
+        stream == batch parity holds in both modes."""
         from denormalized_spark.operators.dedup import (
             near_dedup_batch,
             near_dedup_stream,
@@ -488,13 +506,32 @@ class DataStream:
         if self._df.isStreaming:
             out = near_dedup_stream(
                 self._df, id_col, text_col, self.event_time,
-                watermark=self.watermark, emit_window_ms=emit_window_ms, **kwargs,
+                watermark=self.watermark, emit_window_ms=emit_window_ms,
+                ts_mode=ts_mode, **kwargs,
             )
         else:
             out = near_dedup_batch(
                 self._df, id_col, text_col, self.event_time, **kwargs
             )
-        return DataStream(out, event_time=None, watermark=self.watermark)
+            if ts_mode == "window_time":
+                # same value the stream emits: the doc's emit-window
+                # end − 1 µs (its band rows all carry its exact ts)
+                out = out.withColumn(
+                    self.event_time,
+                    F.window_time(
+                        F.window(
+                            F.col(self.event_time),
+                            f"{emit_window_ms} milliseconds",
+                        )
+                    ),
+                )
+        chain_et = self.event_time if ts_mode == "window_time" else None
+        return DataStream(
+            out,
+            event_time=chain_et,
+            watermark=self.watermark,
+            watermarked=(ts_mode == "window_time" and self._df.isStreaming),
+        )
 
     def near_dedup_incremental(
         self,

@@ -884,6 +884,7 @@ def near_dedup_stream(
     watermark: str = "0 seconds",
     emit_window_ms: int = 60_000,
     payload_cols: tuple = (),
+    ts_mode: str = "exact",
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup filter: emit only documents that
     claim ALL of their LSH bands first — any band collision with an
@@ -908,7 +909,20 @@ def near_dedup_stream(
     batch LSH, where same-bucket docs form a candidate pair and one
     canonical survivor is kept). State is bounded: distinct buckets ×
     watermark horizon, with no quadratic pair generation anywhere.
+
+    ``ts_mode`` picks the emitted event-time column: ``"exact"``
+    (default) is the doc's own event time — but it comes out of an
+    aggregate, so Spark no longer treats it as a watermarked
+    event-time column and a FURTHER stateful operator downstream
+    would drop the gate's output as late. ``"window_time"`` emits
+    ``window_time(emit window)`` instead (window end − 1 µs), which
+    KEEPS the event-time tag and makes the gate chainable into a
+    downstream windowed aggregation in the same query — the
+    gate → per-window quality monitor → sink graph. Precision drops
+    to the emit window; size ``emit_window_ms`` accordingly.
     """
+    if ts_mode not in ("exact", "window_time"):
+        raise ValueError(f"ts_mode must be exact|window_time, got {ts_mode!r}")
     sig = df.withWatermark(event_time, watermark).select(
         F.col(id_col),
         F.col(event_time),
@@ -926,7 +940,7 @@ def near_dedup_stream(
     # sub-second windows the invalid '0 seconds' and silently truncate others
     win = F.window(event_time, f"{emit_window_ms} milliseconds")
     surv = (
-        owned.groupBy(win, F.col(id_col))
+        owned.groupBy(win.alias("_w"), F.col(id_col))
         .agg(
             F.count("*").alias("_n_owned"),
             F.min(event_time).alias("_ts"),
@@ -934,8 +948,11 @@ def near_dedup_stream(
         )
         .filter(F.col("_n_owned") == bands)
     )
+    ts_out = (
+        F.col("_ts") if ts_mode == "exact" else F.window_time("_w")
+    )
     return surv.select(
-        id_col, F.col("_ts").alias(event_time), *payload_cols
+        id_col, ts_out.alias(event_time), *payload_cols
     )
 
 

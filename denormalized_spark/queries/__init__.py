@@ -31,62 +31,62 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
     ORACLES.update(mod.ORACLES)
 
 # The external correctness driver samples the FIRST 50 registry entries in
-# order, so the front of the registry is a rotating re-verification window:
-# r1-r2 covered the relational/window entries, r3 the dedup/text/similarity/
-# curation set, r4 re-proved the r2 set under the timestamp-conf change
-# (49/50 green; curation_validate red on an oracle dtype bug, fixed r5).
-# Round-5 window: curation_validate first (the fix must be driver-proven),
-# then the 21 BRAND-NEW r5 operators (never driver-verified), then as much
-# of the r3-verified set (no r4 re-proof) as fits. Everything displaced to
-# positions 51+ is cumulatively driver-green AND was re-verified locally
-# this round by the full-registry tools/check_correctness.py sweep at
-# sf0.01 (0 failures); next round rotates them back in.
+# order, so the front of the registry is a rotating re-verification window.
+# Cumulative coverage through r5: every one of the 132 entries has at least
+# one driver-green row (r1-r5 union). Round-6 window, in priority order:
+# (1) the two BRAND-NEW r6 entries (never driver-verified), (2) entries
+# whose operator or oracle CHANGED this round (the review fixes + the
+# feature-hashing rewrite), (3) the staleness rotation — every entry whose
+# latest driver green is r2 (11 scalars) or r3 (22: curation funnel, UDF/
+# temporal, multimodal, ANN), then the oldest r4 entries that fit,
+# starting with the ones whose underlying operator family was touched
+# (dedup_near_gate sits on the capped near_dedup_batch default path).
+# Everything displaced to 51+ was re-verified locally this session by the
+# full-registry tools/check_correctness.py sweep at sf0.01.
 _DRIVER_PRIORITY = [
-    # the r4 red row, oracle fixed this round — must lead the sample
-    "curation_validate",
-    # brand-new r5 operators, never driver-verified — highest priority
-    "dedup_containment_pairs", "dedup_cluster_representatives",
-    "text_token_entropy", "text_frequency_spectrum", "curation_data_card",
-    "text_bpe_train", "text_bpe_encode", "curation_quality_monitor", "text_bigram_quality",
-    "curation_dedup_lines", "curation_split_leakage", "sim_outlier_scores",
-    "dedup_incremental_gate", "sim_batch_topk", "curation_chunk_dup_rate",
-    "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch", "window_ohlc", "sim_ivf_recall", "curation_drift_report",
-    # authored pre-verdict this round, also never driver-verified
-    "curation_decontaminate_bloom", "curation_mixture_solver",
-    "dedup_ngram_duplication_rate",
-    # r3-verified set, never re-proven under the r4 conf/codec changes:
-    # dedup family
+    # brand-new r6 operators — never driver-verified
+    "sim_ivf_batch", "text_bpe_encode_full",
+    # operator/oracle changed this round — re-prove under the new code
+    "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
+    "dedup_incremental_gate", "text_train_linear_langid",
+    # latest green r2 — the timestamp-free scalar family
+    "array_funcs", "explode_top_tokens", "over_nth_value",
+    "over_ntile_percentrank", "scalar_case_json", "scalar_encode_digest",
+    "scalar_hash_funcs", "scalar_math_checksums", "scalar_regex",
+    "scalar_string_funcs", "scalar_struct_funcs",
+    # latest green r3
+    "curation_chunks", "curation_contamination_report", "curation_decontaminate",
+    "curation_full_funnel", "curation_mixture", "curation_pack",
+    "curation_pipeline", "curation_quota", "curation_redact", "curation_split",
+    "join_asof_purchase_click", "join_range_order_bursts", "kmeans_clusters",
+    "multimodal_audio_chunks", "multimodal_features", "sessionize_users",
+    "sim_centroid_by_label", "sim_ivf_topk_query0", "sim_lsh_buckets",
+    "udaf_weighted_avg_price", "udf_revenue_by_flag",
+    "window_event_time_normalization",
+    # latest green r4 — touched-family and oldest first, to fill 50
+    "dedup_near_gate", "multimodal_bmp_stats", "multimodal_png_stats",
+    "multimodal_wav_features", "agg_pricing_summary", "join_region_volume",
+    "window_tumbling_1h", "text_trending_tokens", "window_resample_ffill",
+    "curation_boilerplate_lines",
+    # positions 51+: r4/r5-green entries, re-rotated next round
+    "curation_validate", "dedup_containment_pairs",
+    "dedup_cluster_representatives", "text_token_entropy",
+    "text_frequency_spectrum", "curation_data_card", "curation_quality_monitor",
+    "text_bigram_quality", "curation_dedup_lines", "curation_split_leakage",
+    "sim_outlier_scores", "sim_batch_topk", "curation_chunk_dup_rate",
+    "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch",
+    "window_ohlc", "sim_ivf_recall", "curation_drift_report",
+    "curation_decontaminate_bloom", "dedup_ngram_duplication_rate",
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
     "dedup_lsh_candidates", "dedup_jaccard_pairs", "dedup_jaccard_lsh_verified",
     "dedup_minhash_estimate", "dedup_connected_components", "dedup_simhash",
     "dedup_embedding_neardup",
-    # text analysis (+ the new r5 entries, never driver-verified)
-    "text_gopher_rules", "text_quality_percentile_gate",
-    "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_token_totals", "text_unigram_quality", "text_quality_classifier",
-    "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
-    # similarity / ANN / clustering
+    "text_gopher_rules", "text_quality_percentile_gate", "text_stats",
+    "text_langid_accuracy", "text_langid_ngram_confusion", "text_token_totals",
+    "text_unigram_quality", "text_quality_classifier", "text_bpe_pairs",
+    "text_tfidf_keywords", "text_repetition",
     "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
-    "sim_threshold_pairs", "sim_lsh_buckets", "sim_ivf_topk_query0",
-    "kmeans_clusters", "sim_centroid_by_label",
-    # multimodal
-    "multimodal_features", "multimodal_audio_chunks",
-    # UDF / temporal / streaming-adjacent (timestamp-exposed)
-    "udf_revenue_by_flag", "udaf_weighted_avg_price",
-    "join_asof_purchase_click", "sessionize_users", "join_range_order_bursts",
-    "window_event_time_normalization",
-    # curation funnel
-    "curation_decontaminate", "curation_chunks", "curation_mixture",
-    "curation_split", "curation_pack", "curation_redact", "curation_quota",
-    "curation_contamination_report", "curation_full_funnel", "curation_pipeline",
-    # positions 51+: outside the driver's 50-sample this round (the five
-    # entries displaced by the new r5 operators are bench-exercised and
-    # hash-checked locally at three SFs this session), re-rotated next
-    # round with the timestamp-free scalars
-    "explode_top_tokens",
-    "scalar_encode_digest", "scalar_struct_funcs", "scalar_math_checksums",
-    "over_ntile_percentrank", "over_nth_value", "scalar_string_funcs",
-    "scalar_hash_funcs", "scalar_case_json", "array_funcs", "scalar_regex",
+    "sim_threshold_pairs",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -78,3 +78,18 @@ def test_incremental_dedup_load_example_runs():
     assert "final index buckets:" in out.stdout
     # day 0 starts from an empty index: nothing can be a history dup
     assert "day 0: arrived=167 dup_of_history=0" in out.stdout
+
+
+def test_streaming_quality_to_feast_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "streaming_quality_to_feast.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # the chained gate -> monitor -> feast graph must actually emit
+    assert "feast.push[corpus_quality_hourly]" in out.stdout
+    assert "pushed 8 hourly quality rows" in out.stdout

@@ -428,3 +428,55 @@ class TestBucketSizeCap:
             for r in near_dedup_incremental(inc, idx, max_bucket_size=10_000)[0].collect()
         }
         assert base == capped
+
+
+def test_window_time_mode_stream_equals_batch(spark):
+    """ts_mode='window_time' parity: the streaming gate's emitted
+    (doc_id, ts) must equal the batch twin's derived window_time —
+    and the column must chain into a downstream windowed aggregation
+    in the same query (the gate → monitor graph)."""
+    stage = tempfile.mkdtemp(prefix="nd_wt_stage_")
+    schema = "doc_id long, ts timestamp, text string"
+    by_minute: dict[int, list] = {}
+    for i, m, t in DOCS:
+        by_minute.setdefault(m, []).append(
+            (i, T0 + datetime.timedelta(minutes=m), t)
+        )
+    for k, (m, chunk) in enumerate(sorted(by_minute.items())):
+        path = os.path.join(stage, f"part{k}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + k, 1_000_000 + k))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    gated = DataStream(sdf, event_time="ts").near_dedup(
+        "doc_id", "text", ts_mode="window_time"
+    )
+    assert gated.event_time == "ts" and gated.watermarked
+    # chain a 10-minute windowed count downstream IN THE SAME QUERY
+    mon = gated.window(["doc_id"], [F.count("*").alias("n")], 600_000)
+    emitted = []
+    q = mon.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="nd_wt_ck_"),
+    )
+    q.awaitTermination(240)
+    got = {(r["doc_id"], r["n"]) for r in emitted}
+    assert got == {(1, 1), (2, 1), (4, 1)}, got
+
+    # batch twin emits the identical window_time values
+    batch_df = spark.createDataFrame(_rows(), schema)
+    bat = DataStream(batch_df, event_time="ts").near_dedup(
+        "doc_id", "text", ts_mode="window_time"
+    )
+    by_id = {r["doc_id"]: r["ts"] for r in bat.df.collect()}
+    # doc 4 arrived at minute 5 -> emit window [5:00,6:00) -> end-1µs
+    assert by_id[4] == T0 + datetime.timedelta(minutes=6) - datetime.timedelta(
+        microseconds=1
+    )
