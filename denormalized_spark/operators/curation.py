@@ -414,6 +414,38 @@ def mixture_sample(
     )
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "ev0",
+) -> DataFrame:
+    """Fixed-SIZE deterministic sample per group — the eval-set /
+    inspection-set builder ("give me exactly 200 docs per language"),
+    complementing :func:`mixture_sample`'s fixed-RATE form. Rows are
+    ranked inside each group by their md5 fraction (id tiebreak) and
+    the first ``n`` kept, so the sample is uniform, reproducible
+    across reruns/partitionings/engines, and STABLE UNDER APPENDS in
+    the reservoir sense: a doc only enters the sample by displacing
+    the current max-fraction member, never by reshuffling.
+
+    One shuffle on the group key; the per-group top-n is a
+    rank-limit window Spark pushes into a WindowGroupLimit, so no
+    group materializes more than ``n`` rows past its sort."""
+    from pyspark.sql import Window
+
+    frac = sample_fraction(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        frac.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def mixture_solve(
     df: DataFrame,
     weights: dict[str, float],

@@ -147,21 +147,29 @@ def exact_dedup_canonical(
     )
 
 
-#: Mersenne prime 2^61−1: modulus of the universal hash family. All
-#: intermediates stay below 2^62, so 64-bit arithmetic never
-#: overflows — in Spark longs AND DuckDB BIGINTs alike.
-MERSENNE61 = (1 << 61) - 1
+#: Mersenne prime 2^31−1: modulus of the universal hash family. The
+#: modulus must be ~the DOMAIN size so a·x WRAPS it many times — the
+#: original 2^61−1 modulus with 29-bit a and 32-bit x never wrapped
+#: (a·x < 2^61 ≈ M), leaving the map monotonic in x, so every slot's
+#: min was attained by the SAME shingle: k perfectly correlated hash
+#: functions (measured: two half-overlapping corpora matched 0/64
+#: slots). With M = 2^31−1, a,x < M, a·x < 2^62 fits signed 64-bit in
+#: Spark longs AND DuckDB BIGINTs, and wraps ~a times — independent
+#: slots, real variance reduction, real banding probabilities.
+MERSENNE31 = (1 << 31) - 1
 
 
 def minhash_params(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for the i-th universal hash
-    h_i(x) = (a·x + b) mod (2^61−1): md5-derived constants, identical
-    in any engine that embeds them as literals. a is 29-bit nonzero,
-    b 30-bit: with x < 2^32, a·x + b < 2^61 + 2^30 < 2^62."""
+    h_i(x) = (a·(x mod M) + b) mod M, M = 2^31−1: md5-derived
+    constants, identical in any engine that embeds them as literals.
+    a ∈ [1, M), b ∈ [0, M) — full-range multipliers are what makes
+    the slots independent draws (see MERSENNE31)."""
     import hashlib
 
-    a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:8], 16) % ((1 << 29) - 1) + 1
-    b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:8], 16) % (1 << 30)
+    m = MERSENNE31
+    a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:15], 16) % (m - 1) + 1
+    b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:15], 16) % m
     return a, b
 
 
@@ -171,22 +179,25 @@ def minhash_signature(
     """MinHash signature as array<long>, one min per hash function.
 
     ONE md5 per shingle (the 32-bit base hash), then ``num_hashes``
-    cheap affine transforms (a_i·h + b_i mod 2^61−1) — the standard
-    universal-hashing trick that replaces k crypto hashes per shingle
-    with one. Computed per-row with higher-order functions: no
-    explode, no shuffle, and the md5→affine pipeline is portable
-    (the DuckDB oracles recompute it bit-identically).
+    cheap affine transforms (a_i·(h mod M) + b_i mod M, M = 2^31−1) —
+    the standard universal-hashing trick that replaces k crypto
+    hashes per shingle with one. Computed per-row with higher-order
+    functions: no explode, no shuffle, and the md5→affine pipeline is
+    portable (the DuckDB oracles recompute it bit-identically).
+    Folding the 32-bit shingle hash into Z_M costs one extra mod and
+    ~doubles the (negligible, ~2^-31) base collision rate.
     """
     # 32-bit numeric shingles: one md5 per token, arithmetic per
     # shingle — no shingle strings anywhere
     base = shingle_hashes(text, shingle_n)
+    mod = F.lit(MERSENNE31)
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in (minhash_params(i) for i in range(num_hashes))
         ]
     )
-    init = F.array_repeat(F.lit(MERSENNE61).cast("long"), num_hashes)
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
     # single fold: each base hash updates all num_hashes running mins
     return F.aggregate(
         base,
@@ -194,7 +205,7 @@ def minhash_signature(
         lambda acc, h: F.zip_with(
             acc,
             params,
-            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE61)),
+            lambda m, p: F.least(m, (p["a"] * (h % mod) + p["b"]) % mod),
         ),
     )
 
@@ -667,6 +678,67 @@ def near_dedup_incremental(
         .agg(F.min("owner_id").alias("owner_id"))
     )
     return out, updated
+
+
+def corpus_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ONE-ROW MinHash signature of an entire corpus: per hash
+    function, the min over every document's shingles — i.e. the
+    signature of the UNION of all shingle sets. The metadata-sized
+    fingerprint a pipeline stores per snapshot so corpus-to-corpus
+    overlap (:func:`corpus_overlap`) costs two stored rows instead of
+    two scans.
+
+    Plan: per-row signatures (scan-speed JVM expressions, the same
+    md5+affine family the doc-level stack uses) → one global
+    partial-agged min per slot — a single 1-row aggregate; the
+    SinglePartition final moves num_hashes longs."""
+    sig = df.select(
+        minhash_signature(text_col, num_hashes, shingle_n).alias("_mh")
+    )
+    aggs = [
+        F.min(F.element_at("_mh", i + 1)).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return sig.agg(*aggs).select(
+        F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("corpus_mh")
+    )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimated Jaccard overlap between two corpora's shingle SETS —
+    the dataset-diff a pipeline runs between snapshots ("how much of
+    v2 is v1?") or against a vendor corpus before paying for it. One
+    scan per corpus, 1-row output: matching-slot fraction of the two
+    corpus MinHash signatures (the standard unbiased estimator; std
+    err ≈ 1/√num_hashes, so 64 hashes ≈ ±0.125). For asymmetric
+    containment at document granularity use :func:`containment_pairs`;
+    this is the corpus-level scalar."""
+    ma = corpus_minhash(a, text_col, num_hashes, shingle_n).select(
+        F.col("corpus_mh").alias("_a")
+    )
+    mb = corpus_minhash(b, text_col, num_hashes, shingle_n).select(
+        F.col("corpus_mh").alias("_b")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("_a", "_b", lambda x, y: x == y), lambda v: v)
+    )
+    # 1-row × 1-row crossJoin: metadata, the sanctioned pattern
+    return ma.crossJoin(mb).select(
+        matches.alias("matching_hashes"),
+        F.lit(num_hashes).alias("num_hashes"),
+        F.round(matches / F.lit(num_hashes), 6).alias("jaccard_estimate"),
+    )
 
 
 def containment_pairs(

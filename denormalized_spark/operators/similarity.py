@@ -253,6 +253,51 @@ def lsh_bucketed_neighbors(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def projection_components(comp_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random projection row in [-0.5, 0.5]^dim —
+    the Johnson-Lindenstrauss matrix row, md5-derived like
+    :func:`hyperplane_components` but under its own seed family so
+    projections and LSH hyperplanes stay independent draws."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"rp{comp_idx}:{j}".encode()).hexdigest()[:15], 16)
+        comps.append(h / float(1 << 60) - 0.5)
+    return comps
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project the
+    embedding column onto ``out_dim`` deterministic random directions
+    — the standard 4-8× shrink applied to an embedding store before
+    ANN indexing at corpus scale (pairwise distances are preserved
+    within ~√(ln n / out_dim); top-k neighbor RANKS mostly survive,
+    measured by the sim_projection_topk query). Composes with
+    :func:`quantize_embeddings` for the full 64-float → 16-int8
+    storage path.
+
+    Pure per-row projection: out_dim constant-folded literal rows,
+    zero shuffles, no Python. Components are md5-derived literals, so
+    engines replay the identical matrix (the oracle embeds the same
+    floats) and runs are reproducible without shipping a matrix."""
+    rows = [
+        F.array(*[F.lit(c) for c in projection_components(i, dim)])
+        for i in range(out_dim)
+    ]
+    comps = [dot(F.col(vec_col), r) for r in rows]
+    if round_digits is not None:
+        comps = [F.round(c, round_digits) for c in comps]
+    return df.withColumn(out_col, F.array(*comps))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse quantizer + probed clusters
 # ---------------------------------------------------------------------------

@@ -240,6 +240,39 @@ def curation_mixture_solver(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_eval_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('ev0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0 ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    """,
+)
+def curation_eval_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-SIZE deterministic per-group sampling
+    (operators/curation.sample_n_per_group): exactly 10 docs per
+    language, ranked by md5 fraction — the eval-set builder whose
+    sample is uniform, engine-reproducible, and append-stable in the
+    reservoir sense. One group-keyed shuffle with WindowGroupLimit
+    rank pushdown."""
+    d = t(spark, sf, "documents")
+    out = curation.sample_n_per_group(d, n=10, group_col="lang")
+    w_frac = curation.sample_fraction("doc_id", "ev0")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(w_frac.asc(), F.col("doc_id").asc())
+    return out.select(
+        "doc_id", "lang", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+@q(
     "curation_mixture",
     f"""
     SELECT d.doc_id, d.source FROM documents d

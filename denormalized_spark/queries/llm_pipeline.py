@@ -61,16 +61,17 @@ def _shingle_hash_sql() -> str:
 
 def _minhash_list(num_hashes: int) -> str:
     """Universal-hash MinHash matching operators.dedup.minhash_signature:
-    base = the 32-bit numeric shingle hash, then
-    h_i = (a_i·base + b_i) mod 2^61−1 with the same md5-derived
-    (a_i, b_i) literals the Spark side folds with."""
-    from denormalized_spark.operators.dedup import MERSENNE61, minhash_params
+    base = the 32-bit numeric shingle hash folded into Z_M, then
+    h_i = (a_i·(base mod M) + b_i) mod M with M = 2^31−1 and the same
+    md5-derived (a_i, b_i) literals the Spark side folds with."""
+    from denormalized_spark.operators.dedup import MERSENNE31, minhash_params
 
     parts = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
         parts.append(
-            f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MERSENNE61}))"
+            f"list_min(list_transform(shingles, "
+            f"h -> ({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31}))"
         )
     return "[" + ", ".join(parts) + "]"
 
@@ -2227,6 +2228,116 @@ def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
         new, idx, "doc_id", "text", num_hashes=8, bands=4
     )
     return flags.select("doc_id", "dup_of_history", "batch_survivor", "kept")
+
+
+def _corpus_overlap_oracle(num_hashes: int = 64) -> str:
+    """Corpus-level MinHash overlap: per snapshot, each signature slot
+    is the min of the affine hash over ALL shingle hashes (union of
+    doc shingle sets = min over the unnested stream); overlap = the
+    matching-slot fraction."""
+    from denormalized_spark.operators.dedup import MERSENNE31, minhash_params
+
+    def slot_mins() -> str:
+        parts = []
+        for i in range(num_hashes):
+            a, b = minhash_params(i)
+            parts.append(f"min(({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31})")
+        return "[" + ", ".join(parts) + "]"
+
+    match_terms = " + ".join(
+        f"(CASE WHEN ma.m[{i + 1}] = mb.m[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return (
+        _DOC_SHINGLES_CTE
+        + f""",
+    ea AS (SELECT unnest(shingles) AS h FROM sh WHERE doc_id % 2 = 0),
+    eb AS (SELECT unnest(shingles) AS h FROM sh WHERE doc_id % 2 = 1),
+    ma AS (SELECT {slot_mins()} AS m FROM ea),
+    mb AS (SELECT {slot_mins()} AS m FROM eb)
+    SELECT CAST({match_terms} AS INT) AS matching_hashes,
+           {num_hashes} AS num_hashes,
+           round(({match_terms}) / {num_hashes}.0, 6) AS jaccard_estimate
+    FROM ma, mb
+    """
+    )
+
+
+@q("dedup_corpus_overlap", _corpus_overlap_oracle())
+def dedup_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-to-corpus overlap (operators/dedup.corpus_overlap): the
+    even/odd doc split plays two snapshots; their 1-row MinHash
+    signatures estimate the Jaccard of the two shingle-set unions —
+    the dataset-diff scalar a pipeline computes between snapshot
+    versions in one scan each (and at 100 TB from STORED per-snapshot
+    signatures, no rescan at all). Output is a single row:
+    matching slots, total slots, estimate."""
+    d = t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.corpus_overlap(a, b, num_hashes=64)
+    return out.select(
+        F.col("matching_hashes").cast("int").alias("matching_hashes"),
+        F.col("num_hashes").cast("int").alias("num_hashes"),
+        "jaccard_estimate",
+    )
+
+
+def _projection_topk_oracle(
+    out_dim: int = 16, dim: int = 64, k: int = 10, qid: int = 0
+) -> str:
+    """Projected-space top-k: embed the SAME md5-derived JL matrix
+    literals, project every vector (rounded per component), rank by
+    rounded cosine in the 16-dim space."""
+    from denormalized_spark.operators.similarity import projection_components
+
+    comps = []
+    for i in range(out_dim):
+        row = projection_components(i, dim)
+        terms = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE * {row[j]!r})" for j in range(dim)
+        )
+        comps.append(f"round({terms}, 6)")
+    proj_list = "[" + ", ".join(comps) + "]"
+    cos = (
+        f"({_dot_sql('p.pv', 'q.qv', out_dim)})"
+        f" / ({_norm_sql('p.pv', out_dim)} * {_norm_sql('q.qv', out_dim)})"
+    )
+    return f"""
+    WITH p AS (SELECT vec_id, {proj_list} AS pv FROM embeddings),
+    q AS (SELECT pv AS qv FROM p WHERE vec_id = {qid})
+    SELECT p.vec_id, round({cos}, 6) AS cosine_sim
+    FROM p CROSS JOIN q
+    WHERE p.vec_id != {qid}
+    ORDER BY cosine_sim DESC, p.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@q("sim_projection_topk", _projection_topk_oracle())
+def sim_projection_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN in a Johnson-Lindenstrauss-REDUCED space
+    (operators/similarity.project_embeddings): 64-dim embeddings
+    projected onto 16 deterministic md5-derived directions, then
+    brute-force cosine top-10 in the small space — the 4× cheaper
+    scan an embedding store runs after JL shrink (compose with int8
+    quantization for the full storage path). Projection is a pure
+    per-row expression; the top-k is the same 1-row broadcast +
+    TakeOrderedAndProject plan as the exact path."""
+    e = t(spark, sf, "embeddings")
+    p = similarity.project_embeddings(e, out_dim=16, dim=64)
+    qv = p.filter(F.col("vec_id") == 0).select(F.col("proj").alias("_qv"))
+    scored = (
+        p.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("proj"), F.col("_qv")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
 
 
 @q(

@@ -666,3 +666,40 @@ def test_mixture_solve_empty_weighted_stratum_forces_zero_budget(spark):
     assert r["books"]["available_tokens"] == 0 and r["books"]["rate"] == 0.0
     assert r["web"]["rate"] == 0.0 and r["web"]["target_tokens"] == 0
     assert sampled.count() == 0
+
+
+class TestSampleNPerGroup:
+    def test_exact_n_per_group_and_deterministic(self, spark):
+        from denormalized_spark.operators.curation import sample_n_per_group
+
+        rows = [(i, f"src{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        s1 = sample_n_per_group(df, 5, group_col="source")
+        s2 = sample_n_per_group(df.repartition(7), 5, group_col="source")
+        got1 = sorted((r["source"], r["doc_id"]) for r in s1.collect())
+        got2 = sorted((r["source"], r["doc_id"]) for r in s2.collect())
+        assert got1 == got2  # partitioning-independent
+        from collections import Counter
+
+        counts = Counter(s for s, _ in got1)
+        assert counts == {"src0": 5, "src1": 5, "src2": 5}
+
+    def test_append_stability(self, spark):
+        """Reservoir property: appending rows can only DISPLACE
+        members (new row ranks into the top-n), never reshuffle the
+        survivors among the old rows."""
+        from denormalized_spark.operators.curation import sample_n_per_group
+
+        old = spark.createDataFrame(
+            [(i, "s") for i in range(40)], ["doc_id", "source"]
+        )
+        new = spark.createDataFrame(
+            [(100 + i, "s") for i in range(10)], ["doc_id", "source"]
+        )
+        before = {r["doc_id"] for r in sample_n_per_group(old, 8, "source").collect()}
+        after = {
+            r["doc_id"]
+            for r in sample_n_per_group(old.union(new), 8, "source").collect()
+        }
+        # every survivor among the OLD ids was already in the sample
+        assert (after - set(range(100, 110))) <= before

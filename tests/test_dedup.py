@@ -463,3 +463,58 @@ def test_cluster_representatives_string_ids(spark):
     assert reps["doc-a"]["representative_id"] == "doc-a"  # tie -> min id
     assert reps["doc-a"]["n_members"] == 2
     assert reps["doc-z"]["representative_id"] == "doc-z"
+
+
+class TestCorpusOverlap:
+    def test_identical_corpora_estimate_one(self, spark):
+        from denormalized_spark.operators.dedup import corpus_overlap
+
+        rows = [(i, f"document number {i} about streaming engines and state") for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = corpus_overlap(df, df, num_hashes=32).collect()[0]
+        assert out["matching_hashes"] == 32
+        assert out["jaccard_estimate"] == 1.0
+
+    def test_disjoint_corpora_estimate_near_zero(self, spark):
+        from denormalized_spark.operators.dedup import corpus_overlap
+
+        a = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon token{i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        b = spark.createDataFrame(
+            [(i, f"zebra yankee xray walrus victor item{i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        out = corpus_overlap(a, b, num_hashes=64).collect()[0]
+        # disjoint shingle sets: expected J=0; allow hash-collision slack
+        assert out["jaccard_estimate"] < 0.1
+
+    def test_estimate_tracks_true_jaccard(self, spark):
+        """Half-shared corpora: the slot-match estimator must land
+        within the ±3/√k band of the exact shingle-set Jaccard."""
+        from denormalized_spark.operators.dedup import (
+            corpus_overlap,
+            shingle_hashes,
+        )
+        from pyspark.sql import functions as F
+
+        shared = [(i, f"common body text shard {i % 7} repeated widely") for i in range(30)]
+        only_a = [(100 + i, f"exclusive alpha content piece {i}") for i in range(15)]
+        only_b = [(200 + i, f"exclusive beta material unit {i}") for i in range(15)]
+        a = spark.createDataFrame(shared + only_a, ["doc_id", "text"])
+        b = spark.createDataFrame(shared + only_b, ["doc_id", "text"])
+
+        sa = {
+            h
+            for r in a.select(F.explode(shingle_hashes("text", 3)).alias("h")).collect()
+            for h in [r["h"]]
+        }
+        sb = {
+            h
+            for r in b.select(F.explode(shingle_hashes("text", 3)).alias("h")).collect()
+            for h in [r["h"]]
+        }
+        true_j = len(sa & sb) / len(sa | sb)
+        got = corpus_overlap(a, b, num_hashes=64).collect()[0]["jaccard_estimate"]
+        assert abs(got - true_j) < 3 / (64 ** 0.5), (got, true_j)

@@ -342,3 +342,55 @@ class TestIvfReusableIndex:
             return plan.count("Scan parquet") + plan.count("FileScan")
 
         assert scan_count(2) == scan_count(8)
+
+
+class TestProjection:
+    def test_projection_deterministic_and_shape(self, spark):
+        rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        p1 = similarity.project_embeddings(df, out_dim=4, dim=8).collect()
+        p2 = similarity.project_embeddings(
+            df.repartition(3), out_dim=4, dim=8
+        ).collect()
+        m1 = {r["vec_id"]: r["proj"] for r in p1}
+        m2 = {r["vec_id"]: r["proj"] for r in p2}
+        assert m1 == m2
+        assert all(len(v) == 4 for v in m1.values())
+
+    def test_projection_preserves_identical_vectors(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [4.0, -3.0, 2.0, -1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r["proj"]
+            for r in similarity.project_embeddings(df, out_dim=3, dim=4).collect()
+        }
+        assert out[0] == out[1] != out[2]
+
+    def test_projection_preserves_neighbor_ranks(self, embeddings):
+        """JL sanity on real embeddings: the exact top-10 of query 0
+        and the projected-space (16-dim) top-10 must overlap
+        substantially (the whole point of the shrink)."""
+        e = embeddings.limit(300)
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                e,
+                [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]],
+                k=11,
+            ).collect()
+            if r["vec_id"] != 0
+        }
+        p = similarity.project_embeddings(e, out_dim=16, dim=64)
+        qv = p.filter(F.col("vec_id") == 0).collect()[0]["proj"]
+        proj_top = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                p.select("vec_id", F.col("proj").alias("embedding")),
+                [float(x) for x in qv],
+                k=11,
+            ).collect()
+            if r["vec_id"] != 0
+        }
+        assert len(exact & proj_top) >= 5, (exact, proj_top)

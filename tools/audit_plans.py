@@ -43,6 +43,8 @@ ALLOW_BNLJ = {
     "sim_hard_negatives",    # same broadcast query-block pattern (16 anchors)
     "sim_ivf_recall",        # 1-row query-vector broadcast + k-row top-k intersect
     "sim_ivf_batch",         # k-centroid × broadcast query-block crossJoin (metadata-sized probe table)
+    "sim_projection_topk",   # 1-row broadcast projected query vector — constant fan-out
+    "dedup_corpus_overlap",  # 1-row × 1-row signature crossJoin — metadata
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
@@ -77,6 +79,7 @@ ALLOW_SINGLE_PART = {
     "curation_decontaminate_bloom",  # 1-row Bloom bitmap assembly (bits/64 longs)
     "curation_mixture_solver",  # 1-row budget min over the k-stratum table
     "text_quality_percentile_gate",  # 1-row exact-percentile threshold
+    "dedup_corpus_overlap",   # 1-row global min-per-slot signature aggregates
 }
 MARKERS_PY = (
     "BatchEvalPython",
