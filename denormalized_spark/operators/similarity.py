@@ -278,9 +278,12 @@ def project_embeddings(
     """Johnson-Lindenstrauss dimensionality reduction: project the
     embedding column onto ``out_dim`` deterministic random directions
     — the standard 4-8× shrink applied to an embedding store before
-    ANN indexing at corpus scale (pairwise distances are preserved
-    within ~√(ln n / out_dim); top-k neighbor RANKS mostly survive,
-    measured by the sim_projection_topk query). Composes with
+    ANN indexing at corpus scale. Pairwise distances are preserved
+    within ~√(ln n / out_dim): structure SEPARATED by more than that
+    distortion survives (a planted near-dup stays top-1 — tested),
+    while neighbors bunched within it may reorder, so treat the
+    projected space as a candidate-recall stage and re-rank the
+    short list with full vectors. Composes with
     :func:`quantize_embeddings` for the full 64-float → 16-int8
     storage path.
 
