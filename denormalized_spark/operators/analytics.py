@@ -1,0 +1,182 @@
+"""Event-analytics operators: funnels, cohort retention, windowed
+anomaly scores — the session/user-behavior query family the
+reference's event-stream users run downstream of windowed aggregation
+(its rideshare example stops at per-window aggregates; these are the
+next three questions every event pipeline asks).
+
+Scale design: every operator is one or two KEYED shuffles (user id,
+cohort, or window), no self-joins, no driver loops. Funnel state is a
+per-user fold over that user's (bounded) event array; cohort and
+anomaly outputs are metadata-sized (cohorts × offsets, windows ×
+groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered conversion funnel: how many users completed step 1,
+    then step 2 AFTER step 1, then step 3 after that, … (the strict
+    event-sequence semantics: a purchase before the first view does
+    not count as funnel progress). Output: one row per step —
+    (step, step_name, n_users, conversion_rate) with rate relative to
+    step 1.
+
+    Plan: ONE shuffle keyed by user collects each user's events as a
+    sorted (ts, id, type) array (deterministic order; per-user volume
+    is bounded by that user's activity, the usual event-analytics
+    assumption — heavy-user skew is capped upstream if needed), then
+    a per-row FOLD advances a stage counter through the step list —
+    no joins, no windows, no per-step passes. The final aggregation
+    is steps-sized metadata.
+    """
+    nsteps = len(steps)
+    if nsteps == 0:
+        raise ValueError("steps must be non-empty")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col).alias("t")))
+    )
+    per_user = df.groupBy(user_col).agg(ev.alias("_ev"))
+    # fold: acc = highest step index reached (0-based count of
+    # completed steps); an event advances it iff it matches the NEXT
+    # step. element_at(step_arr, acc+1) is safe: acc < nsteps checked.
+    stage = F.aggregate(
+        "_ev",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < nsteps) & (e["t"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    staged = per_user.select(stage.alias("_stage"))
+    counts = staged.groupBy("_stage").agg(F.count("*").alias("_n"))
+    # users at stage s completed every step <= s: emit cumulative-from-
+    # above counts per step via a steps-sized explode + re-aggregate
+    # (metadata: <= nsteps+1 rows in, nsteps rows out)
+    reached = (
+        counts.select(
+            F.explode(
+                F.when(F.col("_stage") > 0, F.sequence(F.lit(1), F.col("_stage")))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("step"),
+            "_n",
+        )
+        .groupBy("step")
+        .agg(F.sum("_n").alias("n_users"))
+    )
+    base = reached.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("_base")
+    )
+    return (
+        reached.crossJoin(F.broadcast(base))  # 1-row base count
+        .select(
+            F.col("step").cast("int").alias("step"),
+            F.element_at(step_arr, F.col("step")).alias("step_name"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion_rate"),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST activity period
+    (the cohort), then for each later period the count still active —
+    the standard growth-analytics triangle. Output: (cohort, offset,
+    n_active, retention_rate) with rate relative to the cohort size.
+
+    Plan: per-user first-activity period (one user-keyed shuffle,
+    min-aggregated), joined back onto the user's distinct activity
+    periods (same key — co-partitioned), then a (cohort, offset)
+    aggregate. Output is cohorts × offsets metadata."""
+    per = lambda c: F.date_trunc(period, c)
+    firsts = df.groupBy(user_col).agg(per(F.min(ts_col)).alias("_cohort"))
+    active = df.select(
+        user_col, per(F.col(ts_col)).alias("_period")
+    ).distinct()
+    unit = {"week": 7 * 86400, "day": 86400}.get(period)
+    if unit is None:
+        raise ValueError("period must be 'week' or 'day'")
+    offset = (
+        (F.unix_timestamp("_period") - F.unix_timestamp("_cohort")) / unit
+    ).cast("int")
+    joined = active.join(firsts, user_col).select(
+        user_col, "_cohort", offset.alias("offset")
+    )
+    counts = joined.groupBy("_cohort", "offset").agg(
+        F.countDistinct(user_col).alias("n_active")
+    )
+    size = counts.filter(F.col("offset") == 0).select(
+        "_cohort", F.col("n_active").alias("_size")
+    )
+    return (
+        counts.join(F.broadcast(size), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            F.col("offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("_size"), 6).alias("retention_rate"),
+        )
+        .orderBy("cohort", "offset")
+    )
+
+
+def window_anomaly_scores(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_ms: int = 3600_000,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly screen over event-time windows: per (group,
+    window) count, z-scored against THAT group's distribution of
+    window counts — the "did errors spike at 14:00" alarm an event
+    pipeline runs over its windowed aggregates. Output: one row per
+    (group, window) with the count, the group's mean/std, the
+    z-score, and the flag.
+
+    Plan: one (group, window) partial-agged count shuffle (the same
+    shape as the windowed aggregation it monitors), then per-group
+    mean/std over the WINDOW-COUNT table — windows × groups rows,
+    metadata — broadcast back. Population std (stddev_pop) so a
+    single-window group scores 0, not NULL."""
+    win = F.window(ts_col, f"{window_ms} milliseconds")
+    counts = df.groupBy(
+        F.col(group_col), win.alias("_w")
+    ).agg(F.count("*").alias("n"))
+    counts = counts.select(
+        group_col, F.col("_w.start").alias("window_start_time"), "n"
+    )
+    stats = counts.groupBy(group_col).agg(
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.stddev_pop("n"), 6).alias("std_n"),
+    )
+    z = F.when(
+        F.col("std_n") > 0,
+        F.round((F.col("n") - F.col("mean_n")) / F.col("std_n"), 6),
+    ).otherwise(F.lit(0.0))
+    return counts.join(F.broadcast(stats), group_col).select(
+        group_col,
+        "window_start_time",
+        F.col("n").cast("long").alias("n"),
+        "mean_n",
+        "std_n",
+        z.alias("zscore"),
+        (F.abs(z) >= z_threshold).alias("is_anomaly"),
+    )

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from denormalized_spark.queries import (
+    analytics,
     curation,
     llm_pipeline,
     relational,
@@ -26,7 +27,7 @@ from denormalized_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, curation):
+for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, curation, analytics):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
@@ -45,42 +46,51 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # full-registry tools/check_correctness.py sweep at sf0.01.
 _DRIVER_PRIORITY = [
     # brand-new r6 operators — never driver-verified
-    "sim_ivf_batch", "text_bpe_encode_full",
+    "sim_ivf_batch", "text_bpe_encode_full", "curation_eval_sample",
+    "dedup_corpus_overlap", "sim_projection_topk",
+    "events_funnel", "events_cohort_retention", "events_anomaly_windows",
     # operator/oracle changed this round — re-prove under the new code
     "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
     "dedup_incremental_gate", "text_train_linear_langid",
+    # the ENTIRE minhash family re-verifies this round: the r6 hash-
+    # family fix (MERSENNE31) changed every signature-derived value
+    # (oracles regenerated from the same constants — but the driver
+    # must re-prove them, cumulative greens are stale for these)
+    "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_jaccard_lsh_verified", "dedup_minhash_estimate",
+    "dedup_connected_components", "dedup_near_gate",
+    "dedup_cluster_representatives", "dedup_containment_pairs",
+    "curation_split_leakage",
     # latest green r2 — the timestamp-free scalar family
     "array_funcs", "explode_top_tokens", "over_nth_value",
     "over_ntile_percentrank", "scalar_case_json", "scalar_encode_digest",
     "scalar_hash_funcs", "scalar_math_checksums", "scalar_regex",
     "scalar_string_funcs", "scalar_struct_funcs",
-    # latest green r3
+    # latest green r3 (curation_pipeline/full_funnel displaced to 51+:
+    # both are bench headline queries, execution-exercised every round)
     "curation_chunks", "curation_contamination_report", "curation_decontaminate",
-    "curation_full_funnel", "curation_mixture", "curation_pack",
-    "curation_pipeline", "curation_quota", "curation_redact", "curation_split",
+    "curation_mixture", "curation_pack",
+    "curation_quota", "curation_redact", "curation_split",
     "join_asof_purchase_click", "join_range_order_bursts", "kmeans_clusters",
     "multimodal_audio_chunks", "multimodal_features", "sessionize_users",
     "sim_centroid_by_label", "sim_ivf_topk_query0", "sim_lsh_buckets",
     "udaf_weighted_avg_price", "udf_revenue_by_flag",
     "window_event_time_normalization",
-    # latest green r4 — touched-family and oldest first, to fill 50
-    "dedup_near_gate", "multimodal_bmp_stats", "multimodal_png_stats",
+    # positions 51+, re-rotated next round
+    "curation_full_funnel", "curation_pipeline",
+    "multimodal_bmp_stats", "multimodal_png_stats",
     "multimodal_wav_features", "agg_pricing_summary", "join_region_volume",
     "window_tumbling_1h", "text_trending_tokens", "window_resample_ffill",
     "curation_boilerplate_lines",
-    # positions 51+: r4/r5-green entries, re-rotated next round
-    "curation_validate", "dedup_containment_pairs",
-    "dedup_cluster_representatives", "text_token_entropy",
+    "curation_validate", "text_token_entropy",
     "text_frequency_spectrum", "curation_data_card", "curation_quality_monitor",
-    "text_bigram_quality", "curation_dedup_lines", "curation_split_leakage",
+    "text_bigram_quality", "curation_dedup_lines",
     "sim_outlier_scores", "sim_batch_topk", "curation_chunk_dup_rate",
     "sim_hard_negatives", "text_structure_stats", "text_lang_mismatch",
     "window_ohlc", "sim_ivf_recall", "curation_drift_report",
     "curation_decontaminate_bloom", "dedup_ngram_duplication_rate",
-    "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
-    "dedup_lsh_candidates", "dedup_jaccard_pairs", "dedup_jaccard_lsh_verified",
-    "dedup_minhash_estimate", "dedup_connected_components", "dedup_simhash",
-    "dedup_embedding_neardup",
+    "dedup_exact", "dedup_fingerprint",
+    "dedup_jaccard_pairs", "dedup_simhash", "dedup_embedding_neardup",
     "text_gopher_rules", "text_quality_percentile_gate", "text_stats",
     "text_langid_accuracy", "text_langid_ngram_confusion", "text_token_totals",
     "text_unigram_quality", "text_quality_classifier", "text_bpe_pairs",

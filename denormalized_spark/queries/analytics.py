@@ -1,0 +1,140 @@
+"""Event-analytics queries (funnel / cohort retention / anomaly
+windows) over the events table, each with a DuckDB oracle. Spark
+implementations live in operators/analytics.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import analytics
+from denormalized_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+#: funnel over the first 2 days only: over a full month every user
+#: completes every step (degenerate 100% funnel); a 2-day horizon
+#: leaves real drop-off at each stage
+_FUNNEL_CUTOFF = "2024-01-03 00:00:00"
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@q(
+    "events_funnel",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE ts < TIMESTAMP '{_FUNNEL_CUTOFF}'
+    ),
+    s1 AS (SELECT user_id, min(ROW(ts, event_id)) AS r
+           FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ROW(ts, event_id)) AS r
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ROW(ts, event_id) > s1.r
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ROW(ts, event_id)) AS r
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ROW(ts, event_id) > s2.r
+           GROUP BY e.user_id),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    ),
+    base AS (SELECT n AS b FROM counts WHERE step = 1)
+    SELECT CAST(step AS INT) AS step, step_name,
+           CAST(n AS BIGINT) AS n_users,
+           round(n / CAST(b AS DOUBLE), 6) AS conversion_rate
+    FROM counts, base
+    ORDER BY step
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (operators/analytics.funnel_counts):
+    view → click → purchase with STRICT sequencing (a purchase before
+    the user's first view doesn't convert), over a 2-day horizon so
+    the funnel has real drop-off. One user-keyed shuffle + a per-user
+    fold over the sorted event array; the oracle unrolls the
+    equivalent min-event-after-previous-step chain."""
+    e = t(spark, sf, "events").filter(F.col("ts") < _FUNNEL_CUTOFF)
+    return analytics.funnel_counts(e, _FUNNEL_STEPS)
+
+
+@q(
+    "events_cohort_retention",
+    """
+    WITH p AS (
+      SELECT user_id, date_trunc('week', ts) AS period FROM events
+      WHERE event_type = 'purchase'
+    ),
+    firsts AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, period FROM p),
+    joined AS (
+      SELECT a.user_id, f.cohort,
+             CAST((epoch(a.period) - epoch(f.cohort)) / 604800 AS INT) AS "offset"
+      FROM active a JOIN firsts f USING (user_id)
+    ),
+    counts AS (
+      SELECT cohort, "offset", count(DISTINCT user_id) AS n_active
+      FROM joined GROUP BY cohort, "offset"
+    ),
+    size AS (SELECT cohort, n_active AS s FROM counts WHERE "offset" = 0)
+    SELECT c.cohort, c."offset" AS offset,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           round(c.n_active / CAST(size.s AS DOUBLE), 6) AS retention_rate
+    FROM counts c JOIN size USING (cohort)
+    ORDER BY cohort, "offset"
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (operators/analytics.cohort_retention)
+    over purchase events: cohort = first purchase week, offset = weeks
+    since, rate vs cohort size — the growth triangle. Two user-keyed
+    shuffles + a cohorts×offsets metadata aggregate."""
+    e = t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return analytics.cohort_retention(e)
+
+
+@q(
+    "events_anomaly_windows",
+    """
+    WITH counts AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, round(avg(n), 6) AS mean_n,
+             round(stddev_pop(n), 6) AS std_n
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.window_start_time, CAST(c.n AS BIGINT) AS n,
+           s.mean_n, s.std_n,
+           CASE WHEN s.std_n > 0
+                THEN round((c.n - s.mean_n) / s.std_n, 6) ELSE 0.0 END AS zscore,
+           abs(CASE WHEN s.std_n > 0
+                    THEN round((c.n - s.mean_n) / s.std_n, 6) ELSE 0.0 END) >= 3.0
+             AS is_anomaly
+    FROM counts c JOIN stats s USING (event_type)
+    """,
+)
+def events_anomaly_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-anomaly screen (operators/analytics.window_anomaly_
+    scores): hourly per-type window counts z-scored against that
+    type's own window-count distribution — the "did errors spike"
+    alarm. One (type, window) partial-agged shuffle + a broadcast of
+    the types-sized stats table."""
+    e = t(spark, sf, "events")
+    return analytics.window_anomaly_scores(e)

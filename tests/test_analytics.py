@@ -1,0 +1,114 @@
+"""Event-analytics operators: strict funnel ordering, cohort
+retention arithmetic, window anomaly z-scores."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators import analytics
+
+T0 = datetime.datetime(2024, 3, 4)  # a Monday (cohort weeks align)
+
+
+def _ev(eid, minutes, user, typ):
+    return (eid, T0 + datetime.timedelta(minutes=minutes), user, typ)
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        """User 1 converts in order; user 2 purchased BEFORE viewing
+        (no conversion past step 1); user 3 stops at click."""
+        rows = [
+            _ev(1, 0, 1, "view"), _ev(2, 5, 1, "click"), _ev(3, 9, 1, "purchase"),
+            _ev(4, 0, 2, "purchase"), _ev(5, 5, 2, "view"),
+            _ev(6, 0, 3, "view"), _ev(7, 2, 3, "click"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = {
+            r["step"]: r
+            for r in analytics.funnel_counts(
+                df, ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert got[1]["n_users"] == 3
+        assert got[2]["n_users"] == 2  # users 1 and 3
+        assert got[3]["n_users"] == 1  # only user 1
+        assert got[3]["conversion_rate"] == round(1 / 3, 6)
+
+    def test_same_timestamp_tiebreak_by_event_id(self, spark):
+        """Two events at the SAME ts order by event_id — view(id 1)
+        then click(id 2) converts; the reverse ids do not."""
+        conv = spark.createDataFrame(
+            [_ev(1, 0, 1, "view"), _ev(2, 0, 1, "click")], SCHEMA
+        )
+        nonconv = spark.createDataFrame(
+            [_ev(2, 0, 1, "view"), _ev(1, 0, 1, "click")], SCHEMA
+        )
+        g1 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(conv, ["view", "click"]).collect()}
+        g2 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(nonconv, ["view", "click"]).collect()}
+        assert g1.get(2) == 1
+        assert 2 not in g2
+
+    def test_repeated_steps(self, spark):
+        """A funnel can repeat a step name: view → view needs two
+        distinct views."""
+        one = spark.createDataFrame([_ev(1, 0, 1, "view")], SCHEMA)
+        two = spark.createDataFrame(
+            [_ev(1, 0, 1, "view"), _ev(2, 1, 1, "view")], SCHEMA
+        )
+        g1 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(one, ["view", "view"]).collect()}
+        g2 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(two, ["view", "view"]).collect()}
+        assert 2 not in g1 and g2.get(2) == 1
+
+
+class TestCohortRetention:
+    def test_triangle(self, spark):
+        """Two cohorts: users 1,2 start week 0 (user 2 returns week 1);
+        user 3 starts week 1 and returns week 2."""
+        wk = 7 * 24 * 60
+        rows = [
+            _ev(1, 0, 1, "p"), _ev(2, 10, 2, "p"),
+            _ev(3, wk, 2, "p"),
+            _ev(4, wk, 3, "p"), _ev(5, 2 * wk, 3, "p"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = {
+            (r["cohort"], r["offset"]): (r["n_active"], r["retention_rate"])
+            for r in analytics.cohort_retention(df).collect()
+        }
+        c0 = T0
+        c1 = T0 + datetime.timedelta(weeks=1)
+        assert got[(c0, 0)] == (2, 1.0)
+        assert got[(c0, 1)] == (1, 0.5)
+        assert got[(c1, 0)] == (1, 1.0)
+        assert got[(c1, 1)] == (1, 1.0)
+
+
+class TestAnomalyWindows:
+    def test_planted_spike_flagged(self, spark):
+        """Steady 2 events/hour for 24h, then one 50-event hour: only
+        that window crosses |z| >= 3."""
+        rows = []
+        eid = 0
+        for h in range(24):
+            for k in range(2):
+                rows.append(_ev(eid, h * 60 + k, 1, "click")); eid += 1
+        for k in range(50):
+            rows.append(_ev(eid, 24 * 60 + k, 1, "click")); eid += 1
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = analytics.window_anomaly_scores(df, window_ms=3600_000)
+        flagged = [r for r in out.collect() if r["is_anomaly"]]
+        assert len(flagged) == 1
+        assert flagged[0]["n"] == 50
+        assert flagged[0]["window_start_time"] == T0 + datetime.timedelta(hours=24)
+
+    def test_constant_series_scores_zero(self, spark):
+        rows = [_ev(i, i * 60, 1, "click") for i in range(6)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = analytics.window_anomaly_scores(df, window_ms=3600_000).collect()
+        assert all(r["zscore"] == 0.0 and not r["is_anomaly"] for r in out)

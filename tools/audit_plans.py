@@ -45,6 +45,7 @@ ALLOW_BNLJ = {
     "sim_ivf_batch",         # k-centroid × broadcast query-block crossJoin (metadata-sized probe table)
     "sim_projection_topk",   # 1-row broadcast projected query vector — constant fan-out
     "dedup_corpus_overlap",  # 1-row × 1-row signature crossJoin — metadata
+    "events_funnel",         # 1-row step-1 base count crossJoin onto a steps-sized table
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
