@@ -560,6 +560,137 @@ def ivf_topk(
     )
 
 
+def pq_codebooks_from_labels(
+    df: DataFrame,
+    m: int = 4,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding space is split
+    into ``m`` contiguous subspaces of dim/m components; each
+    subspace gets k centroids. This fitter derives them from the
+    per-label means (the same deterministic, engine-portable coarse
+    quantizer the IVF stack uses — codes ordered by sorted label);
+    production corpora would run :func:`kmeans_fit` per subspace for
+    tighter cells, the downstream encode/ADC machinery is identical.
+
+    Returns ``codebooks[s][c] = centroid subvector`` as plain floats
+    — k·dim numbers of METADATA collected to the driver (the
+    sanctioned k-row collect, same as kmeans_fit's
+    materialize_every), which then ride into the encode/score
+    expressions as literals: zero joins at scan time."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    aggs = [
+        F.round(F.avg(F.element_at(vec_col, j + 1).cast("double")), round_digits).alias(
+            f"_c{j}"
+        )
+        for j in range(dim)
+    ]
+    rows = sorted(
+        df.groupBy(label_col).agg(*aggs).collect(),
+        key=lambda r: r[label_col],
+    )
+    return [
+        [[float(r[f"_c{s * sub + j}"]) for j in range(sub)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sub_sqdist(vec_col: Column, start: int, centroid: list[float]) -> Column:
+    """Squared L2 distance of vec[start : start+len(centroid)] to a
+    literal centroid — unrolled multiply-adds, codegen-friendly."""
+    d = None
+    for j, c in enumerate(centroid):
+        t = F.element_at(vec_col, start + j + 1).cast("double") - F.lit(c)
+        term = t * t
+        d = term if d is None else d + term
+    return d
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small integer codes —
+    the nearest codebook centroid per subspace (rounded distance,
+    code-asc tiebreak, so every engine picks the same cell). With
+    k=256, m=16 this is the standard 64-float → 16-byte compression
+    of a billion-scale ANN store.
+
+    Pure per-row projection — the codebooks are literals, so encode
+    is zero-shuffle, zero-Python scan work; at ingest the codes are
+    stored next to the vector (or instead of it)."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        dists = [
+            F.round(_sub_sqdist(F.col(vec_col), s * sub, c), round_digits)
+            for c in book
+        ]
+        pairs = F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(ci).alias("c"))
+                for ci, d in enumerate(dists)
+            ]
+        )
+        codes.append(F.array_min(pairs)["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision; its distance to every codebook centroid is
+    precomputed driver-side into an m×k lookup table (metadata), and
+    each encoded row's approximate distance is the SUM OF m TABLE
+    LOOKUPS — no vector arithmetic in the scan at all. This is the
+    plan that makes billion-scale ANN affordable: the scan touches
+    m bytes per row instead of dim floats, and
+    TakeOrderedAndProject keeps k rows per partition.
+
+    Compose with the IVF probe (:func:`ivf_batch_topk`) for
+    probed+quantized retrieval; re-rank the short list with full
+    vectors where exactness matters."""
+    sub = len(codebooks[0][0])
+    lut = []
+    for s, book in enumerate(codebooks):
+        row = []
+        for c in book:
+            d = sum(
+                (query_vec[s * sub + j] - c[j]) ** 2 for j in range(sub)
+            )
+            row.append(round(d, round_digits))
+        lut.append(row)
+    dist = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.element_at(code_col, s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(
+            id_col, F.round(dist, round_digits).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_batch_topk(
     queries: DataFrame,
     assigned: DataFrame,

@@ -2340,6 +2340,81 @@ def sim_projection_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
 
 
+def _pq_topk_oracle(
+    m: int = 4, dim: int = 64, k: int = 10, qid: int = 0
+) -> str:
+    """PQ/ADC oracle: same label-derived codebooks (rounded per-label
+    means, codes by sorted label), same rounded-distance argmin
+    encode, same ADC lookup sum."""
+    sub = dim // m
+    cent_comps = ", ".join(
+        f"round(avg(embedding[{j + 1}]::DOUBLE), 6) AS c{j}" for j in range(dim)
+    )
+
+    def vdist(s: int) -> str:
+        return " + ".join(
+            f"(v.embedding[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            f" * (v.embedding[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            for j in range(sub)
+        )
+
+    def qdist(s: int) -> str:
+        return " + ".join(
+            f"(q.qv[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            f" * (q.qv[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            for j in range(sub)
+        )
+
+    mins = ", ".join(
+        f"min({{'d': round({vdist(s)}, 6), 'c': c.code}}) AS m{s}"
+        for s in range(m)
+    )
+    luts = ", ".join(f"round({qdist(s)}, 6) AS d{s}" for s in range(m))
+    joins = " ".join(f"JOIN lut l{s} ON l{s}.code = e.c{s}" for s in range(m))
+    adc = " + ".join(f"l{s}.d{s}" for s in range(m))
+    codes = ", ".join(f"m{s}.c AS c{s}" for s in range(m))
+    return f"""
+    WITH cent0 AS (SELECT label, {cent_comps} FROM embeddings GROUP BY label),
+    cent AS (SELECT row_number() OVER (ORDER BY label) - 1 AS code, * FROM cent0),
+    enc0 AS (
+      SELECT v.vec_id, {mins}
+      FROM embeddings v CROSS JOIN cent c GROUP BY v.vec_id
+    ),
+    enc AS (SELECT vec_id, {codes} FROM enc0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    lut AS (SELECT c.code, {luts} FROM cent c CROSS JOIN q)
+    SELECT e.vec_id, round({adc}, 6) AS adc_dist
+    FROM enc e {joins}
+    WHERE e.vec_id != {qid}
+    ORDER BY adc_dist ASC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@q("sim_pq_topk", _pq_topk_oracle())
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PRODUCT-QUANTIZED ANN with asymmetric-distance scoring
+    (operators/similarity.pq_encode / pq_topk): vectors become m=4
+    subspace codes against label-derived codebooks; the query's
+    distances to every codebook cell are precomputed into an m×k
+    lookup table and each row's approximate distance is a sum of m
+    TABLE LOOKUPS — the billion-scale plan where the scan touches m
+    small ints per row instead of 64 floats, with codebooks/LUT as
+    pure literals (zero joins, zero Python, TakeOrderedAndProject
+    top-k). Production fits codebooks per subspace with kmeans_fit;
+    the label quantizer keeps the oracle exact."""
+    e = t(spark, sf, "embeddings")
+    books = similarity.pq_codebooks_from_labels(e, m=4, dim=64)
+    enc = similarity.pq_encode(e, books)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return similarity.pq_topk(
+        enc.filter(F.col("vec_id") != 0), books, qvec, k=10
+    )
+
+
 @q(
     "sim_batch_topk",
     f"""

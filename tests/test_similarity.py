@@ -396,3 +396,60 @@ class TestProjection:
         ).collect()
         got = [r["vec_id"] for r in top]
         assert got[0] == 0 and got[1] == 1, got
+
+
+class TestProductQuantization:
+    BOOKS = [
+        [[0.0, 0.0], [1.0, 1.0]],   # subspace 0: cells at origin / (1,1)
+        [[0.0, 1.0], [1.0, 0.0]],   # subspace 1
+    ]
+
+    def test_encode_picks_nearest_cell(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, [0.1, -0.1, 0.1, 0.9]),   # sub0 -> cell 0, sub1 -> cell 0
+                (1, [0.9, 1.2, 1.1, 0.2]),    # sub0 -> cell 1, sub1 -> cell 1
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in similarity.pq_encode(df, self.BOOKS).collect()
+        }
+        assert got == {0: [0, 0], 1: [1, 1]}
+
+    def test_encode_tiebreak_lowest_code(self, spark):
+        books = [[[0.0], [0.0]], [[1.0], [1.0]]]  # identical cells
+        df = spark.createDataFrame(
+            [(0, [0.5, 0.5])], "vec_id long, embedding array<double>"
+        )
+        got = similarity.pq_encode(df, books).collect()[0]["pq_code"]
+        assert list(got) == [0, 0]
+
+    def test_adc_equals_distance_to_reconstruction(self, spark):
+        """ADC(q, code(x)) must equal the exact squared distance from
+        q to x's RECONSTRUCTED vector (the concatenated cells)."""
+        df = spark.createDataFrame(
+            [(7, [0.1, -0.1, 0.1, 0.9])], "vec_id long, embedding array<double>"
+        )
+        enc = similarity.pq_encode(df, self.BOOKS)
+        q = [0.3, 0.4, 0.5, 0.6]
+        got = similarity.pq_topk(enc, self.BOOKS, q, k=1).collect()[0]
+        # code = [0, 0] -> reconstruction [0,0, 0,1]
+        expect = round(
+            (0.3 - 0) ** 2 + (0.4 - 0) ** 2 + (0.5 - 0) ** 2 + (0.6 - 1) ** 2, 6
+        )
+        assert got["adc_dist"] == expect
+
+    def test_planted_duplicate_ranks_first(self, embeddings):
+        """A vector equal to the query encodes to the same cells, so
+        its ADC distance is 0 — rank 1 among 200 real embeddings."""
+        e = embeddings.limit(200)
+        books = similarity.pq_codebooks_from_labels(e, m=4, dim=64)
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        enc = similarity.pq_encode(e, books)
+        top = similarity.pq_topk(enc, books, qvec, k=1).collect()[0]
+        assert top["vec_id"] == 0
