@@ -691,6 +691,44 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    assigned_encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The composed production ANN path: IVF probe × PQ/ADC scoring.
+    ``assigned_encoded`` is the stored index — every vector's coarse
+    cluster (:func:`assign_clusters`) AND its PQ codes
+    (:func:`pq_encode`), persisted at ingest (at scale: parquet
+    partitioned by cluster, m small ints per row — the full vector
+    need not be read at all). A query then (1) ranks the k-row
+    centroid table to ``nprobe`` clusters, (2) scans ONLY those
+    partitions, (3) scores each row as m LUT reads, (4) TakeOrdered
+    keeps k. Scan cost ≈ N·(nprobe/n_clusters)·m bytes — the
+    billion-vector serving shape. Re-rank the returned short list
+    with full vectors where exactness matters."""
+    spark = assigned_encoded.sparkSession
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            "cluster", cosine(F.col("centroid"), qv).alias("_s")
+        )
+        .orderBy(F.desc("_s"), F.asc("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand = assigned_encoded.join(F.broadcast(probe), "cluster", "left_semi")
+    return pq_topk(
+        cand, codebooks, query_vec, k, id_col, code_col, round_digits
+    )
+
+
 def ivf_batch_topk(
     queries: DataFrame,
     assigned: DataFrame,

@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = [
     "sim_ivf_batch", "text_bpe_encode_full", "curation_eval_sample",
     "dedup_corpus_overlap", "sim_projection_topk",
     "events_funnel", "events_cohort_retention", "events_anomaly_windows",
-    "sim_pq_topk",
+    "sim_pq_topk", "sim_ivf_pq_topk",
     # operator/oracle changed this round — re-prove under the new code
     "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
     "dedup_incremental_gate", "text_train_linear_langid",

@@ -2391,6 +2391,82 @@ def _pq_topk_oracle(
     """
 
 
+def _ivf_pq_oracle(
+    m: int = 4, dim: int = 64, k: int = 10, nprobe: int = 3, qid: int = 0
+) -> str:
+    """Composed IVF-probe × PQ/ADC oracle: the _ivf_oracle assignment
+    and probe CTEs gate which rows the _pq_topk_oracle ADC scores."""
+    base = _pq_topk_oracle(m=m, dim=dim, k=k, qid=qid)
+    # splice the IVF assignment/probe between the PQ CTEs and the
+    # final ADC select: reuse cent (label-keyed centroids) for both
+    cent_list = "[" + ", ".join(f"c{j}" for j in range(dim)) + "]"
+    cos_vc = (
+        f"({_dot_sql('v.embedding', 'cl.cl')})"
+        f" / ({_norm_sql('v.embedding')} * {_norm_sql('cl.cl')})"
+    )
+    cos_cq = (
+        f"({_dot_sql('cl.cl', 'q.qv')})"
+        f" / ({_norm_sql('cl.cl')} * {_norm_sql('q.qv')})"
+    )
+    head, tail = base.split("SELECT e.vec_id,")
+    adc_select = "SELECT e.vec_id," + tail
+    # make the final select candidate-gated
+    adc_select = adc_select.replace(
+        "WHERE e.vec_id != %d" % qid,
+        "SEMI JOIN probed p ON e.vec_id = p.vec_id\n"
+        "    WHERE e.vec_id != %d" % qid,
+    )
+    return (
+        head
+        + f""", cl AS (SELECT label, {cent_list} AS cl FROM cent),
+    scored AS (
+      SELECT v.vec_id, cl.label, {cos_vc} AS s
+      FROM embeddings v CROSS JOIN cl
+    ),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT label FROM (
+        SELECT cl.label, row_number() OVER (ORDER BY {cos_cq} DESC, cl.label) AS rn
+        FROM cl CROSS JOIN q
+      ) t WHERE rn <= {nprobe}
+    ),
+    probed AS (
+      SELECT a.vec_id FROM assign a SEMI JOIN probe p ON a.label = p.label
+    )
+    """
+        + adc_select
+    )
+
+
+@q("sim_ivf_pq_topk", _ivf_pq_oracle())
+def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED production retrieval path
+    (operators/similarity.ivf_pq_topk): the stored index carries each
+    vector's coarse cluster AND its PQ codes; a query ranks the k-row
+    centroid table to 3 probe clusters, scans only those, and scores
+    candidates as m=4 lookup-table reads — scan cost
+    ~N·(nprobe/n_clusters)·m bytes, the billion-vector serving shape
+    (re-rank the short list with full vectors where exactness
+    matters)."""
+    e = t(spark, sf, "embeddings")
+    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    books = similarity.pq_codebooks_from_labels(e, m=4, dim=64)
+    enc = similarity.pq_encode(assigned, books)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return similarity.ivf_pq_topk(
+        enc.filter(F.col("vec_id") != 0), cent, books, qvec, k=10, nprobe=3
+    )
+
+
 @q("sim_pq_topk", _pq_topk_oracle())
 def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PRODUCT-QUANTIZED ANN with asymmetric-distance scoring

@@ -93,3 +93,20 @@ def test_streaming_quality_to_feast_example_runs():
     # the chained gate -> monitor -> feast graph must actually emit
     assert "feast.push[corpus_quality_hourly]" in out.stdout
     assert "pushed 8 hourly quality rows" in out.stdout
+
+
+def test_ann_index_serving_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "ann_index_serving.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "index built: 500 vectors" in out.stdout
+    # every query retrieves itself first (ADC distance to own cells)
+    for qi in range(3):
+        assert f"query {qi}: top-5 ids [{qi}," in out.stdout
+    assert "partition pruning visible in plan: True" in out.stdout
