@@ -188,9 +188,11 @@ def minhash_signature(
     ~doubles the (negligible, ~2^-31) base collision rate.
     """
     # 32-bit numeric shingles: one md5 per token, arithmetic per
-    # shingle — no shingle strings anywhere
-    base = shingle_hashes(text, shingle_n)
+    # shingle — no shingle strings anywhere. The fold into Z_M happens
+    # ONCE per shingle here (not per slot inside the zip_with: that
+    # would re-pay the mod num_hashes times per shingle)
     mod = F.lit(MERSENNE31)
+    base = F.transform(shingle_hashes(text, shingle_n), lambda h: h % mod)
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -205,7 +207,7 @@ def minhash_signature(
         lambda acc, h: F.zip_with(
             acc,
             params,
-            lambda m, p: F.least(m, (p["a"] * (h % mod) + p["b"]) % mod),
+            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % mod),
         ),
     )
 
