@@ -138,3 +138,74 @@ def events_anomaly_windows(spark: SparkSession, sf: str) -> DataFrame:
     the types-sized stats table."""
     e = t(spark, sf, "events")
     return analytics.window_anomaly_scores(e)
+
+
+@q(
+    "events_props_breakdown",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decile,
+             value
+      FROM events
+    )
+    SELECT event_type, k_decile,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM p GROUP BY event_type, k_decile
+    """,
+)
+def events_props_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payload analytics: the events table's ``props``
+    JSON column parsed in-plan (get_json_object — JVM-side, no
+    Python) and aggregated by (event_type, k-decile). The common
+    clickstream shape where dimensions hide inside a JSON blob; at
+    100 TB the parse is scan-speed and the aggregate is one
+    partial-agged shuffle."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(
+            "event_type",
+            F.floor(k / 10).cast("int").alias("k_decile"),
+            "value",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "events_latency_percentiles",
+    """
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS window_start_time,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(type, day-window) EXACT p50/p95/p99 of the value column —
+    the latency-dashboard aggregate every event pipeline ships. Exact
+    interpolated percentiles so the oracle matches bit-for-bit; at
+    100 TB swap in approx_percentile (same plan shape, sketch
+    mergeable) — the approximate twin is already oracled by
+    agg_percentiles."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "1 day")["start"].alias("window_start_time"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
