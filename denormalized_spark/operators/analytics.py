@@ -75,19 +75,116 @@ def funnel_counts(
         .groupBy("step")
         .agg(F.sum("_n").alias("n_users"))
     )
-    base = reached.filter(F.col("step") == 1).select(
-        F.col("n_users").alias("_base")
+    return _funnel_report(reached, steps, "n_users")
+
+
+def _funnel_report(
+    reached: DataFrame, steps: list[str], count_col: str
+) -> DataFrame:
+    """Final funnel shaping shared by :func:`funnel_counts` and
+    :func:`session_funnel`: emit EVERY step (zero-count steps
+    included — a funnel report must show where the chain dies), with
+    the conversion rate vs step 1. All inputs are steps-sized
+    metadata; the base count is a 1-row broadcast."""
+    spark = reached.sparkSession
+    step_rows = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step", "step_name"]
+    )
+    full = step_rows.join(reached, "step", "left").withColumn(
+        count_col, F.coalesce(count_col, F.lit(0))
+    )
+    base = full.filter(F.col("step") == 1).select(
+        F.col(count_col).alias("_base")
     )
     return (
-        reached.crossJoin(F.broadcast(base))  # 1-row base count
+        full.crossJoin(F.broadcast(base))  # 1-row base count
         .select(
             F.col("step").cast("int").alias("step"),
-            F.element_at(step_arr, F.col("step")).alias("step_name"),
-            F.col("n_users").cast("long").alias("n_users"),
-            F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion_rate"),
+            "step_name",
+            F.col(count_col).cast("long").alias(count_col),
+            F.when(
+                F.col("_base") > 0,
+                F.round(F.col(count_col) / F.col("_base"), 6),
+            ).otherwise(F.lit(0.0)).alias("conversion_rate"),
         )
         .orderBy("step")
     )
+
+
+def session_funnel(
+    df: DataFrame,
+    steps: list[str],
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Funnel that must complete WITHIN ONE SESSION: events are gap-
+    sessionized per user (new session when the gap exceeds
+    ``gap_ms`` — the same contract as the sessionize operator), then
+    the strict-order step chain is evaluated per (user, session).
+    Output: per step, the number of sessions that reached it and the
+    conversion rate vs step-1 sessions — "of sessions that viewed,
+    how many purchased in the SAME sitting", the form product
+    funnels actually ship.
+
+    Plan: ONE shuffle on the user key serves the lag flag, the
+    running session id, and the per-session event collection (all
+    three are user-partitioned window/group operations over the same
+    exchange); the fold and the final counts are the same shapes as
+    :func:`funnel_counts`."""
+    from pyspark.sql import Window
+
+    nsteps = len(steps)
+    if nsteps == 0:
+        raise ValueError("steps must be non-empty")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_millis(F.col(ts_col)) - F.unix_millis(prev)) > gap_ms),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(id_col), F.col(type_col).alias("t"))
+        )
+    )
+    per_sess = (
+        df.withColumn("_sid", sid)
+        .groupBy(user_col, "_sid")
+        .agg(ev.alias("_ev"))
+    )
+    stage = F.aggregate(
+        "_ev",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < nsteps) & (e["t"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    counts = (
+        per_sess.select(stage.alias("_stage"))
+        .groupBy("_stage")
+        .agg(F.count("*").alias("_n"))
+    )
+    reached = (
+        counts.select(
+            F.explode(
+                F.when(F.col("_stage") > 0, F.sequence(F.lit(1), F.col("_stage")))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("step"),
+            "_n",
+        )
+        .groupBy("step")
+        .agg(F.sum("_n").alias("n_sessions"))
+    )
+    return _funnel_report(reached, steps, "n_sessions")
 
 
 def cohort_retention(

@@ -209,3 +209,57 @@ def events_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+@q(
+    "events_session_funnel",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    ),
+    s1 AS (SELECT user_id, s, min(ROW(ts, event_id)) AS r
+           FROM sid WHERE event_type = 'view' GROUP BY user_id, s),
+    s2 AS (SELECT sid.user_id, sid.s, min(ROW(ts, event_id)) AS r
+           FROM sid JOIN s1 USING (user_id, s)
+           WHERE event_type = 'click' AND ROW(ts, event_id) > s1.r
+           GROUP BY sid.user_id, sid.s),
+    s3 AS (SELECT sid.user_id, sid.s, min(ROW(ts, event_id)) AS r
+           FROM sid JOIN s2 USING (user_id, s)
+           WHERE event_type = 'purchase' AND ROW(ts, event_id) > s2.r
+           GROUP BY sid.user_id, sid.s),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    ),
+    base AS (SELECT n AS b FROM counts WHERE step = 1)
+    SELECT CAST(step AS INT) AS step, step_name,
+           CAST(n AS BIGINT) AS n_sessions,
+           round(n / CAST(b AS DOUBLE), 6) AS conversion_rate
+    FROM counts, base
+    ORDER BY step
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """SESSION-scoped funnel (operators/analytics.session_funnel):
+    view → click → purchase completed within one 30-minute-gap
+    session — "of sessions that viewed, how many purchased in the
+    same sitting". One user-keyed exchange serves the gap flag, the
+    running session id, and the per-session event collection; the
+    oracle replays gap sessionization (lag + running sum) and the
+    per-session min-event-after-previous-step chain."""
+    e = t(spark, sf, "events")
+    return analytics.session_funnel(
+        e, ["view", "click", "purchase"], gap_ms=1_800_000
+    )

@@ -52,7 +52,7 @@ class TestFunnel:
         g1 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(conv, ["view", "click"]).collect()}
         g2 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(nonconv, ["view", "click"]).collect()}
         assert g1.get(2) == 1
-        assert 2 not in g2
+        assert g2.get(2) == 0
 
     def test_repeated_steps(self, spark):
         """A funnel can repeat a step name: view → view needs two
@@ -63,7 +63,7 @@ class TestFunnel:
         )
         g1 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(one, ["view", "view"]).collect()}
         g2 = {r["step"]: r["n_users"] for r in analytics.funnel_counts(two, ["view", "view"]).collect()}
-        assert 2 not in g1 and g2.get(2) == 1
+        assert g1.get(2) == 0 and g2.get(2) == 1
 
 
 class TestCohortRetention:
@@ -112,3 +112,36 @@ class TestAnomalyWindows:
         df = spark.createDataFrame(rows, SCHEMA)
         out = analytics.window_anomaly_scores(df, window_ms=3600_000).collect()
         assert all(r["zscore"] == 0.0 and not r["is_anomaly"] for r in out)
+
+
+class TestSessionFunnel:
+    def test_within_session_only(self, spark):
+        """User 1 converts inside one session; user 2 has the same
+        steps split across a 2-hour gap — no in-session conversion."""
+        rows = [
+            _ev(1, 0, 1, "view"), _ev(2, 5, 1, "click"),
+            _ev(3, 0, 2, "view"), _ev(4, 120, 2, "click"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = {
+            r["step"]: r
+            for r in analytics.session_funnel(
+                df, ["view", "click"], gap_ms=1_800_000
+            ).collect()
+        }
+        # sessions reaching step 1: user1's one session + user2's two
+        # sessions contribute — only sessions CONTAINING a view count
+        assert got[1]["n_sessions"] == 2  # u1 s1, u2 s1 (u2 s2 has no view)
+        assert got[2]["n_sessions"] == 1  # only u1 converts in-session
+        assert got[2]["conversion_rate"] == 0.5
+
+    def test_gap_boundary_splits_sessions(self, spark):
+        rows = [_ev(1, 0, 1, "view"), _ev(2, 31, 1, "click")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = {
+            r["step"]: r["n_sessions"]
+            for r in analytics.session_funnel(
+                df, ["view", "click"], gap_ms=1_800_000
+            ).collect()
+        }
+        assert got[2] == 0  # 31-min gap crosses the 30-min session

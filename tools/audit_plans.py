@@ -46,6 +46,7 @@ ALLOW_BNLJ = {
     "sim_projection_topk",   # 1-row broadcast projected query vector — constant fan-out
     "dedup_corpus_overlap",  # 1-row × 1-row signature crossJoin — metadata
     "events_funnel",         # 1-row step-1 base count crossJoin onto a steps-sized table
+    "events_session_funnel", # same 1-row base-count pattern
     "sim_ivf_pq_topk",       # broadcast k-centroid crossJoin (assignment) — constant fan-out
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
