@@ -277,3 +277,49 @@ def window_anomaly_scores(
         z.alias("zscore"),
         (F.abs(z) >= z_threshold).alias("is_anomaly"),
     )
+
+
+def anomaly_online_batch(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_ms: int = 3600_000,
+    z_threshold: float = 3.0,
+    min_windows: int = 3,
+) -> DataFrame:
+    """ONLINE volume anomaly scoring, batch twin: each (group, window)
+    count is z-scored against ONLY the windows BEFORE it (in window
+    order) — the causal form an alerting pipeline needs (the
+    retrospective whole-history form is :func:`window_anomaly_scores`).
+    Windows with fewer than ``min_windows`` predecessors score 0.
+
+    Plan: one (group, window) partial-agged count shuffle, then
+    group-partitioned window functions over the WINDOW-COUNT table
+    (windows × groups rows — metadata) with an unbounded-preceding
+    frame for the running mean/std. The streaming twin
+    (:func:`~denormalized_spark.streaming.stateful.anomaly_stream`)
+    maintains the same running moments in per-group state; parity is
+    pinned by tests."""
+    from pyspark.sql import Window
+
+    win = F.window(ts_col, f"{window_ms} milliseconds")
+    counts = df.groupBy(F.col(group_col), win.alias("_w")).agg(
+        F.count("*").alias("n")
+    ).select(group_col, F.col("_w.start").alias("window_start_time"), "n")
+    w = Window.partitionBy(group_col).orderBy("window_start_time")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    n_prior = F.count("n").over(prior)
+    mean_p = F.round(F.avg("n").over(prior), 6)
+    std_p = F.round(F.stddev_pop("n").over(prior), 6)
+    z = F.when(
+        (n_prior >= min_windows) & (std_p > 0),
+        F.round((F.col("n") - mean_p) / std_p, 6),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        group_col,
+        "window_start_time",
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(n_prior, F.lit(0)).cast("long").alias("n_prior_windows"),
+        z.alias("zscore"),
+        (F.abs(z) >= z_threshold).alias("is_anomaly"),
+    )

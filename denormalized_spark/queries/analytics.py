@@ -263,3 +263,41 @@ def events_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.session_funnel(
         e, ["view", "click", "purchase"], gap_ms=1_800_000
     )
+
+
+@q(
+    "events_anomaly_online",
+    """
+    WITH counts AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, window_start_time, n,
+             count(n) OVER w AS n_prior,
+             round(avg(n) OVER w, 6) AS mean_p,
+             round(stddev_pop(n) OVER w, 6) AS std_p
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, window_start_time, CAST(n AS BIGINT) AS n,
+           CAST(coalesce(n_prior, 0) AS BIGINT) AS n_prior_windows,
+           CASE WHEN n_prior >= 3 AND std_p > 0
+                THEN round((n - mean_p) / std_p, 6) ELSE 0.0 END AS zscore,
+           abs(CASE WHEN n_prior >= 3 AND std_p > 0
+                    THEN round((n - mean_p) / std_p, 6) ELSE 0.0 END) >= 3.0
+             AS is_anomaly
+    FROM scored
+    """,
+)
+def events_anomaly_online(spark: SparkSession, sf: str) -> DataFrame:
+    """CAUSAL (online) anomaly scoring (operators/analytics.
+    anomaly_online_batch): each hourly window z-scored against only
+    its PREDECESSORS — what a live alerting pipeline can actually
+    compute at window close, unlike the retrospective
+    events_anomaly_windows. The streaming twin maintains the same
+    running moments in per-group state (tests pin stream == batch)."""
+    e = t(spark, sf, "events")
+    return analytics.anomaly_online_batch(e)

@@ -385,3 +385,134 @@ def _json_safe_list(s) -> list:
             for v in vals
         ]
     return vals
+
+
+def anomaly_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    window_ms: int = 3600_000,
+    watermark: str = "0 seconds",
+    z_threshold: float = 3.0,
+    min_windows: int = 3,
+) -> DataFrame:
+    """ONLINE volume-anomaly detection with user-defined state
+    (applyInPandasWithState + event-time timeout): per key, the state
+    is the OPEN window's count plus exact running moments
+    (n, Σcount, Σcount²) over the closed windows so far. A window
+    closes when a later window's event arrives (or the watermark
+    timeout fires); at close it is z-scored against the history
+    BEFORE it — the causal semantics of
+    operators/analytics.anomaly_online_batch, whose batch plan is the
+    deterministic twin (parity pinned by tests; moments are exact
+    integers, so only stddev float association can differ, below the
+    rounding). Emission is once per closed window; state per key is
+    five numbers regardless of stream length."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+    )
+
+    keys = list(keys)
+    ts_type = df.schema[event_time].dataType
+    out_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [
+            StructField("window_start_time", ts_type),
+            StructField("n", LongType()),
+            StructField("n_prior_windows", LongType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur_start_us", LongType()),
+            StructField("cur_n", LongType()),
+            StructField("hist_n", LongType()),
+            StructField("hist_sum", LongType()),
+            StructField("hist_sumsq", LongType()),
+        ]
+    )
+    win_us = window_ms * 1000
+
+    def _score(n, hist):
+        hist_n, hist_sum, hist_sumsq = hist
+        if hist_n < min_windows:
+            return 0.0, False
+        mean = round(hist_sum / hist_n, 6)
+        var = hist_sumsq / hist_n - (hist_sum / hist_n) ** 2
+        std = round(max(var, 0.0) ** 0.5, 6)
+        if std <= 0:
+            return 0.0, False
+        z = round((n - mean) / std, 6)
+        return z, abs(z) >= z_threshold
+
+    def _emit(key, rows):
+        data = {k: [kv] * len(rows) for k, kv in zip(keys, key)}
+        data["window_start_time"] = pd.Series(
+            np.asarray([r[0] for r in rows], dtype="int64").astype(
+                "datetime64[us]"
+            )
+        )
+        data["n"] = [r[1] for r in rows]
+        data["n_prior_windows"] = [r[2] for r in rows]
+        data["zscore"] = [r[3] for r in rows]
+        data["is_anomaly"] = [r[4] for r in rows]
+        return pd.DataFrame(data)
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            cur_start, cur_n, hn, hs, hss = state.get
+            z, flag = _score(cur_n, (hn, hs, hss))
+            state.remove()
+            yield _emit(key, [(cur_start, cur_n, hn, z, flag)])
+            return
+        rows = pd.concat(list(pdf_iter))
+        ts = np.sort(
+            rows[event_time].to_numpy(dtype="datetime64[us]").astype("int64")
+        )
+        if state.exists:
+            cur_start, cur_n, hn, hs, hss = state.get
+        else:
+            cur_start, cur_n, hn, hs, hss = None, 0, 0, 0, 0
+        if not len(ts):
+            if cur_start is not None:
+                state.update((cur_start, cur_n, hn, hs, hss))
+                state.setTimeoutTimestamp((cur_start + win_us) // 1000)
+            return
+        out = []
+        starts = (ts // win_us) * win_us
+        for s, cnt in zip(*np.unique(starts, return_counts=True)):
+            s, cnt = int(s), int(cnt)
+            if cur_start is None:
+                cur_start, cur_n = s, cnt
+            elif s == cur_start:
+                cur_n += cnt
+            elif s > cur_start:
+                z, flag = _score(cur_n, (hn, hs, hss))
+                out.append((cur_start, cur_n, hn, z, flag))
+                hn += 1
+                hs += cur_n
+                hss += cur_n * cur_n
+                cur_start, cur_n = s, cnt
+            # s < cur_start: late beyond the open window — watermark
+            # already bounds this; drop (ordered-arrival contract,
+            # same as the near-dup gate)
+        state.update((cur_start, cur_n, hn, hs, hss))
+        state.setTimeoutTimestamp((cur_start + win_us) // 1000)
+        if out:
+            yield _emit(key, out)
+
+    return (
+        df.withWatermark(event_time, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

@@ -339,3 +339,67 @@ def test_asof_join_stream_array_payload(spark):
         (1, at(30)): (7, [1.0, 2.0]),
         (1, at(40)): (8, [3.0, 4.0]),
     }
+
+
+def test_anomaly_stream_equals_batch(spark, events):
+    """Online anomaly detection stream == batch twin: the streaming
+    kernel's running-moment z-scores for every CLOSED window must
+    match anomaly_online_batch's window-function computation (the
+    final window per key may stay open — same N-1 contract)."""
+    from denormalized_spark.operators.analytics import anomaly_online_batch
+    from denormalized_spark.streaming.stateful import anomaly_stream
+
+    ev = events.select("event_type", "ts").orderBy("ts")
+    rows = ev.collect()
+    n = len(rows)
+    qsize = (n + 3) // 4
+    stage = tempfile.mkdtemp(prefix="anom_stage_")
+    for i in range(4):
+        chunk = rows[i * qsize : (i + 1) * qsize]
+        pdf = spark.createDataFrame(chunk, ev.schema)
+        path = os.path.join(stage, f"part{i}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    out = anomaly_stream(sdf, ["event_type"], "ts", window_ms=3600_000)
+    emitted = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_anom_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert emitted, "stream emitted nothing"
+
+    batch = {
+        (r["event_type"], r["window_start_time"]): r
+        for r in anomaly_online_batch(
+            ev, "event_type", "ts", window_ms=3600_000
+        ).collect()
+    }
+    got = {(r["event_type"], r["window_start_time"]): r for r in emitted}
+    assert len(got) == len(emitted), "duplicate window emission"
+    for k, r in got.items():
+        b = batch.get(k)
+        assert b is not None, f"stream emitted unknown window {k}"
+        assert r["n"] == b["n"], k
+        assert r["n_prior_windows"] == b["n_prior_windows"], k
+        # moments are exact integers; only stddev association differs
+        assert abs(r["zscore"] - b["zscore"]) < 1e-5, (k, r["zscore"], b["zscore"])
+        assert r["is_anomaly"] == b["is_anomaly"], k
+    # every key's non-final windows must have emitted
+    finals = {}
+    for (et, w) in batch:
+        if et not in finals or w > finals[et]:
+            finals[et] = w
+    missing = {
+        k for k in batch if k[1] != finals[k[0]] and k not in got
+    }
+    assert not missing, f"{len(missing)} closed windows never emitted"
