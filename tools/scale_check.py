@@ -39,6 +39,15 @@ QUERIES = [
     "text_bigram_quality",       # bigram-keyed counts + scoring joins: n log n
     "text_bpe_train",            # 1 corpus shuffle + vocab-table rounds: linear
     "curation_data_card",        # 1 scan + content-key shuffle + grouping sets
+    # round-6 additions
+    "sim_ivf_batch",             # prebuilt-index batched probe: 1 corpus pass / block
+    "text_bpe_encode_full",      # Arrow BPE encode: linear, cache ∝ vocab
+    "sim_pq_topk",               # PQ/ADC: linear scan of m-int codes
+    "dedup_corpus_overlap",      # 2 scans + 1-row signature aggregates: linear
+    "events_funnel",             # user-keyed fold: n log n in events/user
+    "events_session_funnel",     # same exchange + session windows
+    "events_anomaly_windows",    # (type, window) counts: linear
+    "curation_eval_sample",      # per-group rank-limit: n log n
 ]
 
 
