@@ -533,6 +533,80 @@ class DataStream:
             watermarked=(ts_mode == "window_time" and self._df.isStreaming),
         )
 
+    def funnel(
+        self,
+        steps: Sequence[str],
+        *,
+        session_gap_ms: int | None = None,
+        user_col: str = "user_id",
+        type_col: str = "event_type",
+        id_col: str = "event_id",
+    ) -> "DataStream":
+        """Ordered conversion funnel over the event stream's batch
+        form (operators/analytics): strict step sequencing per user;
+        with ``session_gap_ms`` the chain must complete within one
+        gap-based session. Batch-only (the per-user fold needs the
+        full horizon); for online funnels run it per window via
+        foreachBatch."""
+        from denormalized_spark.operators import analytics
+
+        if self._df.isStreaming:
+            raise ValueError(
+                "funnel() is batch-only; wrap it in foreachBatch for "
+                "per-micro-batch funnels"
+            )
+        if self.event_time is None:
+            raise ValueError("funnel() requires an event-time column")
+        if session_gap_ms is None:
+            out = analytics.funnel_counts(
+                self._df, list(steps), user_col, self.event_time, type_col, id_col
+            )
+        else:
+            out = analytics.session_funnel(
+                self._df, list(steps), session_gap_ms, user_col,
+                self.event_time, type_col, id_col,
+            )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
+    def anomaly_scores(
+        self,
+        group_cols: Sequence[str] = ("event_type",),
+        *,
+        window_ms: int = 3600_000,
+        z_threshold: float = 3.0,
+        min_windows: int = 3,
+    ) -> "DataStream":
+        """Causal per-window volume anomaly scores, path-polymorphic:
+        on a stream, the applyInPandasWithState running-moments kernel
+        (streaming/stateful.anomaly_stream); on a batch, the
+        deterministic window-function twin
+        (operators/analytics.anomaly_online_batch) — stream == batch
+        on every closed window (tests/test_stateful.py)."""
+        if self.event_time is None:
+            raise ValueError("anomaly_scores() requires an event-time column")
+        groups = list(group_cols)
+        if self._df.isStreaming:
+            from denormalized_spark.streaming.stateful import anomaly_stream
+
+            out = anomaly_stream(
+                self._df, groups, self.event_time, window_ms,
+                self.watermark, z_threshold, min_windows,
+            )
+        else:
+            from denormalized_spark.operators.analytics import (
+                anomaly_online_batch,
+            )
+
+            if len(groups) != 1:
+                raise ValueError(
+                    "batch anomaly_scores supports exactly one group column"
+                )
+            out = anomaly_online_batch(
+                self._df, groups[0], self.event_time, window_ms,
+                z_threshold, min_windows,
+            )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     def near_dedup_incremental(
         self,
         index: DataFrame | "DataStream",

@@ -185,3 +185,32 @@ def test_facade_near_dedup_incremental(spark):
     got = {r["doc_id"]: r["kept"] for r in flags.df.collect()}
     assert got == {5: False, 6: True}
     assert updated.df.count() >= 4
+
+
+def test_facade_funnel_and_anomaly(spark):
+    """DataStream.funnel / .anomaly_scores batch paths delegate to the
+    analytics operators."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view"),
+        (2, base + datetime.timedelta(minutes=1), 1, "click"),
+        (3, base, 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    ds = DataStream(df, event_time="ts")
+    got = {r["step"]: r["n_users"] for r in ds.funnel(["view", "click"]).df.collect()}
+    assert got == {1: 2, 2: 1}
+    sess = {
+        r["step"]: r["n_sessions"]
+        for r in ds.funnel(["view", "click"], session_gap_ms=1_800_000).df.collect()
+    }
+    assert sess == {1: 2, 2: 1}
+    anom = ds.anomaly_scores(["event_type"]).df
+    assert {f.name for f in anom.schema} >= {"window_start_time", "n", "zscore", "is_anomaly"}
+    assert anom.count() == 2  # (view, h0), (click, h0)
