@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     # operator/oracle changed this round — re-prove under the new code
     "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
     "dedup_incremental_gate", "text_train_linear_langid",
+    "window_rollup_cascade",
     # the ENTIRE minhash family re-verifies this round: the r6 hash-
     # family fix (MERSENNE31) changed every signature-derived value
     # (oracles regenerated from the same constants — but the driver

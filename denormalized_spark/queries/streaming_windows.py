@@ -44,7 +44,7 @@ def q(name: str, oracle: str | None = None):
     SELECT time_bucket(INTERVAL '1 day', h) AS day_start, event_type,
            sum(n)::BIGINT AS n,
            round(sum(total), 2) AS total,
-           round(round(sum(total), 2) / sum(n), 4) AS avg_value
+           floor(round(sum(total), 2) / sum(n) * 10000 + 0.5) / 10000 AS avg_value
     FROM hourly GROUP BY 1, 2
     """,
 )
@@ -71,9 +71,20 @@ def window_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n").alias("n"),
             F.round(F.sum("total"), 2).alias("total"),
             # divide the ROUNDED total: both engines then divide
-            # bit-identical inputs (raw double sums can differ by an
-            # ulp, which flips round(...,4) at a .00005 boundary)
-            F.round(F.round(F.sum("total"), 2) / F.sum("n"), 4).alias("avg_value"),
+            # bit-identical inputs. The final rounding is an explicit
+            # binary HALF_UP (floor(x·10^4 + 0.5)/10^4) because a
+            # 2-decimal numerator over a small integer count lands
+            # EXACTLY on 4-decimal halfway points (307.03/8 =
+            # 38.37875 at sf0.001), where Spark's round() rounds the
+            # DECIMAL REPR up while DuckDB rounds the BINARY value
+            # down — the floor form computes the identical IEEE ops
+            # in both engines, so the boundary cannot flip.
+            (
+                F.floor(
+                    F.round(F.sum("total"), 2) / F.sum("n") * 10000 + 0.5
+                )
+                / 10000
+            ).alias("avg_value"),
         )
     )
 
