@@ -6,6 +6,19 @@ hash-compares results (order-insensitive, columns sorted by name), so
 - floats are rounded the same number of digits in both,
 - all hashing is md5-based (identical across engines),
 - top-k queries carry explicit tiebreaks so LIMIT is deterministic.
+
+Known rounding hazard (fix pattern, applied where hit): Spark's
+round() rounds the shortest DECIMAL repr half-up while DuckDB rounds
+the BINARY value, so a quotient landing EXACTLY on a half-way decimal
+(systematic when a k-decimal numerator divides a small integer — see
+window_rollup_cascade's 307.03/8 = 38.37875 at sf0.001) diverges by
+one final digit. Where a query hits this, replace the final round
+with the explicit binary HALF_UP ``floor(x·10^d + 0.5)/10^d`` on BOTH
+sides — identical IEEE ops, no repr dependence. Plain int/int rates
+rounded at 6 digits can also land half-way when the reduced
+denominator divides 2·10^6 but not 10^6 (e.g. 1/128); all current
+entries are sweep-green at sf0.001/0.01/0.1 — apply the same fix if a
+scale factor ever surfaces one.
 """
 
 from __future__ import annotations
