@@ -279,6 +279,53 @@ def window_anomaly_scores(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int | None = None,
+) -> DataFrame:
+    """First-order event-type transition matrix ("user journeys"):
+    per user (optionally per gap-session), count consecutive
+    (from_type → to_type) pairs and each source type's transition
+    probability — the Markov view of behavioral flow, and the input
+    to next-event prediction baselines.
+
+    Plan: ONE user-keyed exchange serves the ordering window (lag)
+    and, when ``gap_ms`` is set, the session id; transitions then
+    aggregate on the (from, to) pair — a |types|² metadata table.
+    Probabilities divide by the source type's outgoing total via a
+    broadcast of that k-row table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_t = F.lag(type_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    pairs = df.select(
+        prev_t.alias("from_type"),
+        F.col(type_col).alias("to_type"),
+        (
+            (F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts))
+            if gap_ms is not None
+            else F.lit(0)
+        ).alias("_gap"),
+    ).filter(F.col("from_type").isNotNull())
+    if gap_ms is not None:
+        pairs = pairs.filter(F.col("_gap") <= gap_ms)
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+    )
+
+
 def anomaly_online_batch(
     df: DataFrame,
     group_col: str = "event_type",

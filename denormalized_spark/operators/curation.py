@@ -667,6 +667,53 @@ def dedup_document_lines(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: every key tagged
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the CDC
+    report a versioned dataset publishes alongside
+    :func:`~denormalized_spark.operators.dedup.corpus_overlap`'s
+    content-level scalar. ``compare_cols`` defaults to all shared
+    non-key columns; change detection is md5-over-concatenated values
+    (null-safe), so wide rows compare as one hash.
+
+    One full-outer join on the key — co-partitioned if both snapshots
+    are written bucketed by it; the change hash is a scan-speed
+    projection on each side. Output is corpus-sized but typically
+    consumed as the status-count rollup."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c != key_col and c in old.columns
+        ]
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(F.col(key_col), h.alias(alias))
+
+    o = fp(old, "_ho")
+    n = fp(new, "_hn")
+    joined = o.join(n, key_col, "full")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(key_col, status.alias("status"))
+
+
 def corpus_report(
     df: DataFrame,
     dims: list[str],

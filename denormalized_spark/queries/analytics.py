@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from denormalized_spark.operators import analytics
+from denormalized_spark.operators import analytics, curation
 from denormalized_spark.queries._util import t
 
 QUERIES = {}
@@ -301,3 +301,82 @@ def events_anomaly_online(spark: SparkSession, sf: str) -> DataFrame:
     running moments in per-group state (tests pin stream == batch)."""
     e = t(spark, sf, "events")
     return analytics.anomaly_online_batch(e)
+
+
+@q(
+    "events_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS from_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT from_type, event_type AS to_type FROM o
+      WHERE from_type IS NOT NULL
+        AND date_diff('millisecond', prev_ts, ts) <= 7200000
+    ),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n FROM pairs GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, sum(n) AS tot FROM counts GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM counts c JOIN totals t USING (from_type)
+    """,
+)
+def events_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix (operators/analytics.
+    event_transitions): consecutive-pair counts and per-source
+    transition probabilities within a 2-hour continuation gap — the
+    Markov "user journey" view. One user-keyed exchange for the
+    ordering window; the (from, to) aggregate is a |types|² metadata
+    table."""
+    e = t(spark, sf, "events")
+    return analytics.event_transitions(e, gap_ms=7_200_000)
+
+
+@q(
+    "curation_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                 coalesce(CASE WHEN doc_id % 11 = 3
+                               THEN text || ' edited' ELSE text END, chr(0)),
+                 coalesce(lang, chr(0)))) AS ho
+      FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), coalesce(text, chr(0)),
+                           coalesce(lang, chr(0)))) AS hn
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho != hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL JOIN new USING (doc_id)
+    """,
+)
+def curation_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level snapshot CDC (operators/curation.snapshot_diff): two
+    synthetic snapshot views of documents (different id filters plus
+    an edit planted on every 11th old row) diffed into added / removed
+    / changed / unchanged — one key-keyed full-outer join over
+    scan-speed row hashes; the companion content-level scalar is
+    dedup_corpus_overlap."""
+    d = t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 3, F.concat("text", F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0)
+    out = curation.snapshot_diff(old, new, "doc_id", ["text", "lang"])
+    return out

@@ -145,3 +145,51 @@ class TestSessionFunnel:
             ).collect()
         }
         assert got[2] == 0  # 31-min gap crosses the 30-min session
+
+
+class TestEventTransitions:
+    def test_counts_and_probabilities(self, spark):
+        rows = [
+            _ev(1, 0, 1, "view"), _ev(2, 1, 1, "click"), _ev(3, 2, 1, "view"),
+            _ev(4, 3, 1, "click"), _ev(5, 0, 2, "view"), _ev(6, 1, 2, "buy"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in analytics.event_transitions(df).collect()
+        }
+        # view -> click x2, view -> buy x1, click -> view x1
+        assert got[("view", "click")] == (2, round(2 / 3, 6))
+        assert got[("view", "buy")] == (1, round(1 / 3, 6))
+        assert got[("click", "view")] == (1, 1.0)
+
+    def test_gap_breaks_transition(self, spark):
+        rows = [_ev(1, 0, 1, "view"), _ev(2, 200, 1, "click")]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = analytics.event_transitions(df, gap_ms=60_000).collect()
+        assert out == []  # 200-minute gap exceeds the 1-minute bound
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from denormalized_spark.operators.curation import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new, "doc_id").collect()
+        }
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_null_safe_compare(self, spark):
+        from denormalized_spark.operators.curation import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        got = snapshot_diff(old, new, "doc_id").collect()[0]
+        assert got["status"] == "unchanged"
