@@ -682,6 +682,59 @@ def near_dedup_incremental(
     return out, updated
 
 
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """STRING-similarity self-join: pairs of rows whose ``name_col``
+    values are within ``max_distance`` Levenshtein edits — entity
+    near-dup detection over a relational column (product names,
+    merchants, authors), the classic fuzzy-match step.
+
+    All-pairs edit distance is O(n²·len²) — never run at scale.
+    Plan: the SAME banded-MinHash gate as document dedup, applied to
+    the name's word ``shingle_n``-grams (one shuffle on the band
+    key), generates candidates; only candidates pay the exact
+    ``levenshtein`` verify plus a length-difference shortcut
+    (|len(a)−len(b)| > d implies distance > d, so the DP never runs
+    on hopeless pairs). Recall follows the usual banding math on
+    token overlap — a pair sharing no word n-gram is invisible, which
+    is the intended trade (pure-typo corpora should shingle at
+    character level instead: pass the name pre-split into char
+    n-grams)."""
+    cand = lsh_candidate_pairs(
+        df.select(F.col(id_col), F.col(name_col).alias("text")),
+        id_col,
+        "text",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    return (
+        pairs.filter(
+            F.abs(F.length("_na") - F.length("_nb")) <= max_distance
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_na").alias("name_a"),
+            F.col("_nb").alias("name_b"),
+            F.levenshtein("_na", "_nb").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
 def corpus_minhash(
     df: DataFrame,
     text_col: str = "text",

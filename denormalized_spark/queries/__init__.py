@@ -65,7 +65,7 @@ _DRIVER_PRIORITY = [
     "sim_pq_topk", "sim_ivf_pq_topk",
     "events_props_breakdown", "events_latency_percentiles",
     "events_session_funnel", "events_anomaly_online",
-    "events_transitions", "curation_snapshot_diff",
+    "events_transitions", "curation_snapshot_diff", "dedup_fuzzy_names",
     # operator/oracle changed this round — re-prove under the new code
     "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
     "dedup_incremental_gate", "text_train_linear_langid",

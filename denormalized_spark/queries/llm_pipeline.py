@@ -2230,6 +2230,62 @@ def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
     return flags.select("doc_id", "dup_of_history", "batch_survivor", "kept")
 
 
+def _fuzzy_names_oracle(max_distance: int = 3) -> str:
+    """Gate-replay oracle for the fuzzy name join: word-2-gram
+    MinHash banding over the sampled part names, then the exact
+    Levenshtein verify on the candidates."""
+    from denormalized_spark.queries.curation import _gram_sql
+
+    return f"""
+    WITH d AS (
+      SELECT p_partkey AS id, p_name AS name,
+             list_filter(regexp_split_to_array(p_name, '\\s+'), x -> x != '') AS ws
+      FROM part WHERE p_partkey % 5 = 0
+    ),
+    hh AS (SELECT id, name,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    sh AS (SELECT id, {_gram_sql(2)} AS shingles FROM hh),
+    mh AS (SELECT id, {_minhash_list(8)} AS mh FROM sh),
+    bands AS (
+      SELECT id, b.b AS band,
+             md5(mh[b.b*2 + 1]::VARCHAR || ',' || mh[b.b*2 + 2]::VARCHAR) AS band_key
+      FROM mh CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+      FROM bands a JOIN bands bb
+        ON a.band = bb.band AND a.band_key = bb.band_key AND a.id < bb.id
+    )
+    SELECT c.id_a, c.id_b, na.name AS name_a, nb.name AS name_b,
+           CAST(levenshtein(na.name, nb.name) AS INT) AS distance
+    FROM cand c
+    JOIN hh na ON na.id = c.id_a
+    JOIN hh nb ON nb.id = c.id_b
+    WHERE abs(length(na.name) - length(nb.name)) <= {max_distance}
+      AND levenshtein(na.name, nb.name) <= {max_distance}
+    """
+
+
+@q("dedup_fuzzy_names", _fuzzy_names_oracle())
+def dedup_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
+    """STRING-similarity self-join (operators/dedup.fuzzy_name_pairs):
+    part names within 3 Levenshtein edits, discovered by the banded
+    word-2-gram MinHash gate (one band-key shuffle) and verified
+    exactly only on candidates — the entity fuzzy-match step, never
+    an all-pairs DP. The oracle replays the identical gate and
+    verify."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") % 5 == 0)
+    out = dedup.fuzzy_name_pairs(
+        p, "p_partkey", "p_name", max_distance=3, num_hashes=8, bands=4,
+        shingle_n=2,
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), "name_a", "name_b",
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
 def _corpus_overlap_oracle(num_hashes: int = 64) -> str:
     """Corpus-level MinHash overlap: per snapshot, each signature slot
     is the min of the affine hash over ALL shingle hashes (union of

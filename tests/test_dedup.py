@@ -518,3 +518,40 @@ class TestCorpusOverlap:
         true_j = len(sa & sb) / len(sa | sb)
         got = corpus_overlap(a, b, num_hashes=64).collect()[0]["jaccard_estimate"]
         assert abs(got - true_j) < 3 / (64 ** 0.5), (got, true_j)
+
+
+class TestFuzzyNamePairs:
+    def test_planted_typo_found_exact_distance(self, spark):
+        from denormalized_spark.operators.dedup import fuzzy_name_pairs
+
+        # J = 7/8 word-2-grams shared: the gate's any-band
+        # probability is ~0.99 and this specific pair collides under
+        # the deterministic hash constants (a 4-gram name missed all
+        # bands — banding is probabilistic, pick gate-able fixtures)
+        rows = [
+            (1, "golden lavender spring lace ivory olive misty rose"),
+            (2, "golden lavender spring lace ivory olive misty rose x"),
+            (3, "completely different name here entirely other words now"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in fuzzy_name_pairs(
+                df, "id", "name", max_distance=3, shingle_n=2
+            ).collect()
+        }
+        assert got == {(1, 2): 2}
+
+    def test_length_shortcut_prunes(self, spark):
+        """A candidate pair whose lengths differ by more than the
+        bound never reaches the DP (plan-level: the filter precedes
+        levenshtein; behavior-level: excluded from output)."""
+        from denormalized_spark.operators.dedup import fuzzy_name_pairs
+
+        rows = [
+            (1, "alpha beta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        out = fuzzy_name_pairs(df, "id", "name", max_distance=3, shingle_n=2)
+        assert out.collect() == []
