@@ -497,6 +497,14 @@ class DataStream:
 
         if self.event_time is None:
             raise ValueError("near_dedup() requires an event-time column")
+        # validate HERE, not inside one leg: the batch twin must reject
+        # exactly what the streaming path rejects (a typo'd ts_mode
+        # silently meaning "exact" on batch would pass tests and then
+        # raise on the production stream)
+        if ts_mode not in ("exact", "window_time"):
+            raise ValueError(
+                f"ts_mode must be exact|window_time, got {ts_mode!r}"
+            )
         kwargs = dict(
             num_hashes=num_hashes,
             bands=bands,

@@ -40,17 +40,29 @@ def funnel_counts(
     no joins, no windows, no per-step passes. The final aggregation
     is steps-sized metadata.
     """
-    nsteps = len(steps)
-    if nsteps == 0:
-        raise ValueError("steps must be non-empty")
-    step_arr = F.array(*[F.lit(s) for s in steps])
     ev = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col).alias("t")))
     )
     per_user = df.groupBy(user_col).agg(ev.alias("_ev"))
-    # fold: acc = highest step index reached (0-based count of
-    # completed steps); an event advances it iff it matches the NEXT
-    # step. element_at(step_arr, acc+1) is safe: acc < nsteps checked.
+    reached = _stage_counts(per_user, steps, "n_users")
+    return _funnel_report(reached, steps, "n_users")
+
+
+def _stage_counts(
+    per_entity: DataFrame, steps: list[str], count_col: str
+) -> DataFrame:
+    """Shared funnel core: fold each entity's sorted ``_ev`` event
+    array through the step chain (acc = highest step reached; an
+    event advances it iff it matches the NEXT step —
+    element_at(step_arr, acc+1) is safe because acc < nsteps is
+    checked), then count entities reaching each step cumulatively via
+    a steps-sized explode + re-aggregate (metadata: <= nsteps+1 rows
+    in, nsteps rows out). One advance-rule implementation for both
+    the per-user and per-session funnels."""
+    nsteps = len(steps)
+    if nsteps == 0:
+        raise ValueError("steps must be non-empty")
+    step_arr = F.array(*[F.lit(s) for s in steps])
     stage = F.aggregate(
         "_ev",
         F.lit(0),
@@ -59,12 +71,12 @@ def funnel_counts(
             acc + 1,
         ).otherwise(acc),
     )
-    staged = per_user.select(stage.alias("_stage"))
-    counts = staged.groupBy("_stage").agg(F.count("*").alias("_n"))
-    # users at stage s completed every step <= s: emit cumulative-from-
-    # above counts per step via a steps-sized explode + re-aggregate
-    # (metadata: <= nsteps+1 rows in, nsteps rows out)
-    reached = (
+    counts = (
+        per_entity.select(stage.alias("_stage"))
+        .groupBy("_stage")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
         counts.select(
             F.explode(
                 F.when(F.col("_stage") > 0, F.sequence(F.lit(1), F.col("_stage")))
@@ -73,9 +85,8 @@ def funnel_counts(
             "_n",
         )
         .groupBy("step")
-        .agg(F.sum("_n").alias("n_users"))
+        .agg(F.sum("_n").alias(count_col))
     )
-    return _funnel_report(reached, steps, "n_users")
 
 
 def _funnel_report(
@@ -136,10 +147,6 @@ def session_funnel(
     :func:`funnel_counts`."""
     from pyspark.sql import Window
 
-    nsteps = len(steps)
-    if nsteps == 0:
-        raise ValueError("steps must be non-empty")
-    step_arr = F.array(*[F.lit(s) for s in steps])
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
     new_s = F.when(
@@ -160,30 +167,7 @@ def session_funnel(
         .groupBy(user_col, "_sid")
         .agg(ev.alias("_ev"))
     )
-    stage = F.aggregate(
-        "_ev",
-        F.lit(0),
-        lambda acc, e: F.when(
-            (acc < nsteps) & (e["t"] == F.element_at(step_arr, acc + 1)),
-            acc + 1,
-        ).otherwise(acc),
-    )
-    counts = (
-        per_sess.select(stage.alias("_stage"))
-        .groupBy("_stage")
-        .agg(F.count("*").alias("_n"))
-    )
-    reached = (
-        counts.select(
-            F.explode(
-                F.when(F.col("_stage") > 0, F.sequence(F.lit(1), F.col("_stage")))
-                .otherwise(F.array().cast("array<int>"))
-            ).alias("step"),
-            "_n",
-        )
-        .groupBy("step")
-        .agg(F.sum("_n").alias("n_sessions"))
-    )
+    reached = _stage_counts(per_sess, steps, "n_sessions")
     return _funnel_report(reached, steps, "n_sessions")
 
 

@@ -723,7 +723,6 @@ def ivf_pq_topk(
     keeps k. Scan cost ≈ N·(nprobe/n_clusters)·m bytes — the
     billion-vector serving shape. Re-rank the returned short list
     with full vectors where exactness matters."""
-    spark = assigned_encoded.sparkSession
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = (
         centroids.select(

@@ -144,8 +144,11 @@ def events_anomaly_windows(spark: SparkSession, sf: str) -> DataFrame:
     "events_props_breakdown",
     """
     WITH p AS (
+      -- floor(), not //: DuckDB intdiv truncates toward zero while
+      -- Spark's floor(k/10) floors, diverging for negative k
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decile,
+             CAST(floor(CAST(json_extract(props, '$.k') AS INT) / 10) AS INT)
+               AS k_decile,
              value
       FROM events
     )

@@ -469,8 +469,16 @@ def anomaly_stream(
     def fn(key, pdf_iter, state):
         if state.hasTimedOut:
             cur_start, cur_n, hn, hs, hss = state.get
+            if cur_start < 0:  # no open window (already flushed)
+                return
             z, flag = _score(cur_n, (hn, hs, hss))
-            state.remove()
+            # fold the flushed window into history and KEEP the state:
+            # a key that goes idle and later resumes must be scored
+            # against its full past, not an empty one (state stays 5
+            # longs; no timeout is armed until new data opens a
+            # window) — the batch twin scores every window against
+            # ALL its predecessors, and parity requires the same here
+            state.update((-1, 0, hn + 1, hs + cur_n, hss + cur_n * cur_n))
             yield _emit(key, [(cur_start, cur_n, hn, z, flag)])
             return
         rows = pd.concat(list(pdf_iter))
@@ -479,6 +487,8 @@ def anomaly_stream(
         )
         if state.exists:
             cur_start, cur_n, hn, hs, hss = state.get
+            if cur_start < 0:
+                cur_start, cur_n = None, 0
         else:
             cur_start, cur_n, hn, hs, hss = None, 0, 0, 0, 0
         if not len(ts):

@@ -403,3 +403,81 @@ def test_anomaly_stream_equals_batch(spark, events):
         k for k in batch if k[1] != finals[k[0]] and k not in got
     }
     assert not missing, f"{len(missing)} closed windows never emitted"
+
+
+def test_anomaly_stream_history_survives_idle_gap(spark):
+    """A key whose open window is flushed by the event-time timeout
+    (the key goes idle while other keys advance the watermark) must
+    keep its running history: windows after the revival score against
+    the FULL past, exactly like the batch twin — not against an empty
+    history (the state.remove() regression)."""
+    import datetime
+
+    from denormalized_spark.operators.analytics import anomaly_online_batch
+    from denormalized_spark.streaming.stateful import anomaly_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    at = lambda h, k=0: base + datetime.timedelta(hours=h, minutes=k)
+    rows = []
+    eid = 0
+    # key 'a': hours 0-3 (counts 2,2,2,5), then idle, then hours 9-11
+    for h, cnt in [(0, 2), (1, 2), (2, 2), (3, 5)]:
+        for k in range(cnt):
+            rows.append((eid, at(h, k), 1, "a")); eid += 1
+    for h, cnt in [(9, 2), (10, 9), (11, 2)]:
+        for k in range(cnt):
+            rows.append((eid, at(h, k), 1, "a")); eid += 1
+    # key 'b': active every hour 0-12 — drives the watermark through
+    # a's idle gap so a's open window times out mid-stream
+    for h in range(13):
+        rows.append((eid, at(h), 2, "b")); eid += 1
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    df = spark.createDataFrame(rows, schema).select("event_type", "ts").orderBy("ts")
+    collected = df.collect()
+    stage = tempfile.mkdtemp(prefix="anom_idle_")
+    # one file per hour: the watermark ratchets hourly, firing a's
+    # timeout during the idle stretch
+    by_hour = {}
+    for r in collected:
+        by_hour.setdefault(r["ts"].hour, []).append(r)
+    for i, h in enumerate(sorted(by_hour)):
+        path = os.path.join(stage, f"part{h}")
+        spark.createDataFrame(by_hour[h], df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    out = anomaly_stream(sdf, ["event_type"], "ts", window_ms=3600_000)
+    emitted = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_anomidle_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    batch = {
+        (r["event_type"], r["window_start_time"]): r
+        for r in anomaly_online_batch(
+            df, "event_type", "ts", window_ms=3600_000
+        ).collect()
+    }
+    got = {(r["event_type"], r["window_start_time"]): r for r in emitted}
+    # a's post-revival windows must be present and match the batch twin
+    revival = [k for k in got if k[0] == "a" and k[1] >= at(9)]
+    assert revival, f"no post-revival windows emitted: {sorted(got)}"
+    for k in got:
+        b = batch[k]
+        r = got[k]
+        assert r["n"] == b["n"], k
+        assert r["n_prior_windows"] == b["n_prior_windows"], (
+            k, r["n_prior_windows"], b["n_prior_windows"])
+        assert abs(r["zscore"] - b["zscore"]) < 1e-5, (k, r["zscore"], b["zscore"])
