@@ -79,16 +79,30 @@ def eval_once(col: Column, build) -> Column:
     return F.element_at(F.transform(F.array(col), build), 1)
 
 
-def shingle_hashes(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as 32-bit HASHES — one md5 per
+def shingle_hashes(
+    text: Column | str, n: int = 3, unit: str = "word"
+) -> Column:
+    """Distinct ``unit`` n-gram shingles as 32-bit HASHES — one md5 per
     TOKEN, then positional-constant arithmetic per shingle. The
     string form builds (and copies) a concatenated string per shingle
     and md5s it downstream; this form is pure long arithmetic after
     tokenization — ~5× cheaper at scan time, identical downstream
     semantics (distinct-set membership; 32-bit collisions are ~1e-7
     at document scale and deterministic across engines).
+
+    ``unit="char"`` shingles over CHARACTERS of the raw string
+    (spaces included) instead of whitespace words — the typo-robust
+    granularity for short strings (names, titles): a one-character
+    edit perturbs only ~n char-grams, while it replaces a whole word
+    token. One md5 per char, so keep it to short-string columns.
     """
-    toks = tokens(text)
+    if unit == "word":
+        toks = tokens(text)
+    elif unit == "char":
+        c = F.col(text) if isinstance(text, str) else text
+        toks = F.filter(F.split(c, ""), lambda t: t != F.lit(""))
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     consts = [shingle_params(j) for j in range(n)]
     mod = F.lit(SHINGLE_MOD)
 
@@ -174,7 +188,10 @@ def minhash_params(i: int) -> tuple[int, int]:
 
 
 def minhash_signature(
-    text: Column | str, num_hashes: int = 16, shingle_n: int = 3
+    text: Column | str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    shingle_unit: str = "word",
 ) -> Column:
     """MinHash signature as array<long>, one min per hash function.
 
@@ -192,7 +209,9 @@ def minhash_signature(
     # ONCE per shingle here (not per slot inside the zip_with: that
     # would re-pay the mod num_hashes times per shingle)
     mod = F.lit(MERSENNE31)
-    base = F.transform(shingle_hashes(text, shingle_n), lambda h: h % mod)
+    base = F.transform(
+        shingle_hashes(text, shingle_n, shingle_unit), lambda h: h % mod
+    )
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -218,9 +237,13 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     return df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("minhash")
+        F.col(id_col),
+        minhash_signature(
+            text_col, num_hashes, shingle_n, shingle_unit
+        ).alias("minhash"),
     )
 
 
@@ -232,6 +255,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
 
@@ -247,7 +271,9 @@ def lsh_candidate_pairs(
     executor OOM. Docs in a dropped bucket can still pair through
     their other bands (and exact dedup catches full duplicates first).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingle_unit
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(band_structs("minhash", num_hashes, bands)).alias("bk"),
@@ -297,7 +323,9 @@ def minhash_estimate_pairs(
     MinHash pipelines run; raise ``num_hashes`` for tighter bounds).
     Same pair-keyed join shape as the exact verify — work ∝
     candidates."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingle_unit
+    )
     a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     matches = F.aggregate(
@@ -330,7 +358,9 @@ def lsh_bucket_histogram(
     explodes (docs/SCALING.md). Returns (bucket_size, n_buckets,
     n_pairs) where n_pairs = n_buckets · size(size−1)/2."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingle_unit
+    )
     banded = sig.select(
         F.col(id_col),
         *[
@@ -691,6 +721,7 @@ def fuzzy_name_pairs(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket_size: int | None = None,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """STRING-similarity self-join: pairs of rows whose ``name_col``
     values are within ``max_distance`` Levenshtein edits — entity
@@ -704,10 +735,11 @@ def fuzzy_name_pairs(
     ``levenshtein`` verify plus a length-difference shortcut
     (|len(a)−len(b)| > d implies distance > d, so the DP never runs
     on hopeless pairs). Recall follows the usual banding math on
-    token overlap — a pair sharing no word n-gram is invisible, which
-    is the intended trade (pure-typo corpora should shingle at
-    character level instead: pass the name pre-split into char
-    n-grams)."""
+    token overlap — a pair sharing no word n-gram is invisible.
+    Pure-typo corpora should gate at CHARACTER granularity instead:
+    ``shingle_unit="char"`` shingles char n-grams of the raw string,
+    so a one-letter edit perturbs only ~shingle_n grams instead of
+    deleting a whole word token (pinned by the typo test)."""
     cand = lsh_candidate_pairs(
         df.select(F.col(id_col), F.col(name_col).alias("text")),
         id_col,
@@ -716,6 +748,7 @@ def fuzzy_name_pairs(
         bands=bands,
         shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
+        shingle_unit=shingle_unit,
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb"))

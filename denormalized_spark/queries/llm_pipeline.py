@@ -2230,22 +2230,29 @@ def dedup_incremental_gate(spark: SparkSession, sf: str) -> DataFrame:
     return flags.select("doc_id", "dup_of_history", "batch_survivor", "kept")
 
 
-def _fuzzy_names_oracle(max_distance: int = 3) -> str:
-    """Gate-replay oracle for the fuzzy name join: word-2-gram
-    MinHash banding over the sampled part names, then the exact
-    Levenshtein verify on the candidates."""
+def _fuzzy_names_oracle(
+    max_distance: int = 3, unit: str = "word", gram_n: int = 2
+) -> str:
+    """Gate-replay oracle for the fuzzy name join: word- or char-
+    n-gram MinHash banding over the sampled part names, then the
+    exact Levenshtein verify on the candidates."""
     from denormalized_spark.queries.curation import _gram_sql
 
+    tok = (
+        "list_filter(regexp_split_to_array(p_name, '\\s+'), x -> x != '')"
+        if unit == "word"
+        else "[p_name[j] for j in range(1, length(p_name) + 1)]"
+    )
     return f"""
     WITH d AS (
       SELECT p_partkey AS id, p_name AS name,
-             list_filter(regexp_split_to_array(p_name, '\\s+'), x -> x != '') AS ws
+             {tok} AS ws
       FROM part WHERE p_partkey % 5 = 0
     ),
     hh AS (SELECT id, name,
                   list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
            FROM d),
-    sh AS (SELECT id, {_gram_sql(2)} AS shingles FROM hh),
+    sh AS (SELECT id, {_gram_sql(gram_n)} AS shingles FROM hh),
     mh AS (SELECT id, {_minhash_list(8)} AS mh FROM sh),
     bands AS (
       SELECT id, b.b AS band,
@@ -2279,6 +2286,27 @@ def dedup_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup.fuzzy_name_pairs(
         p, "p_partkey", "p_name", max_distance=3, num_hashes=8, bands=4,
         shingle_n=2,
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), "name_a", "name_b",
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
+@q(
+    "dedup_fuzzy_names_char",
+    _fuzzy_names_oracle(max_distance=2, unit="char", gram_n=3),
+)
+def dedup_fuzzy_names_char(spark: SparkSession, sf: str) -> DataFrame:
+    """The TYPO-ROBUST fuzzy join (operators/dedup.fuzzy_name_pairs
+    with ``shingle_unit="char"``): character-3-gram MinHash banding —
+    a one-letter edit perturbs only ~3 grams, where it would delete a
+    whole token from the word gate — then the Levenshtein ≤ 2 verify
+    on candidates. Same gate-replay oracle with the char tokenizer."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") % 5 == 0)
+    out = dedup.fuzzy_name_pairs(
+        p, "p_partkey", "p_name", max_distance=2, num_hashes=8, bands=4,
+        shingle_n=3, shingle_unit="char",
     )
     return out.select(
         F.col("id_a"), F.col("id_b"), "name_a", "name_b",

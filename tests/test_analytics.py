@@ -193,3 +193,21 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, None)], "doc_id long, text string")
         got = snapshot_diff(old, new, "doc_id").collect()[0]
         assert got["status"] == "unchanged"
+
+
+def test_empty_inputs_are_graceful(spark):
+    """Every analytics operator returns a well-typed empty (or
+    all-zero) result on an empty frame — no null-division crashes,
+    no empty-aggregate errors."""
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    funnel = analytics.funnel_counts(empty, ["a", "b"]).collect()
+    assert [(r["step"], r["n_users"], r["conversion_rate"]) for r in funnel] == [
+        (1, 0, 0.0),
+        (2, 0, 0.0),
+    ]
+    assert analytics.cohort_retention(empty).collect() == []
+    assert analytics.window_anomaly_scores(empty).collect() == []
+    assert analytics.anomaly_online_batch(empty).collect() == []
+    assert analytics.event_transitions(empty).collect() == []

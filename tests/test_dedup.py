@@ -555,3 +555,24 @@ class TestFuzzyNamePairs:
         df = spark.createDataFrame(rows, ["id", "name"])
         out = fuzzy_name_pairs(df, "id", "name", max_distance=3, shingle_n=2)
         assert out.collect() == []
+
+    def test_char_gate_catches_in_word_typo(self, spark):
+        """A one-letter typo INSIDE a word deletes that word token, so
+        the word gate can go blind; char 3-grams keep ~all grams
+        shared and the pair gates through with its exact distance."""
+        from denormalized_spark.operators.dedup import fuzzy_name_pairs
+
+        rows = [
+            (1, "chocolate lavender"),
+            (2, "chocolate lavendar"),
+            (3, "totally unrelated words"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        char = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in fuzzy_name_pairs(
+                df, "id", "name", max_distance=3, shingle_n=3,
+                shingle_unit="char",
+            ).collect()
+        }
+        assert char == {(1, 2): 1}
