@@ -314,6 +314,7 @@ def minhash_estimate_pairs(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Jaccard ESTIMATE from MinHash signature agreement — the
     component-match fraction is an unbiased estimator of Jaccard with
@@ -352,6 +353,7 @@ def lsh_bucket_histogram(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Bucket-population histogram for the LSH banding above — the
     ops signal for resizing bands/planes before pair generation
