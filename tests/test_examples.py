@@ -110,3 +110,20 @@ def test_ann_index_serving_example_runs():
     for qi in range(3):
         assert f"query {qi}: top-5 ids [{qi}," in out.stdout
     assert "partition pruning visible in plan: True" in out.stdout
+
+
+def test_event_analytics_report_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "event_analytics_report.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for section in (
+        "conversion funnel", "within one 30-min session",
+        "cohort retention", "transitions", "anomalies", "report complete",
+    ):
+        assert section in out.stdout, section
