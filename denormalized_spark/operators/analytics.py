@@ -354,3 +354,49 @@ def anomaly_online_batch(
         z.alias("zscore"),
         (F.abs(z) >= z_threshold).alias("is_anomaly"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Shuffle-skew pre-flight: the per-key row-count distribution for
+    a prospective join/groupBy key — the check that predicts whether
+    one reducer will eat a 100 TB shuffle. Returns the ``top_k``
+    heaviest keys with rank, count, share of all rows, and cumulative
+    share (a top key holding >1/num_partitions of the rows WILL
+    straggle; reach for salting, AQE skew join, or the dedup-style
+    bucket caps).
+
+    One partial-agged count shuffle (the same key the real job would
+    shuffle on — this probe costs what one map-side-combined pass
+    costs), then a TakeOrdered of ``top_k`` rows and metadata-only
+    window math over them."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_distinct")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc(key_col)).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))  # 1-row totals
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc(key_col)))
+            .cast("int")
+            .alias("rank"),
+            F.col(key_col).alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("_total").cast("long").alias("total_rows"),
+            F.col("_distinct").cast("long").alias("distinct_keys"),
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(F.sum("n").over(w) / F.col("_total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

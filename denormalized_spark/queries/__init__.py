@@ -66,7 +66,7 @@ _DRIVER_PRIORITY = [
     "events_props_breakdown", "events_latency_percentiles",
     "events_session_funnel", "events_anomaly_online",
     "events_transitions", "curation_snapshot_diff", "dedup_fuzzy_names",
-    "dedup_fuzzy_names_char",
+    "dedup_fuzzy_names_char", "events_key_skew",
     # operator/oracle changed this round — re-prove under the new code
     "curation_mixture_solver", "text_bpe_encode", "text_bpe_train",
     "dedup_incremental_gate", "text_train_linear_langid",

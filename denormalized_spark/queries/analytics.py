@@ -383,3 +383,35 @@ def curation_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 != 0)
     out = curation.snapshot_diff(old, new, "doc_id", ["text", "lang"])
     return out
+
+
+@q(
+    "events_key_skew",
+    """
+    WITH counts AS (
+      SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS dk FROM counts),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+      FROM counts ORDER BY n DESC, key ASC LIMIT 20
+    )
+    SELECT CAST(rank AS INT) AS rank, CAST(key AS VARCHAR) AS key,
+           CAST(n AS BIGINT) AS n,
+           CAST(tot.total AS BIGINT) AS total_rows,
+           CAST(tot.dk AS BIGINT) AS distinct_keys,
+           round(n / CAST(tot.total AS DOUBLE), 6) AS share,
+           round(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                 / CAST(tot.total AS DOUBLE), 6) AS cum_share
+    FROM top, tot
+    """,
+)
+def events_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-skew pre-flight (operators/analytics.key_skew_report)
+    over the events user key: top-20 heaviest keys with shares and
+    cumulative share — the diagnostic that predicts reducer
+    straggling before a 100 TB join pays for it. One map-side-
+    combined count shuffle + a top-k of metadata."""
+    e = t(spark, sf, "events")
+    out = analytics.key_skew_report(e, "user_id", top_k=20)
+    return out.withColumn("key", F.col("key").cast("string"))

@@ -211,3 +211,17 @@ def test_empty_inputs_are_graceful(spark):
     assert analytics.window_anomaly_scores(empty).collect() == []
     assert analytics.anomaly_online_batch(empty).collect() == []
     assert analytics.event_transitions(empty).collect() == []
+
+
+def test_key_skew_report(spark):
+    """Planted hot key dominates; ranks, shares, and cumulative share
+    are exact."""
+    rows = [
+        (i, T0, 999 if i < 60 else i, "x") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = analytics.key_skew_report(df, "user_id", top_k=3).collect()
+    assert out[0]["rank"] == 1 and out[0]["key"] == 999 and out[0]["n"] == 60
+    assert out[0]["share"] == 0.6 and out[0]["cum_share"] == 0.6
+    assert out[0]["total_rows"] == 100 and out[0]["distinct_keys"] == 41
+    assert out[1]["n"] == 1 and out[1]["cum_share"] == 0.61

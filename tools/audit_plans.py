@@ -47,6 +47,7 @@ ALLOW_BNLJ = {
     "dedup_corpus_overlap",  # 1-row × 1-row signature crossJoin — metadata
     "events_funnel",         # 1-row step-1 base count crossJoin onto a steps-sized table
     "events_session_funnel", # same 1-row base-count pattern
+    "events_key_skew",       # 1-row totals crossJoin onto the top-k table
     "sim_ivf_pq_topk",       # broadcast k-centroid crossJoin (assignment) — constant fan-out
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
@@ -83,6 +84,7 @@ ALLOW_SINGLE_PART = {
     "curation_mixture_solver",  # 1-row budget min over the k-stratum table
     "text_quality_percentile_gate",  # 1-row exact-percentile threshold
     "dedup_corpus_overlap",   # 1-row global min-per-slot signature aggregates
+    "events_key_skew",        # rank/cum-share windows over the top-k rows (metadata)
 }
 MARKERS_PY = (
     "BatchEvalPython",
