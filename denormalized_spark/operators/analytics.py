@@ -24,6 +24,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: how many users completed step 1,
     then step 2 AFTER step 1, then step 3 after that, … (the strict
@@ -32,18 +33,30 @@ def funnel_counts(
     (step, step_name, n_users, conversion_rate) with rate relative to
     step 1.
 
-    Plan: ONE shuffle keyed by user collects each user's events as a
-    sorted (ts, id, type) array (deterministic order; per-user volume
-    is bounded by that user's activity, the usual event-analytics
-    assumption — heavy-user skew is capped upstream if needed), then
-    a per-row FOLD advances a stage counter through the step list —
+    Plan: the scan first DROPS every non-step event (an event whose
+    type is outside ``steps`` can never advance the fold, so the
+    filter is result-identical and it both shrinks the shuffle and
+    bounds the per-user array at a bot/whale user to that user's
+    STEP events), then ONE shuffle keyed by user collects each
+    user's remaining events as a sorted (ts, id, type) array and a
+    per-row FOLD advances a stage counter through the step list —
     no joins, no windows, no per-step passes. The final aggregation
-    is steps-sized metadata.
+    is steps-sized metadata. ``max_events_per_user`` additionally
+    hard-caps the sorted array (keeping the EARLIEST step events) for
+    corpora where even step-event volume is adversarial — a
+    best-effort bound that can undercount a user whose conversion
+    happens after the cap.
     """
     ev = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col).alias("t")))
     )
-    per_user = df.groupBy(user_col).agg(ev.alias("_ev"))
+    if max_events_per_user is not None:
+        ev = F.slice(ev, 1, max_events_per_user)
+    per_user = (
+        df.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(ev.alias("_ev"))
+    )
     reached = _stage_counts(per_user, steps, "n_users")
     return _funnel_report(reached, steps, "n_users")
 
@@ -143,8 +156,13 @@ def session_funnel(
     Plan: ONE shuffle on the user key serves the lag flag, the
     running session id, and the per-session event collection (all
     three are user-partitioned window/group operations over the same
-    exchange); the fold and the final counts are the same shapes as
-    :func:`funnel_counts`."""
+    exchange — HashPartitioning(user) satisfies the (user, _sid)
+    grouping); the fold and the final counts are the same shapes as
+    :func:`funnel_counts`. Session ids must be computed over ALL
+    events (a non-step event keeps a session alive), but the
+    collect_list that follows drops non-step events first — they
+    can't advance the fold, so the per-session array is bounded by
+    the session's STEP events, not its raw volume."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -164,6 +182,7 @@ def session_funnel(
     )
     per_sess = (
         df.withColumn("_sid", sid)
+        .filter(F.col(type_col).isin(steps))
         .groupBy(user_col, "_sid")
         .agg(ev.alias("_ev"))
     )
@@ -191,11 +210,16 @@ def cohort_retention(
     active = df.select(
         user_col, per(F.col(ts_col)).alias("_period")
     ).distinct()
-    unit = {"week": 7 * 86400, "day": 86400}.get(period)
-    if unit is None:
+    unit_days = {"week": 7, "day": 1}.get(period)
+    if unit_days is None:
         raise ValueError("period must be 'week' or 'day'")
-    offset = (
-        (F.unix_timestamp("_period") - F.unix_timestamp("_cohort")) / unit
+    # Calendar arithmetic, not epoch-seconds: with a non-UTC session
+    # timezone a DST-crossing week is 604800±3600 s and an epoch-based
+    # truncating division misbuckets that offset by one. datediff of
+    # the truncated dates is DST-immune (periods land on day
+    # boundaries in any zone).
+    offset = F.floor(
+        F.datediff(F.col("_period"), F.col("_cohort")) / unit_days
     ).cast("int")
     joined = active.join(firsts, user_col).select(
         user_col, "_cohort", offset.alias("offset")

@@ -678,8 +678,11 @@ def snapshot_diff(
     report a versioned dataset publishes alongside
     :func:`~denormalized_spark.operators.dedup.corpus_overlap`'s
     content-level scalar. ``compare_cols`` defaults to all shared
-    non-key columns; change detection is md5-over-concatenated values
-    (null-safe), so wide rows compare as one hash.
+    non-key columns; change detection hashes each column's own md5
+    digest (NULL → a non-hex marker) and then the concatenation of
+    those fixed-width digests, so no value can collide with NULL or
+    shift a column boundary — a literal separator byte inside a value
+    cannot fake an "unchanged" row.
 
     One full-outer join on the key — co-partitioned if both snapshots
     are written bucketed by it; the change hash is a scan-speed
@@ -691,13 +694,15 @@ def snapshot_diff(
         ]
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
+        # Per-column md5 first: every slot is either 32 hex chars or
+        # the 1-char non-hex NULL marker, so the outer hash input is
+        # uniquely decodable regardless of value content.
         h = F.md5(
-            F.concat_ws(
-                "\x1f",
+            F.concat(
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
                     for c in compare_cols
-                ],
+                ]
             )
         )
         return df.select(F.col(key_col), h.alias(alias))

@@ -1200,9 +1200,13 @@ def _bucket_ownership_counts(
     One partial-agged shuffle computes each bucket's (winner, size) —
     a degenerate bucket arrives at its reducer as ≤ one row per map
     partition, not as its membership. Buckets over the cap are exempt
-    (every member owns them); exempt buckets are by construction few
-    (each holds > cap docs, so there are < corpus/cap of them) and
-    broadcast back against the band stream for the membership count."""
+    (every member owns them) and joined back against the band stream
+    for the membership count WITHOUT a broadcast hint: exempt buckets
+    are usually few (each holds > cap docs, so < corpus/cap of them)
+    and AQE broadcasts the join at runtime, but a small cap on a
+    skewed corpus can make the exempt set approach corpus/cap rows —
+    exactly the degenerate input the cap exists for — and then AQE
+    keeps the shuffle join instead of blowing the broadcast limit."""
     bucket = banded.groupBy("band", "band_key").agg(
         F.min(F.struct(*order_cols)).alias("_w"),
         F.count("*").alias("_sz"),
@@ -1215,7 +1219,7 @@ def _bucket_ownership_counts(
     )
     exempt = bucket.filter(F.col("_sz") > cap).select("band", "band_key")
     ex_counts = (
-        banded.join(F.broadcast(exempt), ["band", "band_key"])
+        banded.join(exempt, ["band", "band_key"])
         .groupBy(id_col)
         .agg(F.count("*").alias("_n_ex"))
     )

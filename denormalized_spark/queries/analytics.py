@@ -56,7 +56,8 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     base AS (SELECT n AS b FROM counts WHERE step = 1)
     SELECT CAST(step AS INT) AS step, step_name,
            CAST(n AS BIGINT) AS n_users,
-           round(n / CAST(b AS DOUBLE), 6) AS conversion_rate
+           CASE WHEN b > 0 THEN round(n / CAST(b AS DOUBLE), 6)
+                ELSE 0.0 END AS conversion_rate
     FROM counts, base
     ORDER BY step
     """,
@@ -83,7 +84,7 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     active AS (SELECT DISTINCT user_id, period FROM p),
     joined AS (
       SELECT a.user_id, f.cohort,
-             CAST((epoch(a.period) - epoch(f.cohort)) / 604800 AS INT) AS "offset"
+             CAST(floor(date_diff('day', f.cohort, a.period) / 7) AS INT) AS "offset"
       FROM active a JOIN firsts f USING (user_id)
     ),
     counts AS (
@@ -249,7 +250,8 @@ def events_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     base AS (SELECT n AS b FROM counts WHERE step = 1)
     SELECT CAST(step AS INT) AS step, step_name,
            CAST(n AS BIGINT) AS n_sessions,
-           round(n / CAST(b AS DOUBLE), 6) AS conversion_rate
+           CASE WHEN b > 0 THEN round(n / CAST(b AS DOUBLE), 6)
+                ELSE 0.0 END AS conversion_rate
     FROM counts, base
     ORDER BY step
     """,
@@ -346,16 +348,16 @@ def events_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH old AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31),
-                 coalesce(CASE WHEN doc_id % 11 = 3
-                               THEN text || ' edited' ELSE text END, chr(0)),
-                 coalesce(lang, chr(0)))) AS ho
+             md5(concat(
+                 coalesce(md5(CASE WHEN doc_id % 11 = 3
+                               THEN text || ' edited' ELSE text END), '-'),
+                 coalesce(md5(lang), '-'))) AS ho
       FROM documents WHERE doc_id % 7 != 0
     ),
     new AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31), coalesce(text, chr(0)),
-                           coalesce(lang, chr(0)))) AS hn
+             md5(concat(coalesce(md5(text), '-'),
+                        coalesce(md5(lang), '-'))) AS hn
       FROM documents WHERE doc_id % 5 != 0
     )
     SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,

@@ -21,8 +21,10 @@ Usage::
 
 Scale notes: the push happens per micro-batch per *driver* in this
 recipe (small aggregated outputs — the normal case for feature
-materialization). For very large batches, push from executors with
-``foreachPartition`` inside the batch function instead.
+materialization), in bounded pandas chunks (``max_rows_per_push``)
+so a fat batch after downtime recovery can't blow driver memory with
+one giant ``toPandas``. For very large batches, push from executors
+with ``foreachPartition`` inside the batch function instead.
 """
 
 from __future__ import annotations
@@ -38,22 +40,47 @@ def write_feast_feature(
     checkpoint: str | None = None,
     trigger: dict | None = None,
     to: str = "online",
+    max_rows_per_push: int = 50_000,
 ):
     """Stream (or batch-backfill) a DataStream into a Feast push source.
 
     Mirrors ``FeastDataStream.write_feast_feature`` (reference
     feast_data_stream.py:100-123): each emitted batch is converted to
-    pandas, stamped with the event timestamp column Feast expects, and
-    pushed. Works for batch DataStreams too (single push).
+    pandas and pushed. Works for batch DataStreams too (single push).
+
+    The conversion is CHUNKED: rows stream to the driver one
+    partition at a time (``toLocalIterator``) and are pushed in
+    pandas frames of at most ``max_rows_per_push`` rows — one
+    ``store.push`` per chunk — so driver memory is bounded by
+    max(partition size, chunk size) even for the fat micro-batch a
+    restarted stream replays after downtime.
     """
     if to not in ("online", "offline", "both"):
         raise ValueError(f"to must be online/offline/both, got {to!r}")
+    if max_rows_per_push < 1:
+        raise ValueError("max_rows_per_push must be >= 1")
     mode = _resolve_push_mode(to)
 
     def push_batch(batch_df, _epoch=None):
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            feature_store.push(push_source_name, pdf, to=mode)
+        import pandas as pd
+
+        cols = batch_df.columns
+        buf: list = []
+        for row in batch_df.toLocalIterator():
+            buf.append(row)
+            if len(buf) >= max_rows_per_push:
+                feature_store.push(
+                    push_source_name,
+                    pd.DataFrame.from_records(buf, columns=cols),
+                    to=mode,
+                )
+                buf = []
+        if buf:
+            feature_store.push(
+                push_source_name,
+                pd.DataFrame.from_records(buf, columns=cols),
+                to=mode,
+            )
 
     return ds.sink(push_batch, checkpoint=checkpoint, trigger=trigger)
 

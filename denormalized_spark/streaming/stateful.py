@@ -124,8 +124,12 @@ def sessionize_stream(
             yield _emit(key, [(s, e, n)])
             return
         rows = pd.concat(list(pdf_iter))
+        # NULL event times would convert to iNaT (int64 min) and fake
+        # an ancient session; drop them, matching the batch twin where
+        # null timestamps fall out of the window ordering.
+        evs = rows[event_time]
         ts = np.sort(
-            rows[event_time].to_numpy(dtype="datetime64[us]").astype("int64")
+            evs[evs.notna()].to_numpy(dtype="datetime64[us]").astype("int64")
         )
         open_sess = tuple(state.get) if state.exists else None
         if not len(ts):
@@ -482,8 +486,13 @@ def anomaly_stream(
             yield _emit(key, [(cur_start, cur_n, hn, z, flag)])
             return
         rows = pd.concat(list(pdf_iter))
+        # NULL event times would convert to iNaT (int64 min) and open
+        # a garbage window that permanently corrupts the key's running
+        # moments; drop them, matching the batch twin where null
+        # windows fall out of the groupBy.
+        evs = rows[event_time]
         ts = np.sort(
-            rows[event_time].to_numpy(dtype="datetime64[us]").astype("int64")
+            evs[evs.notna()].to_numpy(dtype="datetime64[us]").astype("int64")
         )
         if state.exists:
             cur_start, cur_n, hn, hs, hss = state.get

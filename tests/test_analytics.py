@@ -194,6 +194,23 @@ class TestSnapshotDiff:
         got = snapshot_diff(old, new, "doc_id").collect()[0]
         assert got["status"] == "unchanged"
 
+    def test_separator_injection_detected(self, spark):
+        """A value containing separator bytes can't shift a column
+        boundary: ('x\\x1f', 'y') vs ('x', '\\x1fy') concatenate
+        identically under a naive concat_ws fingerprint but are a
+        genuine change; a literal NUL value is likewise distinct from
+        NULL."""
+        from denormalized_spark.operators.curation import snapshot_diff
+
+        schema = "doc_id long, a string, b string"
+        old = spark.createDataFrame([(1, "x\x1f", "y"), (2, "\x00", "z")], schema)
+        new = spark.createDataFrame([(1, "x", "\x1fy"), (2, None, "z")], schema)
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new, "doc_id").collect()
+        }
+        assert got == {1: "changed", 2: "changed"}
+
 
 def test_empty_inputs_are_graceful(spark):
     """Every analytics operator returns a well-typed empty (or

@@ -92,6 +92,30 @@ def test_streaming_push_per_microbatch(spark):
     assert ("a", at(3600), 5.0) in rows
 
 
+def test_chunked_push_bounds_driver_memory(spark):
+    """A batch larger than max_rows_per_push is pushed in bounded
+    pandas chunks — one store.push per chunk, all rows delivered
+    exactly once, no single whole-batch toPandas."""
+    rows = [(f"s{i}", float(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "sensor string, avg_reading double")
+    store = FakeFeatureStore()
+    write_feast_feature(
+        DataStream(df), store, push_source_name="src", max_rows_per_push=3
+    )
+    sizes = sorted(len(pdf) for _, pdf, _ in store.pushes)
+    assert len(store.pushes) == 3 and sizes == [1, 3, 3]
+    got = {
+        (r.sensor, r.avg_reading)
+        for _, pdf, _ in store.pushes
+        for r in pdf.itertuples()
+    }
+    assert got == set(rows)
+    with pytest.raises(ValueError):
+        write_feast_feature(
+            DataStream(df), store, push_source_name="src", max_rows_per_push=0
+        )
+
+
 def test_batch_datastream_pushes_once(spark):
     df = spark.createDataFrame(
         [("a", 1.5), ("b", 2.5)], "sensor string, avg_reading double"
