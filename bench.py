@@ -113,7 +113,7 @@ def main() -> None:
     oracle_sec = _oracle_timings(entry_mod)
 
     wav_docs, wav_wall = _wav_decode_throughput(spark)
-    bpe_docs, bpe_wall = _bpe_encode_throughput(spark)
+    bpe_docs, bpe_wall, bpe_tok_wall = _bpe_encode_throughput(spark)
 
     stream_rows, stream_wall = _stream_throughput(spark)
     state_rows, state_wall = _stateful_stream_throughput(spark)
@@ -148,6 +148,9 @@ def main() -> None:
         "sf": sf,
         "wav_decode_docs_per_sec": round(wav_docs / wav_wall) if wav_wall else None,
         "bpe_encode_docs_per_sec": round(bpe_docs / bpe_wall) if bpe_wall else None,
+        "bpe_tokenize_docs_per_sec": (
+            round(bpe_docs / bpe_tok_wall) if bpe_tok_wall else None
+        ),
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
@@ -168,7 +171,7 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "queries", "sf", "oracle_total",
             "spark_vs_oracle_total", "wav_decode_docs_per_sec",
-            "bpe_encode_docs_per_sec",
+            "bpe_encode_docs_per_sec", "bpe_tokenize_docs_per_sec",
             "stream_rows_per_sec", "stateful_stream_rows_per_sec",
             "wall_total",
         )
@@ -235,28 +238,25 @@ def _wav_decode_throughput(spark) -> tuple[int, float]:
     return n, min(walls)
 
 
-def _bpe_encode_throughput(spark) -> tuple[int, float]:
-    """Arrow-batched BPE encode (operators/text.bpe_encode_table) with
-    a PRODUCTION-SIZED merge table (1,024 rows): corpus-exhaustive
-    merges trained driver-side on the word-count table (the synthetic
-    corpus has 31 distinct words, so real merges cap out quickly),
-    padded with never-firing rows to 1,024 — the honest model of a
-    32k-vocab table, where any given word fires only ~len(word)
-    merges and the substring prefilter skips the rest. Best-of-2
-    through the noop sink, same policy as the WAV lane."""
+def _bench_merge_table(spark, docs) -> tuple[list, list]:
+    """PRODUCTION-SIZED merge table (1,024 rows) for the BPE lanes:
+    corpus-exhaustive merges trained driver-side on the word-count
+    table (the synthetic corpus has 31 distinct words, so real merges
+    cap out quickly), padded with never-firing rows to 1,024 — the
+    honest model of a 32k-vocab table, where any given word fires
+    only ~len(word) merges and the substring prefilter skips the
+    rest. Also returns the corpus alphabet (for the tokenize lane)."""
     from pyspark.sql import functions as F
 
-    from denormalized_spark.operators.text import bpe_encode_table, tokens
-    from denormalized_spark.sources.files import load_table
+    from denormalized_spark.operators.text import tokens
 
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n = docs.count()
     wc = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .count()
         .collect()
     )  # vocabulary-sized: 31 rows at these SFs
+    alphabet = sorted({ch for r in wc for ch in r["w"]})
     vocab = {r["w"]: (list(r["w"]), int(r["count"])) for r in wc}
     merges: list[tuple[str, str]] = []
     while len(merges) < 1024:
@@ -278,14 +278,34 @@ def _bpe_encode_throughput(spark) -> tuple[int, float]:
             vocab[w] = (out, c)
     n_real = len(merges)
     merges += [(f"X{i}", "Y") for i in range(1024 - n_real)]
+    return merges, alphabet
 
-    pipe = bpe_encode_table(docs, merges)
-    walls = []
-    for _ in range(2):
-        t0 = time.time()
-        pipe.write.format("noop").mode("overwrite").save()
-        walls.append(time.time() - t0)
-    return n, min(walls)
+
+def _bpe_encode_throughput(spark) -> tuple[int, float, float]:
+    """Arrow-batched BPE lanes at the 1,024-merge table: the count
+    encoder (operators/text.bpe_encode_table) and the token-ID
+    emitter (operators/text.bpe_tokenize — the shard write-out path,
+    whose output carries the full id arrays). Best-of-2 through the
+    noop sink each, same policy as the WAV lane. Returns
+    (n_docs, encode_wall, tokenize_wall)."""
+    from denormalized_spark.operators.text import bpe_encode_table, bpe_tokenize
+    from denormalized_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    merges, alphabet = _bench_merge_table(spark, docs)
+
+    walls = {"enc": [], "tok": []}
+    pipes = {
+        "enc": bpe_encode_table(docs, merges),
+        "tok": bpe_tokenize(docs, merges, alphabet),
+    }
+    for key, pipe in pipes.items():
+        for _ in range(2):
+            t0 = time.time()
+            pipe.write.format("noop").mode("overwrite").save()
+            walls[key].append(time.time() - t0)
+    return n, min(walls["enc"]), min(walls["tok"])
 
 
 # State-store partition count for the streaming drains. The count is

@@ -662,6 +662,166 @@ def bpe_encode_table(
     return df.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)
 
 
+def corpus_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """The corpus's base-symbol alphabet: sorted distinct characters
+    of its (sentinel-filtered) words — the id-0..n-1 layer of a
+    char-level BPE vocabulary. One scan + one char-keyed distinct
+    (alphabet-sized shuffle) + an alphabet-sized collect: a sanctioned
+    metadata probe — the result is bounded by the script's character
+    inventory, not the corpus bytes. Sorted in Python (codepoint
+    order) so id assignment is engine-portable."""
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains("\x01") & ~F.col("w").contains("\x02"))
+        .select(F.explode(F.split("w", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """Deterministic piece → token-id map for a learned BPE model:
+    the sorted alphabet takes ids 0..n-1, merge rank r takes
+    n + r - 1 — rank order IS id order, the convention real BPE
+    tokenizers (GPT-2 style: base symbols then merges.txt order) use,
+    so a higher id always means a later-learned (rarer) piece. If two
+    merge RULES produce the same piece string (possible when
+    different symbol pairs concatenate identically), the earliest
+    rank owns the id — first-wins, matching greedy encode where the
+    earlier rule fires first."""
+    vocab: dict[str, int] = {}
+    for i, ch in enumerate(sorted(alphabet)):
+        vocab.setdefault(ch, i)
+    n = len(alphabet)
+    for r, (a, b) in enumerate(merges, start=1):
+        vocab.setdefault(a + b, n + r - 1)
+    return vocab
+
+
+def bpe_vocab_table(
+    spark, merges: list[tuple[str, str]], alphabet: list[str]
+) -> DataFrame:
+    """The (token_id, piece, kind, rank) vocabulary table a training
+    pipeline persists next to its shards — :func:`bpe_vocab` as a
+    DataFrame (kind ``char`` rows carry rank NULL). Metadata-sized."""
+    vocab = bpe_vocab(merges, alphabet)
+    n = len(alphabet)
+    rows = [
+        (tid, piece, "char" if tid < n else "merge", None if tid < n else tid - n + 1)
+        for piece, tid in sorted(vocab.items(), key=lambda kv: kv[1])
+    ]
+    return spark.createDataFrame(
+        rows, "token_id int, piece string, kind string, rank int"
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    alphabet: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize the corpus to TOKEN-ID SEQUENCES — the actual
+    training-shard write-out: per document, the ordered ``array<int>``
+    of BPE token ids (words in document order, pieces left-to-right
+    within each word) plus its length. This is the step after
+    :func:`bpe_train` /  :func:`bpe_encode_table` that turns a learned
+    merge table into model input; ids follow :func:`bpe_vocab`
+    (sorted alphabet then merge ranks). Characters outside
+    ``alphabet`` map to ``unk_id``.
+
+    Same Arrow-batched ``mapInPandas`` kernel shape as
+    :func:`bpe_encode_table` — and the same reasons it scales: per
+    word only merges whose merged string is a substring run, and the
+    piece-id sequence is cached per DISTINCT word for the worker's
+    lifetime, so per-batch cost is bounded by new-vocab mass, not
+    token count. Pure projection: no shuffle, embarrassingly parallel;
+    the ids column is the only wide output and it is exactly the
+    payload a shard writer must move anyway.
+
+    Words containing the \\x01/\\x02 sentinels are excluded, matching
+    :func:`bpe_train`'s vocabulary contract (reference parity: the
+    reference has no tokenizer induction at all — this extends its
+    text surface per the LLM-pipeline brief)."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    merge_list = [(a, b, a + b) for a, b in merges]
+    vocab = bpe_vocab(merges, alphabet)
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_tokens", IntegerType(), False),
+            StructField("token_ids", ArrayType(IntegerType(), False), False),
+        ]
+    )
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+    def _tokenize_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, tuple[int, ...]] = {}
+
+        def word_ids(w: str) -> tuple[int, ...]:
+            ids = cache.get(w)
+            if ids is None:
+                syms = list(w)
+                for a, b, ab in merge_list:
+                    if ab not in w or len(syms) < 2:
+                        continue
+                    out: list[str] = []
+                    for s in syms:
+                        if out and out[-1] == a and s == b:
+                            out[-1] = ab
+                        else:
+                            out.append(s)
+                    syms = out
+                ids = cache[w] = tuple(vocab.get(s, unk_id) for s in syms)
+            return ids
+
+        for pdf in batches:
+            out_ids, n_toks, doc_ids = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                ids: list[int] = []
+                for w in ws.split(text or ""):
+                    if w and "\x01" not in w and "\x02" not in w:
+                        ids.extend(word_ids(w))
+                doc_ids.append(i)
+                n_toks.append(len(ids))
+                out_ids.append(ids)
+            yield pd.DataFrame(
+                {id_col: doc_ids, "n_tokens": n_toks, "token_ids": out_ids}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_tokenize_batches, out_schema)
+
+
+def bpe_save(merges_df: DataFrame, path: str) -> None:
+    """Persist a learned merge table (the :func:`bpe_train` output)
+    as parquet — the model artifact an encode job loads."""
+    merges_df.write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into the rank-ordered
+    (sym_a, sym_b) list every encoder here consumes. Metadata-sized
+    collect."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["sym_a"], r["sym_b"]) for r in rows]
+
+
 def doc_term_freq(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2127,6 +2127,111 @@ def _bpe_encode_oracle(num_merges: int, max_vocab: int) -> str:
     )
 
 
+def _bpe_tokenize_oracle(num_merges: int, max_vocab: int) -> str:
+    """Oracle for bpe_tokenize: derive the merges with the same CTE
+    chain as _bpe_encode_oracle, replay the id assignment — sorted
+    distinct corpus chars get ids 0..n-1 (row_number over binary
+    char order == the Python-sorted alphabet for this corpus), merge
+    rank r gets n+r-1 with first-rank-wins on duplicate piece
+    strings — then re-encode every word and emit each doc's ordered
+    id sequence as a CSV string (the hash-portable array form)."""
+    base = _bpe_oracle(num_merges, max_vocab, sentinel_fallback=True)
+    chain = base[: base.rindex("\n    SELECT 1 AS rank")]
+    enc = (
+        "list_aggregate(list_transform([w[j] for j in range(1, length(w)+1)],"
+        " s -> chr(1)||s||chr(2)), 'string_agg', '')"
+    )
+    for i in range(1, num_merges + 1):
+        enc = (
+            f"replace({enc}, chr(1)||b{i}.a||chr(2)||chr(1)||b{i}.b||chr(2),"
+            f" chr(1)||b{i}.a||b{i}.b||chr(2))"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, num_merges + 1))
+    mraw = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a||b AS piece FROM b{i} WHERE a != chr(1)"
+        for i in range(1, num_merges + 1)
+    )
+    return (
+        chain
+        + f""",
+    alpha AS (
+      SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS cid
+      FROM (
+        SELECT DISTINCT t.u AS ch
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents) aw,
+             unnest([aw.word[j] for j in range(1, length(aw.word)+1)]) AS t(u)
+        WHERE NOT contains(aw.word, chr(1)) AND NOT contains(aw.word, chr(2))
+      ) ac
+    ),
+    nalpha AS (SELECT CAST(count(*) AS INT) AS n FROM alpha),
+    mraw AS ({mraw}),
+    mv AS (SELECT piece, CAST(min(rank) AS INT) AS mrank FROM mraw GROUP BY piece),
+    docw AS (
+      SELECT doc_id, t.u.w AS w, t.u.wo AS wo
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) dd,
+           unnest([{{'w': toks[j], 'wo': j}} for j in range(1, len(toks)+1)]) AS t(u)
+      WHERE NOT contains(t.u.w, chr(1)) AND NOT contains(t.u.w, chr(2))
+    ),
+    encw AS (
+      SELECT doc_id, wo,
+             list_filter(list_transform(string_split({enc}, chr(2)||chr(1)),
+                            x -> replace(replace(x, chr(1), ''), chr(2), '')),
+                         x -> x != '') AS pieces
+      FROM docw, {froms}
+    ),
+    pc AS (
+      SELECT doc_id, wo, s.u.p AS piece, s.u.po AS po
+      FROM encw,
+           unnest([{{'p': pieces[j], 'po': j}} for j in range(1, len(pieces)+1)]) AS s(u)
+    ),
+    tid AS (
+      SELECT pc.doc_id, pc.wo, pc.po,
+             coalesce(a.cid, nalpha.n + mv.mrank - 1, -1) AS id
+      FROM pc
+      CROSS JOIN nalpha
+      LEFT JOIN alpha a ON length(pc.piece) = 1 AND a.ch = pc.piece
+      LEFT JOIN mv ON pc.piece = mv.piece
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY wo, po) AS ids_csv
+      FROM tid GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_tokens, 0) AS INT) AS n_tokens,
+           coalesce(agg.ids_csv, '') AS ids_csv
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+    )
+
+
+@q("text_bpe_tokenize_ids", _bpe_tokenize_oracle(num_merges=6, max_vocab=2000))
+def text_bpe_tokenize_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-shard write-out step (operators/text.bpe_tokenize):
+    the learned merge table applied to every document, emitting the
+    ordered per-doc TOKEN-ID sequence under the bpe_vocab id contract
+    (sorted alphabet 0..n-1, then merge ranks) — the array a shard
+    writer persists, here CSV-joined for hash portability. Pure
+    Arrow-batched mapInPandas projection with a per-distinct-word id
+    cache; the oracle replays id assignment and the greedy encode via
+    the same unrolled-CTE machinery as text_bpe_encode."""
+    d = t(spark, sf, "documents")
+    merge_rows = text.bpe_train(d, num_merges=6, max_vocab=2000).collect()
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(merge_rows, key=lambda r: r["rank"])
+    ]
+    alphabet = text.corpus_alphabet(d)
+    out = text.bpe_tokenize(d, merges, alphabet)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
 @q("text_bpe_encode", _bpe_encode_oracle(num_merges=6, max_vocab=2000))
 def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     """The encode half of the tokenizer loop (operators/text.

@@ -603,3 +603,90 @@ class TestBpeEncodeTable:
         assert chain == arrow
         row = next(iter(arrow))
         assert row[1] == 2  # only the two sentinel-free words count
+
+
+class TestBpeTokenize:
+    def _trained(self, spark):
+        from denormalized_spark.operators.text import bpe_train, corpus_alphabet
+
+        df = spark.createDataFrame(
+            [(1, "aaab aaab aaab ab"), (2, "aaab cd cd"), (3, ""), (4, "  x  ")],
+            ["doc_id", "text"],
+        )
+        merges = [
+            (r["sym_a"], r["sym_b"])
+            for r in sorted(
+                bpe_train(df, num_merges=3).collect(), key=lambda r: r["rank"]
+            )
+        ]
+        return df, merges, corpus_alphabet(df)
+
+    def test_id_contract_and_lengths(self, spark):
+        """ids follow bpe_vocab (sorted alphabet 0..n-1, merge rank r
+        at n+r-1) and len(token_ids) == n_tokens == the encode
+        kernel's n_bpe_tokens for every doc."""
+        from denormalized_spark.operators.text import (
+            bpe_encode_table,
+            bpe_tokenize,
+            bpe_vocab,
+        )
+
+        df, merges, alphabet = self._trained(spark)
+        assert alphabet == sorted(alphabet)
+        vocab = bpe_vocab(merges, alphabet)
+        assert [vocab[c] for c in alphabet] == list(range(len(alphabet)))
+        for r, (a, b) in enumerate(merges, start=1):
+            assert vocab[a + b] == len(alphabet) + r - 1
+
+        got = {
+            r["doc_id"]: r for r in bpe_tokenize(df, merges, alphabet).collect()
+        }
+        counts = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode_table(df, merges).collect()
+        }
+        for did, row in got.items():
+            assert row["n_tokens"] == len(row["token_ids"]) == counts[did]
+        assert got[3]["token_ids"] == []
+
+    def test_decode_round_trip(self, spark):
+        """Mapping ids back through the vocab pieces reconstructs each
+        document's concatenated words — the ids are lossless."""
+        from denormalized_spark.operators.text import bpe_tokenize, bpe_vocab
+
+        df, merges, alphabet = self._trained(spark)
+        rev = {i: p for p, i in bpe_vocab(merges, alphabet).items()}
+        for r in bpe_tokenize(df, merges, alphabet).collect():
+            decoded = "".join(rev[i] for i in r["token_ids"])
+            orig = "".join((dict(
+                (x["doc_id"], x["text"]) for x in df.collect()
+            )[r["doc_id"]] or "").split())
+            assert decoded == orig
+
+    def test_unknown_char_maps_to_unk(self, spark):
+        from denormalized_spark.operators.text import bpe_tokenize
+
+        df = spark.createDataFrame([(1, "ab z")], ["doc_id", "text"])
+        row = bpe_tokenize(df, [], ["a", "b"], unk_id=-1).collect()[0]
+        assert row["token_ids"] == [0, 1, -1]
+
+    def test_vocab_table_shape(self, spark):
+        from denormalized_spark.operators.text import bpe_vocab_table
+
+        vt = bpe_vocab_table(spark, [("a", "b"), ("ab", "c")], ["c", "a", "b"])
+        rows = {r["token_id"]: r for r in vt.collect()}
+        assert [rows[i]["piece"] for i in range(5)] == ["a", "b", "c", "ab", "abc"]
+        assert rows[0]["kind"] == "char" and rows[0]["rank"] is None
+        assert rows[3]["kind"] == "merge" and rows[3]["rank"] == 1
+        assert rows[4]["rank"] == 2
+
+    def test_merge_table_parquet_round_trip(self, spark, tmp_path):
+        from denormalized_spark.operators.text import (
+            bpe_load,
+            bpe_save,
+            bpe_train,
+        )
+
+        df, merges, _ = self._trained(spark)
+        bpe_save(bpe_train(df, num_merges=3), str(tmp_path / "m"))
+        assert bpe_load(spark, str(tmp_path / "m")) == merges
