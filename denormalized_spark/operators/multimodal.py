@@ -13,10 +13,16 @@ Kernel reality by modality:
   either raw PCM or decoded WAV. Corrupt/unparseable payloads yield
   NULL features, never a task failure — at 100 TB some files WILL be
   broken and a decode error must not kill the stage.
-- **image/video: STUBBED.** PIL/opencv/ffmpeg are not in this
-  container; those kernels raise ``NotImplementedError`` unless
-  ``fake=True`` (deterministic md5-seeded output for tests). Swapping
-  the fake for a real codec changes no plumbing.
+- **image (BMP/PNG): REAL.** :func:`image_stats`,
+  :func:`image_features` (mean-pooled luma grid), and
+  :func:`image_phash` / :func:`image_near_dups` (perceptual-hash
+  dedup) all run on the stdlib decode kernels (24-bit BMP byte ops;
+  PNG zlib inflate + scanline unfilter). JPEG needs a DCT codec:
+  ``image_features(fake=True)`` keeps the deterministic md5-seeded
+  stand-in for payloads outside the stdlib codecs.
+- **video: STUBBED.** ffmpeg/opencv are not in this container; those
+  kernels raise ``NotImplementedError`` unless ``fake=True``.
+  Swapping the fake for a real codec changes no plumbing.
 
 Scale notes: binary payloads ride the normal columnar path
 (parquet binary columns), so partition sizing is governed by
@@ -82,6 +88,24 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _luma_grid(payload: bytes | None):
+    """Decode (BMP then PNG) and return the integer scaled-luma grid
+    (H×W int64, 1000× Rec.601: 299·R + 587·G + 114·B) — the shared
+    integer-exact input of :func:`image_features` and
+    :func:`image_phash`. None for unparseable payloads."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    parsed = _parse_bmp(payload)
+    if parsed is None:
+        parsed = _parse_png(payload)
+    if parsed is None:
+        return None
+    rgb = parsed[2].astype(np.int64)
+    return 299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+
+
 def image_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -89,31 +113,196 @@ def image_features(
     *,
     fake: bool = False,
 ) -> DataFrame:
-    """binary image -> feature vector via mapInPandas.
+    """binary image → feature vector via mapInPandas — REAL kernel:
+    decode (24-bit BMP / 8-bit truecolor PNG, the stdlib codecs of
+    :func:`image_stats`) then a √dim×√dim MEAN-POOLED LUMA GRID — the
+    deterministic, engine-replayable downsampled-grid embedding a
+    no-deps pipeline can actually ship (cell (i,j) = mean scaled luma
+    over pixels with ⌊y·g/h⌋=i, ⌊x·g/w⌋=j). All accumulation is exact
+    integer arithmetic; each feature is ONE IEEE division
+    S/(n·1000.0), so values are bit-identical across engines.
+    Unparseable payloads yield NULL features (corrupt files must not
+    kill a 100 TB stage); ``dim`` must be a perfect square. JPEG
+    still needs a DCT codec: ``fake=True`` keeps the md5-chain
+    stand-in kernel for payloads no stdlib codec covers.
 
-    The Arrow plumbing (batch iterator in, batch iterator out,
-    schema = input + features array<float>) is the real operator;
-    only the kernel is stubbed (no image libs in this container).
+    The grid feeds operators.similarity directly (array<float>) —
+    embedding-LSH near-dup over images without PIL.
     """
+    import math
+
+    import numpy as np
+
+    g = math.isqrt(dim)
+    if not fake and g * g != dim:
+        raise ValueError(f"dim must be a perfect square for the grid kernel, got {dim}")
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv (not in this container); "
-                    "pass fake=True for the deterministic test kernel"
-                )
             pdf = pdf.copy()
-            pdf["features"] = [
-                _fake_features(bytes(p) if p is not None else b"", dim)
-                for p in pdf[binary_col]
-            ]
+            if fake:
+                pdf["features"] = [
+                    _fake_features(bytes(p) if p is not None else b"", dim)
+                    for p in pdf[binary_col]
+                ]
+                yield pdf
+                continue
+            feats = []
+            for p in pdf[binary_col]:
+                L = _luma_grid(bytes(p) if p is not None else None)
+                if L is None:
+                    feats.append(None)
+                    continue
+                h, w = L.shape
+                cy = np.arange(h) * g // h
+                cx = np.arange(w) * g // w
+                sums = np.zeros((g, g), dtype=np.int64)
+                counts = np.zeros((g, g), dtype=np.int64)
+                np.add.at(sums, (cy[:, None], cx[None, :]), L)
+                np.add.at(counts, (cy[:, None], cx[None, :]), 1)
+                # empty cells only when the image is smaller than the
+                # grid — define those as 0.0
+                vals = np.where(
+                    counts > 0, sums / np.maximum(counts, 1) / 1000.0, 0.0
+                )
+                feats.append([float(v) for v in vals.flatten()])
+            pdf["features"] = feats
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def image_phash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    method: str = "dhash",
+) -> DataFrame:
+    """Perceptual hash over decoded pixels — the image analogue of
+    :func:`~denormalized_spark.operators.dedup.simhash`: a 64-bit
+    fingerprint whose hamming distance tracks visual similarity,
+    emitted as two 32-bit halves (``phash_hi``, ``phash_lo`` longs —
+    the form band keys and hamming distances derive from with plain
+    integer arithmetic, portable to any engine without 64-bit
+    overflow edge cases).
+
+    ``dhash``: 8×8 gradient bits — bit (i,j) = L(x_j, y_i) >
+    L(x_{j+1}, y_i) over a 9×8 NEAREST-SAMPLED grid (sample points
+    x_j = ⌊(2j+1)·w/18⌋, y_i = ⌊(2i+1)·h/16⌋). ``ahash``: 8×8 sampled
+    cells, bit = 64·L > ΣL (integer cross-multiplication — no
+    division anywhere). Sampling (vs area-resize) keeps every bit a
+    closed-form integer comparison, exactly replayable in SQL; for
+    area-resize fidelity swap the sampler for
+    :func:`image_features`'s pooled grid. Unparseable payloads yield
+    NULL hashes. Pure mapInPandas projection — no shuffle."""
+    import numpy as np
+
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"method must be dhash|ahash, got {method!r}")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("phash_hi", T.LongType()),
+            T.StructField("phash_lo", T.LongType()),
+        ]
+    )
+
+    def _bits(L) -> list[int]:
+        h, w = L.shape
+        if method == "dhash":
+            xs = (2 * np.arange(9) + 1) * w // 18
+            ys = (2 * np.arange(8) + 1) * h // 16
+            S = L[np.ix_(ys, xs)]
+            return (S[:, :-1] > S[:, 1:]).astype(int).flatten().tolist()
+        xs = (2 * np.arange(8) + 1) * w // 16
+        ys = (2 * np.arange(8) + 1) * h // 16
+        S = L[np.ix_(ys, xs)]
+        return (64 * S > S.sum()).astype(int).flatten().tolist()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for p in pdf[binary_col]:
+                L = _luma_grid(bytes(p) if p is not None else None)
+                if L is None:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                bits = _bits(L)
+                hi = lo = 0
+                for b in bits[:32]:
+                    hi = (hi << 1) | b
+                for b in bits[32:]:
+                    lo = (lo << 1) | b
+                his.append(hi)
+                los.append(lo)
+            out = pdf.copy()
+            out["phash_hi"] = pd.array(his, dtype="Int64")
+            out["phash_lo"] = pd.array(los, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def image_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    method: str = "dhash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the modality the text
+    (MinHash/SimHash) and embedding (hyperplane-LSH) dedup stacks
+    didn't cover, mirroring
+    :func:`~denormalized_spark.operators.dedup.simhash_near_dups`:
+    perceptual-hash every image (:func:`image_phash`), LSH-band the
+    64-bit hash into four 16-bit keys (a pair within hamming ≤ 6
+    agrees on ≥1 whole band unless all differing bits straddle every
+    band — the standard banding trade), bucket-join on (band, key),
+    then verify exact hamming ≤ ``max_hamming`` via popcount of the
+    xor'd halves. Output: (id_a, id_b, hamming).
+
+    Scale: hashing is a pure projection; the only shuffle is the
+    band-keyed self-join carrying 3-long rows (id + two hash
+    halves), and equal-banded buckets are capped by visual-dup class
+    sizes. The verify is arithmetic on columns already in the join —
+    no payload bytes ever shuffle."""
+    hp = image_phash(df, binary_col, method).select(
+        F.col(id_col), "phash_hi", "phash_lo"
+    ).filter(F.col("phash_hi").isNotNull())
+    bands = F.array(
+        F.shiftright("phash_hi", 16),
+        F.col("phash_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("phash_lo", 16),
+        F.col("phash_lo").bitwiseAND(F.lit(65535)),
+    )
+    banded = hp.select(
+        id_col,
+        "phash_hi",
+        "phash_lo",
+        F.posexplode(bands).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+                + F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def _parse_wav(payload: bytes):
@@ -485,6 +674,60 @@ def _gradient_rgb(i: int):
     g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
     b = (x + y + 3 * i) % 256
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synthesize_noise_png_payloads(
+    df: DataFrame,
+    seed_col: str,
+    *,
+    shift_col: str | None = None,
+    size: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic NOISE test images (PNG): pixel (x, y) of seed s
+    is ``md5(f"{s}:{x}:{y}")`` bytes 0..2 as (r, g, b) — md5-defined
+    so any engine can replay the exact pixels from the seed alone
+    (DuckDB: hex pairs of ``md5(s||':'||x||':'||y)``). Unlike the
+    closed-form gradient corpus (whose images all share local
+    gradient signs and therefore COLLIDE under perceptual hashing),
+    independent seeds give ~32/64 differing dHash bits — the
+    discrimination a near-dup oracle needs. ``shift_col`` (optional
+    int) adds min(r + shift, 255) to the red channel: a global
+    brightness perturbation that plants NEAR-duplicates (hamming ≈ 0
+    to a few bits) of the same seed."""
+    import hashlib as _hl
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
+    )
+
+    def _noise_rgb(seed: int, shift: int):
+        import numpy as np
+
+        px = np.empty((size, size, 3), dtype=np.uint8)
+        for y in range(size):
+            for x in range(size):
+                d = _hl.md5(f"{seed}:{x}:{y}".encode()).digest()
+                px[y, x, 0] = min(d[0] + shift, 255)
+                px[y, x, 1] = d[1]
+                px[y, x, 2] = d[2]
+        return px
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shifts = (
+                pdf[shift_col] if shift_col is not None else [0] * len(pdf)
+            )
+            out = pdf.copy()
+            out[payload_col] = [
+                _write_png(_noise_rgb(int(s), int(sh)))
+                for s, sh in zip(pdf[seed_col], shifts)
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def synthesize_png_payloads(

@@ -1280,6 +1280,135 @@ def multimodal_png_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_image_features",
+    """
+    WITH img AS (
+      SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id,
+             (yy.u * 4) // h AS ci, (xx.u * 4) // w AS cj,
+             299*((7*xx.u + doc_id) % 256) + 587*((11*yy.u + 2*doc_id) % 256)
+               + 114*((xx.u + yy.u + 3*doc_id) % 256) AS L
+      FROM img, unnest(range(0, w)) AS xx(u), unnest(range(0, h)) AS yy(u)
+    ),
+    cells AS (
+      SELECT doc_id, ci*4 + cj AS cell, sum(L) AS S, count(*) AS n
+      FROM px GROUP BY doc_id, ci, cj
+    )
+    SELECT doc_id, CAST(cell AS INT) AS cell,
+           floor(CAST(CAST(S/(n*1000.0) AS REAL) AS DOUBLE)*10000 + 0.5)/10000
+             AS feature
+    FROM cells
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL image-embedding kernel end-to-end (operators/
+    multimodal.image_features): gradient PNGs decoded through the
+    stdlib inflate/unfilter path, then the 4×4 mean-pooled scaled-luma
+    grid — all-integer accumulation with ONE IEEE division per cell,
+    so the oracle replays the exact float from the closed-form pixel
+    sums (float32 cast then binary HALF_UP, identical ops both
+    sides). Features exploded to (doc_id, cell, feature) rows for
+    repr-free double comparison."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    pngs = multimodal.synthesize_png_payloads(d, "doc_id")
+    feats = multimodal.image_features(pngs, "payload", dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("cell", "f")
+    ).select(
+        "doc_id",
+        F.col("cell").cast("int").alias("cell"),
+        (F.floor(F.col("f").cast("double") * 10000 + F.lit(0.5)) / 10000).alias(
+            "feature"
+        ),
+    )
+
+
+@q(
+    "multimodal_image_neardup",
+    """
+    WITH img AS (
+      SELECT doc_id, doc_id % 23 AS seed, doc_id % 3 AS delta FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, seed, delta, ii.u AS i, jj.u AS j,
+             md5(CAST(seed AS VARCHAR) || ':'
+                 || CAST(((2*jj.u + 1) * 16) // 18 AS VARCHAR) || ':'
+                 || CAST(2*ii.u + 1 AS VARCHAR)) AS hx
+      FROM img, unnest(range(0, 8)) AS ii(u), unnest(range(0, 9)) AS jj(u)
+    ),
+    lum AS (
+      SELECT doc_id, i, j,
+             299*least(('0x' || substr(hx, 1, 2))::INT + delta, 255)
+             + 587*('0x' || substr(hx, 3, 2))::INT
+             + 114*('0x' || substr(hx, 5, 2))::INT AS L
+      FROM samp
+    ),
+    bits AS (
+      SELECT a.doc_id, a.i*8 + a.j AS pos,
+             CASE WHEN a.L > b.L THEN 1 ELSE 0 END AS bit
+      FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.i = b.i
+                           AND b.j = a.j + 1
+      WHERE a.j < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             sum(CASE WHEN pos < 32
+                      THEN bit * (CAST(1 AS BIGINT) << (31 - pos))
+                      ELSE 0 END) AS hi,
+             sum(CASE WHEN pos >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (63 - pos))
+                      ELSE 0 END) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, t.u AS band,
+             CASE t.u WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS key
+      FROM hashes, unnest(range(0, 4)) AS t(u)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+             AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    """,
+)
+def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end (operators/multimodal.
+    image_near_dups): an md5-noise PNG corpus with planted duplicate
+    classes (seed = doc_id % 23) and planted NEAR-duplicates (red
+    brightness shift = doc_id % 3) is encoded, decoded, dHashed
+    (nearest-sampled 9×8 integer grid), LSH-banded into four 16-bit
+    keys, bucket-joined, and hamming-verified ≤ 6 — the image
+    modality's analogue of dedup_simhash. The oracle replays the
+    sampled pixels straight from the md5 definition (only the 72
+    sampled pixels per image are ever computed SQL-side)."""
+    from denormalized_spark.operators import multimodal
+
+    d = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 23).alias("seed"),
+            (F.col("doc_id") % 3).alias("delta"),
+        )
+    )
+    imgs = multimodal.synthesize_noise_png_payloads(
+        d, "seed", shift_col="delta"
+    )
+    out = multimodal.image_near_dups(imgs, "doc_id", "payload", method="dhash")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _ivf_oracle(dim: int = 64, nprobe: int = 3, k: int = 10, qid: int = 0) -> str:
     """IVF oracle: identical coarse quantizer (rounded per-label mean
     centroids), identical argmax assignment (window with label

@@ -37,9 +37,121 @@ def test_image_features_fake_kernel(binary_df):
         assert r["features"] == pytest.approx(expected, abs=1e-6)
 
 
-def test_image_features_real_kernel_raises(binary_df):
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        multimodal.image_features(binary_df, "payload", fake=False).collect()
+def test_image_features_real_kernel_null_on_undecodable(binary_df):
+    """The real path decodes BMP/PNG; payloads no stdlib codec covers
+    yield NULL features, never a task failure."""
+    out = multimodal.image_features(binary_df, "payload", fake=False).collect()
+    assert len(out) == 20 and all(r["features"] is None for r in out)
+    with pytest.raises(ValueError, match="perfect square"):
+        multimodal.image_features(binary_df, "payload", dim=12, fake=False)
+
+
+class TestImageFeaturesReal:
+    def test_grid_matches_analytic(self, spark):
+        """4×4 mean-pool luma grid over synthesized PNGs must equal
+        the integer-exact driver-side computation (one IEEE division
+        per cell)."""
+        import numpy as np
+
+        df = spark.createDataFrame([(i,) for i in (3, 7, 40)], ["img_id"])
+        pngs = multimodal.synthesize_png_payloads(df, "img_id")
+        got = {
+            r["img_id"]: r["features"]
+            for r in multimodal.image_features(pngs, "payload", dim=16).collect()
+        }
+        for i in (3, 7, 40):
+            rgb = multimodal._gradient_rgb(i).astype(np.int64)
+            L = 299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+            h, w = L.shape
+            cy, cx = np.arange(h) * 4 // h, np.arange(w) * 4 // w
+            exp = []
+            for ci in range(4):
+                for cj in range(4):
+                    cell = L[np.ix_(cy == ci, cx == cj)]
+                    exp.append(cell.sum() / cell.size / 1000.0)
+            assert got[i] == pytest.approx(exp, rel=1e-6)
+
+    def test_bmp_and_png_agree(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(8)], ["img_id"])
+        fb = {
+            r["img_id"]: r["features"]
+            for r in multimodal.image_features(
+                multimodal.synthesize_bmp_payloads(df, "img_id"), "payload"
+            ).collect()
+        }
+        fp = {
+            r["img_id"]: r["features"]
+            for r in multimodal.image_features(
+                multimodal.synthesize_png_payloads(df, "img_id"), "payload"
+            ).collect()
+        }
+        assert fb == fp
+
+    def test_real_features_feed_similarity(self, spark):
+        from denormalized_spark.operators import similarity
+
+        df = spark.createDataFrame([(i,) for i in range(12)], ["img_id"])
+        feats = multimodal.image_features(
+            multimodal.synthesize_png_payloads(df, "img_id"), "payload", dim=16
+        )
+        pairs = similarity.lsh_bucketed_neighbors(
+            feats, dim=16, num_planes=2, id_col="img_id", vec_col="features"
+        )
+        assert pairs.columns == ["id_a", "id_b", "cosine_sim"]
+        pairs.count()
+
+
+class TestImagePhash:
+    def test_identical_content_across_containers(self, spark):
+        """The same pixel grid hashed through BMP and PNG containers
+        must produce the identical 64-bit hash — the hash is over
+        pixels, not bytes."""
+        df = spark.createDataFrame([(i,) for i in range(10)], ["img_id"])
+        hb = {
+            r["img_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in multimodal.image_phash(
+                multimodal.synthesize_bmp_payloads(df, "img_id"), "payload"
+            ).collect()
+        }
+        hp = {
+            r["img_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in multimodal.image_phash(
+                multimodal.synthesize_png_payloads(df, "img_id"), "payload"
+            ).collect()
+        }
+        assert hb == hp
+        for hi, lo in hb.values():
+            assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    def test_unparseable_hash_is_null(self, binary_df):
+        out = multimodal.image_phash(binary_df, "payload").collect()
+        assert all(r["phash_hi"] is None and r["phash_lo"] is None for r in out)
+        with pytest.raises(ValueError, match="dhash|ahash"):
+            multimodal.image_phash(binary_df, "payload", method="md5")
+
+    def test_near_dups_finds_planted_perturbation(self, spark):
+        """A brightness-perturbed copy of a noise image must pair with
+        its original at small hamming; images from independent seeds
+        (~32/64 differing bits) must not pair with it. (The gradient
+        synthesizers are useless here: all gradient images share local
+        gradient signs, so dhash treats the whole family as one
+        near-dup class — hence the md5-noise synthesizer.)"""
+        rows = [(1, 10, 0), (2, 10, 3), (3, 20, 0), (4, 30, 0)]
+        df = spark.createDataFrame(rows, ["img_id", "seed", "shift"])
+        imgs = multimodal.synthesize_noise_png_payloads(
+            df, "seed", shift_col="shift"
+        )
+        for method in ("dhash", "ahash"):
+            pairs = {
+                (r["id_a"], r["id_b"]): r["hamming"]
+                for r in multimodal.image_near_dups(
+                    imgs, "img_id", "payload", method=method
+                ).collect()
+            }
+            assert (1, 2) in pairs and pairs[(1, 2)] <= 6, (method, pairs)
+            assert not any(
+                3 in p or 4 in p for p in pairs
+            ), f"unrelated image matched under {method}: {pairs}"
 
 
 def test_features_feed_similarity(binary_df):

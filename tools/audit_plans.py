@@ -67,6 +67,10 @@ ALLOW_PYTHON = {
     "text_bpe_encode_full",     # Arrow-batched BPE encode kernel — the sanctioned
                                 # mapInPandas path for 1k+ merge tables (the
                                 # literal-chain form is the zero-Python variant)
+    "text_bpe_tokenize_ids",    # same kernel family emitting the id sequences
+    "multimodal_image_features",  # real PNG decode + mean-pool grid kernel
+    "multimodal_image_neardup",   # PNG decode + perceptual-hash kernel (the
+                                  # pairing join itself is JVM-side)
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
