@@ -115,6 +115,8 @@ def main() -> None:
     wav_docs, wav_wall = _wav_decode_throughput(spark)
     bpe_docs, bpe_wall, bpe_tok_wall = _bpe_encode_throughput(spark)
 
+    ann_recall = _ann_recall_at_10(spark)
+
     stream_rows, stream_wall = _stream_throughput(spark)
     state_rows, state_wall = _stateful_stream_throughput(spark)
 
@@ -151,6 +153,7 @@ def main() -> None:
         "bpe_tokenize_docs_per_sec": (
             round(bpe_docs / bpe_tok_wall) if bpe_tok_wall else None
         ),
+        "ann_recall_at_10": ann_recall,
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
@@ -172,6 +175,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "sf", "oracle_total",
             "spark_vs_oracle_total", "wav_decode_docs_per_sec",
             "bpe_encode_docs_per_sec", "bpe_tokenize_docs_per_sec",
+            "ann_recall_at_10",
             "stream_rows_per_sec", "stateful_stream_rows_per_sec",
             "wall_total",
         )
@@ -306,6 +310,51 @@ def _bpe_encode_throughput(spark) -> tuple[int, float, float]:
             pipe.write.format("noop").mode("overwrite").save()
             walls[key].append(time.time() - t0)
     return n, min(walls["enc"]), min(walls["tok"])
+
+
+def _ann_recall_at_10(spark) -> float:
+    """Retrieval QUALITY lane: recall@10 of the batched IVF path
+    (operators/similarity.ivf_batch_topk, the production serving
+    shape) against exact brute force, at the oracled queries'
+    production knobs (label-centroid quantizer, nprobe=3 of 10
+    clusters, 32-query block). Throughput without recall is half an
+    ANN benchmark — this tracks the quality side per round. The
+    arithmetic is exact (deterministic data + fixed tie-breaks), so
+    the number only moves when the index or the knobs do; the
+    per-round floor lives in tests/test_similarity.py."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators import similarity
+    from denormalized_spark.sources.files import load_table
+
+    k = 10
+    e = load_table(spark, SF_DIR, "embeddings")
+    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ivf = similarity.ivf_batch_topk(queries, assigned, cent, k=k, nprobe=3)
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    brute = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("qvec")).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    n_overlap = (
+        ivf.select("qid", "vec_id")
+        .join(brute.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+        .count()
+    )
+    n_q = queries.count()
+    return round(n_overlap / (n_q * k), 4) if n_q else 0.0
 
 
 # State-store partition count for the streaming drains. The count is

@@ -453,3 +453,41 @@ class TestProductQuantization:
         enc = similarity.pq_encode(e, books)
         top = similarity.pq_topk(enc, books, qvec, k=1).collect()[0]
         assert top["vec_id"] == 0
+
+
+def test_ivf_batch_recall_floor(embeddings):
+    """Per-round quality floor for the bench's ann_recall_at_10 lane:
+    batched IVF (label-centroid quantizer, nprobe=3 of 10 clusters)
+    must beat the 0.3 random-probe baseline with margin on the
+    standard 32-query block — measured 0.453 at sf0.01 (deterministic:
+    exact arithmetic, fixed tie-breaks). A regression below 0.40 means
+    the index or probe ranking broke, not noise."""
+    from pyspark.sql import Window
+
+    k = 10
+    e = embeddings
+    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ivf = similarity.ivf_batch_topk(queries, assigned, cent, k=k, nprobe=3)
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    brute = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("qvec")).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    n = (
+        ivf.select("qid", "vec_id")
+        .join(brute.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+        .count()
+    )
+    recall = n / (queries.count() * k)
+    assert recall >= 0.40, f"ivf recall@10 regressed: {recall}"
