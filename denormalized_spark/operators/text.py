@@ -808,6 +808,105 @@ def bpe_tokenize(
     return df.select(id_col, text_col).mapInPandas(_tokenize_batches, out_schema)
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    sep_id: int | None = None,
+    pad_id: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """MATERIALIZE fixed-length training sequences from per-doc token
+    ids (the :func:`bpe_tokenize` output) — the final shard-writing
+    step: documents are laid end to end in ``id_col`` order (each
+    followed by ``sep_id`` if given — the GPT-style EOS convention)
+    and the global token stream is chopped every ``seq_len``. Output:
+    (seq_id, input_ids array<int>, n_real) — ``n_real < seq_len``
+    only on the final partial sequence, which is padded with
+    ``pad_id`` when given. Where :func:`~denormalized_spark.operators.
+    curation.pack_documents` reports each doc's OFFSETS, this emits
+    the sequences themselves.
+
+    100 TB shape: global offsets come from the prefix-sum pattern
+    (range shuffle + local cumsum + numPartitions-row broadcast —
+    never a single-reducer window); each doc then slices its own
+    array into the ≤ m/seq_len + 2 sequence FRAGMENTS it spans (JVM
+    higher-order slices, no per-token rows), and one seq-keyed
+    shuffle assembles fragments in offset order. Every token moves
+    exactly once — the unavoidable cost of writing shards — and the
+    shuffle rows are array fragments, not tokens. Sequence ids are
+    globally dense, so runs are bit-reproducible; at extreme scale
+    pack per shard instead (drop the global order for a
+    per-partition one), same trade documented on pack_documents."""
+    from denormalized_spark.operators.ranking import with_global_running_sum
+
+    ids: Column = F.col(ids_col)
+    if sep_id is not None:
+        ids = F.concat(ids, F.array(F.lit(sep_id).cast("int")))
+    staged = (
+        df.select(F.col(id_col), ids.alias("_ids"))
+        .withColumn("_m", F.size("_ids"))
+        .filter(F.col("_m") > 0)
+    )
+    off = with_global_running_sum(
+        staged,
+        [F.col(id_col)],
+        F.col("_m"),
+        out_col="_off",
+        exclusive=True,
+        num_partitions=num_partitions,
+    )
+    first = F.floor(F.col("_off") / seq_len).cast("long")
+    last = F.floor((F.col("_off") + F.col("_m") - 1) / seq_len).cast("long")
+    start = F.greatest(F.col("seq_id") * seq_len - F.col("_off"), F.lit(0))
+    end = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("_off"), F.col("_m")
+    )
+    frags = (
+        off.select(
+            "_off", "_m", "_ids", F.explode(F.sequence(first, last)).alias("seq_id")
+        )
+        .select(
+            "seq_id",
+            (F.col("seq_id") * seq_len).alias("_fs"),
+            F.slice("_ids", (start + 1).cast("int"), (end - start).cast("int")).alias(
+                "_frag"
+            ),
+            start.alias("_local_start"),
+            F.col("_off"),
+        )
+        .select(
+            "seq_id",
+            (F.col("_off") + F.col("_local_start")).alias("_pos"),
+            "_frag",
+        )
+    )
+    out = (
+        frags.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_frag"))),
+                    lambda s: s["_frag"],
+                )
+            ).alias("input_ids")
+        )
+        .withColumn("n_real", F.size("input_ids").cast("int"))
+    )
+    if pad_id is not None:
+        out = out.withColumn(
+            "input_ids",
+            F.concat(
+                "input_ids",
+                F.array_repeat(
+                    F.lit(pad_id).cast("int"), seq_len - F.col("n_real")
+                ),
+            ),
+        )
+    return out.select("seq_id", "input_ids", "n_real")
+
+
 def bpe_save(merges_df: DataFrame, path: str) -> None:
     """Persist a learned merge table (the :func:`bpe_train` output)
     as parquet — the model artifact an encode job loads."""

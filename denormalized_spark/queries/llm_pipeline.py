@@ -1329,9 +1329,9 @@ def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "multimodal_image_neardup",
-    """
+# shared by the image near-dup and image dedup-cluster oracles: md5-noise
+# sampled pixels → dHash halves → 16-bit band keys
+_IMG_PHASH_CTES = """
     WITH img AS (
       SELECT doc_id, doc_id % 23 AS seed, doc_id % 3 AS delta FROM documents
     ),
@@ -1371,13 +1371,22 @@ def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
              CASE t.u WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
                       WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS key
       FROM hashes, unnest(range(0, 4)) AS t(u)
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-             AS hamming
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    ),
+    npairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+               AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    )"""
+
+
+@q(
+    "multimodal_image_neardup",
+    _IMG_PHASH_CTES
+    + """
+    SELECT id_a, id_b, hamming FROM npairs
     """,
 )
 def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1406,6 +1415,44 @@ def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     out = multimodal.image_near_dups(imgs, "doc_id", "payload", method="dhash")
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q(
+    "multimodal_image_dedup_clusters",
+    _IMG_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    sym AS (SELECT id_a AS a, id_b AS b FROM npairs
+            UNION SELECT id_b, id_a FROM npairs),
+    reach(id, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    )
+    SELECT id, min(label) AS label FROM reach GROUP BY id
+    """,
+)
+def multimodal_image_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Image dedup END TO END: the perceptual-hash near-dup pairs of
+    multimodal_image_neardup fed through the generic min-label
+    connected-components operator (operators/dedup.
+    connected_components — label propagation with localCheckpoint
+    per round) — visual duplicate CLUSTERS, the form a curation
+    pipeline keeps one representative per. Composition proof: the
+    image modality plugs into the same cluster/representative
+    machinery as text and embedding dedup. The oracle replays the
+    pairs and components recursively."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 23).alias("seed"),
+        (F.col("doc_id") % 3).alias("delta"),
+    )
+    imgs = multimodal.synthesize_noise_png_payloads(d, "seed", shift_col="delta")
+    pairs = multimodal.image_near_dups(imgs, "doc_id", "payload", method="dhash")
+    return dedup.connected_components(pairs, "id_a", "id_b").select(
+        "id", "label"
     )
 
 
@@ -2331,6 +2378,66 @@ def _bpe_tokenize_oracle(num_merges: int, max_vocab: int) -> str:
            coalesce(agg.ids_csv, '') AS ids_csv
     FROM documents d LEFT JOIN agg USING (doc_id)
     """
+    )
+
+
+def _bpe_pack_oracle(num_merges: int, max_vocab: int, seq_len: int) -> str:
+    """Oracle for pack_token_sequences over the tokenize oracle's id
+    stream: per-doc exclusive prefix-sum offsets (docs in doc_id
+    order), global position = offset + within-doc index, sequence =
+    pos // seq_len, ids CSV-joined in position order."""
+    base = _bpe_tokenize_oracle(num_merges, max_vocab)
+    chain = base[: base.rindex(",\n    agg AS")]
+    return (
+        chain
+        + f""",
+    doctok AS (
+      SELECT doc_id, id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wo, po) - 1 AS idx
+      FROM tid
+    ),
+    doclen AS (SELECT doc_id, count(*) AS m FROM tid GROUP BY doc_id),
+    offs AS (
+      SELECT doc_id,
+             coalesce(sum(m) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM doclen
+    ),
+    stream AS (
+      SELECT o.off + t.idx AS pos, t.id
+      FROM doctok t JOIN offs o USING (doc_id)
+    )
+    SELECT CAST(pos // {seq_len} AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS n_real,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+    FROM stream GROUP BY pos // {seq_len}
+    """
+    )
+
+
+@q("text_bpe_pack_sequences", _bpe_pack_oracle(6, 2000, 128))
+def text_bpe_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """The shard MATERIALIZER (operators/text.pack_token_sequences):
+    the tokenized corpus laid end to end in doc order and chopped
+    into 128-token training sequences — offsets via the prefix-sum
+    pattern (no single-reducer window), fragment slices per doc, one
+    seq-keyed assembly shuffle. Output (seq_id, n_real, ids_csv);
+    with pack_documents (offset report) and bpe_tokenize (ids) this
+    completes train → tokenize → shard."""
+    d = t(spark, sf, "documents")
+    merge_rows = text.bpe_train(d, num_merges=6, max_vocab=2000).collect()
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(merge_rows, key=lambda r: r["rank"])
+    ]
+    toks = text.bpe_tokenize(d, merges, text.corpus_alphabet(d))
+    packed = text.pack_token_sequences(toks, 128)
+    return packed.select(
+        "seq_id",
+        "n_real",
+        F.array_join(
+            F.transform("input_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
     )
 
 

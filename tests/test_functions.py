@@ -690,3 +690,62 @@ class TestBpeTokenize:
         df, merges, _ = self._trained(spark)
         bpe_save(bpe_train(df, num_merges=3), str(tmp_path / "m"))
         assert bpe_load(spark, str(tmp_path / "m")) == merges
+
+
+class TestPackTokenSequences:
+    def test_concat_and_chop(self, spark):
+        """Docs laid end-to-end in id order, chopped every L; a doc
+        straddling a boundary spans two sequences; final partial
+        sequence keeps n_real < L."""
+        from denormalized_spark.operators.text import pack_token_sequences
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3]), (2, [4, 5, 6, 7, 8]), (3, [9])],
+            "doc_id long, token_ids array<int>",
+        )
+        rows = {
+            r["seq_id"]: r
+            for r in pack_token_sequences(df, 4).collect()
+        }
+        assert rows[0]["input_ids"] == [1, 2, 3, 4]
+        assert rows[1]["input_ids"] == [5, 6, 7, 8]
+        assert rows[2]["input_ids"] == [9] and rows[2]["n_real"] == 1
+        assert rows[0]["n_real"] == rows[1]["n_real"] == 4
+
+    def test_sep_and_pad(self, spark):
+        from denormalized_spark.operators.text import pack_token_sequences
+
+        df = spark.createDataFrame(
+            [(1, [1, 2]), (2, [3]), (3, [])],
+            "doc_id long, token_ids array<int>",
+        )
+        rows = {
+            r["seq_id"]: r
+            for r in pack_token_sequences(
+                df, 4, sep_id=99, pad_id=0
+            ).collect()
+        }
+        # stream: 1 2 99 | 3 99 ... (empty doc 3 still contributes a sep)
+        assert rows[0]["input_ids"] == [1, 2, 99, 3]
+        assert rows[1]["input_ids"] == [99, 99, 0, 0] and rows[1]["n_real"] == 2
+        assert all(len(r["input_ids"]) == 4 for r in rows.values())
+
+    def test_token_conservation_on_corpus(self, spark, documents):
+        """Round-trip invariant on real data: Σ n_real over sequences
+        == Σ len(token_ids) over docs."""
+        from denormalized_spark.operators.text import (
+            bpe_tokenize,
+            corpus_alphabet,
+            pack_token_sequences,
+        )
+        from pyspark.sql import functions as F
+
+        d = documents.limit(100)
+        toks = bpe_tokenize(d, [("e", "r")], corpus_alphabet(d))
+        total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+        packed = pack_token_sequences(toks, 128)
+        got = packed.agg(F.sum("n_real")).collect()[0][0]
+        assert got == total
+        # every non-final sequence is exactly full
+        seqs = packed.orderBy("seq_id").collect()
+        assert all(r["n_real"] == 128 for r in seqs[:-1])

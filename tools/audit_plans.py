@@ -71,6 +71,9 @@ ALLOW_PYTHON = {
     "multimodal_image_features",  # real PNG decode + mean-pool grid kernel
     "multimodal_image_neardup",   # PNG decode + perceptual-hash kernel (the
                                   # pairing join itself is JVM-side)
+    "multimodal_image_dedup_clusters",  # same hash kernel feeding the JVM
+                                        # connected-components rounds
+    "text_bpe_pack_sequences",    # tokenize kernel; packing itself is JVM
 }
 ALLOW_SINGLE_PART = {
     # a SinglePartition exchange is fine when it moves METADATA, not data:
@@ -78,6 +81,7 @@ ALLOW_SINGLE_PART = {
     "scalar_math_checksums",  # same — 1-row checksum aggregate
     "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
+    "text_bpe_pack_sequences",  # same prefix-sum-offsets pattern (shard packer)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
     "text_bigram_quality",    # same 1-row total (unigram interpolation term)
     "curation_split_leakage", # two 1-row global pair-count aggregates (metadata)
