@@ -863,24 +863,14 @@ def pack_token_sequences(
     end = F.least(
         (F.col("seq_id") + 1) * seq_len - F.col("_off"), F.col("_m")
     )
-    frags = (
-        off.select(
-            "_off", "_m", "_ids", F.explode(F.sequence(first, last)).alias("seq_id")
-        )
-        .select(
-            "seq_id",
-            (F.col("seq_id") * seq_len).alias("_fs"),
-            F.slice("_ids", (start + 1).cast("int"), (end - start).cast("int")).alias(
-                "_frag"
-            ),
-            start.alias("_local_start"),
-            F.col("_off"),
-        )
-        .select(
-            "seq_id",
-            (F.col("_off") + F.col("_local_start")).alias("_pos"),
-            "_frag",
-        )
+    frags = off.select(
+        "_off", "_m", "_ids", F.explode(F.sequence(first, last)).alias("seq_id")
+    ).select(
+        "seq_id",
+        (F.col("_off") + start).alias("_pos"),
+        F.slice("_ids", (start + 1).cast("int"), (end - start).cast("int")).alias(
+            "_frag"
+        ),
     )
     out = (
         frags.groupBy("seq_id")

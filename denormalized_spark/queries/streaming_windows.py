@@ -97,7 +97,7 @@ def window_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
            event_type,
            count(*)                    AS n,
            round(sum(value), 2)        AS total,
-           round(avg(value), 4)        AS avg_value,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
            round(min(value), 2)        AS min_value,
            round(max(value), 2)        AS max_value
     FROM events GROUP BY 1, 2, 3
@@ -105,14 +105,23 @@ def window_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
 )
 def window_tumbling_1h(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling window, grouped — the reference's
-    GroupedWindowAggStream path (grouped_window_agg_stream.rs:63-441)."""
+    GroupedWindowAggStream path (grouped_window_agg_stream.rs:63-441).
+
+    avg_value uses the explicit binary HALF_UP (floor(x·10⁴+0.5)/10⁴)
+    on BOTH sides, not round(): at sf0.1 three (window, type) groups'
+    averages land EXACTLY on a half-way 4th decimal, where Spark's
+    shortest-decimal-repr rounding and DuckDB's binary rounding
+    diverge by one final digit — the triple-SF sweep's catch this
+    round (same class as window_rollup_cascade's r6 find)."""
     ds = DataStream(t(spark, sf, "events"), event_time="ts")
     return ds.window(
         ["event_type"],
         [
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_value"
+            ),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
         ],
