@@ -541,6 +541,44 @@ class DataStream:
             watermarked=(ts_mode == "window_time" and self._df.isStreaming),
         )
 
+    def near_dedup_images(
+        self,
+        id_col: str = "doc_id",
+        binary_col: str = "payload",
+        *,
+        method: str = "dhash",
+        emit_window_ms: int = 60_000,
+        payload_cols: Sequence[str] = (),
+    ) -> "DataStream":
+        """Perceptual-hash near-duplicate filter for IMAGE payloads,
+        path-polymorphic like :meth:`near_dedup`: on a stream, the
+        online first-claimant band gate (:func:`~denormalized_spark.
+        operators.multimodal.image_near_gate` — dHash/aHash bands,
+        watermark-TTL'd bucket state); on a batch, the deterministic
+        earliest-(event_time, id) twin. Undecodable payloads are
+        dropped (no fingerprint to contest with). Requires an
+        event-time column."""
+        from denormalized_spark.operators.multimodal import (
+            image_near_gate,
+            image_near_gate_batch,
+        )
+
+        if self.event_time is None:
+            raise ValueError("near_dedup_images() requires an event-time column")
+        if self._df.isStreaming:
+            out = image_near_gate(
+                self._df, id_col, binary_col, self.event_time,
+                method=method, watermark=self.watermark,
+                emit_window_ms=emit_window_ms,
+                payload_cols=tuple(payload_cols),
+            )
+        else:
+            out = image_near_gate_batch(
+                self._df, id_col, binary_col, self.event_time,
+                method=method, payload_cols=tuple(payload_cols),
+            )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     def funnel(
         self,
         steps: Sequence[str],

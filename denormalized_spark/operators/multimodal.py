@@ -252,6 +252,7 @@ def image_near_dups(
     binary_col: str = "payload",
     method: str = "dhash",
     max_hamming: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs — the modality the text
     (MinHash/SimHash) and embedding (hyperplane-LSH) dedup stacks
@@ -266,9 +267,15 @@ def image_near_dups(
 
     Scale: hashing is a pure projection; the only shuffle is the
     band-keyed self-join carrying 3-long rows (id + two hash
-    halves), and equal-banded buckets are capped by visual-dup class
-    sizes. The verify is arithmetic on columns already in the join —
-    no payload bytes ever shuffle."""
+    halves), and equal-banded buckets are bounded by visual-dup class
+    sizes. A degenerate corpus breaks that bound (e.g. monochrome or
+    boilerplate frames all hash identically → one quadratic bucket):
+    ``max_bucket_size`` drops band buckets above the cap before the
+    self-join — the same recall-loss-direction cap as
+    :func:`~denormalized_spark.operators.dedup.lsh_candidate_pairs`
+    (a dropped pair is missed, never wrong), costing one extra
+    partial-agged count on the banded rows. The verify is arithmetic
+    on columns already in the join — no payload bytes ever shuffle."""
     hp = image_phash(df, binary_col, method).select(
         F.col(id_col), "phash_hi", "phash_lo"
     ).filter(F.col("phash_hi").isNotNull())
@@ -284,6 +291,13 @@ def image_near_dups(
         "phash_lo",
         F.posexplode(bands).alias("band", "key"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count("*").alias("_bsz")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "key"]
+        ).drop("_bsz")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -674,6 +688,123 @@ def _gradient_rgb(i: int):
     g = np.broadcast_to((11 * y + 2 * i) % 256, (h, w))
     b = (x + y + 3 * i) % 256
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _image_banded(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    event_time: str,
+    method: str,
+    payload_cols: tuple,
+) -> DataFrame:
+    """Shared banding stage of the image near-dup gates: phash →
+    four 16-bit band rows per decodable image. Undecodable payloads
+    are DROPPED (they have no fingerprint to contest a bucket with) —
+    route them separately if they must be kept."""
+    hp = image_phash(df, binary_col, method).filter(
+        F.col("phash_hi").isNotNull()
+    )
+    bands = F.array(
+        F.shiftright("phash_hi", 16),
+        F.col("phash_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("phash_lo", 16),
+        F.col("phash_lo").bitwiseAND(F.lit(65535)),
+    )
+    return hp.select(
+        F.col(id_col),
+        F.col(event_time),
+        *[F.col(c) for c in payload_cols],
+        F.posexplode(bands).alias("band", "key"),
+    )
+
+
+def image_near_gate_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    event_time: str = "ts",
+    *,
+    method: str = "dhash",
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic batch twin of :func:`image_near_gate`: each of an
+    image's four perceptual-hash band buckets is owned by its
+    earliest (event_time, id) claimant; an image survives iff it owns
+    ALL four — the exact ownership semantics of
+    :func:`~denormalized_spark.operators.dedup.near_dedup_batch`
+    applied to the image modality. One band-key shuffle, no pair
+    generation; used for stream-vs-batch parity and backfills that
+    must agree with the online gate."""
+    from pyspark.sql import Window
+
+    banded = _image_banded(
+        df, id_col, binary_col, event_time, method, payload_cols
+    )
+    w = Window.partitionBy("band", "key").orderBy(event_time, id_col)
+    owned = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        owned.groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n_owned"),
+            F.min(event_time).alias(event_time),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .filter(F.col("_n_owned") == 4)
+        .select(id_col, event_time, *payload_cols)
+    )
+
+
+def image_near_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    event_time: str = "ts",
+    *,
+    method: str = "dhash",
+    watermark: str = "0 seconds",
+    emit_window_ms: int = 60_000,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """STREAMING perceptual-hash near-dup gate: emit only images that
+    claim all four of their dHash/aHash band buckets first — any band
+    collision with an earlier image (within the watermark retention)
+    drops the frame. The image twin of
+    :func:`~denormalized_spark.operators.dedup.near_dedup_stream`,
+    same two chained stateful operators:
+
+    1. phash + banding (the mapInPandas decode is the per-row stage;
+       the watermark is declared on ITS output, since mapInPandas
+       re-creates attributes and would strip an upstream event-time
+       tag);
+    2. band rows → ``dropDuplicatesWithinWatermark`` on (band, key) —
+       state is one row per distinct bucket, TTL'd by the watermark;
+    3. an ``emit_window_ms`` window gives append mode a close point;
+       all four band rows share the image's exact event time, so no
+       image straddles windows. Survivor ⟺ owns 4 buckets.
+
+    The use case is frame/screenshot streams where boilerplate frames
+    repeat endlessly: state stays bucket-count-sized, no pair
+    generation. Near-miss semantics match the batch twin within a
+    micro-batch up to arbitrary-owner ties, exactly as the text gate
+    documents."""
+    banded = _image_banded(
+        df, id_col, binary_col, event_time, method, payload_cols
+    ).withWatermark(event_time, watermark)
+    owned = banded.dropDuplicatesWithinWatermark(["band", "key"])
+    win = F.window(event_time, f"{emit_window_ms} milliseconds")
+    return (
+        owned.groupBy(win.alias("_w"), F.col(id_col))
+        .agg(
+            F.count("*").alias("_n_owned"),
+            F.min(event_time).alias("_ts"),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .filter(F.col("_n_owned") == 4)
+        .select(id_col, F.col("_ts").alias(event_time), *payload_cols)
+    )
 
 
 def synthesize_noise_png_payloads(

@@ -547,3 +547,145 @@ class TestRealPngKernels:
         parsed = _parse_png(png)
         assert parsed is not None and parsed[:2] == (3, 2)
         assert parsed[2][0, 0, 0] == 100 and parsed[2].shape == (2, 3, 3)
+
+
+class TestImageNearGate:
+    ROWS = [
+        # (img_id, minute, seed, shift): dups arrive within the
+        # 0-second-watermark retention horizon (state for an event
+        # time expires once the watermark PASSES it, i.e. one
+        # micro-batch-minute later): 2 = near-dup of 1 (brightness
+        # shift, next minute), 4 = exact dup of 3 (next minute),
+        # 99 = distinct sentinel that closes the emit windows
+        (1, 0, 10, 0),
+        (2, 1, 10, 3),
+        (3, 1, 20, 0),
+        (4, 2, 20, 0),
+        (99, 4, 30, 0),
+    ]
+
+    def _imgs(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        df = spark.createDataFrame(
+            [
+                (i, t0 + datetime.timedelta(minutes=m), s, sh)
+                for i, m, s, sh in self.ROWS
+            ],
+            "img_id long, ts timestamp, seed int, shift int",
+        )
+        return multimodal.synthesize_noise_png_payloads(
+            df, "seed", shift_col="shift"
+        ).select("img_id", "ts", "payload")
+
+    def test_batch_gate_drops_near_and_exact_dups(self, spark):
+        out = multimodal.image_near_gate_batch(self._imgs(spark), "img_id")
+        assert {r["img_id"] for r in out.collect()} == {1, 3, 99}
+
+    def test_batch_gate_beyond_horizon_note(self, spark):
+        """The batch twin has no TTL: a dup arriving ANY time later is
+        still gated — the stream only matches within its watermark
+        horizon (the same contract the text gate documents)."""
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        df = spark.createDataFrame(
+            [(1, t0, 10, 0), (2, t0 + datetime.timedelta(hours=5), 10, 0)],
+            "img_id long, ts timestamp, seed int, shift int",
+        )
+        imgs = multimodal.synthesize_noise_png_payloads(
+            df, "seed", shift_col="shift"
+        ).select("img_id", "ts", "payload")
+        out = multimodal.image_near_gate_batch(imgs, "img_id")
+        assert {r["img_id"] for r in out.collect()} == {1}
+
+    def test_stream_matches_batch_twin(self, spark):
+        """Drain the images through the two-stateful-operator
+        streaming plan, one file per micro-batch in event-time order;
+        the emitted set must equal the batch twin (the sentinel's own
+        unclosed trailing window excepted)."""
+        import os
+        import tempfile
+
+        imgs = self._imgs(spark).collect()
+        stage = tempfile.mkdtemp(prefix="ig_stage_")
+        schema = "img_id long, ts timestamp, payload binary"
+        by_minute: dict = {}
+        for r in imgs:
+            by_minute.setdefault(r["ts"], []).append(r)
+        for k, (_, chunk) in enumerate(sorted(by_minute.items())):
+            path = os.path.join(stage, f"part{k}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (1_000_000 + k,) * 2)
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "part*"))
+        )
+        gated = multimodal.image_near_gate(sdf, "img_id")
+        emitted = []
+        q = (
+            gated.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ig_ck_"))
+            .foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r["img_id"] for r in emitted}
+        assert len(got) == len(emitted), "duplicate emission"
+        assert got == {1, 3}  # 99's window never closes; 2 and 4 gated
+
+
+def test_near_dups_bucket_cap_parity_and_drop(spark):
+    """With a cap no bucket exceeds, results equal the uncapped run;
+    with a tiny cap the oversized buckets (and only those) stop
+    producing pairs — the recall-loss direction."""
+    rows = [(i, i % 3, 0) for i in range(9)]  # 3 classes of 3 identical images
+    df = spark.createDataFrame(rows, ["img_id", "seed", "shift"])
+    imgs = multimodal.synthesize_noise_png_payloads(df, "seed", shift_col="shift")
+    free = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.image_near_dups(imgs, "img_id").collect()
+    }
+    capped_big = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.image_near_dups(
+            imgs, "img_id", max_bucket_size=10
+        ).collect()
+    }
+    assert capped_big == free and len(free) == 9  # C(3,2) per class
+    capped_small = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.image_near_dups(
+            imgs, "img_id", max_bucket_size=2
+        ).collect()
+    }
+    assert capped_small == set()  # every bucket holds 3 > cap
+
+
+def test_near_dedup_images_facade_polymorphism(spark):
+    """DataStream.near_dedup_images routes batch frames to the
+    deterministic twin and requires an event-time column."""
+    import datetime
+
+    from denormalized_spark.datastream import DataStream
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 10, 0), (2, t0 + datetime.timedelta(minutes=1), 10, 0),
+         (3, t0, 20, 0)],
+        "img_id long, ts timestamp, seed int, shift int",
+    )
+    imgs = multimodal.synthesize_noise_png_payloads(
+        df, "seed", shift_col="shift"
+    ).select("img_id", "ts", "payload")
+    out = DataStream(imgs, event_time="ts").near_dedup_images("img_id")
+    assert {r["img_id"] for r in out.df.collect()} == {1, 3}
+    with pytest.raises(ValueError, match="event-time"):
+        DataStream(imgs).near_dedup_images("img_id")
