@@ -116,6 +116,8 @@ def main() -> None:
     bpe_docs, bpe_wall, bpe_tok_wall = _bpe_encode_throughput(spark)
 
     ann_recall = _ann_recall_at_10(spark)
+    pq_recall = _ivf_pq_rerank_recall_at_10(spark)
+    img_docs, img_wall = _image_phash_throughput(spark)
 
     stream_rows, stream_wall = _stream_throughput(spark)
     state_rows, state_wall = _stateful_stream_throughput(spark)
@@ -154,6 +156,8 @@ def main() -> None:
             round(bpe_docs / bpe_tok_wall) if bpe_tok_wall else None
         ),
         "ann_recall_at_10": ann_recall,
+        "ann_pq_rerank_recall_at_10": pq_recall,
+        "image_phash_docs_per_sec": round(img_docs / img_wall) if img_wall else None,
         "stream_rows": stream_rows,
         "stream_wall": round(stream_wall, 3),
         "stream_rows_per_sec": round(stream_rows / stream_wall) if stream_wall else None,
@@ -175,7 +179,8 @@ def main() -> None:
             "metric", "value", "unit", "queries", "sf", "oracle_total",
             "spark_vs_oracle_total", "wav_decode_docs_per_sec",
             "bpe_encode_docs_per_sec", "bpe_tokenize_docs_per_sec",
-            "ann_recall_at_10",
+            "ann_recall_at_10", "ann_pq_rerank_recall_at_10",
+            "image_phash_docs_per_sec",
             "stream_rows_per_sec", "stateful_stream_rows_per_sec",
             "wall_total",
         )
@@ -355,6 +360,97 @@ def _ann_recall_at_10(spark) -> float:
     )
     n_q = queries.count()
     return round(n_overlap / (n_q * k), 4) if n_q else 0.0
+
+
+def _ivf_pq_rerank_recall_at_10(spark) -> float:
+    """Quality lane for the IVF×PQ serving path in its PRODUCTION
+    form: ADC as candidate generator (short-list 200) + exact-cosine
+    re-rank, vs brute force, 4-query probe. Raw ADC recall on this
+    corpus is ~0.11 — the label-derived codebooks give only 10
+    codewords per subspace over near-random synthetic embeddings, so
+    quantization noise swamps neighborhoods; the re-rank recovers to
+    the IVF probe ceiling (nprobe=3 of 10 clusters ≈ the
+    ann_recall_at_10 lane). Tracked so a better quantizer (k-means
+    codebooks, more nprobe) shows up as a per-round recall gain."""
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators import similarity
+    from denormalized_spark.sources.files import load_table
+
+    k, cand_k = 10, 200
+    e = load_table(spark, SF_DIR, "embeddings")
+    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    books = similarity.pq_codebooks_from_labels(e, m=16, dim=64)
+    enc = similarity.pq_encode(assigned, books).cache()
+    enc.count()
+    hit = tot = 0
+    for qid in range(4):
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+        ]
+        qarr = F.array(*[F.lit(x) for x in qvec])
+        shortlist = similarity.ivf_pq_topk(
+            enc.filter(F.col("vec_id") != qid), cent, books, qvec, k=cand_k
+        ).select("vec_id")
+        rer = {
+            r["vec_id"]
+            for r in (
+                e.join(shortlist, "vec_id", "left_semi")
+                .select(
+                    "vec_id",
+                    similarity.cosine(F.col("embedding"), qarr).alias("s"),
+                )
+                .orderBy(F.desc("s"), F.asc("vec_id"))
+                .limit(k)
+                .collect()
+            )
+        }
+        brute = {
+            r["vec_id"]
+            for r in (
+                e.filter(F.col("vec_id") != qid)
+                .select(
+                    "vec_id",
+                    similarity.cosine(F.col("embedding"), qarr).alias("s"),
+                )
+                .orderBy(F.desc("s"), F.asc("vec_id"))
+                .limit(k)
+                .collect()
+            )
+        }
+        hit += len(rer & brute)
+        tot += k
+    enc.unpersist()
+    return round(hit / tot, 4) if tot else 0.0
+
+
+def _image_phash_throughput(spark) -> tuple[int, float]:
+    """Media lane for the image dedup stack: md5-noise PNGs (real
+    zlib-compressed containers) decoded + dHashed through
+    operators/multimodal.image_phash — the per-image cost of the
+    perceptual-hash gate. The timed pipeline INCLUDES the synthetic
+    PNG encode (on real data that's a parquet scan instead), so the
+    number is a lower bound on hash throughput. Best-of-2 through
+    the noop sink."""
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators import multimodal
+    from denormalized_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", (F.col("doc_id") % 997).alias("seed")
+    )
+    n = docs.count()
+    imgs = multimodal.synthesize_noise_png_payloads(docs, "seed")
+    pipe = multimodal.image_phash(imgs, "payload")
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        pipe.write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    return n, min(walls)
 
 
 # State-store partition count for the streaming drains. The count is

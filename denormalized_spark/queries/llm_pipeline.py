@@ -1419,6 +1419,49 @@ def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "multimodal_image_near_gate",
+    _IMG_PHASH_CTES
+    + """,
+    dts AS (
+      SELECT doc_id, make_timestamp((1704067200 + doc_id) * 1000000) AS ts
+      FROM documents
+    ),
+    own AS (
+      SELECT b.doc_id, d.ts,
+             row_number() OVER (PARTITION BY b.band, b.key
+                                ORDER BY d.ts, b.doc_id) AS rn
+      FROM bands b JOIN dts d USING (doc_id)
+    )
+    SELECT doc_id, min(ts) AS ts
+    FROM own WHERE rn = 1
+    GROUP BY doc_id HAVING count(*) = 4
+    """,
+)
+def multimodal_image_near_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The image near-dup GATE's deterministic batch twin
+    (operators/multimodal.image_near_gate_batch) — the semantics the
+    streaming gate reproduces online (stream==batch parity is pinned
+    in tests/test_multimodal.py; this entry makes the ownership
+    arithmetic itself driver-verified): every perceptual-hash band
+    bucket is owned by its earliest (ts, id) claimant over the noise
+    corpus (ts derived as epoch+doc_id so arrival order is the id
+    order), survivors own all four. The oracle replays the hash CTEs
+    plus a (band, key)-partitioned first-claimant window."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 23).alias("seed"),
+        (F.col("doc_id") % 3).alias("delta"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    imgs = multimodal.synthesize_noise_png_payloads(
+        d, "seed", shift_col="delta"
+    ).select("doc_id", "ts", "payload")
+    return multimodal.image_near_gate_batch(imgs, "doc_id", "payload", "ts")
+
+
+@q(
     "multimodal_image_dedup_clusters",
     _IMG_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,

@@ -73,6 +73,8 @@ ALLOW_PYTHON = {
                                   # pairing join itself is JVM-side)
     "multimodal_image_dedup_clusters",  # same hash kernel feeding the JVM
                                         # connected-components rounds
+    "multimodal_image_near_gate",       # same hash kernel; ownership window
+                                        # is JVM-side
     "text_bpe_pack_sequences",    # tokenize kernel; packing itself is JVM
 }
 ALLOW_SINGLE_PART = {
