@@ -266,16 +266,20 @@ def image_near_dups(
     xor'd halves. Output: (id_a, id_b, hamming).
 
     Scale: hashing is a pure projection; the only shuffle is the
-    band-keyed self-join carrying 3-long rows (id + two hash
-    halves), and equal-banded buckets are bounded by visual-dup class
-    sizes. A degenerate corpus breaks that bound (e.g. monochrome or
-    boilerplate frames all hash identically → one quadratic bucket):
-    ``max_bucket_size`` drops band buckets above the cap before the
-    self-join — the same recall-loss-direction cap as
+    band-keyed BUCKET-COLLECT carrying (id, two hash halves) structs —
+    not a self-join, which would re-run the decode+hash kernel once
+    per join side (the
     :func:`~denormalized_spark.operators.dedup.lsh_candidate_pairs`
-    (a dropped pair is missed, never wrong), costing one extra
-    partial-agged count on the banded rows. The verify is arithmetic
-    on columns already in the join — no payload bytes ever shuffle."""
+    lesson: with mapInPandas upstream there is no exchange to reuse,
+    so the pair generation happens per bucket with higher-order
+    functions over the collected array). Bucket sizes are bounded by
+    visual-dup class sizes; a degenerate corpus breaks that bound
+    (monochrome/boilerplate frames all hash identically → one
+    quadratic bucket): ``max_bucket_size`` drops band buckets above
+    the cap — the same recall-loss-direction cap as the MinHash stack
+    (a dropped pair is missed, never wrong). The hamming verify runs
+    inside the pair generation, so the final distinct shuffles narrow
+    (id_a, id_b, hamming) rows only — no payload bytes ever shuffle."""
     hp = image_phash(df, binary_col, method).select(
         F.col(id_col), "phash_hi", "phash_lo"
     ).filter(F.col("phash_hi").isNotNull())
@@ -286,36 +290,42 @@ def image_near_dups(
         F.col("phash_lo").bitwiseAND(F.lit(65535)),
     )
     banded = hp.select(
-        id_col,
-        "phash_hi",
-        "phash_lo",
+        F.struct(
+            F.col(id_col).alias("_i"),
+            F.col("phash_hi").alias("_hi"),
+            F.col("phash_lo").alias("_lo"),
+        ).alias("_m"),
         F.posexplode(bands).alias("band", "key"),
     )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("_m")).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count("*").alias("_bsz")
+        buckets = buckets.filter(F.size("_ms") <= max_bucket_size)
+    ms = F.col("_ms")
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["_i"].alias("id_a"),
+                    y["_i"].alias("id_b"),
+                    (
+                        F.bit_count(x["_hi"].bitwiseXOR(y["_hi"]))
+                        + F.bit_count(x["_lo"].bitwiseXOR(y["_lo"]))
+                    ).alias("hamming"),
+                ),
+            ),
         )
-        banded = banded.join(
-            sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "key"]
-        ).drop("_bsz")
-    a, b = banded.alias("a"), banded.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (
-                F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
-                + F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
-            ).alias("hamming"),
-        )
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
     )
 
 
