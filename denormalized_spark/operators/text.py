@@ -848,6 +848,14 @@ def pack_token_sequences(
         df.select(F.col(id_col), ids.alias("_ids"))
         .withColumn("_m", F.size("_ids"))
         .filter(F.col("_m") > 0)
+        # the prefix-sum pattern consumes its input twice (local
+        # cumsum + per-partition totals) and repartitionByRange
+        # exchanges don't dedupe (sampled boundaries) — a lazy
+        # localCheckpoint materializes the upstream ONCE (this input
+        # is typically the Arrow tokenize kernel, the expensive part)
+        # and both consumers read the cached blocks; packing is
+        # inherently batch (global order), so cutting lineage is free
+        .localCheckpoint(eager=False)
     )
     off = with_global_running_sum(
         staged,
