@@ -283,17 +283,37 @@ def image_near_dups(
     hp = image_phash(df, binary_col, method).select(
         F.col(id_col), "phash_hi", "phash_lo"
     ).filter(F.col("phash_hi").isNotNull())
-    bands = F.array(
-        F.shiftright("phash_hi", 16),
-        F.col("phash_hi").bitwiseAND(F.lit(65535)),
-        F.shiftright("phash_lo", 16),
-        F.col("phash_lo").bitwiseAND(F.lit(65535)),
+    return _hash_band_pairs(
+        hp, id_col, "phash_hi", "phash_lo", max_hamming, max_bucket_size
     )
-    banded = hp.select(
+
+
+def _hash_band_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared pair generator for split-64-bit perceptual hashes
+    (image phash, audio fingerprint): four 16-bit LSH band keys from
+    the two halves, bucket-collect per (band, key), pairs + hamming
+    via higher-order functions over the collected array — never a
+    self-join (which would re-run the upstream decode kernel per
+    side). ``max_bucket_size`` drops degenerate buckets (recall-loss
+    direction). Output (id_a, id_b, hamming ≤ max_hamming)."""
+    bands = F.array(
+        F.shiftright(hi_col, 16),
+        F.col(hi_col).bitwiseAND(F.lit(65535)),
+        F.shiftright(lo_col, 16),
+        F.col(lo_col).bitwiseAND(F.lit(65535)),
+    )
+    banded = hashed.select(
         F.struct(
             F.col(id_col).alias("_i"),
-            F.col("phash_hi").alias("_hi"),
-            F.col("phash_lo").alias("_lo"),
+            F.col(hi_col).alias("_hi"),
+            F.col(lo_col).alias("_lo"),
         ).alias("_m"),
         F.posexplode(bands).alias("band", "key"),
     )
@@ -326,6 +346,103 @@ def image_near_dups(
         .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str = "payload",
+    n_frames: int = 64,
+) -> DataFrame:
+    """Perceptual AUDIO fingerprint over decoded PCM — the audio
+    analogue of :func:`image_phash`, closing the dedup modality triad
+    (text MinHash/SimHash, image phash, audio this): channel-0
+    samples are split into ``n_frames`` equal frames (integer length
+    ``n//n_frames``, tail ignored), per-frame energy E_i = Σ|s| is an
+    exact int64, and bit i of the fingerprint is E_{i+1} > E_i — the
+    sign of the energy envelope's derivative, the core of
+    Shazam-style fingerprints reduced to integer-exact, engine-
+    replayable arithmetic. 63 bits emitted as two halves (``fp_hi``
+    32 bits, ``fp_lo`` 31 bits — no 64-bit overflow edge cases in
+    band/hamming math anywhere).
+
+    LOUDNESS-INVARIANT by construction: scaling all samples by g > 0
+    scales every energy by g, preserving every comparison — a
+    re-encoded/volume-normalized copy fingerprints identically.
+    Undecodable payloads (or clips shorter than ``n_frames``
+    samples) yield NULLs, never a task failure. Pure mapInPandas
+    projection — no shuffle."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("fp_hi", T.LongType()),
+            T.StructField("fp_lo", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for p in pdf[binary_col]:
+                parsed = _parse_wav(bytes(p)) if p is not None else None
+                hi = lo = None
+                if parsed is not None:
+                    sr, ch, sw, n, pcm = parsed
+                    dtype = _SAMPWIDTH_DTYPE.get(sw)
+                    if dtype is not None:
+                        try:
+                            x = np.frombuffer(pcm, dtype=dtype).astype(np.int64)
+                            if sw == 1:
+                                x -= 128
+                            x = x.reshape(-1, ch)[:, 0]
+                            L = len(x) // n_frames
+                            if L >= 1:
+                                e = (
+                                    np.abs(x[: L * n_frames])
+                                    .reshape(n_frames, L)
+                                    .sum(axis=1)
+                                )
+                                bits = (e[1:] > e[:-1]).astype(int)
+                                hi = lo = 0
+                                for b in bits[:32]:
+                                    hi = (hi << 1) | int(b)
+                                for b in bits[32:]:
+                                    lo = (lo << 1) | int(b)
+                        except Exception:
+                            hi = lo = None
+                his.append(hi)
+                los.append(lo)
+            out = pdf.copy()
+            out["fp_hi"] = pd.array(his, dtype="Int64")
+            out["fp_lo"] = pd.array(los, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    n_frames: int = 64,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: fingerprint every clip
+    (:func:`audio_fingerprint`), then the shared band/bucket-collect
+    pair machinery of the image path (:func:`_hash_band_pairs`) —
+    four 16-bit LSH bands, popcount hamming ≤ ``max_hamming``,
+    ``max_bucket_size`` against degenerate corpora (silence/
+    boilerplate jingles all fingerprinting alike). Loudness-
+    normalized copies pair at hamming 0; the decode kernel runs
+    exactly once (bucket-collect, not a self-join)."""
+    fp = audio_fingerprint(df, binary_col, n_frames).select(
+        F.col(id_col), "fp_hi", "fp_lo"
+    ).filter(F.col("fp_hi").isNotNull())
+    return _hash_band_pairs(
+        fp, id_col, "fp_hi", "fp_lo", max_hamming, max_bucket_size
     )
 
 
@@ -815,6 +932,70 @@ def image_near_gate(
         .filter(F.col("_n_owned") == 4)
         .select(id_col, F.col("_ts").alias(event_time), *payload_cols)
     )
+
+
+def synthesize_noise_wav_payloads(
+    df: DataFrame,
+    seed_col: str,
+    *,
+    gain_col: str | None = None,
+    n_samples: int = 1024,
+    sample_rate: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic NOISE test audio (mono 16-bit WAV): sample t of
+    seed s is ``md5(f"{s}:{t//8}")`` bytes 2(t%8)..2(t%8)+1 as a
+    little-endian uint16 u, mapped to ``u//4 − 8192`` — md5-defined
+    (any engine replays the exact samples from hex arithmetic;
+    unsigned ``//4`` before centering so no engine-divergent negative
+    division exists anywhere), full-spectrum noise so frame energies
+    discriminate (~31/63 differing fingerprint bits across seeds) —
+    unlike the closed-form square-wave corpus, whose constant
+    amplitude makes every frame energy equal and every fingerprint
+    degenerate. ``gain_col`` (optional int) scales samples by
+    gain+1 ∈ 1..4 (|s| ≤ 4·8192 < 2¹⁵, no clipping): a loudness
+    change that plants EXACT-fingerprint near-duplicates of the same
+    seed, exercising the fingerprint's loudness invariance."""
+    import hashlib as _hl
+    import io
+    import wave
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType())]
+    )
+
+    def _noise_pcm(seed: int, gain: int) -> bytes:
+        us = np.empty(n_samples, dtype=np.int64)
+        for blk in range((n_samples + 7) // 8):
+            d = _hl.md5(f"{seed}:{blk}".encode()).digest()
+            for j in range(min(8, n_samples - blk * 8)):
+                us[blk * 8 + j] = d[2 * j] + 256 * d[2 * j + 1]
+        x = ((us // 4) - 8192) * gain
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(x.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            gains = (
+                pdf[gain_col] if gain_col is not None else [0] * len(pdf)
+            )
+            out = pdf.copy()
+            out[payload_col] = [
+                _noise_pcm(int(s), int(g) + 1)
+                for s, g in zip(pdf[seed_col], gains)
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def synthesize_noise_png_payloads(

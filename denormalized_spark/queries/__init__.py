@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_tokenize_ids", "text_bpe_pack_sequences",
     "multimodal_image_features", "multimodal_image_neardup",
     "multimodal_image_dedup_clusters", "multimodal_image_near_gate",
+    "multimodal_audio_neardup",
     # operator/oracle changed this round — re-prove under the new code
     "events_funnel", "events_session_funnel", "events_cohort_retention",
     "curation_snapshot_diff", "dedup_near_gate", "dedup_incremental_gate",
@@ -82,7 +83,7 @@ _DRIVER_PRIORITY = [
     "curation_boilerplate_lines", "filter_revenue", "join_top_orders",
     "join_semi_priority", "join_anti_customers", "join_left_order_counts",
     "join_theta_price", "setop_distinct", "setop_intersect", "setop_except",
-    "setop_union", "sort_topk_orders", "agg_stats",
+    "setop_union", "sort_topk_orders",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1462,6 +1462,81 @@ def multimodal_image_near_gate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio_neardup",
+    """
+    WITH adoc AS (
+      SELECT doc_id, doc_id % 23 AS seed FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, t.u AS t,
+             ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                 || CAST(t.u // 8 AS VARCHAR)), ((t.u % 8) * 4) + 1, 2))::INT
+             + 256 * ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                 || CAST(t.u // 8 AS VARCHAR)), ((t.u % 8) * 4) + 3, 2))::INT
+               AS u
+      FROM adoc, unnest(range(0, 1024)) AS t(u)
+    ),
+    fr AS (
+      SELECT doc_id, t // 16 AS f, sum(abs((u // 4) - 8192)) AS e
+      FROM smp GROUP BY doc_id, t // 16
+    ),
+    abits AS (
+      SELECT a.doc_id, a.f AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      WHERE a.f < 63
+    ),
+    ahashes AS (
+      SELECT doc_id,
+             sum(CASE WHEN pos < 32
+                      THEN bit * (CAST(1 AS BIGINT) << (31 - pos))
+                      ELSE 0 END) AS hi,
+             sum(CASE WHEN pos >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (62 - pos))
+                      ELSE 0 END) AS lo
+      FROM abits GROUP BY doc_id
+    ),
+    abands AS (
+      SELECT doc_id, hi, lo, t.u AS band,
+             CASE t.u WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS key
+      FROM ahashes, unnest(range(0, 4)) AS t(u)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+             AS hamming
+    FROM abands a JOIN abands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    """,
+)
+def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup end-to-end (operators/multimodal.
+    audio_near_dups), closing the dedup modality triad: md5-noise
+    WAVs (seed = doc_id % 23, loudness gain = doc_id % 3 + 1) are
+    RIFF-encoded, decoded back through the stdlib wave kernel,
+    energy-envelope fingerprinted (63 integer-exact delta bits),
+    LSH-banded and hamming-verified ≤ 6. The gain variants pair at
+    hamming 0 — the fingerprint's loudness invariance — which is
+    also why the oracle can omit the gain entirely: every energy
+    comparison is scale-invariant, so it replays the base samples
+    straight from the md5 hex definition."""
+    from denormalized_spark.operators import multimodal
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 23).alias("seed"),
+        (F.col("doc_id") % 3).alias("gain"),
+    )
+    wavs = multimodal.synthesize_noise_wav_payloads(
+        d, "seed", gain_col="gain"
+    )
+    out = multimodal.audio_near_dups(wavs, "doc_id", "payload")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q(
     "multimodal_image_dedup_clusters",
     _IMG_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,

@@ -689,3 +689,63 @@ def test_near_dedup_images_facade_polymorphism(spark):
     assert {r["img_id"] for r in out.df.collect()} == {1, 3}
     with pytest.raises(ValueError, match="event-time"):
         DataStream(imgs).near_dedup_images("img_id")
+
+
+class TestAudioFingerprint:
+    def test_loudness_invariance_and_discrimination(self, spark):
+        """A gain-scaled copy fingerprints IDENTICALLY (energy-delta
+        signs are scale-invariant); independent seeds differ in ~half
+        the 63 bits."""
+        rows = [(1, 5, 0), (2, 5, 2), (3, 6, 0)]
+        df = spark.createDataFrame(rows, ["clip_id", "seed", "gain"])
+        wavs = multimodal.synthesize_noise_wav_payloads(
+            df, "seed", gain_col="gain"
+        )
+        fp = {
+            r["clip_id"]: (r["fp_hi"], r["fp_lo"])
+            for r in multimodal.audio_fingerprint(wavs, "payload").collect()
+        }
+        assert fp[1] == fp[2]
+        diff = bin(fp[1][0] ^ fp[3][0]).count("1") + bin(
+            fp[1][1] ^ fp[3][1]
+        ).count("1")
+        assert diff > 10, f"independent seeds too close: {diff} bits"
+        for hi, lo in fp.values():
+            assert 0 <= hi < 2**32 and 0 <= lo < 2**31
+
+    def test_near_dups_pairs_scaled_copies(self, spark):
+        rows = [(1, 5, 0), (2, 5, 2), (3, 6, 0), (4, 7, 1)]
+        df = spark.createDataFrame(rows, ["clip_id", "seed", "gain"])
+        wavs = multimodal.synthesize_noise_wav_payloads(
+            df, "seed", gain_col="gain"
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in multimodal.audio_near_dups(wavs, "clip_id").collect()
+        }
+        assert pairs == {(1, 2): 0}
+
+    def test_undecodable_and_short_clips_null(self, spark, binary_df):
+        out = multimodal.audio_fingerprint(binary_df, "payload").collect()
+        assert all(r["fp_hi"] is None and r["fp_lo"] is None for r in out)
+        # a clip shorter than n_frames samples can't be framed
+        df = spark.createDataFrame([(1, 5)], ["clip_id", "seed"])
+        tiny = multimodal.synthesize_noise_wav_payloads(df, "seed", n_samples=10)
+        row = multimodal.audio_fingerprint(tiny, "payload").collect()[0]
+        assert row["fp_hi"] is None
+
+    def test_square_wave_corpus_degenerate_by_design(self, spark):
+        """The closed-form square-wave corpus has constant per-frame
+        energy, so its fingerprints collapse — documented behavior,
+        and why the noise-WAV synthesizer exists (the audio analogue
+        of the gradient-image collision)."""
+        # ids chosen so n_samples = h·b ≥ 64 frames (id 6: 7·16=112,
+        # id 48: 7·58=406); constant |amplitude| → every frame energy
+        # equal → every delta bit 0 → all fingerprints collapse to 0
+        df = spark.createDataFrame([(i,) for i in (6, 48)], ["clip_id"])
+        wavs = multimodal.synthesize_wav_payloads(df, "clip_id")
+        fps = {
+            (r["fp_hi"], r["fp_lo"])
+            for r in multimodal.audio_fingerprint(wavs, "payload").collect()
+        }
+        assert fps == {(0, 0)}

@@ -75,6 +75,8 @@ ALLOW_PYTHON = {
                                         # connected-components rounds
     "multimodal_image_near_gate",       # same hash kernel; ownership window
                                         # is JVM-side
+    "multimodal_audio_neardup",         # WAV decode + fingerprint kernel;
+                                        # pairing is JVM bucket-collect
     "text_bpe_pack_sequences",    # tokenize kernel; packing itself is JVM
 }
 ALLOW_SINGLE_PART = {
