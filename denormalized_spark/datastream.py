@@ -579,6 +579,45 @@ class DataStream:
             )
         return DataStream(out, event_time=None, watermark=self.watermark)
 
+    def near_dedup_audio(
+        self,
+        id_col: str = "doc_id",
+        binary_col: str = "payload",
+        *,
+        n_frames: int = 64,
+        emit_window_ms: int = 60_000,
+        payload_cols: Sequence[str] = (),
+    ) -> "DataStream":
+        """Energy-envelope near-duplicate filter for AUDIO payloads —
+        the third modality of the path-polymorphic gate family
+        (:meth:`near_dedup` for text, :meth:`near_dedup_images` for
+        images): on a stream the online first-claimant band gate
+        (:func:`~denormalized_spark.operators.multimodal.
+        audio_near_gate`), on a batch its deterministic twin. The
+        fingerprint is loudness-invariant, so re-normalized copies
+        are gated too. Undecodable/too-short clips are dropped.
+        Requires an event-time column."""
+        from denormalized_spark.operators.multimodal import (
+            audio_near_gate,
+            audio_near_gate_batch,
+        )
+
+        if self.event_time is None:
+            raise ValueError("near_dedup_audio() requires an event-time column")
+        if self._df.isStreaming:
+            out = audio_near_gate(
+                self._df, id_col, binary_col, self.event_time,
+                n_frames=n_frames, watermark=self.watermark,
+                emit_window_ms=emit_window_ms,
+                payload_cols=tuple(payload_cols),
+            )
+        else:
+            out = audio_near_gate_batch(
+                self._df, id_col, binary_col, self.event_time,
+                n_frames=n_frames, payload_cols=tuple(payload_cols),
+            )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     def funnel(
         self,
         steps: Sequence[str],

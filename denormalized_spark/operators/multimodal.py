@@ -863,11 +863,20 @@ def image_near_gate_batch(
     applied to the image modality. One band-key shuffle, no pair
     generation; used for stream-vs-batch parity and backfills that
     must agree with the online gate."""
-    from pyspark.sql import Window
-
     banded = _image_banded(
         df, id_col, binary_col, event_time, method, payload_cols
     )
+    return _band_gate_batch(banded, id_col, event_time, payload_cols)
+
+
+def _band_gate_batch(
+    banded: DataFrame, id_col: str, event_time: str, payload_cols: tuple
+) -> DataFrame:
+    """Shared batch ownership core of the perceptual-hash gates:
+    earliest (event_time, id) claimant per (band, key), survivor owns
+    all 4 bands. One band-key shuffle, no pair generation."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("band", "key").orderBy(event_time, id_col)
     owned = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
@@ -881,6 +890,33 @@ def image_near_gate_batch(
         )
         .filter(F.col("_n_owned") == 4)
         .select(id_col, event_time, *payload_cols)
+    )
+
+
+def _band_gate_stream(
+    banded: DataFrame,
+    id_col: str,
+    event_time: str,
+    watermark: str,
+    emit_window_ms: int,
+    payload_cols: tuple,
+) -> DataFrame:
+    """Shared streaming ownership core of the perceptual-hash gates:
+    ``dropDuplicatesWithinWatermark`` on (band, key) — one state row
+    per distinct bucket, watermark-TTL'd — then an emit-window
+    survivor count == 4 to give append mode a close point."""
+    banded = banded.withWatermark(event_time, watermark)
+    owned = banded.dropDuplicatesWithinWatermark(["band", "key"])
+    win = F.window(event_time, f"{emit_window_ms} milliseconds")
+    return (
+        owned.groupBy(win.alias("_w"), F.col(id_col))
+        .agg(
+            F.count("*").alias("_n_owned"),
+            F.min(event_time).alias("_ts"),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .filter(F.col("_n_owned") == 4)
+        .select(id_col, F.col("_ts").alias(event_time), *payload_cols)
     )
 
 
@@ -919,18 +955,83 @@ def image_near_gate(
     documents."""
     banded = _image_banded(
         df, id_col, binary_col, event_time, method, payload_cols
-    ).withWatermark(event_time, watermark)
-    owned = banded.dropDuplicatesWithinWatermark(["band", "key"])
-    win = F.window(event_time, f"{emit_window_ms} milliseconds")
-    return (
-        owned.groupBy(win.alias("_w"), F.col(id_col))
-        .agg(
-            F.count("*").alias("_n_owned"),
-            F.min(event_time).alias("_ts"),
-            *[F.first(c).alias(c) for c in payload_cols],
-        )
-        .filter(F.col("_n_owned") == 4)
-        .select(id_col, F.col("_ts").alias(event_time), *payload_cols)
+    )
+    return _band_gate_stream(
+        banded, id_col, event_time, watermark, emit_window_ms, payload_cols
+    )
+
+
+def _audio_banded(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    event_time: str,
+    n_frames: int,
+    payload_cols: tuple,
+) -> DataFrame:
+    """Audio twin of :func:`_image_banded`: fingerprint → four 16-bit
+    band rows per decodable clip (undecodable/too-short clips are
+    dropped — no fingerprint to contest a bucket with)."""
+    fp = audio_fingerprint(df, binary_col, n_frames).filter(
+        F.col("fp_hi").isNotNull()
+    )
+    bands = F.array(
+        F.shiftright("fp_hi", 16),
+        F.col("fp_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("fp_lo", 16),
+        F.col("fp_lo").bitwiseAND(F.lit(65535)),
+    )
+    return fp.select(
+        F.col(id_col),
+        F.col(event_time),
+        *[F.col(c) for c in payload_cols],
+        F.posexplode(bands).alias("band", "key"),
+    )
+
+
+def audio_near_gate_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    event_time: str = "ts",
+    *,
+    n_frames: int = 64,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic batch twin of :func:`audio_near_gate` — the
+    image gate's ownership semantics over audio fingerprints:
+    earliest (event_time, id) claimant per band bucket, survivor owns
+    all four. Loudness-normalized re-uploads of an earlier clip are
+    gated; used for parity tests and backfills."""
+    banded = _audio_banded(
+        df, id_col, binary_col, event_time, n_frames, payload_cols
+    )
+    return _band_gate_batch(banded, id_col, event_time, payload_cols)
+
+
+def audio_near_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    event_time: str = "ts",
+    *,
+    n_frames: int = 64,
+    watermark: str = "0 seconds",
+    emit_window_ms: int = 60_000,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """STREAMING audio near-dup gate: the clip stream's analogue of
+    :func:`image_near_gate` — fingerprint bands through
+    ``dropDuplicatesWithinWatermark``, bucket-count-sized state, an
+    emit window for append-mode closure. A repeated jingle/silence
+    clip (or a loudness-renormalized copy — the fingerprint is
+    scale-invariant) collides with the first claimant's buckets and
+    is dropped online."""
+    banded = _audio_banded(
+        df, id_col, binary_col, event_time, n_frames, payload_cols
+    )
+    return _band_gate_stream(
+        banded, id_col, event_time, watermark, emit_window_ms, payload_cols
     )
 
 

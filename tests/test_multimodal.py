@@ -749,3 +749,78 @@ class TestAudioFingerprint:
             for r in multimodal.audio_fingerprint(wavs, "payload").collect()
         }
         assert fps == {(0, 0)}
+
+
+class TestAudioNearGate:
+    def _clips(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [
+            # 2 = loudness-scaled copy of 1 (next minute, inside the
+            # retention horizon); 3 = distinct seed; 99 = sentinel
+            (1, 0, 5, 0),
+            (2, 1, 5, 2),
+            (3, 1, 6, 0),
+            (99, 3, 7, 0),
+        ]
+        df = spark.createDataFrame(
+            [
+                (i, t0 + datetime.timedelta(minutes=m), s, g)
+                for i, m, s, g in rows
+            ],
+            "clip_id long, ts timestamp, seed int, gain int",
+        )
+        return multimodal.synthesize_noise_wav_payloads(
+            df, "seed", gain_col="gain"
+        ).select("clip_id", "ts", "payload")
+
+    def test_batch_gate_drops_scaled_copy(self, spark):
+        out = multimodal.audio_near_gate_batch(self._clips(spark), "clip_id")
+        assert {r["clip_id"] for r in out.collect()} == {1, 3, 99}
+
+    def test_stream_matches_batch_twin(self, spark):
+        import os
+        import tempfile
+
+        clips = self._clips(spark).collect()
+        stage = tempfile.mkdtemp(prefix="ag_stage_")
+        schema = "clip_id long, ts timestamp, payload binary"
+        by_minute: dict = {}
+        for r in clips:
+            by_minute.setdefault(r["ts"], []).append(r)
+        for k, (_, chunk) in enumerate(sorted(by_minute.items())):
+            path = os.path.join(stage, f"part{k}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (1_000_000 + k,) * 2)
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "part*"))
+        )
+        gated = multimodal.audio_near_gate(sdf, "clip_id")
+        emitted = []
+        q = (
+            gated.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ag_ck_"))
+            .foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r["clip_id"] for r in emitted}
+        assert len(got) == len(emitted), "duplicate emission"
+        assert got == {1, 3}  # 99's window never closes; 2 gated
+
+    def test_facade_polymorphism(self, spark):
+        from denormalized_spark.datastream import DataStream
+
+        clips = self._clips(spark)
+        out = DataStream(clips, event_time="ts").near_dedup_audio("clip_id")
+        assert {r["clip_id"] for r in out.df.collect()} == {1, 3, 99}
+        with pytest.raises(ValueError, match="event-time"):
+            DataStream(clips).near_dedup_audio("clip_id")
