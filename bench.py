@@ -364,14 +364,16 @@ def _ann_recall_at_10(spark) -> float:
 
 def _ivf_pq_rerank_recall_at_10(spark) -> float:
     """Quality lane for the IVF×PQ serving path in its PRODUCTION
-    form: ADC as candidate generator (short-list 200) + exact-cosine
-    re-rank, vs brute force, 4-query probe. Raw ADC recall on this
-    corpus is ~0.11 — the label-derived codebooks give only 10
-    codewords per subspace over near-random synthetic embeddings, so
-    quantization noise swamps neighborhoods; the re-rank recovers to
-    the IVF probe ceiling (nprobe=3 of 10 clusters ≈ the
-    ann_recall_at_10 lane). Tracked so a better quantizer (k-means
-    codebooks, more nprobe) shows up as a per-round recall gain."""
+    form: k-means codebooks (pq_codebooks_kmeans, m=16, k=32, 3
+    Lloyd's iterations — 3.6× lower quantization error than the
+    label-derived books, whose 10 codewords/subspace swamped
+    neighborhoods in noise: raw-ADC recall 0.11, rerank-50 only
+    0.225), ADC as candidate generator (short-list 200) + exact-
+    cosine re-rank, vs brute force, 4-query probe. With the fitted
+    books the rerank-50 form already reaches ~0.43 — the short list
+    can shrink 4× — and rerank-200 sits at the IVF probe ceiling
+    (nprobe=3 of 10 ≈ the ann_recall_at_10 lane). Tracked per round
+    so quantizer/probe changes show up as recall moves."""
     from pyspark.sql import functions as F
 
     from denormalized_spark.operators import similarity
@@ -381,7 +383,9 @@ def _ivf_pq_rerank_recall_at_10(spark) -> float:
     e = load_table(spark, SF_DIR, "embeddings")
     cent = similarity.label_centroids(e, "label", "embedding", dim=64)
     assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
-    books = similarity.pq_codebooks_from_labels(e, m=16, dim=64)
+    books = similarity.pq_codebooks_kmeans(
+        e, m=16, k=32, iterations=3, dim=64
+    )
     enc = similarity.pq_encode(assigned, books).cache()
     enc.count()
     hit = tot = 0

@@ -600,6 +600,83 @@ def pq_codebooks_from_labels(
     ]
 
 
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+    init: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
+    """K-MEANS product-quantization codebooks — the production fitter
+    :func:`pq_codebooks_from_labels` points at: per-subspace Lloyd's
+    with ``k`` cells, run for ALL ``m`` subspaces simultaneously so
+    each iteration costs ONE corpus pass (the :func:`pq_encode`
+    assignment expression — codebooks as constant-folded literals,
+    argmin per subspace) plus ONE exploded (subspace, code)-keyed
+    partial-agged update shuffle; only the m·k centroid ROWS (metadata)
+    ever reach the driver, once per iteration — the same
+    k-rows-to-literals loop as ``kmeans_fit(materialize_every=...)``.
+
+    Deterministic and engine-portable: init = the subvectors of the
+    ``k`` smallest ``id_col`` rows (override with ``init``), every
+    iteration re-rounds centroids and distances to ``round_digits`` so
+    float drift cannot cascade, ties break code-asc, and an emptied
+    cell keeps its previous centroid. On corpora where labels don't
+    track subvector geometry (any real embedding space), this
+    replaces the 10-codeword-per-subspace label books with ``k``
+    fitted cells — the quantization-error drop shows up directly in
+    the bench's ann_pq_rerank_recall lane."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    if init is None:
+        seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        if len(seeds) < k:
+            raise ValueError(f"need >= k={k} rows to seed the codebooks")
+        init = [
+            [
+                [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]]
+                for r in seeds
+            ]
+            for s in range(m)
+        ]
+    books = init
+    vecs = df.select(vec_col)
+    for _ in range(iterations):
+        enc = pq_encode(vecs, books, vec_col, round_digits=round_digits)
+        ex = enc.select(
+            F.col(vec_col), F.posexplode("pq_code").alias("s", "c")
+        ).select(
+            "s",
+            "c",
+            F.slice(
+                F.col(vec_col), F.col("s") * sub + 1, F.lit(sub)
+            ).alias("_sv"),
+        )
+        upd = ex.groupBy("s", "c").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at("_sv", j + 1).cast("double")),
+                    round_digits,
+                ).alias(f"_u{j}")
+                for j in range(sub)
+            ]
+        )
+        got = {
+            (r["s"], r["c"]): [float(r[f"_u{j}"]) for j in range(sub)]
+            for r in upd.collect()  # m·k rows of metadata
+        }
+        books = [
+            [got.get((s, c), books[s][c]) for c in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
 def _sub_sqdist(sub_vec: Column, centroid: Column) -> Column:
     """Squared L2 distance between a subvector and a centroid array —
     zip_with + fold, left-to-right term order (the order the oracles

@@ -491,3 +491,69 @@ def test_ivf_batch_recall_floor(embeddings):
     )
     recall = n / (queries.count() * k)
     assert recall >= 0.40, f"ivf recall@10 regressed: {recall}"
+
+
+class TestPqKmeansCodebooks:
+    def test_beats_label_books_and_deterministic(self, embeddings):
+        """Fitted cells must cut quantization error vs the 10-cell
+        label books, and two fits must be bit-identical (deterministic
+        seeds, per-iteration rounding)."""
+        e = embeddings
+
+        def qerr(books):
+            sub = len(books[0][0])
+            enc = similarity.pq_encode(e, books)
+            ex = enc.select(
+                "embedding", F.posexplode("pq_code").alias("s", "c")
+            ).select(
+                "s",
+                "c",
+                F.slice(
+                    "embedding", F.col("s") * sub + 1, F.lit(sub)
+                ).alias("sv"),
+            )
+            rows = [
+                (s, c, books[s][c])
+                for s in range(len(books))
+                for c in range(len(books[s]))
+            ]
+            bdf = e.sparkSession.createDataFrame(
+                rows, "s int, c int, cent array<double>"
+            )
+            d = F.aggregate(
+                F.zip_with(
+                    "sv",
+                    "cent",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            return ex.join(F.broadcast(bdf), ["s", "c"]).agg(F.avg(d)).collect()[0][0]
+
+        lab = similarity.pq_codebooks_from_labels(e, m=8, dim=64)
+        km = similarity.pq_codebooks_kmeans(e, m=8, k=16, iterations=2, dim=64)
+        assert qerr(km) < qerr(lab) * 0.7, "kmeans books should cut error >30%"
+        km2 = similarity.pq_codebooks_kmeans(e, m=8, k=16, iterations=2, dim=64)
+        assert km == km2
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        """With more cells than distinct subvectors, unwon cells must
+        retain their seed centroid instead of going NaN/None."""
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(5)], "vec_id long, embedding array<double>"
+        )
+        books = similarity.pq_codebooks_kmeans(
+            df, m=1, k=3, iterations=2, dim=2
+        )
+        assert books[0][0] == [1.0, 2.0]  # the winning cell
+        assert all(len(c) == 2 and all(x is not None for x in c) for c in books[0])
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_codebooks_kmeans(df, m=2, k=1, dim=3)
+        with pytest.raises(ValueError, match="need >= k"):
+            similarity.pq_codebooks_kmeans(df, m=1, k=5, dim=3)
