@@ -166,7 +166,7 @@ def image_features(
                 # empty cells only when the image is smaller than the
                 # grid — define those as 0.0
                 vals = np.where(
-                    counts > 0, sums / np.maximum(counts, 1) / 1000.0, 0.0
+                    counts > 0, sums / (np.maximum(counts, 1) * 1000.0), 0.0
                 )
                 feats.append([float(v) for v in vals.flatten()])
             pdf["features"] = feats
@@ -371,9 +371,20 @@ def audio_fingerprint(
     re-encoded/volume-normalized copy fingerprints identically.
     Undecodable payloads (or clips shorter than ``n_frames``
     samples) yield NULLs, never a task failure. Pure mapInPandas
-    projection — no shuffle."""
+    projection — no shuffle.
+
+    ``n_frames`` must be in [34, 65]: below 34 the lo half carries no
+    bits (every clip lands in one band-2/3 bucket — quadratic pair
+    generation downstream); above 65 the lo half exceeds 32 bits and
+    the band math loses its no-overflow guarantee (≥98 would overflow
+    int64 outright)."""
     import numpy as np
 
+    if not (34 <= n_frames <= 65):
+        raise ValueError(
+            f"n_frames must be in [34, 65] so both fingerprint halves carry "
+            f"real bits and fit 32 bits, got {n_frames}"
+        )
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

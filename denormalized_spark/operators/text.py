@@ -865,8 +865,11 @@ def pack_token_sequences(
         exclusive=True,
         num_partitions=num_partitions,
     )
-    first = F.floor(F.col("_off") / seq_len).cast("long")
-    last = F.floor((F.col("_off") + F.col("_m") - 1) / seq_len).cast("long")
+    # integer `div`, never floating F.floor(a/b): past 2^53 cumulative
+    # tokens a double quotient loses integer exactness (offsets are
+    # nonnegative, so div == floor here)
+    first = F.expr(f"_off div {int(seq_len)}").cast("long")
+    last = F.expr(f"(_off + _m - 1) div {int(seq_len)}").cast("long")
     start = F.greatest(F.col("seq_id") * seq_len - F.col("_off"), F.lit(0))
     end = F.least(
         (F.col("seq_id") + 1) * seq_len - F.col("_off"), F.col("_m")

@@ -62,27 +62,56 @@ def write_feast_feature(
     mode = _resolve_push_mode(to)
 
     def push_batch(batch_df, _epoch=None):
-        import pandas as pd
-
         cols = batch_df.columns
+        schema = batch_df.schema
         buf: list = []
         for row in batch_df.toLocalIterator():
             buf.append(row)
             if len(buf) >= max_rows_per_push:
                 feature_store.push(
-                    push_source_name,
-                    pd.DataFrame.from_records(buf, columns=cols),
-                    to=mode,
+                    push_source_name, _chunk_frame(buf, cols, schema), to=mode
                 )
                 buf = []
         if buf:
             feature_store.push(
-                push_source_name,
-                pd.DataFrame.from_records(buf, columns=cols),
-                to=mode,
+                push_source_name, _chunk_frame(buf, cols, schema), to=mode
             )
 
     return ds.sink(push_batch, checkpoint=checkpoint, trigger=trigger)
+
+
+_PANDAS_DTYPE = {
+    "ByteType": "Int8",
+    "ShortType": "Int16",
+    "IntegerType": "Int32",
+    "LongType": "Int64",
+    "FloatType": "float32",
+    "DoubleType": "float64",
+    "BooleanType": "boolean",
+    "StringType": "string",
+}
+
+
+def _chunk_frame(rows, cols, schema):
+    """Build a pandas frame for one push chunk with dtypes pinned to
+    the BATCH schema, not re-inferred per chunk: ``from_records`` over
+    Row tuples infers column dtypes from the chunk's own values, so a
+    chunk whose int column contains a NULL (→ float64/object) or is
+    all-None (→ object) would present a different schema to
+    ``feature_store.push`` than its neighbors. Numeric/bool columns
+    get the matching NULLABLE pandas dtype, timestamps/dates become
+    datetime64; strings become the nullable ``string`` dtype;
+    arrays/maps/structs stay object (the pandas-native shape)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(rows, columns=cols)
+    for field in schema.fields:
+        kind = type(field.dataType).__name__
+        if kind in ("TimestampType", "TimestampNTZType", "DateType"):
+            pdf[field.name] = pd.to_datetime(pdf[field.name])
+        elif kind in _PANDAS_DTYPE:
+            pdf[field.name] = pdf[field.name].astype(_PANDAS_DTYPE[kind])
+    return pdf
 
 
 def _resolve_push_mode(to: str):
