@@ -373,17 +373,20 @@ def audio_fingerprint(
     samples) yield NULLs, never a task failure. Pure mapInPandas
     projection — no shuffle.
 
-    ``n_frames`` must be in [34, 65]: below 34 the lo half carries no
-    bits (every clip lands in one band-2/3 bucket — quadratic pair
-    generation downstream); above 65 the lo half exceeds 32 bits and
-    the band math loses its no-overflow guarantee (≥98 would overflow
-    int64 outright)."""
+    ``n_frames`` must be in [50, 65]: the fingerprint has
+    ``n_frames - 1`` bits, ``hi`` takes the first 32, ``lo`` the
+    remaining ``n_frames - 33`` — below 50 ``lo`` has ≤ 16 bits, so
+    the ``shiftright(lo, 16)`` LSH band in :func:`_hash_band_pairs`
+    is 0 for EVERY clip (one global band-3 bucket → quadratic pair
+    generation when ``max_bucket_size`` is None); above 65 ``lo``
+    exceeds 32 bits and the band math loses its no-overflow
+    guarantee (≥98 would overflow int64 outright)."""
     import numpy as np
 
-    if not (34 <= n_frames <= 65):
+    if not (50 <= n_frames <= 65):
         raise ValueError(
-            f"n_frames must be in [34, 65] so both fingerprint halves carry "
-            f"real bits and fit 32 bits, got {n_frames}"
+            f"n_frames must be in [50, 65] so all four 16-bit LSH bands carry "
+            f"real bits and both halves fit 32 bits, got {n_frames}"
         )
     out_schema = T.StructType(
         list(df.schema.fields)

@@ -94,24 +94,29 @@ _PANDAS_DTYPE = {
 
 def _chunk_frame(rows, cols, schema):
     """Build a pandas frame for one push chunk with dtypes pinned to
-    the BATCH schema, not re-inferred per chunk: ``from_records`` over
-    Row tuples infers column dtypes from the chunk's own values, so a
-    chunk whose int column contains a NULL (→ float64/object) or is
-    all-None (→ object) would present a different schema to
-    ``feature_store.push`` than its neighbors. Numeric/bool columns
-    get the matching NULLABLE pandas dtype, timestamps/dates become
-    datetime64; strings become the nullable ``string`` dtype;
-    arrays/maps/structs stay object (the pandas-native shape)."""
+    the BATCH schema, not re-inferred per chunk. Each column is built
+    DIRECTLY from the row values with its target dtype — never
+    through ``from_records`` + ``astype``, whose float64 intermediate
+    for an int column containing a NULL silently corrupts values
+    above 2^53 (2^53+1 → 2^53) before the Int64 cast runs. Numeric/
+    bool columns get the matching NULLABLE pandas dtype from python
+    scalars, timestamps/dates become datetime64, strings the nullable
+    ``string`` dtype; arrays/maps/structs stay object (the
+    pandas-native shape)."""
     import pandas as pd
 
-    pdf = pd.DataFrame.from_records(rows, columns=cols)
-    for field in schema.fields:
-        kind = type(field.dataType).__name__
+    kinds = {f.name: type(f.dataType).__name__ for f in schema.fields}
+    data = {}
+    for idx, name in enumerate(cols):
+        values = [row[idx] for row in rows]
+        kind = kinds.get(name)
         if kind in ("TimestampType", "TimestampNTZType", "DateType"):
-            pdf[field.name] = pd.to_datetime(pdf[field.name])
+            data[name] = pd.Series(pd.to_datetime(values))
         elif kind in _PANDAS_DTYPE:
-            pdf[field.name] = pdf[field.name].astype(_PANDAS_DTYPE[kind])
-    return pdf
+            data[name] = pd.array(values, dtype=_PANDAS_DTYPE[kind])
+        else:
+            data[name] = pd.Series(values, dtype=object)
+    return pd.DataFrame(data, columns=list(cols))
 
 
 def _resolve_push_mode(to: str):

@@ -125,3 +125,27 @@ def test_batch_datastream_pushes_once(spark):
     assert len(store.pushes) == 1
     source_name, pdf, to = store.pushes[0]
     assert source_name == "src" and to == "offline" and len(pdf) == 2
+
+
+def test_chunk_dtypes_pinned_and_exact(spark):
+    """Regression (round 8/9): chunk dtypes come from the BATCH schema,
+    built directly at the target dtype — an int column with a NULL in
+    the chunk must present as nullable Int64 (not float64/object), an
+    all-None int chunk as Int64 (not object), and a long above 2^53
+    must survive EXACTLY (the from_records float64 intermediate would
+    collapse 2^53+1 to 2^53)."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(big, None, "x", None), (None, None, None, 1.5)],
+        "n long, m long, s string, v double",
+    )
+    store = FakeFeatureStore()
+    write_feast_feature(DataStream(df), store, push_source_name="src")
+    assert len(store.pushes) == 1
+    pdf = store.pushes[0][1]
+    assert str(pdf["n"].dtype) == "Int64"
+    assert str(pdf["m"].dtype) == "Int64"  # all-None chunk still pinned
+    assert str(pdf["s"].dtype) == "string"
+    assert str(pdf["v"].dtype) == "float64"
+    vals = set(pdf["n"].dropna().astype("int64").tolist())
+    assert vals == {big}  # exact past 2^53 — no float intermediate

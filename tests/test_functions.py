@@ -749,3 +749,35 @@ class TestPackTokenSequences:
         # every non-final sequence is exactly full
         seqs = packed.orderBy("seq_id").collect()
         assert all(r["n_real"] == 128 for r in seqs[:-1])
+
+    def test_seq_id_arithmetic_integer_exact_past_2_53(self, spark):
+        """Regression (round 8): seq ids come from integer `div`, never
+        F.floor(a/b) — past 2^53 cumulative tokens the double quotient
+        rounds and mis-assigns fragments. Pin (a) the exact arithmetic
+        pattern at synthetic offsets >2^53 where floor() demonstrably
+        diverges, and (b) that the operator's plan actually uses `div`."""
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.text import pack_token_sequences
+
+        L = 13
+        offs = [(1 << 53) + 1, (1 << 53) + 7, (1 << 62) + 12345, (1 << 31) + 3]
+        df = spark.createDataFrame([(o,) for o in offs], "_off long")
+        got = df.select(
+            "_off",
+            F.expr(f"_off div {L}").cast("long").alias("d"),
+            F.floor(F.col("_off") / L).alias("f"),
+        ).collect()
+        for r in got:
+            assert r["d"] == r["_off"] // L
+        # the float path really does diverge up there (bug class is live)
+        assert any(r["f"] != r["_off"] // L for r in got)
+
+        packed = pack_token_sequences(
+            spark.createDataFrame(
+                [(1, [1, 2, 3])], "doc_id long, token_ids array<int>"
+            ),
+            4,
+        )
+        plan = packed._jdf.queryExecution().analyzed().toString()
+        assert " div " in plan, "pack must keep integer div seq-id arithmetic"

@@ -750,6 +750,25 @@ class TestAudioFingerprint:
         }
         assert fps == {(0, 0)}
 
+    def test_n_frames_bounds_rejected(self, spark):
+        """Regression (round 9): n_frames must be in [50, 65]. Below 50
+        the lo half has ≤16 bits so the shiftright(lo,16) LSH band is 0
+        for EVERY clip (one global bucket → quadratic pairs); above 65
+        the lo half exceeds 32 bits and the band math can overflow.
+        49 is the sharp edge: lo would have exactly 16 bits."""
+        df = spark.createDataFrame([(1, 5)], ["clip_id", "seed"])
+        wavs = multimodal.synthesize_noise_wav_payloads(df, "seed")
+        for bad in (33, 49, 66):
+            with pytest.raises(ValueError, match=r"\[50, 65\]"):
+                multimodal.audio_fingerprint(wavs, "payload", n_frames=bad)
+        # boundary values are accepted and yield in-range halves
+        for ok in (50, 65):
+            row = multimodal.audio_fingerprint(
+                wavs, "payload", n_frames=ok
+            ).collect()[0]
+            assert 0 <= row["fp_hi"] < 2**32 and 0 <= row["fp_lo"] < 2**32
+            assert row["fp_lo"] >= 0
+
 
 class TestAudioNearGate:
     def _clips(self, spark):
