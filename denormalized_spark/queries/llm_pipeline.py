@@ -3034,6 +3034,91 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pq_train_oracle(m: int = 4, k: int = 8, sub: int = 16) -> str:
+    """Unrolled 2-iteration Lloyd's oracle for the k-means PQ codebook
+    TRAINER (operators/similarity.pq_codebooks_kmeans): seeds = the
+    k smallest-vec_id subvectors, each iteration assigns every
+    (vector, subspace) to its nearest cell by ROUNDED squared L2
+    (code-asc tiebreak — same struct-min order as pq_encode), then
+    re-centers each cell at the rounded component means; an emptied
+    cell keeps its previous centroid (the coalesce). Distances are
+    written as the same left-to-right 16-term sum the Spark fold
+    evaluates, so the rounded values are bit-identical."""
+    seed_comps = ", ".join(
+        f"seeds.embedding[ss.s * {sub} + {j + 1}]::DOUBLE AS v_{j}"
+        for j in range(sub)
+    )
+    sv_comps = ", ".join(
+        f"e.embedding[ss.s * {sub} + {j + 1}]::DOUBLE AS x_{j}"
+        for j in range(sub)
+    )
+    dist = " + ".join(
+        f"(sv.x_{j} - b.v_{j}) * (sv.x_{j} - b.v_{j})" for j in range(sub)
+    )
+    upd = ", ".join(f"round(avg(a.x_{j}), 6) AS v_{j}" for j in range(sub))
+    coal = ", ".join(f"coalesce(u.v_{j}, b.v_{j}) AS v_{j}" for j in range(sub))
+    vs = ", ".join(f"v_{j}" for j in range(sub))
+
+    def lloyd(book: str, a: str, u: str, nxt: str) -> str:
+        return f"""
+    {a} AS (
+      SELECT * FROM (
+        SELECT sv.*, b.c,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.s
+                 ORDER BY round({dist}, 6) ASC, b.c ASC
+               ) AS rn
+        FROM sv JOIN {book} b ON b.s = sv.s
+      ) WHERE rn = 1
+    ),
+    {u} AS (SELECT a.s, a.c, {upd} FROM {a} a GROUP BY a.s, a.c),
+    {nxt} AS (
+      SELECT b.s, b.c, {coal}
+      FROM {book} b LEFT JOIN {u} u ON u.s = b.s AND u.c = b.c
+    )"""
+
+    return f"""
+    WITH ss AS (SELECT unnest(range({m})) AS s),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    book0 AS (SELECT ss.s, seeds.c, {seed_comps} FROM seeds CROSS JOIN ss),
+    sv AS (SELECT e.vec_id, ss.s, {sv_comps} FROM embeddings e CROSS JOIN ss),
+    {lloyd("book0", "a1", "u1", "book1")},
+    {lloyd("book1", "a2", "u2", "book2")}
+    SELECT s, c, {vs} FROM book2
+    """
+
+
+@q("sim_pq_train", _pq_train_oracle())
+def sim_pq_train(spark: SparkSession, sf: str) -> DataFrame:
+    """The k-means PQ codebook TRAINER itself, value-checked
+    cross-engine (operators/similarity.pq_codebooks_kmeans): m=4
+    subspaces × k=8 cells fitted with 2 Lloyd's iterations — each
+    iteration is ONE corpus pass (pq_encode assignment with the
+    current books as constant-folded literals) plus ONE (subspace,
+    code)-keyed partial-agged update shuffle; only the m·k centroid
+    rows reach the driver per iteration. Deterministic seeding (k
+    smallest vec_ids) + per-iteration rounding make the whole
+    TRAINING TRAJECTORY engine-portable, so the fitted codebook table
+    hash-matches DuckDB's unrolled-CTE replay — the same pattern that
+    oracles kmeans_clusters and text_train_linear_langid."""
+    e = t(spark, sf, "embeddings")
+    books = similarity.pq_codebooks_kmeans(
+        e, m=4, k=8, iterations=2, dim=64
+    )
+    rows = [
+        (s, c, *[float(v) for v in cell])
+        for s, book in enumerate(books)
+        for c, cell in enumerate(book)
+    ]
+    schema = "s long, c long, " + ", ".join(
+        f"v_{j} double" for j in range(16)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @q(
     "sim_batch_topk",
     f"""
