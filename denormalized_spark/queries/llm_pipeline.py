@@ -901,6 +901,36 @@ def _lsh_sig_sql(tbl: int, num_planes: int, dim: int) -> str:
 
 
 _LSH_PLANES, _LSH_TABLES = 4, 4
+# Production template: ALWAYS cap bucket size. In-bucket pair generation
+# is quadratic in population, so a degenerate region (constant/boilerplate
+# embeddings) turns an uncapped bucket into the job's memory bound. 512 is
+# ~4x the expected bucket population at the largest test SF (2000/16 = 125;
+# max observed 198), so the cap never binds on healthy data — it exists to
+# bound the pathological bucket. At production scale ALSO raise planes
+# ∝ log2(corpus) (operators/similarity.lsh_bucketed_neighbors docstring).
+_LSH_CAP = 512
+
+
+def _lsh_ok_ctes(tables: int, cap: int) -> str:
+    """Per-table surviving-bucket CTEs — the oracle mirror of
+    max_bucket_size (a HAVING on per-signature population)."""
+    return ",\n    ".join(
+        f"ok{t_} AS (SELECT s{t_} AS b FROM sig GROUP BY s{t_}"
+        f" HAVING count(*) <= {cap})"
+        for t_ in range(tables)
+    )
+
+
+def _lsh_pair_cond(tables: int) -> str:
+    """Candidate condition: the pair shares some table's bucket AND
+    that bucket survived the size cap (pairs inside an oversized
+    bucket can still surface through another table — same recall
+    semantics as the Spark operator's per-(table,bucket) filter)."""
+    return " OR ".join(
+        f"(a.s{t_} = b.s{t_} AND a.s{t_} IN (SELECT b FROM ok{t_}))"
+        for t_ in range(tables)
+    )
+
 
 @q(
     "sim_lsh_buckets",
@@ -910,12 +940,13 @@ _LSH_PLANES, _LSH_TABLES = 4, 4
              {", ".join(f"{_lsh_sig_sql(t_, _LSH_PLANES, 64)} AS s{t_}" for t_ in range(_LSH_TABLES))}
       FROM embeddings
     ),
+    {_lsh_ok_ctes(_LSH_TABLES, _LSH_CAP)},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.embedding AS va, b.embedding AS vb
       FROM sig a JOIN sig b
         ON a.vec_id < b.vec_id
-       AND ({" OR ".join(f"a.s{t_} = b.s{t_}" for t_ in range(_LSH_TABLES))})
+      WHERE {_lsh_pair_cond(_LSH_TABLES)}
     )
     SELECT id_a, id_b, cosine_sim FROM (
       SELECT id_a, id_b,
@@ -929,14 +960,16 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     (OR-construction): recall for a pair at angle θ is
     1 − (1 − (1 − θ/π)⁴)⁴ ≈ 87% at cos 0.8. Fully oracle-checked
     (the hyperplanes are engine-portable literals); tests additionally
-    assert recall ≥ bound vs the brute-force sim_threshold_pairs."""
+    assert recall ≥ bound vs the brute-force sim_threshold_pairs.
+    Carries the PRODUCTION config: max_bucket_size caps quadratic
+    pair generation on degenerate buckets (see _LSH_CAP note)."""
     e = t(spark, sf, "embeddings")
     # inner prune at the exact pre-image of round(c,6) >= 0.3, so the
     # cheap filter runs before the dedup shuffle without changing the
     # rounded-value semantics the oracle checks
     out = similarity.lsh_bucketed_neighbors(
         e, dim=64, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES,
-        min_cosine=0.2999995,
+        min_cosine=0.2999995, max_bucket_size=_LSH_CAP,
     )
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
@@ -953,12 +986,13 @@ _ND_PLANES, _ND_TABLES, _ND_TAU = 4, 8, 0.4
              {", ".join(f"{_lsh_sig_sql(t_, _ND_PLANES, 64)} AS s{t_}" for t_ in range(_ND_TABLES))}
       FROM embeddings
     ),
+    {_lsh_ok_ctes(_ND_TABLES, _LSH_CAP)},
     dups AS (
       SELECT DISTINCT b.vec_id AS dup_id
       FROM sig a JOIN sig b
         ON a.vec_id < b.vec_id
-       AND ({" OR ".join(f"a.s{t_} = b.s{t_}" for t_ in range(_ND_TABLES))})
-      WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+      WHERE ({_lsh_pair_cond(_ND_TABLES)})
+        AND round(({_dot_sql('a.embedding', 'b.embedding')})
                   / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= {_ND_TAU}
     )
     SELECT e.vec_id, e.label FROM embeddings e
@@ -973,13 +1007,15 @@ def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     verify exact cosine on candidates only, drop the higher vec_id of
     each confirmed pair (min-id survivor, one pass — the standard
     star-dedup approximation of connected components). Fully
-    oracle-checked via engine-portable hyperplane literals."""
+    oracle-checked via engine-portable hyperplane literals. Carries
+    the PRODUCTION config: max_bucket_size bounds in-bucket pair
+    generation on degenerate corpora (see _LSH_CAP note)."""
     from denormalized_spark.operators import similarity
 
     e = t(spark, sf, "embeddings")
     pairs = similarity.lsh_bucketed_neighbors(
         e, dim=64, num_planes=_ND_PLANES, num_tables=_ND_TABLES,
-        min_cosine=_ND_TAU - 5e-7,
+        min_cosine=_ND_TAU - 5e-7, max_bucket_size=_LSH_CAP,
     )
     dups = (
         pairs.filter(F.round("cosine_sim", 6) >= _ND_TAU)

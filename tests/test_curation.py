@@ -267,6 +267,35 @@ class TestAnnBucketCap:
         )
         assert capped.count() == 0  # the one oversized bucket is dropped
 
+    def test_headline_entry_cap_bounds_degenerate_corpus(self, spark):
+        """Regression (round 9): the sim_lsh_buckets /
+        dedup_embedding_neardup ENTRY configs carry max_bucket_size —
+        a corpus region that collapses to one embedding (boilerplate)
+        must not trigger quadratic in-bucket pair generation. With
+        every vector identical, each table has ONE bucket of size
+        n > _LSH_CAP, so pair output is exactly 0 — bounded work, not
+        n(n-1)/2 pairs."""
+        from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
+        from denormalized_spark.queries.llm_pipeline import (
+            _LSH_CAP,
+            _LSH_PLANES,
+            _LSH_TABLES,
+            _ND_PLANES,
+            _ND_TABLES,
+        )
+
+        n = _LSH_CAP + 8
+        d = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(1.0)] * 64).alias("embedding"),
+        )
+        for planes, tables in ((_LSH_PLANES, _LSH_TABLES), (_ND_PLANES, _ND_TABLES)):
+            out = lsh_bucketed_neighbors(
+                d, dim=64, num_planes=planes, num_tables=tables,
+                max_bucket_size=_LSH_CAP,
+            )
+            assert out.count() == 0
+
     def test_cap_keeps_small_buckets(self, spark, sf_dir):
         from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
         from denormalized_spark.sources.files import load_table
