@@ -820,6 +820,21 @@ def array_remove_all(arr, e):
     return F.array_remove(_c(arr), e)
 
 
+def array_remove_n(arr, e, max):
+    """Remove the FIRST ``max`` occurrences (DataFusion semantics,
+    reference functions.py array_remove_n): the first ``max`` match
+    POSITIONS are cut, every other element (including nulls and later
+    occurrences) survives in order. ``max <= 0`` removes nothing."""
+    a = _c(arr)
+    n = max if isinstance(max, Column) else F.lit(max)
+    cut = F.slice(array_positions(a, e), F.lit(1), F.greatest(n, F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(a))
+    return F.transform(
+        F.filter(idx, lambda i: ~F.exists(cut, lambda p: p == i)),
+        lambda i: F.element_at(a, i),
+    )
+
+
 def array_repeat(e, n):
     return F.array_repeat(_c(e) if isinstance(e, Column) else F.lit(e), n)
 
@@ -847,6 +862,25 @@ def array_replace(arr, from_val, to_val):
 def array_replace_all(arr, from_val, to_val):
     return F.transform(
         _c(arr), lambda x: F.when(x == from_val, F.lit(to_val)).otherwise(x)
+    )
+
+
+def array_replace_n(arr, from_val, to_val, max):
+    """Replace the FIRST ``max`` occurrences of ``from_val`` with
+    ``to_val`` (DataFusion semantics, reference functions.py
+    array_replace_n) — positional twin of :func:`array_remove_n`."""
+    a = _c(arr)
+    n = max if isinstance(max, Column) else F.lit(max)
+    cut = F.slice(
+        array_positions(a, from_val), F.lit(1), F.greatest(n, F.lit(0))
+    )
+    idx = F.sequence(F.lit(1), F.size(a))
+    to = _c(to_val) if isinstance(to_val, Column) else F.lit(to_val)
+    return F.transform(
+        idx,
+        lambda i: F.when(F.exists(cut, lambda p: p == i), to).otherwise(
+            F.element_at(a, i)
+        ),
     )
 
 

@@ -889,16 +889,34 @@ def scalar_hash_funcs(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "array_funcs",
     """
-    SELECT doc_id,
-           len(list_distinct(regexp_split_to_array(text, '\\s+')))            AS n_unique,
-           list_sort(list_distinct(regexp_split_to_array(text, '\\s+')))[1]   AS first_token,
-           array_to_string(list_slice(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), 1, 3), '|') AS first3,
-           list_contains(regexp_split_to_array(text, '\\s+'), 'spark')        AS has_spark
-    FROM documents WHERE doc_id < 100
+    SELECT doc_id, n_unique, first_token, first3, has_spark,
+           array_to_string(list_transform(
+             list_filter(range(1, len(toks) + 1),
+                         i -> NOT list_contains(rm_pos, i)),
+             i -> toks[i]), '|')                                            AS removed2,
+           array_to_string(list_transform(range(1, len(toks) + 1),
+             i -> CASE WHEN list_contains(rp_pos, i) THEN '_X_'
+                       ELSE toks[i] END), '|')                              AS replaced2
+    FROM (
+      SELECT doc_id, toks,
+             len(list_distinct(toks))                                      AS n_unique,
+             list_sort(list_distinct(toks))[1]                             AS first_token,
+             array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '|') AS first3,
+             list_contains(toks, 'spark')                                  AS has_spark,
+             list_slice(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'filter'), 1, 2) AS rm_pos,
+             list_slice(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan'), 1, 2)   AS rp_pos
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+            FROM documents WHERE doc_id < 100)
+    )
     """,
 )
 def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """Array function family (§2.7): distinct/sort/slice/join/contains."""
+    """Array function family (§2.7): distinct/sort/slice/join/contains
+    plus the first-N positional variants array_remove_n /
+    array_replace_n (reference functions.py:1323/1372) — the oracle
+    replays them as position-list cuts."""
+    import denormalized_spark.functions as dnf
+
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     toks = F.split(F.col("text"), r"\s+")
     uniq = F.array_sort(F.array_distinct(toks))
@@ -908,6 +926,12 @@ def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(uniq, 1).alias("first_token"),
         F.array_join(F.slice(uniq, 1, 3), "|").alias("first3"),
         F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(
+            dnf.array_remove_n(toks, F.lit("filter"), 2), "|"
+        ).alias("removed2"),
+        F.array_join(
+            dnf.array_replace_n(toks, F.lit("scan"), "_X_", 2), "|"
+        ).alias("replaced2"),
     )
 
 

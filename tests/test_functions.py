@@ -123,6 +123,29 @@ def test_array_replace_first_vs_all(spark):
     assert got == [9, 2, 9]
 
 
+def test_array_remove_n_and_replace_n(spark):
+    """First-N positional variants (reference functions.py
+    array_remove_n/array_replace_n): only the first ``max`` match
+    positions are cut/replaced; nulls, later occurrences, and order
+    survive; max <= 0 is a no-op; max > matches degrades to _all;
+    list_* aliases exist."""
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "c", "a", None, "b"],)], "xs array<string>"
+    )
+
+    def one(col):
+        return df.select(col.alias("x")).collect()[0]["x"]
+
+    assert one(dnf.array_remove_n("xs", F.lit("a"), 2)) == ["b", "c", "a", None, "b"]
+    assert one(dnf.array_remove_n("xs", F.lit("a"), 0)) == ["a", "b", "a", "c", "a", None, "b"]
+    assert one(dnf.array_remove_n("xs", F.lit("a"), 99)) == ["b", "c", None, "b"]
+    assert one(dnf.array_remove_n("xs", F.lit("zz"), 3)) == ["a", "b", "a", "c", "a", None, "b"]
+    assert one(dnf.array_replace_n("xs", F.lit("a"), "X", 2)) == ["X", "b", "X", "c", "a", None, "b"]
+    assert one(dnf.array_replace_n("xs", F.lit("b"), "Y", 1)) == ["a", "Y", "a", "c", "a", None, "b"]
+    assert one(dnf.list_remove_n("xs", F.lit("a"), 1)) == ["b", "a", "c", "a", None, "b"]
+    assert one(dnf.list_replace_n("xs", F.lit("a"), "Z", 0)) == ["a", "b", "a", "c", "a", None, "b"]
+
+
 def test_array_resize_and_slice(spark):
     df = spark.createDataFrame([([1, 2, 3],)], ["xs"])
     assert df.select(dnf.array_resize("xs", 5, 0).alias("x")).collect()[0]["x"] == [1, 2, 3, 0, 0]
