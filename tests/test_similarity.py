@@ -456,22 +456,27 @@ class TestProductQuantization:
 
 
 def test_ivf_batch_recall_floor(embeddings):
-    """Per-round quality floor for the bench's ann_recall_at_10 lane:
-    batched IVF (label-centroid quantizer, nprobe=3 of 10 clusters)
-    must beat the 0.3 random-probe baseline with margin on the
-    standard 32-query block — measured 0.453 at sf0.01 (deterministic:
-    exact arithmetic, fixed tie-breaks). A regression below 0.40 means
-    the index or probe ranking broke, not noise."""
+    """Per-round quality floor for the bench's ann_recall_at_10 lane,
+    at the lane's PRODUCTION knobs (k-means-refit coarse quantizer,
+    nprobe=4 of 10 clusters): measured 0.669 at sf0.01 / 0.722 at
+    sf0.1 (deterministic: exact arithmetic, fixed tie-breaks; the
+    round-9 sweep in bench.py documents the nprobe/quantizer
+    tradeoff — the label-centroid quantizer at the same probe budget
+    sits at 0.60). A regression below 0.60 means the index, the
+    k-means fit, or the probe ranking broke, not noise."""
     from pyspark.sql import Window
 
     k = 10
     e = embeddings
-    cent = similarity.label_centroids(e, "label", "embedding", dim=64)
+    seed = similarity.label_centroids(e, "label", "embedding", dim=64)
+    cent = similarity.centroids_of(
+        similarity.kmeans_fit(e, seed, iterations=3), dim=64
+    )
     assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
     queries = e.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    ivf = similarity.ivf_batch_topk(queries, assigned, cent, k=k, nprobe=3)
+    ivf = similarity.ivf_batch_topk(queries, assigned, cent, k=k, nprobe=4)
     w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     brute = (
         e.crossJoin(F.broadcast(queries))
@@ -490,7 +495,7 @@ def test_ivf_batch_recall_floor(embeddings):
         .count()
     )
     recall = n / (queries.count() * k)
-    assert recall >= 0.40, f"ivf recall@10 regressed: {recall}"
+    assert recall >= 0.60, f"ivf recall@10 regressed: {recall}"
 
 
 class TestPqKmeansCodebooks:
