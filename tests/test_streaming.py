@@ -345,6 +345,96 @@ def test_stream_stream_interval_join(ctx, sf_dir, events):
     assert got == want
 
 
+def test_stream_stream_join_watermark_state_eviction(ctx):
+    """The upgrade SURVEY §2.3 names over the reference's
+    unbounded-state joins (crates/core/src/datastream.rs:149-175):
+    Spark's native stream-stream INNER join with withWatermark on BOTH
+    sides + an event-time bound keeps join state BOUNDED — rows older
+    than watermark − bound are evicted between micro-batches. Staged
+    time-ordered files (one per trigger) advance the watermark across
+    4 batches; asserts (a) exact parity with the batch inner join and
+    (b) eviction observed in the query's stateOperators progress
+    metrics: numRowsRemoved > 0 and final state smaller than total
+    ingested rows."""
+    import datetime
+    import os
+
+    spark = ctx.spark
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return base + datetime.timedelta(hours=h, minutes=m)
+
+    # batch i = hour i: 3 clicks + 3 purchases per hour, matches are
+    # same-user purchases within 5 minutes after the click
+    adir = tempfile.mkdtemp(prefix="ssje_a_")
+    bdir = tempfile.mkdtemp(prefix="ssje_b_")
+    aschema = "ua long, ts_a timestamp"
+    bschema = "ub long, ts_b timestamp"
+    arows_all, brows_all = [], []
+    for i in range(4):
+        arows = [(u, at(i, u)) for u in (1, 2, 3)]
+        brows = [(1, at(i, 3)), (2, at(i, 4)), (3, at(i, 30))]
+        arows_all += arows
+        brows_all += brows
+        for d, chunk, schema in ((adir, arows, aschema), (bdir, brows, bschema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for fn in os.listdir(path):
+                os.utime(os.path.join(path, fn), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    joined = (
+        stream(adir, aschema)
+        .withWatermark("ts_a", "10 minutes")
+        .join(stream(bdir, bschema).withWatermark("ts_b", "10 minutes"), cond)
+    )
+    rows, progresses = [], []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ssje_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+
+    # (a) parity with the batch inner join
+    a = spark.createDataFrame(arows_all, aschema)
+    b = spark.createDataFrame(brows_all, bschema)
+    want = {(r["ua"], r["ts_a"], r["ts_b"]) for r in a.join(b, cond).collect()}
+    got = {(r["ua"], r["ts_a"], r["ts_b"]) for r in rows}
+    assert got == want and len(want) == 8  # users 1,2 match every hour
+
+    # (b) watermark actually evicted join state between batches
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    assert removed > 0, "no join-state eviction observed in progress metrics"
+    final_state = sum(
+        op.get("numRowsTotal", 0) for op in progresses[-1]["stateOperators"]
+    )
+    assert final_state < len(arows_all) + len(brows_all), (
+        f"state {final_state} not bounded below ingested "
+        f"{len(arows_all) + len(brows_all)} rows"
+    )
+
+
 def test_streaming_text_quality_pipeline(ctx, sf_dir):
     """The LLM-pipeline text operators (stateless projections) run
     unchanged on the streaming path: stream the documents table,
