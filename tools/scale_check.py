@@ -122,6 +122,25 @@ def build_stress_tier(spark, base_sf: str, out_dir: str, factor: int = 10) -> st
         )
         .write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     )
+    o = load_table(spark, base_sf, "orders")
+    n_ord = o.count()
+    # replica r shifts dates by r*8 years: a factor-x LONGER order
+    # history at the SAME temporal density (real corpora extend the
+    # time range; naive replication would x-multiply the per-interval
+    # match count and make the range join look quadratic by design)
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("_rep") * n_ord * 4).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice",
+            (
+                F.col("o_orderdate")
+                + F.make_interval(years=F.col("_rep").cast("int") * 8)
+            ).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    )
     return out_dir
 
 
@@ -134,8 +153,11 @@ STRESS_QUERIES = [
     "curation_full_funnel",
     # plus the stateful/verify paths from the original list
     "dedup_jaccard_lsh_verified",
-    "join_asof_purchase_click",
+    "join_asof_purchase_click",  # union+window asof: n log n claim
     "sessionize_users",
+    # round-9 additions: growth evidence for the remaining 100 TB claims
+    "join_range_order_bursts",   # bin-bucketed range join: <=2-bin fanout claim
+    "dedup_connected_components",# iterative min-label propagation: iteration-count claim
 ]
 
 
