@@ -48,6 +48,9 @@ QUERIES = [
     "events_session_funnel",     # same exchange + session windows
     "events_anomaly_windows",    # (type, window) counts: linear
     "curation_eval_sample",      # per-group rank-limit: n log n
+    # round-9 additions
+    "join_range_order_bursts",   # bin-bucketed range join: <=2-bin fanout
+    "dedup_connected_components",# iterative min-label propagation
 ]
 
 
@@ -166,9 +169,12 @@ def stress_semantic_dedup(spark, sf_dir: str) -> None:
     plane count a production run would use (planes ≈ log2(corpus/50):
     8 planes → 256 buckets ≈ 200 members at 50k vectors) plus the
     bucket cap. The pinned-4-plane query entry is oracle-shaped and
-    deliberately under-planed at this tier — the quadratic growth it
-    shows is the documented failure mode the knobs exist to prevent,
-    not the scale path."""
+    deliberately under-planed at this tier; since round 9 it carries
+    max_bucket_size=512, so at 10x sf0.1 (avg bucket ~1250) its
+    buckets are DROPPED rather than exploding quadratically — bounded
+    work with recall loss, the documented under-planed failure
+    direction. This lane measures the properly-planed production
+    config instead."""
     import time
 
     from pyspark.sql import functions as F
