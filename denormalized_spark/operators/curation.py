@@ -446,6 +446,125 @@ def sample_n_per_group(
     )
 
 
+def dsir_bucket_weights(
+    df: DataFrame,
+    target: Column,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the DSIR importance estimator (Xie et al. 2023,
+    arXiv:2302.03169): hashed-token bag-of-words distributions for the
+    TARGET slice (rows where ``target`` is true) vs the RAW corpus,
+    Laplace-smoothed, as per-bucket log-likelihood-ratio weights.
+
+    Tokens hash to ``num_buckets`` buckets via the repo's portable
+    md5 contract (first 8 hex chars — the same token-hash family the
+    dedup/curation oracles replay in SQL); the log-ratio is stored in
+    integer MICRO-nats (``floor(lr·10⁶ + 0.5)``) so downstream
+    per-document sums are exact integer arithmetic — order-independent
+    and engine-portable, where a float sum would drift with partition
+    order.
+
+    Returns ``(_bucket, _w_micros)`` — ``num_buckets`` rows at most:
+    broadcastable metadata, not data. At 100 TB you fit this once (on
+    a sample — the estimator converges long before the full corpus)
+    and reuse it across every shard via :func:`importance_weights`'s
+    ``weights=`` parameter, exactly how DSIR is deployed.
+    """
+    from pyspark.sql import Window
+
+    toks = _hashed_tokens(df, target, num_buckets, text_col, id_col=None)
+    b = toks.groupBy("_bucket").agg(
+        F.count("*").alias("_raw_cnt"),
+        F.count_if("_tgt").alias("_tgt_cnt"),
+    )
+    # corpus totals as window sums over the BUCKET table (≤ num_buckets
+    # rows — metadata), so the corpus-wide explode+agg runs exactly once;
+    # a separate .agg() would make Catalyst recompute the whole scan
+    w = Window.partitionBy()
+    rt, tt = F.sum("_raw_cnt").over(w), F.sum("_tgt_cnt").over(w)
+    nb = F.lit(num_buckets)
+    lr = F.log(
+        (F.col("_tgt_cnt") + 1).cast("double") / (tt + nb).cast("double")
+    ) - F.log((F.col("_raw_cnt") + 1).cast("double") / (rt + nb).cast("double"))
+    return b.select(
+        "_bucket",
+        # binary HALF_UP, portable (see queries/__init__ rounding note)
+        F.floor(lr * 1e6 + 0.5).cast("long").alias("_w_micros"),
+    )
+
+
+def _hashed_tokens(
+    df: DataFrame,
+    target: Column | None,
+    num_buckets: int,
+    text_col: str,
+    id_col: str | None,
+) -> DataFrame:
+    """One row per token occurrence with its md5 bucket (and the
+    target flag / doc id when requested) — the shared flatMap behind
+    both DSIR passes. Pure projection + explode: scan speed."""
+    cols = []
+    if id_col is not None:
+        cols.append(F.col(id_col))
+    if target is not None:
+        cols.append(target.cast("boolean").alias("_tgt"))
+    return df.select(
+        *cols, F.explode(tokens(text_col)).alias("_tok")
+    ).withColumn(
+        "_bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(num_buckets),
+        ),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column | None = None,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR-style importance scoring: every document gets the summed
+    hashed-n-gram log-likelihood ratio of the target domain vs the
+    raw corpus — the data-SELECTION step between quality filtering
+    and mixture sampling in an LLM pipeline ("keep the web pages
+    that look like Wikipedia"). ``kept`` marks documents more likely
+    under the target distribution than the raw one; for a fixed
+    budget, rank on ``weight_micros`` instead (DSIR proper samples
+    ∝ the ratio — a deterministic top-k is the reproducible variant).
+
+    Pass ``weights=`` (from :func:`dsir_bucket_weights`, possibly fit
+    on a sample or a previous run) to skip the estimation pass;
+    otherwise ``target`` is required and the estimator is fit on
+    ``df`` itself. Scale shape: the weight table is ≤ ``num_buckets``
+    rows and BROADCAST — scoring is one flatMap + map-side join +
+    one groupBy(doc) partial agg. Summing integer micro-nats keeps
+    the result exact under any partitioning.
+
+    Unigram features here; bigrams are the same contract with a
+    2-gram concat before hashing (DSIR uses uni+bi — at 100 TB the
+    second explode doubles scan output, nothing else changes).
+    """
+    if weights is None:
+        if target is None:
+            raise ValueError("importance_weights: need target= or weights=")
+        weights = dsir_bucket_weights(df, target, num_buckets, text_col)
+    toks = _hashed_tokens(df, None, num_buckets, text_col, id_col)
+    return (
+        toks.join(F.broadcast(weights), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_w_micros").alias("weight_micros"),
+        )
+        .withColumn("kept", F.col("weight_micros") > 0)
+    )
+
+
 def mixture_solve(
     df: DataFrame,
     weights: dict[str, float],

@@ -499,6 +499,83 @@ def kmeans_fit(
     return assign_clusters(df, cent, id_col, vec_col, round_digits)
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    max_cluster_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    then prune near-duplicates WITHIN each cluster — every pair with
+    cosine >= ``tau`` drops its higher-id member (min-id survivor,
+    the same star-dedup approximation ``dedup_embedding_neardup``
+    uses). Cross-cluster near-dups are not compared — that blindness
+    is the published algorithm's accepted recall tradeoff, which is
+    what makes it tractable at corpus scale.
+
+    Scale shape: one broadcast-assign pass (k centroid rows map-side,
+    per-id window argmax — ``assign_clusters``), then the pairwise
+    step is a self-join ON THE CLUSTER KEY: one shuffle per side,
+    in-cluster pair work Σ cᵢ². The published control is k ∝ corpus
+    size so E[c] stays constant (k ≈ √N is customary); at 100 TB the
+    assignment is computed once at ingest and stored as a partition
+    column, making the pair join a co-located per-partition job.
+    ``max_cluster_size`` guards degenerate quantizers the same way
+    ``lsh_bucketed_neighbors``'s bucket cap does: clusters over the
+    cap are EXCLUDED from pruning (conservative — their members all
+    survive) rather than generating quadratic pair work.
+
+    The assignment feeds four consumers (size gate, both pair sides,
+    the final anti-join); ``materialize=True`` lazily
+    localCheckpoints it so the broadcast-score pass runs ONCE instead
+    of four times — same pattern as pack_token_sequences' shared
+    tokenize kernel. Pass False when the assignment is already a
+    stored column (the at-ingest deployment) and recompute is free.
+
+    Returns survivors as (id, vector, cluster). The reference has no
+    semantic-dedup operator; this extends its dedup surface
+    (/root/reference/crates/core/src/datastream.rs has only the
+    relational ops) with the LLM-pipeline standard.
+    """
+    assigned = assign_clusters(df, centroids, id_col, vec_col, round_digits)
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=False)
+    eligible = assigned
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("cluster")
+            .count()
+            .filter(F.col("count") <= max_cluster_size)
+            .select("cluster")
+        )
+        # k rows at most — broadcast keeps the gate shuffle-free
+        eligible = assigned.join(F.broadcast(ok), "cluster")
+    a = eligible.select(
+        "cluster", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = eligible.select(
+        "cluster", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cos >= tau)
+        .select(F.col("_idb").alias("_dup"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned[id_col] == dups["_dup"], "left_anti"
+    ).select(id_col, vec_col, "cluster")
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_id: int,

@@ -49,17 +49,18 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # Cumulative coverage through r8: every one of the 158 pre-r9 entries has at
 # least one driver-green row (r1-r8 union; latest-green per entry computable
 # from the CORRECTNESS_r0*.json union). Round-9 window, in priority order:
-# (1) the BRAND-NEW r9 entry (never driver-verified: the k-means PQ codebook
-# trainer oracle), (2) entries whose operator or oracle CHANGED this round
-# (the headline LSH entries gained a live max_bucket_size cap mirrored in
-# their oracles; array_funcs now exercises array_remove_n/array_replace_n),
-# (3) the staleness rotation — all 26 entries whose latest driver green is
-# r4, then the 20 oldest r5 entries that fit. Everything displaced to 51+
+# (1) the BRAND-NEW r9 entries (never driver-verified: the k-means PQ
+# codebook trainer oracle, SemDeDup, DSIR importance weights), (2) entries
+# whose operator or oracle CHANGED this round (the headline LSH entries
+# gained a live max_bucket_size cap mirrored in their oracles; array_funcs
+# now exercises array_remove_n/array_replace_n), (3) the staleness rotation
+# — all 26 entries whose latest driver green is r4, then the 18 oldest r5
+# entries that fit. Everything displaced to 51+
 # keeps its registry order and was re-verified locally this session by the
 # full-registry tools/check_correctness.py sweep at sf0.001/0.01/0.1.
 _DRIVER_PRIORITY = [
-    # brand-new r9 operator — never driver-verified
-    "sim_pq_train",
+    # brand-new r9 operators — never driver-verified
+    "sim_pq_train", "dedup_semdedup", "curation_dsir_weights",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -79,7 +80,6 @@ _DRIVER_PRIORITY = [
     "text_token_totals", "text_unigram_quality", "text_quality_classifier",
     "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
     "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
-    "sim_threshold_pairs", "text_gopher_rules",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -290,6 +290,53 @@ def curation_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+_DSIR_B = 4096
+
+
+@q(
+    "curation_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    b AS (
+      SELECT bucket, count(*) AS raw_cnt,
+             count(*) FILTER (WHERE is_tgt) AS tgt_cnt
+      FROM toks GROUP BY bucket
+    ),
+    tot AS (SELECT sum(raw_cnt) AS rt, sum(tgt_cnt) AS tt FROM b),
+    w AS (
+      SELECT bucket,
+             CAST(floor((ln((tgt_cnt + 1)::DOUBLE / (tt + {_DSIR_B})::DOUBLE)
+                       - ln((raw_cnt + 1)::DOUBLE / (rt + {_DSIR_B})::DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micros
+      FROM b CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)        AS n_tokens,
+           CAST(sum(w.w_micros) AS BIGINT) AS weight_micros,
+           CAST(sum(w.w_micros) AS BIGINT) > 0 AS kept
+    FROM toks t JOIN w USING (bucket)
+    GROUP BY t.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of the English slice vs the whole corpus,
+    summed per document in integer micro-nats (exact under any
+    partition order — the float sum a naive port would use is not
+    hash-stable). ``kept`` = more target-like than raw. The estimator
+    fit (per-bucket Laplace-smoothed counts) and the scoring pass are
+    both replayed by the oracle from the same md5 token-hash
+    contract the dedup oracles use."""
+    d = t(spark, sf, "documents")
+    return curation.importance_weights(
+        d, target=F.col("lang") == "en", num_buckets=_DSIR_B
+    )
+
+
 @q(
     "curation_split",
     """

@@ -1099,6 +1099,51 @@ def kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SD_TAU, _SD_CAP = 0.3, 1024  # cap ≈ 5× the largest test-SF cluster
+
+
+@q(
+    "dedup_semdedup",
+    f"""
+    WITH c0 AS (
+      SELECT label AS cluster, {_cent_select_sql('embedding')}
+      FROM embeddings GROUP BY label
+    ),
+    a0 AS ({_assign_sql('c0')}),
+    ok AS (SELECT cluster FROM a0 GROUP BY cluster HAVING count(*) <= {_SD_CAP}),
+    el AS (SELECT a0.* FROM a0 JOIN ok USING (cluster)),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM el a JOIN el b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+                  / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= {_SD_TAU}
+    )
+    SELECT a.vec_id, a.cluster FROM a0 a
+    WHERE a.vec_id NOT IN (SELECT dup_id FROM dups)
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-quantize the corpus
+    (label-seeded centroids — in production, a kmeans_fit pass), then
+    prune cosine>=tau near-duplicates WITHIN each cluster, min-id
+    survivor. Complements dedup_embedding_neardup's LSH gating with
+    the cluster-partitioned published alternative: pair work is
+    Σ cᵢ² bounded by k ∝ corpus size (plus the max_cluster_size guard
+    against degenerate quantizers, mirrored in the oracle's HAVING).
+    The whole trajectory — centroid means, rounded-cosine argmax
+    assignment, in-cluster pair verify — is value-checked against the
+    DuckDB CTE replay."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    init = similarity.label_centroids(e)
+    surv = similarity.semdedup(
+        e, init, tau=_SD_TAU, max_cluster_size=_SD_CAP
+    )
+    return surv.select("vec_id", "cluster")
+
+
 @q(
     "sim_centroid_by_label",
     """

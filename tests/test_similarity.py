@@ -562,3 +562,54 @@ class TestPqKmeansCodebooks:
             similarity.pq_codebooks_kmeans(df, m=2, k=1, dim=3)
         with pytest.raises(ValueError, match="need >= k"):
             similarity.pq_codebooks_kmeans(df, m=1, k=5, dim=3)
+
+
+class TestSemDeDup:
+    """SemDeDup = assign-to-cluster, prune cosine>=tau pairs within a
+    cluster (min-id survivor). The published tradeoffs are contracts:
+    cross-cluster near-dups survive; oversized clusters are excluded
+    from pruning when max_cluster_size is set."""
+
+    def _centroids(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "cluster int, centroid array<double>",
+        )
+
+    def test_within_cluster_min_id_survives(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),     # cluster 0
+                (2, [1.0, 0.01, 0.0, 0.0]),    # cluster 0, dup of 1
+                (10, [0.0, 1.0, 0.0, 0.0]),    # cluster 1
+                (11, [0.0, 1.0, 0.01, 0.0]),   # cluster 1, dup of 10
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.semdedup(df, self._centroids(spark), tau=0.95)
+        got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert got == {1: 0, 10: 1}
+
+    def test_cross_cluster_pairs_not_compared(self, spark):
+        # cos(a, b) = 0.96 >= tau, but a lands in cluster 0 and b in
+        # cluster 1 — SemDeDup's documented blindness: both survive.
+        df = spark.createDataFrame(
+            [(20, [0.6, 0.8, 0.0, 0.0]), (21, [0.8, 0.6, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.semdedup(df, self._centroids(spark), tau=0.95)
+        assert {r["vec_id"] for r in out.collect()} == {20, 21}
+
+    def test_max_cluster_size_excludes_degenerate_clusters(self, spark):
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        capped = similarity.semdedup(
+            df, self._centroids(spark), tau=0.95, max_cluster_size=4
+        )
+        # 5 identical vectors in one cluster over the cap: no pruning,
+        # bounded work instead of 5*4/2 pair generation
+        assert capped.count() == 5
+        uncapped = similarity.semdedup(df, self._centroids(spark), tau=0.95)
+        assert [r["vec_id"] for r in uncapped.collect()] == [0]

@@ -97,6 +97,7 @@ ALLOW_SINGLE_PART = {
     "text_quality_percentile_gate",  # 1-row exact-percentile threshold
     "dedup_corpus_overlap",   # 1-row global min-per-slot signature aggregates
     "events_key_skew",        # rank/cum-share windows over the top-k rows (metadata)
+    "curation_dsir_weights",  # corpus-total window over the ≤num_buckets-row bucket table
 }
 MARKERS_PY = (
     "BatchEvalPython",

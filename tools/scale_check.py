@@ -51,6 +51,8 @@ QUERIES = [
     # round-9 additions
     "join_range_order_bursts",   # bin-bucketed range join: <=2-bin fanout
     "dedup_connected_components",# iterative min-label propagation
+    "dedup_semdedup",            # cluster-keyed pair prune: Σc² (k ∝ N holds E[c])
+    "curation_dsir_weights",     # 2 token passes + broadcast weight join: linear
 ]
 
 
