@@ -195,6 +195,37 @@ def stress_semantic_dedup(spark, sf_dir: str) -> None:
     print(f"{'semantic_dedup_8planes':30s} {time.time() - t0:9.2f}s  ({n} survivors)")
 
 
+def stress_semdedup(spark, sf_dir: str, factor: int = 10) -> None:
+    """SemDeDup at the stress tier with the published k ∝ N control:
+    the ``factor``× corpus gets ``factor``× clusters (per-replica
+    label centroids — the stress tier rotates each replica's vectors,
+    so (replica, label) is the honest analogue of re-running the
+    coarse k-means with a bigger k). E[cluster size] then matches the
+    base tier and Σ cᵢ² pair work grows LINEARLY with the corpus —
+    the fixed-k=10 query-entry config at this tier would instead grow
+    cluster sizes ``factor``× and pair work ``factor``²× (and with
+    the 1024 cap live, clusters would simply be excluded: bounded
+    work, zero pruning — the documented under-clustered failure
+    direction, same shape as the under-planed LSH entry)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators.similarity import label_centroids, semdedup
+    from denormalized_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_base = e.count() // factor
+    e2 = e.withColumn(
+        "_klab",
+        (F.floor(F.col("vec_id") / n_base) * 10 + F.col("label")).cast("int"),
+    )
+    t0 = time.time()
+    cents = label_centroids(e2, label_col="_klab")
+    n = semdedup(e2, cents, tau=0.3, max_cluster_size=1024).count()
+    print(f"{'semdedup_k_scaled':30s} {time.time() - t0:9.2f}s  ({n} survivors, k={factor * 10})")
+
+
 def stress_ann(spark, sf_dir: str) -> None:
     """ANN at the stress tier, with the plane count scaled to the
     corpus (the query entries pin 4 planes = 16 buckets for the sf0.01
@@ -255,6 +286,7 @@ def main() -> None:
             print(f"{name:30s} {time.time() - t0:9.2f}s")
         stress_ann(spark, stress)
         stress_semantic_dedup(spark, stress)
+        stress_semdedup(spark, stress)
 
 
 if __name__ == "__main__":
