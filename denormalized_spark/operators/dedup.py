@@ -1232,3 +1232,159 @@ def _bucket_ownership_counts(
             ).alias("_n_owned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-passage detection (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+def positional_gram_hashes(text: Column | str, n: int = 5) -> Column:
+    """POSITION-ORDERED word n-gram hashes (no dedup, no short-doc
+    fallback): element ``i`` is the 32-bit hash of tokens ``[i, i+n)``.
+    Same engine-portable arithmetic as :func:`shingle_hashes` (one md5
+    per token, positional mixing constants, per-term mod), but keeps
+    order and duplicates so the caller can recover SPANS. Docs shorter
+    than ``n`` tokens yield an empty array.
+    """
+    toks = tokens(text)
+    consts = [shingle_params(j) for j in range(n)]
+    mod = F.lit(SHINGLE_MOD)
+
+    def _build(th: Column) -> Column:
+        sz = F.size(th)
+        cnt = F.greatest(sz - (n - 1), F.lit(1))
+        slices = [F.slice(th, j + 1, cnt) for j in range(n)]
+        acc = F.zip_with(
+            slices[0],
+            slices[1],
+            lambda x, y: (x * F.lit(consts[0])) % mod + (y * F.lit(consts[1])) % mod,
+        )
+
+        def _add_term(c: int):
+            return lambda s, z: s + (z * F.lit(c)) % mod
+
+        for j in range(2, n):
+            acc = F.zip_with(acc, slices[j], _add_term(consts[j]))
+        grams = F.transform(acc, lambda s: s % mod)
+        return F.when(sz >= n, grams).otherwise(F.array().cast("array<long>"))
+
+    return eval_once(F.transform(toks, token_hash32), _build)
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the distributed
+    re-expression of exact-substring training-data dedup (Lee et al.
+    2022 build a corpus suffix array and drop duplicated >=50-token
+    substrings; a suffix array does not shard, n-gram spans do).
+
+    A token n-gram is DUPLICATED when it occurs in >= ``min_docs``
+    distinct documents. Per document, overlapping or exactly-adjacent
+    duplicated gram positions (gap <= n) are merged into maximal
+    spans. Returns one row per span:
+    ``(id, span_start, span_end, span_tokens)`` with token indices
+    0-based and ``span_end`` exclusive.
+
+    Scale shape (everything JVM-side, rows are (id, pos, gram-int64)):
+      1. positional gram hashing at scan speed (no shuffle);
+      2. ONE shuffle on gram for the distinct-doc count; ``min_docs``
+         kills the singleton-dominated tail at the reducer;
+      3. the join-back is gram-keyed on the same key, so the agg-side
+         exchange is reused and only surviving grams flow on;
+      4. ONE shuffle on id for the span merge (window + running sum).
+    Work is linear in corpus tokens; no pairwise comparison exists
+    anywhere. Within-doc repeats alone do NOT mark a gram duplicated
+    (count is over distinct docs, the published cross-doc setting).
+
+    The reference has no substring-dedup operator; this extends its
+    dedup story (SURVEY.md LLM-pipeline mandate).
+    """
+    from pyspark.sql.window import Window
+
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(positional_gram_hashes(text_col, n)).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select(id_col, F.col("pos").cast("long").alias("pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + n).alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def strip_repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove duplicated cross-document passages from each document:
+    drops every token covered by a :func:`repeated_ngram_spans` span
+    and rebuilds the text from the survivors (single-space joined).
+
+    Accepts a precomputed ``spans`` frame so one span discovery can
+    feed both reporting and stripping. Adds columns
+    ``clean_text``, ``n_tokens``, ``kept_tokens``, ``n_spans``
+    (docs with no duplicated span pass through unchanged, 0 spans).
+
+    The span list is collected per doc (spans are merged maximal
+    islands, so there are at most tokens/n of them — bounded, small)
+    and the token filter is a higher-order function over the token
+    array: no Python, no second pass over the corpus.
+    """
+    if spans is None:
+        spans = repeated_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count("*").alias("_n_spans"),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    sp = F.coalesce(
+        "_spans", F.array().cast("array<struct<span_start:long,span_end:long>>")
+    )
+    toks = tokens(text_col)
+
+    def _kept(ts: Column) -> Column:
+        return F.filter(
+            ts,
+            lambda x, i: ~F.exists(
+                sp,
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+        )
+
+    kept = eval_once(toks, _kept)
+    return (
+        joined.withColumn("_kept", kept)
+        .select(
+            *[c for c in df.columns],
+            F.concat_ws(" ", "_kept").alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            F.coalesce("_n_spans", F.lit(0)).alias("n_spans"),
+        )
+    )

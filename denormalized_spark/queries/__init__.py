@@ -50,7 +50,8 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # least one driver-green row (r1-r8 union; latest-green per entry computable
 # from the CORRECTNESS_r0*.json union). Round-9 window, in priority order:
 # (1) the BRAND-NEW r9 entries (never driver-verified: the k-means PQ
-# codebook trainer oracle, SemDeDup, DSIR importance weights), (2) entries
+# codebook trainer oracle, SemDeDup, DSIR importance weights, and the
+# repeated-passage span detector + strip pair), (2) entries
 # whose operator or oracle CHANGED this round (the headline LSH entries
 # gained a live max_bucket_size cap mirrored in their oracles; array_funcs
 # now exercises array_remove_n/array_replace_n), (3) the staleness rotation
@@ -61,6 +62,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 _DRIVER_PRIORITY = [
     # brand-new r9 operators — never driver-verified
     "sim_pq_train", "dedup_semdedup", "curation_dsir_weights",
+    "dedup_repeated_spans", "dedup_span_strip",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -79,7 +81,7 @@ _DRIVER_PRIORITY = [
     "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
     "text_token_totals", "text_unigram_quality", "text_quality_classifier",
     "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
-    "sim_quantize_int8", "sim_topk_query0", "sim_topk_quantized_query0",
+    "sim_quantize_int8",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -3469,3 +3469,92 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_overlap").cast("long").alias("n_overlap"),
         F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-passage detection (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+def _positional_gram_sql(n: int) -> str:
+    """DuckDB 5-term positional gram hash matching
+    operators.dedup.positional_gram_hashes: same per-token md5, same
+    positional constants, same per-term-mod sum."""
+    from denormalized_spark.operators.dedup import SHINGLE_MOD, shingle_params
+
+    m = SHINGLE_MOD
+    terms = " + ".join(
+        f"((th[i+{j}] * {shingle_params(j)}) % {m})" for j in range(n)
+    )
+    return f"(({terms}) % {m})"
+
+
+def _repeated_span_cte(n: int, min_docs: int) -> str:
+    gram = _positional_gram_sql(n)
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+hh AS (SELECT doc_id,
+              list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+       FROM d),
+pg AS (SELECT doc_id,
+              [{{'pos': i - 1, 'gram': {gram}}}
+               for i in range(1, len(th) - {n} + 2)] AS grams
+       FROM hh WHERE len(th) >= {n}),
+gu AS (SELECT doc_id, unnest(grams) AS u FROM pg),
+gp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gu),
+dup AS (SELECT gram FROM gp GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+hit AS (SELECT gp.doc_id, gp.pos FROM gp JOIN dup USING (gram)),
+brk AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos - lag(pos) OVER w > {n}
+                    THEN 1 ELSE 0 END AS b
+        FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end,
+                 max(pos) + {n} - min(pos) AS span_tokens
+          FROM isl GROUP BY doc_id, island)
+"""
+
+
+@q(
+    "dedup_repeated_spans",
+    _repeated_span_cte(5, 2)
+    + "SELECT doc_id, span_start, span_end, span_tokens FROM spans",
+)
+def dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-passage spans (exact-substring dedup a
+    la Lee et al. 2022, n-gram-span form): maximal merged spans of
+    word 5-grams that occur in >= 2 distinct documents. Linear-work
+    substitute for a corpus suffix array — one gram-keyed shuffle for
+    the distinct-doc count, one id-keyed shuffle for the span merge.
+    The oracle replays gram hashing, the duplicated-gram gate, and
+    the island merge as CTEs."""
+    d = t(spark, sf, "documents")
+    return dedup.repeated_ngram_spans(d, "doc_id", "text", n=5, min_docs=2)
+
+
+@q(
+    "dedup_span_strip",
+    _repeated_span_cte(5, 2)
+    + """,
+agg AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - coalesce(agg.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
+FROM d LEFT JOIN agg USING (doc_id)
+""",
+)
+def dedup_span_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Strip duplicated cross-document passages and report per-doc
+    token accounting. The Spark side actually REBUILDS each document
+    (higher-order token filter over the span list) and counts the
+    surviving tokens, while the oracle derives the expected survivor
+    count arithmetically from the span table — so a hash match proves
+    the strip's token indexing end-to-end, not just the span math."""
+    d = t(spark, sf, "documents")
+    out = dedup.strip_repeated_ngrams(d, "doc_id", "text", n=5, min_docs=2)
+    return out.select("doc_id", "n_tokens", "kept_tokens", "n_spans")

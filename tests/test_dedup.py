@@ -576,3 +576,92 @@ class TestFuzzyNamePairs:
             ).collect()
         }
         assert char == {(1, 2): 1}
+
+
+class TestRepeatedSpans:
+    """Cross-document repeated-passage detection (exact-substring
+    dedup, n-gram-span form) and passage stripping."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # docs 0/1/3 share the 7-token passage alpha..eta at different
+        # offsets; doc 2 shares nothing; doc 4 is shorter than n.
+        return spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta eta unique0 tail0"),
+                (1, "lead1 alpha beta gamma delta epsilon zeta eta other1"),
+                (2, "totally different words here nothing shared at all ok"),
+                (3, "x1 x2 x3 alpha beta gamma delta epsilon zeta eta y1 y2"),
+                (4, "short doc"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_spans_merge_overlapping_grams(self, corpus):
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in dedup.repeated_ngram_spans(corpus, n=3, min_docs=2).collect()
+        }
+        # the 7-token shared passage -> ONE maximal span per doc, at
+        # the doc-specific offset; docs 2 and 4 have none
+        assert spans == {0: (0, 7, 7), 1: (1, 8, 7), 3: (3, 10, 7)}
+
+    def test_min_docs_gate(self, spark):
+        # passage shared by exactly 2 docs: min_docs=3 finds nothing
+        df = spark.createDataFrame(
+            [
+                (0, "p q r s t u"),
+                (1, "a p q r s t u b"),
+                (2, "unrelated words entirely here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        assert dedup.repeated_ngram_spans(df, n=3, min_docs=3).count() == 0
+        assert dedup.repeated_ngram_spans(df, n=3, min_docs=2).count() == 2
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        # a gram repeated only WITHIN one doc is not cross-doc dup
+        df = spark.createDataFrame(
+            [
+                (0, "x y z x y z x y z"),
+                (1, "totally other tokens only"),
+            ],
+            ["doc_id", "text"],
+        )
+        assert dedup.repeated_ngram_spans(df, n=3, min_docs=2).count() == 0
+
+    def test_gap_splits_islands(self, spark):
+        # two shared 3-grams separated by a > n token gap -> 2 spans
+        df = spark.createDataFrame(
+            [
+                (0, "a b c g0 g1 g2 g3 x y z"),
+                (1, "a b c h0 h1 h2 h3 x y z"),
+            ],
+            ["doc_id", "text"],
+        )
+        spans = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.repeated_ngram_spans(df, n=3, min_docs=2).collect()
+        )
+        assert spans == [(0, 0, 3), (0, 7, 10), (1, 0, 3), (1, 7, 10)]
+
+    def test_strip_reconstructs_survivors(self, corpus):
+        out = {
+            r["doc_id"]: r
+            for r in dedup.strip_repeated_ngrams(corpus, n=3, min_docs=2).collect()
+        }
+        assert out[0]["clean_text"] == "unique0 tail0"
+        assert out[1]["clean_text"] == "lead1 other1"
+        assert out[3]["clean_text"] == "x1 x2 x3 y1 y2"
+        # untouched docs pass through verbatim with zero spans
+        assert out[2]["clean_text"] == out[2]["text"]
+        assert out[2]["n_spans"] == 0 and out[4]["n_spans"] == 0
+        for r in out.values():
+            assert r["kept_tokens"] <= r["n_tokens"]
+            assert r["kept_tokens"] == len(r["clean_text"].split())
+
+    def test_strip_accepts_precomputed_spans(self, corpus):
+        spans = dedup.repeated_ngram_spans(corpus, n=3, min_docs=2)
+        a = dedup.strip_repeated_ngrams(corpus, n=3, min_docs=2)
+        b = dedup.strip_repeated_ngrams(corpus, spans=spans, n=3, min_docs=2)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

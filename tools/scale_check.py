@@ -53,6 +53,8 @@ QUERIES = [
     "dedup_connected_components",# iterative min-label propagation
     "dedup_semdedup",            # cluster-keyed pair prune: Σc² (k ∝ N holds E[c])
     "curation_dsir_weights",     # 2 token passes + broadcast weight join: linear
+    "dedup_repeated_spans",      # gram-keyed count + id-keyed island merge: linear
+    "dedup_span_strip",          # spans + HOF token filter rebuild: linear
 ]
 
 
