@@ -957,3 +957,96 @@ def ivf_batch_topk(
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= k)
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two vector columns, JVM-side.
+
+    Left-to-right fold with a 0.0 seed, so the float evaluation order
+    is identical to a left-associated SQL ``+`` chain — the property
+    the cross-engine oracles rely on."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    materialize_every: int | None = 4,
+) -> DataFrame:
+    """Greedy k-center / farthest-point sampling over an embedding
+    column (Gonzalez 1985; the coreset-selection workhorse of
+    Sener & Savarese 2018, arXiv:1708.00489): seed with the min-id
+    vector, then repeatedly pick the point FARTHEST from every center
+    chosen so far — the classic 2-approximation to the k-center
+    cover, used to select a maximally diverse training subset.
+
+    Returns ``(center_rank, id, radius)`` — ``radius`` is the chosen
+    point's distance² to its nearest prior center at selection time
+    (a non-increasing sequence; the seed's is NULL). ``radius`` of the
+    LAST center upper-bounds twice the optimal k-center cost.
+
+    Scale shape per iteration (exactly MLlib's iterative contract):
+    one distributed argmax over the corpus (TakeOrderedAndProject —
+    per-partition max + driver merge of ONE row), then a map-side
+    ``least(mindist, dist²-to-new-center)`` update against the new
+    center shipped as a literal (64 floats — metadata, not data). No
+    shuffle anywhere: the running min-distance column lives with the
+    rows. ``materialize_every`` lazily localCheckpoints the running
+    column every N picks so the lineage/codegen cost stays flat on
+    large k. Total work: k scans — at 100 TB you run this on the
+    pre-reduced corpus (per-cluster means or a uniform sample), which
+    is how published coreset pipelines deploy it.
+
+    Per-step rounding of distances (``round_digits``) makes the whole
+    greedy trajectory engine-portable: ties broken by ascending id,
+    every comparison happens on 6-decimal values both engines agree
+    on. Mirrors the unrolled-CTE replay in the ``sim_kcenter_select``
+    oracle.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    spark = df.sparkSession
+
+    def _lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = df.orderBy(F.asc(id_col)).select(id_col, vec_col).first()
+    picks = [(1, seed[0], None)]
+    cur = df.select(id_col, vec_col).withColumn(
+        "_md",
+        F.round(sqdist(F.col(vec_col), _lit_vec(list(seed[1]))), round_digits),
+    )
+    for r in range(2, k + 1):
+        nxt = (
+            cur.orderBy(F.desc("_md"), F.asc(id_col))
+            .select(id_col, vec_col, "_md")
+            .first()
+        )
+        picks.append((r, nxt[0], float(nxt[2])))
+        cur = cur.withColumn(
+            "_md",
+            F.least(
+                F.col("_md"),
+                F.round(
+                    sqdist(F.col(vec_col), _lit_vec(list(nxt[1]))), round_digits
+                ),
+            ),
+        )
+        if materialize_every and (r - 1) % materialize_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        picks, f"center_rank int, {id_col} {id_type}, radius double"
+    )

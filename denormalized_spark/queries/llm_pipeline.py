@@ -1167,6 +1167,64 @@ def sim_centroid_by_label(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sqd_sql(a: str, b: str, dim: int = 64) -> str:
+    """Squared-L2 as a left-associated 64-term sum — the same float
+    evaluation order as operators.similarity.sqdist's fold."""
+    return " + ".join(
+        f"(({a}[{j}]::DOUBLE - {b}[{j}]::DOUBLE)"
+        f" * ({a}[{j}]::DOUBLE - {b}[{j}]::DOUBLE))"
+        for j in range(1, dim + 1)
+    )
+
+
+def _kcenter_oracle(k: int, dim: int = 64) -> str:
+    """Unrolled greedy farthest-point trajectory: s_r = argmax of the
+    running min-distance d_{r-1} (ties to asc vec_id), d_r = least of
+    d_{r-1} and the rounded distance² to s_r — the exact per-step
+    rounding kcenter_select applies, so both engines walk the same
+    selection sequence."""
+    parts = [
+        "s1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.embedding,"
+        f" round({_sqd_sql('e.embedding', 's.embedding', dim)}, 6) AS md"
+        f" FROM embeddings e CROSS JOIN s1 s)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, embedding, md FROM d{r-1}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.embedding,"
+                f" least(d.md, round({_sqd_sql('d.embedding', 's.embedding', dim)}, 6)) AS md"
+                f" FROM d{r-1} d CROSS JOIN s{r} s)"
+            )
+    sel = ["SELECT 1 AS center_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1"]
+    sel += [f"SELECT {r}, vec_id, md FROM s{r}" for r in range(2, k + 1)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+_KC_K = 6
+
+
+@q("sim_kcenter_select", _kcenter_oracle(_KC_K))
+def sim_kcenter_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985; Sener & Savarese 2018): pick the 6 most mutually distant
+    embeddings — the diversity-subset selector of published coreset
+    pipelines. Each pick is one distributed argmax (TakeOrdered, one
+    row to the driver) + a map-side running-min update against the
+    new center as a literal; no shuffle at any step. The DuckDB
+    oracle replays the full greedy trajectory as unrolled CTEs on the
+    same 6-decimal-rounded distances, so selection order, ids AND
+    coverage radii are value-checked cross-engine."""
+    from denormalized_spark.operators import similarity as sim
+
+    e = t(spark, sf, "embeddings")
+    return sim.kcenter_select(e, k=_KC_K)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

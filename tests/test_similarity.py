@@ -613,3 +613,61 @@ class TestSemDeDup:
         assert capped.count() == 5
         uncapped = similarity.semdedup(df, self._centroids(spark), tau=0.95)
         assert [r["vec_id"] for r in uncapped.collect()] == [0]
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (farthest-point) coreset selection
+# ---------------------------------------------------------------------------
+
+
+def _kc_df(spark, pts, ids=None):
+    ids = ids if ids is not None else list(range(len(pts)))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in zip(ids, pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kcenter_known_geometry(spark):
+    # line: 0, 1, 10 — seed = min id (point 0), farthest = 10, then 1
+    df = _kc_df(spark, [[0.0], [1.0], [10.0]])
+    got = similarity.kcenter_select(df, k=3).orderBy("center_rank").collect()
+    assert [r["vec_id"] for r in got] == [0, 2, 1]
+    assert got[0]["radius"] is None
+    assert got[1]["radius"] == pytest.approx(100.0)
+    assert got[2]["radius"] == pytest.approx(1.0)
+
+
+def test_kcenter_radius_nonincreasing(embeddings):
+    got = (
+        similarity.kcenter_select(embeddings.limit(200), k=6)
+        .orderBy("center_rank")
+        .collect()
+    )
+    radii = [r["radius"] for r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({r["vec_id"] for r in got}) == 6  # without replacement
+
+
+def test_kcenter_partitioning_invariant(spark):
+    pts = [[float(i % 7), float((i * 3) % 5)] for i in range(40)]
+    a = similarity.kcenter_select(_kc_df(spark, pts), k=4).collect()
+    b = similarity.kcenter_select(
+        _kc_df(spark, pts).repartition(13), k=4, materialize_every=1
+    ).collect()
+    key = lambda rs: sorted((r["center_rank"], r["vec_id"], r["radius"]) for r in rs)
+    assert key(a) == key(b)
+
+
+def test_kcenter_tiebreak_min_id(spark):
+    # two points equidistant from the seed: the lower id wins rank 2
+    df = _kc_df(spark, [[0.0], [5.0], [-5.0]], ids=[10, 30, 20])
+    got = similarity.kcenter_select(df, k=2).orderBy("center_rank").collect()
+    assert got[1]["vec_id"] == 20
+
+
+def test_kcenter_k1_and_bad_k(spark):
+    df = _kc_df(spark, [[1.0], [2.0]])
+    assert similarity.kcenter_select(df, k=1).count() == 1
+    with pytest.raises(ValueError):
+        similarity.kcenter_select(df, k=0)
