@@ -565,6 +565,60 @@ def importance_weights(
     )
 
 
+def gumbel_micros(id_col: Column | str, seed: str = "dsir-rs0") -> Column:
+    """Deterministic per-row Gumbel(0,1) noise in integer MICRO-nats:
+    ``floor(-ln(-ln(u))·10⁶ + 0.5)`` with ``u = (m + ½)/2³²`` from the
+    repo's md5 contract (``m`` = first 8 hex chars of ``seed||id`` —
+    the same uniform :func:`sample_fraction` uses, half-shifted so u
+    is strictly inside (0,1) and neither ln can hit 0/∞). Reproducible
+    across reruns, partitionings, and engines; the micro-nat floor
+    grid is ~10¹⁰× coarser than a double ulp, so cross-libm ln
+    differences cannot move the floored value."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    m = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    u = (m.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    return F.floor(-F.log(-F.log(u)) * 1e6 + 0.5).cast("long")
+
+
+def importance_resample(
+    df: DataFrame,
+    n: int,
+    target: Column | None = None,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+    seed: str = "dsir-rs0",
+) -> DataFrame:
+    """The sampling half of DSIR (Xie et al. 2023): draw ``n``
+    documents WITHOUT replacement with probability ∝ the importance
+    weight exp(llr) — via the Gumbel-top-k trick (Kool et al. 2019;
+    equivalently Efraimidis-Spirakis weighted reservoir keys): rank on
+    ``log w_i + Gumbel_i`` and keep the n largest. Both terms live in
+    integer micro-nats (:func:`importance_weights`'s exact per-doc
+    sums + :func:`gumbel_micros`'s floored noise), so the ranking key
+    is a plain BIGINT — exact under any partition order and replayable
+    by the DuckDB oracle.
+
+    Scale shape: one scoring pass (broadcast ≤ ``num_buckets``-row
+    weight table, map-side join, per-doc partial agg) then a top-n
+    that Spark executes as TakeOrderedAndProject — per-partition heaps
+    of n rows, n rows per partition to the driver merge, NO global
+    sort. At 100 TB you fit ``weights`` once on a sample and resample
+    every shard with the same table (pass ``weights=``), which is the
+    published deployment. Ties (same key) break to ascending id, so
+    the selected SET is deterministic."""
+    scored = importance_weights(df, target, num_buckets, text_col, id_col, weights)
+    key = (F.col("weight_micros") + gumbel_micros(id_col, seed)).alias("key_micros")
+    return (
+        scored.select(id_col, "weight_micros", key)
+        .orderBy(F.desc("key_micros"), F.asc(id_col))
+        .limit(n)
+    )
+
+
 def mixture_solve(
     df: DataFrame,
     weights: dict[str, float],

@@ -292,11 +292,10 @@ def curation_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
 _DSIR_B = 4096
 
-
-@q(
-    "curation_dsir_weights",
-    f"""
-    WITH toks AS (
+#: the DSIR estimator fit as shared oracle CTEs (toks → per-bucket
+#: counts → corpus totals → Laplace-smoothed micro-nat LLR weights),
+#: reused by both the weighting and the resampling entries
+_DSIR_W_CTES = f"""toks AS (
       SELECT doc_id, lang = 'en' AS is_tgt,
              ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS bucket
       FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
@@ -313,7 +312,13 @@ _DSIR_B = 4096
                        - ln((raw_cnt + 1)::DOUBLE / (rt + {_DSIR_B})::DOUBLE))
                         * 1000000.0 + 0.5) AS BIGINT) AS w_micros
       FROM b CROSS JOIN tot
-    )
+    )"""
+
+
+@q(
+    "curation_dsir_weights",
+    f"""
+    WITH {_DSIR_W_CTES}
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT)        AS n_tokens,
            CAST(sum(w.w_micros) AS BIGINT) AS weight_micros,
@@ -334,6 +339,42 @@ def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     return curation.importance_weights(
         d, target=F.col("lang") == "en", num_buckets=_DSIR_B
+    )
+
+
+_DSIR_N = 100
+
+
+@q(
+    "curation_dsir_resample",
+    f"""
+    WITH {_DSIR_W_CTES},
+    scored AS (
+      SELECT t.doc_id, CAST(sum(w.w_micros) AS BIGINT) AS weight_micros
+      FROM toks t JOIN w USING (bucket) GROUP BY t.doc_id
+    )
+    SELECT doc_id, weight_micros,
+           weight_micros + CAST(floor(-ln(-ln(
+             ((('0x' || substr(md5('dsir-rs0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0)
+           )) * 1000000.0 + 0.5) AS BIGINT) AS key_micros
+    FROM scored
+    ORDER BY key_micros DESC, doc_id
+    LIMIT {_DSIR_N}
+    """,
+)
+def curation_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """The sampling half of DSIR (Xie et al. 2023): draw {n} docs
+    without replacement ∝ exp(importance weight) via the Gumbel-top-k
+    trick — the ranking key is weight_micros + floored micro-nat
+    Gumbel noise from the md5 uniform, a plain BIGINT both engines
+    compute identically. Spark executes the top-n as
+    TakeOrderedAndProject over the broadcast-scored corpus; the
+    oracle replays the estimator fit, the scoring sum, the noise, and
+    the cut."""
+    d = t(spark, sf, "documents")
+    return curation.importance_resample(
+        d, n=_DSIR_N, target=F.col("lang") == "en", num_buckets=_DSIR_B
     )
 
 

@@ -860,3 +860,90 @@ class TestImportanceWeights:
 
         with _pytest.raises(ValueError):
             importance_weights(self._df(spark))
+
+
+class TestImportanceResample:
+    """Gumbel-top-k DSIR resampling: exact key replay, without-
+    replacement fixed-size output, weight-proportional bias, and the
+    fit-on-sample/resample-shards deployment path."""
+
+    def _corpus(self, spark, n=120):
+        # even ids look like the target (alpha/beta vocab), odd don't
+        rows = [
+            (
+                i,
+                "alpha beta alpha" if i % 2 == 0 else "gamma delta delta",
+                i % 2 == 0,
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+
+    def test_fixed_size_without_replacement(self, spark):
+        from denormalized_spark.operators.curation import importance_resample
+        from pyspark.sql import functions as F
+
+        out = importance_resample(
+            self._corpus(spark), n=30, target=F.col("is_tgt"), num_buckets=64
+        ).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 30 and len(set(ids)) == 30
+
+    def test_key_matches_python_replay(self, spark):
+        import hashlib
+        import math
+
+        from denormalized_spark.operators.curation import importance_resample
+        from pyspark.sql import functions as F
+
+        df = self._corpus(spark, n=40)
+        out = importance_resample(
+            df, n=40, target=F.col("is_tgt"), num_buckets=64, seed="t-rs"
+        ).collect()
+        for r in out:
+            m = int(
+                hashlib.md5(f"t-rs{r['doc_id']}".encode()).hexdigest()[:8], 16
+            )
+            g = math.floor(-math.log(-math.log((m + 0.5) / 2**32)) * 1e6 + 0.5)
+            assert r["key_micros"] == r["weight_micros"] + g
+
+    def test_bias_toward_high_weight_docs(self, spark):
+        from denormalized_spark.operators.curation import importance_resample
+        from pyspark.sql import functions as F
+
+        out = importance_resample(
+            self._corpus(spark), n=30, target=F.col("is_tgt"), num_buckets=64
+        ).collect()
+        n_target = sum(1 for r in out if r["doc_id"] % 2 == 0)
+        # target-like docs carry strongly positive llr sums; with 60/60
+        # available the 30 picks should be overwhelmingly target-like
+        assert n_target >= 25
+
+    def test_resample_with_prefit_weights_matches_inline_fit(self, spark):
+        from denormalized_spark.operators.curation import (
+            dsir_bucket_weights,
+            importance_resample,
+        )
+        from pyspark.sql import functions as F
+
+        df = self._corpus(spark)
+        fit = dsir_bucket_weights(df, target=F.col("is_tgt"), num_buckets=64)
+        a = importance_resample(df, n=20, weights=fit, num_buckets=64).collect()
+        b = importance_resample(
+            df, n=20, target=F.col("is_tgt"), num_buckets=64
+        ).collect()
+        key = lambda rs: sorted((r["doc_id"], r["key_micros"]) for r in rs)
+        assert key(a) == key(b)
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.curation import importance_resample
+        from pyspark.sql import functions as F
+
+        df = self._corpus(spark)
+        a = importance_resample(df, n=25, target=F.col("is_tgt"), num_buckets=64)
+        b = importance_resample(
+            df.repartition(17), n=25, target=F.col("is_tgt"), num_buckets=64
+        )
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
