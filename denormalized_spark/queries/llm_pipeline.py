@@ -1226,6 +1226,86 @@ def sim_kcenter_select(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable frequency sketches (Count-Min)
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 64  # width 64 << vocab at every SF: collisions are real
+
+#: token counts + the full depth×width cell replay, shared by both
+#: sketch oracles — same md5 row-salt contract as operators.sketches
+_CM_CTES = f"""tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    kc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    rs AS (SELECT unnest([{", ".join(str(r) for r in range(_CM_D))}]) AS r),
+    cells AS (
+      SELECT r AS cm_row,
+             ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CM_W} AS cm_col,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM kc CROSS JOIN rs GROUP BY 1, 2
+    )"""
+
+
+@q(
+    "sketch_cm_cells",
+    f"""
+    WITH {_CM_CTES}
+    SELECT cm_row, cm_col, cnt FROM cells
+    """,
+)
+def sketch_cm_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch of the corpus token-frequency distribution
+    (Cormode & Muthukrishnan 2005): depth 4 × width 64 cell sums.
+    Cells are sums of exact per-key partial counts, so the sketch is
+    bit-identical under any partitioning and MERGEABLE across shards/
+    micro-batches — the oracle rebuilds every cell from the same md5
+    row-salt hashes and matches exactly."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketches.count_min(d, "tok", depth=_CM_D, width=_CM_W)
+
+
+@q(
+    "sketch_cm_heavy_hitters",
+    f"""
+    WITH {_CM_CTES},
+    probes AS (
+      SELECT k.tok, k.c, cl.cnt
+      FROM kc k CROSS JOIN rs r
+      JOIN cells cl
+        ON cl.cm_row = r.r
+       AND cl.cm_col = ('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || k.tok), 1, 8))::BIGINT % {_CM_W}
+    ),
+    est AS (SELECT tok, CAST(min(cnt) AS BIGINT) AS cm_count,
+                   CAST(min(c) AS BIGINT) AS exact_count
+            FROM probes GROUP BY tok)
+    SELECT tok, cm_count, exact_count FROM est
+    WHERE cm_count >= CAST(ceil((SELECT count(*) FROM tok) / 50.0) AS BIGINT)
+    """,
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters via the Count-Min sketch: tokens whose estimate
+    reaches 2% of corpus occurrences, exact count beside the estimate.
+    The sketch never undercounts, so no true heavy hitter is missed;
+    at width 64 the collisions are real and the oracle value-checks
+    the one-sided overcounts too. Plan: the candidate table IS the
+    sketch's own per-key partial agg (reused), probing is a broadcast
+    join against ≤ 256 cells."""
+    import math
+
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    total = d.count()  # one scalar to the driver: the threshold, not data
+    thr = int(math.ceil(total / 50.0))
+    return sketches.cm_heavy_hitters(d, "tok", thr, depth=_CM_D, width=_CM_W)
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
