@@ -50,8 +50,10 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # least one driver-green row (r1-r8 union; latest-green per entry computable
 # from the CORRECTNESS_r0*.json union). Round-9 window, in priority order:
 # (1) the BRAND-NEW r9 entries (never driver-verified: the k-means PQ
-# codebook trainer oracle, SemDeDup, DSIR importance weights, and the
-# repeated-passage span detector + strip pair), (2) entries
+# codebook trainer oracle, SemDeDup, DSIR importance weights, the
+# repeated-passage span detector + strip pair, k-center coreset
+# selection, DSIR Gumbel-top-k resampling, and the Count-Min sketch
+# pair), (2) entries
 # whose operator or oracle CHANGED this round (the headline LSH entries
 # gained a live max_bucket_size cap mirrored in their oracles; array_funcs
 # now exercises array_remove_n/array_replace_n), (3) the staleness rotation
@@ -63,6 +65,8 @@ _DRIVER_PRIORITY = [
     # brand-new r9 operators — never driver-verified
     "sim_pq_train", "dedup_semdedup", "curation_dsir_weights",
     "dedup_repeated_spans", "dedup_span_strip",
+    "sim_kcenter_select", "curation_dsir_resample",
+    "sketch_cm_cells", "sketch_cm_heavy_hitters",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -80,8 +84,6 @@ _DRIVER_PRIORITY = [
     "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
     "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
     "text_token_totals", "text_unigram_quality", "text_quality_classifier",
-    "text_bpe_pairs", "text_tfidf_keywords", "text_repetition",
-    "sim_quantize_int8",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -98,6 +98,7 @@ ALLOW_SINGLE_PART = {
     "dedup_corpus_overlap",   # 1-row global min-per-slot signature aggregates
     "events_key_skew",        # rank/cum-share windows over the top-k rows (metadata)
     "curation_dsir_weights",  # corpus-total window over the ≤num_buckets-row bucket table
+    "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
 }
 MARKERS_PY = (
     "BatchEvalPython",

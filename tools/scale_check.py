@@ -55,6 +55,10 @@ QUERIES = [
     "curation_dsir_weights",     # 2 token passes + broadcast weight join: linear
     "dedup_repeated_spans",      # gram-keyed count + id-keyed island merge: linear
     "dedup_span_strip",          # spans + HOF token filter rebuild: linear
+    "sim_kcenter_select",        # k distributed argmax passes: k·linear
+    "curation_dsir_resample",    # scoring pass + TakeOrdered top-n: linear
+    "sketch_cm_cells",           # per-key partial agg + d·|keys| cell rows
+    "sketch_cm_heavy_hitters",   # sketch + broadcast probe join: linear
 ]
 
 
