@@ -166,3 +166,78 @@ def cm_heavy_hitters(
         .filter(F.col("cm_count") >= threshold)
         .select(key_col, "cm_count", "exact_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+#: alpha_m bias constants (Flajolet et al. 2007, fig. 3)
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _hll_alpha(p: int) -> float:
+    return _HLL_ALPHA.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """HyperLogLog register table over ``key_col``: ``(reg, rho)`` with
+    ``reg`` = low ``p`` bits of the 60-bit md5 hash and ``rho`` = rank
+    of the lowest set bit of the remaining 54 (Flajolet et al. 2007).
+    Registers are MAXes, so — like the Count-Min cells — the table is
+    bit-identical under any partitioning and mergeable across shards
+    with :func:`hll_merge`: sketch per day once, answer month/quarter
+    distinct counts forever without rescanning (the thing Spark's
+    scalar ``approx_count_distinct`` cannot do). At most ``2^p`` rows:
+    metadata. All-integer, replayed exactly by the DuckDB oracle.
+
+    Spark 4's built-in ``hll_sketch_agg``/``hll_union`` is the
+    production alternative with the same shape; this register table is
+    the engine-portable (and hence oracle-checkable) formulation."""
+    m = 1 << p
+    c = F.col(key_col)
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(61 - p))
+        .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+        .cast("long")
+    )
+    return (
+        df.select(h.bitwiseAND(m - 1).alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same ``p``: per-register
+    MAX. ``hll_registers(A ∪ B) == hll_merge(hll(A), hll(B))``
+    exactly."""
+    u = registers[0]
+    for r in registers[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Cardinality estimate from a register table: one row
+    ``(hll_estimate,)``. The harmonic sum Σ2^-rho is accumulated as
+    the INTEGER Σ2^(56-rho) (every term exact, the sum ≤ 2^62 — no
+    float order-dependence; a double sum here would vary with
+    partition order), then one double division; the small-range
+    branch is Flajolet's linear counting ``m·ln(m/V)`` on the
+    zero-register count V. Rounded to 4 decimals for the cross-engine
+    contract."""
+    m = 1 << p
+    alpha = _hll_alpha(p)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(56) - F.col("rho")).cast("long")).alias("_s"),
+        F.count("*").alias("_nz"),
+    )
+    v = F.lit(m) - F.col("_nz")  # zero registers (absent rows ≡ rho 0)
+    s_full = F.col("_s") + v * F.lit(1 << 56)
+    raw = F.lit(alpha * m * m * float(1 << 56)) / s_full.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("hll_estimate"))

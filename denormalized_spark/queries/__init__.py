@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "dedup_repeated_spans", "dedup_span_strip",
     "sim_kcenter_select", "curation_dsir_resample",
     "sketch_cm_cells", "sketch_cm_heavy_hitters",
+    "sketch_hll_registers", "sketch_hll_distinct",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -83,7 +84,7 @@ _DRIVER_PRIORITY = [
     "curation_quality_monitor", "window_ohlc", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
     "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_token_totals", "text_unigram_quality", "text_quality_classifier",
+    "text_token_totals",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1305,6 +1305,72 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.cm_heavy_hitters(d, "tok", thr, depth=_CM_D, width=_CM_W)
 
 
+#: HLL register derivation shared by both oracles: 60-bit md5 hash,
+#: low 6 bits pick the register, rank of the lowest set bit of the
+#: rest is rho (w=0 saturates at 55 = 61-p)
+_HLL_CTES = """h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+    r AS (SELECT h & 63 AS reg,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE bit_count(((h >> 6) & (-(h >> 6))) - 1) + 1 END AS rho
+          FROM h),
+    regs AS (SELECT reg, CAST(max(rho) AS BIGINT) AS rho FROM r GROUP BY reg)"""
+
+
+@q(
+    "sketch_hll_registers",
+    f"""
+    WITH {_HLL_CTES}
+    SELECT reg, rho FROM regs
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over distinct
+    document texts — the mergeable distinct-count summary: sketch each
+    shard/day once (≤64 rows of metadata), answer any union's
+    cardinality later by per-register MAX, which Spark's scalar
+    approx_count_distinct cannot do. All-integer (register index +
+    lowest-set-bit rank from the md5 hash), so the oracle replays
+    every register exactly."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents")
+    return sketches.hll_registers(d, "text", p=6)
+
+
+@q(
+    "sketch_hll_distinct",
+    f"""
+    WITH {_HLL_CTES},
+    s AS (SELECT CAST(sum(CAST(2 ** (56 - rho) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS nz
+          FROM regs),
+    e AS (SELECT (0.709::DOUBLE * 64.0 * 64.0 * 72057594037927936.0)
+                 / (s + (64 - nz) * 72057594037927936)::DOUBLE AS raw,
+                 64 - nz AS v
+          FROM s)
+    SELECT round(CASE WHEN raw <= 160.0 AND v > 0
+                      THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS hll_estimate,
+           (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
+    FROM e
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL cardinality estimate beside the exact distinct count — the
+    'how many unique docs / what's my dup rate' probe you run at scan
+    speed before committing to a full dedup. The harmonic sum is
+    accumulated as the integer Σ2^(56-rho) (exact under any partition
+    order — a double sum would drift), one double division at the
+    end; Flajolet's linear-counting branch handles the small range.
+    Value-checked cross-engine to 4 decimals."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents")
+    regs = sketches.hll_registers(d, "text", p=6)
+    est = sketches.hll_estimate(regs, p=6)
+    exact = d.agg(F.count_distinct("text").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

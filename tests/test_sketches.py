@@ -81,3 +81,59 @@ def test_heavy_hitters_no_false_negatives(spark):
     assert got["big1"][1] == 50 and got["big2"][1] == 80
     # estimates are upper bounds even for the false positives
     assert all(cm >= ex for cm, ex in got.values())
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.createDataFrame([(f"{prefix}{i}",) for i in range(n)], "k string")
+
+
+def test_hll_estimate_within_bound(spark):
+    # sigma ~ 1.04/sqrt(64) = 13%; allow 3 sigma on a fixed corpus
+    for n in (500, 2000):
+        regs = sketches.hll_registers(_keys(spark, n), "k", p=6)
+        est = sketches.hll_estimate(regs, p=6).collect()[0]["hll_estimate"]
+        assert abs(est - n) / n < 0.39, (n, est)
+
+
+def test_hll_mergeable(spark):
+    a, b = _keys(spark, 300, "a"), _keys(spark, 400, "b")
+    whole = sketches.hll_registers(a.unionByName(b), "k", p=6)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "k", p=6), sketches.hll_registers(b, "k", p=6)
+    )
+    key = lambda d: sorted((r["reg"], r["rho"]) for r in d.collect())
+    assert key(whole) == key(merged)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = sketches.hll_registers(_keys(spark, 200), "k", p=6)
+    thrice = sketches.hll_registers(
+        _keys(spark, 200).unionByName(_keys(spark, 200)).unionByName(_keys(spark, 200)),
+        "k",
+        p=6,
+    )
+    key = lambda d: sorted((r["reg"], r["rho"]) for r in d.collect())
+    assert key(once) == key(thrice)
+
+
+def test_hll_small_range_linear_counting(spark):
+    regs = sketches.hll_registers(_keys(spark, 12), "k", p=6)
+    est = sketches.hll_estimate(regs, p=6).collect()[0]["hll_estimate"]
+    # linear counting is near-exact this far below 2.5m
+    assert abs(est - 12) <= 3
+
+
+def test_hll_partitioning_invariant(spark):
+    df = _keys(spark, 1000)
+    a = sketches.hll_registers(df, "k", p=6)
+    b = sketches.hll_registers(df.repartition(13), "k", p=6)
+    key = lambda d: sorted((r["reg"], r["rho"]) for r in d.collect())
+    assert key(a) == key(b)
+    ea = sketches.hll_estimate(a, p=6).collect()[0]["hll_estimate"]
+    eb = sketches.hll_estimate(b.repartition(5), p=6).collect()[0]["hll_estimate"]
+    assert ea == eb

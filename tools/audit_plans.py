@@ -55,6 +55,7 @@ ALLOW_BNLJ = {
     "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
+    "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -99,6 +100,7 @@ ALLOW_SINGLE_PART = {
     "events_key_skew",        # rank/cum-share windows over the top-k rows (metadata)
     "curation_dsir_weights",  # corpus-total window over the ≤num_buckets-row bucket table
     "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
+    "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
 }
 MARKERS_PY = (
     "BatchEvalPython",

@@ -59,6 +59,7 @@ QUERIES = [
     "curation_dsir_resample",    # scoring pass + TakeOrdered top-n: linear
     "sketch_cm_cells",           # per-key partial agg + d·|keys| cell rows
     "sketch_cm_heavy_hitters",   # sketch + broadcast probe join: linear
+    "sketch_hll_registers",      # hash + 64-register max agg: scan speed
 ]
 
 
