@@ -241,3 +241,78 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
     return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 60)  # the 60-bit md5 hash domain
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """The repo's portable 60-bit md5 hash (first 15 hex chars) — the
+    uniform the KMV order statistics are taken over."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Bottom-k sketch of ``key_col``'s DISTINCT values: the k smallest
+    60-bit hashes, one column ``kmv_h`` (Bar-Yossef et al. 2002). The
+    k-th order statistic of uniform hashes estimates cardinality
+    ((k−1)/h_k normalized); keeping the VALUES — unlike HLL's ranks —
+    also supports set operations: union/intersection/Jaccard between
+    shards from their sketches alone (Beyer et al. 2007), the
+    'how much do these two crawls overlap' probe that needs no join.
+
+    Plan: hash projection → partial-distinct → TakeOrderedAndProject
+    (per-partition bottom-k heaps, k rows per partition to the driver
+    merge — no global sort). Deterministic (order statistics of exact
+    integers) and mergeable: see :func:`kmv_merge`."""
+    return (
+        df.select(kmv_hash(key_col).alias("kmv_h"))
+        .distinct()
+        .orderBy(F.asc("kmv_h"))
+        .limit(k)
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge bottom-k sketches of the same hash family: bottom-k of
+    the distinct union. ``kmv_sketch(A ∪ B) == kmv_merge(k, kmv(A),
+    kmv(B))`` exactly."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.distinct().orderBy(F.asc("kmv_h")).limit(k)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Cardinality from a bottom-k sketch: exact |sketch| while the
+    set is smaller than k (every distinct hash is present), else the
+    unbiased (k−1)/h_k over the unit-normalized k-th smallest hash.
+    One row ``(kmv_estimate,)``, rounded to 4 decimals."""
+    agg = sketch.agg(F.count("*").alias("_n"), F.max("kmv_h").alias("_hk"))
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_hk").cast("double")
+    )
+    return agg.select(F.round(est, 4).alias("kmv_estimate"))
+
+
+def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFrame:
+    """Jaccard similarity of two key SETS from their bottom-k sketches
+    alone (Beyer et al. 2007): take L = the union's bottom-k (a valid
+    sketch of A ∪ B), count members of L present in BOTH sketches;
+    J ≈ |L ∩ A ∩ B| / |L|. All inputs are ≤ k-row metadata tables —
+    the estimate runs driver-adjacent regardless of corpus size.
+    Returns one row ``(kmv_jaccard,)`` rounded to 4 decimals."""
+    both = sketch_a.join(sketch_b, "kmv_h")  # hashes seen by both sides
+    ell = kmv_merge(k, sketch_a, sketch_b)
+    hits = ell.join(both, "kmv_h").agg(F.count("*").alias("_m"))
+    size = ell.agg(F.count("*").alias("_l"))
+    return hits.crossJoin(F.broadcast(size)).select(
+        F.round(F.col("_m").cast("double") / F.col("_l").cast("double"), 4).alias(
+            "kmv_jaccard"
+        )
+    )

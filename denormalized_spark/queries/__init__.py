@@ -52,12 +52,12 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # (1) the BRAND-NEW r9 entries (never driver-verified: the k-means PQ
 # codebook trainer oracle, SemDeDup, DSIR importance weights, the
 # repeated-passage span detector + strip pair, k-center coreset
-# selection, DSIR Gumbel-top-k resampling, and the Count-Min sketch
-# pair), (2) entries
+# selection, DSIR Gumbel-top-k resampling, and the sketch family:
+# Count-Min pair, HLL pair, KMV overlap), (2) entries
 # whose operator or oracle CHANGED this round (the headline LSH entries
 # gained a live max_bucket_size cap mirrored in their oracles; array_funcs
 # now exercises array_remove_n/array_replace_n), (3) the staleness rotation
-# — all 26 entries whose latest driver green is r4, then the 18 oldest r5
+# — all 26 entries whose latest driver green is r4, then the 9 oldest r5
 # entries that fit. Everything displaced to 51+
 # keeps its registry order and was re-verified locally this session by the
 # full-registry tools/check_correctness.py sweep at sf0.001/0.01/0.1.
@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "dedup_repeated_spans", "dedup_span_strip",
     "sim_kcenter_select", "curation_dsir_resample",
     "sketch_cm_cells", "sketch_cm_heavy_hitters",
-    "sketch_hll_registers", "sketch_hll_distinct",
+    "sketch_hll_registers", "sketch_hll_distinct", "sketch_kmv_overlap",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -84,7 +84,6 @@ _DRIVER_PRIORITY = [
     "curation_quality_monitor", "window_ohlc", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
     "text_stats", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_token_totals",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1371,6 +1371,66 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+_KMV_K = 64
+
+
+@q(
+    "sketch_kmv_overlap",
+    f"""
+    WITH ta AS (SELECT DISTINCT tok FROM
+                 (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en')),
+    tb AS (SELECT DISTINCT tok FROM
+                 (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang != 'en')),
+    ska AS (SELECT kmv_h FROM (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS kmv_h FROM ta)
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    skb AS (SELECT kmv_h FROM (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS kmv_h FROM tb)
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    ell AS (SELECT kmv_h FROM (SELECT DISTINCT kmv_h FROM
+                 (SELECT kmv_h FROM ska UNION ALL SELECT kmv_h FROM skb))
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    m AS (SELECT count(*) AS m FROM ell
+          JOIN ska USING (kmv_h) JOIN skb USING (kmv_h)),
+    l AS (SELECT count(*) AS l FROM ell),
+    ex AS (SELECT (SELECT count(*) FROM ta JOIN tb USING (tok))::DOUBLE
+                / (SELECT count(*) FROM (SELECT tok FROM ta UNION SELECT tok FROM tb))::DOUBLE AS ej)
+    SELECT round(m::DOUBLE / l::DOUBLE, 4) AS kmv_jaccard,
+           round(ej, 4) AS exact_jaccard
+    FROM m, l, ex
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k set-overlap estimation (Beyer et al. 2007): the
+    Jaccard similarity of the English vs non-English token SETS from
+    their 64-hash sketches alone, exact Jaccard beside it. At 100 TB
+    this is the 'how much do these two crawls/shards overlap' probe:
+    each side sketches independently at scan speed (distinct →
+    TakeOrdered bottom-k, k rows out), the estimate combines two
+    64-row metadata tables — no cross-corpus join ever runs. The
+    oracle replays the order statistics exactly and the ratio to 4
+    decimals."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents")
+    toks = lambda cond: d.filter(cond).select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    ta = toks(F.col("lang") == "en").distinct()
+    tb = toks(F.col("lang") != "en").distinct()
+    jac = sketches.kmv_jaccard(
+        sketches.kmv_sketch(ta, "tok", _KMV_K),
+        sketches.kmv_sketch(tb, "tok", _KMV_K),
+        _KMV_K,
+    )
+    inter = ta.join(tb, "tok").agg(F.count("*").alias("_i"))
+    union = ta.unionByName(tb).distinct().agg(F.count("*").alias("_u"))
+    exact = inter.crossJoin(F.broadcast(union)).select(
+        F.round(F.col("_i").cast("double") / F.col("_u").cast("double"), 4).alias(
+            "exact_jaccard"
+        )
+    )
+    return jac.crossJoin(F.broadcast(exact))
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -137,3 +137,56 @@ def test_hll_partitioning_invariant(spark):
     ea = sketches.hll_estimate(a, p=6).collect()[0]["hll_estimate"]
     eb = sketches.hll_estimate(b.repartition(5), p=6).collect()[0]["hll_estimate"]
     assert ea == eb
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    sk = sketches.kmv_sketch(_keys(spark, 40), "k", k=64)
+    assert sk.count() == 40
+    est = sketches.kmv_distinct_estimate(sk, k=64).collect()[0]["kmv_estimate"]
+    assert est == 40.0
+
+
+def test_kmv_estimate_within_bound(spark):
+    # sigma ~ 1/sqrt(k-2) = 12.7% at k=64; allow 3 sigma
+    for n in (800, 3000):
+        sk = sketches.kmv_sketch(_keys(spark, n), "k", k=64)
+        est = sketches.kmv_distinct_estimate(sk, k=64).collect()[0]["kmv_estimate"]
+        assert abs(est - n) / n < 0.39, (n, est)
+
+
+def test_kmv_mergeable(spark):
+    a, b = _keys(spark, 500, "a"), _keys(spark, 700, "b")
+    whole = sketches.kmv_sketch(a.unionByName(b), "k", k=64)
+    merged = sketches.kmv_merge(
+        64, sketches.kmv_sketch(a, "k", k=64), sketches.kmv_sketch(b, "k", k=64)
+    )
+    key = lambda d: sorted(r["kmv_h"] for r in d.collect())
+    assert key(whole) == key(merged)
+
+
+def test_kmv_jaccard_known_overlap(spark):
+    # A = 0..599, B = 300..899: |A∩B| = 300, |A∪B| = 900, J = 1/3
+    a = spark.createDataFrame([(f"k{i}",) for i in range(600)], "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(300, 900)], "k string")
+    j = sketches.kmv_jaccard(
+        sketches.kmv_sketch(a, "k", k=64), sketches.kmv_sketch(b, "k", k=64), k=64
+    ).collect()[0]["kmv_jaccard"]
+    assert abs(j - 1 / 3) < 0.2
+    # identical sets estimate J = 1 exactly (same sketches)
+    j1 = sketches.kmv_jaccard(
+        sketches.kmv_sketch(a, "k", k=64), sketches.kmv_sketch(a, "k", k=64), k=64
+    ).collect()[0]["kmv_jaccard"]
+    assert j1 == 1.0
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = _keys(spark, 1200)
+    a = sketches.kmv_sketch(df, "k", k=64)
+    b = sketches.kmv_sketch(df.repartition(11), "k", k=64)
+    key = lambda d: sorted(r["kmv_h"] for r in d.collect())
+    assert key(a) == key(b)

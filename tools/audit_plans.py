@@ -56,6 +56,7 @@ ALLOW_BNLJ = {
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
+    "sketch_kmv_overlap",    # 1-row ratio crossJoins over ≤64-row sketch tables
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -101,6 +102,7 @@ ALLOW_SINGLE_PART = {
     "curation_dsir_weights",  # corpus-total window over the ≤num_buckets-row bucket table
     "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
     "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
+    "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
 }
 MARKERS_PY = (
     "BatchEvalPython",
