@@ -316,3 +316,85 @@ def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFr
             "kmv_jaccard"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram sketch (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    val_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+) -> DataFrame:
+    """Equi-width histogram of ``val_col`` over [lo, hi): ``(bin,
+    cnt)`` with out-of-range values clamped to the edge bins. The
+    fourth classic mergeable summary (counts sum — same contract as
+    the Count-Min cells): shards/days histogram independently, any
+    union's quantiles come from the summed table. ≤ ``bins`` rows of
+    metadata; the build is one projection + partial-agg groupBy at
+    scan speed. Bin arithmetic is a single fixed double expression,
+    replayed textually by the oracles."""
+    x = F.col(val_col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(bins)))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histograms built with the same (lo, hi, bins): bin-wise
+    sum — exact."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Linearly-interpolated quantile estimates from a histogram
+    sketch: one row, a ``q{...}`` column per requested quantile (error
+    ≤ one bin width). The cumulative walk is a window over the
+    ≤ ``bins``-row sketch — metadata, not data. Integer counts +
+    one fixed interpolation expression keep it engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("_n"),
+    )
+    width = (hi - lo) / bins
+    outs = []
+    for q in qs:
+        target = F.lit(float(q)) * F.col("_n").cast("double")
+        # first bin whose cumulative count reaches the target
+        hit = cum.filter(F.col("_cum").cast("double") >= target).orderBy("bin").limit(1)
+        est = (
+            F.lit(float(lo))
+            + (
+                F.col("bin").cast("double")
+                + (target - (F.col("_cum") - F.col("cnt")).cast("double"))
+                / F.col("cnt").cast("double")
+            )
+            * F.lit(float(width))
+        )
+        name = f"q{str(q).replace('.', '_')}"
+        outs.append(hit.select(F.round(est, round_digits).alias(name)))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.crossJoin(F.broadcast(o))
+    return res

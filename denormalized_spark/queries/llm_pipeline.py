@@ -1431,6 +1431,46 @@ def sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return jac.crossJoin(F.broadcast(exact))
 
 
+_HIST_LO, _HIST_HI, _HIST_B = 0.0, 600000.0, 120  # width 5000
+
+
+def _hist_q_sql(q: float) -> str:
+    name = f"q{str(q).replace('.', '_')}"
+    width = (_HIST_HI - _HIST_LO) / _HIST_B
+    return f"""(SELECT round({_HIST_LO} + (bin::DOUBLE
+                 + ({q} * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE)
+                 * {width}, 4) AS {name}
+       FROM c WHERE cum::DOUBLE >= {q} * n::DOUBLE ORDER BY bin LIMIT 1)"""
+
+
+@q(
+    "sketch_hist_quantiles",
+    f"""
+    WITH h AS (SELECT CAST(least(greatest(floor((o_totalprice::DOUBLE - {_HIST_LO})
+                 / {_HIST_HI - _HIST_LO} * {float(_HIST_B)}), 0), {_HIST_B - 1}) AS BIGINT) AS bin
+               FROM orders),
+    sk AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY bin),
+    c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM sk)
+    SELECT * FROM {_hist_q_sql(0.5)} q1, {_hist_q_sql(0.95)} q2, {_hist_q_sql(0.99)} q3
+    """,
+)
+def sketch_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch over order totals with
+    linearly-interpolated p50/p95/p99 (error ≤ one bin width). The
+    fourth classic mergeable summary beside Count-Min/HLL/KMV: each
+    shard histograms at scan speed into ≤120 integer-count rows, any
+    union's quantiles come from the summed table — no global sort, no
+    re-scan, unlike an exact percentile. Integer counts + one fixed
+    interpolation expression, replayed textually by the oracle."""
+    from denormalized_spark.operators import sketches
+
+    o = t(spark, sf, "orders")
+    sk = sketches.hist_sketch(o, "o_totalprice", _HIST_LO, _HIST_HI, _HIST_B)
+    return sketches.hist_quantiles(sk, [0.5, 0.95, 0.99], _HIST_LO, _HIST_HI, _HIST_B)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -190,3 +190,48 @@ def test_kmv_partitioning_invariant(spark):
     b = sketches.kmv_sketch(df.repartition(11), "k", k=64)
     key = lambda d: sorted(r["kmv_h"] for r in d.collect())
     assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+
+def test_hist_quantiles_within_bin_width(spark):
+    xs = list(range(1000))  # uniform 0..999
+    sk = sketches.hist_sketch(_vals(spark, xs), "v", 0.0, 1000.0, bins=50)
+    row = sketches.hist_quantiles(sk, [0.5, 0.9], 0.0, 1000.0, bins=50).collect()[0]
+    assert abs(row["q0_5"] - 500) <= 20  # one bin width
+    assert abs(row["q0_9"] - 900) <= 20
+
+
+def test_hist_clamps_out_of_range(spark):
+    sk = sketches.hist_sketch(_vals(spark, [-5, 0, 99, 250]), "v", 0.0, 100.0, bins=10)
+    got = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert got == {0: 2, 9: 2}  # -5 clamps low, 250 clamps high
+
+
+def test_hist_mergeable(spark):
+    a, b = _vals(spark, range(0, 500)), _vals(spark, range(500, 1000))
+    whole = sketches.hist_sketch(_vals(spark, range(1000)), "v", 0.0, 1000.0, 20)
+    merged = sketches.hist_merge(
+        sketches.hist_sketch(a, "v", 0.0, 1000.0, 20),
+        sketches.hist_sketch(b, "v", 0.0, 1000.0, 20),
+    )
+    key = lambda d: sorted((r["bin"], r["cnt"]) for r in d.collect())
+    assert key(whole) == key(merged)
+    qa = sketches.hist_quantiles(whole, [0.5], 0.0, 1000.0, 20).collect()[0]["q0_5"]
+    qb = sketches.hist_quantiles(merged, [0.5], 0.0, 1000.0, 20).collect()[0]["q0_5"]
+    assert qa == qb
+
+
+def test_hist_partitioning_invariant(spark):
+    df = _vals(spark, [(i * 37) % 1000 for i in range(800)])
+    a = sketches.hist_sketch(df, "v", 0.0, 1000.0, 25)
+    b = sketches.hist_sketch(df.repartition(9), "v", 0.0, 1000.0, 25)
+    key = lambda d: sorted((r["bin"], r["cnt"]) for r in d.collect())
+    assert key(a) == key(b)

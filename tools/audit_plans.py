@@ -57,6 +57,7 @@ ALLOW_BNLJ = {
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
     "sketch_kmv_overlap",    # 1-row ratio crossJoins over ≤64-row sketch tables
+    "sketch_hist_quantiles", # 1-row quantile × quantile crossJoins — metadata
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -103,6 +104,7 @@ ALLOW_SINGLE_PART = {
     "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
     "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
+    "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
 }
 MARKERS_PY = (
     "BatchEvalPython",

@@ -61,6 +61,7 @@ QUERIES = [
     "sketch_cm_heavy_hitters",   # sketch + broadcast probe join: linear
     "sketch_hll_registers",      # hash + 64-register max agg: scan speed
     "sketch_kmv_overlap",        # 2 distinct scans + bottom-k TakeOrdered
+    "sketch_hist_quantiles",     # bin projection + partial agg: scan speed
 ]
 
 
