@@ -235,3 +235,59 @@ def test_hist_partitioning_invariant(spark):
     b = sketches.hist_sketch(df.repartition(9), "v", 0.0, 1000.0, 25)
     key = lambda d: sorted((r["bin"], r["cnt"]) for r in d.collect())
     assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# incremental sketch maintenance over a stream
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cm_sketch_merge_equals_batch(spark):
+    """The deployment mode the mergeability guarantees exist for:
+    each micro-batch is sketched independently and cm_merge'd into a
+    running sketch (foreachBatch), and the final running sketch is
+    bit-identical to sketching the whole corpus in one batch pass —
+    no re-scan of history at any point."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cms_stream_")
+    all_rows = []
+    for i in range(4):
+        rows = [(f"w{(i * 7 + j) % 25}",) for j in range(60)]
+        all_rows += rows
+        path = os.path.join(d, f"part{i}")
+        spark.createDataFrame(rows, "tok string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for fn in os.listdir(path):
+            os.utime(os.path.join(path, fn), (1_000_000 + i, 1_000_000 + i))
+
+    state = {"sketch": None}
+
+    def upd(batch_df, _epoch):
+        sk = sketches.count_min(batch_df, "tok", depth=4, width=32)
+        prev = state["sketch"]
+        merged = sk if prev is None else sketches.cm_merge(prev, sk)
+        # pin the running sketch (≤128 rows of metadata) so lineage
+        # doesn't chain across micro-batches
+        state["sketch"] = spark.createDataFrame(
+            merged.collect(), "cm_row int, cm_col long, cnt long"
+        )
+
+    q = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "part*"))
+        .writeStream.foreachBatch(upd)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_cms_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    batch = sketches.count_min(
+        spark.createDataFrame(all_rows, "tok string"), "tok", depth=4, width=32
+    )
+    key = lambda df: sorted((r["cm_row"], r["cm_col"], r["cnt"]) for r in df.collect())
+    assert key(state["sketch"]) == key(batch)
