@@ -53,7 +53,8 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # codebook trainer oracle, SemDeDup, DSIR importance weights, the
 # repeated-passage span detector + strip pair, k-center coreset
 # selection, DSIR Gumbel-top-k resampling, and the sketch family:
-# Count-Min pair, HLL pair, KMV overlap, histogram quantiles), (2) entries
+# Count-Min pair, HLL pair, KMV overlap, histogram quantiles —
+# and PageRank), (2) entries
 # whose operator or oracle CHANGED this round (the headline LSH entries
 # gained a live max_bucket_size cap mirrored in their oracles; array_funcs
 # now exercises array_remove_n/array_replace_n), (3) the staleness rotation
@@ -68,7 +69,7 @@ _DRIVER_PRIORITY = [
     "sim_kcenter_select", "curation_dsir_resample",
     "sketch_cm_cells", "sketch_cm_heavy_hitters",
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_kmv_overlap",
-    "sketch_hist_quantiles",
+    "sketch_hist_quantiles", "graph_pagerank_events",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -84,7 +85,7 @@ _DRIVER_PRIORITY = [
     # oldest r5 entries filling the window to 50
     "curation_quality_monitor", "window_ohlc", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
-    "text_stats", "text_langid_accuracy",
+    "text_stats",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -417,3 +417,65 @@ def events_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
     out = analytics.key_skew_report(e, "user_id", top_k=20)
     return out.withColumn("key", F.col("key").cast("string"))
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration: contributions, dangling mass,
+    rank update — float ops ordered exactly as operators/graph.py."""
+    p, r = i - 1, i
+    return f"""c{r} AS (SELECT e.dst, sum(r.rank / od.outdeg) AS s
+           FROM e JOIN od USING (src) JOIN r{p} r ON e.src = r.node
+           GROUP BY e.dst),
+    d{r} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+             FROM r{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+    r{r} AS (SELECT n.node,
+                    round(0.15 / (SELECT n FROM nn)
+                          + 0.85 * (coalesce(c.s, 0.0)
+                                    + (SELECT dang FROM d{r}) / (SELECT n FROM nn)),
+                          9) AS rank
+             FROM nodes n LEFT JOIN c{r} c ON n.node = c.dst)"""
+
+
+@q(
+    "graph_pagerank_events",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS from_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+      SELECT DISTINCT from_type AS src, event_type AS dst FROM o
+      WHERE from_type IS NOT NULL
+        AND date_diff('millisecond', prev_ts, ts) <= 7200000
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)}
+    SELECT node, rank FROM r2
+    """,
+)
+def graph_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (Page et al. 1999) over the event-type transition
+    graph — the canonical iterative joins-in-a-loop algorithm, run as
+    plain Catalyst shuffles (operators/graph.pagerank): per iteration
+    one src-keyed join of the rank table against the edge list, one
+    dst-keyed contribution aggregate, a 1-row dangling-mass
+    broadcast. Per-iteration rounding makes the float trajectory
+    engine-portable, so both unrolled iterations are value-checked
+    against the DuckDB CTE replay — same contract as kmeans_clusters
+    and dedup_connected_components. The demo graph is |event_types|
+    nodes; the operator itself is the web-graph plan (edge exchange
+    reused across iterations, rank table n rows)."""
+    from denormalized_spark.operators import graph
+
+    e = t(spark, sf, "events")
+    edges = analytics.event_transitions(e, gap_ms=7_200_000).select(
+        F.col("from_type").alias("src"), F.col("to_type").alias("dst")
+    )
+    return graph.pagerank(edges, iterations=2, damping=0.85)

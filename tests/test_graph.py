@@ -1,0 +1,80 @@
+"""PageRank: hand-computable geometries, an exact Python replay of
+the rounded trajectory, dangling-mass conservation, partitioning
+invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from denormalized_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _replay(pairs, iterations, damping=0.85, digits=9):
+    nodes = sorted({n for p in pairs for n in p})
+    n = len(nodes)
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    tele = float(round(1.0 - damping, 10))
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in pairs:
+            contrib[d] += r[s] / out[s]
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: round(tele / n + damping * (contrib[v] + dang / n), digits)
+            for v in nodes
+        }
+    return r
+
+
+def test_two_node_cycle_is_uniform(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _edges(spark, [("a", "b"), ("b", "a")]), iterations=5
+        ).collect()
+    }
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_matches_python_replay(spark):
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)] + [
+        (f"n{i}", f"n{(i + 5) % 17}") for i in range(0, 17, 2)
+    ]
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edges(spark, pairs), iterations=4).collect()
+    }
+    assert got == _replay(pairs, 4)
+
+
+def test_dangling_mass_conserved(spark):
+    # b has no out-edges: its mass redistributes, total stays 1
+    pairs = [("a", "b"), ("c", "b"), ("c", "a")]
+    res = graph.pagerank(_edges(spark, pairs), iterations=6).collect()
+    total = sum(r["rank"] for r in res)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    got = {r["node"]: r["rank"] for r in res}
+    assert got == _replay(pairs, 6)
+    assert got["b"] > got["a"] > got["c"]  # sink collects, source lowest
+
+
+def test_zero_iterations_uniform(spark):
+    res = graph.pagerank(_edges(spark, [("a", "b"), ("b", "c")]), iterations=0)
+    assert {r["rank"] for r in res.collect()} == {1.0 / 3}
+
+
+def test_partitioning_invariant(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 2) % 23}") for i in range(23)]
+    a = graph.pagerank(_edges(spark, pairs), iterations=3).collect()
+    b = graph.pagerank(
+        _edges(spark, pairs).repartition(13), iterations=3, materialize_every=1
+    ).collect()
+    key = lambda rs: sorted((r["node"], r["rank"]) for r in rs)
+    assert key(a) == key(b)

@@ -58,6 +58,7 @@ ALLOW_BNLJ = {
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
     "sketch_kmv_overlap",    # 1-row ratio crossJoins over ≤64-row sketch tables
     "sketch_hist_quantiles", # 1-row quantile × quantile crossJoins — metadata
+    "graph_pagerank_events", # 1-row dangling-mass broadcast per iteration
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -105,6 +106,7 @@ ALLOW_SINGLE_PART = {
     "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
+    "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
 }
 MARKERS_PY = (
     "BatchEvalPython",

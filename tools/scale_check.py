@@ -62,6 +62,7 @@ QUERIES = [
     "sketch_hll_registers",      # hash + 64-register max agg: scan speed
     "sketch_kmv_overlap",        # 2 distinct scans + bottom-k TakeOrdered
     "sketch_hist_quantiles",     # bin projection + partial agg: scan speed
+    "graph_pagerank_events",     # per-iter src-join + dst-agg: edges-linear
 ]
 
 
