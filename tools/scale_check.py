@@ -173,6 +173,10 @@ STRESS_QUERIES = [
     # round-9 additions: growth evidence for the remaining 100 TB claims
     "join_range_order_bursts",   # bin-bucketed range join: <=2-bin fanout claim
     "dedup_connected_components",# iterative min-label propagation: iteration-count claim
+    "dedup_repeated_spans",      # linear-in-tokens claim: gram + id shuffles only
+    "dedup_span_strip",          # same machinery + HOF rebuild
+    "sim_kcenter_select",        # k argmax scans over the 10x vector corpus
+    "sketch_cm_cells",           # distinct-key cell sums at 10x token mass
 ]
 
 
