@@ -69,7 +69,7 @@ _DRIVER_PRIORITY = [
     "sim_kcenter_select", "curation_dsir_resample",
     "sketch_cm_cells", "sketch_cm_heavy_hitters",
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_kmv_overlap",
-    "sketch_hist_quantiles", "graph_pagerank_events",
+    "sketch_hist_quantiles", "graph_pagerank_events", "dedup_ppjoin_pairs",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -85,7 +85,6 @@ _DRIVER_PRIORITY = [
     # oldest r5 entries filling the window to 50
     "curation_quality_monitor", "window_ohlc", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_simhash",
-    "text_stats",
 ]
 
 def _reorder(d: dict) -> dict:

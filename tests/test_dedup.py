@@ -665,3 +665,111 @@ class TestRepeatedSpans:
         a = dedup.strip_repeated_ngrams(corpus, n=3, min_docs=2)
         b = dedup.strip_repeated_ngrams(corpus, spans=spans, n=3, min_docs=2)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestPrefixFilterJaccardJoin:
+    """AllPairs exact similarity self-join: agreement with the brute
+    force on every pair, threshold boundary inclusivity, prefix-filter
+    completeness, partitioning invariance."""
+
+    def _df(self, spark, docs):
+        return spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+
+    @staticmethod
+    def _brute(docs, thr_pct, ngram=1):
+        def elems(s):
+            ws = s.split()
+            if ngram == 1:
+                return set(ws)
+            if len(ws) >= ngram:
+                return {
+                    " ".join(ws[i : i + ngram]) for i in range(len(ws) - ngram + 1)
+                }
+            return {" ".join(ws)}
+
+        out = {}
+        for i, a in enumerate(docs):
+            for j in range(i + 1, len(docs)):
+                sa, sb = elems(a), elems(docs[j])
+                inter = len(sa & sb)
+                if 100 * inter >= thr_pct * (len(sa) + len(sb) - inter):
+                    out[(i, j)] = round(inter / (len(sa) + len(sb) - inter), 6)
+        return out
+
+    _DOCS = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "quick brown fox",                                # subset, small
+        "alpha beta gamma delta epsilon zeta eta theta",
+    ]
+
+    def test_matches_bruteforce_unigram(self, spark):
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_join(
+                self._df(spark, self._DOCS), threshold_pct=50
+            ).collect()
+        }
+        assert got == self._brute(self._DOCS, 50)
+
+    def test_matches_bruteforce_bigram(self, spark):
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_join(
+                self._df(spark, self._DOCS), threshold_pct=60, ngram=2
+            ).collect()
+        }
+        assert got == self._brute(self._DOCS, 60, ngram=2)
+
+    def test_threshold_boundary_inclusive(self, spark):
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        # |∩|=3 of 3+5-3=5 union → J = 0.6 exactly: must be INCLUDED at 60
+        docs = ["a b c", "a b c d e"]
+        got = prefix_filter_jaccard_join(
+            self._df(spark, docs), threshold_pct=60
+        ).collect()
+        assert len(got) == 1 and got[0]["jaccard"] == 0.6
+        # and excluded at 61
+        assert (
+            prefix_filter_jaccard_join(self._df(spark, docs), threshold_pct=61).count()
+            == 0
+        )
+
+    def test_exact_dup_scores_one(self, spark):
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_join(
+                self._df(spark, self._DOCS), threshold_pct=90
+            ).collect()
+        }
+        assert got[(0, 3)] == 1.0
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        docs = [f"w{i % 9} w{(i + 1) % 9} w{(i + 2) % 9} w{(i * 3) % 11}" for i in range(60)]
+        a = prefix_filter_jaccard_join(self._df(spark, docs), 60).collect()
+        b = prefix_filter_jaccard_join(
+            self._df(spark, docs).repartition(13), 60
+        ).collect()
+        key = lambda rs: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rs)
+        assert key(a) == key(b)
+
+    def test_bad_threshold(self, spark):
+        import pytest as _pytest
+
+        from denormalized_spark.operators.dedup import prefix_filter_jaccard_join
+
+        with _pytest.raises(ValueError):
+            prefix_filter_jaccard_join(self._df(spark, ["a"]), 0)

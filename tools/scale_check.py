@@ -63,6 +63,7 @@ QUERIES = [
     "sketch_kmv_overlap",        # 2 distinct scans + bottom-k TakeOrdered
     "sketch_hist_quantiles",     # bin projection + partial agg: scan speed
     "graph_pagerank_events",     # per-iter src-join + dst-agg: edges-linear
+    "dedup_ppjoin_pairs",        # exact sim-join: prefix-token (Zipf-tail) buckets
 ]
 
 
