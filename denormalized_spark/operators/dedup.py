@@ -1430,10 +1430,13 @@ def prefix_filter_jaccard_join(
     eval-set decontamination audits).
 
     ``ngram`` sets the set ELEMENT: 1 = word tokens, n>1 = word
-    n-gram strings (:func:`word_shingles`). Unigram sets saturate on
-    small shared vocabularies (every pair looks similar); bigrams are
-    the usual near-dup granularity — vocab² element space, sets that
-    actually distinguish documents."""
+    n-gram 32-bit HASHES (:func:`shingle_hashes` — grams are never
+    materialized as strings; the join keys, the sort, and the verify
+    intersect all run on longs, the repo's standard hot-path form;
+    collisions ~1e-7 and deterministic across engines). Unigram sets
+    saturate on small shared vocabularies (every pair looks similar);
+    n≥3 keeps prefix document-frequencies in the Zipf tail even on a
+    closed vocabulary."""
     from denormalized_spark.operators.text import tokens
 
     p = int(threshold_pct)
@@ -1442,7 +1445,7 @@ def prefix_filter_jaccard_join(
     elems = (
         F.array_distinct(tokens(text_col))
         if ngram == 1
-        else word_shingles(text_col, n=ngram)
+        else shingle_hashes(text_col, n=ngram)
     )
     tk = df.select(F.col(id_col), F.explode(elems).alias("_tok"))
     freq = tk.groupBy("_tok").agg(F.count("*").alias("_df"))

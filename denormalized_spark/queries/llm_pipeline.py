@@ -204,12 +204,8 @@ def dedup_near_gate(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "dedup_ppjoin_pairs",
     f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
-    tk AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
-                  ELSE [array_to_string(ws, ' ')] END) AS tok
-           FROM d),
+    {_DOC_SHINGLES_CTE},
+    tk AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
     fr AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
     od AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks, count(*) AS sz
            FROM tk JOIN fr USING (tok) GROUP BY doc_id),
@@ -227,20 +223,22 @@ def dedup_near_gate(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT bigram-set Jaccard ≥ 0.6 similarity self-join via prefix
+    """EXACT trigram-set Jaccard ≥ 0.6 similarity self-join via prefix
     filtering (AllPairs, Bayardo et al. 2007) — the exact tier beside
     the LSH paths: candidates come only from a self-join on each
     doc's frequency-rarest prefix grams (the Zipf tail — tiny join
     buckets by construction), a length filter prunes at the join, and
     the ∝-candidates verify is integer arithmetic (100·|∩| ≥
-    60·(|a|+|b|−|∩|) — no float threshold boundary). Bigram elements
-    (vocab² space) keep the sets distinctive on this corpus's small
-    vocabulary — unigram sets saturate it (57% of ALL pairs pass 0.6,
-    measured). The oracle replays the whole pipeline; tie-order
+    60·(|a|+|b|−|∩|) — no float threshold boundary). Trigram elements
+    (vocab³ space) keep prefix document-frequencies in the Zipf tail
+    the theorem wants even on this corpus's closed vocabulary —
+    measured at sf0.1: unigram sets saturate (57% of ALL pairs pass
+    0.6), bigram prefixes still carry df≤296 grams (27.5M candidate
+    mass), trigrams cap prefix df at 14 (0.8M — 34× less). The oracle replays the whole pipeline; tie-order
     differences cannot matter because the exact verify defines the
     output."""
     d = t(spark, sf, "documents")
-    return dedup.prefix_filter_jaccard_join(d, threshold_pct=60, ngram=2)
+    return dedup.prefix_filter_jaccard_join(d, threshold_pct=60, ngram=3)
 
 
 @q(
