@@ -398,3 +398,83 @@ def hist_quantiles(
     for o in outs[1:]:
         res = res.crossJoin(F.broadcast(o))
     return res
+
+
+def hist_sketch_grouped(
+    df: DataFrame,
+    val_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 100,
+) -> DataFrame:
+    """Per-group equi-width histogram: ``(*group_cols, bin, cnt)`` —
+    one partial-agg groupBy for ALL groups at once (≤ bins rows per
+    group). The grouped form of :func:`hist_sketch`; merge rule is
+    the same bin-wise sum per group."""
+    x = F.col(val_col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(bins)))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles_grouped(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group interpolated quantiles from a grouped histogram:
+    one row per group with a ``q{...}`` column per quantile. Unlike
+    the global form, the cumulative walk is a window PARTITIONED BY
+    the group — every stage shuffles on the group key, no
+    single-partition exchange anywhere, so this scales to millions of
+    groups (each group's state is its ≤ ``bins`` rows)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wg).alias("_n"),
+    )
+    width = (hi - lo) / bins
+    outs = []
+    for q in qs:
+        target = F.lit(float(q)) * F.col("_n").cast("double")
+        est = (
+            F.lit(float(lo))
+            + (
+                F.col("bin").cast("double")
+                + (target - (F.col("_cum") - F.col("cnt")).cast("double"))
+                / F.col("cnt").cast("double")
+            )
+            * F.lit(float(width))
+        )
+        name = f"q{str(q).replace('.', '_')}"
+        rk = Window.partitionBy(*group_cols).orderBy("bin")
+        hit = (
+            cum.filter(F.col("_cum").cast("double") >= target)
+            .withColumn("_rn", F.row_number().over(rk))
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols, F.round(est, round_digits).alias(name))
+        )
+        outs.append(hit)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.join(o, group_cols)
+    return res

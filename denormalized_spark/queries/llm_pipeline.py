@@ -1511,6 +1511,55 @@ def sketch_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.hist_quantiles(sk, [0.5, 0.95, 0.99], _HIST_LO, _HIST_HI, _HIST_B)
 
 
+def _hist_gq_sql(q: float) -> str:
+    name = f"q{str(q).replace('.', '_')}"
+    width = (_HIST_HI - _HIST_LO) / _HIST_B
+    return f"""(SELECT o_orderpriority,
+                 round({_HIST_LO} + (bin::DOUBLE
+                   + ({q} * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE)
+                   * {width}, 4) AS {name}
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY bin) AS rn
+             FROM c WHERE cum::DOUBLE >= {q} * n::DOUBLE)
+       WHERE rn = 1)"""
+
+
+@q(
+    "sketch_hist_group_quantiles",
+    f"""
+    WITH h AS (SELECT o_orderpriority,
+                      CAST(least(greatest(floor((o_totalprice::DOUBLE - {_HIST_LO})
+                        / {_HIST_HI - _HIST_LO} * {float(_HIST_B)}), 0), {_HIST_B - 1}) AS BIGINT) AS bin
+               FROM orders),
+    sk AS (SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1, 2),
+    c AS (SELECT o_orderpriority, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM sk)
+    SELECT a.o_orderpriority, a.q0_5, b.q0_95
+    FROM {_hist_gq_sql(0.5)} a JOIN {_hist_gq_sql(0.95)} b USING (o_orderpriority)
+    """,
+)
+def sketch_hist_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group histogram quantiles (p50/p95 of order totals per
+    order priority): the grouped form of the mergeable histogram —
+    every stage shuffles on the GROUP key (grouped partial-agg build,
+    group-partitioned cumulative window, per-group first-hit rank),
+    no single-partition exchange anywhere, so the same plan serves
+    millions of groups. This is how per-domain/per-language corpus
+    quantiles run at 100 TB: one pass, ≤bins rows of state per
+    group."""
+    from denormalized_spark.operators import sketches
+
+    o = t(spark, sf, "orders")
+    sk = sketches.hist_sketch_grouped(
+        o, "o_totalprice", ["o_orderpriority"], _HIST_LO, _HIST_HI, _HIST_B
+    )
+    return sketches.hist_quantiles_grouped(
+        sk, [0.5, 0.95], ["o_orderpriority"], _HIST_LO, _HIST_HI, _HIST_B
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -291,3 +291,28 @@ def test_streaming_cm_sketch_merge_equals_batch(spark):
     )
     key = lambda df: sorted((r["cm_row"], r["cm_col"], r["cnt"]) for r in df.collect())
     assert key(state["sketch"]) == key(batch)
+
+
+def test_hist_grouped_matches_global_per_group(spark):
+    rows = [(g, float((i * 13 + g * 7) % 1000)) for g in range(3) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    sk = sketches.hist_sketch_grouped(df, "v", ["g"], 0.0, 1000.0, 40)
+    got = {
+        r["g"]: (r["q0_5"], r["q0_9"])
+        for r in sketches.hist_quantiles_grouped(
+            sk, [0.5, 0.9], ["g"], 0.0, 1000.0, 40
+        ).collect()
+    }
+    for g in range(3):
+        one = df.filter(F.col("g") == g)
+        gsk = sketches.hist_sketch(one, "v", 0.0, 1000.0, 40)
+        row = sketches.hist_quantiles(gsk, [0.5, 0.9], 0.0, 1000.0, 40).collect()[0]
+        assert got[g] == (row["q0_5"], row["q0_9"])
+
+
+def test_hist_grouped_no_single_partition(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "g int, v double")
+    sk = sketches.hist_sketch_grouped(df, "v", ["g"], 0.0, 10.0, 10)
+    out = sketches.hist_quantiles_grouped(sk, [0.5], ["g"], 0.0, 10.0, 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
