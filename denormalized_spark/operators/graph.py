@@ -28,10 +28,15 @@ def pagerank(
     dst_col: str = "dst",
     round_digits: int = 9,
     materialize_every: int | None = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an (src, dst) edge list; returns ``(node, rank)``
     with Σrank = 1 (dangling mass redistributed uniformly, the
-    standard formulation).
+    standard formulation). Pass ``weight_col`` (positive edge
+    weights, e.g. transition counts) for weighted PageRank: each
+    source divides its rank ∝ weight instead of uniformly — the
+    out-"degree" becomes the source's weight sum and everything else
+    is unchanged.
 
     Scale shape per iteration: one src-keyed equi-join of the n-row
     rank table against the edge list (both shuffle on the same key, so
@@ -47,14 +52,21 @@ def pagerank(
     engine/partitioning to identical ranks, making the ITERATIVE float
     trajectory oracle-checkable (see queries' graph_pagerank_events).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("_w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = nodes.count()  # one scalar to the driver
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("_w").alias("outdeg"))
     ew = e.join(outdeg, "src")
     dangling_nodes = nodes.join(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
@@ -64,7 +76,7 @@ def pagerank(
         contribs = (
             ew.join(ranks, ew.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("_s"))
+            .agg(F.sum(F.col("rank") * F.col("_w") / F.col("outdeg")).alias("_s"))
         )
         dang = dangling_nodes.join(ranks, "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")

@@ -5,6 +5,7 @@ invariance."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from denormalized_spark.operators import graph
 
@@ -76,5 +77,35 @@ def test_partitioning_invariant(spark):
     b = graph.pagerank(
         _edges(spark, pairs).repartition(13), iterations=3, materialize_every=1
     ).collect()
+    key = lambda rs: sorted((r["node"], r["rank"]) for r in rs)
+    assert key(a) == key(b)
+
+
+def test_weighted_matches_python_replay(spark):
+    pairs = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 2.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(pairs, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, iterations=5, weight_col="w").collect()
+    }
+    nodes = ["a", "b", "c"]
+    out = {"a": 4.0, "b": 2.0, "c": 1.0}
+    r = {v: 1.0 / 3 for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in pairs:
+            contrib[d] += r[s] * w / out[s]
+        r = {v: round(0.15 / 3 + 0.85 * contrib[v], 9) for v in nodes}
+    assert got == r
+    # weight asymmetry shows: b gets 3x c's share of a's rank
+    assert got["b"] > got["c"]
+
+
+def test_weighted_reduces_to_unweighted_on_unit_weights(spark):
+    pairs = [(f"n{i}", f"n{(i * 5 + 1) % 11}") for i in range(11)]
+    base = spark.createDataFrame(pairs, "src string, dst string")
+    unit = base.withColumn("w", F.lit(1.0))
+    a = graph.pagerank(base, iterations=3).collect()
+    b = graph.pagerank(unit, iterations=3, weight_col="w").collect()
     key = lambda rs: sorted((r["node"], r["rank"]) for r in rs)
     assert key(a) == key(b)
