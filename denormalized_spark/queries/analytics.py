@@ -479,3 +479,64 @@ def graph_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
         F.col("from_type").alias("src"), F.col("to_type").alias("dst")
     )
     return graph.pagerank(edges, iterations=2, damping=0.85)
+
+
+def _prw_iter_sql(i: int) -> str:
+    """One unrolled WEIGHTED PageRank iteration: contributions are
+    rank·w/Σw (float ops ordered exactly as operators/graph.py with
+    weight_col set)."""
+    p, r = i - 1, i
+    return f"""wc{r} AS (SELECT e.dst, sum(r.rank * e.n / od.outdeg) AS s
+           FROM e JOIN od USING (src) JOIN wr{p} r ON e.src = r.node
+           GROUP BY e.dst),
+    wd{r} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+             FROM wr{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+    wr{r} AS (SELECT n.node,
+                    round(0.15 / (SELECT n FROM nn)
+                          + 0.85 * (coalesce(c.s, 0.0)
+                                    + (SELECT dang FROM wd{r}) / (SELECT n FROM nn)),
+                          9) AS rank
+             FROM nodes n LEFT JOIN wc{r} c ON n.node = c.dst)"""
+
+
+@q(
+    "graph_pagerank_weighted",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS from_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+      SELECT from_type AS src, event_type AS dst, count(*) AS n FROM o
+      WHERE from_type IS NOT NULL
+        AND date_diff('millisecond', prev_ts, ts) <= 7200000
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    od AS (SELECT src, sum(n)::DOUBLE AS outdeg FROM e GROUP BY src),
+    wr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {_prw_iter_sql(1)},
+    {_prw_iter_sql(2)}
+    SELECT node, rank FROM wr2
+    """,
+)
+def graph_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED PageRank over the event-type transition graph: each
+    source divides its rank proportionally to observed transition
+    COUNTS (the Markov-chain stationary view of user journeys, damped)
+    instead of uniformly — operators/graph.pagerank with weight_col=.
+    Same engine-portable per-iteration rounding; both unrolled
+    iterations value-checked against the weighted CTE replay."""
+    from denormalized_spark.operators import graph
+
+    e = t(spark, sf, "events")
+    edges = analytics.event_transitions(e, gap_ms=7_200_000).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n"),
+    )
+    return graph.pagerank(edges, iterations=2, damping=0.85, weight_col="n")

@@ -59,6 +59,7 @@ ALLOW_BNLJ = {
     "sketch_kmv_overlap",    # 1-row ratio crossJoins over ≤64-row sketch tables
     "sketch_hist_quantiles", # 1-row quantile × quantile crossJoins — metadata
     "graph_pagerank_events", # 1-row dangling-mass broadcast per iteration
+    "graph_pagerank_weighted",  # same shape, weighted contributions
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -107,6 +108,7 @@ ALLOW_SINGLE_PART = {
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
+    "graph_pagerank_weighted",  # same 1-row aggregate
 }
 MARKERS_PY = (
     "BatchEvalPython",
