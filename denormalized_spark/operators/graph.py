@@ -108,3 +108,62 @@ def damping_complement(damping: float) -> float:
     ``0.15`` literal is double(0.15) — the decimal re-round makes both
     engines hold the identical constant."""
     return float(round(1.0 - damping, 10))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    materialize_every: int | None = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over an (src, dst)
+    edge list; returns ``(node, hub, auth)``, each score L1-normalized
+    per iteration (the classic presentation normalizes L2; L1 gives
+    identical rankings and keeps the normalizer a plain sum — exactly
+    the 1-row metadata aggregate the oracle can replay).
+
+    Same execution shape as :func:`pagerank`: each half-step is one
+    edge-keyed equi-join + one keyed partial aggregation, plus a
+    1-row norm broadcast; per-iteration rounding keeps the float
+    trajectory engine-portable. Use on the link graph the reference's
+    event-transition matrix induces: hubs = types that lead
+    everywhere, authorities = types everything leads to."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+
+    def _half(scores, score_col, join_on, out_key, out_col):
+        raw = (
+            e.join(scores, F.col(join_on) == scores.node)
+            .groupBy(out_key)
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        norm = raw.agg(F.sum("_raw").alias("_norm"))
+        return (
+            nodes.join(raw, nodes.node == F.col(out_key), "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_norm"),
+                    round_digits,
+                ).alias(out_col),
+            )
+        )
+
+    auth = None
+    for i in range(iterations):
+        auth = _half(hub, "hub", "src", "dst", "auth")
+        hub = _half(auth, "auth", "dst", "src", "hub")
+        if materialize_every and (i + 1) % materialize_every == 0:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    if auth is None:  # iterations == 0
+        auth = nodes.withColumn("auth", F.lit(1.0))
+    return hub.join(auth, "node").select("node", "hub", "auth")

@@ -540,3 +540,57 @@ def graph_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n"),
     )
     return graph.pagerank(edges, iterations=2, damping=0.85, weight_col="n")
+
+
+@q(
+    "graph_hits_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS from_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+      SELECT DISTINCT from_type AS src, event_type AS dst FROM o
+      WHERE from_type IS NOT NULL
+        AND date_diff('millisecond', prev_ts, ts) <= 7200000
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+    a1r AS (SELECT e.dst AS k, sum(p.hub) AS raw FROM e JOIN h0 p ON e.src = p.node GROUP BY e.dst),
+    a1n AS (SELECT sum(raw) AS nm FROM a1r),
+    a1 AS (SELECT n.node, round(coalesce(r.raw, 0.0) / (SELECT nm FROM a1n), 9) AS auth
+           FROM nodes n LEFT JOIN a1r r ON n.node = r.k),
+    h1r AS (SELECT e.src AS k, sum(p.auth) AS raw FROM e JOIN a1 p ON e.dst = p.node GROUP BY e.src),
+    h1n AS (SELECT sum(raw) AS nm FROM h1r),
+    h1 AS (SELECT n.node, round(coalesce(r.raw, 0.0) / (SELECT nm FROM h1n), 9) AS hub
+           FROM nodes n LEFT JOIN h1r r ON n.node = r.k),
+    a2r AS (SELECT e.dst AS k, sum(p.hub) AS raw FROM e JOIN h1 p ON e.src = p.node GROUP BY e.dst),
+    a2n AS (SELECT sum(raw) AS nm FROM a2r),
+    a2 AS (SELECT n.node, round(coalesce(r.raw, 0.0) / (SELECT nm FROM a2n), 9) AS auth
+           FROM nodes n LEFT JOIN a2r r ON n.node = r.k),
+    h2r AS (SELECT e.src AS k, sum(p.auth) AS raw FROM e JOIN a2 p ON e.dst = p.node GROUP BY e.src),
+    h2n AS (SELECT sum(raw) AS nm FROM h2r),
+    h2 AS (SELECT n.node, round(coalesce(r.raw, 0.0) / (SELECT nm FROM h2n), 9) AS hub
+           FROM nodes n LEFT JOIN h2r r ON n.node = r.k)
+    SELECT h2.node, h2.hub, a2.auth FROM h2 JOIN a2 USING (node)
+    """,
+)
+def graph_hits_events(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the event-type
+    transition graph: hubs = types that lead everywhere, authorities =
+    types everything leads to. Each half-step is one edge-keyed join +
+    one keyed partial agg + a 1-row L1-norm broadcast
+    (operators/graph.hits); per-iteration rounding makes both unrolled
+    iterations value-checkable against the CTE replay — the third
+    member of the iterative-trajectory oracle family (kmeans,
+    PageRank)."""
+    from denormalized_spark.operators import graph
+
+    e = t(spark, sf, "events")
+    edges = analytics.event_transitions(e, gap_ms=7_200_000).select(
+        F.col("from_type").alias("src"), F.col("to_type").alias("dst")
+    )
+    return graph.hits(edges, iterations=2)

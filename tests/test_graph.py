@@ -109,3 +109,45 @@ def test_weighted_reduces_to_unweighted_on_unit_weights(spark):
     b = graph.pagerank(unit, iterations=3, weight_col="w").collect()
     key = lambda rs: sorted((r["node"], r["rank"]) for r in rs)
     assert key(a) == key(b)
+
+
+def test_hits_matches_python_replay(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")]
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in graph.hits(_edges(spark, pairs), iterations=3).collect()
+    }
+    nodes = sorted({n for p in pairs for n in p})
+    hub = {v: 1.0 for v in nodes}
+    auth = {}
+    for _ in range(3):
+        raw = {v: 0.0 for v in nodes}
+        for s, d in pairs:
+            raw[d] += hub[s]
+        nm = sum(raw.values())
+        auth = {v: round(raw[v] / nm, 9) for v in nodes}
+        raw = {v: 0.0 for v in nodes}
+        for s, d in pairs:
+            raw[s] += auth[d]
+        nm = sum(raw.values())
+        hub = {v: round(raw[v] / nm, 9) for v in nodes}
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    # c is the authority (3 in-links); a is the top hub (2 out to hubs)
+    assert max(got, key=lambda v: got[v][1]) == "c"
+
+
+def test_hits_scores_sum_to_one(spark):
+    pairs = [(f"n{i}", f"n{(i * 3 + 2) % 13}") for i in range(13)]
+    res = graph.hits(_edges(spark, pairs), iterations=4).collect()
+    assert sum(r["hub"] for r in res) == pytest.approx(1.0, abs=1e-6)
+    assert sum(r["auth"] for r in res) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hits_partitioning_invariant(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 19}") for i in range(19)]
+    a = graph.hits(_edges(spark, pairs), iterations=3).collect()
+    b = graph.hits(
+        _edges(spark, pairs).repartition(11), iterations=3, materialize_every=1
+    ).collect()
+    key = lambda rs: sorted((r["node"], r["hub"], r["auth"]) for r in rs)
+    assert key(a) == key(b)

@@ -60,6 +60,7 @@ ALLOW_BNLJ = {
     "sketch_hist_quantiles", # 1-row quantile × quantile crossJoins — metadata
     "graph_pagerank_events", # 1-row dangling-mass broadcast per iteration
     "graph_pagerank_weighted",  # same shape, weighted contributions
+    "graph_hits_events",     # 1-row L1-norm broadcast per half-step
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -109,6 +110,7 @@ ALLOW_SINGLE_PART = {
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
+    "graph_hits_events",     # 1-row norm aggregates (metadata)
 }
 MARKERS_PY = (
     "BatchEvalPython",
