@@ -64,6 +64,7 @@ QUERIES = [
     "sketch_hist_quantiles",     # bin projection + partial agg: scan speed
     "graph_pagerank_events",     # per-iter src-join + dst-agg: edges-linear
     "dedup_ppjoin_pairs",        # exact sim-join: prefix-token (Zipf-tail) buckets
+    "graph_hits_events",         # per-half-step join+agg + 1-row norm
 ]
 
 
