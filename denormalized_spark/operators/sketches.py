@@ -478,3 +478,48 @@ def hist_quantiles_grouped(
     for o in outs[1:]:
         res = res.join(o, group_cols)
     return res
+
+
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group HLL register tables: ``(*group_cols, reg, rho)`` —
+    ≤ 2^p rows per group from one grouped partial-agg max. The
+    100 TB per-domain-uniques shape: sketch every (day, domain) once,
+    answer any rollup later by max-merging registers along either
+    dimension."""
+    m = 1 << p
+    c = F.col(key_col)
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(61 - p))
+        .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+        .cast("long")
+    )
+    return (
+        df.select(*group_cols, h.bitwiseAND(m - 1).alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group cardinality estimates from grouped registers: one row
+    per group, same integer-exact harmonic sum and linear-counting
+    branch as :func:`hll_estimate`, but every aggregate keys on the
+    group — no single-partition stage, scales to millions of groups."""
+    m = 1 << p
+    alpha = _hll_alpha(p)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(56) - F.col("rho")).cast("long")).alias("_s"),
+        F.count("*").alias("_nz"),
+    )
+    v = F.lit(m) - F.col("_nz")
+    s_full = F.col("_s") + v * F.lit(1 << 56)
+    raw = F.lit(alpha * m * m * float(1 << 56)) / s_full.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_estimate"))

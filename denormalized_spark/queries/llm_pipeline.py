@@ -1411,6 +1411,44 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+@q(
+    "sketch_hll_group_distinct",
+    f"""
+    WITH h AS (SELECT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+               FROM documents),
+    r AS (SELECT lang, h & 63 AS reg,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE bit_count(((h >> 6) & (-(h >> 6))) - 1) + 1 END AS rho
+          FROM h),
+    regs AS (SELECT lang, reg, CAST(max(rho) AS BIGINT) AS rho
+             FROM r GROUP BY lang, reg),
+    s AS (SELECT lang, CAST(sum(CAST(2 ** (56 - rho) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS nz
+          FROM regs GROUP BY lang),
+    e AS (SELECT lang, (0.709::DOUBLE * 64.0 * 64.0 * 72057594037927936.0)
+                 / (s + (64 - nz) * 72057594037927936)::DOUBLE AS raw,
+                 64 - nz AS v
+          FROM s)
+    SELECT lang, round(CASE WHEN raw <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS hll_estimate
+    FROM e
+    """,
+)
+def sketch_hll_group_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language HLL distinct-document estimates — the grouped form
+    of the register-table sketch: one grouped partial-agg max builds
+    every language's ≤64 registers in a single pass, the estimate
+    aggregates key on the group (no single-partition stage), and the
+    same tables max-merge along any rollup dimension. The per-domain
+    'how many uniques per slice' probe a 100 TB curation report runs
+    at scan speed."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents")
+    regs = sketches.hll_registers_grouped(d, "text", ["lang"], p=6)
+    return sketches.hll_estimate_grouped(regs, ["lang"], p=6)
+
+
 _KMV_K = 64
 
 

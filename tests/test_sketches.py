@@ -316,3 +316,31 @@ def test_hist_grouped_no_single_partition(spark):
     out = sketches.hist_quantiles_grouped(sk, [0.5], ["g"], 0.0, 10.0, 10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    rows = [(i % 3, f"k{i % 3}:{i % (200 * (i % 3 + 1))}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, k string")
+    got = {
+        r["g"]: r["hll_estimate"]
+        for r in sketches.hll_estimate_grouped(
+            sketches.hll_registers_grouped(df, "k", ["g"], p=6), ["g"], p=6
+        ).collect()
+    }
+    for g in range(3):
+        one = df.filter(F.col("g") == g)
+        est = sketches.hll_estimate(
+            sketches.hll_registers(one, "k", p=6), p=6
+        ).collect()[0]["hll_estimate"]
+        assert got[g] == est
+
+
+def test_hll_grouped_register_merge_across_groups(spark):
+    # max-merging the per-group registers == the global registers
+    rows = [(i % 4, f"k{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, k string")
+    grouped = sketches.hll_registers_grouped(df, "k", ["g"], p=6)
+    merged = grouped.groupBy("reg").agg(F.max("rho").alias("rho"))
+    whole = sketches.hll_registers(df, "k", p=6)
+    key = lambda d: sorted((r["reg"], r["rho"]) for r in d.collect())
+    assert key(merged) == key(whole)
