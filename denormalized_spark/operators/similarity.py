@@ -1050,3 +1050,41 @@ def kcenter_select(
     return spark.createDataFrame(
         picks, f"center_rank int, {id_col} {id_type}, radius double"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine ranked
+    retrieval lists into one, score(d) = Σ 1/(k + rankᵢ(d)) over the
+    lists that retrieved d — the standard zero-training ensemble for
+    hybrid search (dense + sparse retrievers, or several ANN probes).
+
+    Inputs are (id, rank) tables — each retriever's ALREADY-truncated
+    top-n, so every input is k-rows metadata regardless of corpus
+    size; the fusion is a union + per-id sum + TakeOrdered over
+    ≤ Σnᵢ rows. With two lists the score sum is two IEEE additions
+    (commutative — partition-order exact); more lists rely on the
+    ``round_digits`` grid the same way every iterative oracle here
+    does. Ties break to ascending id."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("long"))).alias("_s"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for s in parts[1:]:
+        u = u.unionByName(s)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), round_digits).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -71,7 +71,7 @@ _DRIVER_PRIORITY = [
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_kmv_overlap",
     "sketch_hist_quantiles", "graph_pagerank_events", "dedup_ppjoin_pairs",
     "sketch_hist_group_quantiles", "graph_pagerank_weighted", "graph_hits_events",
-    "sketch_hll_group_distinct",
+    "sketch_hll_group_distinct", "sim_rrf_fusion_query0",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -85,7 +85,6 @@ _DRIVER_PRIORITY = [
     "window_sliding_1h_30m", "window_global_tumbling_6h",
     "window_session_30m", "window_then_join", "window_session_dynamic_gap",
     # oldest r5 entries filling the window to 50
-    "curation_quality_monitor",
     "dedup_fingerprint",
 ]
 

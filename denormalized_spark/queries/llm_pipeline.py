@@ -1245,6 +1245,67 @@ def _kcenter_oracle(k: int, dim: int = 64) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
+@q(
+    "sim_rrf_fusion_query0",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    ca AS (SELECT e.vec_id,
+                  round(({_dot_sql('e.embedding', 'q.embedding')})
+                        / ({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')}), 6) AS s
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+           ORDER BY s DESC, e.vec_id LIMIT 20),
+    ra AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id) AS r FROM ca),
+    cb AS (SELECT e.vec_id,
+                  round({{sqd}}, 6) AS d
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+           ORDER BY d ASC, e.vec_id LIMIT 20),
+    rb AS (SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id) AS r FROM cb),
+    u AS (SELECT vec_id, 1.0::DOUBLE / (60 + r) AS s FROM ra
+          UNION ALL SELECT vec_id, 1.0::DOUBLE / (60 + r) FROM rb)
+    SELECT vec_id, round(sum(s), 6) AS rrf_score
+    FROM u GROUP BY vec_id
+    ORDER BY rrf_score DESC, vec_id LIMIT 10
+    """.replace("{sqd}", _sqd_sql("e.embedding", "q.embedding")),
+)
+def sim_rrf_fusion_query0(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
+    for query 0 — cosine top-20 and (negative) squared-L2 top-20 —
+    into one hybrid top-10: score = Σ 1/(60 + rank). The production
+    use fuses dense ANN with sparse/BM25 lists; the demo's two metric
+    rankings exercise the identical plan: each retriever is its own
+    TakeOrdered top-n (n-row metadata), fusion is a union + per-id
+    sum + TakeOrdered. The in-list rank windows run over 20-row
+    tables."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    ca = (
+        scored.select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(20)
+    )
+    cb = (
+        scored.select(
+            "vec_id",
+            F.round(similarity.sqdist(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(20)
+    )
+    ra = ca.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("s"), F.asc("vec_id")))
+    )
+    rb = cb.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.asc("d"), F.asc("vec_id")))
+    )
+    return similarity.rrf_fuse([ra, rb], topk=10)
+
+
 _KC_K = 6
 
 

@@ -671,3 +671,52 @@ def test_kcenter_k1_and_bad_k(spark):
     assert similarity.kcenter_select(df, k=1).count() == 1
     with pytest.raises(ValueError):
         similarity.kcenter_select(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "vec_id long, rank int")
+
+
+def test_rrf_known_scores(spark):
+    a = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _ranked(spark, [(2, 1), (1, 2), (4, 3)])
+    got = {
+        r["vec_id"]: r["rrf_score"]
+        for r in similarity.rrf_fuse([a, b], topk=4).collect()
+    }
+    exp = {
+        1: round(1 / 61 + 1 / 62, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63, 6),
+        4: round(1 / 63, 6),
+    }
+    assert got == exp
+
+
+def test_rrf_consensus_beats_single_list_top(spark):
+    # doc 5 is rank 2 in BOTH lists; each list's rank-1 appears once
+    a = _ranked(spark, [(1, 1), (5, 2)])
+    b = _ranked(spark, [(2, 1), (5, 2)])
+    top = similarity.rrf_fuse([a, b], topk=1).collect()[0]
+    assert top["vec_id"] == 5
+
+
+def test_rrf_tiebreak_and_topk(spark):
+    a = _ranked(spark, [(10, 1), (20, 2)])
+    b = _ranked(spark, [(20, 1), (10, 2)])
+    rows = similarity.rrf_fuse([a, b], topk=1).collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 10  # tie -> min id
+
+
+def test_rrf_partitioning_invariant(spark):
+    a = _ranked(spark, [(i, i + 1) for i in range(30)])
+    b = _ranked(spark, [(29 - i, i + 1) for i in range(30)])
+    x = similarity.rrf_fuse([a, b], topk=8).collect()
+    y = similarity.rrf_fuse([a.repartition(7), b.repartition(3)], topk=8).collect()
+    key = lambda rs: sorted((r["vec_id"], r["rrf_score"]) for r in rs)
+    assert key(x) == key(y)

@@ -61,6 +61,7 @@ ALLOW_BNLJ = {
     "graph_pagerank_events", # 1-row dangling-mass broadcast per iteration
     "graph_pagerank_weighted",  # same shape, weighted contributions
     "graph_hits_events",     # 1-row L1-norm broadcast per half-step
+    "sim_rrf_fusion_query0", # 1-row query-vector broadcast (two retrievers)
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -111,6 +112,7 @@ ALLOW_SINGLE_PART = {
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
     "graph_hits_events",     # 1-row norm aggregates (metadata)
+    "sim_rrf_fusion_query0", # rank windows over the 20-row retrieved lists
 }
 MARKERS_PY = (
     "BatchEvalPython",
