@@ -446,6 +446,48 @@ def sample_n_per_group(
     )
 
 
+def weighted_sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    weight: Column | str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "wev0",
+) -> DataFrame:
+    """Fixed-size WEIGHTED sample per group, without replacement, with
+    inclusion probability ∝ ``weight`` — Efraimidis & Spirakis 2006's
+    one-pass weighted reservoir, in its Gumbel-key form: rank inside
+    each group on ``⌊ln(w)·10⁶ + ½⌋ + Gumbel_micros(id)`` (both
+    integer micro-nats — :func:`gumbel_micros`'s portability contract)
+    and keep the top ``n``. The quality-weighted eval-set builder
+    ("200 docs per language, preferring longer/higher-scoring ones"),
+    beside :func:`sample_n_per_group`'s uniform form.
+
+    Same plan shape as the uniform sampler: one group-keyed shuffle,
+    per-group rank-limit window (WindowGroupLimit — no group
+    materializes more than n rows past its sort), deterministic
+    across reruns/partitionings/engines. ``weight`` must be positive;
+    rows with NULL/non-positive weights are dropped (they have zero
+    inclusion probability)."""
+    from pyspark.sql import Window
+
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    key = (
+        F.floor(F.log(wcol.cast("double")) * 1e6 + 0.5).cast("long")
+        + gumbel_micros(id_col, seed)
+    ).alias("_key")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(wcol.isNotNull() & (wcol > 0))
+        .withColumn("_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk", "_key")
+    )
+
+
 def dsir_bucket_weights(
     df: DataFrame,
     target: Column,

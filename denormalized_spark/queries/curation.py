@@ -948,3 +948,35 @@ def curation_drift_report(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("len_ok_rate_delta"),
     )
+
+
+@q(
+    "curation_weighted_eval_sample",
+    """
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(ln(n_chars::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             + CAST(floor(-ln(-ln(
+                 ((('0x' || substr(md5('wev0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0)
+               )) * 1000000.0 + 0.5) AS BIGINT) AS key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, source, n_chars FROM r WHERE rk <= 20
+    """,
+)
+def curation_weighted_eval_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted per-stratum sampling without replacement (Efraimidis &
+    Spirakis 2006, Gumbel-key form): exactly 20 docs per source with
+    inclusion probability proportional to length — the quality-weighted
+    eval-set builder beside the uniform curation_eval_sample. Integer
+    micro-nat keys (log-weight + Gumbel noise from the md5 uniform)
+    make the draw reproducible across engines; one group-keyed shuffle
+    + WindowGroupLimit rank."""
+    d = t(spark, sf, "documents")
+    out = curation.weighted_sample_n_per_group(
+        d, n=20, weight="n_chars", group_col="source", seed="wev0"
+    )
+    return out.select("doc_id", "source", "n_chars")

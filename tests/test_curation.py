@@ -947,3 +947,76 @@ class TestImportanceResample:
         assert sorted(r["doc_id"] for r in a.collect()) == sorted(
             r["doc_id"] for r in b.collect()
         )
+
+
+class TestWeightedSampleNPerGroup:
+    def _df(self, spark):
+        rows = [(i, f"g{i % 2}", 10 if i < 40 else 1000) for i in range(80)]
+        return spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+    def test_exact_n_and_weight_bias(self, spark):
+        from denormalized_spark.operators.curation import weighted_sample_n_per_group
+
+        out = weighted_sample_n_per_group(
+            self._df(spark), n=10, weight="w", group_col="source"
+        ).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) == 10 and len(set(v)) == 10 for v in per.values())
+        # heavy docs (w=1000, ids >= 40) dominate: ln(1000)-ln(10) = 4.6 nats
+        # vs Gumbel noise, so expect a strong majority
+        heavy = sum(1 for r in out if r["doc_id"] >= 40)
+        assert heavy >= 16
+
+    def test_key_matches_python_replay(self, spark):
+        import hashlib
+        import math
+
+        from denormalized_spark.operators.curation import weighted_sample_n_per_group
+
+        df = self._df(spark)
+        out = weighted_sample_n_per_group(
+            df, n=40, weight="w", group_col="source", seed="t-w"
+        ).collect()
+
+        def key(doc_id, w):
+            m = int(hashlib.md5(f"t-w{doc_id}".encode()).hexdigest()[:8], 16)
+            g = math.floor(-math.log(-math.log((m + 0.5) / 2**32)) * 1e6 + 0.5)
+            return math.floor(math.log(w) * 1e6 + 0.5) + g
+
+        rows = [(i, f"g{i % 2}", 10 if i < 40 else 1000) for i in range(80)]
+        exp = {}
+        for i, g, w in rows:
+            exp.setdefault(g, []).append((key(i, w), -i))
+        want = {
+            g: sorted(i for _, i in sorted(v, reverse=True)[:40])
+            for g, v in ((g, [(k, -i) for k, i in v]) for g, v in exp.items())
+        }
+        got = {}
+        for r in out:
+            got.setdefault(r["source"], []).append(r["doc_id"])
+        got = {g: sorted(v) for g, v in got.items()}
+        # n=40 >= group size: everything positive-weight survives
+        assert got == {g: sorted(i for i in range(80) if f"g{i % 2}" == g) for g in got}
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from denormalized_spark.operators.curation import weighted_sample_n_per_group
+
+        df = spark.createDataFrame(
+            [(1, "g", 5), (2, "g", 0), (3, "g", -1), (4, "g", None)],
+            "doc_id long, source string, w int",
+        )
+        out = weighted_sample_n_per_group(df, n=10, weight="w", group_col="source")
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.curation import weighted_sample_n_per_group
+
+        df = self._df(spark)
+        a = weighted_sample_n_per_group(df, n=7, weight="w", group_col="source")
+        b = weighted_sample_n_per_group(
+            df.repartition(9), n=7, weight="w", group_col="source"
+        )
+        key = lambda d: sorted((r["source"], r["doc_id"]) for r in d.collect())
+        assert key(a) == key(b)
