@@ -1397,9 +1397,9 @@ def prefix_filter_jaccard_join(
     text_col: str = "text",
     ngram: int = 1,
 ) -> DataFrame:
-    """EXACT Jaccard similarity self-join via prefix filtering
-    (AllPairs — Bayardo et al. 2007 "Scaling up all pairs similarity
-    search"; the candidate rule PPJoin builds on): every pair with
+    """EXACT Jaccard similarity self-join via prefix + positional
+    filtering (AllPairs — Bayardo et al. 2007; positional filter —
+    PPJoin, Xiao et al. 2008): every pair with
     token-set Jaccard ≥ t is returned with its exact score — no LSH
     recall loss — without the O(n²) all-pairs join.
 
@@ -1464,18 +1464,30 @@ def prefix_filter_jaccard_join(
     pref = ordered.select(
         id_col,
         "_sz",
-        F.explode(
+        F.posexplode(
             F.expr(f"slice(_toks, 1, _sz - (({p} * _sz + 99) div 100) + 1)")
-        ).alias("_tok"),
+        ).alias("_pos", "_tok"),
     )
+    # PPJoin positional filter (Xiao et al. 2008): a shared prefix
+    # token at 0-based positions (pa, pb) bounds the overlap by
+    # 1 + min(|a|-pa-1, |b|-pb-1); J ≥ t needs overlap ≥
+    # ⌈p(|a|+|b|)/(100+p)⌉ — all-integer, prunes candidates only
+    # (never a true pair), so the verified OUTPUT is unchanged
     a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.expr(
+        f"(({p} * (a._sz + b._sz)) + {100 + p} - 1) div {100 + p}"
+    )
+    ubound = 1 + F.least(
+        F.col("a._sz") - F.col("a._pos") - 1, F.col("b._sz") - F.col("b._pos") - 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.lit(p) * F.col("a._sz") <= F.lit(100) * F.col("b._sz"))
-            & (F.lit(p) * F.col("b._sz") <= F.lit(100) * F.col("a._sz")),
+            & (F.lit(p) * F.col("b._sz") <= F.lit(100) * F.col("a._sz"))
+            & (ubound >= alpha),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
