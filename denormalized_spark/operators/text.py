@@ -1233,3 +1233,43 @@ def linear_classifier_score(
         term = F.element_at(counts, j + 1) * F.lit(wj)
         score = term if score is None else score + term
     return score
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per
+    language, rank documents by LM score and cut into head / middle /
+    tail terciles — the published recipe for mixing "keep the head,
+    sample the middle, drop the tail" training corpora. The LM here is
+    the unigram stand-in (:func:`unigram_logprob_scores`; swap in a
+    KenLM score column at 100 TB — only the score expression changes).
+
+    Returns one row per doc: ``(id, lang, rlogp, bucket)`` with bucket
+    ∈ head/middle/tail. Ranking happens on the ROUNDED score with an
+    id tiebreak, so the tercile assignment is deterministic across
+    engines and partitionings (raw float avg ordering would flip
+    equal-score neighbors); the cut is ntile(3) over a lang-keyed
+    window — scales to any language count, no global stage."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_scores(df, vocab, id_col, text_col)
+    withlang = scored.join(df.select(id_col, lang_col), id_col)
+    rlogp = F.round(F.col("avg_logp"), round_digits)
+    w = Window.partitionBy(lang_col).orderBy(
+        rlogp.desc(), F.col(id_col).asc()
+    )
+    nt = F.ntile(3).over(w)
+    bucket = (
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return withlang.select(
+        id_col, lang_col, rlogp.alias("rlogp"), bucket.alias("bucket")
+    )

@@ -72,7 +72,7 @@ _DRIVER_PRIORITY = [
     "sketch_hist_quantiles", "graph_pagerank_events", "dedup_ppjoin_pairs",
     "sketch_hist_group_quantiles", "graph_pagerank_weighted", "graph_hits_events",
     "sketch_hll_group_distinct", "sim_rrf_fusion_query0",
-    "curation_weighted_eval_sample",
+    "curation_weighted_eval_sample", "text_ccnet_buckets",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -83,7 +83,7 @@ _DRIVER_PRIORITY = [
     "over_rank_per_customer", "over_running_lag_lead", "scalar_datetime",
     "pivot_event_counts", "join_right_customers", "join_full_user_activity",
     "agg_weighted_percentile", "agg_weighted_percentile_column",
-    "window_sliding_1h_30m", "window_global_tumbling_6h",
+    "window_sliding_1h_30m",
     "window_session_30m", "window_then_join",
     # oldest r5 entries filling the window to 50
     "dedup_fingerprint",

@@ -583,7 +583,54 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     out = text.unigram_logprob_scores(d)
     return out.select(
-        "doc_id", "n_tokens", "sum_freq", F.round("avg_logp", 4).alias("avg_logp")
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        F.round(F.col("avg_logp"), 4).alias("avg_logp"),
+    )
+
+
+@q(
+    "text_ccnet_buckets",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS t FROM vocab),
+    scored AS (
+      SELECT tok.doc_id, ln(v.cnt::DOUBLE / tot.t) AS logp
+      FROM tok JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    per_doc AS (SELECT doc_id, round(avg(logp), 4) AS rlogp
+                FROM scored GROUP BY doc_id),
+    cut AS (
+      SELECT p.doc_id, dd.lang, p.rlogp,
+             ntile(3) OVER (PARTITION BY dd.lang
+                            ORDER BY p.rlogp DESC, p.doc_id ASC) AS nt
+      FROM per_doc p JOIN documents dd USING (doc_id)
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(rlogp) AS min_rlogp,
+           max(rlogp) AS max_rlogp
+    FROM cut GROUP BY lang, nt
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet quality bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail terciles on the unigram-LM score (the published
+    'keep the head, sample the middle, drop the tail' recipe;
+    operators/text.ccnet_buckets — swap in a KenLM column at scale).
+    Ranking on the rounded score with an id tiebreak makes the
+    tercile CUT itself engine-deterministic; summarized per (lang,
+    bucket) with exact doc counts and the rounded score range."""
+    d = t(spark, sf, "documents")
+    out = text.ccnet_buckets(d)
+    return out.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("rlogp").alias("min_rlogp"),
+        F.max("rlogp").alias("max_rlogp"),
     )
 
 

@@ -62,6 +62,7 @@ ALLOW_BNLJ = {
     "graph_pagerank_weighted",  # same shape, weighted contributions
     "graph_hits_events",     # 1-row L1-norm broadcast per half-step
     "sim_rrf_fusion_query0", # 1-row query-vector broadcast (two retrievers)
+    "text_ccnet_buckets",    # 1-row vocab-total crossJoin (unigram LM, as text_unigram_quality)
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -113,6 +114,7 @@ ALLOW_SINGLE_PART = {
     "graph_pagerank_weighted",  # same 1-row aggregate
     "graph_hits_events",     # 1-row norm aggregates (metadata)
     "sim_rrf_fusion_query0", # rank windows over the 20-row retrieved lists
+    "text_ccnet_buckets",    # 1-row LM total (same as text_unigram_quality)
 }
 MARKERS_PY = (
     "BatchEvalPython",
