@@ -481,3 +481,76 @@ def test_anomaly_stream_history_survives_idle_gap(spark):
         assert r["n_prior_windows"] == b["n_prior_windows"], (
             k, r["n_prior_windows"], b["n_prior_windows"])
         assert abs(r["zscore"] - b["zscore"]) < 1e-5, (k, r["zscore"], b["zscore"])
+
+
+def test_transform_with_state_running_count(spark):
+    """Spark 4's transformWithStateInPandas (the successor API to
+    applyInPandasWithState, and SURVEY §7's named extension hook):
+    per-key ValueState running counts across staged micro-batches,
+    parity with the batch groupBy count. The Python↔JVM state protocol
+    needs protobuf, absent from this container — skips cleanly there,
+    runs anywhere protobuf is installed (same gate posture as the
+    Avro-jar tests)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = tempfile.mkdtemp(prefix="tws_")
+    rows_all = []
+    for i in range(3):
+        rows = [(u, i * 10 + j) for u in (1, 2, 3) for j in range(u)]
+        rows_all += rows
+        p = os.path.join(d, f"part{i}")
+        spark.createDataFrame(rows, "user_id long, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for fn in os.listdir(p):
+            os.utime(os.path.join(p, fn), (1_000_000 + i,) * 2)
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self._cnt = handle.getValueState("cnt", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._cnt.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    latest = {}
+    q = (
+        spark.readStream.schema("user_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "part*"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id long, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: latest.update({r["user_id"]: r["n"] for r in df.collect()})
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_tws_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    want = {}
+    for u, _ in rows_all:
+        want[u] = want.get(u, 0) + 1
+    assert latest == want
