@@ -424,3 +424,42 @@ def key_skew_report(
             ),
         )
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    half_life_ms: int,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    as_of: Column | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exponentially-decayed event counters — the classic streaming
+    "trending" statistic (each event contributes 2^(Δt/half_life),
+    Δt ≤ 0 relative to ``as_of``): a count where an event from one
+    half-life ago is worth half a fresh one. Mergeable and
+    incrementally maintainable (decay commutes with addition:
+    ``C(T₂) = C(T₁)·2^((T₁−T₂)/h) + fresh``), which is why production
+    trend detectors keep exactly this per-key scalar in state.
+
+    Batch form: one scan + grouped partial agg, the ``as_of``
+    reference defaulting to the corpus max timestamp (a 1-row
+    broadcast). Decay weights are per-row ``pow`` expressions — scan
+    speed, and cross-engine-stable to ``round_digits`` (per-term libm
+    ulps vanish against the rounding grid)."""
+    gcols = group_cols or ["event_type"]
+    if as_of is None:
+        mx = df.agg(F.max(ts_col).alias("_asof"))
+        base = df.crossJoin(F.broadcast(mx))
+        ref = F.col("_asof")
+    else:
+        base = df.withColumn("_asof", as_of)
+        ref = F.col("_asof")
+    dt_ms = (
+        F.unix_millis(F.col(ts_col)) - F.unix_millis(ref)
+    ).cast("double")
+    w = F.pow(F.lit(2.0), dt_ms / F.lit(float(half_life_ms)))
+    return base.groupBy(*gcols).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(w), round_digits).alias("decayed_count"),
+    )

@@ -594,3 +594,27 @@ def graph_hits_events(spark: SparkSession, sf: str) -> DataFrame:
         F.col("from_type").alias("src"), F.col("to_type").alias("dst")
     )
     return graph.hits(edges, iterations=2)
+
+
+@q(
+    "events_decayed_counts",
+    """
+    WITH m AS (SELECT max(ts) AS mt FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(pow(2.0, date_diff('millisecond', mt, ts) / 21600000.0)), 6)
+             AS decayed_count
+    FROM events CROSS JOIN m
+    GROUP BY event_type
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-decayed per-type event counters (half-life 6h,
+    referenced to the corpus max timestamp) — the trending statistic a
+    streaming detector keeps in per-key state; decay commutes with
+    addition so the counter is mergeable and incrementally
+    maintainable (operators/analytics.decayed_counts). One scan +
+    grouped partial agg + a 1-row as-of broadcast; per-row pow stays
+    in codegen."""
+    e = t(spark, sf, "events")
+    return analytics.decayed_counts(e, half_life_ms=21_600_000)

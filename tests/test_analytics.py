@@ -242,3 +242,64 @@ def test_key_skew_report(spark):
     assert out[0]["share"] == 0.6 and out[0]["cum_share"] == 0.6
     assert out[0]["total_rows"] == 100 and out[0]["distinct_keys"] == 41
     assert out[1]["n"] == 1 and out[1]["cum_share"] == 0.61
+
+
+class TestDecayedCounts:
+    def test_known_values_and_merge_property(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import decayed_counts
+        from pyspark.sql import functions as F
+
+        base = datetime.datetime(2024, 1, 1)
+        h = 3_600_000  # 1h half-life
+        rows = [
+            ("a", base),                                  # 2 half-lives old: 0.25
+            ("a", base + datetime.timedelta(hours=1)),    # 1 half-life:     0.5
+            ("a", base + datetime.timedelta(hours=2)),    # as-of:           1.0
+            ("b", base + datetime.timedelta(hours=2)),    # as-of:           1.0
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {
+            r["event_type"]: (r["n_events"], r["decayed_count"])
+            for r in decayed_counts(df, half_life_ms=h).collect()
+        }
+        assert got == {"a": (3, 1.75), "b": (1, 1.0)}
+
+        # decay commutes with addition: counter at T1 decayed to T2
+        # + fresh events == counter computed at T2 directly
+        t1 = base + datetime.timedelta(hours=1)
+        early = df.filter(F.col("ts") <= t1)
+        c_t1 = {
+            r["event_type"]: r["decayed_count"]
+            for r in decayed_counts(early, h, as_of=F.lit(t1)).collect()
+        }
+        t2 = base + datetime.timedelta(hours=2)
+        fresh = df.filter(F.col("ts") > t1)
+        c_fresh = {
+            r["event_type"]: r["decayed_count"]
+            for r in decayed_counts(fresh, h, as_of=F.lit(t2)).collect()
+        }
+        import pytest as _pytest
+
+        merged_a = c_t1["a"] * 2 ** (-1.0) + c_fresh["a"]
+        full = {
+            r["event_type"]: r["decayed_count"]
+            for r in decayed_counts(df, h, as_of=F.lit(t2)).collect()
+        }
+        assert full["a"] == _pytest.approx(merged_a, abs=1e-6)
+
+    def test_partitioning_invariant(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import decayed_counts
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (f"t{i % 3}", base + datetime.timedelta(minutes=i * 7)) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        a = decayed_counts(df, 3_600_000).collect()
+        b = decayed_counts(df.repartition(11), 3_600_000).collect()
+        key = lambda rs: sorted((r["event_type"], r["decayed_count"]) for r in rs)
+        assert key(a) == key(b)

@@ -63,6 +63,7 @@ ALLOW_BNLJ = {
     "graph_hits_events",     # 1-row L1-norm broadcast per half-step
     "sim_rrf_fusion_query0", # 1-row query-vector broadcast (two retrievers)
     "text_ccnet_buckets",    # 1-row vocab-total crossJoin (unigram LM, as text_unigram_quality)
+    "events_decayed_counts", # 1-row as-of (max ts) broadcast — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
