@@ -116,6 +116,7 @@ ALLOW_SINGLE_PART = {
     "graph_hits_events",     # 1-row norm aggregates (metadata)
     "sim_rrf_fusion_query0", # rank windows over the 20-row retrieved lists
     "text_ccnet_buckets",    # 1-row LM total (same as text_unigram_quality)
+    "events_decayed_counts", # 1-row as-of max-ts aggregate (metadata)
 }
 MARKERS_PY = (
     "BatchEvalPython",
