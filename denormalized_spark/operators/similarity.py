@@ -1088,3 +1088,59 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    eval_ids: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    max_bucket_size: int | None = 512,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: drop corpus rows whose
+    embedding is cosine-≥ ``tau`` near ANY eval-set row — the
+    embedding-level complement of n-gram decontamination (paraphrased
+    or translated eval leakage that no exact-substring check can see;
+    the contamination audit recent LLM evals run). ``eval_ids`` is an
+    id table marking the held-out rows inside ``df``.
+
+    Plan: ONE LSH bucket-collect pass over the combined corpus
+    (:func:`lsh_bucketed_neighbors` — signatures computed once, the
+    verify runs only on gated candidates, the bucket cap bounds
+    degenerate corpora), then keep only cross-split pairs and
+    anti-join their corpus side out. Same recall/plane economics as
+    the semantic-dedup path it shares machinery with; at production
+    scale raise ``num_tables`` (linear cost)."""
+    pairs = lsh_bucketed_neighbors(
+        df,
+        dim=dim,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        min_cosine=tau - 5e-7,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+    ).filter(F.round(F.col("cosine_sim"), round_digits) >= tau)
+    ev = eval_ids.select(F.col(id_col).alias("_eid"))
+    flagged = (
+        pairs.join(ev, pairs.id_a == F.col("_eid"), "left")
+        .withColumn("_ea", F.col("_eid").isNotNull())
+        .drop("_eid")
+        .join(ev, pairs.id_b == F.col("_eid"), "left")
+        .withColumn("_eb", F.col("_eid").isNotNull())
+        .drop("_eid")
+    )
+    cont = (
+        flagged.filter(F.col("_ea") != F.col("_eb"))
+        .select(
+            F.when(F.col("_ea"), F.col("id_b")).otherwise(F.col("id_a")).alias("_cid")
+        )
+        .distinct()
+    )
+    corpus = df.join(ev, df[id_col] == F.col("_eid"), "left_anti")
+    return corpus.join(cont, corpus[id_col] == F.col("_cid"), "left_anti")

@@ -73,7 +73,7 @@ _DRIVER_PRIORITY = [
     "sketch_hist_group_quantiles", "graph_pagerank_weighted", "graph_hits_events",
     "sketch_hll_group_distinct", "sim_rrf_fusion_query0",
     "curation_weighted_eval_sample", "text_ccnet_buckets",
-    "events_decayed_counts",
+    "events_decayed_counts", "curation_semantic_decontaminate",
     # operator/oracle changed this round — re-prove under the new code
     "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
     # latest green r4 — all 26
@@ -81,7 +81,7 @@ _DRIVER_PRIORITY = [
     "agg_collect", "agg_bitwise_bool", "agg_percentiles",
     "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
     "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
-    "over_rank_per_customer", "over_running_lag_lead", "scalar_datetime",
+    "over_rank_per_customer", "over_running_lag_lead",
     "pivot_event_counts", "join_right_customers",
     "agg_weighted_percentile", "agg_weighted_percentile_column",
     "window_sliding_1h_30m",

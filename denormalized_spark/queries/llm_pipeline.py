@@ -1353,6 +1353,51 @@ def sim_rrf_fusion_query0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.rrf_fuse([ra, rb], topk=10)
 
 
+@q(
+    "curation_semantic_decontaminate",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_lsh_sig_sql(t_, _ND_PLANES, 64)} AS s{t_}" for t_ in range(_ND_TABLES))}
+      FROM embeddings
+    ),
+    {_lsh_ok_ctes(_ND_TABLES, _LSH_CAP)},
+    cont AS (
+      SELECT DISTINCT CASE WHEN a.vec_id % 20 = 7 THEN b.vec_id
+                           ELSE a.vec_id END AS cont_id
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id
+      WHERE (a.vec_id % 20 = 7) != (b.vec_id % 20 = 7)
+        AND ({_lsh_pair_cond(_ND_TABLES)})
+        AND round(({_dot_sql('a.embedding', 'b.embedding')})
+                  / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= {_ND_TAU}
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id % 20 != 7
+      AND e.vec_id NOT IN (SELECT cont_id FROM cont)
+    """,
+)
+def curation_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (the embedding-level
+    complement of the n-gram curation_decontaminate): drop training
+    vectors cosine-≥0.4 near any held-out eval vector (vec_id%20==7
+    plays the eval set) — catches paraphrased/translated leakage no
+    exact-substring check sees. One LSH bucket-collect pass over the
+    combined corpus, cross-split pairs only, anti-join the train side
+    out (operators/similarity.semantic_decontaminate, sharing the
+    semantic-dedup machinery and its production bucket cap). Fully
+    oracle-replayed including the gate."""
+    from denormalized_spark.operators import similarity as sim
+
+    e = t(spark, sf, "embeddings")
+    ev = e.filter(F.col("vec_id") % 20 == 7).select("vec_id")
+    out = sim.semantic_decontaminate(
+        e, ev, tau=_ND_TAU, num_planes=_ND_PLANES, num_tables=_ND_TABLES,
+        max_bucket_size=_LSH_CAP,
+    )
+    return out.select("vec_id", "label")
+
+
 _KC_K = 6
 
 

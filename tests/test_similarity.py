@@ -720,3 +720,38 @@ def test_rrf_partitioning_invariant(spark):
     y = similarity.rrf_fuse([a.repartition(7), b.repartition(3)], topk=8).collect()
     key = lambda rs: sorted((r["vec_id"], r["rrf_score"]) for r in rs)
     assert key(x) == key(y)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+class TestSemanticDecontaminate:
+    def _df(self, spark):
+        rows = [
+            (7, [1.0, 0.0, 0.0, 0.0]),    # eval (7 % 20 == 7)
+            (1, [0.99, 0.01, 0.0, 0.0]),  # train, near-dup of eval -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0]),    # train, unrelated -> kept
+            (3, [0.0, 0.98, 0.02, 0.0]),  # train, near-dup of ANOTHER TRAIN row
+            (4, [0.0, 0.0, 1.0, 0.0]),    # train, unrelated -> kept
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _run(self, spark, df):
+        ev = df.filter(F.col("vec_id") % 20 == 7).select("vec_id")
+        return similarity.semantic_decontaminate(
+            df, ev, tau=0.9, dim=4, num_planes=2, num_tables=8
+        )
+
+    def test_cross_split_only(self, spark):
+        out = {r["vec_id"] for r in self._run(spark, self._df(spark)).collect()}
+        assert 1 not in out            # eval-near train row dropped
+        assert {2, 3, 4} <= out        # train-train near-dups NOT dropped
+        assert 7 not in out            # eval rows never in the corpus output
+
+    def test_partitioning_invariant(self, spark):
+        df = self._df(spark)
+        a = {r["vec_id"] for r in self._run(spark, df).collect()}
+        b = {r["vec_id"] for r in self._run(spark, df.repartition(5)).collect()}
+        assert a == b
