@@ -455,8 +455,14 @@ def decayed_counts(
     else:
         base = df.withColumn("_asof", as_of)
         ref = F.col("_asof")
-    dt_ms = (
-        F.unix_millis(F.col(ts_col)) - F.unix_millis(ref)
+    # Δt is clamped to ≤ 0: an event newer than ``as_of`` counts as a
+    # fresh event (weight 1), never MORE than fresh — without this a
+    # caller-supplied as_of in the past would silently grow weights
+    # > 1, diverging from the documented decayed-counter semantics.
+    # No-op under the default as_of = max(ts), so oracles replaying
+    # the unclamped form stay bit-identical.
+    dt_ms = F.least(
+        F.unix_millis(F.col(ts_col)) - F.unix_millis(ref), F.lit(0)
     ).cast("double")
     w = F.pow(F.lit(2.0), dt_ms / F.lit(float(half_life_ms)))
     return base.groupBy(*gcols).agg(

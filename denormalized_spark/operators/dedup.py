@@ -1355,7 +1355,16 @@ def strip_repeated_ngrams(
     islands, so there are at most tokens/n of them — bounded, small)
     and the token filter is a higher-order function over the token
     array: no Python, no second pass over the corpus.
+
+    Raises if the input already carries any of the four output column
+    names — duplicate column names would make downstream selects
+    ambiguous.
     """
+    clash = {"clean_text", "n_tokens", "kept_tokens", "n_spans"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"strip_repeated_ngrams: input already has output column(s) {sorted(clash)}"
+        )
     if spans is None:
         spans = repeated_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
     per_doc = spans.groupBy(id_col).agg(

@@ -1023,6 +1023,8 @@ def kcenter_select(
         return F.array(*[F.lit(float(x)) for x in vals])
 
     seed = df.orderBy(F.asc(id_col)).select(id_col, vec_col).first()
+    if seed is None:
+        raise ValueError("kcenter_select: input DataFrame is empty")
     picks = [(1, seed[0], None)]
     cur = df.select(id_col, vec_col).withColumn(
         "_md",
@@ -1034,6 +1036,11 @@ def kcenter_select(
             .select(id_col, vec_col, "_md")
             .first()
         )
+        if float(nxt[2]) == 0.0:
+            # Every remaining point coincides with a chosen center:
+            # fewer than k distinct vectors exist. Stop rather than
+            # emit meaningless radius-0 repeats.
+            break
         picks.append((r, nxt[0], float(nxt[2])))
         cur = cur.withColumn(
             "_md",

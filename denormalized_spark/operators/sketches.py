@@ -220,24 +220,40 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
     return u.groupBy("reg").agg(F.max("rho").alias("rho"))
 
 
+def _hll_scale(p: int) -> int:
+    """Integer scaling exponent for the exact harmonic sum.
+
+    Terms are accumulated as ``2^(scale - rho)`` with
+    ``scale = 62 - p``: the saturated rho is ``61 - p`` (a zero
+    hash-suffix), so the smallest term is ``2^1`` (never truncated to
+    0 by the long cast), and the full sum is bounded by
+    ``m · 2^scale = 2^62`` — inside int64 for every p. For the
+    default p=6 this is the historical ``2^56`` scaling, so existing
+    oracles replay bit-for-bit."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"hll: p must be in [4, 16], got {p}")
+    return 62 - p
+
+
 def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     """Cardinality estimate from a register table: one row
     ``(hll_estimate,)``. The harmonic sum Σ2^-rho is accumulated as
-    the INTEGER Σ2^(56-rho) (every term exact, the sum ≤ 2^62 — no
-    float order-dependence; a double sum here would vary with
-    partition order), then one double division; the small-range
-    branch is Flajolet's linear counting ``m·ln(m/V)`` on the
-    zero-register count V. Rounded to 4 decimals for the cross-engine
-    contract."""
+    the INTEGER Σ2^(scale-rho) with scale = 62-p (every term exact,
+    the sum ≤ 2^62 — no float order-dependence; a double sum here
+    would vary with partition order), then one double division; the
+    small-range branch is Flajolet's linear counting ``m·ln(m/V)`` on
+    the zero-register count V. Rounded to 4 decimals for the
+    cross-engine contract."""
     m = 1 << p
+    sc = _hll_scale(p)
     alpha = _hll_alpha(p)
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), F.lit(56) - F.col("rho")).cast("long")).alias("_s"),
+        F.sum(F.pow(F.lit(2.0), F.lit(sc) - F.col("rho")).cast("long")).alias("_s"),
         F.count("*").alias("_nz"),
     )
     v = F.lit(m) - F.col("_nz")  # zero registers (absent rows ≡ rho 0)
-    s_full = F.col("_s") + v * F.lit(1 << 56)
-    raw = F.lit(alpha * m * m * float(1 << 56)) / s_full.cast("double")
+    s_full = F.col("_s") + v * F.lit(1 << sc)
+    raw = F.lit(alpha * m * m * float(1 << sc)) / s_full.cast("double")
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
     return agg.select(F.round(est, 4).alias("hll_estimate"))
@@ -512,14 +528,15 @@ def hll_estimate_grouped(
     branch as :func:`hll_estimate`, but every aggregate keys on the
     group — no single-partition stage, scales to millions of groups."""
     m = 1 << p
+    sc = _hll_scale(p)
     alpha = _hll_alpha(p)
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), F.lit(56) - F.col("rho")).cast("long")).alias("_s"),
+        F.sum(F.pow(F.lit(2.0), F.lit(sc) - F.col("rho")).cast("long")).alias("_s"),
         F.count("*").alias("_nz"),
     )
     v = F.lit(m) - F.col("_nz")
-    s_full = F.col("_s") + v * F.lit(1 << 56)
-    raw = F.lit(alpha * m * m * float(1 << 56)) / s_full.cast("double")
+    s_full = F.col("_s") + v * F.lit(1 << sc)
+    raw = F.lit(alpha * m * m * float(1 << sc)) / s_full.cast("double")
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("hll_estimate"))

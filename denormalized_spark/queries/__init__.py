@@ -58,8 +58,8 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # whose operator or oracle CHANGED this round (the headline LSH entries
 # gained a live max_bucket_size cap mirrored in their oracles; array_funcs
 # now exercises array_remove_n/array_replace_n), (3) the staleness rotation
-# — all 26 entries whose latest driver green is r4, then the 9 oldest r5
-# entries that fit. Everything displaced to 51+
+# — the 22 oldest-green r4 entries plus the single oldest r5 entry that
+# fit (24 new + 3 changed + 22 + 1 = 50). Everything displaced to 51+
 # keeps its registry order and was re-verified locally this session by the
 # full-registry tools/check_correctness.py sweep at sf0.001/0.01/0.1.
 _DRIVER_PRIORITY = [

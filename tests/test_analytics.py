@@ -303,3 +303,20 @@ class TestDecayedCounts:
         b = decayed_counts(df.repartition(11), 3_600_000).collect()
         key = lambda rs: sorted((r["event_type"], r["decayed_count"]) for r in rs)
         assert key(a) == key(b)
+
+    def test_future_events_clamp_to_fresh_weight(self, spark):
+        # ADVICE r9: an as_of OLDER than some events must not grow
+        # weights past 1 — Δt is clamped to ≤ 0, so a "future" event
+        # counts exactly as fresh.
+        import datetime
+
+        from denormalized_spark.operators.analytics import decayed_counts
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("a", base),                                # at as_of: 1.0
+            ("a", base + datetime.timedelta(hours=5)),  # future:   clamps to 1.0
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = decayed_counts(df, 3_600_000, as_of=F.lit(base)).collect()
+        assert got[0]["decayed_count"] == 2.0

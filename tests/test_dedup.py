@@ -773,3 +773,13 @@ class TestPrefixFilterJaccardJoin:
 
         with _pytest.raises(ValueError):
             prefix_filter_jaccard_join(self._df(spark, ["a"]), 0)
+
+
+def test_strip_repeated_ngrams_output_name_collision(spark):
+    # ADVICE r9: pre-existing output column names must raise, not
+    # silently produce duplicate column names.
+    df = spark.createDataFrame(
+        [(1, "a b c", "x")], "doc_id long, text string, clean_text string"
+    )
+    with pytest.raises(ValueError, match="clean_text"):
+        dedup.strip_repeated_ngrams(df, n=2, min_docs=2)

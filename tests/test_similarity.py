@@ -755,3 +755,16 @@ class TestSemanticDecontaminate:
         a = {r["vec_id"] for r in self._run(spark, df).collect()}
         b = {r["vec_id"] for r in self._run(spark, df.repartition(5)).collect()}
         assert a == b
+
+
+def test_kcenter_empty_and_exhausted(spark):
+    # ADVICE r9: empty input gets a clear error instead of a TypeError
+    empty = _kc_df(spark, [])
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kcenter_select(empty, k=2)
+    # k beyond the number of DISTINCT vectors stops early instead of
+    # emitting radius-0 repeat picks
+    df = _kc_df(spark, [[0.0], [0.0], [7.0]])
+    got = similarity.kcenter_select(df, k=3).orderBy("center_rank").collect()
+    assert len(got) == 2
+    assert [r["vec_id"] for r in got] == [0, 2]

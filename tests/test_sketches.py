@@ -344,3 +344,21 @@ def test_hll_grouped_register_merge_across_groups(spark):
     whole = sketches.hll_registers(df, "k", p=6)
     key = lambda d: sorted((r["reg"], r["rho"]) for r in d.collect())
     assert key(merged) == key(whole)
+
+
+def test_hll_scale_derived_from_p(spark):
+    # ADVICE r9: at p < 6 the saturated rho (61-p) used to exceed the
+    # fixed 56-bit scaling and the term silently cast to 0. The scale
+    # is now 62-p, so small-p estimates stay sane...
+    regs = sketches.hll_registers(_keys(spark, 3000), "k", p=4)
+    est = sketches.hll_estimate(regs, p=4).collect()[0]["hll_estimate"]
+    # sigma ~ 1.04/sqrt(16) = 26%; allow 3 sigma
+    assert abs(est - 3000) / 3000 < 0.78, est
+    # ...and out-of-range p is rejected outright.
+    import pytest as _pytest
+
+    for bad_p in (3, 17):
+        with _pytest.raises(ValueError):
+            sketches.hll_estimate(regs, p=bad_p)
+        with _pytest.raises(ValueError):
+            sketches.hll_estimate_grouped(regs.withColumn("g", F.lit(1)), ["g"], p=bad_p)
