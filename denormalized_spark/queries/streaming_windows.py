@@ -544,3 +544,52 @@ def window_ohlc(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("volume"),
     )
+
+
+@q(
+    "window_salted_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start_time,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end_time,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def window_salted_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-stage salted window aggregation
+    (:func:`~denormalized_spark.operators.windows.salted_window_agg`):
+    stage 1 aggregates on (window, key, salt) spreading a hot key over
+    64 reducers, stage 2 combines the algebraic partials without the
+    salt — so the oracle is the PLAIN one-stage SQL window agg (the
+    salt is algebra-invisible by construction). Rounding happens
+    after the final combine, never on partials. Cross-engine evidence
+    for the skew path that was previously only parity-tested against
+    the plain form (r9 verdict item 4)."""
+    from denormalized_spark.operators.windows import salted_window_agg
+
+    out = salted_window_agg(
+        t(spark, sf, "events"),
+        "ts",
+        ["event_type"],
+        {
+            "n": F.count("*"),
+            "total": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        3600_000,
+        salt_buckets=64,
+    )
+    return out.select(
+        "window_start_time",
+        "window_end_time",
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
