@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from denormalized_spark.operators._bucketing import (
+    bucket_ownership_counts,
+    capped_bucket_collect,
+)
+
 from denormalized_spark.operators.text import tokens
 
 
@@ -282,14 +287,11 @@ def lsh_candidate_pairs(
     # otherwise be evaluated once per join side (no exchange to
     # reuse). One aggregation collects each bucket's ids; pairs are
     # generated per bucket with higher-order functions. Bucket arrays
-    # are bounded by max_bucket_size at scale.
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+    # are bounded by max_bucket_size at scale (cap contract:
+    # operators/_bucketing.py — over-cap buckets drop WHOLE).
+    buckets = capped_bucket_collect(
+        banded, ["band", "band_key"], id_col, "_ids", max_bucket_size
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     ids = F.col("_ids")
     pair_arrays = F.flatten(
         F.transform(
@@ -684,7 +686,7 @@ def near_dedup_incremental(
         )
     else:
         surv = (
-            _bucket_ownership_counts(
+            bucket_ownership_counts(
                 nb, id_col, order_cols=[id_col], cap=max_bucket_size
             )
             .filter(F.col("_n_owned") == bands)
@@ -1178,7 +1180,7 @@ def near_dedup_batch(
             .filter(F.col("_n_owned") == F.lit(bands))
             .select(id_col, event_time, *payload_cols)
         )
-    n_owned = _bucket_ownership_counts(
+    n_owned = bucket_ownership_counts(
         banded, id_col, order_cols=[event_time, id_col], cap=max_bucket_size
     )
     doc_info = banded.groupBy(id_col).agg(
@@ -1189,48 +1191,6 @@ def near_dedup_batch(
         doc_info.join(n_owned, id_col, "left")
         .filter(F.coalesce("_n_owned", F.lit(0)) == F.lit(bands))
         .select(id_col, event_time, *payload_cols)
-    )
-
-
-def _bucket_ownership_counts(
-    banded: DataFrame, id_col: str, order_cols: list[str], cap: int
-) -> DataFrame:
-    """Per-doc count of owned band buckets under a bucket-size cap.
-
-    One partial-agged shuffle computes each bucket's (winner, size) —
-    a degenerate bucket arrives at its reducer as ≤ one row per map
-    partition, not as its membership. Buckets over the cap are exempt
-    (every member owns them) and joined back against the band stream
-    for the membership count WITHOUT a broadcast hint: exempt buckets
-    are usually few (each holds > cap docs, so < corpus/cap of them)
-    and AQE broadcasts the join at runtime, but a small cap on a
-    skewed corpus can make the exempt set approach corpus/cap rows —
-    exactly the degenerate input the cap exists for — and then AQE
-    keeps the shuffle join instead of blowing the broadcast limit."""
-    bucket = banded.groupBy("band", "band_key").agg(
-        F.min(F.struct(*order_cols)).alias("_w"),
-        F.count("*").alias("_sz"),
-    )
-    wins = (
-        bucket.filter(F.col("_sz") <= cap)
-        .select(F.col(f"_w.{id_col}").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_n_won"))
-    )
-    exempt = bucket.filter(F.col("_sz") > cap).select("band", "band_key")
-    ex_counts = (
-        banded.join(exempt, ["band", "band_key"])
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_n_ex"))
-    )
-    return (
-        wins.join(ex_counts, id_col, "full")
-        .select(
-            id_col,
-            (
-                F.coalesce("_n_won", F.lit(0)) + F.coalesce("_n_ex", F.lit(0))
-            ).alias("_n_owned"),
-        )
     )
 
 

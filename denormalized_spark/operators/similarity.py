@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from denormalized_spark.operators._bucketing import capped_bucket_collect
+
 
 def dot(a: Column, b: Column) -> Column:
     """Elementwise product + sum, all JVM-side."""
@@ -217,13 +219,11 @@ def lsh_bucketed_neighbors(
         F.col(vec_col).alias("mvec"),
         norm(F.col(vec_col)).alias("mnorm"),
     )
-    buckets = (
-        sig.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list(member)).alias("_ms"))
-        .filter(F.size("_ms") >= 2)
+    # cap contract: operators/_bucketing.py — over-cap buckets drop
+    # WHOLE, mirrored by the oracles' HAVING count BETWEEN 2 AND cap.
+    buckets = capped_bucket_collect(
+        sig, ["tbl", "bucket"], member, "_ms", max_bucket_size
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ms") <= max_bucket_size)
     ms = F.col("_ms")
     # score INSIDE the pair generation: the dedup shuffle then carries
     # narrow (id_a, id_b, cos) rows, not two 64-float vectors, and the
