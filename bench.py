@@ -138,6 +138,7 @@ def main() -> None:
 
     stream_rows, stream_walls = _stream_throughput(spark)
     state_rows, state_walls = _stateful_stream_throughput(spark)
+    sketch_rows, sketch_walls = _sketch_stream_throughput(spark)
 
     # Throughput lanes get the SAME n=3 discipline as the headline
     # queries (run 1 pays plan build / worker spin-up): the headline
@@ -153,6 +154,7 @@ def main() -> None:
         "image_phash_docs_per_sec": (img_docs, img_walls),
         "stream_rows_per_sec": (stream_rows, stream_walls),
         "stateful_stream_rows_per_sec": (state_rows, state_walls),
+        "sketch_stream_rows_per_sec": (sketch_rows, sketch_walls),
     }
     lane_rate = {
         k: (round(n / min(ws)) if ws else None) for k, (n, ws) in lanes.items()
@@ -215,6 +217,7 @@ def main() -> None:
             "ann_recall_at_10", "ann_pq_rerank_recall_at_10",
             "image_phash_docs_per_sec",
             "stream_rows_per_sec", "stateful_stream_rows_per_sec",
+            "sketch_stream_rows_per_sec",
             "throughput_median_per_sec",
             "wall_total",
         )
@@ -513,11 +516,13 @@ def _image_phash_throughput(spark) -> tuple[int, list[float]]:
 STREAM_STATE_PARTITIONS = 8
 
 
-def _drain(build, spark, prefix: str) -> list[float]:
+def _drain(build, spark, prefix: str, sink_fn=None) -> list[float]:
     """Start the stream from ``build()`` on a FRESH checkpoint, drain
     it (availableNow), n=3 times: the first drain pays plan codegen +
     Python worker spin-up, the rest measure the engine (same policy
-    as the batch queries' n=3 loop). Returns every wall."""
+    as the batch queries' n=3 loop). Returns every wall.
+    ``sink_fn`` overrides the default count-only foreachBatch body
+    (each drain gets a fresh one via the zero-arg factory)."""
     import tempfile
 
     from denormalized_spark.session import state_partition_scope
@@ -526,11 +531,11 @@ def _drain(build, spark, prefix: str) -> list[float]:
     for _ in range(3):
         with state_partition_scope(spark, STREAM_STATE_PARTITIONS):
             sink_counts = []
-            t0 = time.time()
-            q = build().sink(
-                lambda df: sink_counts.append(df.count()),
-                checkpoint=tempfile.mkdtemp(prefix=prefix),
+            fn = sink_fn() if sink_fn else (
+                lambda df: sink_counts.append(df.count())
             )
+            t0 = time.time()
+            q = build().sink(fn, checkpoint=tempfile.mkdtemp(prefix=prefix))
             q.awaitTermination(600)
             walls.append(time.time() - t0)
     return walls
@@ -559,6 +564,39 @@ def _stream_throughput(spark) -> tuple[int, list[float]]:
         )
 
     return n_in, _drain(build, spark, "bench_stream_")
+
+
+def _sketch_stream_throughput(spark) -> tuple[int, list[float]]:
+    """LIVE-SKETCH streaming throughput: events drained through a
+    foreachBatch-maintained Count-Min (user_id frequencies) + HLL
+    (user_id distincts) + decayed-counter (per event_type trend)
+    state — the production deployment shape of the mergeable sketch
+    family (streaming/sketches.SketchMaintainer; merge laws proven
+    stream==batch in tests/test_streaming.py). Per batch: three
+    distributed partial-agg jobs reduce the batch to metadata-sized
+    cells/registers, folded into driver state."""
+    from denormalized_spark.context import Context
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    ctx = Context(spark)
+    n_in = ctx.from_parquet(f"{SF_DIR}/events.parquet").df.count()
+
+    def build():
+        return ctx.from_stream_parquet(SF_DIR, "events", event_time="ts")
+
+    def sink_fn():
+        m = SketchMaintainer(
+            "user_id",
+            depth=4,
+            width=512,
+            p=6,
+            half_life_ms=3600_000,
+            ts_col="ts",
+            decay_key_col="event_type",
+        )
+        return lambda df: m.update(df)
+
+    return n_in, _drain(build, spark, "bench_sketch_", sink_fn=sink_fn)
 
 
 def _stateful_stream_throughput(spark) -> tuple[int, list[float]]:

@@ -1,0 +1,145 @@
+"""Live sketch maintenance over a stream — the trend-detector shape.
+
+The mergeable sketches in ``operators/sketches.py`` (Count-Min, HLL)
+and the exponentially-decayed counters in ``operators/analytics.py``
+exist precisely so a stream can maintain them incrementally: each
+micro-batch builds its own partial sketch with the BATCH operators
+(distributed — partial aggregation over the batch's rows), and the
+partials fold into the accumulated state by the merge laws
+
+    CM:      cell-wise SUM          (exact, integer)
+    HLL:     register-wise MAX      (exact, integer)
+    decayed: C(T₂) = C(T₁)·2^((T₁−T₂)/h) + fresh   (decay commutes
+             with addition; float rescaling, so parity with the batch
+             form is exact-to-ulps, not bit-exact)
+
+State is METADATA-sized by construction — ≤ depth·width CM cells,
+≤ 2^p HLL registers, one scalar pair per decay key — so it lives on
+the driver inside the foreachBatch closure, exactly like the
+reference's per-key state scalars live in its state backend
+(reference: crates/core/src/physical_plan/continuous/
+grouped_window_agg_stream.rs keeps per-group accumulator state across
+batches; sketches are the same pattern with sublinear state).
+The driver-side ``collect()`` per batch is the sketch itself, never
+the data: the distributed partial agg has already reduced the batch
+to cells/registers.
+
+Used by ``bench.py``'s ``sketch_stream_rows_per_sec`` lane and the
+stream==batch parity test in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SketchMaintainer:
+    """foreachBatch sink body that maintains CM + HLL + decayed-counter
+    state across micro-batches. Call :meth:`update` per batch; read
+    the accumulated state via :attr:`cm_cells`, :attr:`hll_regs`,
+    :attr:`decayed` (plain dicts) or the ``*_df`` helpers."""
+
+    def __init__(
+        self,
+        key_col: str,
+        depth: int = 4,
+        width: int = 32,
+        p: int = 6,
+        half_life_ms: int | None = None,
+        ts_col: str = "ts",
+        decay_key_col: str | None = None,
+    ):
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+        self.p = p
+        self.half_life_ms = half_life_ms
+        self.ts_col = ts_col
+        self.decay_key_col = decay_key_col or key_col
+        self.cm_cells: dict[tuple[int, int], int] = {}
+        self.hll_regs: dict[int, int] = {}
+        # decay key -> [as_of_epoch_ms, decayed_count, n_events]
+        self.decayed: dict[str, list] = {}
+        self.n_rows = 0
+        self.n_batches = 0
+
+    def update(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        from denormalized_spark.operators import sketches as sk
+
+        self.n_batches += 1
+        self.n_rows += batch_df.count()
+
+        # CM partial: cell-wise sum into state (merge law: cm_merge)
+        for r in sk.count_min(
+            batch_df, self.key_col, depth=self.depth, width=self.width
+        ).collect():
+            k = (r["cm_row"], r["cm_col"])
+            self.cm_cells[k] = self.cm_cells.get(k, 0) + r["cnt"]
+
+        # HLL partial: register-wise max into state (merge law: hll_merge)
+        for r in sk.hll_registers(batch_df, self.key_col, p=self.p).collect():
+            reg = r["reg"]
+            if r["rho"] > self.hll_regs.get(reg, 0):
+                self.hll_regs[reg] = r["rho"]
+
+        if self.half_life_ms is None:
+            return
+        # decayed partial at the BATCH's own as_of (its max ts), then
+        # rescale both sides to the newer reference and add — the
+        # decay-commutes-with-addition law. Unrounded (round_digits
+        # high) so repeated rescaling doesn't compound grid snapping.
+        from denormalized_spark.operators.analytics import decayed_counts
+
+        mx = batch_df.agg(
+            F.unix_millis(F.max(self.ts_col)).alias("mx")
+        ).collect()[0]["mx"]
+        if mx is None:
+            return
+        part = decayed_counts(
+            batch_df,
+            self.half_life_ms,
+            [self.decay_key_col],
+            ts_col=self.ts_col,
+            round_digits=12,
+        ).collect()
+        h = float(self.half_life_ms)
+        for r in part:
+            key = r[self.decay_key_col]
+            c_b, n_b = float(r["decayed_count"]), int(r["n_events"])
+            if key not in self.decayed:
+                self.decayed[key] = [mx, c_b, n_b]
+                continue
+            t_cur, c_cur, n_cur = self.decayed[key]
+            t_new = max(t_cur, mx)
+            c = c_cur * 2.0 ** ((t_cur - t_new) / h) + c_b * 2.0 ** (
+                (mx - t_new) / h
+            )
+            self.decayed[key] = [t_new, c, n_cur + n_b]
+
+    # -- state back to DataFrames (for cm_estimate / hll_estimate) ----
+    def cm_cells_df(self, spark) -> DataFrame:
+        rows = [(r, c, n) for (r, c), n in sorted(self.cm_cells.items())]
+        return spark.createDataFrame(rows, "cm_row int, cm_col long, cnt long")
+
+    def hll_regs_df(self, spark) -> DataFrame:
+        rows = sorted(self.hll_regs.items())
+        return spark.createDataFrame(rows, "reg long, rho long")
+
+    def decayed_df(self, spark, round_digits: int = 6) -> DataFrame:
+        """Per-key decayed counters, all rescaled to the GLOBAL max
+        as_of seen so far (matching the batch operator's default
+        reference) and rounded like the batch form."""
+        if not self.decayed:
+            return spark.createDataFrame(
+                [], f"{self.decay_key_col} string, n_events long, decayed_count double"
+            )
+        t_glob = max(t for t, _, _ in self.decayed.values())
+        h = float(self.half_life_ms)
+        rows = [
+            (k, n, round(c * 2.0 ** ((t - t_glob) / h), round_digits))
+            for k, (t, c, n) in sorted(self.decayed.items())
+        ]
+        return spark.createDataFrame(
+            rows, f"{self.decay_key_col} string, n_events long, decayed_count double"
+        )

@@ -668,3 +668,92 @@ def test_streaming_ohlc_equals_batch(ctx, sf_dir, events, final_watermark):
     assert_stream_equals_closed_batch(
         rows, batch_df, final_watermark, end_col="window_end_time"
     )
+
+
+def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
+    """Live sketch maintenance (streaming/sketches.SketchMaintainer):
+    three staged micro-batches drain through foreachBatch, each batch
+    contributing a PARTIAL CM/HLL/decayed sketch that folds into the
+    accumulated state by the merge laws. The accumulated state must
+    equal the batch operators run once over the union — exactly for
+    the integer sketches (cell sum / register max), to float ulps for
+    the decayed counters (incremental rescaling reorders the float
+    ops). This is the mergeable-summaries property deployed in its
+    production shape (r9 verdict item 5)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.operators import sketches as sk
+    from denormalized_spark.operators.analytics import decayed_counts
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    base = "2024-01-01 "
+    batches = [
+        [(f"u{i % 7}", base + f"0{i % 4}:1{i % 6}:00") for i in range(30)],
+        [(f"u{(i * 3) % 11}", base + f"0{(i + 1) % 5}:2{i % 6}:00") for i in range(40)],
+        [(f"u{(i * 5) % 13}", base + f"0{(i + 2) % 6}:3{i % 6}:00") for i in range(50)],
+    ]
+    stream_dir = tmp_path / "sk_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "k string, ts_str string").select(
+            "k", F.to_timestamp("ts_str").alias("ts")
+        )
+        tmp_out = str(tmp_path / f"_sk{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    m = SketchMaintainer(
+        "k", depth=4, width=32, p=6, half_life_ms=3600_000, ts_col="ts"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert m.n_batches >= 3 and m.n_rows == len(all_rows)
+    whole = spark.createDataFrame(all_rows, "k string, ts_str string").select(
+        "k", F.to_timestamp("ts_str").alias("ts")
+    )
+    # CM: exact cell equality
+    want_cm = {
+        (r["cm_row"], r["cm_col"]): r["cnt"]
+        for r in sk.count_min(whole, "k", depth=4, width=32).collect()
+    }
+    assert m.cm_cells == want_cm
+    # HLL: exact register equality
+    want_hll = {
+        r["reg"]: r["rho"] for r in sk.hll_registers(whole, "k", p=6).collect()
+    }
+    assert m.hll_regs == want_hll
+    # decayed: same keys, same exact n_events, counts equal to ulps
+    want_dec = {
+        r["k"]: (r["n_events"], r["decayed_count"])
+        for r in decayed_counts(
+            whole, 3600_000, ["k"], round_digits=12
+        ).collect()
+    }
+    got_dec = {
+        r["k"]: (r["n_events"], r["decayed_count"])
+        for r in m.decayed_df(spark, round_digits=12).collect()
+    }
+    assert set(got_dec) == set(want_dec)
+    for k in want_dec:
+        assert got_dec[k][0] == want_dec[k][0], k
+        assert abs(got_dec[k][1] - want_dec[k][1]) <= 1e-9 * max(
+            1.0, want_dec[k][1]
+        ), k
