@@ -1048,8 +1048,13 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     1 − (1 − (1 − θ/π)⁴)⁴ ≈ 87% at cos 0.8. Fully oracle-checked
     (the hyperplanes are engine-portable literals); tests additionally
     assert recall ≥ bound vs the brute-force sim_threshold_pairs.
-    Carries the PRODUCTION config: max_bucket_size caps quadratic
-    pair generation on degenerate buckets (see _LSH_CAP note)."""
+    Carries the max_bucket_size backstop capping quadratic pair
+    generation on degenerate buckets (see _LSH_CAP note). The 4-plane
+    config is ORACLE-shaped (every hyperplane is a replayable SQL
+    literal); a production run planes ∝ log2(corpus) — this exact
+    body at 10 planes is measured at the 10× stress tier by
+    tools/scale_check.stress_headline_lsh (r10: 6.98→8.61 s wall for
+    10× vectors, sublinear)."""
     e = t(spark, sf, "embeddings")
     # inner prune at the exact pre-image of round(c,6) >= 0.3, so the
     # cheap filter runs before the dedup shuffle without changing the
@@ -1095,8 +1100,12 @@ def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     each confirmed pair (min-id survivor, one pass — the standard
     star-dedup approximation of connected components). Fully
     oracle-checked via engine-portable hyperplane literals. Carries
-    the PRODUCTION config: max_bucket_size bounds in-bucket pair
-    generation on degenerate corpora (see _LSH_CAP note)."""
+    the max_bucket_size backstop bounding in-bucket pair generation
+    on degenerate corpora (see _LSH_CAP note). The 4-plane config is
+    ORACLE-shaped; the production-planed twin of this exact funnel
+    (10 planes ∝ log2(corpus), 8 tables) is measured at the 10×
+    stress tier by tools/scale_check.stress_headline_lsh (r10:
+    9.10→15.65 s wall for 10× vectors, sublinear)."""
     from denormalized_spark.operators import similarity
 
     e = t(spark, sf, "embeddings")

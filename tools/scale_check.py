@@ -264,6 +264,170 @@ def stress_ann(spark, sf_dir: str) -> None:
     print(f"{'ann_10planes_4tables':30s} {time.time() - t0:9.2f}s  ({n} pairs)")
 
 
+def stress_headline_lsh(spark, base_sf: str, stress_sf: str) -> None:
+    """r9 verdict item 3: the HEADLINE LSH entries' bodies — the full
+    sim_lsh_buckets round/filter pipeline and the full
+    dedup_embedding_neardup distinct-dups + left-anti survivor funnel
+    (queries/llm_pipeline.py:1045,1089) — at the planes a production
+    deployment would use (planes ∝ log2(corpus): 10 planes → 1024
+    buckets/table keeps E[bucket] ≈ 50 at 50k vectors), measured at
+    BOTH the base and 10× tiers so the growth ratio is a scale_check
+    row, not a claim. The entries themselves pin 4 planes because the
+    DuckDB oracle replays every hyperplane literal; that config is
+    oracle-shaped and relies on the max_bucket_size backstop at this
+    tier (buckets above the cap drop whole — bounded work, recall
+    loss)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators.similarity import lsh_bucketed_neighbors
+    from denormalized_spark.sources.files import load_table
+
+    for label, tier in (("sf0.1", base_sf), ("10x", stress_sf)):
+        e = load_table(spark, tier, "embeddings")
+        t0 = time.time()
+        out = lsh_bucketed_neighbors(
+            e, dim=64, num_planes=10, num_tables=4,
+            min_cosine=0.2999995, max_bucket_size=2000,
+        )
+        n1 = (
+            out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("c"))
+            .filter(F.col("c") >= 0.3)
+            .count()
+        )
+        t1 = time.time()
+        pairs = lsh_bucketed_neighbors(
+            e, dim=64, num_planes=10, num_tables=8,
+            min_cosine=0.4 - 5e-7, max_bucket_size=2000,
+        )
+        dups = (
+            pairs.filter(F.round("cosine_sim", 6) >= 0.4)
+            .select(F.col("id_b").alias("dup_id"))
+            .distinct()
+        )
+        n2 = e.join(dups, e["vec_id"] == dups["dup_id"], "left_anti").count()
+        t2 = time.time()
+        print(
+            f"{'headline_lsh_body@' + label:30s} "
+            f"sim_lsh {t1 - t0:7.2f}s ({n1} pairs)  "
+            f"neardup {t2 - t1:7.2f}s ({n2} survivors)"
+        )
+
+
+def _powerlaw_edges(spark, n_edges: int, n_nodes: int, uniform: bool = False):
+    """Deterministic synthetic edge list with the hub on SRC — the
+    pagerank/HITS JOIN key (contributions = ranks ⋈ edges ON src), so
+    skew here lands in one shuffle-join partition, which is where
+    iterative graph algorithms actually die. Power-law form: src rank
+    is log-uniform (P(rank r) ∝ 1/r — Zipf(1)), node 1 emitting
+    ~1/ln(N) of ALL edges; uniform form keys src evenly. Same row
+    count either way, so the wall-time delta isolates the hub cost.
+    (The dst side only feeds the keyed AGGREGATION, which partial
+    aggregation makes skew-immune — a hub there is harmless.)"""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_edges)
+    u = ((F.col("id") * 2654435761) % (1 << 31)) / float(1 << 31)
+    v = ((F.col("id") * 40503 + 12345) % (1 << 31)) / float(1 << 31)
+    if uniform:
+        src = (F.col("id") * 48271 % n_nodes).cast("long")
+    else:
+        import math
+
+        src = F.floor(F.exp(u * math.log(float(n_nodes)))).cast("long")
+    dst = F.floor(v * n_nodes).cast("long")
+    return base.select(
+        src.alias("src"), dst.alias("dst"), F.lit(1.0).alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def stress_graph_powerlaw(spark) -> None:
+    """r9 verdict item 6: PageRank/HITS growth lanes exist; this lane
+    is the SKEW experiment — a Zipf(1) edge graph whose hub SOURCE
+    emits ~1/ln(N) of all edges, vs a uniform graph of identical
+    size. Broadcast is disabled for the timed runs because that is
+    the production geometry (a 100 TB graph's rank table cannot
+    broadcast; at bench scale AQE would broadcast the 20k-row rank
+    side and hide the shuffle entirely). Also probes whether AQE's
+    skew-join actually splits the hub partition: at bench volume
+    every partition sits far below the default 256 MB
+    skewedPartitionThresholdInBytes, so the probe scales the
+    thresholds to the data (the production-equivalent geometry) and
+    reads the EXECUTED adaptive plan (collect through the same
+    DataFrame — a noop write plans a separate query execution whose
+    plan string never finalizes). Findings recorded in
+    docs/SCALING.md (graph section)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators.graph import pagerank
+
+    n_edges, n_nodes = 1_200_000, 20_000
+    no_bcast = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    skew_scaled = {
+        **no_bcast,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+
+    def _with_confs(confs, fn):
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            return fn()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    walls = {}
+    for label, uni in (("uniform", True), ("powerlaw", False)):
+        edges = _powerlaw_edges(spark, n_edges, n_nodes, uniform=uni)
+        edges = edges.localCheckpoint()  # time the iterations, not the generator
+        t0 = time.time()
+        _with_confs(
+            no_bcast,
+            lambda: pagerank(edges, iterations=5, weight_col="w")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        walls[label] = time.time() - t0
+    print(
+        f"{'graph_pagerank_skew':30s} uniform {walls['uniform']:7.2f}s  "
+        f"powerlaw {walls['powerlaw']:7.2f}s  "
+        f"(ratio {walls['powerlaw'] / walls['uniform']:4.2f}x, no-broadcast; "
+        "~1x = scheduling-bound at bench volume, hub not yet dominant)"
+    )
+
+    # AQE skew-split probe: one src-keyed shuffle join (ranks ⋈ edges)
+    edges = _powerlaw_edges(spark, n_edges, n_nodes, uniform=False)
+    ranks = spark.range(n_nodes).select(
+        F.col("id").alias("src"), (F.lit(1.0) / n_nodes).alias("rank")
+    )
+
+    def _probe():
+        joined = edges.join(ranks, "src").groupBy("dst").agg(F.sum("rank"))
+        joined.collect()
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    plan = _with_confs(skew_scaled, _probe)
+    skewed = "skew=true" in plan or "skewed" in plan
+    print(
+        f"{'graph_aqe_skew_probe':30s} skew-split engaged: {skewed} "
+        "(thresholds scaled to bench volume)"
+    )
+
+
 def main() -> None:
     from denormalized_spark.session import get_spark
 
@@ -303,6 +467,8 @@ def main() -> None:
         stress_ann(spark, stress)
         stress_semantic_dedup(spark, stress)
         stress_semdedup(spark, stress)
+        stress_headline_lsh(spark, SFS[-1], stress)
+        stress_graph_powerlaw(spark)
 
 
 if __name__ == "__main__":
