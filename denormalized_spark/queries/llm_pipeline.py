@@ -4151,3 +4151,50 @@ def dedup_span_strip(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     out = dedup.strip_repeated_ngrams(d, "doc_id", "text", n=5, min_docs=2)
     return out.select("doc_id", "n_tokens", "kept_tokens", "n_spans")
+
+
+@q(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM tok WHERE term IN ('scan', 'join', 'filter')
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(len({_TOKS})) AS sdl FROM documents
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             floor(
+               ln(1.0 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * ((tf * (1.2::DOUBLE + 1.0))
+                  / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75)
+                                         + 0.75::DOUBLE * dl / (sdl::DOUBLE / n))))
+               * 1000000.0 + 0.5
+             )::BIGINT AS m
+      FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+    )
+    SELECT doc_id, sum(m) / 1000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (Robertson & Zaragoza 2009,
+    Lucene idf form), top-10 for the fixed query
+    {{scan, join, filter}} — the lexical leg beside the ANN leg
+    (fuse with sim_rrf_fusion's rrf_fuse). Postings pruned to the
+    query terms MAP-SIDE before any shuffle; contributions floored to
+    integer micro-units so the per-doc sum is partition-order exact;
+    the oracle mirrors every IEEE op including the left-associated
+    multiply chain and the Python-precomputed (k1+1)/(1−b) constants.
+    See operators/text.bm25_topk for the 100 TB plan notes."""
+    return text.bm25_topk(
+        t(spark, sf, "documents"), ["scan", "join", "filter"], k=10
+    )
