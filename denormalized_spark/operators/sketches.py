@@ -540,3 +540,87 @@ def hll_estimate_grouped(
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970; mergeable-summaries framing: Agarwal et al. 2012)
+# ---------------------------------------------------------------------------
+
+
+def bloom_hash(key: Column | str, i: int, m_bits: int) -> Column:
+    """i-th Bloom bit position of ``key``: md5("bl{i}:" || key) mod
+    m_bits — same salted-md5 family as :func:`cm_hash`, replayable in
+    any engine with md5."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bl{i}:"), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 16384, n_hashes: int = 4
+) -> DataFrame:
+    """Bloom filter as a set of SET bit positions: one ``(bit,)`` row
+    per set bit (absent row ≡ 0) — at most ``m_bits`` rows: metadata.
+    Set bits are a SET, so the filter is partition-order independent
+    and mergeable by plain union-distinct (bitwise OR):
+    ``bloom(A ∪ B) == bloom_merge(bloom(A), bloom(B))`` exactly —
+    sketch per shard/day once, answer "definitely not present" probes
+    forever. Build: one distinct-key partial agg, then ``n_hashes``
+    bit rows per distinct key. False-positive rate at n keys:
+    ``(1 − e^(−k·n/m))^k``; size m ≈ 10·n bits for ~1%% at k=4.
+
+    Spark's built-in ``bloom_filter_agg`` is the binary-blob
+    production alternative; this row form is the engine-portable
+    (and hence oracle-checkable) formulation — same posture as
+    :func:`hll_registers` vs ``hll_sketch_agg``."""
+    c = F.col(key_col)
+    return (
+        df.select(
+            F.explode(
+                F.array(*[bloom_hash(c, i, m_bits) for i in range(n_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m_bits, n_hashes): union of
+    set bits (bitwise OR)."""
+    u = filters[0]
+    for f_ in filters[1:]:
+        u = u.unionByName(f_)
+    return u.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: ``(key, bloom_member)`` — member iff ALL
+    ``n_hashes`` of the key's bits are set (no false negatives; false
+    positives at the (1−e^(−kn/m))^k rate). The filter (≤ m_bits
+    rows) broadcasts; the probe stream explodes to k rows per key and
+    the verdict is one keyed count — map-side join, scan speed."""
+    c = F.col(key_col)
+    pb = probes.select(
+        c.alias(key_col),
+        F.explode(
+            F.array(*[bloom_hash(c, i, m_bits) for i in range(n_hashes)])
+        ).alias("bit"),
+    )
+    hit = pb.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return hit.groupBy(key_col).agg(
+        (F.count("_set") == F.lit(n_hashes)).alias("bloom_member")
+    )

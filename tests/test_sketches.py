@@ -362,3 +362,50 @@ def test_hll_scale_derived_from_p(spark):
             sketches.hll_estimate(regs, p=bad_p)
         with _pytest.raises(ValueError):
             sketches.hll_estimate_grouped(regs.withColumn("g", F.lit(1)), ["g"], p=bad_p)
+
+
+def test_bloom_merge_law_and_no_false_negatives(spark):
+    a, b = _keys(spark, 200, "a"), _keys(spark, 300, "b")
+    whole = sketches.bloom_bits(a.unionByName(b), "k", m_bits=4096, n_hashes=4)
+    merged = sketches.bloom_merge(
+        sketches.bloom_bits(a, "k", m_bits=4096, n_hashes=4),
+        sketches.bloom_bits(b, "k", m_bits=4096, n_hashes=4),
+    )
+    key = lambda d: sorted(r["bit"] for r in d.collect())
+    assert key(whole) == key(merged)
+    # every inserted key must probe as a member (no false negatives)
+    mem = sketches.bloom_probe(
+        whole, a.unionByName(b), "k", m_bits=4096, n_hashes=4
+    )
+    assert mem.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_fpp_within_theory(spark):
+    # n=500 keys in m=16384 bits, k=4: fpp = (1-e^(-4*500/16384))^4 ~ 1.7e-4...
+    # use a smaller filter so the rate is measurable: m=2048 ->
+    # (1-e^(-500*4/2048))^4 ~ 0.14; allow a generous 3x band
+    ins = _keys(spark, 500, "in")
+    bits = sketches.bloom_bits(ins, "k", m_bits=2048, n_hashes=4)
+    out_keys = _keys(spark, 2000, "out")
+    mem = sketches.bloom_probe(bits, out_keys, "k", m_bits=2048, n_hashes=4)
+    fp = mem.filter(F.col("bloom_member")).count()
+    rate = fp / 2000
+    import math
+
+    theory = (1 - math.exp(-4 * 500 / 2048)) ** 4
+    assert rate < 3 * theory, (rate, theory)
+
+
+def test_bloom_partitioning_invariant(spark):
+    ks = _keys(spark, 400)
+    a = sorted(
+        r["bit"]
+        for r in sketches.bloom_bits(ks, "k", m_bits=4096, n_hashes=4).collect()
+    )
+    b = sorted(
+        r["bit"]
+        for r in sketches.bloom_bits(
+            ks.repartition(13), "k", m_bits=4096, n_hashes=4
+        ).collect()
+    )
+    assert a == b
