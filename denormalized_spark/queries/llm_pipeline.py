@@ -4284,3 +4284,86 @@ def sketch_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("bloom_member") & F.col("_t").isNull(), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+def _winnow_cte(k: int = 4, w: int = 4) -> str:
+    """Winnowing selection replayed in SQL: same positional gram
+    hashes, same per-window list_min, same rightmost tie-break
+    (list_max over the argmin positions)."""
+    gram = _positional_gram_sql(k)
+    mn = f"list_min(gs[i:i+{w - 1}])"
+    sel_item = (
+        "{'fp_hash': " + mn + ", "
+        "'pos': list_max([j for j in range(i, i+" + str(w) + ") "
+        "if gs[j] = " + mn + "]) - 1}"
+    )
+    return f"""d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    pg AS (SELECT doc_id,
+                  [{gram} for i in range(1, len(th) - {k} + 2)] AS gs
+           FROM hh WHERE len(th) >= {k}),
+    sel AS (SELECT doc_id,
+                   [{sel_item}
+                    for i in range(1, len(gs) - {w} + 2)] AS sels
+            FROM pg WHERE len(gs) >= {w}),
+    fpu AS (SELECT doc_id, unnest(sels) AS s FROM sel),
+    fps AS (SELECT DISTINCT doc_id, s.fp_hash AS fp_hash, s.pos AS pos FROM fpu)"""
+
+
+@q(
+    "dedup_winnow_fingerprints",
+    f"""
+    WITH {_winnow_cte(4, 4)}
+    SELECT doc_id,
+           count(*)::BIGINT AS n_fps,
+           CAST(sum(fp_hash * (pos + 1)) AS BIGINT) AS fp_sum
+    FROM fps GROUP BY doc_id
+    """,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — MOSS) per doc,
+    value-checked as (count, position-weighted checksum): the sum
+    fp_hash·(pos+1) is exact integer (< 2^52 at any plausible doc
+    length), so the oracle catches a single selection or tie-break
+    divergence. Density 2/(w+1) — the fingerprint stream is a ~10×
+    compressed, match-LOCALIZING summary of the gram stream. See
+    operators/dedup.winnow_fingerprints for the scan-speed HOF plan."""
+    from denormalized_spark.operators import dedup
+
+    fps = dedup.winnow_fingerprints(t(spark, sf, "documents"), k=4, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.sum(F.col("fp_hash") * (F.col("pos") + 1)).alias("fp_sum"),
+    )
+
+
+@q(
+    "dedup_winnow_pairs",
+    f"""
+    WITH {_winnow_cte(4, 4)},
+    dh AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+    ok AS (SELECT fp_hash FROM dh GROUP BY fp_hash
+           HAVING count(*) BETWEEN 2 AND 64),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dh a JOIN dh b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      JOIN ok ON ok.fp_hash = a.fp_hash
+    )
+    SELECT id_a, id_b, count(*)::BIGINT AS n_shared
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS overlap report: pairs sharing ≥ 3 winnowing fingerprints.
+    Fingerprint-keyed bucket-collect under the repo cap contract
+    (operators/_bucketing.py — boilerplate fingerprints in > 64 docs
+    drop whole, mirrored by the HAVING band), per-bucket pair
+    generation, one pair-keyed count: work ∝ Σ bucket² ≤ cap·|fps|,
+    never corpus-quadratic."""
+    from denormalized_spark.operators import dedup
+
+    return dedup.winnow_pairs(
+        t(spark, sf, "documents"), k=4, w=4, min_shared=3, max_bucket_size=64
+    )

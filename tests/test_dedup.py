@@ -783,3 +783,47 @@ def test_strip_repeated_ngrams_output_name_collision(spark):
     )
     with pytest.raises(ValueError, match="clean_text"):
         dedup.strip_repeated_ngrams(df, n=2, min_docs=2)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        """Schleimer et al. 2003: any shared run of >= w+k-1 tokens
+        must share at least one fingerprint (k=4, w=4 -> 7 tokens)."""
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+        df = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five six"),
+                (2, f"{shared} completely different tail here now"),
+                (3, "nothing in common with the others at all"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = dedup.winnow_fingerprints(df, k=4, w=4)
+        h1 = {r["fp_hash"] for r in fps.filter("doc_id = 1").collect()}
+        h2 = {r["fp_hash"] for r in fps.filter("doc_id = 2").collect()}
+        h3 = {r["fp_hash"] for r in fps.filter("doc_id = 3").collect()}
+        assert h1 & h2, "shared 7-token run must share a fingerprint"
+        assert not (h1 & h3) and not (h2 & h3)
+
+    def test_short_doc_and_density(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(103)))],
+            "doc_id long, text string",
+        )
+        fps = dedup.winnow_fingerprints(df, k=4, w=4)
+        assert fps.filter("doc_id = 1").count() == 0  # < k+w-1 tokens
+        n = fps.filter("doc_id = 2").count()
+        # expected density 2/(w+1) = 0.4 over 97 windows; all-distinct
+        # grams here so selections are near-theory
+        assert 20 <= n <= 70, n
+
+    def test_pairs_and_partitioning(self, spark):
+        rows = [(i, " ".join(f"t{(i * 7 + j) % 9}" for j in range(30))) for i in range(20)]
+        rows.append((100, rows[0][1]))  # exact dup of doc 0
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.winnow_pairs(df, min_shared=3, max_bucket_size=64)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 100) in got
+        a = sorted(map(tuple, dedup.winnow_fingerprints(df).collect()))
+        b = sorted(map(tuple, dedup.winnow_fingerprints(df.repartition(7)).collect()))
+        assert a == b
