@@ -469,3 +469,77 @@ def decayed_counts(
         F.count("*").alias("n_events"),
         F.round(F.sum(w), round_digits).alias("decayed_count"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    window_ms: int,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    k_div: int = 2,
+    h_mult: int = 4,
+) -> DataFrame:
+    """Two-sided tabular CUSUM change detection (Page 1954) over
+    per-window event counts — the classic drift detector for
+    monitoring a pipeline's event rates. Per key: hourly (``window_ms``)
+    counts x_t; reference μ and σ from the key's own series; slack
+    κ = σ/``k_div``; threshold h = ``h_mult``·σ.
+
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − κ))   upward shifts
+        S⁻_t = max(0, S⁻_{t−1} − (x_t − μ + κ))   downward shifts
+
+    The recursion is NOT a window aggregate, but its closed form is:
+    with prefix sums P_t = Σ d_i (d_i = x_i − μ − κ),
+    ``S⁺_t = P_t − min(0, running_min(P))`` — so the whole trajectory
+    is one running sum + one running min per side: two window
+    functions, no recursion, no UDF. Everything is computed in
+    integer MICRO-units (x·10⁶ minus floored μ/κ micro-constants), so
+    prefix sums are exact and engine-portable; σ's sqrt lands on the
+    micro grid (ulp-proof).
+
+    Scale shape: the count aggregation is corpus-linear; the CUSUM
+    itself runs over the per-key WINDOW series — rows ∝ keys × time
+    buckets, independent of corpus size. One keyed shuffle for the
+    counts, one for the ordered window pass. Returns per window:
+    ``(group, window_start_time, n, cusum_pos_micro, cusum_neg_micro,
+    alarm)``. Gaps (empty windows) are skipped, the standard
+    practical simplification; a zero-filled series needs a calendar
+    spine join first."""
+    from pyspark.sql.window import Window
+
+    gcols = group_cols or ["event_type"]
+    secs = f"{window_ms // 1000} seconds"
+    counts = df.groupBy(
+        F.window(F.col(ts_col), secs).alias("_w"), *gcols
+    ).agg(F.count("*").alias("n"))
+    counts = counts.select(
+        *gcols, F.col("_w.start").alias("window_start_time"), "n"
+    )
+    stats = counts.groupBy(*gcols).agg(
+        F.floor(F.avg("n") * 1_000_000 + F.lit(0.5)).cast("long").alias("_mu"),
+        F.floor(F.stddev_samp("n") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("_sig"),
+    )
+    j = counts.join(F.broadcast(stats), gcols)
+    kappa = F.floor(F.col("_sig") / k_div).cast("long")
+    d_pos = F.col("n") * 1_000_000 - F.col("_mu") - kappa
+    d_neg = F.col("n") * 1_000_000 - F.col("_mu") + kappa
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("window_start_time")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p_pos = F.sum(d_pos).over(w)
+    p_neg = F.sum(d_neg).over(w)
+    s_pos = p_pos - F.least(F.lit(0).cast("long"), F.min(p_pos).over(w))
+    s_neg = F.greatest(F.lit(0).cast("long"), F.max(p_neg).over(w)) - p_neg
+    h = F.col("_sig") * h_mult
+    return j.select(
+        *gcols,
+        "window_start_time",
+        "n",
+        s_pos.alias("cusum_pos_micro"),
+        s_neg.alias("cusum_neg_micro"),
+        ((s_pos > h) | (s_neg > h)).alias("alarm"),
+    )

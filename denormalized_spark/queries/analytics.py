@@ -618,3 +618,58 @@ def events_decayed_counts(spark: SparkSession, sf: str) -> DataFrame:
     in codegen."""
     e = t(spark, sf, "events")
     return analytics.decayed_counts(e, half_life_ms=21_600_000)
+
+
+@q(
+    "events_cusum_alarms",
+    """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(floor(avg(n) * 1000000 + 0.5) AS BIGINT) AS mu,
+             CAST(floor(stddev_samp(n) * 1000000 + 0.5) AS BIGINT) AS sig
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_type, ws, n, mu, sig, sig // 2 AS kap
+      FROM c JOIN st USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, ws, n, sig,
+             sum(n * 1000000 - mu - kap) OVER w AS pp,
+             sum(n * 1000000 - mu + kap) OVER w AS pn
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY ws ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT event_type, ws AS window_start_time, n, sig,
+             pp - least(0, min(pp) OVER w) AS sp,
+             greatest(0, max(pn) OVER w) - pn AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY ws ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, window_start_time, n,
+           CAST(sp AS BIGINT) AS cusum_pos_micro,
+           CAST(sn AS BIGINT) AS cusum_neg_micro,
+           (sp > sig * 4 OR sn > sig * 4) AS alarm
+    FROM s
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) over hourly
+    per-type event counts. The S⁺/S⁻ recursions are rewritten as
+    prefix-sum − running-extremum window functions (the closed form
+    of max(0, S+d) unrolling), all in integer micro-units — so the
+    whole trajectory, not just the alarms, is hash-checked against
+    the oracle. κ = σ/2, h = 4σ from each key's own series. See
+    operators/analytics.cusum_changepoints; the series length scales
+    with TIME × keys, not corpus size."""
+    from denormalized_spark.operators.analytics import cusum_changepoints
+
+    return cusum_changepoints(
+        t(spark, sf, "events"), 3600_000, ["event_type"]
+    )

@@ -320,3 +320,51 @@ class TestDecayedCounts:
         df = spark.createDataFrame(rows, "event_type string, ts timestamp")
         got = decayed_counts(df, 3_600_000, as_of=F.lit(base)).collect()
         assert got[0]["decayed_count"] == 2.0
+
+
+class TestCusum:
+    def _df(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for h in range(30):
+            n_a = 20 if h < 20 else 50  # step shift up at hour 20
+            for i in range(n_a):
+                rows.append(("a", base + datetime.timedelta(hours=h, seconds=i)))
+                eid += 1
+            for i in range(20):  # control: exactly constant
+                rows.append(("b", base + datetime.timedelta(hours=h, seconds=i)))
+        return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    def test_shift_alarms_control_does_not(self, spark):
+        from denormalized_spark.operators.analytics import cusum_changepoints
+
+        out = cusum_changepoints(self._df(spark), 3600_000, ["event_type"])
+        a = sorted(
+            out.filter("event_type = 'a'").collect(),
+            key=lambda r: r["window_start_time"],
+        )
+        b = out.filter("event_type = 'b'").collect()
+        # constant series: sigma = 0, S = 0, never alarms
+        assert all(not r["alarm"] and r["cusum_pos_micro"] == 0 for r in b)
+        # the upward shift drives S+ monotonically after hour 20 and
+        # the final windows alarm; pre-shift windows do not
+        assert not any(r["alarm"] for r in a[:20])
+        post = [r["cusum_pos_micro"] for r in a[20:]]
+        assert post == sorted(post) and post[-1] > post[0]
+        assert a[-1]["alarm"]
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.analytics import cusum_changepoints
+
+        df = self._df(spark)
+        key = lambda rs: sorted(
+            (r["event_type"], r["window_start_time"], r["cusum_pos_micro"],
+             r["cusum_neg_micro"], r["alarm"])
+            for r in rs
+        )
+        a = cusum_changepoints(df, 3600_000, ["event_type"]).collect()
+        b = cusum_changepoints(df.repartition(13), 3600_000, ["event_type"]).collect()
+        assert key(a) == key(b)
