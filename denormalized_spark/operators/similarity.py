@@ -1151,3 +1151,51 @@ def semantic_decontaminate(
     )
     corpus = df.join(ev, df[id_col] == F.col("_eid"), "left_anti")
     return corpus.join(cont, corpus[id_col] == F.col("_cid"), "left_anti")
+
+
+def jl_signs(j: int, dim: int) -> list[float]:
+    """Deterministic ±1 sign row j of the JL projection matrix:
+    component i = low bit of md5("jl{j}:{i}") — same engine-portable
+    literal contract as :func:`hyperplane_components`."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"jl{j}:{i}".encode()).hexdigest()[-1], 16) & 1 else -1.0
+        for i in range(dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Johnson & Lindenstrauss
+    1984; Achlioptas 2003 proved ±1 sign matrices suffice — no
+    Gaussians needed): ``y_j = (1/√k) Σᵢ s_ij·x_i`` with md5-derived
+    sign literals. Pairwise distances are preserved within (1±ε) with
+    high probability for k = O(log n / ε²) — the cheap dimensionality
+    squeeze in front of brute-force scoring, clustering, or an ANN
+    index (4× fewer bytes through every downstream shuffle at
+    64→16).
+
+    Map-only scan: each output component is one JVM fold over the
+    vector against a constant-folded sign array; no shuffle, no
+    Python. Components rounded to ``round_digits`` for the
+    cross-engine contract (the fold order matches the oracles'
+    left-associated sum chain). Default out_dim=16 makes the 1/√k
+    scale exactly 0.25 — representable, so both engines scale
+    identically."""
+    scale = 1.0 / (out_dim ** 0.5)
+    comps = [
+        F.round(
+            dot(F.col(vec_col), F.array(*[F.lit(s) for s in jl_signs(j, dim)]))
+            * F.lit(scale),
+            round_digits,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("jl_proj"))

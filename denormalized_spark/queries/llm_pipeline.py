@@ -4367,3 +4367,85 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.winnow_pairs(
         t(spark, sf, "documents"), k=4, w=4, min_shared=3, max_bucket_size=64
     )
+
+
+def _jl_comp_sql(j: int, dim: int = 64, out_dim: int = 16) -> str:
+    """One JL component replayed in SQL: the same md5-derived sign
+    literals, the same left-associated sum, the same exact 1/sqrt(16)
+    = 0.25 scale."""
+    signs = similarity.jl_signs(j, dim)
+    terms = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE * {signs[i]})" for i in range(dim)
+    )
+    return f"round(({terms}) * 0.25::DOUBLE, 6)"
+
+
+@q(
+    "sim_jl_project",
+    f"""
+    SELECT vec_id,
+           [{", ".join(_jl_comp_sql(j) for j in range(16))}] AS jl_proj
+    FROM embeddings
+    """,
+)
+def sim_jl_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→16 (Achlioptas
+    2003): the cheap distance-preserving squeeze in front of scoring/
+    clustering/ANN — 4× fewer bytes through every downstream shuffle.
+    Map-only scan, sign matrix constant-folded; every component
+    hash-checked against the oracle's identical literal arithmetic."""
+    return similarity.jl_project(t(spark, sf, "embeddings"), dim=64, out_dim=16)
+
+
+@q(
+    "sim_jl_distortion",
+    f"""
+    WITH p AS (
+      SELECT vec_id, embedding,
+             [{", ".join(_jl_comp_sql(j) for j in range(16))}] AS jp
+      FROM embeddings WHERE vec_id < 40
+    ),
+    pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ({" + ".join(f"((a.jp[{i}] - b.jp[{i}]) * (a.jp[{i}] - b.jp[{i}]))" for i in range(1, 17))})
+             / ({" + ".join(f"((a.embedding[{i}]::DOUBLE - b.embedding[{i}]::DOUBLE) * (a.embedding[{i}]::DOUBLE - b.embedding[{i}]::DOUBLE))" for i in range(1, 65))})
+               AS ratio
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           CAST(min(floor(ratio * 1000000 + 0.5)) AS BIGINT) AS min_ratio_micro,
+           CAST(max(floor(ratio * 1000000 + 0.5)) AS BIGINT) AS max_ratio_micro,
+           CAST(sum(floor(ratio * 1000000 + 0.5)) AS BIGINT) AS sum_ratio_micro
+    FROM pr
+    """,
+)
+def sim_jl_distortion(spark: SparkSession, sf: str) -> DataFrame:
+    """The JL guarantee MEASURED: distance² ratios (projected/original)
+    over all pairs of the first 40 vectors — min/max/sum of the
+    micro-floored ratios in one aggregate row. Per-pair ratios land on
+    the integer micro grid before aggregation, so the sum is
+    partition-order exact. Expected concentration around 1.0 at k=16
+    (ε ≈ √(ln n / k)); the unit test pins the band."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < 40)
+    p = similarity.jl_project(e, dim=64, out_dim=16)
+    j = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va")).join(
+        p.select(F.col("vec_id").alias("ia"), F.col("jl_proj").alias("pa")), "ia"
+    )
+    k = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")).join(
+        p.select(F.col("vec_id").alias("ib"), F.col("jl_proj").alias("pb")), "ib"
+    )
+    pairs = j.join(k, F.col("ia") < F.col("ib"))
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ratio = d2(F.col("pa"), F.col("pb")) / d2(F.col("va"), F.col("vb"))
+    micro = F.floor(ratio * 1_000_000 + F.lit(0.5)).cast("long")
+    return pairs.select(micro.alias("_m")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("_m").alias("min_ratio_micro"),
+        F.max("_m").alias("max_ratio_micro"),
+        F.sum("_m").alias("sum_ratio_micro"),
+    )

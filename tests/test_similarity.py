@@ -768,3 +768,33 @@ def test_kcenter_empty_and_exhausted(spark):
     got = similarity.kcenter_select(df, k=3).orderBy("center_rank").collect()
     assert len(got) == 2
     assert [r["vec_id"] for r in got] == [0, 2]
+
+
+def test_jl_distance_preservation(embeddings):
+    """JL at k=16 over 64-dim vectors: pairwise distance^2 ratios
+    concentrate around 1 (epsilon ~ sqrt(ln n / k)); pin a generous
+    band so a sign-matrix or scale regression is caught."""
+    e = embeddings.limit(60)
+    p = similarity.jl_project(e, dim=64, out_dim=16)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va")).join(
+        p.select(F.col("vec_id").alias("ia"), F.col("jl_proj").alias("pa")), "ia"
+    )
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")).join(
+        p.select(F.col("vec_id").alias("ib"), F.col("jl_proj").alias("pb")), "ib"
+    )
+    d2 = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda u, v: (u.cast("double") - v.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rows = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select((d2(F.col("pa"), F.col("pb")) / d2(F.col("va"), F.col("vb"))).alias("r"))
+        .collect()
+    )
+    rs = [r["r"] for r in rows]
+    assert len(rs) == 60 * 59 // 2
+    import statistics
+
+    assert 0.8 < statistics.mean(rs) < 1.2
+    assert min(rs) > 0.15 and max(rs) < 3.5, (min(rs), max(rs))
