@@ -624,3 +624,105 @@ def bloom_probe(
     return hit.groupBy(key_col).agg(
         (F.count("_set") == F.lit(n_hashes)).alias("bloom_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch + AMS second moment (Charikar, Chen & Farach-Colton 2002;
+# Alon, Matias & Szegedy 1996)
+# ---------------------------------------------------------------------------
+
+
+def cs_sign(key: Column | str, row: int) -> Column:
+    """±1 four-wise-ish sign of ``key`` for sketch row ``row``: low bit
+    of md5("css{row}:" || key) — same portable salted-md5 family."""
+    c = F.col(key) if isinstance(key, str) else key
+    bit = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"css{row}:"), c.cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("long") % 2
+    return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def count_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 64,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Count-Sketch: depth × width SIGNED cell sums
+    ``(cs_row, cs_col, cnt)`` — the two-sided cousin of Count-Min
+    (unbiased point estimates, and the square of a row is an AMS
+    estimator of the second moment). Same build shape as
+    :func:`count_min`: exact per-key partial counts, then ``depth``
+    signed cells per distinct key. Cells are sums → bit-identical
+    under any partitioning and mergeable by cell-wise sum
+    (:func:`cs_merge`). Bucket hash reuses :func:`cm_hash` with a
+    "cs" salt; the sign is an independent salted bit."""
+    if count_col is None:
+        keyed = df.groupBy(F.col(key_col).alias("_k")).agg(F.count("*").alias("_c"))
+    else:
+        keyed = df.select(F.col(key_col).alias("_k"), F.col(count_col).alias("_c"))
+    cells = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cs_row"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cs{r}:"),
+                                            F.col("_k").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        ).alias("cs_col"),
+                        (cs_sign(F.col("_k"), r) * F.col("_c")).alias("_sc"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell")
+    )
+    return cells.groupBy(
+        F.col("_cell.cs_row").alias("cs_row"), F.col("_cell.cs_col").alias("cs_col")
+    ).agg(F.sum("_cell._sc").cast("long").alias("cnt"))
+
+
+def cs_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Sketches built with the same (depth, width, salt):
+    cell-wise sum — signed sums merge exactly like Count-Min's."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("cs_row", "cs_col").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cs_f2_estimate(cells: DataFrame, depth: int = 5) -> DataFrame:
+    """AMS second-moment estimate from a Count-Sketch: each row's
+    Σ cell² is an unbiased estimator of F₂ = Σ f_k² (the self-join
+    size — THE cardinality-estimation input for join planning);
+    the MEDIAN over ``depth`` rows concentrates it. All-integer
+    (signed sums squared), and the median of an odd ``depth`` is the
+    exact middle order statistic — taken from a sorted ``depth``-
+    element array, so no interpolation semantics can diverge between
+    engines. One row ``(f2_estimate,)``."""
+    if depth % 2 == 0:
+        raise ValueError("cs_f2_estimate: depth must be odd for an exact median")
+    rowsums = cells.groupBy("cs_row").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_s2")
+    )
+    mid = (depth + 1) // 2
+    return rowsums.agg(
+        F.element_at(F.array_sort(F.collect_list("_s2")), mid).alias("f2_estimate")
+    )

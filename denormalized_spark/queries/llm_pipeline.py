@@ -4449,3 +4449,73 @@ def sim_jl_distortion(spark: SparkSession, sf: str) -> DataFrame:
         F.max("_m").alias("max_ratio_micro"),
         F.sum("_m").alias("sum_ratio_micro"),
     )
+
+
+_CS_D, _CS_W = 5, 64
+
+_CS_CTES = f"""tokc AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    kcs AS (SELECT tok, count(*)::BIGINT AS c FROM tokc GROUP BY tok),
+    rcs AS (SELECT unnest([{", ".join(str(r) for r in range(_CS_D))}]) AS r),
+    cs_cells AS (
+      SELECT r AS cs_row,
+             ('0x' || substr(md5('cs' || r::VARCHAR || ':' || tok), 1, 8))::BIGINT
+               % {_CS_W} AS cs_col,
+             CAST(sum(CASE WHEN ('0x' || substr(md5('css' || r::VARCHAR || ':' || tok), 1, 1))::BIGINT % 2 = 1
+                           THEN c ELSE -c END) AS BIGINT) AS cnt
+      FROM kcs CROSS JOIN rcs GROUP BY 1, 2
+    )"""
+
+
+@q(
+    "sketch_cs_cells",
+    f"""
+    WITH {_CS_CTES}
+    SELECT cs_row, cs_col, cnt FROM cs_cells
+    """,
+)
+def sketch_cs_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Sketch (Charikar, Chen & Farach-Colton 2002) of the
+    corpus token frequencies: depth 5 × width 64 SIGNED cell sums —
+    Count-Min's two-sided cousin (unbiased point estimates; rows
+    square into AMS F₂ estimators). Same mergeable/partition-order-
+    exact build as the CM cells; the oracle replays every signed sum
+    from the salted-md5 bucket and sign families."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketches.count_sketch(d, "tok", depth=_CS_D, width=_CS_W)
+
+
+@q(
+    "sketch_cs_f2",
+    f"""
+    WITH {_CS_CTES},
+    rowsums AS (SELECT cs_row, sum(cnt * cnt) AS s2 FROM cs_cells GROUP BY 1)
+    SELECT CAST(list_sort(list(s2))[{(_CS_D + 1) // 2}] AS BIGINT) AS f2_estimate,
+           (SELECT CAST(sum(c * c) AS BIGINT) FROM kcs) AS f2_exact
+    FROM rowsums
+    """,
+)
+def sketch_cs_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS second-moment estimation (Alon, Matias & Szegedy 1996)
+    from the Count-Sketch: F₂ = Σ f_k² is the self-join size — the
+    cardinality input a join planner wants — estimated as the exact
+    middle order statistic of the 5 per-row Σcell² values, with the
+    exact F₂ beside it so the oracle value-checks estimator quality,
+    not just plumbing. All-integer throughout."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    est = sketches.cs_f2_estimate(
+        sketches.count_sketch(d, "tok", depth=_CS_D, width=_CS_W), depth=_CS_D
+    )
+    exact = (
+        d.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -409,3 +409,33 @@ def test_bloom_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_count_sketch_merge_and_f2(spark):
+    a, b = _keys(spark, 300, "a"), _keys(spark, 400, "b")
+    whole = sketches.count_sketch(a.unionByName(b), "k", depth=5, width=64)
+    merged = sketches.cs_merge(
+        sketches.count_sketch(a, "k", depth=5, width=64),
+        sketches.count_sketch(b, "k", depth=5, width=64),
+    )
+    key = lambda d: sorted(
+        (r["cs_row"], r["cs_col"], r["cnt"]) for r in d.collect()
+    )
+    assert key(whole) == key(merged)
+    # uniform frequencies f_k = 1: F2 = 700 exactly; AMS at width 64
+    # has sigma ~ sqrt(2/64)*F2 ~ 124 per row, median tightens it —
+    # allow 3 sigma
+    est = sketches.cs_f2_estimate(whole, depth=5).collect()[0]["f2_estimate"]
+    assert abs(est - 700) < 3 * 124, est
+    with __import__("pytest").raises(ValueError):
+        sketches.cs_f2_estimate(whole, depth=4)
+
+
+def test_count_sketch_partitioning_invariant(spark):
+    ks = _keys(spark, 500)
+    key = lambda d: sorted(
+        (r["cs_row"], r["cs_col"], r["cnt"]) for r in d.collect()
+    )
+    assert key(sketches.count_sketch(ks, "k", 5, 64)) == key(
+        sketches.count_sketch(ks.repartition(13), "k", 5, 64)
+    )
