@@ -1199,3 +1199,154 @@ def jl_project(
         for j in range(out_dim)
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("jl_proj"))
+
+
+def pca_moments(
+    df: DataFrame, dim: int, vec_col: str = "embedding", quant_digits: int = 4
+) -> DataFrame:
+    """One-pass EXACT integer moment statistics for distributed PCA:
+    components are quantized to the 10^-quant_digits grid once
+    (floor HALF_UP — engine-portable), then a single scan emits, per
+    row, the dim(dim+1)/2 upper-triangle products plus the first
+    moments, all reduced by one keyed partial aggregation. Output
+    ``(i, j, s)``: (0,0) = n, (i,0) = Σxqᵢ, (i,j≥i) = Σxqᵢ·xqⱼ —
+    ~dim²/2 rows of METADATA, independent of corpus size. This is the
+    100 TB PCA shape: the data pass is embarrassingly parallel and
+    everything after it (centering, eigen-iteration) runs on a
+    constant-size summary. Integer sums are partition-order exact, so
+    the oracle replays every cell bit-for-bit.
+
+    Overflow headroom at defaults: |xq| ≤ 10^4 · max|x|, products ≤
+    10^8, summed over n rows — int64-safe to n ≈ 10^10 rows."""
+    q = 10 ** quant_digits
+    xq_arr = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast("long")
+    )
+
+    def _pairs(xq: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (F.element_at(xq, i) * F.element_at(xq, j)).alias("p"),
+                    ),
+                ),
+            )
+        )
+
+    from denormalized_spark.operators.dedup import eval_once
+
+    second = (
+        df.select(F.explode(eval_once(xq_arr, _pairs)).alias("_c"))
+        .groupBy(F.col("_c.i").alias("i"), F.col("_c.j").alias("j"))
+        .agg(F.sum("_c.p").alias("s"))
+    )
+    first = (
+        df.select(F.posexplode(xq_arr).alias("i0", "xq"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.lit(0).alias("j"), F.sum("xq").alias("s"))
+    )
+    cnt = df.agg(
+        F.lit(0).alias("i"), F.lit(0).alias("j"), F.count("*").alias("s")
+    )
+    return second.unionByName(first.select("i", "j", "s")).unionByName(
+        cnt.select("i", "j", "s")
+    )
+
+
+def pca_power_top(
+    moments: list[tuple[int, int, int]],
+    dim: int,
+    iterations: int = 3,
+    scale_digits: int = 4,
+) -> list[int]:
+    """Top principal component by power iteration over the EXACT
+    integer moment summary — driver-side, because after the one-pass
+    scan the covariance is metadata (dim² cells), exactly like
+    k-means centroids. Every arithmetic step is pinned to an
+    engine-portable grid so a SQL oracle replays the trajectory:
+
+    - centered matrix (scaled by n², which preserves eigenvectors):
+      M = n·S − sx·sxᵀ, exact int, then quantized Mq =
+      floor(M/n²·10^4 + 0.5) (M ≤ 2^53, so the double division is
+      exact-input);
+    - v₀ = e₁·1000; per iteration cv = Mq·v (exact int64), norm² =
+      Σcv² in ARBITRARY-PRECISION int (HUGEINT in the oracle),
+      v ← floor(cv/√norm² · 1000 + 0.5) — sqrt is IEEE
+      correctly-rounded, and the milli grid absorbs the int→double
+      cast rounding. Covariance is PSD, so the direction never flips
+      sign between iterations and the e₁ seed fixes the sign
+      deterministically.
+
+    Convergence is (lambda2/lambda1)^t — on a near-isotropic corpus
+    (this repo's synthetic embeddings: gap ~0.94) expect ~60
+    iterations for |cos| > 0.98 vs the true eigenvector; each
+    iteration is a dim x dim metadata matvec, so iterations are free
+    relative to the one data pass. Returns the milli-unit eigenvector
+    (ints). Project with :func:`pca_project`."""
+    import math
+
+    n = next(s for i, j, s in moments if i == 0 and j == 0)
+    sx = {i: s for i, j, s in moments if j == 0 and i > 0}
+    sm = {(i, j): s for i, j, s in moments if i > 0 and j > 0}
+    q = 10 ** scale_digits
+    mq = {}
+    for i in range(1, dim + 1):
+        for j in range(1, dim + 1):
+            s = sm[(i, j)] if i <= j else sm[(j, i)]
+            m_exact = n * s - sx[i] * sx[j]
+            mq[(i, j)] = math.floor(float(m_exact) / (n * n) * q + 0.5)
+    v = [1000] + [0] * (dim - 1)
+    for _ in range(iterations):
+        cv = [
+            sum(mq[(i, j)] * v[j - 1] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)
+        ]
+        s2 = sum(c * c for c in cv)  # exact: Python bigint ≡ oracle HUGEINT
+        norm = math.sqrt(float(s2))
+        v = [math.floor(float(c) / norm * 1000 + 0.5) for c in cv]
+    return v
+
+
+def pca_project(
+    df: DataFrame,
+    v_milli: list[int],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_digits: int = 4,
+) -> DataFrame:
+    """Project each vector onto a milli-unit component from
+    :func:`pca_power_top`: the score is the EXACT integer dot of the
+    quantized vector with the integer eigenvector, exposed in 10^-7
+    units (``pc1_e7`` BIGINT) — no float leaves the plan, so the
+    oracle hashes it bit-for-bit. Map-only scan."""
+    q = 10 ** quant_digits
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast("long")
+    )
+    vlit = F.array(*[F.lit(int(c)) for c in v_milli])
+    dotq = F.aggregate(
+        F.zip_with(xq, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return df.select(F.col(id_col), dotq.alias("pc1_e7"))
+
+
+def pca_top_project(
+    df: DataFrame,
+    dim: int,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience: one-pass moments → power iteration → projection.
+    The moment collect is dim²/2 rows of metadata (sanctioned)."""
+    rows = pca_moments(df, dim, vec_col).collect()
+    v = pca_power_top([(r["i"], r["j"], r["s"]) for r in rows], dim, iterations)
+    return pca_project(df, v, dim, id_col, vec_col)

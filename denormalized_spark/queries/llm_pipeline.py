@@ -4519,3 +4519,96 @@ def sketch_cs_f2(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+_PCA_IDX = ", ".join(str(i) for i in range(1, 65))
+
+_PCA_XQ = (
+    "xq AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(x::DOUBLE * 10000 + 0.5) AS BIGINT)) AS v FROM embeddings)"
+)
+
+
+@q(
+    "sim_pca_moments",
+    f"""
+    WITH {_PCA_XQ},
+    ax AS (SELECT unnest([{_PCA_IDX}]) AS i),
+    sec AS (SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS s
+            FROM xq, ax t1(i), ax t2(j) WHERE j >= i GROUP BY i, j),
+    fst AS (SELECT i, 0 AS j, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM xq, ax t(i) GROUP BY i),
+    cnt AS (SELECT 0 AS i, 0 AS j, count(*)::BIGINT AS s FROM xq)
+    SELECT i, j, s FROM sec
+    UNION ALL SELECT i, j, s FROM fst
+    UNION ALL SELECT i, j, s FROM cnt
+    """,
+)
+def sim_pca_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass exact integer PCA moment summary over the embedding
+    corpus: upper-triangle second moments + first moments + count as
+    one (i, j, s) table — dim²/2 rows of metadata from one scan +
+    one keyed partial agg, THE distributed-PCA data pass (everything
+    downstream runs on this constant-size summary). Quantized to the
+    1e-4 grid with binary HALF_UP, so every cell is partition-order
+    exact and the oracle replays it bit-for-bit."""
+    return similarity.pca_moments(t(spark, sf, "embeddings"), dim=64)
+
+
+def _pca_power_sql(iters: int = 3) -> str:
+    """Unrolled power-iteration CTE chain: exact-int matvec (HUGEINT
+    sums), IEEE correctly-rounded sqrt, milli-grid renormalization —
+    the same trajectory operators/similarity.pca_power_top walks in
+    Python bigints."""
+    ctes = [
+        _PCA_XQ,
+        f"ax AS (SELECT unnest([{_PCA_IDX}]) AS i)",
+        """sec AS (SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS s
+            FROM xq, ax t1(i), ax t2(j) WHERE j >= i GROUP BY i, j)""",
+        """fst AS (SELECT i, CAST(sum(v[i]) AS BIGINT) AS sx FROM xq, ax t(i) GROUP BY i)""",
+        "cnt AS (SELECT count(*)::BIGINT AS n FROM xq)",
+        "msym AS (SELECT i, j, s FROM sec UNION ALL SELECT j AS i, i AS j, s FROM sec WHERE i < j)",
+        """mfull AS (
+      SELECT m.i, m.j,
+             CAST(floor((c.n * m.s - a.sx * b.sx)::DOUBLE / (c.n * c.n) * 10000 + 0.5)
+                  AS BIGINT) AS mq
+      FROM msym m, cnt c, fst a, fst b WHERE a.i = m.i AND b.i = m.j)""",
+        "v0 AS (SELECT i, CAST(CASE WHEN i = 1 THEN 1000 ELSE 0 END AS BIGINT) AS v FROM ax)",
+    ]
+    for t_ in range(1, iters + 1):
+        ctes.append(
+            f"""cv{t_} AS (SELECT m.i AS i, CAST(sum(m.mq * v.v) AS BIGINT) AS cv
+      FROM mfull m JOIN v{t_ - 1} v ON m.j = v.i GROUP BY m.i)"""
+        )
+        ctes.append(
+            f"n{t_} AS (SELECT sum(cv::HUGEINT * cv) AS s2 FROM cv{t_})"
+        )
+        ctes.append(
+            f"""v{t_} AS (SELECT i, CAST(floor(cv::DOUBLE / sqrt(s2::DOUBLE) * 1000 + 0.5)
+                       AS BIGINT) AS v FROM cv{t_}, n{t_})"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@q(
+    "sim_pca_project",
+    f"""
+    WITH {_pca_power_sql(3)}
+    SELECT q.vec_id,
+           CAST(sum(q.v[w.i] * w.v) AS BIGINT) AS pc1_e7
+    FROM xq q, v3 w GROUP BY q.vec_id
+    """,
+)
+def sim_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA, end to end: one-pass integer moment summary →
+    3 power iterations on the n²-scaled centered matrix (driver-side
+    Python bigints — the covariance is metadata, exactly like k-means
+    centroids) → map-only projection of every vector onto the top
+    component, scored as an EXACT integer dot in 1e-7 units. The
+    oracle replays the entire trajectory (HUGEINT matvec sums, IEEE
+    sqrt, milli-grid renormalization) in an unrolled CTE — same
+    oracle pattern as kmeans/PageRank, extended to matrix iteration.
+    PSD covariance + e₁ seed make the sign deterministic."""
+    return similarity.pca_top_project(
+        t(spark, sf, "embeddings"), dim=64, iterations=3
+    )

@@ -798,3 +798,38 @@ def test_jl_distance_preservation(embeddings):
 
     assert 0.8 < statistics.mean(rs) < 1.2
     assert min(rs) > 0.15 and max(rs) < 3.5, (min(rs), max(rs))
+
+
+def test_pca_power_matches_numpy(embeddings):
+    """The micro-grid power iteration must converge to numpy's top
+    eigenvector of the same centered covariance. The synthetic corpus
+    is nearly isotropic (eigengap lambda2/lambda1 ~ 0.94), so
+    convergence ((l2/l1)^t) needs ~60 iterations for |cos| > 0.98 —
+    each is a 64x64 metadata matvec, free. The projection must
+    capture at least the mean single-axis variance."""
+    import numpy as np
+
+    e = embeddings.limit(300)
+    rows = similarity.pca_moments(e, dim=64).collect()
+    v = similarity.pca_power_top(
+        [(r["i"], r["j"], r["s"]) for r in rows], dim=64, iterations=60
+    )
+    x = np.array([r["embedding"] for r in e.collect()], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    vv = np.array(v, dtype=np.float64)
+    cos = abs(vv @ top) / (np.linalg.norm(vv) * np.linalg.norm(top))
+    assert cos > 0.98, cos
+    proj = similarity.pca_project(e, v, dim=64)
+    pvar = np.var([r["pc1_e7"] / 1e7 for r in proj.collect()])
+    assert pvar > np.mean(np.var(x, axis=0)), (pvar, np.mean(np.var(x, axis=0)))
+
+
+def test_pca_moments_partitioning_invariant(embeddings):
+    e = embeddings.limit(200)
+    key = lambda d: sorted((r["i"], r["j"], r["s"]) for r in d.collect())
+    assert key(similarity.pca_moments(e, dim=64)) == key(
+        similarity.pca_moments(e.repartition(13), dim=64)
+    )
