@@ -290,7 +290,9 @@ def project_embeddings(
     Pure per-row projection: out_dim constant-folded literal rows,
     zero shuffles, no Python. Components are md5-derived literals, so
     engines replay the identical matrix (the oracle embeds the same
-    floats) and runs are reproducible without shipping a matrix."""
+    floats) and runs are reproducible without shipping a matrix.
+    See :func:`jl_project` for the Achlioptas ±1-sign variant with a
+    measured distortion entry."""
     rows = [
         F.array(*[F.lit(c) for c in projection_components(i, dim)])
         for i in range(out_dim)
@@ -1181,6 +1183,13 @@ def jl_project(
     squeeze in front of brute-force scoring, clustering, or an ANN
     index (4× fewer bytes through every downstream shuffle at
     64→16).
+
+    The ±1-sign variant of :func:`project_embeddings` (which draws
+    CONTINUOUS md5-derived components): same guarantee class, but the
+    matrix is signs only — products degenerate to negations, the
+    cheapest JL form — and the `sim_jl_distortion` entry MEASURES the
+    distance-preservation band that project_embeddings' docstring
+    states analytically.
 
     Map-only scan: each output component is one JVM fold over the
     vector against a constant-folded sign array; no shuffle, no

@@ -46,48 +46,53 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 
 # The external correctness driver samples the FIRST 50 registry entries in
 # order, so the front of the registry is a rotating re-verification window.
-# Cumulative coverage through r8: every one of the 158 pre-r9 entries has at
-# least one driver-green row (r1-r8 union; latest-green per entry computable
-# from the CORRECTNESS_r0*.json union). Round-9 window, in priority order:
-# (1) the BRAND-NEW r9 entries (never driver-verified: the k-means PQ
-# codebook trainer oracle, SemDeDup, DSIR importance weights, the
-# repeated-passage span detector + strip pair, k-center coreset
-# selection, DSIR Gumbel-top-k resampling, and the sketch family:
-# Count-Min pair, HLL pair, KMV overlap, histogram quantiles —
-# and PageRank), (2) entries
-# whose operator or oracle CHANGED this round (the headline LSH entries
-# gained a live max_bucket_size cap mirrored in their oracles; array_funcs
-# now exercises array_remove_n/array_replace_n), (3) the staleness rotation
-# — the 22 oldest-green r4 entries plus the single oldest r5 entry that
-# fit (24 new + 3 changed + 22 + 1 = 50). Everything displaced to 51+
-# keeps its registry order and was re-verified locally this session by the
-# full-registry tools/check_correctness.py sweep at sf0.001/0.01/0.1.
+# Cumulative coverage through r9: every one of the 182 pre-r10 entries has
+# at least one driver-green row (r1-r9 union; latest-green per entry
+# computable from the CORRECTNESS_r0*.json union). Round-10 window, in
+# priority order:
+# (1) the 14 BRAND-NEW r10 entries (never driver-verified): the salted
+# skew-safe window agg and windowed-UDAF oracles (r9 verdict item 4),
+# BM25 top-k retrieval, the Bloom filter pair, winnowing fingerprints +
+# MOSS pairs, CUSUM changepoints, JL projection + measured distortion,
+# Count-Sketch cells + AMS F2, and the distributed-PCA pair (moments +
+# power-iteration projection);
+# (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
+# (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
+# guards), dedup_span_strip (output-name collision guard),
+# events_decayed_counts (dt clamp), and the five bucket-cap consumers
+# rewired through operators/_bucketing.py (dedup_lsh_candidates,
+# sim_lsh_buckets, dedup_embedding_neardup, curation_semantic_decontaminate,
+# dedup_near_gate);
+# (3) the staleness rotation — all 4 entries whose latest driver green is
+# r4, then the 21 oldest r5 entries (14 + 11 + 4 + 21 = 50). Everything
+# displaced to 51+ keeps its registry order and was re-verified locally
+# this session by the full-registry tools/check_correctness.py sweep at
+# sf0.001/0.01/0.1.
 _DRIVER_PRIORITY = [
-    # brand-new r9 operators — never driver-verified
-    "sim_pq_train", "dedup_semdedup", "curation_dsir_weights",
-    "dedup_repeated_spans", "dedup_span_strip",
-    "sim_kcenter_select", "curation_dsir_resample",
-    "sketch_cm_cells", "sketch_cm_heavy_hitters",
-    "sketch_hll_registers", "sketch_hll_distinct", "sketch_kmv_overlap",
-    "sketch_hist_quantiles", "graph_pagerank_events", "dedup_ppjoin_pairs",
-    "sketch_hist_group_quantiles", "graph_pagerank_weighted", "graph_hits_events",
-    "sketch_hll_group_distinct", "sim_rrf_fusion_query0",
-    "curation_weighted_eval_sample", "text_ccnet_buckets",
-    "events_decayed_counts", "curation_semantic_decontaminate",
-    # operator/oracle changed this round — re-prove under the new code
-    "sim_lsh_buckets", "dedup_embedding_neardup", "array_funcs",
-    # latest green r4 — all 26
-    "agg_stats", "agg_regression", "agg_filter_distinct", "agg_minmax_by",
-    "agg_collect", "agg_bitwise_bool", "agg_percentiles",
-    "agg_rollup_pricing", "agg_cube_orders", "agg_grouping_sets",
-    "unpivot_lineitem_metrics", "agg_approx_distinct", "agg_hll_rollup",
-    "over_rank_per_customer", "over_running_lag_lead",
-    "pivot_event_counts", "join_right_customers",
-    "agg_weighted_percentile", "agg_weighted_percentile_column",
-    "window_sliding_1h_30m",
-    "window_session_30m", "window_then_join",
+    # brand-new r10 operators — never driver-verified
+    "window_salted_1h", "window_udaf_wavg", "text_bm25_topk",
+    "sketch_bloom_bits", "sketch_bloom_probe",
+    "dedup_winnow_fingerprints", "dedup_winnow_pairs",
+    "events_cusum_alarms", "sim_jl_project", "sim_jl_distortion",
+    "sketch_cs_cells", "sketch_cs_f2",
+    "sim_pca_moments", "sim_pca_project",
+    # operator code changed this round — re-prove under the new code
+    "sketch_hll_registers", "sketch_hll_distinct", "sketch_hll_group_distinct",
+    "sim_kcenter_select", "dedup_span_strip", "events_decayed_counts",
+    "dedup_lsh_candidates", "sim_lsh_buckets", "dedup_embedding_neardup",
+    "curation_semantic_decontaminate", "dedup_near_gate",
+    # latest green r4 — all 4
+    "join_full_user_activity", "scalar_datetime",
+    "window_global_tumbling_6h", "window_session_dynamic_gap",
     # oldest r5 entries filling the window to 50
-    "dedup_fingerprint",
+    "curation_chunk_dup_rate", "curation_data_card",
+    "curation_decontaminate_bloom", "curation_dedup_lines",
+    "curation_drift_report", "curation_quality_monitor", "curation_validate",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
+    "dedup_simhash", "sim_batch_topk", "sim_hard_negatives",
+    "sim_ivf_recall", "sim_outlier_scores", "sim_quantize_int8",
+    "sim_threshold_pairs", "sim_topk_quantized_query0", "sim_topk_query0",
+    "text_bigram_quality", "text_bpe_pairs",
 ]
 
 def _reorder(d: dict) -> dict:

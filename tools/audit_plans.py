@@ -64,10 +64,14 @@ ALLOW_BNLJ = {
     "sim_rrf_fusion_query0", # 1-row query-vector broadcast (two retrievers)
     "text_ccnet_buckets",    # 1-row vocab-total crossJoin (unigram LM, as text_unigram_quality)
     "events_decayed_counts", # 1-row as-of (max ts) broadcast — constant fan-out
+    "text_bm25_topk",        # 1-row corpus-stats (N, sum dl) broadcast — constant fan-out
+    "sketch_cs_f2",          # 1-row estimate x 1-row exact-F2 crossJoin — metadata
+    "sim_jl_distortion",     # 40-row x 40-row theta pair join — bounded metadata probe
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
     "udaf_weighted_avg_price",
+    "window_udaf_wavg",      # same Accumulator protocol inside an event-time window
     "multimodal_features",
     "multimodal_audio_chunks",  # mapInPandas is the sanctioned media path
     "multimodal_wav_features",  # real stdlib-wave decode kernel (same path)
@@ -113,6 +117,11 @@ ALLOW_SINGLE_PART = {
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
+    "text_bm25_topk",        # 1-row corpus-stats aggregate (N, sum dl)
+    "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
+    "sketch_cs_f2",          # 1-row finals + 5-row row-sum median array
+    "sim_pca_moments",       # 1-row corpus count beside the keyed moment aggs
+    "sim_jl_distortion",     # 1-row min/max/sum finals over the 780-pair micro grid
     "graph_hits_events",     # 1-row norm aggregates (metadata)
     "sim_rrf_fusion_query0", # rank windows over the 20-row retrieved lists
     "text_ccnet_buckets",    # 1-row LM total (same as text_unigram_quality)

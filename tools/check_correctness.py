@@ -4,7 +4,12 @@ Runs every ``queries()`` entry at sf0.01 on Spark AND its
 ``oracle_sql()`` on DuckDB, then compares row count, column names,
 and order-insensitive values. Usage:
 
-    python tools/check_correctness.py [query_name ...]
+    python tools/check_correctness.py [--sf-dir DIR] [query_name ...]
+
+The scale factor comes from --sf-dir, else $SPARK_GRAFT_SF_DIR, else
+sf0.01. (--sf-dir support added in r10: before that, passing the flag
+silently put the tokens into the query-name filter and NOTHING ran —
+a sweep claiming another SF actually re-ran sf0.01.)
 """
 
 from __future__ import annotations
@@ -70,6 +75,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    global SF_DIR
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        del args[i : i + 2]
+    sys.argv = [sys.argv[0]] + args
+
     import __spark_entry__ as entrymod
     from denormalized_spark.session import get_spark
 

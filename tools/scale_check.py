@@ -65,6 +65,14 @@ QUERIES = [
     "graph_pagerank_events",     # per-iter src-join + dst-agg: edges-linear
     "dedup_ppjoin_pairs",        # exact sim-join: prefix-token (Zipf-tail) buckets
     "graph_hits_events",         # per-half-step join+agg + 1-row norm
+    # round-10 additions
+    "text_bm25_topk",            # query-term-pruned postings + TakeOrdered: linear
+    "sketch_bloom_bits",         # distinct-key partial agg + k bit rows: linear
+    "dedup_winnow_fingerprints", # per-row window-min HOFs: scan speed
+    "events_cusum_alarms",       # windowed counts + keyed prefix windows
+    "sim_jl_project",            # map-only sign-matrix folds: scan speed
+    "sketch_cs_cells",           # signed cell sums: same shape as CM
+    "sim_pca_moments",           # constant d^2 fan-out + keyed partial agg: linear
 ]
 
 
