@@ -543,3 +543,61 @@ def cusum_changepoints(
         s_neg.alias("cusum_neg_micro"),
         ((s_pos > h) | (s_neg > h)).alias("alarm"),
     )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    window_ms: int = 3600_000,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of per-window event
+    counts (the pre-STL textbook form): the seasonal component is the
+    per-(key, hour-of-day) mean, the residual is what an hour-of-day-
+    aware anomaly detector should score — a daily traffic peak is NOT
+    an anomaly, the same volume at 4am is. Complements
+    :func:`cusum_changepoints` (which detects sustained LEVEL shifts;
+    this isolates the periodic component first).
+
+    All arithmetic on the integer micro grid: seasonal_micro is the
+    floored per-cell mean, residual_micro = n·10⁶ − seasonal_micro is
+    exact, and the per-key z (residual / its own stddev) lands on the
+    milli grid, ulp-proof through the stddev's sqrt. Shapes: one
+    window-count aggregation (corpus-linear), one (key, hour)-keyed
+    mean over the window table (time × keys rows — metadata), two
+    broadcast joins back. Returns ``(group, window_start_time, n,
+    seasonal_micro, residual_micro, resid_z_milli)``."""
+    gcols = group_cols or ["event_type"]
+    secs = f"{window_ms // 1000} seconds"
+    counts = (
+        df.groupBy(F.window(F.col(ts_col), secs).alias("_w"), *gcols)
+        .agg(F.count("*").alias("n"))
+        .select(*gcols, F.col("_w.start").alias("window_start_time"), "n")
+        .withColumn("hod", F.hour("window_start_time"))
+    )
+    seasonal = counts.groupBy(*gcols, "hod").agg(
+        F.floor(F.avg("n") * 1_000_000 + F.lit(0.5)).cast("long").alias("seasonal_micro")
+    )
+    withs = counts.join(F.broadcast(seasonal), [*gcols, "hod"])
+    resid = (F.col("n") * 1_000_000 - F.col("seasonal_micro")).alias("residual_micro")
+    base = withs.select(*gcols, "window_start_time", "n", "seasonal_micro", resid)
+    sig = base.groupBy(*gcols).agg(
+        F.floor(F.stddev_samp("residual_micro") + F.lit(0.5))
+        .cast("long")
+        .alias("_sig")
+    )
+    j = base.join(F.broadcast(sig), gcols)
+    z = F.when(
+        F.col("_sig") > 0,
+        F.floor(
+            F.col("residual_micro").cast("double") / F.col("_sig") * 1000 + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(
+        *gcols,
+        "window_start_time",
+        "n",
+        "seasonal_micro",
+        "residual_micro",
+        z.alias("resid_z_milli"),
+    )

@@ -1582,3 +1582,68 @@ def winnow_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    sort_key: Column | str,
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo 1995, SIGMOD —
+    the classic pre-LSH blocking scheme, still the right tool when a
+    meaningful sort key exists): sort the corpus by ``sort_key``,
+    slide a window of ``window`` records, emit every pair that
+    co-occurs in some window — i.e. pairs within ``window−1``
+    positions of each other. Candidates ∝ n·(window−1), linear in the
+    corpus; pass the output to an exact verifier (gated Jaccard /
+    Levenshtein), same contract as the LSH candidate generators.
+
+    Scale shape — NO single-reducer sort anywhere: global positions
+    come from :func:`~denormalized_spark.operators.ranking.
+    with_global_row_number` (range repartition + local sort +
+    broadcast prefix-sum offsets), then the within-(window−1)
+    neighborhood is the ≤2-bin interval-join pattern (each row lands
+    in its position block and the previous one; pairs generate inside
+    blocks with an exact position filter) — the same bounded-fanout
+    shape as the range join. Ties in ``sort_key`` break by ``id_col``
+    so the neighborhood is deterministic. Returns
+    ``(id_a, id_b, key_a, key_b)`` with id_a preceding id_b."""
+    from denormalized_spark.operators.ranking import with_global_row_number
+
+    k = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+    base = df.select(F.col(id_col).alias("_id"), k.alias("_k"))
+    rn = with_global_row_number(
+        base, [F.col("_k"), F.col("_id")], out_col="_rn"
+    )
+    w1 = window - 1
+    blk = (F.col("_rn") / w1).cast("long")
+    two = rn.select(
+        "_id", "_k", "_rn", F.explode(F.array(blk, blk + 1)).alias("_blk")
+    )
+    member = F.struct(
+        F.col("_rn").alias("rn"), F.col("_id").alias("id"), F.col("_k").alias("k")
+    )
+    buckets = two.groupBy("_blk").agg(F.array_sort(F.collect_list(member)).alias("_ms"))
+    ms = F.col("_ms")
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), y["id"].alias("id_b"),
+                        x["k"].alias("key_a"), y["k"].alias("key_b"),
+                        (y["rn"] - x["rn"]).alias("_d"),
+                    ),
+                ),
+                lambda p: (p["_d"] >= 1) & (p["_d"] <= w1),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.key_a", "_p.key_b")
+        .distinct()
+    )

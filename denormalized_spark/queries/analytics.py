@@ -673,3 +673,47 @@ def events_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
     return cusum_changepoints(
         t(spark, sf, "events"), 3600_000, ["event_type"]
     )
+
+
+@q(
+    "events_seasonal_residuals",
+    """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (SELECT event_type, ws, n, extract(hour FROM ws) AS hod FROM c),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(floor(avg(n) * 1000000 + 0.5) AS BIGINT) AS seasonal_micro
+      FROM h GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT h.event_type, h.ws AS window_start_time, h.n, s.seasonal_micro,
+             h.n * 1000000 - s.seasonal_micro AS residual_micro
+      FROM h JOIN seas s ON s.event_type = h.event_type AND s.hod = h.hod
+    ),
+    sg AS (
+      SELECT event_type,
+             CAST(floor(stddev_samp(residual_micro) + 0.5) AS BIGINT) AS sig
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type, window_start_time, n, seasonal_micro,
+           CAST(residual_micro AS BIGINT) AS residual_micro,
+           CASE WHEN sig > 0
+                THEN CAST(floor(residual_micro::DOUBLE / sig * 1000 + 0.5) AS BIGINT)
+                ELSE 0 END AS resid_z_milli
+    FROM r JOIN sg ON sg.event_type = r.event_type
+    """,
+)
+def events_seasonal_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of hourly event
+    counts: per-(type, hour-of-day) seasonal means, exact integer
+    residuals, per-type residual z on the milli grid — the
+    dayparting-aware anomaly signal (a daily peak is not an anomaly;
+    the same volume at 4am is). Complements events_cusum_alarms
+    (level shifts) — see operators/analytics.seasonal_residuals."""
+    from denormalized_spark.operators.analytics import seasonal_residuals
+
+    return seasonal_residuals(t(spark, sf, "events"), 3600_000, ["event_type"])

@@ -4612,3 +4612,32 @@ def sim_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pca_top_project(
         t(spark, sf, "embeddings"), dim=64, iterations=3
     )
+
+
+@q(
+    "dedup_snm_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, substr(text, 1, 24) AS k,
+             row_number() OVER (ORDER BY substr(text, 1, 24), doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b
+    FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+    """,
+)
+def dedup_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort by
+    a 24-char text prefix, pair every record with its 4 successors —
+    candidates ∝ n·(w−1), the classic key-driven alternative to LSH
+    blocking (near-dup rewrites share prefixes, so they co-occur in a
+    window without any hashing). Feed the pairs to the gated Jaccard
+    verifier exactly like the LSH candidates. Deterministic: key ties
+    break by id in both engines."""
+    from denormalized_spark.operators import dedup
+
+    return dedup.snm_candidate_pairs(
+        t(spark, sf, "documents"),
+        F.substring("text", 1, 24),
+        window=5,
+    )

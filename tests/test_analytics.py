@@ -368,3 +368,48 @@ class TestCusum:
         a = cusum_changepoints(df, 3600_000, ["event_type"]).collect()
         b = cusum_changepoints(df.repartition(13), 3600_000, ["event_type"]).collect()
         assert key(a) == key(b)
+
+
+class TestSeasonalResiduals:
+    def test_seasonal_profile_and_anomaly(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import seasonal_residuals
+
+        base = datetime.datetime(2024, 3, 4)  # a Monday
+        rows = []
+        # 5 days: hour 9 always busy (50), other hours quiet (10),
+        # except day 4 hour 2: a genuine 4am-style burst (50)
+        for d in range(5):
+            for h in (2, 9, 15):
+                n = 50 if h == 9 or (d == 4 and h == 2) else 10
+                for i in range(n):
+                    rows.append(
+                        ("a", base + datetime.timedelta(days=d, hours=h, seconds=i))
+                    )
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = seasonal_residuals(df, 3600_000, ["event_type"]).collect()
+        by = {(r["window_start_time"].day, r["window_start_time"].hour): r for r in out}
+        # the daily hour-9 peak is SEASONAL: residual ~ 0 every day
+        for d in range(4, 9):
+            assert by[(d, 9)]["residual_micro"] == 0
+        # the day-5 hour-2 burst is the top |z| anomaly
+        top = max(out, key=lambda r: abs(r["resid_z_milli"]))
+        assert (top["window_start_time"].day, top["window_start_time"].hour) == (8, 2)
+        assert top["residual_micro"] > 0
+
+    def test_partitioning_invariant(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import seasonal_residuals
+
+        base = datetime.datetime(2024, 3, 4)
+        rows = [
+            (f"t{i % 2}", base + datetime.timedelta(hours=i % 30, minutes=i % 50))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        key = lambda rs: sorted(map(tuple, rs))
+        a = seasonal_residuals(df, 3600_000).collect()
+        b = seasonal_residuals(df.repartition(11), 3600_000).collect()
+        assert key(a) == key(b)

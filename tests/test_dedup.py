@@ -827,3 +827,33 @@ class TestWinnowing:
         a = sorted(map(tuple, dedup.winnow_fingerprints(df).collect()))
         b = sorted(map(tuple, dedup.winnow_fingerprints(df.repartition(7)).collect()))
         assert a == b
+
+
+def test_snm_candidate_pairs(spark):
+    # 6 records sorted by key: every pair within 2 positions appears
+    df = spark.createDataFrame(
+        [(i, f"k{i:02d}") for i in range(6)], "doc_id long, key string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.snm_candidate_pairs(df, "key", window=3).collect()
+    }
+    want = {(i, j) for i in range(6) for j in range(i + 1, min(i + 3, 6))}
+    assert got == want
+    # near-dup rewrites sharing a prefix co-occur in the window
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "the quick brown fox jumps over them"),
+            (3, "zzz completely unrelated text zzz"),
+            (4, "aaa another unrelated document aaa"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.snm_candidate_pairs(
+            docs, F.substring("text", 1, 24), window=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
