@@ -129,7 +129,9 @@ class SketchMaintainer:
     def decayed_df(self, spark, round_digits: int = 6) -> DataFrame:
         """Per-key decayed counters, all rescaled to the GLOBAL max
         as_of seen so far (matching the batch operator's default
-        reference) and rounded like the batch form."""
+        reference) and rounded like the batch form. The schema types
+        the key as STRING — pass a string ``decay_key_col`` (cast
+        upstream if the key is numeric)."""
         if not self.decayed:
             return spark.createDataFrame(
                 [], f"{self.decay_key_col} string, n_events long, decayed_count double"
