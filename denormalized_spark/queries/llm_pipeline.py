@@ -4641,3 +4641,88 @@ def dedup_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", 1, 24),
         window=5,
     )
+
+
+def _hll_user_regs_sql(cte: str, where: str) -> str:
+    """Register CTE for a user cohort (md5 of user_id::VARCHAR — the
+    same cast chain Spark's hll_registers applies to a BIGINT key)."""
+    return f"""{cte}h AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM (SELECT DISTINCT user_id FROM events WHERE {where})
+    ),
+    {cte} AS (
+      SELECT h & 63 AS reg,
+             CAST(max(CASE WHEN (h >> 6) = 0 THEN 55
+                  ELSE bit_count(((h >> 6) & (-(h >> 6))) - 1) + 1 END) AS BIGINT) AS rho
+      FROM {cte}h GROUP BY 1
+    )"""
+
+
+def _hll_est_from_sql(regs: str, out: str) -> str:
+    """Estimate CTE chain over a register CTE (p=6 constants — the
+    same integer-exact harmonic sum as sketch_hll_distinct's)."""
+    return f"""{out}s AS (
+      SELECT CAST(sum(CAST(2 ** (56 - rho) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS nz
+      FROM {regs}
+    ),
+    {out} AS (
+      SELECT round(CASE WHEN raw <= 160.0 AND v > 0
+                        THEN 64.0 * ln(64.0 / v) ELSE raw END, 4) AS est
+      FROM (SELECT (0.709::DOUBLE * 64.0 * 64.0 * 72057594037927936.0)
+                   / (s + (64 - nz) * 72057594037927936)::DOUBLE AS raw,
+                   64 - nz AS v
+            FROM {out}s)
+    )"""
+
+
+_HLL_A_WHERE = "event_type = 'click' AND user_id % 2 = 0"
+_HLL_B_WHERE = "event_type = 'purchase' AND user_id % 3 = 0"
+
+
+@q(
+    "sketch_hll_intersect",
+    f"""
+    WITH {_hll_user_regs_sql('ra', _HLL_A_WHERE)},
+    {_hll_user_regs_sql('rb', _HLL_B_WHERE)},
+    ru AS (SELECT reg, CAST(max(rho) AS BIGINT) AS rho
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+    {_hll_est_from_sql('ra', 'ea')},
+    {_hll_est_from_sql('rb', 'eb')},
+    {_hll_est_from_sql('ru', 'eu')},
+    exact AS (
+      SELECT count(*)::BIGINT AS exact_intersect FROM (
+        SELECT DISTINCT user_id FROM events WHERE {_HLL_A_WHERE}
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE {_HLL_B_WHERE}
+      )
+    )
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           floor((ea.est + eb.est - eu.est) * 10000 + 0.5) / 10000 AS est_intersect,
+           exact_intersect
+    FROM ea, eb, eu, exact
+    """,
+)
+def sketch_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience-overlap by inclusion–exclusion over HLL register
+    tables: two user cohorts (even-id clickers, ≡0-mod-3 purchasers —
+    known ~1/6-of-users truth), union via exact register max-merge
+    (no extra pass), |A∩B| ≈ est_a + est_b − est_union, with the
+    EXACT intersection beside it so the oracle value-checks estimator
+    accuracy, not just plumbing. The overlap-vs-union caveat and the
+    KMV alternative are in the operator docstring."""
+    from denormalized_spark.operators import sketches
+
+    ev = t(spark, sf, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 2 == 0))
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0))
+    ra = sketches.hll_registers(a.select("user_id"), "user_id", p=6)
+    rb = sketches.hll_registers(b.select("user_id"), "user_id", p=6)
+    est = sketches.hll_intersect_estimate(ra, rb, p=6)
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id", "left_semi")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -439,3 +439,21 @@ def test_count_sketch_partitioning_invariant(spark):
     assert key(sketches.count_sketch(ks, "k", 5, 64)) == key(
         sketches.count_sketch(ks.repartition(13), "k", 5, 64)
     )
+
+
+def test_hll_intersect_inclusion_exclusion(spark):
+    # A = 400 keys, B = 300 keys, |A ∩ B| = 200 exactly
+    a = _keys(spark, 400, "s")          # s0..s399
+    b = spark.createDataFrame(
+        [(f"s{i}",) for i in range(200, 500)], "k string"
+    )                                   # s200..s499
+    ra = sketches.hll_registers(a, "k", p=6)
+    rb = sketches.hll_registers(b, "k", p=6)
+    got = sketches.hll_intersect_estimate(ra, rb, p=6).collect()[0]
+    # union is 500; per-estimate sigma ~ 13% at p=6, and the
+    # intersection difference compounds ~3 of them — generous band
+    assert abs(got["est_union"] - 500) / 500 < 0.39
+    assert abs(got["est_intersect"] - 200) < 200, got
+    # identical-set intersection equals the set estimate exactly
+    same = sketches.hll_intersect_estimate(ra, ra, p=6).collect()[0]
+    assert same["est_intersect"] == same["est_a"] == same["est_union"]

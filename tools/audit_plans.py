@@ -56,6 +56,7 @@ ALLOW_BNLJ = {
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
+    "sketch_hll_intersect",  # 1-row estimate crossJoins (a, b, union, exact) — metadata
     "sketch_kmv_overlap",    # 1-row ratio crossJoins over ≤64-row sketch tables
     "sketch_hist_quantiles", # 1-row quantile × quantile crossJoins — metadata
     "graph_pagerank_events", # 1-row dangling-mass broadcast per iteration
@@ -114,6 +115,7 @@ ALLOW_SINGLE_PART = {
     "curation_dsir_weights",  # corpus-total window over the ≤num_buckets-row bucket table
     "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
     "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
+    "sketch_hll_intersect",  # same 1-row finals over ≤64-register tables
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
