@@ -1647,3 +1647,66 @@ def snm_candidate_pairs(
         .select("_p.id_a", "_p.id_b", "_p.key_a", "_p.key_b")
         .distinct()
     )
+
+
+def weighted_minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    weight_cap: int = 16,
+) -> DataFrame:
+    """MinHash for WEIGHTED (tf-bag) Jaccard via integer-weight
+    expansion (Gollapudi & Panigrahy 2006; Haveliwala et al. 2000):
+    each token contributes min(tf, ``weight_cap``) salted copies
+    ``token:i``, and plain MinHash over the expanded multiset
+    estimates J_w(A,B) = Σ min(tf_A, tf_B) / Σ max(tf_A, tf_B) —
+    the similarity a tf-weighted dedup wants (plain set MinHash
+    treats "the the the the" and one "the" identically; the weighted
+    form does not). The cap bounds expansion on pathological repeats
+    and truncates weights identically for both documents, so capped
+    J_w is still a proper Jaccard on the truncated bags.
+
+    Plan shape: explode to (doc, token) and count — the standard
+    corpus-linear token pass — then a ≤cap constant fan-out per
+    DISTINCT (doc, token), one md5 per copy, and ONE doc-keyed
+    partial-agg shuffle computing all ``num_hashes`` slot mins
+    map-side. Same universal-hash family (Z_{2³¹−1}) as
+    :func:`minhash_signature`, so banding/estimation code downstream
+    is shared. Returns ``(id, wmh array<long>)``, oracle-exact."""
+    from denormalized_spark.operators.text import tokens
+
+    mod = F.lit(MERSENNE31)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    rep = tf.select(
+        id_col,
+        "_tok",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.col("_c"), F.lit(weight_cap)))
+        ).alias("_i"),
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_tok"), F.lit(":"), F.col("_i").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = (h32 % mod).alias("_h")
+    hashed = rep.select(id_col, base)
+    aggs = []
+    for j in range(num_hashes):
+        a, b = minhash_params(j)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % mod).alias(f"_s{j}")
+        )
+    slots = hashed.groupBy(id_col).agg(*aggs)
+    return slots.select(
+        id_col, F.array(*[F.col(f"_s{j}") for j in range(num_hashes)]).alias("wmh")
+    )

@@ -4726,3 +4726,50 @@ def sketch_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("exact_intersect"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@q(
+    "dedup_weighted_minhash",
+    f"""
+    WITH tokw AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tfw AS (SELECT doc_id, tok, count(*) AS c FROM tokw GROUP BY 1, 2),
+    rep AS (SELECT doc_id, tok, unnest(range(1, least(c, 16) + 1)) AS i FROM tfw),
+    hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(tok || ':' || i::VARCHAR), 1, 8))::BIGINT
+                    % 2147483647 AS hh
+           FROM rep),
+    sl AS (
+      SELECT doc_id,
+           CAST(min((164269695 * hh + 1370462736) % 2147483647) AS BIGINT) AS s0,
+           CAST(min((1071859921 * hh + 619624011) % 2147483647) AS BIGINT) AS s1,
+           CAST(min((1893425661 * hh + 1962986430) % 2147483647) AS BIGINT) AS s2,
+           CAST(min((1293095852 * hh + 1798301277) % 2147483647) AS BIGINT) AS s3,
+           CAST(min((1133468981 * hh + 1909863133) % 2147483647) AS BIGINT) AS s4,
+           CAST(min((148488241 * hh + 813965002) % 2147483647) AS BIGINT) AS s5,
+           CAST(min((263346711 * hh + 26849950) % 2147483647) AS BIGINT) AS s6,
+           CAST(min((376050573 * hh + 856801040) % 2147483647) AS BIGINT) AS s7,
+           CAST(min((817107255 * hh + 1095661946) % 2147483647) AS BIGINT) AS s8,
+           CAST(min((1538927511 * hh + 1849162706) % 2147483647) AS BIGINT) AS s9,
+           CAST(min((1037296364 * hh + 1188378687) % 2147483647) AS BIGINT) AS s10,
+           CAST(min((1778220387 * hh + 510017701) % 2147483647) AS BIGINT) AS s11,
+           CAST(min((1756759315 * hh + 410657071) % 2147483647) AS BIGINT) AS s12,
+           CAST(min((1762106009 * hh + 1422770906) % 2147483647) AS BIGINT) AS s13,
+           CAST(min((762874016 * hh + 1257238662) % 2147483647) AS BIGINT) AS s14,
+           CAST(min((1688879376 * hh + 2126896705) % 2147483647) AS BIGINT) AS s15
+      FROM hh GROUP BY doc_id
+    )
+    SELECT doc_id, [s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15] AS wmh FROM sl
+    """,
+)
+def dedup_weighted_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted (tf-bag) MinHash signatures via integer-weight
+    expansion (Gollapudi & Panigrahy 2006): min(tf, 16) salted copies
+    per token, plain MinHash over the expanded multiset — slot-match
+    probability equals the WEIGHTED Jaccard Σmin(tf)/Σmax(tf), the
+    similarity a tf-aware dedup wants. Same universal-hash family as
+    the set MinHash, so LSH banding downstream is shared; every slot
+    replayed exactly by the oracle. Estimator-accuracy test in
+    tests/test_near_dedup.py."""
+    from denormalized_spark.operators import dedup
+
+    return dedup.weighted_minhash_signatures(t(spark, sf, "documents"))

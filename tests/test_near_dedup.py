@@ -480,3 +480,36 @@ def test_window_time_mode_stream_equals_batch(spark):
     assert by_id[4] == T0 + datetime.timedelta(minutes=6) - datetime.timedelta(
         microseconds=1
     )
+
+
+def test_weighted_minhash_estimates_weighted_jaccard(spark):
+    """Slot-match fraction ~ weighted Jaccard sum(min tf)/sum(max tf).
+    Docs share the same vocabulary but very different tf bags, so the
+    SET Jaccard is 1.0 while the weighted one is not — the case the
+    expansion exists for."""
+    from denormalized_spark.operators.dedup import weighted_minhash_signatures
+
+    a = "w " * 12 + "x y z"
+    b = "w x y z"            # J_w = (1+1+1+1)/(12+1+1+1) = 4/15 ~ 0.267
+    c = "p q r s"            # disjoint
+    df = spark.createDataFrame(
+        [(1, a.strip()), (2, b), (3, c)], "doc_id long, text string"
+    )
+    sig = {
+        r["doc_id"]: r["wmh"]
+        for r in weighted_minhash_signatures(df, num_hashes=64).collect()
+    }
+    match_ab = sum(x == y for x, y in zip(sig[1], sig[2])) / 64
+    match_ac = sum(x == y for x, y in zip(sig[1], sig[3])) / 64
+    # sigma ~ sqrt(J(1-J)/64) ~ 0.055 at J=0.267: allow 3 sigma
+    assert abs(match_ab - 4 / 15) < 0.17, match_ab
+    assert match_ac == 0.0
+    # weight cap truncates both sides identically: tf 12 capped to 4
+    # makes the bags EQUAL -> signatures identical
+    capped = {
+        r["doc_id"]: r["wmh"]
+        for r in weighted_minhash_signatures(
+            df, num_hashes=16, weight_cap=1
+        ).collect()
+    }
+    assert capped[1] == capped[2]
