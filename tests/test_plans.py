@@ -132,3 +132,47 @@ def test_bigram_only_cartesian_is_the_one_row_total(spark, queries):
     plan = plan_of(queries, spark, "text_bigram_quality")
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """SCALING.md's standing claim — 'bucket both tables by the join
+    key once and the join exchange is reused every iteration' —
+    proven at the plan level: two tables bucketed+sorted by the same
+    key join WITHOUT any Exchange (and, bucket-sorted, without an
+    extra Sort), while the same unbucketed join shuffles both sides.
+    This is the mechanism behind the graph/bucketed-dedup runbook
+    advice."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    suf = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{suf}", f"bkt_b_{suf}"
+    try:
+        for name, df in ((ta, a), (tb, b)):
+            df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+        # hint the merge path: at this size the planner would rather
+        # broadcast (and DISABLE bucketed scans); production-sized
+        # sides are past the broadcast threshold on their own
+        joined = spark.table(ta).join(spark.table(tb).hint("merge"), "k")
+        # AQE finalizes lazily, and count() plans a SEPARATE query —
+        # execute THIS DataFrame's plan, then read it
+        assert len(joined.collect()) == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+
+        plain = a.join(b.hint("merge"), "k")
+        plain.collect()
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
