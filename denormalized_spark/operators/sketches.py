@@ -756,3 +756,76 @@ def hll_intersect_estimate(
         / 10000
     )
     return j.select("est_a", "est_b", "est_union", inter.alias("est_intersect"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters, shard-merged (Misra & Gries 1982;
+# mergeability: Agarwal et al. 2012, "Mergeable summaries")
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_merged(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """k-counter Misra-Gries heavy-hitter summary built per SHARD and
+    merged — the deletion-based counterpart of Count-Min (MG never
+    OVERcounts; CM never undercounts; each key's true count lies in
+    ``[mg_count, mg_count + error]``). The classic streaming MG is
+    order-dependent; this distributed form is DETERMINISTIC because
+    each shard's summary is derived from its exact per-key counts:
+    subtract the shard's (k+1)-th largest count (the smallest valid
+    residual) and keep the positive survivors — a valid k-counter MG
+    summary with error ≤ N_shard/(k+1). The Agarwal-et-al merge is
+    counter-wise sum, then one more (k+1)-th-largest subtraction on
+    the combined table; total undercount ≤ Σ shard residuals + the
+    merge residual (returned as ``error_bound`` — per-key certified).
+
+    Plan shape: one exact (shard, key) partial-agg shuffle (corpus-
+    linear), per-shard window rank over the count table, then
+    everything downstream operates on ≤ shards·k rows of METADATA —
+    the final global rank's single partition moves counters, not
+    data. Shards must be a data column (day / source / language), so
+    the result is partition-layout independent. Returns
+    ``(key, mg_count, error_bound)`` for surviving keys."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(shard_col, F.col(key_col)).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(shard_col).orderBy(F.desc("_c"), F.asc(key_col))
+    rn = F.row_number().over(w)
+    ranked = counts.withColumn("_rn", rn)
+    res = (
+        ranked.filter(F.col("_rn") == k + 1)
+        .select(F.col(shard_col), F.col("_c").alias("_r"))
+    )
+    adj = (
+        ranked.filter(F.col("_rn") <= k)
+        .join(F.broadcast(res), shard_col, "left")
+        .select(
+            key_col,
+            (F.col("_c") - F.coalesce("_r", F.lit(0))).alias("_ca"),
+            F.coalesce("_r", F.lit(0)).alias("_rs"),
+        )
+        .filter(F.col("_ca") > 0)
+    )
+    tot_res = res.agg(F.coalesce(F.sum("_r"), F.lit(0)).alias("_sum_rs"))
+    comb = adj.groupBy(key_col).agg(F.sum("_ca").alias("_cc"))
+    w2 = Window.orderBy(F.desc("_cc"), F.asc(key_col))
+    ranked2 = comb.withColumn("_rn2", F.row_number().over(w2))
+    rm = ranked2.filter(F.col("_rn2") == k + 1).select(
+        F.col("_cc").alias("_rm")
+    )
+    out = (
+        ranked2.filter(F.col("_rn2") <= k)
+        .crossJoin(F.broadcast(rm.agg(F.coalesce(F.max("_rm"), F.lit(0)).alias("_rm"))))
+        .crossJoin(F.broadcast(tot_res))
+        .select(
+            key_col,
+            (F.col("_cc") - F.col("_rm")).alias("mg_count"),
+            (F.col("_sum_rs") + F.col("_rm")).cast("long").alias("error_bound"),
+        )
+        .filter(F.col("mg_count") > 0)
+    )
+    return out

@@ -4773,3 +4773,47 @@ def dedup_weighted_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators import dedup
 
     return dedup.weighted_minhash_signatures(t(spark, sf, "documents"))
+
+
+@q(
+    "sketch_mg_heavy_hitters",
+    f"""
+    WITH tokm AS (
+      SELECT lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tokm GROUP BY 1, 2),
+    rk AS (SELECT lang, tok, c,
+                  row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+           FROM cnt),
+    res AS (SELECT lang, c AS r FROM rk WHERE rn = 9),
+    adj AS (
+      SELECT rk.tok, rk.c - coalesce(res.r, 0) AS ca
+      FROM rk LEFT JOIN res ON res.lang = rk.lang
+      WHERE rk.rn <= 8 AND rk.c - coalesce(res.r, 0) > 0
+    ),
+    sumr AS (SELECT coalesce(sum(r), 0)::BIGINT AS sum_rs FROM res),
+    comb AS (SELECT tok, sum(ca)::BIGINT AS cc FROM adj GROUP BY tok),
+    rk2 AS (SELECT tok, cc, row_number() OVER (ORDER BY cc DESC, tok) AS rn2 FROM comb),
+    rm AS (SELECT coalesce(max(cc), 0)::BIGINT AS rm FROM rk2 WHERE rn2 = 9)
+    SELECT tok, CAST(cc - rm AS BIGINT) AS mg_count,
+           CAST(sum_rs + rm AS BIGINT) AS error_bound
+    FROM rk2, rm, sumr
+    WHERE rn2 <= 8 AND cc - rm > 0
+    """,
+)
+def sketch_mg_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-merged Misra-Gries heavy hitters over corpus tokens
+    (shards = language — a data column, so the summary is partition-
+    layout independent): the deletion-based counterpart of the
+    Count-Min heavy hitters (MG never overcounts, CM never
+    undercounts — run both and every key's truth is bracketed). The
+    per-key certified undercount bound (Σ shard residuals + merge
+    residual) is a COLUMN, hash-checked with the counters. See
+    operators/sketches.misra_gries_merged for the derived-from-exact-
+    counts determinism argument."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents").select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketches.misra_gries_merged(d, "tok", "lang", k=8)

@@ -457,3 +457,33 @@ def test_hll_intersect_inclusion_exclusion(spark):
     # identical-set intersection equals the set estimate exactly
     same = sketches.hll_intersect_estimate(ra, ra, p=6).collect()[0]
     assert same["est_intersect"] == same["est_a"] == same["est_union"]
+
+
+def test_misra_gries_guarantees(spark):
+    """MG never overcounts; undercount is within the certified bound;
+    a genuinely heavy key always survives when its count exceeds the
+    bound. Shards = a data column, so the summary is identical under
+    any partitioning."""
+    rows = []
+    for shard in ("s1", "s2", "s3"):
+        rows += [("heavy", shard)] * 100
+        rows += [(f"mid{i}", shard) for i in range(4) for _ in range(20)]
+        rows += [(f"tail{shard}{i}", shard) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, shard string")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["k"]: (r["mg_count"], r["error_bound"])
+        for r in sketches.misra_gries_merged(df, "k", "shard", k=8).collect()
+    }
+    assert "heavy" in got
+    for k, (mg, bound) in got.items():
+        assert mg <= exact[k], k                      # never overcounts
+        assert exact[k] - mg <= bound, (k, mg, bound)  # certified undercount
+    a = sorted(got.items())
+    b = sorted(
+        (r["k"], (r["mg_count"], r["error_bound"]))
+        for r in sketches.misra_gries_merged(
+            df.repartition(13), "k", "shard", k=8
+        ).collect()
+    )
+    assert a == b

@@ -68,6 +68,7 @@ ALLOW_BNLJ = {
     "text_bm25_topk",        # 1-row corpus-stats (N, sum dl) broadcast — constant fan-out
     "sketch_cs_f2",          # 1-row estimate x 1-row exact-F2 crossJoin — metadata
     "sim_jl_distortion",     # 40-row x 40-row theta pair join — bounded metadata probe
+    "sketch_mg_heavy_hitters",  # 1-row merge-residual/residual-sum crossJoins — metadata
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -116,6 +117,7 @@ ALLOW_SINGLE_PART = {
     "curation_dsir_resample",  # same metadata window (shares the dsir fit subplan)
     "sketch_hll_distinct",   # 1-row finals over the ≤64-register table
     "sketch_hll_intersect",  # same 1-row finals over ≤64-register tables
+    "sketch_mg_heavy_hitters",  # global rank + 1-row residuals over ≤ shards·k counters
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
