@@ -757,3 +757,89 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
         assert abs(got_dec[k][1] - want_dec[k][1]) <= 1e-9 * max(
             1.0, want_dec[k][1]
         ), k
+
+
+def test_stream_stream_left_outer_join_null_padding(ctx):
+    """LEFT OUTER stream-stream join: unmatched left rows must emit
+    null-padded ONCE the watermark passes their join bound (Spark
+    holds them in state until no future right row could match). Same
+    staged 4-trigger layout as the inner-join eviction test; user 3's
+    purchases arrive 30 min after the click — outside the 5-minute
+    bound — so its clicks are the unmatched set. Asserts: matched
+    rows exactly equal the batch inner join; every null-padded
+    emission is a genuinely unmatched click; and the clicks whose
+    bound expired at least one watermark advance before end-of-stream
+    (hours 0..2) all emitted."""
+    import datetime
+    import os
+
+    spark = ctx.spark
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return base + datetime.timedelta(hours=h, minutes=m)
+
+    adir = tempfile.mkdtemp(prefix="ssjo_a_")
+    bdir = tempfile.mkdtemp(prefix="ssjo_b_")
+    aschema = "ua long, ts_a timestamp"
+    bschema = "ub long, ts_b timestamp"
+    arows_all, brows_all = [], []
+    for i in range(4):
+        arows = [(u, at(i, u)) for u in (1, 2, 3)]
+        brows = [(1, at(i, 3)), (2, at(i, 4)), (3, at(i, 30))]
+        arows_all += arows
+        brows_all += brows
+        for d, chunk, schema in ((adir, arows, aschema), (bdir, brows, bschema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for fn in os.listdir(path):
+                os.utime(os.path.join(path, fn), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    joined = (
+        stream(adir, aschema)
+        .withWatermark("ts_a", "10 minutes")
+        .join(
+            stream(bdir, bschema).withWatermark("ts_b", "10 minutes"),
+            cond,
+            "left_outer",
+        )
+    )
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ssjo_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    a = spark.createDataFrame(arows_all, aschema)
+    b = spark.createDataFrame(brows_all, bschema)
+    want_inner = {(r["ua"], r["ts_a"], r["ts_b"]) for r in a.join(b, cond).collect()}
+    got_matched = {(r["ua"], r["ts_a"], r["ts_b"]) for r in rows if r["ts_b"] is not None}
+    assert got_matched == want_inner
+
+    want_unmatched = {
+        (r["ua"], r["ts_a"])
+        for r in a.join(b, cond, "left_anti").collect()
+    }
+    got_null = {(r["ua"], r["ts_a"]) for r in rows if r["ts_b"] is None}
+    assert got_null <= want_unmatched  # never a false null-pad
+    # clicks from hours 0..2 expired strictly before end-of-stream:
+    # they MUST have emitted null-padded
+    must = {(u, t_) for (u, t_) in want_unmatched if t_ < at(3)}
+    assert must <= got_null, (sorted(must - got_null), sorted(got_null))
