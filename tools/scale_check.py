@@ -73,6 +73,10 @@ QUERIES = [
     "sim_jl_project",            # map-only sign-matrix folds: scan speed
     "sketch_cs_cells",           # signed cell sums: same shape as CM
     "sim_pca_moments",           # constant d^2 fan-out + keyed partial agg: linear
+    "dedup_snm_pairs",           # global rn (range-part + prefix sums) + 2-bin pairs
+    "events_seasonal_residuals", # windowed counts + (key, hod) means
+    "dedup_weighted_minhash",    # token pass + capped fan-out + doc-keyed slot mins
+    "sketch_mg_heavy_hitters",   # exact (shard, key) agg + counter-table ranks
 ]
 
 
