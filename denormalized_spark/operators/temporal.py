@@ -57,8 +57,9 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: for every left row, attach ``right_cols`` from
     the single right row with the greatest ``right_time`` <=
-    ``left_time`` (direction='backward'; 'forward' = smallest >=)
-    sharing the ``on`` keys. Unmatched left rows keep NULLs (left-join
+    ``left_time`` (direction='backward'; 'forward' = smallest >=;
+    'nearest' = smaller |Δt| of the two, ties backward — pandas
+    merge_asof parity) sharing the ``on`` keys. Unmatched left rows keep NULLs (left-join
     semantics, like DuckDB/pandas ASOF LEFT JOIN).
 
     Plan: union both sides (right payload NULL on left rows and vice
@@ -76,8 +77,10 @@ def asof_join(
     ``tolerance_ms`` nulls out matches farther than the tolerance
     (pandas ``merge_asof(tolerance=...)`` semantics).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = list(on)
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in keys and c != left_time]
@@ -103,25 +106,68 @@ def asof_join(
     )
     u = lu.unionByName(ru)
 
-    order = [F.col("_t").asc(), F.col("_side").asc()]
-    if direction == "forward":
-        # smallest right time >= left time: scan time DESCENDING so
-        # "preceding" rows are the future; right still before left at
-        # equal times for inclusive matching.
-        order = [F.col("_t").desc(), F.col("_side").asc()]
-    w = (
+    asc_w = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        *keys,
-        "_t",
-        "_side",
-        *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias("_mt"),
+    # forward = smallest right time >= left time: scan time DESCENDING
+    # so "preceding" rows are the future; right still before left at
+    # equal times for inclusive matching.
+    desc_w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction != "nearest":
+        w = asc_w if direction == "backward" else desc_w
+        filled = u.select(
+            *keys,
+            "_t",
+            "_side",
+            *left_payload,
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+            F.last("_rt", ignorenulls=True).over(w).alias("_mt"),
+        )
+    else:
+        # nearest (pandas merge_asof direction='nearest'): fill BOTH
+        # directions over the SAME keyed exchange (two Window nodes,
+        # one shuffle), then pick the smaller |Δt| per left row —
+        # ties break backward, matching pandas.
+        tdt = left.schema[left_time].dataType
+        rdt = right.schema[right_time].dataType
+        both = u.select(
+            *keys,
+            "_t",
+            "_side",
+            *left_payload,
+            *[
+                F.last(c, ignorenulls=True).over(asc_w).alias(f"_b_{c}")
+                for c in right_cols
+            ],
+            F.last("_rt", ignorenulls=True).over(asc_w).alias("_mtb"),
+            *[
+                F.last(c, ignorenulls=True).over(desc_w).alias(f"_f_{c}")
+                for c in right_cols
+            ],
+            F.last("_rt", ignorenulls=True).over(desc_w).alias("_mtf"),
+        )
+        db = _seconds(F.col("_t"), tdt) - _seconds(F.col("_mtb"), rdt)
+        df_ = _seconds(F.col("_mtf"), rdt) - _seconds(F.col("_t"), tdt)
+        use_b = F.col("_mtb").isNotNull() & (F.col("_mtf").isNull() | (db <= df_))
+        filled = both.select(
+            *keys,
+            "_t",
+            "_side",
+            *left_payload,
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(c)
+                for c in right_cols
+            ],
+            F.when(use_b, F.col("_mtb")).otherwise(F.col("_mtf")).alias("_mt"),
+        )
     out = filled.filter(F.col("_side") == 1)
 
     if tolerance_ms is not None:

@@ -50,7 +50,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # at least one driver-green row (r1-r9 union; latest-green per entry
 # computable from the CORRECTNESS_r0*.json union). Round-10 window, in
 # priority order:
-# (1) the 19 BRAND-NEW r10 entries (never driver-verified): the salted
+# (1) the 20 BRAND-NEW r10 entries (never driver-verified): the salted
 # skew-safe window agg and windowed-UDAF oracles (r9 verdict item 4),
 # BM25 top-k retrieval, the Bloom filter pair, winnowing fingerprints +
 # MOSS pairs, CUSUM changepoints, JL projection + measured distortion,
@@ -58,8 +58,9 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # power-iteration projection), sorted-neighborhood blocking pairs,
 # seasonal-decomposition residual anomalies, HLL audience-overlap
 # (inclusion-exclusion intersection with exact truth beside it),
-# weighted (tf-bag) MinHash signatures, and shard-merged Misra-Gries
-# heavy hitters with certified undercount bounds;
+# weighted (tf-bag) MinHash signatures, shard-merged Misra-Gries
+# heavy hitters with certified undercount bounds, and the
+# direction='nearest' as-of join (pandas merge_asof parity);
 # (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
 # (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
 # guards), dedup_span_strip (output-name collision guard),
@@ -68,7 +69,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # sim_lsh_buckets, dedup_embedding_neardup, curation_semantic_decontaminate,
 # dedup_near_gate);
 # (3) the staleness rotation — all 4 entries whose latest driver green is
-# r4, then the 16 oldest r5 entries (19 + 11 + 4 + 16 = 50). Everything
+# r4, then the 15 oldest r5 entries (20 + 11 + 4 + 15 = 50). Everything
 # displaced to 51+ keeps its registry order and was re-verified locally
 # this session by the full-registry tools/check_correctness.py sweep at
 # sf0.001/0.01/0.1.
@@ -82,6 +83,7 @@ _DRIVER_PRIORITY = [
     "sim_pca_moments", "sim_pca_project",
     "dedup_snm_pairs", "events_seasonal_residuals", "sketch_hll_intersect",
     "dedup_weighted_minhash", "sketch_mg_heavy_hitters",
+    "join_asof_nearest_click",
     # operator code changed this round — re-prove under the new code
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_hll_group_distinct",
     "sim_kcenter_select", "dedup_span_strip", "events_decayed_counts",
@@ -96,7 +98,7 @@ _DRIVER_PRIORITY = [
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
     "dedup_simhash", "sim_batch_topk", "sim_hard_negatives",
-    "sim_ivf_recall", "sim_outlier_scores", "sim_quantize_int8",
+    "sim_ivf_recall", "sim_outlier_scores",
 ]
 
 def _reorder(d: dict) -> dict:

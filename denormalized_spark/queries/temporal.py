@@ -76,6 +76,62 @@ def join_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "join_asof_nearest_click",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, round(max(value), 2) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT event_id, user_id, ts, purchase_value, click_value, click_ts
+    FROM (
+      SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+             r.click_value, r.ts AS click_ts,
+             abs(date_diff('millisecond', r.ts, l.ts)) AS adt,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS fwd
+      FROM l LEFT JOIN r ON l.user_id = r.user_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY adt, fwd) = 1
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of with direction='nearest' (pandas merge_asof parity): each
+    purchase attaches the click with the smallest |Δt| either side,
+    ties backward. Spark plan: the SAME single keyed exchange as
+    backward — both window directions (asc + desc running last) chain
+    over one hashpartitioning, then a per-row |Δt| pick; still zero
+    join operators (tests/test_temporal.py pins the plan). The oracle
+    is an independent pairwise formulation: LEFT JOIN all candidate
+    clicks per user, then QUALIFY row_number ORDER BY |Δt|, backward
+    — O(n·m) per user is fine at oracle scale, never the plan we run."""
+    from denormalized_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["click_value"],
+        direction="nearest",
+        matched_time_col="click_ts",
+    )
+
+
+@q(
     "sessionize_users",
     """
     WITH flagged AS (

@@ -66,6 +66,64 @@ def test_asof_forward(quotes_trades):
     assert got[("B", 300)] == 20.0
 
 
+def test_asof_nearest(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"], direction="nearest",
+    )
+    got = {(r.sym, r.qty): (r.px, r.matched_time) for r in out.collect()}
+    # A@03: simultaneous quote (delta 0) beats the 06 quote
+    assert got[("A", 100)] == (11.0, _ts("2024-01-01 10:00:03"))
+    # A@07: only a backward candidate (06) exists
+    assert got[("A", 200)] == (12.0, _ts("2024-01-01 10:00:06"))
+    # B@01: only a forward candidate (02) exists
+    assert got[("B", 300)] == (20.0, _ts("2024-01-01 10:00:02"))
+    # C: no quotes at all
+    assert got[("C", 400)] == (None, None)
+
+
+def test_asof_nearest_tie_breaks_backward(spark):
+    """Equidistant candidates resolve backward — pandas merge_asof
+    parity (its nearest picks backward when bdiff <= fdiff)."""
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:03"), 1)],
+        "sym string, t timestamp, qty int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:01"), 10.0),
+            ("A", _ts("2024-01-01 10:00:05"), 50.0),
+        ],
+        "sym string, qt timestamp, px double",
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"], direction="nearest",
+    )
+    row = out.collect()[0]
+    assert (row.px, row.matched_time) == (10.0, _ts("2024-01-01 10:00:01"))
+
+
+def test_asof_nearest_tolerance_and_plan(quotes_trades):
+    """nearest respects tolerance_ms and still costs ONE keyed
+    exchange (both window directions share the partitioning)."""
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_time="t", right_time="qt",
+        right_cols=["px"], direction="nearest", tolerance_ms=500,
+    )
+    # capture the plan BEFORE collect: a finalized AdaptiveSparkPlan
+    # prints Final + Initial sections, double-counting exchanges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[("A", 100)] == 11.0   # 0ms gap
+    assert got[("A", 200)] is None   # nearest is 1s away > 500ms
+    assert got[("B", 300)] is None   # 1s away > 500ms
+
+
 def test_asof_tolerance_nulls_far_matches(quotes_trades):
     quotes, trades = quotes_trades
     out = asof_join(
