@@ -9,6 +9,8 @@ partials fold into the accumulated state by the merge laws
 
     CM:      cell-wise SUM          (exact, integer)
     HLL:     register-wise MAX      (exact, integer)
+    Bloom:   set-bit UNION          (exact — bitwise OR; optional,
+             ``bloom_m_bits`` arms it)
     decayed: C(T₂) = C(T₁)·2^((T₁−T₂)/h) + fresh   (decay commutes
              with addition; float rescaling, so parity with the batch
              form is exact-to-ulps, not bit-exact)
@@ -49,6 +51,8 @@ class SketchMaintainer:
         half_life_ms: int | None = None,
         ts_col: str = "ts",
         decay_key_col: str | None = None,
+        bloom_m_bits: int | None = None,
+        bloom_hashes: int = 4,
     ):
         self.key_col = key_col
         self.depth = depth
@@ -57,8 +61,11 @@ class SketchMaintainer:
         self.half_life_ms = half_life_ms
         self.ts_col = ts_col
         self.decay_key_col = decay_key_col or key_col
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_hashes = bloom_hashes
         self.cm_cells: dict[tuple[int, int], int] = {}
         self.hll_regs: dict[int, int] = {}
+        self.bloom_bits: set[int] = set()
         # decay key -> [as_of_epoch_ms, decayed_count, n_events]
         self.decayed: dict[str, list] = {}
         self.n_rows = 0
@@ -82,6 +89,17 @@ class SketchMaintainer:
             reg = r["reg"]
             if r["rho"] > self.hll_regs.get(reg, 0):
                 self.hll_regs[reg] = r["rho"]
+
+        # Bloom partial (optional): set-bit union into state (merge
+        # law: bloom_merge — a set of bits ORs by plain union).
+        if self.bloom_m_bits is not None:
+            for r in sk.bloom_bits(
+                batch_df,
+                self.key_col,
+                m_bits=self.bloom_m_bits,
+                n_hashes=self.bloom_hashes,
+            ).collect():
+                self.bloom_bits.add(r["bit"])
 
         if self.half_life_ms is None:
             return
@@ -125,6 +143,15 @@ class SketchMaintainer:
     def hll_regs_df(self, spark) -> DataFrame:
         rows = sorted(self.hll_regs.items())
         return spark.createDataFrame(rows, "reg long, rho long")
+
+    def bloom_bits_df(self, spark) -> DataFrame:
+        """Accumulated Bloom set bits in the same (bit,) row form as
+        operators/sketches.bloom_bits — feed straight to bloom_probe
+        (broadcast) to answer definitely-not-seen membership over
+        everything the stream has carried so far."""
+        return spark.createDataFrame(
+            [(b,) for b in sorted(self.bloom_bits)], "bit long"
+        )
 
     def decayed_df(self, spark, round_digits: int = 6) -> DataFrame:
         """Per-key decayed counters, all rescaled to the GLOBAL max

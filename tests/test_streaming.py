@@ -712,7 +712,8 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
 
     schema = spark.read.parquet(str(stream_dir)).schema
     m = SketchMaintainer(
-        "k", depth=4, width=32, p=6, half_life_ms=3600_000, ts_col="ts"
+        "k", depth=4, width=32, p=6, half_life_ms=3600_000, ts_col="ts",
+        bloom_m_bits=256, bloom_hashes=3,
     )
     q = (
         spark.readStream.schema(schema)
@@ -740,6 +741,18 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
         r["reg"]: r["rho"] for r in sk.hll_registers(whole, "k", p=6).collect()
     }
     assert m.hll_regs == want_hll
+    # Bloom: exact set-bit equality (union merge), and probing the
+    # accumulated filter with every streamed key returns member=True
+    # for all of them (no false negatives by construction)
+    want_bloom = {
+        r["bit"] for r in sk.bloom_bits(whole, "k", m_bits=256, n_hashes=3).collect()
+    }
+    assert m.bloom_bits == want_bloom
+    probed = sk.bloom_probe(
+        m.bloom_bits_df(spark), whole.select("k").distinct(), "k",
+        m_bits=256, n_hashes=3,
+    ).collect()
+    assert all(r["bloom_member"] for r in probed)
     # decayed: same keys, same exact n_events, counts equal to ulps
     want_dec = {
         r["k"]: (r["n_events"], r["decayed_count"])
