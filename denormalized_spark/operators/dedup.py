@@ -436,6 +436,52 @@ def duplicated_ngram_rate(
     )
 
 
+def gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    n-grams whose FIRST corpus occurrence (by ascending ``id_col`` —
+    the arrival/crawl order) is this document. The incremental-
+    contribution signal for dedup-aware corpus growth: a re-crawl or
+    boilerplate page scores ~0 even when no single near-duplicate
+    partner exists, while genuinely new material scores ~1 — the
+    ordered complement of :func:`duplicated_ngram_rate`'s symmetric
+    shared-gram rate (what C4/RefinedWeb threshold on).
+
+    Returns (id, n_grams, n_novel, novelty_rate). Every gram has
+    exactly one owner (min is unique per gram), so
+    Σ n_novel = |distinct grams| — a useful audit identity.
+
+    Plan: identical budget to duplicated_ngram_rate — one explode of
+    the per-doc distinct gram hashes, ONE gram-keyed shuffle for the
+    min-owner table, the gram→owner join reuses that exchange
+    (identical subplan), then a groupBy(id) rollup. min() is
+    partial-aggregated map-side like any algebraic agg; no pair
+    generation, no ordering dependence beyond the id column itself.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("gram")
+    )
+    owners = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(owners, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -170,6 +170,38 @@ def dedup_ngram_duplication_rate(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_ngram_rate(t(spark, sf, "documents"), n=3)
 
 
+@q(
+    "dedup_gram_novelty",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    g AS (SELECT doc_id, {_gram_sql(3)} AS grams FROM hh),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    f AS (SELECT gram, min(doc_id) AS first_id FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+    FROM e JOIN f USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def dedup_gram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc novelty by arrival order (operators/dedup.gram_novelty):
+    fraction of each doc's distinct 3-grams whose first corpus
+    occurrence is this doc — the incremental-contribution curation
+    signal, ordered complement of dedup_ngram_duplication_rate. Same
+    budget: one gram-keyed shuffle (exchange reused for the min-owner
+    join), no pair generation."""
+    from denormalized_spark.operators.dedup import gram_novelty
+
+    return gram_novelty(t(spark, sf, "documents"), n=3)
+
+
 _SOLVER_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 _SOLVER_W_VALUES = ", ".join(f"('{k}', {v})" for k, v in _SOLVER_W.items())
 

@@ -132,6 +132,73 @@ def join_asof_nearest_click(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "join_asof_forward_conversion",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, round(value, 2) AS click_value
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, ts, round(max(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    best AS (
+      SELECT event_id, user_id, ts, click_value, purchase_value,
+             purchase_ts,
+             purchase_ts IS NOT NULL
+               AND date_diff('millisecond', ts, purchase_ts) <= 86400000
+               AS ok
+      FROM (
+        SELECT l.event_id, l.user_id, l.ts, l.click_value,
+               r.purchase_value, r.ts AS purchase_ts
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts >= l.ts
+      )
+      QUALIFY row_number() OVER (PARTITION BY event_id
+                                 ORDER BY purchase_ts ASC) = 1
+    )
+    SELECT event_id, user_id, ts, click_value,
+           CASE WHEN ok THEN purchase_value END AS purchase_value,
+           CASE WHEN ok THEN purchase_ts END AS purchase_ts
+    FROM best
+    """,
+)
+def join_asof_forward_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of WITH tolerance: each click attaches the user's
+    NEXT purchase at-or-after it, nulled when it lands more than 24 h
+    out — click→conversion attribution with an attribution window.
+    Exercises direction='forward' (descending-time running window over
+    the same single keyed exchange) and tolerance_ms (post-pick null-
+    out) together, neither previously oracled. The oracle is the
+    independent pairwise form: all at-or-after purchases per click,
+    QUALIFY earliest, then the same 24 h null-out. DuckDB sorts NULLS
+    LAST under ASC, so no-candidate clicks survive the QUALIFY with
+    NULL payload — left-join semantics preserved."""
+    from denormalized_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_value"],
+        direction="forward",
+        tolerance_ms=86_400_000,
+        matched_time_col="purchase_ts",
+    )
+
+
+@q(
     "sessionize_users",
     """
     WITH flagged AS (

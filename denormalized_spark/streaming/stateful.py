@@ -229,6 +229,12 @@ def asof_join_stream(
     key's full timeline — the union+window trick of the batch
     :func:`~denormalized_spark.operators.temporal.asof_join`, replayed
     incrementally.
+
+    Backward-only by design: 'forward'/'nearest' (batch-supported)
+    need a bound on how far ahead a better candidate may appear before
+    a left row can finalize — without a tolerance that horizon is
+    unbounded, so state could never be pruned. Use the batch operator
+    (or window-then-join) for those directions.
     """
     import numpy as np
     import pandas as pd

@@ -556,6 +556,27 @@ class TestDuplicatedNgramRate:
         assert got[4].dup_gram_rate == 0.25
 
 
+class TestGramNovelty:
+    def test_novelty_by_arrival_order(self, spark):
+        from denormalized_spark.operators.dedup import gram_novelty
+
+        rows = [
+            (1, "a b c d"),        # grams abc, bcd — both first here
+            (2, "a b c d"),        # exact re-crawl: nothing novel
+            (3, "a b c x y z"),    # abc seen; bcx, cxy, xyz new
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in gram_novelty(df, n=3).collect()}
+        assert got[1].n_grams == 2 and got[1].n_novel == 2
+        assert got[1].novelty_rate == 1.0
+        assert got[2].n_grams == 2 and got[2].n_novel == 0
+        assert got[2].novelty_rate == 0.0
+        assert got[3].n_grams == 4 and got[3].n_novel == 3
+        assert got[3].novelty_rate == 0.75
+        # conservation: every distinct gram has exactly one owner
+        assert sum(r.n_novel for r in got.values()) == 5
+
+
 # ---------------------------------------------------------------------------
 # round 5: corpus data card
 # ---------------------------------------------------------------------------
