@@ -351,20 +351,19 @@ class DataStream:
         operators/temporal.asof_join for the union+window batch plan.
         When either side is a stream, dispatches to the stateful
         stream-stream temporal join (streaming/stateful.
-        asof_join_stream; backward direction only). Not in the
-        reference; standard in time-series/feature-store engines."""
+        asof_join_stream); forward/nearest directions require
+        tolerance_ms there — the tolerance is the finalization horizon
+        (a left emits once the watermark passes t + tolerance). Not in
+        the reference; standard in time-series/feature-store engines."""
         r = right.df if isinstance(right, DataStream) else right
         if self._df.isStreaming or r.isStreaming:
-            if direction != "backward" or tolerance_ms is not None:
-                raise NotImplementedError(
-                    "streaming as-of supports direction='backward' without tolerance"
-                )
             from denormalized_spark.streaming.stateful import asof_join_stream
 
             return self._wrap(
                 asof_join_stream(
                     self._df, r, on, left_time, right_time, right_cols,
                     watermark=self.watermark, matched_time_col=matched_time_col,
+                    direction=direction, tolerance_ms=tolerance_ms,
                 )
             )
         from denormalized_spark.operators.temporal import asof_join

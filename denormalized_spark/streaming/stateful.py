@@ -207,6 +207,8 @@ def asof_join_stream(
     right_cols: Sequence[str],
     watermark: str = "0 seconds",
     matched_time_col: str | None = "matched_time",
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """Stream-stream as-of join (Flink's event-time temporal join;
     Spark has no native equivalent): every left event is enriched with
@@ -230,12 +232,32 @@ def asof_join_stream(
     :func:`~denormalized_spark.operators.temporal.asof_join`, replayed
     incrementally.
 
-    Backward-only by design: 'forward'/'nearest' (batch-supported)
-    need a bound on how far ahead a better candidate may appear before
-    a left row can finalize — without a tolerance that horizon is
-    unbounded, so state could never be pruned. Use the batch operator
-    (or window-then-join) for those directions.
+    Directions: 'backward' (default; optional ``tolerance_ms`` nulls
+    matches farther than the tolerance, like the batch operator).
+    'forward' and 'nearest' REQUIRE ``tolerance_ms``: on a stream a
+    left row can only finalize once no better future candidate can
+    arrive, and the tolerance is that horizon — the left at time t
+    emits when the watermark passes t + tolerance, and its match is
+    the earliest right in [t, t+tol] (forward) or the smaller-|Δt|
+    candidate within the tolerance, ties backward (nearest — pandas
+    merge_asof parity, matching the batch operator exactly since
+    pick-nearest-then-null-beyond-tol ≡ filter-to-tol-then-pick).
+    Without a tolerance those directions have no finalization bound
+    and state could never be pruned, so they raise. State/latency
+    cost of the horizon: rights retained an extra tolerance window,
+    left emission delayed by the tolerance — both O(watermark+tol)
+    bounded, same class as Spark's own stream-stream join state.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction != "backward" and tolerance_ms is None:
+        raise ValueError(
+            "streaming forward/nearest as-of requires tolerance_ms: the "
+            "tolerance is the finalization horizon (a left row emits once "
+            "the watermark passes left_time + tolerance_ms)"
+        )
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -245,6 +267,7 @@ def asof_join_stream(
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in keys and c != left_time]
     ts_type = left.schema[left_time].dataType
+    tol_us = int(tolerance_ms) * 1000 if tolerance_ms is not None else None
 
     lu = left.withWatermark(left_time, watermark).select(
         *keys,
@@ -327,13 +350,18 @@ def asof_join_stream(
         lt, lcols = _sorted_arrays(lefts, left_payload)
         rt, rcols = _sorted_arrays(rights, right_cols)
 
-        # emit every left finalized by the watermark; match = latest
-        # right at-or-before it (vectorized binary search)
-        n_emit = int(np.searchsorted(lt, wm_us, side="right"))
-        # prune right history: everything strictly older than the
-        # latest right at-or-before the watermark can never match a
-        # future emittable left (their t > wm >= that right's time)
-        keep_from = max(int(np.searchsorted(rt, wm_us, side="right")) - 1, 0)
+        # a left at t finalizes once no right that could still improve
+        # its match can arrive: wm > t for backward, wm > t + tol for
+        # forward/nearest (the tolerance IS the forward horizon)
+        hold_us = tol_us if direction != "backward" else 0
+        n_emit = int(np.searchsorted(lt, wm_us - hold_us, side="right"))
+        # prune right history. Pending/future lefts all have
+        # t > wm - hold. backward/nearest: rights before the LATEST
+        # right at-or-before that bound are shadowed by it (keep that
+        # one); forward: rights at-or-before the bound can never be
+        # >= a future left's t at all (keep none of them).
+        cut = int(np.searchsorted(rt, wm_us - hold_us, side="right"))
+        keep_from = cut if direction == "forward" else max(cut - 1, 0)
         n_pending = len(lt) - n_emit
         if n_pending or len(rt) > keep_from:
             oldest = int(lt[n_emit]) if n_pending else None
@@ -347,14 +375,37 @@ def asof_join_stream(
             }
             state.update((_enc(pending), _enc(kept), oldest))
             # flush keys that go quiet: wake when the watermark passes
-            # the oldest pending left (+1ms so wm strictly covers it)
+            # the oldest pending left's finalization bound (+1ms so wm
+            # strictly covers it)
             if oldest is not None:
-                state.setTimeoutTimestamp(oldest // 1000 + 1)
+                state.setTimeoutTimestamp((oldest + hold_us) // 1000 + 1)
         else:
             state.remove()
         if n_emit:
-            midx = np.searchsorted(rt, lt[:n_emit], side="right") - 1
-            matched = midx >= 0
+            le = lt[:n_emit]
+            big = np.iinfo("int64").max
+            bidx = np.searchsorted(rt, le, side="right") - 1  # latest <= t
+            fidx = np.searchsorted(rt, le, side="left")  # earliest >= t
+            fsafe = np.minimum(fidx, max(len(rt) - 1, 0))
+            if len(rt):
+                db = np.where(bidx >= 0, le - rt[np.maximum(bidx, 0)], big)
+                df_ = np.where(fidx < len(rt), rt[fsafe] - le, big)
+            else:
+                db = np.full(n_emit, big)
+                df_ = np.full(n_emit, big)
+            if tol_us is not None:
+                db = np.where(db <= tol_us, db, big)
+                df_ = np.where(df_ <= tol_us, df_, big)
+            if direction == "backward":
+                matched = db != big
+                midx = np.maximum(bidx, 0)
+            elif direction == "forward":
+                matched = df_ != big
+                midx = fsafe
+            else:  # nearest: smaller |Δt| within tolerance, ties backward
+                use_b = (db <= df_) & (db != big)
+                matched = use_b | (df_ != big)
+                midx = np.where(use_b, np.maximum(bidx, 0), fsafe)
             data = {k: np.full(n_emit, kv, dtype=object) for k, kv in zip(keys, key)}
             data[left_time] = pd.Series(lt[:n_emit].astype("datetime64[us]"))
             for c in left_payload:

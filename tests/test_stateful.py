@@ -285,6 +285,115 @@ def test_asof_join_stream_out_of_order(spark):
     }
 
 
+@pytest.mark.parametrize(
+    "direction,expected_px",
+    [
+        # left30: back 28 (Δ2) beats fwd 36 (Δ6) — and 28 arrives a
+        # batch LATE; left42: back 36 / fwd 48 both Δ6 → tie backward;
+        # left95: nothing within 10 s either side
+        ("nearest", {30: ("B", 28), 42: ("A", 36), 95: (None, None)}),
+        ("forward", {30: ("A", 36), 42: ("C", 48), 95: (None, None)}),
+        ("backward", {30: ("B", 28), 42: ("A", 36), 95: (None, None)}),
+    ],
+)
+def test_asof_join_stream_directions_with_tolerance(spark, direction, expected_px):
+    """forward/nearest streaming as-of: the tolerance is the
+    finalization horizon (left emits once wm passes t + tol). Checks
+    late-arrival wins, the nearest tie-backward rule, tolerance
+    null-out, the no-rights timeout flush, and exact parity with the
+    batch operator over the emitted set."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    ldir = tempfile.mkdtemp(prefix=f"asofd_l_{direction}_")
+    rdir = tempfile.mkdtemp(prefix=f"asofd_r_{direction}_")
+    lschema = "uid long, lt timestamp, amt long"
+    rschema = "uid long, rt timestamp, px string"
+    lbatches = [
+        [(1, at(30), 7)],
+        [(1, at(42), 8)],
+        [(1, at(95), 10), (2, at(50), 9)],
+        [(3, at(300), 99)],  # advances the left watermark; never emits
+    ]
+    rbatches = [
+        [(1, at(36), "A")],
+        [(1, at(28), "B")],  # out-of-order: older than left t=30 seen in b0
+        [(1, at(48), "C")],
+        [(3, at(200), "D")],  # advances the right watermark
+    ]
+    for i, (lc, rc) in enumerate(zip(lbatches, rbatches)):
+        for d, chunk, schema in ((ldir, lc, lschema), (rdir, rc, rschema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    ds = DataStream(stream(ldir, lschema), event_time="lt").join_asof(
+        DataStream(stream(rdir, rschema), event_time="rt"),
+        on=["uid"],
+        left_time="lt",
+        right_time="rt",
+        right_cols=["px"],
+        direction=direction,
+        tolerance_ms=10_000,
+    )
+    emitted = []
+    q = ds.sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix=f"ck_asofd_{direction}_"),
+    )
+    q.awaitTermination(240)
+    got = {(r.uid, r.lt): (r.px, r.matched_time) for r in emitted}
+    want = {
+        (1, at(t)): (px, at(mt) if mt is not None else None)
+        for t, (px, mt) in expected_px.items()
+    }
+    want[(2, at(50))] = (None, None)  # no rights: event-time timeout flush
+    assert got == want
+    # parity with the batch operator over the emitted lefts
+    from denormalized_spark.operators.temporal import asof_join
+
+    lall = spark.createDataFrame(
+        [r for b in lbatches for r in b], lschema
+    ).filter(F.col("uid") != 3)
+    rall = spark.createDataFrame([r for b in rbatches for r in b], rschema)
+    batch = asof_join(
+        lall, rall, on=["uid"], left_time="lt", right_time="rt",
+        right_cols=["px"], direction=direction, tolerance_ms=10_000,
+    )
+    want_batch = {(r.uid, r.lt): (r.px, r.matched_time) for r in batch.collect()}
+    assert got == want_batch
+
+
+def test_asof_join_stream_forward_requires_tolerance(spark):
+    from denormalized_spark.streaming.stateful import asof_join_stream
+
+    left = spark.createDataFrame([], "uid long, lt timestamp, amt long")
+    right = spark.createDataFrame([], "uid long, rt timestamp, px string")
+    for d in ("forward", "nearest"):
+        with pytest.raises(ValueError, match="tolerance_ms"):
+            asof_join_stream(
+                left, right, on=["uid"], left_time="lt", right_time="rt",
+                right_cols=["px"], direction=d,
+            )
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_stream(
+            left, right, on=["uid"], left_time="lt", right_time="rt",
+            right_cols=["px"], direction="sideways",
+        )
+
+
 def test_asof_join_stream_array_payload(spark):
     """Regression: uniform-length array payload columns used to be
     collapsed into a 2-D numpy array by np.asarray(dtype=object),
