@@ -389,10 +389,26 @@ class DataStream:
         end_inclusive: bool = False,
     ) -> "DataStream":
         """Interval-containment join via bin-bucketed equi-join — see
-        operators/temporal.range_join."""
+        operators/temporal.range_join. When either side is a stream,
+        dispatches to the native stream-stream form (range_join_stream):
+        ``bin_width_s`` doubles as the max-interval contract there —
+        the bin supplies the symmetric hash join's equi key and the
+        ``point <= start + bin_width`` bound lets the watermark evict
+        both sides' state."""
+        r = right.df if isinstance(right, DataStream) else right
+        if self._df.isStreaming or r.isStreaming:
+            from denormalized_spark.operators.temporal import range_join_stream
+
+            return self._wrap(
+                range_join_stream(
+                    self._df, r, left_point, right_start, right_end,
+                    on=on, max_interval_s=bin_width_s,
+                    watermark=self.watermark, how=how,
+                    end_inclusive=end_inclusive,
+                )
+            )
         from denormalized_spark.operators.temporal import range_join
 
-        r = right.df if isinstance(right, DataStream) else right
         return self._wrap(
             range_join(
                 self._df, r, left_point, right_start, right_end,

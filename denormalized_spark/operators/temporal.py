@@ -305,3 +305,91 @@ def range_join(
     cond = [lb["_bin"] == rb["_bin"]] + [lb[k] == rb[k] for k in keys]
     joined = lb.join(rb, cond, how).filter(contain & upper)
     return joined.drop("_bin")
+
+
+def range_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    *,
+    on: Sequence[str] = (),
+    max_interval_s: int = 604_800,
+    watermark: str = "0 seconds",
+    how: str = "inner",
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Stream-stream interval-containment join: left events whose
+    ``left_point`` falls inside a right row's [start, end) interval,
+    both sides live streams — streaming ad/campaign attribution.
+
+    Spark's native symmetric stream-stream join does all the state
+    work, PROVIDED it can (a) hash-partition on an equality key and
+    (b) derive an eviction bound from an event-time range between the
+    two watermarked columns. Both come from ``max_interval_s`` (the
+    longest interval you will ever emit):
+
+    - the batch :func:`range_join`'s bin trick supplies (a): each
+      point owns ``floor(pt / max_interval)``; each interval explodes
+      to the ≤2 bins it can cover, so the join is an EQUI-join on
+      (keys, bin) — StreamingSymmetricHashJoin, never an unbounded
+      cross;
+    - the raw-column predicate ``left_point BETWEEN right_start AND
+      right_start + max_interval`` supplies (b): Spark's watermark
+      analysis reads it off the event-time columns directly and
+      evicts both sides' state as the watermark passes (the
+      clicks-within-an-hour-of-impression pattern from the Spark
+      streaming guide) — state is O(watermark + max_interval) rows,
+      not O(stream).
+
+    Contract: intervals longer than ``max_interval_s`` are TRUNCATED —
+    points beyond start + max_interval never match (the eviction
+    bound has already released the state). Size it to your longest
+    interval. ``how``: 'inner' or 'leftOuter' (unmatched points
+    null-pad once the watermark passes their bound; the right side is
+    exploded, so right/full outer would duplicate padded rows and are
+    rejected).
+
+    Batch twin: :func:`range_join` with ``bin_width_s =
+    max_interval_s`` produces identical matches when every interval
+    respects the contract (parity-tested in tests/test_streaming.py).
+    """
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        raise ValueError(
+            "streaming range join supports how='inner'|'leftOuter' "
+            f"(right side is exploded), got {how!r}"
+        )
+    keys = list(on)
+    w = F.lit(int(max_interval_s))
+    rs = _seconds(F.col(right_start), right.schema[right_start].dataType)
+    re_ = _seconds(F.col(right_end), right.schema[right_end].dataType)
+    lp = _seconds(F.col(left_point), left.schema[left_point].dataType)
+
+    lb = left.withWatermark(left_point, watermark).withColumn(
+        "_bin", F.floor(lp / w)
+    )
+    # ≤2 bins per interval under the contract (cap the sequence so an
+    # over-long interval can't explode unboundedly either)
+    rb = right.withWatermark(right_start, watermark).withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(rs / w), F.floor(F.least(re_, rs + w) / w))),
+    )
+    lpc, rsc = lb[left_point], rb[right_start]
+    contain = lpc >= rsc
+    evict = lpc <= rsc + F.expr(f"INTERVAL {int(max_interval_s)} SECONDS")
+    upper = (
+        lb[left_point] <= rb[right_end]
+        if end_inclusive
+        else lb[left_point] < rb[right_end]
+    )
+    cond = [lb["_bin"] == rb["_bin"]] + [lb[k] == rb[k] for k in keys]
+    join_cond = cond[0]
+    for c in cond[1:]:
+        join_cond = join_cond & c
+    # containment + eviction bound must live IN the join condition
+    # (not a post-filter): that is where the watermark analysis finds
+    # the range, and where leftOuter decides matched-vs-padded
+    join_cond = join_cond & contain & evict & upper
+    joined = lb.join(rb, join_cond, how)
+    return joined.drop("_bin")

@@ -435,6 +435,105 @@ def test_stream_stream_join_watermark_state_eviction(ctx):
     )
 
 
+def test_stream_stream_range_join_parity_and_eviction(ctx):
+    """Stream-stream interval join (range_join_stream): the batch bin
+    trick supplies the symmetric hash join's equi key and the
+    point<=start+max bound lets the watermark evict state. Staged
+    hourly triggers; asserts exact parity with the batch range_join at
+    the same bin width, keyed matching, non-matching points dropped,
+    and join-state eviction in the progress metrics."""
+    import datetime
+    import os
+
+    spark = ctx.spark
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return base + datetime.timedelta(hours=h, minutes=m)
+
+    pdir = tempfile.mkdtemp(prefix="ssrj_p_")
+    idir = tempfile.mkdtemp(prefix="ssrj_i_")
+    pschema = "uid long, pt timestamp, amt long"
+    ischema = "uid long, start_ts timestamp, end_ts timestamp, camp string"
+    prows_all, irows_all = [], []
+    for i in range(4):
+        # user 1's point lands in its interval; user 2's in its own;
+        # the :45 point is outside every interval; user 3's interval
+        # never sees a point (exercises the exploded right side)
+        prows = [(1, at(i, 5), 10 + i), (2, at(i, 25), 20 + i), (1, at(i, 45), 99)]
+        irows = [
+            (1, at(i, 0), at(i, 10), f"c1h{i}"),
+            (2, at(i, 20), at(i, 30), f"c2h{i}"),
+            (3, at(i, 0), at(i, 10), f"c3h{i}"),
+        ]
+        prows_all += prows
+        irows_all += irows
+        for d, chunk, schema in ((pdir, prows, pschema), (idir, irows, ischema)):
+            path = os.path.join(d, f"part{i}")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for fn in os.listdir(path):
+                os.utime(os.path.join(path, fn), (1_000_000 + i, 1_000_000 + i))
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "part*"))
+        )
+
+    from denormalized_spark.datastream import DataStream
+
+    ds = DataStream(
+        stream(pdir, pschema), event_time="pt", watermark="10 minutes"
+    ).join_range(
+        DataStream(stream(idir, ischema), event_time="start_ts"),
+        "pt", "start_ts", "end_ts", on=["uid"], bin_width_s=600,
+    )
+    rows = []
+    q = ds.sink(
+        lambda df: rows.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_ssrj_"),
+    )
+    q.awaitTermination(240)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+
+    # parity with the batch range_join at the same bin width
+    from denormalized_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame(prows_all, pschema)
+    iv = spark.createDataFrame(irows_all, ischema)
+    want = {
+        (r.uid, r.pt, r.camp)
+        for r in range_join(
+            p, iv, "pt", "start_ts", "end_ts", on=["uid"], bin_width_s=600
+        ).collect()
+    }
+    got = {(r.uid, r.pt, r.camp) for r in rows}
+    assert got == want and len(want) == 8  # users 1,2 match every hour
+    assert not any(r.amt == 99 for r in rows)  # out-of-interval point dropped
+
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for pr in progresses
+        for op in pr["stateOperators"]
+    )
+    assert removed > 0, "no join-state eviction observed in progress metrics"
+
+
+def test_stream_stream_range_join_rejects_right_outer(ctx):
+    from denormalized_spark.operators.temporal import range_join_stream
+
+    spark = ctx.spark
+    left = spark.createDataFrame([], "uid long, pt timestamp")
+    right = spark.createDataFrame([], "uid long, s timestamp, e timestamp")
+    with pytest.raises(ValueError, match="inner.*leftOuter"):
+        range_join_stream(
+            left, right, "pt", "s", "e", on=["uid"], how="fullOuter"
+        )
+
+
 def test_streaming_text_quality_pipeline(ctx, sf_dir):
     """The LLM-pipeline text operators (stateless projections) run
     unchanged on the streaming path: stream the documents table,
