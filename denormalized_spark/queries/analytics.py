@@ -717,3 +717,48 @@ def events_seasonal_residuals(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators.analytics import seasonal_residuals
 
     return seasonal_residuals(t(spark, sf, "events"), 3600_000, ["event_type"])
+
+
+_Z_TERMS = " + ".join(
+    f"(((sx >> {i}) & 1) << {2 * i + 1}) + (((sy >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+@q(
+    "layout_zorder_events",
+    f"""
+    WITH b AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events
+    ),
+    s AS (
+      SELECT event_id,
+             least(CAST(floor(CASE WHEN umax > umin
+                    THEN (user_id - umin)::DOUBLE / (umax - umin)::DOUBLE
+                    ELSE 0.0 END * 256.0) AS BIGINT), 255) AS sx,
+             least(CAST(floor(CASE WHEN vmax > vmin
+                    THEN (value - vmin) / (vmax - vmin)
+                    ELSE 0.0 END * 256.0) AS BIGINT), 255) AS sy
+      FROM events CROSS JOIN b
+    )
+    SELECT event_id, {_Z_TERMS} AS zval FROM s
+    """,
+)
+def layout_zorder_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) value over (user_id, value) per event — the
+    multi-column data-skipping layout key (operators/layout.py; the
+    Delta OPTIMIZE ZORDER BY layout). One 1-row min/max broadcast, all
+    shift/mask terms in whole-stage codegen; the write path
+    (zorder_repartition) range-partitions on this value and
+    tests/test_layout.py measures the row-group skip-rate win on real
+    parquet footers. Oracle replays the identical scale+interleave
+    arithmetic (pure IEEE doubles in the same op order, integer
+    shifts)."""
+    from denormalized_spark.operators.layout import zorder_values
+
+    e = t(spark, sf, "events").select("event_id", "user_id", "value")
+    return zorder_values(e, ["user_id", "value"], bits=8).select(
+        "event_id", "zval"
+    )

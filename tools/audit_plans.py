@@ -69,6 +69,7 @@ ALLOW_BNLJ = {
     "sketch_cs_f2",          # 1-row estimate x 1-row exact-F2 crossJoin — metadata
     "sim_jl_distortion",     # 40-row x 40-row theta pair join — bounded metadata probe
     "sketch_mg_heavy_hitters",  # 1-row merge-residual/residual-sum crossJoins — metadata
+    "layout_zorder_events",  # 1-row min/max bounds broadcast — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -104,6 +105,7 @@ ALLOW_SINGLE_PART = {
     "text_bpe_pack_sequences",  # same prefix-sum-offsets pattern (shard packer)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
     "text_bigram_quality",    # same 1-row total (unigram interpolation term)
+    "layout_zorder_events",   # final stage of the 1-row min/max bounds agg
     "curation_split_leakage", # two 1-row global pair-count aggregates (metadata)
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
