@@ -262,6 +262,74 @@ def resample(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Linear interpolation of NULL gaps on a (dense) time grid — the
+    gap-fill :func:`resample` doesn't do (forward fill holds the last
+    value; interpolation draws the line to the next one). For each
+    NULL row: value = prev + (next − prev) · (t − t_prev) / (t_next −
+    t_prev) from the nearest populated neighbors per group; leading/
+    trailing gaps (no neighbor on one side) stay NULL, pandas
+    ``interpolate(limit_area='inside')`` semantics.
+
+    Engine-exact by construction for INTEGER value columns: the slope
+    term uses all-integer truncating division (Spark ``div`` ≡ DuckDB
+    ``//``, both toward zero — verified, −7÷2 → −3 in each), so no
+    float rounding can diverge. Float columns interpolate in plain
+    double arithmetic (same fixed op order both engines).
+
+    Plan: two window passes (running last + running first) over ONE
+    per-group ordered exchange — same budget as the forward fill.
+    """
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*group_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_ms = F.unix_millis(F.col(time_col).cast("timestamp_ltz"))
+    out = df
+    for c in value_cols:
+        is_int = df.schema[c].dataType.typeName() in (
+            "long", "integer", "short", "byte"
+        )
+        populated_t = F.when(F.col(c).isNotNull(), t_ms)
+        pv = F.last(c, ignorenulls=True).over(w_prev)
+        pt = F.last(populated_t, ignorenulls=True).over(w_prev)
+        nv = F.first(c, ignorenulls=True).over(w_next)
+        nt = F.first(populated_t, ignorenulls=True).over(w_next)
+        out = (
+            out.withColumn("_ip_num", (nv - pv) * (t_ms - pt))
+            .withColumn("_ip_den", nt - pt)
+            .withColumn("_ip_pv", pv)
+            .withColumn("_ip_nv", nv)
+        )
+        interp = (
+            F.col("_ip_pv") + F.expr("_ip_num div _ip_den")
+            if is_int
+            else F.col("_ip_pv")
+            + F.col("_ip_num").cast("double") / F.col("_ip_den")
+        )
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                F.when(
+                    F.col("_ip_pv").isNotNull() & F.col("_ip_nv").isNotNull(),
+                    interp,
+                ).cast(df.schema[c].dataType)
+            ),
+        ).drop("_ip_num", "_ip_den", "_ip_pv", "_ip_nv")
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -50,7 +50,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # at least one driver-green row (r1-r9 union; latest-green per entry
 # computable from the CORRECTNESS_r0*.json union). Round-10 window, in
 # priority order:
-# (1) the 23 BRAND-NEW r10 entries (never driver-verified): the salted
+# (1) the 24 BRAND-NEW r10 entries (never driver-verified): the salted
 # skew-safe window agg and windowed-UDAF oracles (r9 verdict item 4),
 # BM25 top-k retrieval, the Bloom filter pair, winnowing fingerprints +
 # MOSS pairs, CUSUM changepoints, JL projection + measured distortion,
@@ -62,8 +62,9 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # heavy hitters with certified undercount bounds, the
 # direction='nearest' as-of join (pandas merge_asof parity), the
 # forward+tolerance as-of join (conversion attribution), per-doc
-# gram novelty by arrival order (first-occurrence attribution), and the
-# Z-order (Morton) layout key for multi-column data skipping;
+# gram novelty by arrival order (first-occurrence attribution), the
+# Z-order (Morton) layout key for multi-column data skipping, and the
+# linear-interpolation resample (integer slope, truncating div parity);
 # (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
 # (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
 # guards), dedup_span_strip (output-name collision guard),
@@ -72,7 +73,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # sim_lsh_buckets, dedup_embedding_neardup, curation_semantic_decontaminate,
 # dedup_near_gate);
 # (3) the staleness rotation — all 4 entries whose latest driver green is
-# r4, then the 12 oldest r5 entries (23 + 11 + 4 + 12 = 50). Everything
+# r4, then the 11 oldest r5 entries (24 + 11 + 4 + 11 = 50). Everything
 # displaced to 51+ keeps its registry order and was re-verified locally
 # this session by the full-registry tools/check_correctness.py sweep at
 # sf0.001/0.01/0.1.
@@ -87,7 +88,7 @@ _DRIVER_PRIORITY = [
     "dedup_snm_pairs", "events_seasonal_residuals", "sketch_hll_intersect",
     "dedup_weighted_minhash", "sketch_mg_heavy_hitters",
     "join_asof_nearest_click", "join_asof_forward_conversion",
-    "dedup_gram_novelty", "layout_zorder_events",
+    "dedup_gram_novelty", "layout_zorder_events", "window_resample_interp",
     # operator code changed this round — re-prove under the new code
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_hll_group_distinct",
     "sim_kcenter_select", "dedup_span_strip", "events_decayed_counts",
@@ -101,7 +102,7 @@ _DRIVER_PRIORITY = [
     "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
-    "dedup_simhash", "sim_batch_topk",
+    "dedup_simhash",
 ]
 
 def _reorder(d: dict) -> dict:

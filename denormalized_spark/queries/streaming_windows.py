@@ -347,6 +347,79 @@ def window_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "window_resample_interp",
+    """
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(((epoch_ms(ts) // 21600000) * 21600000) * 1000) AS bin,
+             value
+      FROM events
+    ),
+    a AS (SELECT event_type, bin, count(*) AS cnt,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cs
+          FROM b GROUP BY event_type, bin),
+    bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM b),
+    grid AS (
+      SELECT g.event_type, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bin
+      FROM (SELECT DISTINCT event_type FROM events) g CROSS JOIN bounds
+    ),
+    v AS (SELECT grid.event_type, grid.bin,
+                 coalesce(a.cnt, 0) AS n,
+                 CASE WHEN a.cnt IS NOT NULL THEN (a.cs * 100) // a.cnt END AS av
+          FROM grid LEFT JOIN a USING (event_type, bin)),
+    w2 AS (
+      SELECT event_type, bin, n, av,
+             last_value(av IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN av IS NOT NULL THEN epoch_ms(bin) END
+                        IGNORE NULLS) OVER wp AS pt,
+             first_value(av IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN av IS NOT NULL THEN epoch_ms(bin) END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM v
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bin
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bin AS bin_start, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN av IS NOT NULL THEN av
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + ((nv - pv) * (epoch_ms(bin) - pt)) // (nt - pt)
+                END AS BIGINT) AS avg_e4
+    FROM w2
+    """,
+)
+def window_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Resampling with LINEAR interpolation across empty bins
+    (operators/temporal.interpolate_linear) — the line-to-next-value
+    complement of window_resample_ffill's hold-last. All-integer: the
+    per-bin average is an exact e4 integer, the slope term uses
+    truncating integer division (Spark div ≡ DuckDB //, both toward
+    zero — verified on negatives), so no float boundary exists.
+    Leading/trailing gaps stay NULL (pandas limit_area='inside').
+    Plan: the resample agg + grid, then two window passes over ONE
+    per-group ordered exchange."""
+    from denormalized_spark.operators.temporal import interpolate_linear, resample
+
+    e = t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = resample(
+        e,
+        "ts",
+        6 * 3600_000,
+        ["event_type"],
+        [F.count("*").alias("cnt"), F.sum(cents).alias("cs")],
+    )
+    binned = out.select(
+        "event_type",
+        "bin_start",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("n"),
+        F.expr("(cs * 100) div cnt").alias("avg_e4"),
+    )
+    return interpolate_linear(binned, ["event_type"], "bin_start", ["avg_e4"])
+
+
+@q(
     "window_session_dynamic_gap",
     """
     WITH e AS (

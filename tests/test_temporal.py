@@ -147,6 +147,43 @@ def test_asof_plan_has_no_join_operator(quotes_trades):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestInterpolateLinear:
+    def _grid(self, spark, vals, dtype="long"):
+        rows = [
+            ("a", _ts("2024-01-01 00:00:00") + datetime.timedelta(seconds=i), v)
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(rows, f"g string, t timestamp, v {dtype}")
+
+    def test_integer_truncating_interpolation(self, spark):
+        from denormalized_spark.operators.temporal import interpolate_linear
+
+        df = self._grid(spark, [None, 10, None, None, None, 40, None])
+        out = interpolate_linear(df, ["g"], "t", ["v"])
+        got = [r.v for r in out.orderBy("t").collect()]
+        # inside gap: 10 + 30*k div 4 for k=1..3 → 17, 25, 32
+        # (truncating div, same as DuckDB //); edges stay NULL
+        assert got == [None, 10, 17, 25, 32, 40, None]
+
+    def test_double_interpolation_exact(self, spark):
+        from denormalized_spark.operators.temporal import interpolate_linear
+
+        df = self._grid(
+            spark, [10.0, None, None, None, 40.0], dtype="double"
+        )
+        out = interpolate_linear(df, ["g"], "t", ["v"])
+        got = [r.v for r in out.orderBy("t").collect()]
+        assert got == [10.0, 17.5, 25.0, 32.5, 40.0]
+
+    def test_one_exchange(self, spark):
+        from denormalized_spark.operators.temporal import interpolate_linear
+
+        df = self._grid(spark, [10, None, 40])
+        out = interpolate_linear(df, ["g"], "t", ["v"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_range_join_binned_not_bnlj(spark):
     left = spark.range(0, 1000).select(
         F.col("id").alias("pid"), (F.col("id") * 10).cast("double").alias("pt")

@@ -51,6 +51,7 @@ ALLOW_BNLJ = {
     "sim_ivf_pq_topk",       # broadcast k-centroid crossJoin (assignment) — constant fan-out
     "text_tfidf_keywords",   # broadcast 1-row corpus-count crossJoin — constant fan-out
     "window_resample_ffill", # broadcast 1-row min/max bounds for the bin grid
+    "window_resample_interp", # same 1-row bounds broadcast (interpolating variant)
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
     "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
@@ -109,6 +110,7 @@ ALLOW_SINGLE_PART = {
     "curation_split_leakage", # two 1-row global pair-count aggregates (metadata)
     "text_tfidf_keywords",    # 1-row corpus doc count
     "window_resample_ffill",  # 1-row global min/max bin bounds
+    "window_resample_interp",  # same 1-row bin bounds (interpolating variant)
     "curation_validate",      # 1-row final of the all-rules global aggregate
     "curation_decontaminate_bloom",  # 1-row Bloom bitmap assembly (bits/64 longs)
     "curation_mixture_solver",  # 1-row budget min over the k-stratum table
