@@ -733,6 +733,45 @@ def over_running_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "over_range_trailing_30d",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           count(*) OVER w AS n_30d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def over_range_trailing_30d(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame — the value-based frame the ROWS entries
+    don't exercise (SURVEY §2.6 frames): per customer, order count and
+    exact cent revenue over the TRAILING 30 DAYS of each order (all
+    same-day orders enter together — RANGE, not ROWS, semantics; a
+    rows-frame would split ties arbitrarily). Engine-exact: ordering
+    key is integer epoch-days (unix_date(cast date) ≡ cast-date −
+    1970-01-01 — o_orderdate is midnight TIMESTAMP in the parquet), the
+    sum is integer cents. One keyed exchange; Spark evaluates the
+    running range frame incrementally with two pointers, not by
+    rescanning the frame per row."""
+    o = t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count("*").over(w).alias("n_30d"),
+        F.sum(cents).over(w).alias("cents_30d"),
+    )
+
+
+@q(
     "over_ntile_percentrank",
     """
     SELECT o_orderkey,
