@@ -127,3 +127,21 @@ def test_event_analytics_report_example_runs():
         "cohort retention", "transitions", "anomalies", "report complete",
     ):
         assert section in out.stdout, section
+
+
+def test_temporal_attribution_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "temporal_attribution.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for section in (
+        "backward as-of", "forward as-of + 24h window", "nearest as-of",
+        "forward fill vs linear interpolation", "Z-order write layout",
+        "report complete",
+    ):
+        assert section in out.stdout, section
