@@ -190,6 +190,78 @@ def session_funnel(
     return _funnel_report(reached, steps, "n_sessions")
 
 
+def top_event_paths(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common length-``n`` event-type paths WITHIN a
+    session — classic product-analytics path mining ("what do users do
+    right before purchasing"): gap-sessionize per user (same contract
+    as sessionize/session_funnel), order each session's events
+    totally by (ts, id), slide ``n``-grams over the type sequence,
+    count globally, return the k most frequent with a deterministic
+    (count desc, path asc) tiebreak.
+
+    Plan: ONE user-keyed exchange serves the lag flag, the running
+    session id, and the per-session ordered collect (array_sort over
+    the collected structs — collect_list alone is partition-order
+    nondeterministic); session arrays are bounded by the gap, the
+    n-gram fan-out is |session|−n+1 (linear), and the path count is
+    one partial-agged shuffle + TakeOrdered. Sessions shorter than
+    ``n`` emit nothing (the sequence() guard — Spark's sequence(1, m)
+    DESCENDS for m < 1, the round-10 gotcha).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_millis(F.col(ts_col)) - F.unix_millis(prev)) > gap_ms),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tseq = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col), F.col(id_col), F.col(type_col).alias("t"))
+            )
+        ),
+        lambda x: x["t"],
+    )
+    per_sess = (
+        df.withColumn("_sid", sid)
+        .groupBy(user_col, "_sid")
+        .agg(tseq.alias("_tseq"))
+    )
+    m = F.size("_tseq") - F.lit(n - 1)
+    grams = per_sess.select(
+        F.explode(
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.concat_ws(">", F.slice(F.col("_tseq"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

@@ -762,3 +762,46 @@ def layout_zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     return zorder_values(e, ["user_id", "value"], bits=8).select(
         "event_id", "zval"
     )
+
+
+@q(
+    "events_top_paths",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM w1
+    ),
+    seqs AS (
+      SELECT user_id, s, array_agg(event_type ORDER BY ts, event_id) AS tseq
+      FROM sid GROUP BY user_id, s
+    ),
+    grams AS (
+      SELECT unnest([array_to_string(tseq[i:i+2], '>')
+                     for i in range(1, len(tseq) - 1)]) AS path
+      FROM seqs WHERE len(tseq) >= 3
+    )
+    SELECT path, count(*) AS cnt
+    FROM grams GROUP BY path
+    ORDER BY cnt DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 3-step event-type paths within a 30-min session
+    (operators/analytics.top_event_paths) — product-analytics path
+    mining. One user-keyed exchange for sessionize + ordered collect
+    (array_sort over structs — total (ts, event_id) order in both
+    engines), linear n-gram fan-out, partial-agged count +
+    TakeOrdered with a deterministic (cnt desc, path asc) tiebreak."""
+    from denormalized_spark.operators.analytics import top_event_paths
+
+    return top_event_paths(t(spark, sf, "events"), n=3, k=20)

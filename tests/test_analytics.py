@@ -413,3 +413,45 @@ class TestSeasonalResiduals:
         a = seasonal_residuals(df, 3600_000).collect()
         b = seasonal_residuals(df.repartition(11), 3600_000).collect()
         assert key(a) == key(b)
+
+
+class TestTopEventPaths:
+    def test_paths_counts_and_tiebreak(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import top_event_paths
+
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+        def at(mins):
+            return base + datetime.timedelta(minutes=mins)
+
+        rows = [
+            # user 1, session A: v c v p -> "v>c>v", "c>v>p"
+            (1, at(0), 1, "v"), (1, at(1), 2, "c"),
+            (1, at(2), 3, "v"), (1, at(3), 4, "p"),
+            # user 1, session B (2h later): too short for a trigram
+            (1, at(125), 5, "v"), (1, at(126), 6, "c"),
+            # user 2: v c v -> "v>c>v" again
+            (2, at(0), 7, "v"), (2, at(1), 8, "c"), (2, at(2), 9, "v"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = [(r.path, r.cnt) for r in top_event_paths(df, n=3, k=10).collect()]
+        # v>c>v twice; then the singletons tie-break by path ascending
+        assert got == [("v>c>v", 2), ("c>v>p", 1)]
+
+    def test_one_user_keyed_exchange_before_paths(self, spark):
+        from denormalized_spark.operators.analytics import top_event_paths
+
+        df = spark.createDataFrame(
+            [(1, None, 1, "v")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        ).filter("ts is not null")
+        out = top_event_paths(df, n=3, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # sessionize windows + per-session collect all reuse the ONE
+        # hashpartitioning(user_id) exchange; the only other exchange
+        # is the path-count aggregate
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
