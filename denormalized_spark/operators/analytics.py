@@ -314,6 +314,55 @@ def cohort_retention(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold_milli: int = 3500,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust outliers via the MAD modified z-score (Iglewicz &
+    Hoaglin 1993): per group, med = median(x), MAD = median(|x−med|),
+    Mz = 0.6745·(x−med)/MAD; emit rows with |Mz| > threshold. The
+    robust twin of the mean/std anomaly family (seasonal z, CUSUM):
+    med/MAD have a 50% breakdown point, so the outliers themselves
+    can't drag the baseline the way they drag a mean and std —
+    the right screen for heavy-tailed value columns.
+
+    Mz is emitted on the integer milli grid (floor(x·1000 + 0.5)) so
+    cross-engine comparison is exact; groups with MAD = 0 (constant
+    values) emit nothing by definition. Exact interpolated medians —
+    at 100 TB swap percentile→approx_percentile (same plan).
+
+    Plan: two grouped aggregates over the value column (median, then
+    MAD given the median), each a tiny per-group table BROADCAST back
+    onto the scan — no data-sized shuffle at all; the filter and the
+    grid arithmetic are map-side."""
+    ids = list(id_cols) if id_cols else []
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols).filter(
+        F.col("_mad") > 0
+    )
+    mz = F.floor(
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("_med"))
+        / F.col("_mad")
+        * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        scored.withColumn("mz_milli", mz)
+        .filter(F.abs(F.col("mz_milli")) > threshold_milli)
+        .select(*ids, *group_cols, value_col, "mz_milli")
+    )
+
+
 def window_anomaly_scores(
     df: DataFrame,
     group_col: str = "event_type",

@@ -805,3 +805,41 @@ def events_top_paths(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators.analytics import top_event_paths
 
     return top_event_paths(t(spark, sf, "events"), n=3, k=20)
+
+
+@q(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, min(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(floor(0.6745::DOUBLE * (e.value - mad.med) / mad.mad * 1000
+                      + 0.5) AS BIGINT) AS mz_milli
+    FROM events e JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND abs(CAST(floor(0.6745::DOUBLE * (e.value - mad.med) / mad.mad * 1000
+                         + 0.5) AS BIGINT)) > 3500
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type value outliers via the MAD modified z-score
+    (operators/analytics.mad_outliers; Iglewicz & Hoaglin 1993) — the
+    50%-breakdown-point screen beside the mean/std anomaly entries.
+    Exact interpolated medians match DuckDB's quantile_cont bit-for-
+    bit; Mz on the milli grid with identical op order (the 0.6745
+    literal is ::DOUBLE in the oracle — DuckDB decimal-literal trap).
+    Plan: two tiny per-type aggregates broadcast back — zero
+    data-sized shuffles."""
+    from denormalized_spark.operators.analytics import mad_outliers
+
+    return mad_outliers(
+        t(spark, sf, "events"), "value", ["event_type"],
+        threshold_milli=3500, id_cols=["event_id"],
+    )

@@ -455,3 +455,32 @@ class TestTopEventPaths:
         # hashpartitioning(user_id) exchange; the only other exchange
         # is the path-count aggregate
         assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+class TestMadOutliers:
+    def test_robust_to_the_outlier_itself(self, spark):
+        from denormalized_spark.operators.analytics import mad_outliers
+
+        # 9 values tightly around 10 plus one wild point: med=10, MAD=1;
+        # Mz(1000) = 0.6745*990*1000 ≈ 667,755 — flagged; the cluster
+        # points score |Mz| <= 675 — clean. A mean/std z would have
+        # been dragged to ~3 by the outlier and borderline-missed it.
+        rows = [(i, "a", float(v)) for i, v in enumerate(
+            [9, 9, 9, 10, 10, 10, 11, 11, 11, 1000]
+        )]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        got = mad_outliers(
+            df, "value", ["event_type"], threshold_milli=3500,
+            id_cols=["event_id"],
+        ).collect()
+        assert [(r.event_id, r.value) for r in got] == [(9, 1000.0)]
+        assert got[0].mz_milli == int(0.6745 * 990 * 1000 + 0.5)
+
+    def test_constant_group_emits_nothing(self, spark):
+        from denormalized_spark.operators.analytics import mad_outliers
+
+        df = spark.createDataFrame(
+            [(1, "c", 5.0), (2, "c", 5.0), (3, "c", 5.0)],
+            "event_id long, event_type string, value double",
+        )
+        assert mad_outliers(df, "value", ["event_type"]).count() == 0
