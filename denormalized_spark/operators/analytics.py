@@ -363,6 +363,79 @@ def mad_outliers(
     )
 
 
+#: Benford first-digit probabilities log10(1 + 1/d), pre-rounded to 10
+#: digits so BOTH engines hold the literal-parsed double (the
+#: graph.py damping_complement pattern — never let each engine
+#: evaluate its own transcendental).
+BENFORD_P = [round(__import__("math").log10(1 + 1 / d), 10) for d in range(1, 10)]
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Benford's-law first-digit conformity per group (Newcomb 1881 /
+    Benford 1938; the standard forensic/data-quality screen for
+    invented or truncated numeric columns): observed leading-digit
+    counts vs expected N·log10(1+1/d), plus the per-group χ² statistic
+    (8 df) repeated on each digit row.
+
+    Engine-exact leading digit WITHOUT log10: the first digit of the
+    cent-integer floor(value·100) equals the first significant digit
+    of the value (×100 only shifts the decimal point), and
+    integer→string is identical across engines — no cross-libm
+    floor(log10(x)) ulp hazard near powers of ten. Rows with
+    cents < 1 (value < 0.01) are excluded from the population.
+    χ² lands on the milli grid (~10¹⁰ coarser than double ulps, the
+    repo's standard argument for order-independent float sums).
+
+    Plan: one (group, digit) count shuffle; the dense 9-digit grid is
+    a literal-array explode over the tiny distinct-groups table; the
+    per-group N and χ² are windows over ≤9-row partitions. Nothing
+    data-sized moves twice."""
+    c = F.floor(F.col(value_col) * 100).cast("long")
+    digits = (
+        df.filter(c >= 1)
+        .withColumn("digit", F.substring(c.cast("string"), 1, 1).cast("int"))
+        .groupBy(*group_cols, "digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    grid = (
+        df.select(*group_cols)
+        .distinct()
+        .select(
+            *group_cols,
+            F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("digit"),
+        )
+    )
+    dense = grid.join(digits, [*group_cols, "digit"], "left").select(
+        *group_cols,
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    p = F.element_at(
+        F.array(*[F.lit(float(x)) for x in BENFORD_P]), F.col("digit")
+    )
+    n_tot = F.sum("n_obs").over(wg)
+    exp = n_tot.cast("double") * p
+    contrib = (F.col("n_obs").cast("double") - exp) * (
+        F.col("n_obs").cast("double") - exp
+    ) / exp
+    out = dense.withColumn("_exp", exp).withColumn("_c", contrib)
+    chi2 = F.sum("_c").over(wg)
+    return out.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        F.floor(F.col("_exp") * 1000 + F.lit(0.5)).cast("long").alias("exp_milli"),
+        F.floor(chi2 * 1000 + F.lit(0.5)).cast("long").alias("chi2_milli"),
+    )
+
+
 def window_anomaly_scores(
     df: DataFrame,
     group_col: str = "event_type",

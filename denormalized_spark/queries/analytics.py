@@ -843,3 +843,53 @@ def events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events"), "value", ["event_type"],
         threshold_milli=3500, id_cols=["event_id"],
     )
+
+@q(
+    "events_benford_digits",
+    """
+    WITH src AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n_obs
+      FROM src WHERE cents >= 1 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.event_type, b.digit, b.p
+      FROM (SELECT DISTINCT event_type FROM events) g
+      CROSS JOIN (VALUES (1, 0.3010299957::DOUBLE), (2, 0.1760912591::DOUBLE), (3, 0.1249387366::DOUBLE), (4, 0.096910013::DOUBLE), (5, 0.079181246::DOUBLE), (6, 0.0669467896::DOUBLE), (7, 0.057991947::DOUBLE), (8, 0.0511525224::DOUBLE), (9, 0.0457574906::DOUBLE)) b(digit, p)
+    ),
+    dense AS (
+      SELECT grid.event_type, grid.digit, grid.p,
+             CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs
+      FROM grid LEFT JOIN obs USING (event_type, digit)
+    ),
+    scored AS (
+      SELECT event_type, digit, n_obs,
+             (sum(n_obs) OVER w)::DOUBLE * p AS exp_c
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, digit, n_obs,
+           CAST(floor(exp_c * 1000 + 0.5) AS BIGINT) AS exp_milli,
+           CAST(floor((sum((n_obs::DOUBLE - exp_c) * (n_obs::DOUBLE - exp_c)
+                           / exp_c) OVER (PARTITION BY event_type)) * 1000
+                      + 0.5) AS BIGINT) AS chi2_milli
+    FROM scored
+    """,
+)
+def events_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformity per event type
+    (operators/analytics.benford_digit_test) — the forensic/data-
+    quality screen for fabricated or truncated numerics. Leading
+    digit from the CENT-INTEGER string (no cross-libm log10 near
+    powers of ten); Benford probabilities injected as 10-digit
+    pre-rounded literals in BOTH engines; expected counts and chi^2 on
+    the milli grid. One (type, digit) count shuffle; grid/windows over
+    <=9-row partitions."""
+    from denormalized_spark.operators.analytics import benford_digit_test
+
+    return benford_digit_test(t(spark, sf, "events"), "value", ["event_type"])

@@ -484,3 +484,45 @@ class TestMadOutliers:
             "event_id long, event_type string, value double",
         )
         assert mad_outliers(df, "value", ["event_type"]).count() == 0
+
+
+class TestBenfordDigits:
+    def test_perfect_benford_sample_scores_near_zero(self, spark):
+        from denormalized_spark.operators.analytics import (
+            BENFORD_P,
+            benford_digit_test,
+        )
+
+        # counts exactly proportional to Benford probabilities (×10000)
+        rows = []
+        i = 0
+        for d, p in zip(range(1, 10), BENFORD_P):
+            for _ in range(int(round(p * 10000))):
+                rows.append((i, "a", float(d)))  # value d.00 → digit d
+                i += 1
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = {r.digit: r for r in benford_digit_test(df, "value", ["event_type"]).collect()}
+        assert set(out) == set(range(1, 10))
+        # rounding the per-digit targets leaves only a tiny residual
+        assert all(r.chi2_milli < 10 for r in out.values())
+        assert out[1].n_obs == int(round(BENFORD_P[0] * 10000))
+
+    def test_uniform_digits_fail_the_test(self, spark):
+        from denormalized_spark.operators.analytics import benford_digit_test
+
+        rows = [(i, "u", float(1 + i % 9)) for i in range(9000)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = benford_digit_test(df, "value", ["event_type"]).collect()
+        # χ²(8 df) critical value at 0.001 is 26.12 — uniform digits
+        # blow far past it
+        assert out[0].chi2_milli > 26_125
+
+    def test_sub_cent_values_excluded(self, spark):
+        from denormalized_spark.operators.analytics import benford_digit_test
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.005), (2, "a", 3.0)],
+            "event_id long, event_type string, value double",
+        )
+        out = benford_digit_test(df, "value", ["event_type"]).collect()
+        assert sum(r.n_obs for r in out) == 1  # only the 3.0 row counts
