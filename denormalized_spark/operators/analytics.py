@@ -363,6 +363,84 @@ def mad_outliers(
     )
 
 
+def multi_touch_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    touch_time: str,
+    conv_time: str,
+    conv_id: str,
+    window_ms: int = 604_800_000,
+    bin_width_s: int = 604_800,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    conversion distributes 10 000 basis points of credit across the
+    user's touches in the preceding ``window_ms`` — 40% to the first
+    touch, 40% to the last, 20% split over the middles (the standard
+    marketing-analytics U curve; k=1 → 100%, k=2 → 50/50). All-integer
+    credit: middles get ``2000 div (k−2)`` bp (truncating div ≡ DuckDB
+    //; the dropped remainder is documented, not redistributed), so
+    engines agree bit-for-bit and per-conversion credit never exceeds
+    10 000.
+
+    Emits one row per (conversion, touch): conv id, the touch's time,
+    its 1-based position, k, and credit_bp.
+
+    Plan: the touch↔conversion pairing is :func:`~denormalized_spark.
+    operators.temporal.range_join` on (user, [conv−window, conv]) —
+    the binned EQUI-join, never a BNLJ — then position/count are
+    windows partitioned by the conversion id (per-conversion groups,
+    bounded by the window). Two keyed shuffles total."""
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.temporal import range_join
+
+    iv = conversions.select(
+        F.col(conv_id).alias("_cid"),
+        F.col(user_col).alias(user_col),
+        (
+            F.timestamp_millis(
+                F.unix_millis(F.col(conv_time).cast("timestamp_ltz"))
+                - F.lit(int(window_ms))
+            )
+        ).alias("_w_start"),
+        F.col(conv_time).alias("_w_end"),
+    )
+    paired = range_join(
+        touches,
+        iv,
+        touch_time,
+        "_w_start",
+        "_w_end",
+        on=[user_col],
+        bin_width_s=bin_width_s,
+        end_inclusive=True,
+    )
+    wc = Window.partitionBy("_cid").orderBy(touch_time)
+    wk = Window.partitionBy("_cid")
+    pos = F.row_number().over(wc)
+    k = F.count("*").over(wk)
+    credit = (
+        F.when(k == 1, F.lit(10_000))
+        .when(k == 2, F.lit(5_000))
+        .when(pos == 1, F.lit(4_000))
+        .when(pos == k, F.lit(4_000))
+        .otherwise(F.expr("2000 div (_k - 2)"))
+    )
+    return (
+        paired.withColumn("_k", k)
+        .withColumn("position", pos)
+        .select(
+            F.col("_cid").alias(conv_id),
+            F.col(user_col),
+            F.col(touch_time),
+            "position",
+            F.col("_k").alias("n_touches"),
+            credit.cast("long").alias("credit_bp"),
+        )
+    )
+
+
 #: Benford first-digit probabilities log10(1 + 1/d), pre-rounded to 10
 #: digits so BOTH engines hold the literal-parsed double (the
 #: graph.py damping_complement pattern — never let each engine

@@ -370,8 +370,10 @@ def range_join(
     )
     contain = lp >= rs
     upper = lp <= re_ if end_inclusive else lp < re_
-    cond = [lb["_bin"] == rb["_bin"]] + [lb[k] == rb[k] for k in keys]
-    joined = lb.join(rb, cond, how).filter(contain & upper)
+    # name-list join form so the equi keys (and _bin) appear ONCE in
+    # the output — an expression-list join would duplicate every `on`
+    # column and make downstream by-name selects ambiguous
+    joined = lb.join(rb, ["_bin", *keys], how).filter(contain & upper)
     return joined.drop("_bin")
 
 

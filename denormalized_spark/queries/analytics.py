@@ -893,3 +893,60 @@ def events_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators.analytics import benford_digit_test
 
     return benford_digit_test(t(spark, sf, "events"), "value", ["event_type"])
+
+
+@q(
+    "events_attribution_u",
+    """
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+    pair AS (
+      SELECT c.cid, c.user_id, t.ts
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+        AND t.ts >= c.cts - INTERVAL 1 DAY AND t.ts <= c.cts
+    ),
+    ranked AS (
+      SELECT cid, user_id, ts,
+             row_number() OVER (PARTITION BY cid ORDER BY ts) AS position,
+             count(*) OVER (PARTITION BY cid) AS n_touches
+      FROM pair
+    )
+    SELECT cid AS event_id, user_id, ts, position,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches = 1 THEN 10000
+                     WHEN n_touches = 2 THEN 5000
+                     WHEN position = 1 OR position = n_touches THEN 4000
+                     ELSE 2000 // (n_touches - 2) END AS BIGINT) AS credit_bp
+    FROM ranked
+    """,
+)
+def events_attribution_u(spark: SparkSession, sf: str) -> DataFrame:
+    """U-shaped multi-touch attribution (operators/analytics.
+    multi_touch_attribution): each purchase distributes 10,000 bp of
+    credit over the user's clicks in the preceding 24h — 40/20/40
+    position curve, all-integer (middles 2000 div (k-2), truncating
+    div parity). The pairing is the binned range join on
+    (user, [conv-24h, conv]) — an equi-join, never BNLJ; position/
+    count are per-conversion windows. The oracle replays pairwise."""
+    from denormalized_spark.operators.analytics import multi_touch_attribution
+
+    e = t(spark, sf, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tch = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    out = multi_touch_attribution(
+        tch, conv, "user_id", "ts", "ts", "event_id",
+        window_ms=86_400_000, bin_width_s=86_400,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "position",
+        F.col("n_touches").cast("long").alias("n_touches"), "credit_bp",
+    )

@@ -526,3 +526,62 @@ class TestBenfordDigits:
         )
         out = benford_digit_test(df, "value", ["event_type"]).collect()
         assert sum(r.n_obs for r in out) == 1  # only the 3.0 row counts
+
+
+class TestMultiTouchAttribution:
+    def test_u_curve_and_window(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import multi_touch_attribution
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def at(mins):
+            return base + datetime.timedelta(minutes=mins)
+
+        touches = spark.createDataFrame(
+            # 4 in-window touches + 1 outside the 60-min window
+            [(1, at(-90)), (1, at(-50)), (1, at(-30)), (1, at(-20)), (1, at(-10)),
+             (2, at(-5))],
+            "user_id long, ts timestamp",
+        )
+        convs = spark.createDataFrame(
+            [(100, 1, at(0)), (200, 2, at(0)), (300, 3, at(0))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = multi_touch_attribution(
+            touches, convs, "user_id", "ts", "ts", "event_id",
+            window_ms=3_600_000, bin_width_s=3600,
+        ).collect()
+        by_conv = {}
+        for r in out:
+            by_conv.setdefault(r.event_id, []).append(r)
+        # conv 100: k=4 -> 4000 / 2000 div 2 / 2000 div 2 / 4000
+        c100 = sorted(by_conv[100], key=lambda r: r.position)
+        assert [r.credit_bp for r in c100] == [4000, 1000, 1000, 4000]
+        assert all(r.n_touches == 4 for r in c100)
+        assert sum(r.credit_bp for r in c100) == 10_000
+        # conv 200: single touch takes everything
+        assert [(r.position, r.credit_bp) for r in by_conv[200]] == [(1, 10_000)]
+        # conv 300: user with no touches emits nothing (inner pairing)
+        assert 300 not in by_conv
+
+    def test_two_touch_split(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import multi_touch_attribution
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        touches = spark.createDataFrame(
+            [(1, base - datetime.timedelta(minutes=9)),
+             (1, base - datetime.timedelta(minutes=3))],
+            "user_id long, ts timestamp",
+        )
+        convs = spark.createDataFrame(
+            [(7, 1, base)], "event_id long, user_id long, ts timestamp"
+        )
+        out = multi_touch_attribution(
+            touches, convs, "user_id", "ts", "ts", "event_id",
+            window_ms=600_000, bin_width_s=600,
+        ).collect()
+        assert sorted(r.credit_bp for r in out) == [5000, 5000]
