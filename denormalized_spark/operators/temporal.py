@@ -462,4 +462,10 @@ def range_join_stream(
     # the range, and where leftOuter decides matched-vs-padded
     join_cond = join_cond & contain & evict & upper
     joined = lb.join(rb, join_cond, how)
+    # the range predicates force the expression-join form (the
+    # watermark analysis reads them off the condition), which keeps
+    # BOTH sides' key columns — drop the right copies by reference so
+    # by-name selects stay unambiguous (leftOuter keeps the left key)
+    for k in keys:
+        joined = joined.drop(rb[k])
     return joined.drop("_bin")
