@@ -950,3 +950,53 @@ def events_attribution_u(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "ts", "position",
         F.col("n_touches").cast("long").alias("n_touches"), "credit_bp",
     )
+
+
+@q(
+    "agg_gini_spend",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT nationkey, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(i * cents) AS BIGINT) AS r
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n, total,
+           CAST(floor((2.0::DOUBLE * r::DOUBLE / (n::DOUBLE * total::DOUBLE)
+                       - (n + 1)::DOUBLE / n::DOUBLE) * 1000000
+                      + 0.5) AS BIGINT) AS gini_micro
+    FROM agg WHERE total > 0
+    """,
+)
+def agg_gini_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation Gini of customer spend (operators/analytics.
+    gini_concentration; rank-sum identity) — the concentration
+    dashboard number. Exact integer cents for the rank sum and total;
+    the only floats are the final fixed-order divisions on the micro
+    grid. One custkey-keyed spend agg (+ broadcast customer dim), one
+    nation-keyed exchange shared by the rank window and the final
+    aggregate."""
+    from denormalized_spark.operators.analytics import gini_concentration
+
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return gini_concentration(spend, "cents", ["nationkey"], "o_custkey")

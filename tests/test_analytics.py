@@ -585,3 +585,29 @@ class TestMultiTouchAttribution:
             window_ms=600_000, bin_width_s=600,
         ).collect()
         assert sorted(r.credit_bp for r in out) == [5000, 5000]
+
+
+class TestGiniConcentration:
+    def test_closed_forms(self, spark):
+        from denormalized_spark.operators.analytics import gini_concentration
+
+        rows = (
+            # perfectly equal group: G = 0
+            [(i, "eq", 100) for i in range(5)]
+            # maximal concentration among 4: one member owns all
+            # G = 2*(4*100)/(4*100) - 5/4 = 0.75
+            + [(10, "one", 0), (11, "one", 0), (12, "one", 0), (13, "one", 100)]
+        )
+        df = spark.createDataFrame(rows, "uid long, g string, cents long")
+        got = {r.g: r for r in gini_concentration(df, "cents", ["g"], "uid").collect()}
+        assert got["eq"].gini_micro == 0
+        assert got["one"].gini_micro == 750_000
+        assert got["one"].n == 4 and got["one"].total == 100
+
+    def test_all_zero_group_dropped(self, spark):
+        from denormalized_spark.operators.analytics import gini_concentration
+
+        df = spark.createDataFrame(
+            [(1, "z", 0), (2, "z", 0)], "uid long, g string, cents long"
+        )
+        assert gini_concentration(df, "cents", ["g"], "uid").count() == 0
