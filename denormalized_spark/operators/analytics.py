@@ -363,6 +363,74 @@ def mad_outliers(
     )
 
 
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket pair association (Agrawal & Srikant 1994 lineage):
+    for item pairs co-occurring in ≥ ``min_pair_count`` baskets, emit
+    support counts and lift = N·n_ab / (n_a·n_b), top-``k`` by lift
+    with a deterministic (lift desc, item_a, item_b) tiebreak —
+    "bought-together" / "co-occurring-tags" analysis.
+
+    All counts are exact integers over DISTINCT (basket, item) pairs
+    (duplicate lines of one item in a basket count once); lift's
+    single division is fixed-order float on the micro grid.
+
+    Plan: the pair generator is a self-join WITHIN the basket key —
+    fan-out is items-per-basket², bounded by real basket sizes (TPC-H
+    orders ≤ 7 items), shuffled once on the basket key; pair counts
+    shuffle once on (item_a, item_b); the item-frequency table joins
+    back broadcast-sized after min-support pruning. Never a global
+    cross join."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    bi = df.select(basket_col, item_col).distinct()
+    n_baskets = bi.select(basket_col).distinct().count()
+    item_freq = bi.groupBy(item_col).agg(F.count("*").alias("n_item"))
+    a = bi.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    )
+    b = bi.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    fa = item_freq.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    fb = item_freq.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    lift = (
+        F.lit(float(n_baskets))
+        * F.col("n_ab").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.floor(lift * 1_000_000 + F.lit(0.5)).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "item_a", "item_b")
+        .limit(k)
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     value_col: str,

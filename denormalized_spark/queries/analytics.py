@@ -1000,3 +1000,38 @@ def agg_gini_spend(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(cents).alias("cents"))
     )
     return gini_concentration(spend, "cents", ["nationkey"], "o_custkey")
+
+
+@q(
+    "agg_basket_lift",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    fr AS (SELECT item, count(*) AS n_item FROM bi GROUP BY item),
+    pr AS (
+      SELECT a.item AS item_a, c.item AS item_b, count(*) AS n_ab
+      FROM bi a JOIN bi c ON a.b = c.b AND a.item < c.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+           CAST(floor(nb.n::DOUBLE * n_ab::DOUBLE
+                      / (fa.n_item::DOUBLE * fb.n_item::DOUBLE) * 1000000
+                      + 0.5) AS BIGINT) AS lift_micro
+    FROM pr JOIN fr fa ON fa.item = pr.item_a
+            JOIN fr fb ON fb.item = pr.item_b
+            CROSS JOIN nb
+    ORDER BY lift_micro DESC, item_a, item_b LIMIT 20
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket pair lift over orders (operators/analytics.
+    basket_lift; Agrawal & Srikant 1994 lineage): parts co-bought in
+    >=2 orders, top-20 by lift with a full deterministic tiebreak.
+    Pair generation is a WITHIN-basket self-join (fan-out bounded by
+    order size, <=7 in TPC-H), one basket-keyed + one pair-keyed
+    shuffle; frequencies join back broadcast. Counts exact integers;
+    lift's one division on the micro grid."""
+    from denormalized_spark.operators.analytics import basket_lift
+
+    li = t(spark, sf, "lineitem")
+    return basket_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, k=20)

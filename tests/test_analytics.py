@@ -611,3 +611,32 @@ class TestGiniConcentration:
             [(1, "z", 0), (2, "z", 0)], "uid long, g string, cents long"
         )
         assert gini_concentration(df, "cents", ["g"], "uid").count() == 0
+
+
+class TestBasketLift:
+    def test_lift_and_min_support(self, spark):
+        from denormalized_spark.operators.analytics import basket_lift
+
+        # 4 baskets: A+B together twice (out of A:3, B:2 appearances),
+        # A+C once (below min support)
+        rows = [
+            (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (3, "C"),
+            (4, "D"),
+        ]
+        df = spark.createDataFrame(rows, "b long, item string")
+        out = basket_lift(df, "b", "item", min_pair_count=2, k=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == ("A", "B", 2, 3, 2)
+        # lift = N*n_ab/(n_a*n_b) = 4*2/(3*2) = 1.333333...
+        assert r.lift_micro == 1_333_333
+
+    def test_duplicate_lines_count_once(self, spark):
+        from denormalized_spark.operators.analytics import basket_lift
+
+        rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+        df = spark.createDataFrame(rows, "b long, item string")
+        out = basket_lift(df, "b", "item", min_pair_count=2, k=10).collect()
+        assert [(r.n_ab, r.n_a, r.n_b) for r in out] == [(2, 2, 2)]
