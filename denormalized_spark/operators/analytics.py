@@ -363,6 +363,79 @@ def mad_outliers(
     )
 
 
+def rfm_scores(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    amount_cents: Column,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the CRM classic): per entity,
+    Recency (last activity), Frequency (event count), Monetary
+    (integer cent total), each quantile-scored with ``ntile`` —
+    score 1 = best (most recent / most frequent / highest spend) —
+    plus the combined ``rfm`` code (R·100 + F·10 + M for 5 tiles).
+
+    Determinism: every ntile ordering carries the entity id as the
+    final key, so tied metrics land in a pinned bucket in BOTH engines
+    (ntile's floor/ceil bucket allocation is the SQL standard in each).
+
+    Plan: one entity-keyed aggregate, then each score comes from the
+    SCALE-SAFE global row number (range partition + broadcast prefix
+    sums, operators/ranking.py — never a single-partition sort over
+    the entity-sized summary) pushed through the exact SQL ntile
+    allocation (first N mod t buckets get ceil(N/t) rows), so the
+    output is bit-identical to a plain ``ntile(t) OVER (ORDER BY …)``
+    while every stage stays partitioned."""
+    from denormalized_spark.operators.ranking import with_global_row_number
+
+    def _ntile(rn: Column, total: Column, t: int) -> Column:
+        q = F.floor(total / t).cast("long")
+        r = (total % t).cast("long")
+        head = r * (q + 1)
+        # q==0 (fewer rows than tiles) puts every row in the head
+        # branch; greatest() keeps the untaken divide well-defined
+        return (
+            F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - head - 1) / F.greatest(q, F.lit(1))) + 1)
+            .cast("int")
+        )
+
+    summary = df.groupBy(entity_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(amount_cents).alias("cents"),
+    )
+    # each score from an INDEPENDENT pass over the summary, joined
+    # back on the entity key — CHAINING with_global_row_number calls
+    # corrupts the earlier row numbers (the later call's plan
+    # re-executes the earlier subplan, and its range-sample +
+    # spark_partition_id stages can resolve differently between the
+    # two internal consumptions; measured at sf0.1: 97% of chained
+    # first-pass rns wrong). One consumer per rn output is the
+    # contract (see ranking.with_global_row_number).
+    out = summary
+    for metric, score in (
+        ("last_ts", "r_score"),
+        ("n_events", "f_score"),
+        ("cents", "m_score"),
+    ):
+        ranked = with_global_row_number(
+            summary,
+            [F.desc(metric), F.col(entity_col)],
+            out_col="_rn",
+            total_col="_tot",
+        ).select(
+            entity_col,
+            _ntile(F.col("_rn"), F.col("_tot"), n_tiles).alias(score),
+        )
+        out = out.join(ranked, entity_col)
+    return out.withColumn(
+        "rfm",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
 def basket_lift(
     df: DataFrame,
     basket_col: str,

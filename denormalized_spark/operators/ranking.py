@@ -53,6 +53,17 @@ def with_global_row_number(
     global row count — it rides the same broadcast offsets relation,
     so asking for it costs nothing extra (derived from the
     numPartitions-row counts, NOT a second pass over the data).
+
+    CONSUMPTION CONTRACT: the row number is assembled from
+    range-sampled partition boundaries + spark_partition_id, which are
+    only consistent WITHIN one execution of this subplan. A downstream
+    plan that re-executes it twice with different layouts — e.g.
+    feeding this output into a SECOND with_global_row_number call —
+    can silently produce different numbers on each internal
+    consumption (measured at ~100k rows: 97% of first-pass rns wrong
+    under chaining). Consume the output once per plan, join results of
+    independent calls by key (analytics.rfm_scores shows the shape),
+    or localCheckpoint before reusing.
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n), *order_by).withColumn(

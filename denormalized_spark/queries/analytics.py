@@ -1035,3 +1035,48 @@ def agg_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
 
     li = t(spark, sf, "lineitem")
     return basket_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, k=20)
+
+
+@q(
+    "agg_rfm_customers",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_ts,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_ts, n_events, cents,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM (
+      SELECT *,
+             ntile(5) OVER (ORDER BY last_ts DESC, o_custkey)  AS r_score,
+             ntile(5) OVER (ORDER BY n_events DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY cents DESC, o_custkey)    AS m_score
+      FROM s
+    )
+    """,
+)
+def agg_rfm_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM quintile segmentation of customers over their orders
+    (operators/analytics.rfm_scores; Hughes 1994) — score 1 = most
+    recent / most frequent / highest spend, pinned total orders so
+    ties are deterministic. The Spark side reproduces SQL ntile
+    EXACTLY from scale-safe global row numbers (range partition +
+    broadcast prefix sums — no single-partition sort over the
+    customer summary), which this oracle's plain ntile() verifies
+    bucket-for-bucket."""
+    from denormalized_spark.operators.analytics import rfm_scores
+
+    o = t(spark, sf, "orders")
+    out = rfm_scores(
+        o, "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    return out.select(
+        "o_custkey", "last_ts", "n_events", "cents",
+        "r_score", "f_score", "m_score", "rfm",
+    )

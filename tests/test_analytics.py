@@ -640,3 +640,60 @@ class TestBasketLift:
         df = spark.createDataFrame(rows, "b long, item string")
         out = basket_lift(df, "b", "item", min_pair_count=2, k=10).collect()
         assert [(r.n_ab, r.n_a, r.n_b) for r in out] == [(2, 2, 2)]
+
+
+class TestRfmScores:
+    def test_closed_form_quintiles(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import rfm_scores
+
+        base = datetime.datetime(2024, 1, 1)
+        # 10 entities; entity i has last activity day i, i+1 events,
+        # (i+1)*100 cents — all three orderings coincide, so with
+        # ntile(5) over 10 rows each pair of adjacent-best entities
+        # shares a score; entity 9 is best (score 1) on every axis
+        rows = []
+        for i in range(10):
+            for j in range(i + 1):
+                rows.append((i, base + datetime.timedelta(days=i, hours=j), 100))
+        df = spark.createDataFrame(rows, "uid long, ts timestamp, cents long")
+        from pyspark.sql import functions as F
+        out = {r.uid: r for r in rfm_scores(df, "uid", "ts", F.col("cents")).collect()}
+        assert out[9].rfm == 111 and out[8].rfm == 111
+        assert out[0].rfm == 555 and out[1].rfm == 555
+        assert out[5].r_score == out[5].f_score == out[5].m_score == 3
+
+    def test_scale_safe_ntile_matches_plain_ntile(self, spark):
+        """The formula + global-rn reproduction is bit-identical to
+        ntile() OVER a single-partition sort, including the remainder
+        allocation when N mod tiles != 0."""
+        import datetime
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from denormalized_spark.operators.analytics import rfm_scores
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [(i, base + datetime.timedelta(minutes=(i * 37) % 1009), 100 + (i * 91) % 503)
+                for i in range(1009)]  # prime N -> remainder buckets
+        df = spark.createDataFrame(rows, "uid long, ts timestamp, cents long")
+        got = rfm_scores(df, "uid", "ts", F.col("cents"))
+        s = df.groupBy("uid").agg(
+            F.max("ts").alias("last_ts"), F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        ref = s.select(
+            "uid",
+            F.ntile(5).over(Window.orderBy(F.desc("last_ts"), "uid")).alias("r2"),
+            F.ntile(5).over(Window.orderBy(F.desc("n_events"), "uid")).alias("f2"),
+            F.ntile(5).over(Window.orderBy(F.desc("cents"), "uid")).alias("m2"),
+        )
+        j = got.join(ref, "uid")
+        bad = j.filter(
+            (F.col("r_score") != F.col("r2"))
+            | (F.col("f_score") != F.col("f2"))
+            | (F.col("m_score") != F.col("m2"))
+        )
+        assert bad.count() == 0

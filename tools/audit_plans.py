@@ -102,6 +102,7 @@ ALLOW_SINGLE_PART = {
     "scalar_math_checksums",  # same — 1-row checksum aggregate
     "over_ntile_percentrank", # prefix-sum window over the numPartitions-row counts
     "dedup_snm_pairs",        # same prefix-sum-offsets pattern (with_global_row_number)
+    "agg_rfm_customers",      # 3× the same prefix-sum-offsets pattern (scale-safe ntile)
     "curation_pack",          # same prefix-sum-offsets pattern (ranking.with_global_running_sum)
     "text_bpe_pack_sequences",  # same prefix-sum-offsets pattern (shard packer)
     "text_unigram_quality",   # 1-row total over the vocab-sized count table
