@@ -363,6 +363,61 @@ def mad_outliers(
     )
 
 
+def ab_test_proportions(
+    df: DataFrame,
+    unit_col: str,
+    variant: Column,
+    converted: Column,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: per experiment
+    unit (user), a variant assignment and a binary conversion; emits
+    one row per variant pair-summary — n and conversions per arm, the
+    pooled two-proportion z statistic on the micro grid, and the
+    |z| > 1.96 significance flag (two-sided α=0.05).
+
+    Determinism: counts are exact integers; z's float chain is
+    fixed-order (pooled p, variance, one IEEE sqrt — correctly rounded
+    per the standard, hence identical cross-engine — one division),
+    floored to micro. Variants with an empty arm or zero pooled
+    variance emit z=0, flagged not-significant.
+
+    Plan: one unit-keyed dedup/agg (assignment + converted-ever per
+    unit), one 2-row variant aggregate, a 1-row pivot — everything
+    after the first agg is metadata."""
+    per_unit = df.groupBy(unit_col).agg(
+        F.max(variant).alias("_v"), F.max(converted).alias("_c")
+    )
+    arms = per_unit.groupBy("_v").agg(
+        F.count("*").alias("n"), F.sum(F.col("_c").cast("long")).alias("conv")
+    )
+    a = arms.filter(F.col("_v") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("_v") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))  # 1-row × 1-row
+    p1 = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    z = F.when(var > 0, (p1 - p2) / F.sqrt(var)).otherwise(F.lit(0.0))
+    zmicro = F.floor(z * 1_000_000 + F.lit(0.5)).cast("long")
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        zmicro.alias("z_micro"),
+        (F.abs(zmicro) > 1_960_000).alias("significant"),
+    )
+
+
 def rfm_scores(
     df: DataFrame,
     entity_col: str,

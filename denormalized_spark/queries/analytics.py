@@ -1080,3 +1080,58 @@ def agg_rfm_customers(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey", "last_ts", "n_events", "cents",
         "r_score", "f_score", "m_score", "rfm",
     )
+
+
+@q(
+    "events_ab_test",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             max(user_id % 2) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    arms AS (SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+             FROM pu GROUP BY v),
+    j AS (
+      SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      FROM (SELECT n, conv FROM arms WHERE v = 0) a
+      CROSS JOIN (SELECT n, conv FROM arms WHERE v = 1) b
+    ),
+    s AS (
+      SELECT *,
+             (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp
+      FROM j
+    ),
+    zc AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             CASE WHEN pp * (1.0::DOUBLE - pp)
+                       * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE) > 0
+                  THEN (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+                       / sqrt(pp * (1.0::DOUBLE - pp)
+                              * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE))
+                  ELSE 0.0::DOUBLE END AS z
+      FROM s
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(floor(z * 1000000 + 0.5) AS BIGINT) AS z_micro,
+           abs(CAST(floor(z * 1000000 + 0.5) AS BIGINT)) > 1960000 AS significant
+    FROM zc
+    """,
+)
+def events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test (operators/analytics.ab_test_proportions)
+    over a synthetic-but-documented assignment (variant = user_id
+    parity; the testdata has no experiment column) with
+    converted-ever = any purchase. Exact integer arm counts; z's float
+    chain is fixed-order with one correctly-rounded IEEE sqrt, floored
+    to micro. One user-keyed agg, then metadata-sized arms + 1-row
+    pivot (sanctioned crossJoin shape)."""
+    from denormalized_spark.operators.analytics import ab_test_proportions
+
+    e = t(spark, sf, "events")
+    return ab_test_proportions(
+        e, "user_id",
+        (F.col("user_id") % 2).cast("int"),
+        (F.col("event_type") == "purchase").cast("int"),
+    )

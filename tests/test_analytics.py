@@ -697,3 +697,31 @@ class TestRfmScores:
             | (F.col("m_score") != F.col("m2"))
         )
         assert bad.count() == 0
+
+
+class TestAbTestProportions:
+    def test_closed_form_z(self, spark):
+        import math
+
+        from denormalized_spark.operators.analytics import ab_test_proportions
+
+        # arm 0: 100 users, 20 convert; arm 1: 100 users, 40 convert
+        rows = [(u, u % 2, 1 if (u % 2 == 0 and u < 40) or (u % 2 == 1 and u < 80) else 0)
+                for u in range(200)]
+        df = spark.createDataFrame(rows, "user_id long, v int, c int")
+        out = ab_test_proportions(
+            df, "user_id", F.col("v"), F.col("c")
+        ).collect()[0]
+        assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (100, 20, 100, 40)
+        p, z = 0.3, (0.2 - 0.4) / math.sqrt(0.3 * 0.7 * (1 / 100 + 1 / 100))
+        assert out.z_micro == math.floor(z * 1_000_000 + 0.5)
+        assert out.significant  # |z| ≈ 3.09 > 1.96
+
+    def test_duplicate_events_collapse_per_unit(self, spark):
+        from denormalized_spark.operators.analytics import ab_test_proportions
+
+        # one user generates many events; converted-ever counts once
+        rows = [(1, 0, 0), (1, 0, 1), (1, 0, 1), (2, 1, 0)]
+        df = spark.createDataFrame(rows, "user_id long, v int, c int")
+        out = ab_test_proportions(df, "user_id", F.col("v"), F.col("c")).collect()[0]
+        assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (1, 1, 1, 0)

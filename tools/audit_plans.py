@@ -71,6 +71,7 @@ ALLOW_BNLJ = {
     "sim_jl_distortion",     # 40-row x 40-row theta pair join — bounded metadata probe
     "sketch_mg_heavy_hitters",  # 1-row merge-residual/residual-sum crossJoins — metadata
     "layout_zorder_events",  # 1-row min/max bounds broadcast — constant fan-out
+    "events_ab_test",        # 1-row x 1-row arm-summary crossJoin — metadata
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
