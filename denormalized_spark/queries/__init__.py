@@ -50,7 +50,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # at least one driver-green row (r1-r9 union; latest-green per entry
 # computable from the CORRECTNESS_r0*.json union). Round-10 window, in
 # priority order:
-# (1) the 33 BRAND-NEW r10 entries (never driver-verified): the salted
+# (1) the 34 BRAND-NEW r10 entries (never driver-verified): the salted
 # skew-safe window agg and windowed-UDAF oracles (r9 verdict item 4),
 # BM25 top-k retrieval, the Bloom filter pair, winnowing fingerprints +
 # MOSS pairs, CUSUM changepoints, JL projection + measured distortion,
@@ -73,7 +73,8 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # per-group Gini concentration (integer rank-sum identity), and
 # market-basket pair lift (within-basket self-join, micro-grid lift),
 # RFM quintiles (scale-safe exact ntile from global row numbers), and
-# the two-proportion z-test A/B analysis (micro-grid z, IEEE sqrt);
+# the two-proportion z-test A/B analysis (micro-grid z, IEEE sqrt),
+# and lead-duration-weighted TWAP (integer cent-ms products);
 # (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
 # (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
 # guards), dedup_span_strip (output-name collision guard),
@@ -82,7 +83,7 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # sim_lsh_buckets, dedup_embedding_neardup, curation_semantic_decontaminate,
 # dedup_near_gate);
 # (3) the staleness rotation — all 4 entries whose latest driver green is
-# r4, then the 2 oldest r5 entries (33 + 11 + 4 + 2 = 50). Everything
+# r4, then the oldest r5 entry (34 + 11 + 4 + 1 = 50). Everything
 # displaced to 51+ keeps its registry order and was re-verified locally
 # this session by the full-registry tools/check_correctness.py sweep at
 # sf0.001/0.01/0.1.
@@ -100,7 +101,7 @@ _DRIVER_PRIORITY = [
     "dedup_gram_novelty", "layout_zorder_events", "window_resample_interp",
     "over_range_trailing_30d", "events_top_paths", "events_mad_outliers",
     "events_benford_digits", "events_attribution_u", "agg_gini_spend",
-    "agg_basket_lift", "agg_rfm_customers", "events_ab_test",
+    "agg_basket_lift", "agg_rfm_customers", "events_ab_test", "events_twap",
     # operator code changed this round — re-prove under the new code
     "sketch_hll_registers", "sketch_hll_distinct", "sketch_hll_group_distinct",
     "sim_kcenter_select", "dedup_span_strip", "events_decayed_counts",
@@ -110,7 +111,7 @@ _DRIVER_PRIORITY = [
     "join_full_user_activity", "scalar_datetime",
     "window_global_tumbling_6h", "window_session_dynamic_gap",
     # oldest r5 entries filling the window to 50
-    "curation_chunk_dup_rate", "curation_data_card",
+    "curation_chunk_dup_rate",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1135,3 +1135,62 @@ def events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int"),
         (F.col("event_type") == "purchase").cast("int"),
     )
+
+
+@q(
+    "events_twap",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day, cents,
+             date_diff('millisecond', ts,
+                       lead(ts) OVER (PARTITION BY event_type, day
+                                      ORDER BY ts, event_id)) AS dur
+      FROM e
+    )
+    SELECT event_type, day,
+           CAST(count(dur) AS BIGINT) AS n_intervals,
+           CAST(sum(dur) AS BIGINT) AS total_ms,
+           CAST((sum(cents * dur) * 100) // sum(dur) AS BIGINT) AS twap_e4
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY event_type, day
+    HAVING sum(dur) > 0
+    """,
+)
+def events_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average price per (type, day) — each sample
+    weighted by how long it was the latest observation (lead-duration
+    weighting; the last sample of a day carries no interval and is
+    excluded, documented). All-integer: cent x millisecond products
+    sum exactly, final exact e4 via integer division (div ≡ //) —
+    the finance-standard TWAP beside window_ohlc. One (type, day)
+    keyed exchange shared by the lead window and the aggregate;
+    zero-duration days (single event) drop via HAVING."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    d = e.withColumn(
+        "dur",
+        F.unix_millis(F.lead("ts").over(w).cast("timestamp_ltz"))
+        - F.unix_millis(F.col("ts").cast("timestamp_ltz")),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        d.groupBy("event_type", "day")
+        .agg(
+            F.count("dur").alias("n_intervals"),
+            F.sum("dur").alias("total_ms"),
+            F.expr("(sum(cents * dur) * 100) div sum(dur)").alias("twap_e4"),
+        )
+        .filter(F.col("total_ms") > 0)
+    )
