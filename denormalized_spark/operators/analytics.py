@@ -363,6 +363,45 @@ def mad_outliers(
     )
 
 
+def twap(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    cents: Column,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average price per group: each sample weighted by
+    how long it stayed the latest observation (duration to the NEXT
+    sample via a lead window; the group's final sample carries no
+    interval and is excluded — document the convention to consumers).
+    All-integer: cent × millisecond products sum exactly and the final
+    e4 value is truncating integer division (Spark ``div`` ≡ DuckDB
+    ``//``). Returns (groups, n_intervals, total_ms, twap_e4).
+
+    Plan: ONE group-keyed exchange shared by the lead window and the
+    final aggregate; groups with zero total duration (all samples
+    simultaneous) drop."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    d = df.select(
+        *group_cols, ts_col, id_col, cents.alias("_cents")
+    ).withColumn(
+        "dur",
+        F.unix_millis(F.lead(ts_col).over(w).cast("timestamp_ltz"))
+        - F.unix_millis(F.col(ts_col).cast("timestamp_ltz")),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        d.groupBy(*group_cols)
+        .agg(
+            F.count("dur").alias("n_intervals"),
+            F.sum("dur").alias("total_ms"),
+            F.expr("(sum(_cents * dur) * 100) div sum(dur)").alias("twap_e4"),
+        )
+        .filter(F.col("total_ms") > 0)
+    )
+
+
 def ab_test_proportions(
     df: DataFrame,
     unit_col: str,

@@ -1165,32 +1165,21 @@ def events_twap(spark: SparkSession, sf: str) -> DataFrame:
     """Time-weighted average price per (type, day) — each sample
     weighted by how long it was the latest observation (lead-duration
     weighting; the last sample of a day carries no interval and is
-    excluded, documented). All-integer: cent x millisecond products
-    sum exactly, final exact e4 via integer division (div ≡ //) —
-    the finance-standard TWAP beside window_ohlc. One (type, day)
-    keyed exchange shared by the lead window and the aggregate;
-    zero-duration days (single event) drop via HAVING."""
-    from pyspark.sql import Window
+    excluded, documented) — operators/analytics.twap, the
+    finance-standard TWAP beside window_ohlc. All-integer: cent x
+    millisecond products sum exactly, final exact e4 via integer
+    division (div ≡ //). One (type, day) keyed exchange shared by the
+    lead window and the aggregate."""
+    from denormalized_spark.operators.analytics import twap
 
     e = t(spark, sf, "events").select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "value",
     )
-    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-    d = e.withColumn(
-        "dur",
-        F.unix_millis(F.lead("ts").over(w).cast("timestamp_ltz"))
-        - F.unix_millis(F.col("ts").cast("timestamp_ltz")),
-    ).filter(F.col("dur").isNotNull())
-    return (
-        d.groupBy("event_type", "day")
-        .agg(
-            F.count("dur").alias("n_intervals"),
-            F.sum("dur").alias("total_ms"),
-            F.expr("(sum(cents * dur) * 100) div sum(dur)").alias("twap_e4"),
-        )
-        .filter(F.col("total_ms") > 0)
+    return twap(
+        e, ["event_type", "day"], "ts",
+        F.round(F.col("value") * 100).cast("long"), "event_id",
     )

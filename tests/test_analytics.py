@@ -725,3 +725,30 @@ class TestAbTestProportions:
         df = spark.createDataFrame(rows, "user_id long, v int, c int")
         out = ab_test_proportions(df, "user_id", F.col("v"), F.col("c")).collect()[0]
         assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (1, 1, 1, 0)
+
+
+class TestTwap:
+    def test_closed_form_duration_weighting(self, spark):
+        import datetime
+
+        from denormalized_spark.operators.analytics import twap
+
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            # 10.00 held for 10s, 20.00 held for 30s, 30.00 ends the day
+            (1, "a", base, 10.00),
+            (2, "a", base + datetime.timedelta(seconds=10), 20.00),
+            (3, "a", base + datetime.timedelta(seconds=40), 30.00),
+            # a single-sample group: no interval, drops entirely
+            (4, "b", base, 99.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, g string, ts timestamp, value double")
+        out = twap(
+            df, ["g"], "ts", F.round(F.col("value") * 100).cast("long"),
+            "event_id",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.g, r.n_intervals, r.total_ms) == ("a", 2, 40_000)
+        # (1000*10000 + 2000*30000) * 100 div 40000 = 175000 -> 17.50
+        assert r.twap_e4 == 175_000
