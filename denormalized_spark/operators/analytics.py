@@ -217,6 +217,8 @@ def top_event_paths(
     ``n`` emit nothing (the sequence() guard — Spark's sequence(1, m)
     DESCENDS for m < 1, the round-10 gotcha).
     """
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n}, k={k}")
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -481,6 +483,8 @@ def rfm_scores(
     allocation (first N mod t buckets get ceil(N/t) rows), so the
     output is bit-identical to a plain ``ntile(t) OVER (ORDER BY …)``
     while every stage stays partitioned."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     from denormalized_spark.operators.ranking import with_global_row_number
 
     def _ntile(rn: Column, total: Column, t: int) -> Column:
@@ -553,8 +557,10 @@ def basket_lift(
     shuffle once on (item_a, item_b); the item-frequency table joins
     back broadcast-sized after min-support pruning. Never a global
     cross join."""
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
-
+    if min_pair_count < 1 or k < 1:
+        raise ValueError(
+            f"min_pair_count and k must be >= 1, got {min_pair_count}, {k}"
+        )
     bi = df.select(basket_col, item_col).distinct()
     n_baskets = bi.select(basket_col).distinct().count()
     item_freq = bi.groupBy(item_col).agg(F.count("*").alias("n_item"))
@@ -676,6 +682,10 @@ def multi_touch_attribution(
     the binned EQUI-join, never a BNLJ — then position/count are
     windows partitioned by the conversion id (per-conversion groups,
     bounded by the window). Two keyed shuffles total."""
+    if window_ms <= 0 or bin_width_s <= 0:
+        raise ValueError(
+            f"window_ms and bin_width_s must be > 0, got {window_ms}, {bin_width_s}"
+        )
     from pyspark.sql import Window
 
     from denormalized_spark.operators.temporal import range_join
@@ -756,7 +766,8 @@ def benford_digit_test(
     Plan: one (group, digit) count shuffle; the dense 9-digit grid is
     a literal-array explode over the tiny distinct-groups table; the
     per-group N and χ² are windows over ≤9-row partitions. Nothing
-    data-sized moves twice."""
+    data-sized moves twice. Groups whose every value is sub-cent have
+    no digit population and are dropped (their χ² would be 0/0)."""
     c = F.floor(F.col(value_col) * 100).cast("long")
     digits = (
         df.filter(c >= 1)
@@ -788,7 +799,8 @@ def benford_digit_test(
     contrib = (F.col("n_obs").cast("double") - exp) * (
         F.col("n_obs").cast("double") - exp
     ) / exp
-    out = dense.withColumn("_exp", exp).withColumn("_c", contrib)
+    out = dense.withColumn("_tot", n_tot).filter(F.col("_tot") > 0)
+    out = out.withColumn("_exp", exp).withColumn("_c", contrib)
     chi2 = F.sum("_c").over(wg)
     return out.select(
         *group_cols,

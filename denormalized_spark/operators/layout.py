@@ -62,6 +62,17 @@ def zorder_values(
     aggregate broadcast onto the scan — the data pass itself is
     map-only."""
     cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"bits*len(cols) must fit a signed 64-bit value (<= 62 bits), "
+            f"got bits={bits} over {len(cols)} columns"
+        )
+    reserved = {out_col, *(f"_mn_{c}" for c in cols), *(f"_mx_{c}" for c in cols)}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"output/scratch column names collide: {sorted(clash)}")
     bounds = df.agg(
         *[F.min(c).alias(f"_mn_{c}") for c in cols],
         *[F.max(c).alias(f"_mx_{c}") for c in cols],

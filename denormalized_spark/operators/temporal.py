@@ -81,6 +81,8 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if tolerance_ms is not None and tolerance_ms < 0:
+        raise ValueError(f"tolerance_ms must be >= 0, got {tolerance_ms}")
     keys = list(on)
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in keys and c != left_time]
@@ -358,6 +360,8 @@ def range_join(
     week) is handled by AQE skew-join splitting, since this is a
     plain equi-join.
     """
+    if bin_width_s <= 0:
+        raise ValueError(f"bin_width_s must be > 0, got {bin_width_s}")
     keys = list(on)
     w = F.lit(int(bin_width_s))
     lp = _seconds(F.col(left_point), left.schema[left_point].dataType)
@@ -430,6 +434,8 @@ def range_join_stream(
             "streaming range join supports how='inner'|'leftOuter' "
             f"(right side is exploded), got {how!r}"
         )
+    if max_interval_s <= 0:
+        raise ValueError(f"max_interval_s must be > 0, got {max_interval_s}")
     keys = list(on)
     w = F.lit(int(max_interval_s))
     rs = _seconds(F.col(right_start), right.schema[right_start].dataType)

@@ -872,6 +872,7 @@ def events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
              (sum(n_obs) OVER w)::DOUBLE * p AS exp_c
       FROM dense
       WINDOW w AS (PARTITION BY event_type)
+      QUALIFY sum(n_obs) OVER w > 0
     )
     SELECT event_type, digit, n_obs,
            CAST(floor(exp_c * 1000 + 0.5) AS BIGINT) AS exp_milli,
@@ -888,7 +889,7 @@ def events_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
     digit from the CENT-INTEGER string (no cross-libm log10 near
     powers of ten); Benford probabilities injected as 10-digit
     pre-rounded literals in BOTH engines; expected counts and chi^2 on
-    the milli grid. One (type, digit) count shuffle; grid/windows over
+    the milli grid; all-sub-cent groups drop in BOTH engines. One (type, digit) count shuffle; grid/windows over
     <=9-row partitions."""
     from denormalized_spark.operators.analytics import benford_digit_test
 

@@ -258,6 +258,8 @@ def asof_join_stream(
             "tolerance is the finalization horizon (a left row emits once "
             "the watermark passes left_time + tolerance_ms)"
         )
+    if tolerance_ms is not None and tolerance_ms < 0:
+        raise ValueError(f"tolerance_ms must be >= 0, got {tolerance_ms}")
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

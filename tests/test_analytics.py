@@ -752,3 +752,31 @@ class TestTwap:
         assert (r.g, r.n_intervals, r.total_ms) == ("a", 2, 40_000)
         # (1000*10000 + 2000*30000) * 100 div 40000 = 175000 -> 17.50
         assert r.twap_e4 == 175_000
+
+
+def test_parameter_guards_raise(spark):
+    """Boundary guards across the round-10 analytics operators."""
+    import pytest
+
+    from denormalized_spark.operators.analytics import (
+        basket_lift,
+        multi_touch_attribution,
+        rfm_scores,
+        top_event_paths,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "b long, item string")
+    ev = spark.createDataFrame(
+        [(1, None, 1, "v")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(ValueError, match="n and k"):
+        top_event_paths(ev, n=0)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        basket_lift(df, "b", "item", min_pair_count=0)
+    with pytest.raises(ValueError, match="n_tiles"):
+        rfm_scores(ev, "user_id", "ts", F.lit(1), n_tiles=0)
+    with pytest.raises(ValueError, match="window_ms"):
+        multi_touch_attribution(
+            ev, ev, "user_id", "ts", "ts", "event_id", window_ms=0
+        )

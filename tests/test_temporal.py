@@ -309,3 +309,17 @@ class TestResample:
         out = resample(df, "ts", 3600_000, ["k"], [F.avg("v").alias("av")])
         gap = [r for r in out.collect() if r.bin_start.hour == 1]
         assert len(gap) == 1 and gap[0].av is None
+
+
+def test_temporal_parameter_guards(spark):
+    from denormalized_spark.operators.temporal import asof_join, range_join
+
+    left = spark.createDataFrame([], "k long, t timestamp, a long")
+    right = spark.createDataFrame([], "k long, rt timestamp, p double")
+    with pytest.raises(ValueError, match="tolerance_ms"):
+        asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            right_cols=["p"], tolerance_ms=-1,
+        )
+    with pytest.raises(ValueError, match="bin_width_s"):
+        range_join(left, right, "t", "rt", "rt", bin_width_s=0)
