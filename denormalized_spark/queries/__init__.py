@@ -74,7 +74,9 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # market-basket pair lift (within-basket self-join, micro-grid lift),
 # RFM quintiles (scale-safe exact ntile from global row numbers), and
 # the two-proportion z-test A/B analysis (micro-grid z, IEEE sqrt),
-# and lead-duration-weighted TWAP (integer cent-ms products);
+# and lead-duration-weighted TWAP (integer cent-ms products).
+# events_drawdown (running-max peak-to-trough) landed after the window
+# filled — locally triple-SF green, rotates into a future window;
 # (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
 # (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
 # guards), dedup_span_strip (output-name collision guard),

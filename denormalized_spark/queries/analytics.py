@@ -1184,3 +1184,48 @@ def events_twap(spark: SparkSession, sf: str) -> DataFrame:
         e, ["event_type", "day"], "ts",
         F.round(F.col("value") * 100).cast("long"), "event_id",
     )
+
+
+@q(
+    "events_drawdown",
+    """
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, ts, cents,
+             max(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c
+    )
+    SELECT event_type,
+           CAST(max(peak - cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS max_peak_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def events_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per event type: the largest peak-to-trough
+    drop of the value series in (ts, event_id) order — the quant
+    risk classic, expressed as running-max window minus current,
+    then a per-group max. All integer cents, total order pinned.
+    ONE keyed exchange shared by the running-max window and the
+    final aggregate."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.withColumn("peak", F.max("cents").over(w))
+    return r.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cents")).alias("max_drawdown_cents"),
+        F.max("peak").alias("max_peak_cents"),
+    )
