@@ -1229,3 +1229,77 @@ def events_drawdown(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.col("peak") - F.col("cents")).alias("max_drawdown_cents"),
         F.max("peak").alias("max_peak_cents"),
     )
+
+
+@q(
+    "agg_backlog_ledger",
+    """
+    WITH placed AS (
+      SELECT l.l_partkey AS partkey, o.o_orderdate AS ts,
+             0 AS is_ship, l.l_orderkey AS ok, l.l_linenumber AS ln,
+             CAST(l.l_quantity AS BIGINT) AS delta
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    shipped AS (
+      SELECT l_partkey AS partkey, l_shipdate AS ts,
+             1 AS is_ship, l_orderkey AS ok, l_linenumber AS ln,
+             -CAST(l_quantity AS BIGINT) AS delta
+      FROM lineitem
+    ),
+    ledger AS (SELECT * FROM placed UNION ALL SELECT * FROM shipped),
+    run AS (
+      SELECT partkey, delta,
+             sum(delta) OVER (PARTITION BY partkey
+                              ORDER BY ts, is_ship, ok, ln
+                              ROWS UNBOUNDED PRECEDING) AS bal
+      FROM ledger
+    )
+    SELECT partkey,
+           CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(max(bal) AS BIGINT) AS peak_backlog,
+           CAST(sum(delta) AS BIGINT) AS end_balance
+    FROM run GROUP BY partkey
+    """,
+)
+def agg_backlog_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-sourced running ledger: per part, +quantity when an order
+    places it, -quantity when the line ships; the running balance
+    under a pinned total order (ts, leg, orderkey, linenumber) gives
+    the OUTSTANDING BACKLOG curve — emitted as its peak, the move
+    count, and the end balance (exactly 0 for every part in TPC-H:
+    every placed unit ships — a built-in conservation check the hash
+    verifies). The account-balance/event-sourcing projection shape:
+    UNION ALL the signed legs, ONE part-keyed exchange shared by the
+    running-sum window and the final aggregate; all-integer."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    placed = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_ship"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("delta"),
+    )
+    shipped = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_shipdate").alias("ts"),
+        F.lit(1).alias("is_ship"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (-F.col("l_quantity")).cast("long").alias("delta"),
+    )
+    ledger = placed.unionByName(shipped)
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("ts", "is_ship", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ledger.withColumn("bal", F.sum("delta").over(w))
+    return run.groupBy("partkey").agg(
+        F.count("*").alias("n_moves"),
+        F.max("bal").alias("peak_backlog"),
+        F.sum("delta").alias("end_balance"),
+    )
