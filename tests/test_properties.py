@@ -66,6 +66,57 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
 
 
 @given(
+    lefts=st.lists(st.tuples(keys, times), min_size=0, max_size=12),
+    rights=st.dictionaries(st.tuples(keys, times), st.integers(0, 99), max_size=12),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+@settings(**SETTINGS)
+def test_asof_directions_match_pandas(spark, lefts, rights, direction, tolerance):
+    """All three directions × optional tolerance against the real
+    pandas merge_asof — the parity the nearest tie-backward and the
+    tolerance null-out claims rest on. Integer time units; our
+    tolerance_ms is ms so ×1000 bridges the unit."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(99, -1, -1)],
+        "k long, t long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(98, -2, -2)],
+        "k long, rt long, rv long",
+    )
+    got = {
+        (r.k, r.t, r.lid): (r.rv, r.matched_time)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="rt",
+            right_cols=["rv"], direction=direction,
+            tolerance_ms=None if tolerance is None else tolerance * 1000,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(99, -1, -1)],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(98, -2, -2)],
+        columns=["k", "rt", "rv"],
+    ).sort_values("rt", kind="stable")
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction=direction,
+        tolerance=tolerance,
+    )
+    expected = {
+        (int(r.k), int(r.t), int(r.lid)): (
+            None if pd.isna(r.rv) else int(r.rv),
+            None if pd.isna(r.rt) else int(r.rt),
+        )
+        for r in exp.itertuples()
+    }
+    assert got == expected
+
+
+@given(
     points=st.lists(st.tuples(keys, times), min_size=0, max_size=12),
     intervals=st.lists(
         st.tuples(keys, times, st.integers(0, 20)), min_size=0, max_size=6
