@@ -419,8 +419,11 @@ def ab_test_proportions(
     Determinism: counts are exact integers; z's float chain is
     fixed-order (pooled p, variance, one IEEE sqrt — correctly rounded
     per the standard, hence identical cross-engine — one division),
-    floored to micro. Variants with an empty arm or zero pooled
-    variance emit z=0, flagged not-significant.
+    floored to micro. Zero pooled variance (0% or 100% conversion in
+    both arms) emits z=0, flagged not-significant. An EMPTY arm emits
+    an empty result (the 1×1 pivot has no row to join) — an
+    experiment with one arm has no z-test to report; callers wanting
+    a sentinel row should check arm presence first.
 
     Plan: one unit-keyed dedup/agg (assignment + converted-ever per
     unit), one 2-row variant aggregate, a 1-row pivot — everything
@@ -663,6 +666,7 @@ def multi_touch_attribution(
     conv_id: str,
     window_ms: int = 604_800_000,
     bin_width_s: int = 604_800,
+    touch_id: str | None = None,
 ) -> DataFrame:
     """U-shaped (position-based) multi-touch attribution: every
     conversion distributes 10 000 basis points of credit across the
@@ -681,7 +685,14 @@ def multi_touch_attribution(
     operators.temporal.range_join` on (user, [conv−window, conv]) —
     the binned EQUI-join, never a BNLJ — then position/count are
     windows partitioned by the conversion id (per-conversion groups,
-    bounded by the window). Two keyed shuffles total."""
+    bounded by the window). Two keyed shuffles total.
+
+    Determinism: position ordering is (touch_time, ``touch_id``) when
+    ``touch_id`` is given — pass it whenever a user can have two
+    touches at the same timestamp, else the first/last 4000 bp
+    assignment is nondeterministic. Without ``touch_id``, the caller
+    must guarantee (user, touch_time) is unique (the shipped query
+    pre-distincts touches)."""
     if window_ms <= 0 or bin_width_s <= 0:
         raise ValueError(
             f"window_ms and bin_width_s must be > 0, got {window_ms}, {bin_width_s}"
@@ -711,7 +722,10 @@ def multi_touch_attribution(
         bin_width_s=bin_width_s,
         end_inclusive=True,
     )
-    wc = Window.partitionBy("_cid").orderBy(touch_time)
+    order_cols = [F.col(touch_time)] + (
+        [F.col(touch_id)] if touch_id is not None else []
+    )
+    wc = Window.partitionBy("_cid").orderBy(*order_cols)
     wk = Window.partitionBy("_cid")
     pos = F.row_number().over(wc)
     k = F.count("*").over(wk)
@@ -722,17 +736,22 @@ def multi_touch_attribution(
         .when(pos == k, F.lit(4_000))
         .otherwise(F.expr("2000 div (_k - 2)"))
     )
+    out_cols = [
+        F.col("_cid").alias(conv_id),
+        F.col(user_col),
+        F.col(touch_time),
+    ]
+    if touch_id is not None:
+        out_cols.append(F.col(touch_id))
+    out_cols += [
+        F.col("position"),
+        F.col("_k").alias("n_touches"),
+        credit.cast("long").alias("credit_bp"),
+    ]
     return (
         paired.withColumn("_k", k)
         .withColumn("position", pos)
-        .select(
-            F.col("_cid").alias(conv_id),
-            F.col(user_col),
-            F.col(touch_time),
-            "position",
-            F.col("_k").alias("n_touches"),
-            credit.cast("long").alias("credit_bp"),
-        )
+        .select(*out_cols)
     )
 
 

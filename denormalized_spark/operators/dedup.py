@@ -1657,6 +1657,8 @@ def snm_candidate_pairs(
     ``(id_a, id_b, key_a, key_b)`` with id_a preceding id_b."""
     from denormalized_spark.operators.ranking import with_global_row_number
 
+    if window < 2:
+        raise ValueError(f"snm_candidate_pairs: window must be >= 2, got {window}")
     k = F.col(sort_key) if isinstance(sort_key, str) else sort_key
     base = df.select(F.col(id_col).alias("_id"), k.alias("_k"))
     rn = with_global_row_number(

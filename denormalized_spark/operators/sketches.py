@@ -610,12 +610,16 @@ def bloom_probe(
     ``n_hashes`` of the key's bits are set (no false negatives; false
     positives at the (1−e^(−kn/m))^k rate). The filter (≤ m_bits
     rows) broadcasts; the probe stream explodes to k rows per key and
-    the verdict is one keyed count — map-side join, scan speed."""
+    the verdict is one keyed count — map-side join, scan speed.
+    Probe keys are deduplicated up front: without the distinct, a key
+    appearing twice would contribute 2k joined bits and the
+    count == k test would report a FALSE NEGATIVE, violating the
+    Bloom guarantee (r10 ADVICE)."""
     c = F.col(key_col)
-    pb = probes.select(
-        c.alias(key_col),
+    pb = probes.select(c.alias(key_col)).distinct().select(
+        F.col(key_col),
         F.explode(
-            F.array(*[bloom_hash(c, i, m_bits) for i in range(n_hashes)])
+            F.array(*[bloom_hash(F.col(key_col), i, m_bits) for i in range(n_hashes)])
         ).alias("bit"),
     )
     hit = pb.join(

@@ -446,10 +446,19 @@ def range_join_stream(
         "_bin", F.floor(lp / w)
     )
     # ≤2 bins per interval under the contract (cap the sequence so an
-    # over-long interval can't explode unboundedly either)
+    # over-long interval can't explode unboundedly either). The stop is
+    # clamped with greatest(): a malformed interval with end < start
+    # would otherwise make sequence() DESCEND (Spark emits a reversed
+    # range, not an empty one) and fabricate bins; clamped, such rows
+    # get exactly one bin and the end-bound join predicate drops them.
     rb = right.withWatermark(right_start, watermark).withColumn(
         "_bin",
-        F.explode(F.sequence(F.floor(rs / w), F.floor(F.least(re_, rs + w) / w))),
+        F.explode(
+            F.sequence(
+                F.floor(rs / w),
+                F.greatest(F.floor(rs / w), F.floor(F.least(re_, rs + w) / w)),
+            )
+        ),
     )
     lpc, rsc = lb[left_point], rb[right_start]
     contain = lpc >= rsc

@@ -90,30 +90,28 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # this session by the full-registry tools/check_correctness.py sweep at
 # sf0.001/0.01/0.1.
 _DRIVER_PRIORITY = [
-    # brand-new r10 operators — never driver-verified
-    "window_salted_1h", "window_udaf_wavg", "text_bm25_topk",
-    "sketch_bloom_bits", "sketch_bloom_probe",
-    "dedup_winnow_fingerprints", "dedup_winnow_pairs",
-    "events_cusum_alarms", "sim_jl_project", "sim_jl_distortion",
-    "sketch_cs_cells", "sketch_cs_f2",
-    "sim_pca_moments", "sim_pca_project",
-    "dedup_snm_pairs", "events_seasonal_residuals", "sketch_hll_intersect",
-    "dedup_weighted_minhash", "sketch_mg_heavy_hitters",
-    "join_asof_nearest_click", "join_asof_forward_conversion",
-    "dedup_gram_novelty", "layout_zorder_events", "window_resample_interp",
-    "over_range_trailing_30d", "events_top_paths", "events_mad_outliers",
-    "events_benford_digits", "events_attribution_u", "agg_gini_spend",
-    "agg_basket_lift", "agg_rfm_customers", "events_ab_test", "events_twap",
-    # operator code changed this round — re-prove under the new code
-    "sketch_hll_registers", "sketch_hll_distinct", "sketch_hll_group_distinct",
-    "sim_kcenter_select", "dedup_span_strip", "events_decayed_counts",
-    "dedup_lsh_candidates", "sim_lsh_buckets", "dedup_embedding_neardup",
-    "curation_semantic_decontaminate", "dedup_near_gate",
-    # latest green r4 — all 4
-    "join_full_user_activity", "scalar_datetime",
-    "window_global_tumbling_6h", "window_session_dynamic_gap",
-    # oldest r5 entries filling the window to 50
-    "curation_chunk_dup_rate",
+    # r10 driver-reds, reshaped this round (posexplode → rows) — must go green
+    "sim_jl_project", "dedup_weighted_minhash",
+    # landed r10 after the window filled — never driver-run
+    "events_drawdown", "agg_backlog_ledger",
+    # staleness drain: the entire latest-green-r5 cohort (35)
+    "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
+    "curation_drift_report", "curation_quality_monitor", "curation_validate",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
+    "dedup_simhash", "sim_batch_topk", "sim_hard_negatives", "sim_ivf_recall",
+    "sim_outlier_scores", "sim_quantize_int8", "sim_threshold_pairs",
+    "sim_topk_quantized_query0", "sim_topk_query0", "text_bigram_quality",
+    "text_bpe_pairs", "text_frequency_spectrum", "text_gopher_rules",
+    "text_lang_mismatch", "text_langid_accuracy", "text_langid_ngram_confusion",
+    "text_quality_classifier", "text_quality_percentile_gate", "text_repetition",
+    "text_stats", "text_structure_stats", "text_tfidf_keywords",
+    "text_token_entropy", "text_token_totals", "text_unigram_quality",
+    "window_ohlc",
+    # oldest r6 entries filling the window to 50
+    "curation_chunks", "curation_contamination_report", "curation_decontaminate",
+    "curation_eval_sample", "curation_mixture", "curation_mixture_solver",
+    "curation_pack", "curation_split_leakage", "dedup_cluster_representatives",
+    "dedup_connected_components", "dedup_containment_pairs",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -4384,7 +4384,8 @@ def _jl_comp_sql(j: int, dim: int = 64, out_dim: int = 16) -> str:
     "sim_jl_project",
     f"""
     SELECT vec_id,
-           [{", ".join(_jl_comp_sql(j) for j in range(16))}] AS jl_proj
+           unnest(range(0, 16)) AS component_idx,
+           unnest([{", ".join(_jl_comp_sql(j) for j in range(16))}]) AS jl_value
     FROM embeddings
     """,
 )
@@ -4393,8 +4394,16 @@ def sim_jl_project(spark: SparkSession, sf: str) -> DataFrame:
     2003): the cheap distance-preserving squeeze in front of scoring/
     clustering/ANN — 4× fewer bytes through every downstream shuffle.
     Map-only scan, sign matrix constant-folded; every component
-    hash-checked against the oracle's identical literal arithmetic."""
-    return similarity.jl_project(t(spark, sf, "embeddings"), dim=64, out_dim=16)
+    hash-checked against the oracle's identical literal arithmetic.
+    The operator returns ``(vec_id, jl_proj array<double>)``; the
+    registry entry posexplodes to ``(vec_id, component_idx, jl_value)``
+    rows because the driver's canonicalizer (pandas sort_values over
+    all columns) cannot hash ndarray cells — r10 driver-red lesson,
+    mirrored by the oracle's zipped unnest."""
+    p = similarity.jl_project(t(spark, sf, "embeddings"), dim=64, out_dim=16)
+    return p.select(
+        "vec_id", F.posexplode("jl_proj").alias("component_idx", "jl_value")
+    ).withColumn("component_idx", F.col("component_idx").cast("long"))
 
 
 @q(
@@ -4758,7 +4767,10 @@ def sketch_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
            CAST(min((1688879376 * hh + 2126896705) % 2147483647) AS BIGINT) AS s15
       FROM hh GROUP BY doc_id
     )
-    SELECT doc_id, [s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15] AS wmh FROM sl
+    SELECT doc_id,
+           unnest(range(0, 16)) AS slot,
+           unnest([s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15]) AS wmh_value
+    FROM sl
     """,
 )
 def dedup_weighted_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -4769,10 +4781,18 @@ def dedup_weighted_minhash(spark: SparkSession, sf: str) -> DataFrame:
     similarity a tf-aware dedup wants. Same universal-hash family as
     the set MinHash, so LSH banding downstream is shared; every slot
     replayed exactly by the oracle. Estimator-accuracy test in
-    tests/test_near_dedup.py."""
+    tests/test_near_dedup.py. The operator keeps its
+    ``(doc_id, wmh array<long>)`` shape; the registry entry
+    posexplodes to ``(doc_id, slot, wmh_value)`` rows because the
+    driver's canonicalizer cannot hash ndarray cells (r10
+    driver-red), mirrored by the oracle's zipped unnest over the
+    existing s0..s15 CTE columns."""
     from denormalized_spark.operators import dedup
 
-    return dedup.weighted_minhash_signatures(t(spark, sf, "documents"))
+    sig = dedup.weighted_minhash_signatures(t(spark, sf, "documents"))
+    return sig.select(
+        "doc_id", F.posexplode("wmh").alias("slot", "wmh_value")
+    ).withColumn("slot", F.col("slot").cast("long"))
 
 
 @q(

@@ -586,6 +586,32 @@ class TestMultiTouchAttribution:
         ).collect()
         assert sorted(r.credit_bp for r in out) == [5000, 5000]
 
+    def test_duplicate_timestamp_tiebreak_by_touch_id(self, spark):
+        """r10 ADVICE: two touches at the same instant made the
+        first/last 4000 bp assignment nondeterministic; the touch_id
+        parameter pins the total order."""
+        import datetime
+
+        from denormalized_spark.operators.analytics import multi_touch_attribution
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        t = base - datetime.timedelta(minutes=5)
+        touches = spark.createDataFrame(
+            [(1, t, 30), (1, t, 10), (1, t, 20)],
+            "user_id long, ts timestamp, touch_id long",
+        )
+        convs = spark.createDataFrame(
+            [(7, 1, base)], "event_id long, user_id long, ts timestamp"
+        )
+        for _ in range(3):  # stable across plan re-executions
+            out = multi_touch_attribution(
+                touches.repartition(5), convs, "user_id", "ts", "ts",
+                "event_id", window_ms=600_000, bin_width_s=600,
+                touch_id="touch_id",
+            ).collect()
+            by_tid = {r.touch_id: (r.position, r.credit_bp) for r in out}
+            assert by_tid == {10: (1, 4000), 20: (2, 2000), 30: (3, 4000)}
+
 
 class TestGiniConcentration:
     def test_closed_forms(self, spark):

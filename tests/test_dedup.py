@@ -857,3 +857,14 @@ def test_snm_candidate_pairs(spark):
         ).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_snm_rejects_window_below_two(spark):
+    # r10 ADVICE: window=1 used to divide by zero in the block
+    # assignment; window<2 is meaningless and now raises like the
+    # sibling operators' param validation.
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, key string")
+    with pytest.raises(ValueError, match="window"):
+        dedup.snm_candidate_pairs(df, "key", window=1)

@@ -380,6 +380,18 @@ def test_bloom_merge_law_and_no_false_negatives(spark):
     assert mem.filter(~F.col("bloom_member")).count() == 0
 
 
+def test_bloom_probe_duplicate_probe_keys_no_false_negative(spark):
+    """r10 ADVICE: a probe key appearing twice used to contribute
+    2k joined bits, failing the count == k membership test — a false
+    negative. The probe side now dedupes keys first."""
+    ins = _keys(spark, 50, "in")
+    bits = sketches.bloom_bits(ins, "k", m_bits=4096, n_hashes=4)
+    dup_probes = ins.unionByName(ins).unionByName(ins)  # every key ×3
+    mem = sketches.bloom_probe(bits, dup_probes, "k", m_bits=4096, n_hashes=4)
+    assert mem.count() == 50  # one verdict row per distinct key
+    assert mem.filter(~F.col("bloom_member")).count() == 0
+
+
 def test_bloom_fpp_within_theory(spark):
     # n=500 keys in m=16384 bits, k=4: fpp = (1-e^(-4*500/16384))^4 ~ 1.7e-4...
     # use a smaller filter so the rate is measurable: m=2048 ->

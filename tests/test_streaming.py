@@ -534,6 +534,33 @@ def test_stream_stream_range_join_rejects_right_outer(ctx):
         )
 
 
+def test_stream_range_join_malformed_interval_emits_nothing(ctx):
+    """r10 ADVICE: an interval with end < start used to make the bin
+    sequence() DESCEND (Spark emits a reversed range, not an empty
+    one), fabricating spurious bins. The clamped stop gives such rows
+    exactly one bin and the end-bound predicate drops them. The plan
+    is batch-executable (withWatermark is a no-op on batch), so the
+    bin arithmetic is tested without a streaming run."""
+    import datetime
+
+    from denormalized_spark.operators.temporal import range_join_stream
+
+    spark = ctx.spark
+    base = datetime.datetime(2024, 1, 1)
+    at = lambda m: base + datetime.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, at(5)), (1, at(25))], "uid long, pt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, at(0), at(10), "good"), (1, at(30), at(20), "bad")],
+        "uid long, s timestamp, e timestamp, camp string",
+    )
+    rows = range_join_stream(
+        left, right, "pt", "s", "e", on=["uid"], max_interval_s=1200
+    ).collect()
+    assert [(r.uid, r.camp) for r in rows] == [(1, "good")]
+
+
 def test_streaming_text_quality_pipeline(ctx, sf_dir):
     """The LLM-pipeline text operators (stateless projections) run
     unchanged on the streaming path: stream the documents table,

@@ -102,7 +102,22 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            _df = fn(spark, SF_DIR)
+            from pyspark.sql.types import ArrayType, MapType
+
+            nested = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in _df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]
+            if nested:
+                # The driver canonicalizer (pandas sort_values over all
+                # columns) dies on ndarray/dict cells — r10 driver-red.
+                print(f"FAIL {name}: array/map output column(s) would crash "
+                      f"the driver canonicalizer: {nested} — posexplode to rows")
+                n_fail += 1
+                continue
+            sdf = _df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:150]}")
             n_fail += 1
