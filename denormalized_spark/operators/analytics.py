@@ -1189,3 +1189,96 @@ def seasonal_residuals(
         "residual_micro",
         z.alias("resid_z_milli"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function (Box & Jenkins): for lags
+    1..``max_lag`` over a PRE-AGGREGATED regular series (one row per
+    period, integer-valued ``value_col`` — cents/counts), emit
+    ``(lag, n_pairs, acf_micro)`` with
+
+        r_ℓ = Σ_{t≤n−ℓ} (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_t (x_t − x̄)²
+
+    micro-floored. The standard seasonality/memory probe (a weekly
+    cycle shows as a positive spike at lag 7) in front of forecasting
+    or anomaly models.
+
+    Engine-exact: multiply through by n² so deviations become the
+    INTEGERS n·x_t − S; products/sums run in decimal(38,0) (Spark) ↔
+    HUGEINT (DuckDB) — bit-identical under any partitioning — and the
+    single num/den double division rounds on the micro grid (the
+    correctly-rounded int→double conversion both engines share).
+    Lag pairing is by position rank, not calendar arithmetic, so gaps
+    in the series don't silently misalign lags (document your gap
+    policy upstream: fill or accept rank-adjacency).
+
+    Scale shape: the input is a PERIOD-level series — days/hours, i.e.
+    metadata-sized relative to the events that built it (the caller's
+    groupBy is the data-sized pass). The rank + lag self-join here run
+    on that small series; the join is an equi-join on (rank+lag), the
+    1-row stats frame broadcasts. A 100 TB corpus still yields only
+    ~thousands of periods."""
+    if max_lag < 1:
+        raise ValueError(f"autocorrelation: max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    # position index: the series is period-level metadata (see
+    # docstring) — the single-partition rank stage is sanctioned
+    rn = series.select(
+        F.row_number()
+        .over(Window.orderBy(F.col(order_col)))
+        .alias("_rn"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    stats = rn.agg(
+        F.count("*").alias("_n"), F.sum("_x").alias("_s")
+    )
+    dev = (F.col("_n") * F.col("_x") - F.col("_s")).cast("decimal(38,0)")
+    based = rn.crossJoin(F.broadcast(stats)).select(
+        "_rn", dev.alias("_d"), "_n"
+    )
+    den = based.agg(
+        F.sum(F.col("_d") * F.col("_d")).alias("_den"),
+        F.first("_n").alias("_n"),
+    )
+    lagged = based.select(
+        "_rn",
+        F.col("_d").alias("_d1"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).withColumn("_rn2", F.col("_rn") + F.col("lag"))
+    pairs = lagged.join(
+        based.select(F.col("_rn").alias("_rn2"), F.col("_d").alias("_d2")),
+        "_rn2",
+    )
+    nums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("_d1") * F.col("_d2")).alias("_num"),
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs"),
+            # a constant series has zero variance — ACF is undefined;
+            # emit 0 rather than NaN so downstream schemas stay long
+            F.when(
+                F.col("_den") > 0,
+                F.floor(
+                    F.col("_num").cast("double")
+                    / F.col("_den").cast("double")
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )

@@ -167,3 +167,134 @@ def hits(
     if auth is None:  # iterations == 0
         auth = nodes.withColumn("auth", F.lit(1.0))
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def covisitation_edges(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_users_per_item: int | None = 64,
+) -> DataFrame:
+    """Project a bipartite (user, item) interaction stream onto the
+    user–user co-visitation graph: an undirected edge ``(u, v)``,
+    ``u < v``, whenever two users touched the same item. The standard
+    first step of interaction-graph analytics (communities, triangle
+    cohesion, recommendation neighborhoods).
+
+    Scale shape — the repo's bucket-cap contract
+    (operators/_bucketing.py): distinct (item, user) first (corpus →
+    one keyed dedup), then per-item bucket-collect with
+    ``max_users_per_item`` dropping degenerate items WHOLE (an item
+    every user touched is not co-visitation evidence — same reasoning
+    as an over-cap LSH bucket; oracles mirror with HAVING BETWEEN).
+    Pair fan-out is therefore ≤ cap²/2 per item, never
+    corpus-quadratic. Output edges are distinct."""
+    from denormalized_spark.operators._bucketing import capped_bucket_collect
+
+    iu = df.select(F.col(item_col).alias("_it"), F.col(user_col).alias("_u")).distinct()
+    buckets = capped_bucket_collect(
+        iu, ["_it"], F.col("_u"), "_us", max_users_per_item
+    )
+    us = F.col("_us")
+    pair_arrays = F.flatten(
+        F.transform(
+            us,
+            lambda x, i: F.transform(
+                F.slice(us, i + 2, F.greatest(F.size(us) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select("_p.u", "_p.v")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Global triangle census of an undirected graph given as distinct
+    ``u < v`` edges: one row ``(n_nodes, n_edges, n_wedges,
+    n_triangles, clustering_micro)`` where ``n_wedges`` = Σ C(deg,2)
+    (paths of length 2) and ``clustering_micro`` is the global
+    clustering coefficient 3·triangles/wedges on the micro grid — the
+    graph-cohesion summary (social graphs ≫ random graphs here).
+
+    Algorithm — degree-ordered orientation (node-iterator++ /
+    Suri & Vassilvitskii 2011, the MapReduce-standard form): orient
+    every edge from the (degree, id)-SMALLER endpoint to the larger,
+    so each triangle is counted exactly once from its lowest-degree
+    corner and per-node oriented out-degree is O(√m) on any graph —
+    the skew bound that makes the wedge join safe on power-law
+    graphs (a celebrity node generates wedges only from its LOW-degree
+    neighbors, never deg² of its own).
+
+    Plan: degree table (one edge-keyed agg over the exploded
+    endpoints), two broadcast-friendly equi-joins to attach endpoint
+    degrees, the wedge self-join keyed on the oriented source, and a
+    semi-join of wedges against oriented edges — all equi-joins,
+    integer-exact, no BNLJ anywhere. Output is 1-row metadata."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # orient low → high by (degree, id): src precedes dst
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("b"),
+                         F.col("dd").alias("db"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("c"),
+                         F.col("dd").alias("dc"))
+    # wedge (b, c) from shared low corner src, ordered by the SAME
+    # (degree, id) total order the orientation used, so the closing
+    # edge is oriented b→c and the semi-join below finds it
+    wedges = w1.join(w2, "src").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+    )
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (
+        base.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double")
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("clustering_micro"),
+        )
+    )

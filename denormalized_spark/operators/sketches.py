@@ -334,6 +334,59 @@ def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFr
     )
 
 
+def kmv_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """The full set-operation algebra from two bottom-k sketches alone
+    (Beyer et al. 2007, §4 — the theta-sketch framework's KMV core):
+    one row ``(est_a, est_b, est_union, kmv_jaccard, est_intersect,
+    est_diff_a, est_diff_b)``.
+
+    - ``est_union``: the merged sketch IS a valid sketch of A ∪ B, so
+      its (k−1)/h_k estimator applies directly (exact count when the
+      union has < k distinct hashes).
+    - ``kmv_jaccard``: overlap fraction of the merged bottom-k
+      (a uniform sample of the union), as :func:`kmv_jaccard`.
+    - ``est_intersect`` = J · |A∪B| (the standard composition), and
+      the differences by inclusion-exclusion: |A\\B| = |A| − |A∩B|,
+      clamped at 0 (sketch noise can push tiny differences negative).
+
+    Why this matters at 100 TB: two crawls sketch independently at
+    scan speed (k rows out each); EVERY pairwise overlap/difference
+    question after that combines two k-row metadata tables — no
+    cross-corpus join. All order statistics are exact integers; the
+    float chain is fixed-order and rounded to 4 decimals, so the
+    DuckDB oracle replays it bit-for-bit."""
+    a1 = sketch_a.agg(F.count("*").alias("_na"), F.max("kmv_h").alias("_ha"))
+    b1 = sketch_b.agg(F.count("*").alias("_nb"), F.max("kmv_h").alias("_hb"))
+    ell = kmv_merge(k, sketch_a, sketch_b)
+    u1 = ell.agg(F.count("*").alias("_l"), F.max("kmv_h").alias("_hu"))
+    both = sketch_a.join(sketch_b, "kmv_h")
+    m1 = ell.join(both, "kmv_h").agg(F.count("*").alias("_m"))
+    est = lambda n, h: F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / h.cast("double")
+    )
+    j = (
+        a1.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(u1))
+        .crossJoin(F.broadcast(m1))
+    )
+    ea = est(F.col("_na"), F.col("_ha"))
+    eb = est(F.col("_nb"), F.col("_hb"))
+    eu = est(F.col("_l"), F.col("_hu"))
+    jac = F.col("_m").cast("double") / F.col("_l").cast("double")
+    ei = jac * eu
+    return j.select(
+        F.round(ea, 4).alias("est_a"),
+        F.round(eb, 4).alias("est_b"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(jac, 4).alias("kmv_jaccard"),
+        F.round(ei, 4).alias("est_intersect"),
+        F.round(F.greatest(ea - ei, F.lit(0.0)), 4).alias("est_diff_a"),
+        F.round(F.greatest(eb - ei, F.lit(0.0)), 4).alias("est_diff_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # equi-width histogram sketch (mergeable quantiles)
 # ---------------------------------------------------------------------------

@@ -484,3 +484,65 @@ def range_join_stream(
     for k in keys:
         joined = joined.drop(rb[k])
     return joined.drop("_bin")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 (Kimball's warehouse classic):
+    fold a change-log ``(key, ts, attrs)`` into validity intervals —
+    one row per (key, run of identical attrs) with ``valid_from``,
+    ``valid_to`` (NULL on the current row), 1-based ``version`` and
+    ``is_current``. Consecutive log rows whose ``attr_cols`` are all
+    unchanged COLLAPSE into one interval (null-safe comparison, so a
+    NULL→NULL attribute is "unchanged"); re-appearing values open a
+    NEW version (SCD2 history, not distinct states).
+
+    Not in the reference (its surface is joins/windows/aggregates) —
+    this is the standard dimension-maintenance operator a warehouse
+    user expects next to the as-of join (the as-of join PROBES the
+    intervals this operator BUILDS).
+
+    Scale shape: everything is windows over ``partitionBy(key_cols)``
+    — ONE key-hash shuffle total (Spark reuses the exchange across the
+    lag/cumsum/lead passes since partitioning and intra-partition sort
+    agree), no joins, no driver collects. Per-key state is the run
+    counter — O(1). Determinism: the total order inside a key is
+    (ts, ``tiebreak_col``); pass the tiebreak whenever one key can log
+    twice at the same timestamp (the repo's pinned-total-order
+    standard), else equal-ts rows make run boundaries nondeterministic.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_intervals: attr_cols must be non-empty")
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    prev = F.lag(cur).over(w)
+    # null-safe "changed" flag: first row of the key, or any attr differs
+    changed = F.when(prev.isNull(), F.lit(1)).otherwise(
+        F.when(cur.eqNullSafe(prev), F.lit(0)).otherwise(F.lit(1))
+    )
+    runs = df.withColumn("_chg", changed).withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = runs.groupBy(*key_cols, "version").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    # F.first inside the grouped agg is safe: every row in a
+    # (key, version) group carries identical attrs by construction
+    wv = Window.partitionBy(*key_cols).orderBy("version")
+    nxt = F.lead("valid_from").over(wv)
+    return iv.select(
+        *key_cols,
+        *attr_cols,
+        F.col("version").cast("long").alias("version"),
+        F.col("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

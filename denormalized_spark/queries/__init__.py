@@ -94,6 +94,11 @@ _DRIVER_PRIORITY = [
     "sim_jl_project", "dedup_weighted_minhash",
     # landed r10 after the window filled — never driver-run
     "events_drawdown", "agg_backlog_ledger",
+    # brand-new r11 operators — never driver-verified
+    "scd2_user_state", "events_acf_daily", "graph_covisit_triangles",
+    "sketch_kmv_set_ops",
+    # operator code changed r11 (probe-key dedup) — re-prove
+    "sketch_bloom_probe",
     # staleness drain: the entire latest-green-r5 cohort (35)
     "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
@@ -110,8 +115,6 @@ _DRIVER_PRIORITY = [
     # oldest r6 entries filling the window to 50
     "curation_chunks", "curation_contamination_report", "curation_decontaminate",
     "curation_eval_sample", "curation_mixture", "curation_mixture_solver",
-    "curation_pack", "curation_split_leakage", "dedup_cluster_representatives",
-    "dedup_connected_components", "dedup_containment_pairs",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1303,3 +1303,157 @@ def agg_backlog_ledger(spark: SparkSession, sf: str) -> DataFrame:
         F.max("bal").alias("peak_backlog"),
         F.sum("delta").alias("end_balance"),
     )
+
+
+@q(
+    "scd2_user_state",
+    """
+    WITH flg AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flg
+    ),
+    iv AS (
+      SELECT user_id, event_type, version, min(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, version
+    )
+    SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL) AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build (Kimball type-2 history) from the events
+    change-log: each user's event_type runs folded into validity
+    intervals with version numbers and a current flag — the
+    warehouse-maintenance operator the as-of join then probes
+    point-in-time. One user-keyed shuffle serves the change flag, the
+    run counter, the interval agg and the lead() close-out (same
+    exchange: partitioning + sort agree); (ts, event_id) pins the
+    total order per the repo's tiebreak standard."""
+    from denormalized_spark.operators.temporal import scd2_intervals
+
+    e = t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2_intervals(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+@q(
+    "events_acf_daily",
+    """
+    WITH ser AS (
+      SELECT o_orderdate::DATE AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    rn AS (SELECT row_number() OVER (ORDER BY d) AS rn, x FROM ser),
+    st AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS s FROM rn),
+    dv AS (SELECT rn, (st.n::HUGEINT * x::HUGEINT - st.s) AS dev FROM rn, st),
+    den AS (SELECT sum(dev * dev) AS den FROM dv),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pr AS (
+      SELECT l.lag, count(*)::BIGINT AS n_pairs, sum(a.dev * b.dev) AS num
+      FROM dv a JOIN lags l ON true JOIN dv b ON b.rn = a.rn + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(pr.lag AS BIGINT) AS lag, n_pairs,
+           CAST(floor(num::DOUBLE / den.den::DOUBLE * 1000000 + 0.5) AS BIGINT)
+             AS acf_micro
+    FROM pr, den ORDER BY lag
+    """,
+)
+def events_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1-7
+    (Box-Jenkins ACF — the seasonality/memory probe in front of any
+    forecasting or anomaly model; a weekly cycle spikes lag 7). The
+    data-sized pass is the one groupBy(order date); the ACF itself
+    runs on the period-level series (metadata: ~2.4k days at any
+    corpus size). Integer-exact n²-scaled deviations in decimal(38,0)
+    ↔ HUGEINT; the single num/den division micro-floors on both
+    engines — see operators/analytics.autocorrelation."""
+    from denormalized_spark.operators.analytics import autocorrelation
+
+    o = t(spark, sf, "orders")
+    ser = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    return autocorrelation(ser, "d", "x", max_lag=7)
+
+
+_COVIS_CAP = 16
+
+
+@q(
+    "graph_covisit_triangles",
+    f"""
+    WITH iu AS (
+      SELECT DISTINCT (props->>'k') || '|' || (date_trunc('day', ts)::DATE)::VARCHAR AS it,
+             user_id AS u
+      FROM events
+    ),
+    ok AS (SELECT it FROM iu GROUP BY it
+           HAVING count(*) BETWEEN 2 AND {_COVIS_CAP}),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM iu a JOIN iu b ON a.it = b.it AND a.u < b.u
+          JOIN ok ON ok.it = a.it),
+    deg AS (SELECT n, count(*)::BIGINT AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+    ed AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv FROM e
+           JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+                 CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+                 CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+          FROM ed),
+    w AS (SELECT a.src, a.dst AS b, c.dst AS c FROM o a JOIN o c ON a.src = c.src
+          WHERE (a.dd, a.dst) < (c.dd, c.dst)),
+    tri AS (SELECT count(*)::BIGINT AS t FROM w
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.b AND o.dst = w.c))
+    SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+           (SELECT count(*)::BIGINT FROM e) AS n_edges,
+           (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+                THEN CAST(floor(3::DOUBLE * (SELECT t FROM tri)::DOUBLE
+                                / (SELECT sum(d * (d - 1) // 2) FROM deg)::DOUBLE
+                                * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS clustering_micro
+    """,
+)
+def graph_covisit_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the user co-visitation graph: users edge
+    when they touch the same (item, day) — the interaction-graph
+    projection under the repo bucket-cap contract (degenerate items
+    drop WHOLE, HAVING-mirrored) — then degree-ordered triangle
+    counting (Suri & Vassilvitskii 2011: every triangle counted once
+    from its lowest-degree corner, oriented out-degree O(√m) even on
+    power-law graphs). Emits the 1-row cohesion summary incl. the
+    global clustering coefficient. All equi-joins; integer-exact to
+    the final micro-floored ratio."""
+    from denormalized_spark.operators.graph import (
+        covisitation_edges,
+        triangle_stats,
+    )
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.concat_ws(
+            "|",
+            F.get_json_object("props", "$.k"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+        ).alias("item"),
+    )
+    edges = covisitation_edges(e, "user_id", "item", max_users_per_item=_COVIS_CAP)
+    return triangle_stats(edges)

@@ -4847,3 +4847,60 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     return sketches.misra_gries_merged(d, "tok", "lang", k=8)
+
+
+@q(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH ta AS (SELECT DISTINCT tok FROM
+                 (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en')),
+    tb AS (SELECT DISTINCT tok FROM
+                 (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang != 'en')),
+    ska AS (SELECT kmv_h FROM (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS kmv_h FROM ta)
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    skb AS (SELECT kmv_h FROM (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS kmv_h FROM tb)
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    ell AS (SELECT kmv_h FROM (SELECT DISTINCT kmv_h FROM
+                 (SELECT kmv_h FROM ska UNION ALL SELECT kmv_h FROM skb))
+            ORDER BY kmv_h LIMIT {_KMV_K}),
+    a1 AS (SELECT count(*)::BIGINT AS na, max(kmv_h) AS ha FROM ska),
+    b1 AS (SELECT count(*)::BIGINT AS nb, max(kmv_h) AS hb FROM skb),
+    u1 AS (SELECT count(*)::BIGINT AS l, max(kmv_h) AS hu FROM ell),
+    m1 AS (SELECT count(*)::BIGINT AS m FROM ell
+           JOIN ska USING (kmv_h) JOIN skb USING (kmv_h)),
+    es AS (
+      SELECT CASE WHEN na < {_KMV_K} THEN na::DOUBLE
+                  ELSE {_KMV_K - 1}::DOUBLE * 1152921504606846976::DOUBLE / ha::DOUBLE END AS ea,
+             CASE WHEN nb < {_KMV_K} THEN nb::DOUBLE
+                  ELSE {_KMV_K - 1}::DOUBLE * 1152921504606846976::DOUBLE / hb::DOUBLE END AS eb,
+             CASE WHEN l < {_KMV_K} THEN l::DOUBLE
+                  ELSE {_KMV_K - 1}::DOUBLE * 1152921504606846976::DOUBLE / hu::DOUBLE END AS eu,
+             m::DOUBLE / l::DOUBLE AS jac
+      FROM a1, b1, u1, m1
+    )
+    SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+           round(eu, 4) AS est_union, round(jac, 4) AS kmv_jaccard,
+           round(jac * eu, 4) AS est_intersect,
+           round(greatest(ea - jac * eu, 0.0), 4) AS est_diff_a,
+           round(greatest(eb - jac * eu, 0.0), 4) AS est_diff_b
+    FROM es
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """The full KMV set-operation algebra (Beyer et al. 2007; the
+    theta-sketch core) over the English vs non-English token sets:
+    union from the merged sketch's k-th order statistic, intersection
+    as Jaccard x union, differences by inclusion-exclusion — every
+    pairwise overlap question two 100 TB crawls can ask, answered from
+    two 64-row metadata tables with no cross-corpus join. Extends
+    `sketch_kmv_overlap` (Jaccard only); order statistics exact, the
+    fixed-order float chain replayed to 4 decimals by the oracle."""
+    from denormalized_spark.operators import sketches
+
+    d = t(spark, sf, "documents")
+    toks = lambda cond: d.filter(cond).select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sa = sketches.kmv_sketch(toks(F.col("lang") == "en").distinct(), "tok", _KMV_K)
+    sb = sketches.kmv_sketch(toks(F.col("lang") != "en").distinct(), "tok", _KMV_K)
+    return sketches.kmv_set_estimates(sa, sb, _KMV_K)

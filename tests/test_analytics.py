@@ -806,3 +806,45 @@ def test_parameter_guards_raise(spark):
         multi_touch_attribution(
             ev, ev, "user_id", "ts", "ts", "event_id", window_ms=0
         )
+
+
+class TestAutocorrelation:
+    def test_alternating_series_closed_form(self, spark):
+        """Perfect period-2 alternation: deviations are ±c, so
+        r_ell = (n-ell)/n with sign (-1)^ell — exact on the micro grid."""
+        from denormalized_spark.operators.analytics import autocorrelation
+
+        n = 20
+        ser = spark.createDataFrame(
+            [(i, 100 if i % 2 == 0 else 200) for i in range(n)], "p long, x long"
+        )
+        got = {r.lag: (r.n_pairs, r.acf_micro)
+               for r in autocorrelation(ser, "p", "x", max_lag=3).collect()}
+        assert got == {1: (19, -950_000), 2: (18, 900_000), 3: (17, -850_000)}
+
+    def test_constant_series_emits_zero(self, spark):
+        from denormalized_spark.operators.analytics import autocorrelation
+
+        ser = spark.createDataFrame([(i, 7) for i in range(10)], "p long, x long")
+        rows = autocorrelation(ser, "p", "x", max_lag=2).collect()
+        assert [r.acf_micro for r in rows] == [0, 0]
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.analytics import autocorrelation
+
+        ser = spark.createDataFrame(
+            [(i, (i * 37) % 101) for i in range(50)], "p long, x long"
+        )
+        key = lambda df: sorted((r.lag, r.n_pairs, r.acf_micro) for r in df.collect())
+        assert key(autocorrelation(ser, "p", "x", 5)) == key(
+            autocorrelation(ser.repartition(9), "p", "x", 5)
+        )
+
+    def test_rejects_bad_lag(self, spark):
+        import pytest
+
+        from denormalized_spark.operators.analytics import autocorrelation
+
+        ser = spark.createDataFrame([(1, 1)], "p long, x long")
+        with pytest.raises(ValueError, match="max_lag"):
+            autocorrelation(ser, "p", "x", max_lag=0)

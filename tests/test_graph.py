@@ -151,3 +151,70 @@ def test_hits_partitioning_invariant(spark):
     ).collect()
     key = lambda rs: sorted((r["node"], r["hub"], r["auth"]) for r in rs)
     assert key(a) == key(b)
+
+
+class TestTriangles:
+    def test_k4_plus_isolated_edge(self, spark):
+        """K4 has exactly 4 triangles and 12 wedges (clustering 1.0);
+        the isolated edge adds nodes/edges but no wedges."""
+        from denormalized_spark.operators.graph import triangle_stats
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(10, 11)],
+            "u long, v long",
+        )
+        r = triangle_stats(edges).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (6, 7, 12, 4)
+        assert r.clustering_micro == 1_000_000
+
+    def test_triangle_free_star(self, spark):
+        """A star K1,4 has C(4,2)=6 wedges and zero triangles."""
+        from denormalized_spark.operators.graph import triangle_stats
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "u long, v long"
+        )
+        r = triangle_stats(edges).collect()[0]
+        assert (r.n_wedges, r.n_triangles, r.clustering_micro) == (6, 0, 0)
+
+    def test_each_triangle_counted_once_under_skew(self, spark):
+        """A hub node in many triangles (fan graph): each triangle is
+        counted exactly once despite the shared low/high-degree corner,
+        and the count is partitioning-invariant."""
+        from denormalized_spark.operators.graph import triangle_stats
+
+        # hub 0 connected to 1..10; rim edges (1,2),(3,4),...,(9,10)
+        edges = [(0, i) for i in range(1, 11)] + [
+            (i, i + 1) for i in range(1, 10, 2)
+        ]
+        df = spark.createDataFrame(edges, "u long, v long")
+        a = triangle_stats(df).collect()[0]
+        b = triangle_stats(df.repartition(7)).collect()[0]
+        assert a.n_triangles == b.n_triangles == 5
+
+    def test_covisitation_cap_drops_whole_bucket(self, spark):
+        """An item touched by more than the cap contributes NO edges
+        (bucket-cap contract: degenerate buckets drop whole)."""
+        from denormalized_spark.operators.graph import covisitation_edges
+
+        rows = [(u, "hot") for u in range(10)] + [
+            (0, "nich"), (1, "nich"), (2, "nich")
+        ]
+        df = spark.createDataFrame(rows, "user long, item string")
+        got = {
+            (r.u, r.v)
+            for r in covisitation_edges(
+                df, "user", "item", max_users_per_item=5
+            ).collect()
+        }
+        assert got == {(0, 1), (0, 2), (1, 2)}  # only the niche item
+
+    def test_covisitation_duplicate_interactions_collapse(self, spark):
+        """Repeat (user, item) interactions count once (distinct
+        projection) and edges are distinct across shared items."""
+        from denormalized_spark.operators.graph import covisitation_edges
+
+        rows = [(1, "a"), (1, "a"), (2, "a"), (1, "b"), (2, "b")]
+        df = spark.createDataFrame(rows, "user long, item string")
+        got = [(r.u, r.v) for r in covisitation_edges(df, "user", "item").collect()]
+        assert got == [(1, 2)]

@@ -499,3 +499,28 @@ def test_misra_gries_guarantees(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    """With |A|=30, |B|=20, overlap 10 — all below k=64 — every
+    estimate is EXACT: the sketches hold all hashes, the merged
+    sketch is the full union, and the algebra reduces to counting."""
+    a = _keys(spark, 30, "s")                       # s0..s29
+    b = spark.createDataFrame([(f"s{i}",) for i in range(20, 40)], "k string")
+    sa, sb = sketches.kmv_sketch(a, "k"), sketches.kmv_sketch(b, "k")
+    r = sketches.kmv_set_estimates(sa, sb, 64).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union) == (30.0, 20.0, 40.0)
+    assert r.kmv_jaccard == 0.25
+    assert (r.est_intersect, r.est_diff_a, r.est_diff_b) == (10.0, 20.0, 10.0)
+
+
+def test_kmv_set_estimates_within_error_bound(spark):
+    """Above k the estimates carry sketch noise; at k=64 the relative
+    standard error is ~1/sqrt(k-2) ~ 0.127 — assert a generous 4-sigma
+    band on union and intersection for a 300/300-overlap-100 pair."""
+    a = _keys(spark, 300, "x")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(200, 500)], "k string")
+    sa, sb = sketches.kmv_sketch(a, "k"), sketches.kmv_sketch(b, "k")
+    r = sketches.kmv_set_estimates(sa, sb, 64).collect()[0]
+    assert abs(r.est_union - 500) < 500 * 0.51, r
+    assert abs(r.est_intersect - 100) < 150, r

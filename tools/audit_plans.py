@@ -72,6 +72,9 @@ ALLOW_BNLJ = {
     "sketch_mg_heavy_hitters",  # 1-row merge-residual/residual-sum crossJoins — metadata
     "layout_zorder_events",  # 1-row min/max bounds broadcast — constant fan-out
     "events_ab_test",        # 1-row x 1-row arm-summary crossJoin — metadata
+    "events_acf_daily",      # 1-row (n, S) stats + 1-row denominator broadcasts onto the period-level series
+    "graph_covisit_triangles",  # 1-row node/edge/wedge/triangle-count crossJoins — metadata
+    "sketch_kmv_set_ops",    # 1-row order-statistic crossJoins over ≤64-row sketch tables
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -125,6 +128,9 @@ ALLOW_SINGLE_PART = {
     "sketch_hll_intersect",  # same 1-row finals over ≤64-register tables
     "sketch_mg_heavy_hitters",  # global rank + 1-row residuals over ≤ shards·k counters
     "sketch_kmv_overlap",    # bottom-k order statistics over ≤64-row sketches
+    "sketch_kmv_set_ops",    # same bottom-k order statistics (full set algebra)
+    "events_acf_daily",      # row_number + 1-row finals over the period-level (metadata) series
+    "graph_covisit_triangles",  # 1-row census finals (nodes/edges/wedges/triangles)
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
