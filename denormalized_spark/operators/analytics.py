@@ -1282,3 +1282,140 @@ def autocorrelation(
         )
         .orderBy("lag")
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = sup_x |F_A(x) −
+    F_B(x)| between the ``is_a`` and ``¬is_a`` samples of
+    ``value_col`` — the standard nonparametric drift test between two
+    snapshots/cohorts (pairs with curation's rate-delta drift report:
+    this one sees SHAPE changes a mean can hide). One row
+    ``(n_a, n_b, ks_d_micro, ks_at_value)`` — D micro-floored and the
+    smallest value attaining it.
+
+    Exactness: both empirical CDFs jump only at observed values, so D
+    is checked at each distinct pooled value; the comparison runs on
+    INTEGERS — |CA·n_b − CB·n_a| — and divides by n_a·n_b once at the
+    end (all operands ≤ 2^53, conversions exact).
+
+    Scale shape: one value-keyed count agg (data-sized), then the
+    cumulative counts over the distinct-value table use the
+    scale-safe range-partition + broadcast-prefix-sum running sum
+    (ranking.with_global_running_sum) — never a single-reducer global
+    window. The two running sums are INDEPENDENT calls joined by
+    value per that operator's consumption contract. Final argmax is a
+    1-row aggregate."""
+    from denormalized_spark.operators.ranking import with_global_running_sum
+
+    counts = (
+        df.select(F.col(value_col).alias("_v"), is_a.alias("_a"))
+        .groupBy("_v")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("_cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    ra = with_global_running_sum(
+        counts, [F.col("_v")], F.col("_ca"), "_CA", exclusive=False
+    ).select("_v", "_CA")
+    rb = with_global_running_sum(
+        counts, [F.col("_v")], F.col("_cb"), "_CB", exclusive=False
+    ).select("_v", "_CB")
+    j = ra.join(rb, "_v").crossJoin(F.broadcast(tot))
+    dnum = F.abs(F.col("_CA") * F.col("_nb") - F.col("_CB") * F.col("_na"))
+    best = j.select(
+        "_na", "_nb", F.struct(dnum.alias("d"), (-F.col("_v")).alias("nv")).alias("_s")
+    ).groupBy("_na", "_nb").agg(F.max("_s").alias("_m"))
+    return best.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.floor(
+            F.col("_m.d").cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("ks_d_micro"),
+        (-F.col("_m.nv")).alias("ks_at_value"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns — the contingency-table counterpart of the
+    Benford goodness-of-fit screen: per cell, observed count, the
+    independence expectation E = rowtot·coltot/N (milli-floored), and
+    the cell's (O−E)²/E contribution (micro-floored); the table-level
+    chi2_micro (sum of the per-cell integers — partition-order exact)
+    and dof = (R−1)(C−1) repeat on every row for one-pass reading.
+
+    Exactness: the cell contribution is ((O·N − rt·ct)²)/(N·rt·ct)
+    with numerator/denominator carried in decimal(38,0) ↔ HUGEINT
+    (products reach ~1e28, past 2^53) and ONE correctly-rounded
+    division onto the micro grid — the ACF determinism pattern. The
+    documented bias of summing per-cell floors (≤ #cells µ) is
+    mirrored exactly by the oracle.
+
+    Scale shape: one (x,y)-keyed count of the data, then everything
+    runs on the cells table (R·C rows — metadata); marginals join
+    back broadcast-small."""
+    obs = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count("*").alias("observed"))
+    rt = obs.groupBy("_x").agg(F.sum("observed").alias("_rt"))
+    ct = obs.groupBy("_y").agg(F.sum("observed").alias("_ct"))
+    nn = obs.agg(
+        F.sum("observed").alias("_n"),
+        F.count_distinct("_x").alias("_r"),
+        F.count_distinct("_y").alias("_c"),
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "_x")
+        .join(F.broadcast(ct), "_y")
+        .crossJoin(F.broadcast(nn))
+    )
+    diff = (
+        F.col("observed") * F.col("_n") - F.col("_rt") * F.col("_ct")
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("_n").cast("decimal(38,0)")
+        * F.col("_rt").cast("decimal(38,0)")
+        * F.col("_ct").cast("decimal(38,0)")
+    )
+    contrib = F.floor(
+        (diff * diff).cast("double") / den.cast("double") * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    expected = F.floor(
+        (F.col("_rt") * F.col("_ct")).cast("double")
+        / F.col("_n").cast("double")
+        * 1_000
+        + F.lit(0.5)
+    ).cast("long")
+    percell = cells.select(
+        F.col("_x"),
+        F.col("_y"),
+        F.col("observed"),
+        expected.alias("expected_milli"),
+        contrib.alias("contrib_micro"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+    )
+    total = percell.agg(F.sum("contrib_micro").alias("chi2_micro"))
+    return percell.crossJoin(F.broadcast(total)).select(
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        "observed",
+        "expected_milli",
+        "contrib_micro",
+        "chi2_micro",
+        "dof",
+    )

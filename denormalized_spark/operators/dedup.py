@@ -1758,3 +1758,73 @@ def weighted_minhash_signatures(
     return slots.select(
         id_col, F.array(*[F.col(f"_s{j}") for j in range(num_hashes)]).alias("wmh")
     )
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    comparisons: list[tuple[str, "Column", float, float]],
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969 — the model behind Splink/commercial MDM): score each
+    candidate pair by summing per-field log-likelihood weights,
+
+        agree(field)    → ln(m/u)
+        disagree(field) → ln((1−m)/(1−u))
+
+    where m = P(agree | match), u = P(agree | non-match) per field.
+    ``comparisons`` is ``[(field_name, agreement_bool_column, m, u)]``;
+    output keeps the pair columns and appends one ``agr_<field>``
+    boolean per field, the total ``fs_score_micro``, and
+    ``is_match = score >= threshold_micro``.
+
+    Engine-exact by construction: weights are PRECOMPUTED in Python
+    as micro-nat INTEGERS (the graph.py damping_complement pattern —
+    never let each engine evaluate its own ln), so scoring is pure
+    integer addition over booleans — bit-identical everywhere and
+    trivially oracle-replayable with the same literals.
+
+    Scale shape: this operator is the VERIFY/score stage — map-only
+    over whatever candidate stream the blocking stage emitted
+    (snm_candidate_pairs, fuzzy_name_pairs, LSH). Never run it on the
+    cross product; the blocking operators exist so you don't."""
+    import math
+
+    if not comparisons:
+        raise ValueError("fellegi_sunter_scores: comparisons must be non-empty")
+    out = pairs
+    score = F.lit(0).cast("long")
+    for name, agree_col, m, u in comparisons:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(
+                f"fellegi_sunter_scores: m/u for {name!r} must be in (0,1), "
+                f"got m={m}, u={u}"
+            )
+        if m <= u:
+            raise ValueError(
+                f"fellegi_sunter_scores: m must exceed u for {name!r} "
+                f"(agreement must be evidence FOR a match), got m={m}, u={u}"
+            )
+        w_agree = int(math.floor(math.log(m / u) * 1_000_000 + 0.5))
+        w_dis = int(math.floor(math.log((1 - m) / (1 - u)) * 1_000_000 + 0.5))
+        flag = f"agr_{name}"
+        out = out.withColumn(flag, agree_col)
+        score = score + F.when(F.col(flag), F.lit(w_agree)).otherwise(F.lit(w_dis))
+    out = out.withColumn("fs_score_micro", score)
+    return out.withColumn(
+        "is_match", F.col("fs_score_micro") >= F.lit(int(threshold_micro))
+    )
+
+
+def fs_weights_micro(comparisons: list[tuple[str, object, float, float]]) -> dict:
+    """The exact integer weights :func:`fellegi_sunter_scores` uses,
+    for oracle mirroring: {field: (w_agree_micro, w_disagree_micro)}."""
+    import math
+
+    return {
+        name: (
+            int(math.floor(math.log(m / u) * 1_000_000 + 0.5)),
+            int(math.floor(math.log((1 - m) / (1 - u)) * 1_000_000 + 0.5)),
+        )
+        for name, _c, m, u in comparisons
+    }

@@ -1339,3 +1339,73 @@ def bm25_topk(
         .select(id_col, (F.col("_ms") / F.lit(1_000_000.0)).alias("bm25"))
     )
     return out.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church
+    & Hanks 1990 — the classic "strong tea vs powerful tea" statistic):
+    over all ADJACENT token pairs in the corpus,
+
+        pmi(x, y) = ln( c_xy · N / (c_x · c_y) )
+
+    with N = total adjacent-pair count; emit the top-``k`` pairs by
+    PMI (micro-floored; ties break lexicographically) among pairs with
+    ``c_xy >= min_count`` — the support gate every PMI user needs,
+    since bare PMI maximizes on hapax pairs. Columns:
+    ``(w1, w2, n_xy, n_x, n_y, pmi_micro)``.
+
+    Exactness: counts are exact integers ≤ corpus size < 2^53, the
+    two products and one division are correctly-rounded doubles, and
+    the single ln lands on the micro grid (the repo's BM25/idf
+    transcendental-flooring argument: grid spacing ≫ libm ulp).
+
+    Plan: pair generation is per-row zip_with over the token array —
+    NO shuffle; then one pair-keyed count, two unigram marginal
+    tables derived from the same pair table (no second corpus pass;
+    joined WITHOUT a broadcast hint — marginals are vocab-sized, so
+    let AQE pick broadcast vs shuffle at runtime), a 1-row N
+    broadcast, and a k-row TakeOrdered. Unigram marginals count pair
+    SLOTS (x as left, y as right), the convention that keeps
+    Σ p(x,·) = Σ p(·,y) = 1 exactly."""
+    if min_count < 1:
+        raise ValueError(f"pmi_collocations: min_count must be >= 1, got {min_count}")
+    toks = tokens(text_col)
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.select(F.explode(pairs_arr).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    left = pairs.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    right = pairs.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    nn = pairs.agg(F.sum("n_xy").alias("_N"))
+    scored = (
+        pairs.filter(F.col("n_xy") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(nn))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("n_xy").cast("double") * F.col("_N").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        scored.select("w1", "w2", "n_xy", "n_x", "n_y", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

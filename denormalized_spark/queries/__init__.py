@@ -96,7 +96,8 @@ _DRIVER_PRIORITY = [
     "events_drawdown", "agg_backlog_ledger",
     # brand-new r11 operators — never driver-verified
     "scd2_user_state", "events_acf_daily", "graph_covisit_triangles",
-    "sketch_kmv_set_ops",
+    "sketch_kmv_set_ops", "events_ks_drift", "events_chi2_weekday",
+    "text_pmi_collocations", "dedup_fellegi_sunter",
     # operator code changed r11 (probe-key dedup) — re-prove
     "sketch_bloom_probe",
     # staleness drain: the entire latest-green-r5 cohort (35)
@@ -113,8 +114,7 @@ _DRIVER_PRIORITY = [
     "text_token_entropy", "text_token_totals", "text_unigram_quality",
     "window_ohlc",
     # oldest r6 entries filling the window to 50
-    "curation_chunks", "curation_contamination_report", "curation_decontaminate",
-    "curation_eval_sample", "curation_mixture", "curation_mixture_solver",
+    "curation_chunks", "curation_contamination_report",
 ]
 
 def _reorder(d: dict) -> dict:

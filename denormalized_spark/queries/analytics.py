@@ -1457,3 +1457,86 @@ def graph_covisit_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = covisitation_edges(e, "user_id", "item", max_users_per_item=_COVIS_CAP)
     return triangle_stats(edges)
+
+
+@q(
+    "events_ks_drift",
+    """
+    WITH c AS (
+      SELECT value AS v,
+             sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cb
+      FROM events GROUP BY value
+    ),
+    r AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+                 sum(cb) OVER (ORDER BY v) AS ccb FROM c),
+    t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+    d AS (SELECT v, abs(cca * t.nb - ccb * t.na) AS dnum FROM r, t),
+    m AS (SELECT max(dnum) AS md FROM d),
+    am AS (SELECT min(v) AS atv FROM d, m WHERE dnum = md)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(floor(md::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS ks_d_micro,
+           atv AS ks_at_value
+    FROM t, m, am
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the event value
+    distribution between the parity-split snapshots (prev = even
+    event ids, the curation_drift_report convention): the shape-
+    sensitive companion of that report's rate deltas. Integer CDF
+    comparison (|CA·n_b − CB·n_a|), one division at the end; the
+    cumulative counts use the scale-safe range-partition running sum,
+    never a single-reducer sort. See operators/analytics.ks_two_sample."""
+    from denormalized_spark.operators.analytics import ks_two_sample
+
+    e = t(spark, sf, "events")
+    return ks_two_sample(e, "value", F.col("event_id") % 2 == 0)
+
+
+@q(
+    "events_chi2_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, (isodow(ts) - 1)::BIGINT AS weekday,
+             count(*)::BIGINT AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(observed)::BIGINT AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT weekday, sum(observed)::BIGINT AS ct FROM obs GROUP BY 1),
+    nn AS (SELECT sum(observed)::BIGINT AS n,
+                  count(DISTINCT event_type)::BIGINT AS r,
+                  count(DISTINCT weekday)::BIGINT AS c FROM obs),
+    pc AS (
+      SELECT obs.event_type, obs.weekday, observed,
+             CAST(floor((rt.rt * ct.ct)::DOUBLE / nn.n::DOUBLE * 1000 + 0.5)
+                  AS BIGINT) AS expected_milli,
+             CAST(floor(((observed * nn.n - rt.rt * ct.ct)::HUGEINT
+                         * (observed * nn.n - rt.rt * ct.ct)::HUGEINT)::DOUBLE
+                        / (nn.n::HUGEINT * rt.rt::HUGEINT * ct.ct::HUGEINT)::DOUBLE
+                        * 1000000 + 0.5) AS BIGINT) AS contrib_micro,
+             CAST((nn.r - 1) * (nn.c - 1) AS BIGINT) AS dof
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (weekday) CROSS JOIN nn
+    ),
+    tot AS (SELECT sum(contrib_micro)::BIGINT AS chi2_micro FROM pc)
+    SELECT event_type, weekday, observed, expected_milli, contrib_micro,
+           chi2_micro, dof
+    FROM pc, tot
+    """,
+)
+def events_chi2_weekday(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-squared independence test: is event_type independent of
+    weekday? Per-cell observed vs independence expectation plus the
+    micro-floored contribution, with the table chi2 and dof repeated
+    per row — the contingency companion of the Benford goodness-of-fit
+    screen (data-quality: a synthetic corpus SHOULD accept
+    independence; real traffic rarely does). Big products carried in
+    decimal(38,0) ↔ HUGEINT (the ACF pattern). See
+    operators/analytics.chi2_independence."""
+    from denormalized_spark.operators.analytics import chi2_independence
+
+    e = t(spark, sf, "events").select(
+        "event_type", F.weekday(F.col("ts")).cast("long").alias("weekday")
+    )
+    return chi2_independence(e, "event_type", "weekday")

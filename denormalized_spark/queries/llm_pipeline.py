@@ -4904,3 +4904,115 @@ def sketch_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     sa = sketches.kmv_sketch(toks(F.col("lang") == "en").distinct(), "tok", _KMV_K)
     sb = sketches.kmv_sketch(toks(F.col("lang") != "en").distinct(), "tok", _KMV_K)
     return sketches.kmv_set_estimates(sa, sb, _KMV_K)
+
+
+@q(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pr AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+           FROM toks),
+    cnt AS (SELECT w1, w2, count(*)::BIGINT AS n_xy FROM pr GROUP BY 1, 2),
+    lx AS (SELECT w1, sum(n_xy)::BIGINT AS n_x FROM cnt GROUP BY w1),
+    ry AS (SELECT w2, sum(n_xy)::BIGINT AS n_y FROM cnt GROUP BY w2),
+    nn AS (SELECT sum(n_xy)::BIGINT AS nt FROM cnt)
+    SELECT w1, w2, n_xy, n_x, n_y,
+           CAST(floor(ln((n_xy::DOUBLE * nt::DOUBLE)
+                         / (n_x::DOUBLE * n_y::DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS pmi_micro
+    FROM cnt JOIN lx USING (w1) JOIN ry USING (w2) CROSS JOIN nn
+    WHERE n_xy >= 5
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990) with min-support 5 — the phrase/multi-word-expression
+    detector a tokenizer-training or n-gram-hygiene pipeline runs
+    before merging frequent units. Pair generation is per-row
+    zip_with (no shuffle); marginals derive from the pair table.
+    Transcendental ln micro-floored (the BM25/idf ulp argument);
+    deterministic (pmi, w1, w2) top-k tiebreak."""
+    from denormalized_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(t(spark, sf, "documents"), "text", min_count=5, k=20)
+
+
+_FS_COMPARISONS = [
+    # (field, m = P(agree|match), u = P(agree|non-match)) — u roughly
+    # 1/|domain| for the part attribute domains (25 brands, 150 types,
+    # 50 sizes); m reflects entry noise on true matches
+    ("brand", 0.9, 0.04),
+    ("type", 0.85, 0.007),
+    ("size", 0.8, 0.02),
+]
+
+
+def _fs_oracle() -> str:
+    import math
+
+    w = {
+        name: (
+            int(math.floor(math.log(m / u) * 1_000_000 + 0.5)),
+            int(math.floor(math.log((1 - m) / (1 - u)) * 1_000_000 + 0.5)),
+        )
+        for name, m, u in _FS_COMPARISONS
+    }
+    score = " + ".join(
+        f"(CASE WHEN agr_{n} THEN {wa} ELSE {wd} END)" for n, (wa, wd) in w.items()
+    )
+    return f"""
+    WITH s AS (
+      SELECT p_partkey, substr(p_name, 1, 12) AS k, p_brand, p_type, p_size,
+             row_number() OVER (ORDER BY substr(p_name, 1, 12), p_partkey) AS rn
+      FROM part
+    ),
+    pr AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_brand = b.p_brand AS agr_brand,
+             a.p_type = b.p_type AS agr_type,
+             a.p_size = b.p_size AS agr_size
+      FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    )
+    SELECT id_a, id_b, agr_brand, agr_type, agr_size,
+           CAST({score} AS BIGINT) AS fs_score_micro,
+           ({score}) >= 0 AS is_match
+    FROM pr
+    """
+
+
+@q("dedup_fellegi_sunter", _fs_oracle())
+def dedup_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over
+    sorted-neighborhood candidates: block parts by a 12-char name
+    prefix (window 3 — the Hernández-Stolfo scheme already oracled in
+    dedup_snm_pairs), then score each pair by summing per-field
+    log-likelihood weights (agree → ln(m/u), disagree →
+    ln((1−m)/(1−u))) over brand/type/size. Weights are PRECOMPUTED
+    micro-nat integers (the damping_complement literal pattern), so
+    scoring is integer addition — bit-identical and replayed by the
+    oracle with the same literals. The verify/score stage of entity
+    resolution: map-only over the blocked stream, never the cross
+    product. See operators/dedup.fellegi_sunter_scores."""
+    from denormalized_spark.operators import dedup
+
+    p = t(spark, sf, "part")
+    pairs = dedup.snm_candidate_pairs(
+        p, F.substring("p_name", 1, 12), id_col="p_partkey", window=3
+    ).select("id_a", "id_b")
+    attrs = lambda side: p.select(
+        F.col("p_partkey").alias(f"id_{side}"),
+        F.col("p_brand").alias(f"_b_{side}"),
+        F.col("p_type").alias(f"_t_{side}"),
+        F.col("p_size").alias(f"_s_{side}"),
+    )
+    j = pairs.join(attrs("a"), "id_a").join(attrs("b"), "id_b")
+    comps = [
+        ("brand", F.col("_b_a") == F.col("_b_b"), 0.9, 0.04),
+        ("type", F.col("_t_a") == F.col("_t_b"), 0.85, 0.007),
+        ("size", F.col("_s_a") == F.col("_s_b"), 0.8, 0.02),
+    ]
+    return dedup.fellegi_sunter_scores(j, comps).select(
+        "id_a", "id_b", "agr_brand", "agr_type", "agr_size",
+        "fs_score_micro", "is_match",
+    )

@@ -848,3 +848,74 @@ class TestAutocorrelation:
         ser = spark.createDataFrame([(1, 1)], "p long, x long")
         with pytest.raises(ValueError, match="max_lag"):
             autocorrelation(ser, "p", "x", max_lag=0)
+
+
+class TestKsTwoSample:
+    def test_shifted_uniform_closed_form(self, spark):
+        """Uniform{0..99} vs the same shifted +50: D = 0.5 exactly,
+        attained (first, by the min-value tiebreak) at value 49."""
+        from denormalized_spark.operators.analytics import ks_two_sample
+
+        rows = [(float(i % 100), True) for i in range(500)] + [
+            (float(i % 100 + 50), False) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "v double, a boolean")
+        r = ks_two_sample(df, "v", F.col("a")).collect()[0]
+        assert (r.n_a, r.n_b, r.ks_d_micro, r.ks_at_value) == (500, 500, 500_000, 49.0)
+
+    def test_identical_samples_zero(self, spark):
+        from denormalized_spark.operators.analytics import ks_two_sample
+
+        # (i // 10) % 2 decouples the split from the value, so both
+        # samples hold the identical multiset {0..9} x 10
+        rows = [(float(i % 10), (i // 10) % 2 == 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "v double, a boolean")
+        r = ks_two_sample(df, "v", F.col("a")).collect()[0]
+        assert r.ks_d_micro == 0
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.analytics import ks_two_sample
+
+        rows = [(float((i * 37) % 101), i % 3 == 0) for i in range(400)]
+        df = spark.createDataFrame(rows, "v double, a boolean")
+        key = lambda d: [tuple(r) for r in d.collect()]
+        assert key(ks_two_sample(df, "v", F.col("a"))) == key(
+            ks_two_sample(df.repartition(11), "v", F.col("a"))
+        )
+
+
+class TestChi2Independence:
+    def test_independent_table_is_zero(self, spark):
+        from denormalized_spark.operators.analytics import chi2_independence
+
+        rows = [(x, y) for x in ("p", "q") for y in ("r", "s") for _ in range(25)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = chi2_independence(df, "x", "y").collect()
+        assert len(out) == 4
+        assert all(r.chi2_micro == 0 and r.contrib_micro == 0 and r.dof == 1
+                   for r in out)
+        assert all(r.expected_milli == 25_000 for r in out)
+
+    def test_perfect_association_closed_form(self, spark):
+        """Diagonal 2x2 (50/0/0/50): chi2 = N = 100 exactly."""
+        from denormalized_spark.operators.analytics import chi2_independence
+
+        rows = [("a", "x")] * 50 + [("b", "y")] * 50
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = chi2_independence(df, "x", "y").collect()
+        # only the two observed cells appear (zero cells absent from
+        # the observed table); each contributes N/2 * ... -> total of
+        # the OBSERVED cells is 50 micro-chi2 units: (50*100-50*50)^2
+        # /(100*50*50) = 25/2... closed form per cell = 25.0
+        assert all(r.contrib_micro == 25_000_000 for r in out)
+        assert all(r.chi2_micro == 50_000_000 for r in out)
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.analytics import chi2_independence
+
+        rows = [(f"x{i % 3}", f"y{(i * 7) % 4}") for i in range(300)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        key = lambda d: sorted(tuple(r) for r in d.collect())
+        assert key(chi2_independence(df, "x", "y")) == key(
+            chi2_independence(df.repartition(13), "x", "y")
+        )

@@ -868,3 +868,56 @@ def test_snm_rejects_window_below_two(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, key string")
     with pytest.raises(ValueError, match="window"):
         dedup.snm_candidate_pairs(df, "key", window=1)
+
+
+class TestFellegiSunter:
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2, "a", "a", 5, 5), (3, 4, "a", "b", 5, 6), (5, 6, "a", "a", 5, 6)],
+            "id_a long, id_b long, na string, nb string, sa long, sb long",
+        )
+
+    def _comps(self):
+        return [
+            ("name", F.col("na") == F.col("nb"), 0.9, 0.01),
+            ("size", F.col("sa") == F.col("sb"), 0.8, 0.2),
+        ]
+
+    def test_closed_form_weights(self, spark):
+        import math
+
+        out = {
+            r.id_a: r
+            for r in dedup.fellegi_sunter_scores(
+                self._pairs(spark), self._comps()
+            ).collect()
+        }
+        wn_a = int(math.floor(math.log(0.9 / 0.01) * 1e6 + 0.5))
+        wn_d = int(math.floor(math.log(0.1 / 0.99) * 1e6 + 0.5))
+        ws_a = int(math.floor(math.log(0.8 / 0.2) * 1e6 + 0.5))
+        ws_d = int(math.floor(math.log(0.2 / 0.8) * 1e6 + 0.5))
+        assert out[1].fs_score_micro == wn_a + ws_a and out[1].is_match
+        assert out[3].fs_score_micro == wn_d + ws_d and not out[3].is_match
+        # mixed evidence: name agrees, size disagrees -> still positive
+        assert out[5].fs_score_micro == wn_a + ws_d and out[5].is_match
+        assert out[5].agr_name and not out[5].agr_size
+
+    def test_weights_helper_matches(self, spark):
+        comps = self._comps()
+        w = dedup.fs_weights_micro(comps)
+        assert set(w) == {"name", "size"}
+        assert all(wa > 0 > wd for wa, wd in w.values())
+
+    def test_rejects_bad_mu(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="m must exceed u"):
+            dedup.fellegi_sunter_scores(
+                self._pairs(spark), [("x", F.lit(True), 0.2, 0.8)]
+            )
+        with pytest.raises(ValueError, match="must be in"):
+            dedup.fellegi_sunter_scores(
+                self._pairs(spark), [("x", F.lit(True), 1.0, 0.5)]
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            dedup.fellegi_sunter_scores(self._pairs(spark), [])

@@ -72,3 +72,54 @@ class TestBm25:
         assert [(r["doc_id"], r["bm25"]) for r in a] == [
             (r["doc_id"], r["bm25"]) for r in b
         ]
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_ranks_top(self, spark):
+        """Hand-computed corpus: beta→gamma occurs only in doc A and
+        'beta' is never a left slot elsewhere, 'gamma' never a right
+        slot elsewhere — n_xy = n_x = n_y = 8 over N = 68 pairs, so
+        PMI = ln(68/8), the maximum in this corpus; the frequent
+        new↔york pairs score lower (bigger marginals)."""
+        import math
+
+        from denormalized_spark.operators.text import pmi_collocations
+
+        docs = [("alpha beta gamma delta",)] * 8 + [
+            ("gamma alpha delta beta",)
+        ] * 8 + [("new york new york new york",)] * 4
+        df = spark.createDataFrame(docs, "text string")
+        out = pmi_collocations(df, "text", min_count=5, k=10).collect()
+        assert (out[0].w1, out[0].w2) == ("beta", "gamma")
+        assert out[0].pmi_micro == int(math.floor(math.log(68 / 8) * 1e6 + 0.5))
+        # descending PMI with deterministic ties
+        pmis = [r.pmi_micro for r in out]
+        assert pmis == sorted(pmis, reverse=True)
+        assert ("new", "york") in {(r.w1, r.w2) for r in out}
+
+    def test_min_count_gates_hapax_pairs(self, spark):
+        from denormalized_spark.operators.text import pmi_collocations
+
+        docs = [("unique singleton pair",)] + [("common common",)] * 10
+        df = spark.createDataFrame(docs, "text string")
+        got = {(r.w1, r.w2) for r in pmi_collocations(df, "text", min_count=5, k=10).collect()}
+        assert got == {("common", "common")}
+
+    def test_closed_form_pmi(self, spark):
+        """One doc 'a b' repeated 10x: the only pair, n_xy=n_x=n_y=N=10
+        -> pmi = ln(10*10/(10*10)) = 0."""
+        from denormalized_spark.operators.text import pmi_collocations
+
+        df = spark.createDataFrame([("a b",)] * 10, "text string")
+        r = pmi_collocations(df, "text", min_count=5, k=5).collect()
+        assert len(r) == 1
+        assert (r[0].n_xy, r[0].n_x, r[0].n_y, r[0].pmi_micro) == (10, 10, 10, 0)
+
+    def test_rejects_bad_min_count(self, spark):
+        import pytest
+
+        from denormalized_spark.operators.text import pmi_collocations
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_collocations(df, "text", min_count=0)

@@ -75,6 +75,9 @@ ALLOW_BNLJ = {
     "events_acf_daily",      # 1-row (n, S) stats + 1-row denominator broadcasts onto the period-level series
     "graph_covisit_triangles",  # 1-row node/edge/wedge/triangle-count crossJoins — metadata
     "sketch_kmv_set_ops",    # 1-row order-statistic crossJoins over ≤64-row sketch tables
+    "events_ks_drift",       # 1-row (n_a, n_b) totals broadcast onto the distinct-value table
+    "events_chi2_weekday",   # 1-row N/R/C + 1-row chi2-total broadcasts onto the R×C cells table
+    "text_pmi_collocations", # 1-row pair-total N broadcast — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -131,6 +134,10 @@ ALLOW_SINGLE_PART = {
     "sketch_kmv_set_ops",    # same bottom-k order statistics (full set algebra)
     "events_acf_daily",      # row_number + 1-row finals over the period-level (metadata) series
     "graph_covisit_triangles",  # 1-row census finals (nodes/edges/wedges/triangles)
+    "events_ks_drift",       # prefix-sum-offsets pattern (with_global_running_sum ×2) + 1-row argmax
+    "events_chi2_weekday",   # 1-row N/marginal finals over the R×C cells table
+    "text_pmi_collocations", # 1-row pair-total final + k-row TakeOrdered
+    "dedup_fellegi_sunter",  # snm prefix-sum-offsets pattern (with_global_row_number)
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
