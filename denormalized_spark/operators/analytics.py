@@ -1408,14 +1408,108 @@ def chi2_independence(
         expected.alias("expected_milli"),
         contrib.alias("contrib_micro"),
         ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+        F.col("_n"),
+        F.least(F.col("_r") - 1, F.col("_c") - 1).alias("_mindim"),
     )
-    total = percell.agg(F.sum("contrib_micro").alias("chi2_micro"))
-    return percell.crossJoin(F.broadcast(total)).select(
+    total = percell.agg(
+        F.sum("contrib_micro").alias("chi2_micro"),
+        F.first("_n").alias("_n"),
+        F.first("_mindim").alias("_mindim"),
+    )
+    # Cramér's V = sqrt(chi2 / (N·min(R−1, C−1))) — the [0,1] effect
+    # size the raw chi2 (which grows with N) isn't; milli-floored,
+    # fixed op order (one division chain, one IEEE sqrt)
+    v = F.floor(
+        F.sqrt(
+            F.col("chi2_micro").cast("double")
+            / 1_000_000.0
+            / (F.col("_n") * F.greatest(F.col("_mindim"), F.lit(1))).cast("double")
+        )
+        * 1_000
+        + F.lit(0.5)
+    ).cast("long")
+    return percell.drop("_n", "_mindim").crossJoin(
+        F.broadcast(total.select("chi2_micro", v.alias("cramers_v_milli")))
+    ).select(
         F.col("_x").alias(x_col),
         F.col("_y").alias(y_col),
         "observed",
         "expected_milli",
         "contrib_micro",
         "chi2_micro",
+        "cramers_v_milli",
         "dof",
+    )
+
+
+def psi_binned(
+    df: DataFrame,
+    value_col: str,
+    is_ref: Column,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the ``is_ref`` (expected)
+    and ``¬is_ref`` (actual) samples of ``value_col`` over ``bins``
+    equi-width buckets on [lo, hi) — the scorecard-monitoring drift
+    metric that complements :func:`ks_two_sample` (KS finds the worst
+    single point; PSI integrates shift across the distribution; the
+    usual alarm thresholds are 0.1/0.25). Out-of-range values clamp
+    to the edge bins (the hist_sketch convention).
+
+    Per bin: both counts, the smoothed proportions, and the term
+    (p−q)·ln(p/q) micro-floored; the total PSI (an exact integer sum
+    of the per-bin micros) repeats on every row. Empty bins are
+    EMITTED (the grid joins a bins-row range), handled by Jeffreys
+    +0.5 pseudo-counts: p = (c+0.5)/(n+bins/2) — the documented
+    smoothing convention, since bare PSI is infinite on any
+    empty-vs-nonempty bin.
+
+    Exactness: counts integer; the float chain per bin is fixed-order
+    (two smoothed divisions, one ratio, one ln, one difference, one
+    product) and lands on the micro grid (transcendental-floor
+    argument); sum of per-bin integers is partition-order exact.
+
+    Scale shape: one bin-keyed count of the data; everything after
+    runs on the bins-row grid (metadata) with a 1-row totals
+    broadcast."""
+    if bins < 2:
+        raise ValueError(f"psi_binned: bins must be >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"psi_binned: need hi > lo, got [{lo}, {hi})")
+    spark = df.sparkSession
+    width = (hi - lo) / bins
+    raw_bin = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1)).cast("long")
+    counts = (
+        df.select(bin_.alias("bin"), is_ref.alias("_r"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_r"), 1).otherwise(0)).alias("_cr"),
+            F.sum(F.when(F.col("_r"), 0).otherwise(1)).alias("_cc"),
+        )
+    )
+    grid = spark.range(bins).select(F.col("id").alias("bin"))
+    full = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("_cr", F.lit(0)).alias("n_ref"),
+        F.coalesce("_cc", F.lit(0)).alias("n_cur"),
+    )
+    tot = full.agg(
+        F.sum("n_ref").alias("_nr"), F.sum("n_cur").alias("_nc")
+    )
+    half_bins = F.lit(bins / 2.0)
+    j = full.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("_nr").cast("double") + half_bins
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("_nc").cast("double") + half_bins
+    )
+    term = F.floor((p - q) * F.log(p / q) * 1_000_000 + F.lit(0.5)).cast("long")
+    percell = j.select("bin", "n_ref", "n_cur", term.alias("psi_term_micro"))
+    total = percell.agg(F.sum("psi_term_micro").alias("psi_micro"))
+    return percell.crossJoin(F.broadcast(total)).select(
+        "bin", "n_ref", "n_cur", "psi_term_micro", "psi_micro"
     )

@@ -46,49 +46,28 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 
 # The external correctness driver samples the FIRST 50 registry entries in
 # order, so the front of the registry is a rotating re-verification window.
-# Cumulative coverage through r9: every one of the 182 pre-r10 entries has
-# at least one driver-green row (r1-r9 union; latest-green per entry
-# computable from the CORRECTNESS_r0*.json union). Round-10 window, in
+# Cumulative coverage through r10: every entry except the four named below
+# has at least one driver-green row (r1-r10 union; latest-green per entry
+# computable from the CORRECTNESS_r0*.json union). Round-11 window, in
 # priority order:
-# (1) the 34 BRAND-NEW r10 entries (never driver-verified): the salted
-# skew-safe window agg and windowed-UDAF oracles (r9 verdict item 4),
-# BM25 top-k retrieval, the Bloom filter pair, winnowing fingerprints +
-# MOSS pairs, CUSUM changepoints, JL projection + measured distortion,
-# Count-Sketch cells + AMS F2, the distributed-PCA pair (moments +
-# power-iteration projection), sorted-neighborhood blocking pairs,
-# seasonal-decomposition residual anomalies, HLL audience-overlap
-# (inclusion-exclusion intersection with exact truth beside it),
-# weighted (tf-bag) MinHash signatures, shard-merged Misra-Gries
-# heavy hitters with certified undercount bounds, the
-# direction='nearest' as-of join (pandas merge_asof parity), the
-# forward+tolerance as-of join (conversion attribution), per-doc
-# gram novelty by arrival order (first-occurrence attribution), the
-# Z-order (Morton) layout key for multi-column data skipping, the
-# linear-interpolation resample (integer slope, truncating div parity),
-# the trailing-30-day RANGE window frame (value-based frames), and
-# top-k session paths (n-gram path mining over sessionized events),
-# MAD modified-z robust outliers (Iglewicz-Hoaglin), and the Benford
-# first-digit conformity screen (chi-square on the milli grid), and
-# U-shaped multi-touch attribution (range-join pairing, integer bp),
-# per-group Gini concentration (integer rank-sum identity), and
-# market-basket pair lift (within-basket self-join, micro-grid lift),
-# RFM quintiles (scale-safe exact ntile from global row numbers), and
-# the two-proportion z-test A/B analysis (micro-grid z, IEEE sqrt),
-# and lead-duration-weighted TWAP (integer cent-ms products).
-# events_drawdown (running-max peak-to-trough) landed after the window
-# filled — locally triple-SF green, rotates into a future window;
-# (2) the 11 entries whose OPERATOR code changed this round: the HLL trio
-# (scale exponent now derived from p), sim_kcenter_select (empty/exhausted
-# guards), dedup_span_strip (output-name collision guard),
-# events_decayed_counts (dt clamp), and the five bucket-cap consumers
-# rewired through operators/_bucketing.py (dedup_lsh_candidates,
-# sim_lsh_buckets, dedup_embedding_neardup, curation_semantic_decontaminate,
-# dedup_near_gate);
-# (3) the staleness rotation — all 4 entries whose latest driver green is
-# r4, then the oldest r5 entry (34 + 11 + 4 + 1 = 50). Everything
-# displaced to 51+ keeps its registry order and was re-verified locally
-# this session by the full-registry tools/check_correctness.py sweep at
-# sf0.001/0.01/0.1.
+# (1) the two r10 driver-REDS — sim_jl_project and dedup_weighted_minhash
+# died in the driver canonicalizer on raw array output columns and were
+# reshaped this round to (id, idx, value) rows with zipped-unnest oracles;
+# (2) events_drawdown + agg_backlog_ledger, which landed after the r10
+# window filled and have never run under the driver;
+# (3) the BRAND-NEW r11 entries: SCD2 validity intervals, the daily-revenue
+# autocorrelation function (decimal38/HUGEINT exactness), the co-visitation
+# triangle census (degree-ordered counting), the KMV set-operation algebra,
+# the two-sample Kolmogorov-Smirnov drift test, chi-squared independence
+# with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, and
+# the PSI drift metric;
+# (4) sketch_bloom_probe, whose operator changed this round (probe-key
+# dedup fixing the r10-ADVICE false-negative);
+# (5) the staleness drain: the ENTIRE latest-green-r5 cohort (35 entries),
+# then the oldest r6 entry (2+2+9+1+35+1 = 50). Everything displaced to
+# 51+ keeps its registry order; the full window was re-verified locally
+# this session (50 ok at sf0.01) and the new entries swept at all three
+# SFs.
 _DRIVER_PRIORITY = [
     # r10 driver-reds, reshaped this round (posexplode → rows) — must go green
     "sim_jl_project", "dedup_weighted_minhash",
@@ -97,7 +76,7 @@ _DRIVER_PRIORITY = [
     # brand-new r11 operators — never driver-verified
     "scd2_user_state", "events_acf_daily", "graph_covisit_triangles",
     "sketch_kmv_set_ops", "events_ks_drift", "events_chi2_weekday",
-    "text_pmi_collocations", "dedup_fellegi_sunter",
+    "text_pmi_collocations", "dedup_fellegi_sunter", "events_psi_drift",
     # operator code changed r11 (probe-key dedup) — re-prove
     "sketch_bloom_probe",
     # staleness drain: the entire latest-green-r5 cohort (35)
@@ -113,8 +92,8 @@ _DRIVER_PRIORITY = [
     "text_stats", "text_structure_stats", "text_tfidf_keywords",
     "text_token_entropy", "text_token_totals", "text_unigram_quality",
     "window_ohlc",
-    # oldest r6 entries filling the window to 50
-    "curation_chunks", "curation_contamination_report",
+    # oldest r6 entry filling the window to 50
+    "curation_chunks",
 ]
 
 def _reorder(d: dict) -> dict:

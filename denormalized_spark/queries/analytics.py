@@ -1519,10 +1519,17 @@ def events_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
              CAST((nn.r - 1) * (nn.c - 1) AS BIGINT) AS dof
       FROM obs JOIN rt USING (event_type) JOIN ct USING (weekday) CROSS JOIN nn
     ),
-    tot AS (SELECT sum(contrib_micro)::BIGINT AS chi2_micro FROM pc)
+    tot AS (SELECT sum(contrib_micro)::BIGINT AS chi2_micro FROM pc),
+    vv AS (
+      SELECT chi2_micro,
+             CAST(floor(sqrt(chi2_micro::DOUBLE / 1000000.0
+                             / (nn.n * greatest(least(nn.r - 1, nn.c - 1), 1))::DOUBLE)
+                        * 1000 + 0.5) AS BIGINT) AS cramers_v_milli
+      FROM tot, nn
+    )
     SELECT event_type, weekday, observed, expected_milli, contrib_micro,
-           chi2_micro, dof
-    FROM pc, tot
+           chi2_micro, cramers_v_milli, dof
+    FROM pc, vv
     """,
 )
 def events_chi2_weekday(spark: SparkSession, sf: str) -> DataFrame:
@@ -1540,3 +1547,52 @@ def events_chi2_weekday(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.weekday(F.col("ts")).cast("long").alias("weekday")
     )
     return chi2_independence(e, "event_type", "weekday")
+
+
+_PSI_LO, _PSI_HI, _PSI_B = 0.0, 200.0, 10
+
+
+@q(
+    "events_psi_drift",
+    f"""
+    WITH src AS (
+      SELECT least(greatest(floor((value - {_PSI_LO}) / {(200.0 - 0.0) / 10}), 0),
+                   {_PSI_B - 1})::BIGINT AS bin,
+             event_id % 2 = 0 AS r
+      FROM events
+    ),
+    cnt AS (SELECT bin,
+                   sum(CASE WHEN r THEN 1 ELSE 0 END)::BIGINT AS cr,
+                   sum(CASE WHEN r THEN 0 ELSE 1 END)::BIGINT AS cc
+            FROM src GROUP BY bin),
+    grid AS (SELECT unnest(range(0, {_PSI_B})) AS bin),
+    full_ AS (SELECT grid.bin, coalesce(cr, 0) AS n_ref, coalesce(cc, 0) AS n_cur
+              FROM grid LEFT JOIN cnt USING (bin)),
+    tot AS (SELECT sum(n_ref)::BIGINT AS nr, sum(n_cur)::BIGINT AS nc FROM full_),
+    pc AS (
+      SELECT bin, n_ref, n_cur,
+             CAST(floor(((n_ref::DOUBLE + 0.5) / (nr::DOUBLE + {_PSI_B / 2.0})
+                         - (n_cur::DOUBLE + 0.5) / (nc::DOUBLE + {_PSI_B / 2.0}))
+                        * ln(((n_ref::DOUBLE + 0.5) / (nr::DOUBLE + {_PSI_B / 2.0}))
+                             / ((n_cur::DOUBLE + 0.5) / (nc::DOUBLE + {_PSI_B / 2.0})))
+                        * 1000000 + 0.5) AS BIGINT) AS psi_term_micro
+      FROM full_, tot
+    ),
+    s AS (SELECT sum(psi_term_micro)::BIGINT AS psi_micro FROM pc)
+    SELECT bin, n_ref, n_cur, psi_term_micro, psi_micro FROM pc, s
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the event value distribution
+    between the parity snapshots over 10 equi-width [0, 200) bins —
+    the third leg of the drift family (rate deltas → KS → PSI):
+    scorecard monitoring's integrated-shift metric with the standard
+    0.1/0.25 alarm bands. Jeffreys +0.5 smoothing (empty bins emitted,
+    never infinite); per-bin micro terms sum exactly. See
+    operators/analytics.psi_binned."""
+    from denormalized_spark.operators.analytics import psi_binned
+
+    e = t(spark, sf, "events")
+    return psi_binned(
+        e, "value", F.col("event_id") % 2 == 0, _PSI_LO, _PSI_HI, _PSI_B
+    )

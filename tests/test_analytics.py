@@ -919,3 +919,46 @@ class TestChi2Independence:
         assert key(chi2_independence(df, "x", "y")) == key(
             chi2_independence(df.repartition(13), "x", "y")
         )
+
+
+class TestPsiBinned:
+    def test_identical_distributions_near_zero(self, spark):
+        from denormalized_spark.operators.analytics import psi_binned
+
+        rows = [(float(i % 100), (i // 100) % 2 == 0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "v double, r boolean")
+        r = psi_binned(df, "v", F.col("r"), 0.0, 100.0, 10).collect()
+        assert all(x.psi_term_micro == 0 for x in r)  # identical counts
+        assert r[0].psi_micro == 0
+
+    def test_shifted_distribution_alarms(self, spark):
+        from denormalized_spark.operators.analytics import psi_binned
+
+        rows = [(float(i % 50), True) for i in range(500)] + [
+            (float(i % 50 + 50), False) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "v double, r boolean")
+        r = psi_binned(df, "v", F.col("r"), 0.0, 100.0, 10).collect()
+        assert len(r) == 10  # empty bins emitted
+        assert r[0].psi_micro > 250_000  # way past the 0.25 alarm
+
+    def test_out_of_range_clamps_and_grid_complete(self, spark):
+        from denormalized_spark.operators.analytics import psi_binned
+
+        rows = [(-5.0, True), (500.0, True), (5.0, False)]
+        df = spark.createDataFrame(rows, "v double, r boolean")
+        got = {x.bin: (x.n_ref, x.n_cur)
+               for x in psi_binned(df, "v", F.col("r"), 0.0, 100.0, 5).collect()}
+        assert got[0] == (1, 1) and got[4] == (1, 0)
+        assert set(got) == {0, 1, 2, 3, 4}
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from denormalized_spark.operators.analytics import psi_binned
+
+        df = spark.createDataFrame([(1.0, True)], "v double, r boolean")
+        with pytest.raises(ValueError, match="bins"):
+            psi_binned(df, "v", F.col("r"), 0.0, 1.0, 1)
+        with pytest.raises(ValueError, match="hi > lo"):
+            psi_binned(df, "v", F.col("r"), 1.0, 1.0, 4)
