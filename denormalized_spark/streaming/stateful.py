@@ -594,3 +594,133 @@ def anomaly_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def scd2_batch(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`scd2_stream`: the CLOSED intervals of
+    operators/temporal.scd2_intervals (the open is_current interval is
+    what streaming holds back in state), with the same column set."""
+    from denormalized_spark.operators.temporal import scd2_intervals
+
+    iv = scd2_intervals(df, list(keys), event_time, [attr_col], tiebreak_col)
+    return iv.filter(~F.col("is_current")).select(
+        *keys, attr_col, "version", "valid_from", "valid_to"
+    )
+
+
+def scd2_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming SCD2 dimension maintenance (applyInPandasWithState):
+    fold a change-log STREAM into type-2 validity intervals, emitting
+    each interval the moment a change CLOSES it. Per key the state is
+    the one open interval (valid_from, version, attr); a batch sorts
+    its rows by (event_time, tiebreak), drops run-internal duplicates
+    null-safely, closes an interval per change, and keeps the trailing
+    open interval in state — NO timeout: dimension state is
+    long-lived by design, exactly one open interval per key, O(1)
+    bytes regardless of stream length. The current (never-closed)
+    interval is therefore held back, the same append-mode holdback as
+    the windowed aggregations; :func:`scd2_batch` is the exact twin of
+    what IS emitted (parity-tested in tests/test_stateful.py).
+
+    Single-attribute form (the state row holds one string) — callers
+    tracking several columns pack them with ``F.to_json(struct(...))``
+    or concat_ws, the standard SCD2-hash trick. Out-of-order rows
+    OLDER than the watermark are dropped by ``withWatermark`` before
+    they can corrupt history; within-watermark disorder is repaired by
+    the per-batch sort only (cross-batch regressions land as new
+    versions — document your watermark accordingly)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField
+
+    keys = list(keys)
+    ts_type = df.schema[event_time].dataType
+    out_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [
+            StructField(attr_col, StringType()),
+            StructField("version", LongType()),
+            StructField("valid_from", ts_type),
+            StructField("valid_to", ts_type),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("from_us", LongType()),
+            StructField("version", LongType()),
+            StructField("attr", StringType()),
+            StructField("attr_is_null", BooleanType()),
+        ]
+    )
+
+    def _emit(key, rows):
+        n = len(rows)
+        data = {k: np.full(n, kv, dtype=object) for k, kv in zip(keys, key)}
+        data[attr_col] = pd.array([r[2] for r in rows], dtype=object)
+        data["version"] = np.asarray([r[3] for r in rows], dtype="int64")
+        data["valid_from"] = pd.Series(
+            np.asarray([r[0] for r in rows], dtype="int64").astype("datetime64[us]")
+        )
+        data["valid_to"] = pd.Series(
+            np.asarray([r[1] for r in rows], dtype="int64").astype("datetime64[us]")
+        )
+        return pd.DataFrame(data)
+
+    def fn(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter))
+        rows = rows[rows[event_time].notna()]
+        if not len(rows):
+            return
+        order = [event_time] + ([tiebreak_col] if tiebreak_col else [])
+        rows = rows.sort_values(order, kind="mergesort")
+        ts = rows[event_time].to_numpy(dtype="datetime64[us]").astype("int64")
+        attrs = rows[attr_col].to_numpy(dtype=object)
+        # NaN → None so the null-safe compare sees one null flavor
+        attrs = np.array(
+            [None if (a is None or (isinstance(a, float) and pd.isna(a))) else a
+             for a in attrs],
+            dtype=object,
+        )
+        if state.exists:
+            from_us, version, cur_attr, attr_null = state.get
+            cur = None if attr_null else cur_attr
+        else:
+            from_us = version = None
+            cur = object()  # sentinel: never equal to any attr (incl. None)
+        closed = []
+        for t_us, a in zip(ts, attrs):
+            if a is cur or a == cur or (a is None and cur is None):
+                continue  # run continues — collapse
+            if from_us is not None:
+                closed.append((from_us, int(t_us), cur, version))
+                version = version + 1
+            else:
+                version = 1
+            from_us, cur = int(t_us), a
+        state.update(
+            (from_us, version, cur if cur is not None else None, cur is None)
+        )
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        df.withWatermark(event_time, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

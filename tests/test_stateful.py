@@ -694,3 +694,91 @@ def test_transform_with_state_running_count(spark):
     for u, _ in rows_all:
         want[u] = want.get(u, 0) + 1
     assert latest == want
+
+
+def test_scd2_stream_equals_batch(spark, events):
+    """Streaming SCD2 emits EXACTLY the closed intervals of the batch
+    twin (unlike sessions, an interval closes on a CHANGE row, which
+    is itself in the stream — no timeout dependence), with the open
+    current interval held in state (append holdback)."""
+    from denormalized_spark.streaming.stateful import scd2_batch, scd2_stream
+
+    ev = events.select("user_id", "ts", "event_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    rows = ev.collect()
+    qsize = (len(rows) + 3) // 4
+    stage = tempfile.mkdtemp(prefix="scd2_stage_")
+    for i in range(4):
+        chunk = rows[i * qsize : (i + 1) * qsize]
+        path = os.path.join(stage, f"part{i}")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    out = scd2_stream(
+        sdf, ["user_id"], "ts", "event_type", tiebreak_col="event_id"
+    )
+    emitted = []
+    q = DataStream(out, event_time=None).sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_scd2_"),
+    )
+    q.awaitTermination(240)
+
+    want = {
+        (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to)
+        for r in scd2_batch(
+            ev, ["user_id"], "ts", "event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to)
+        for r in emitted
+    }
+    assert len(got) == len(emitted), "duplicate interval emission"
+    assert got == want
+
+
+def test_scd2_stream_collapses_and_null_attrs(spark):
+    """Closed-form: runs collapse across MICRO-BATCH boundaries (state
+    carries the open attr), and None attributes compare null-safely."""
+    from denormalized_spark.streaming.stateful import scd2_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    at = lambda d: base + datetime.timedelta(days=d)
+    schema = "user_id long, ts timestamp, event_id long, st string"
+    batches = [
+        [(1, at(0), 1, "A"), (1, at(1), 2, "A")],
+        [(1, at(2), 3, "A"), (1, at(3), 4, None)],   # run continues cross-batch, then NULL
+        [(1, at(4), 5, None), (1, at(5), 6, "B")],   # NULL run collapses, then B
+    ]
+    stage = tempfile.mkdtemp(prefix="scd2_edge_")
+    for i, chunk in enumerate(batches):
+        path = os.path.join(stage, f"part{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + i, 1_000_000 + i))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "part*"))
+    )
+    out = scd2_stream(sdf, ["user_id"], "ts", "st", tiebreak_col="event_id")
+    emitted = []
+    q = DataStream(out, event_time=None).sink(
+        lambda df: emitted.extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ck_scd2e_"),
+    )
+    q.awaitTermination(240)
+    got = sorted((r.version, r.st, r.valid_from, r.valid_to) for r in emitted)
+    # A spans days 0-3 (cross-batch collapse), NULL spans 3-5; B stays open
+    assert got == [(1, "A", at(0), at(3)), (2, None, at(3), at(5))]
