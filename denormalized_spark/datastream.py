@@ -478,6 +478,38 @@ class DataStream:
         )
         return DataStream(out, event_time=None, watermark=self.watermark)
 
+    def scd2(
+        self,
+        key_cols: Sequence[str],
+        attr_col: str,
+        tiebreak_col: str | None = None,
+    ) -> "DataStream":
+        """Type-2 slowly-changing-dimension fold of this change-log:
+        validity intervals per (key, run of identical ``attr_col``).
+        Batch → operators/temporal.scd2_intervals (closed AND current
+        intervals); stream → streaming/stateful.scd2_stream (closed
+        intervals as changes arrive; the current interval is held in
+        state — append holdback). The streaming form is
+        single-attribute; pack several columns with to_json(struct)."""
+        if self._df.isStreaming:
+            from denormalized_spark.streaming.stateful import scd2_stream
+
+            if self.event_time is None:
+                raise ValueError("scd2() on a stream requires an event-time column")
+            out = scd2_stream(
+                self._df, list(key_cols), self.event_time, attr_col,
+                tiebreak_col, self.watermark,
+            )
+            return DataStream(out, event_time=None, watermark=self.watermark)
+        from denormalized_spark.operators.temporal import scd2_intervals
+
+        if self.event_time is None:
+            raise ValueError("scd2() requires an event-time column")
+        out = scd2_intervals(
+            self._df, list(key_cols), self.event_time, [attr_col], tiebreak_col
+        )
+        return DataStream(out, event_time=None, watermark=self.watermark)
+
     def near_dedup(
         self,
         id_col: str = "doc_id",

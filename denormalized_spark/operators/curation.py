@@ -996,3 +996,73 @@ def corpus_report(
         F.round(F.avg("_gp"), 6).alias("gopher_pass_rate"),
         F.round(F.avg("_dup"), 6).alias("dup_rate"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize ``value_col`` at the exact [p_lo, p_hi] percentiles:
+    values below/above the thresholds CLAMP to them (Tukey's outlier
+    treatment — unlike a filter, row count is preserved, which is what
+    a feature pipeline feeding fixed-cardinality training batches
+    needs). Appends ``out_col`` (default ``<value>_winsor``) plus the
+    two thresholds as columns so downstream audits see the clamp
+    bounds they were produced under.
+
+    Exactness: Spark ``percentile()`` and DuckDB ``quantile_cont``
+    compute the same linear-interpolated order statistic (the
+    percentile-gate precedent), broadcast as a 1-row frame; the clamp
+    is pure comparison. One full-data agg + one map pass."""
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(f"winsorize: need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    out_col = out_col or f"{value_col}_winsor"
+    thr = df.groupBy().agg(
+        F.expr(f"percentile({value_col}, {p_lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {p_hi})").alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(thr))
+        .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .withColumnRenamed("_lo", "winsor_lo")
+        .withColumnRenamed("_hi", "winsor_hi")
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_col: str = "quantile_micro",
+) -> DataFrame:
+    """Rank-normalize a numeric column to (0, 1): quantile =
+    rank/(n+1) on the micro grid, under the (value, id) total order —
+    the distribution-free feature transform (uniformizes any marginal;
+    robust to outliers where z-scoring is not) that precedes models
+    assuming comparable feature scales. Output: every input row plus
+    ``rank`` (1-based, ties broken by id — the repo's pinned-total-
+    order standard) and ``out_col``.
+
+    Scale shape: one scale-safe global row number
+    (ranking.with_global_row_number: range partition + local sort +
+    broadcast prefix-sum offsets, total_col rides the same offsets) —
+    never a single-reducer sort; the division is rational on exact
+    ints. One consumer per output per that operator's consumption
+    contract."""
+    from denormalized_spark.operators.ranking import with_global_row_number
+
+    rn = with_global_row_number(
+        df,
+        [F.col(value_col), F.col(id_col)],
+        out_col="rank",
+        total_col="_n",
+    )
+    q = F.floor(
+        F.col("rank").cast("double") / (F.col("_n") + 1).cast("double") * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return rn.withColumn(out_col, q).drop("_n")

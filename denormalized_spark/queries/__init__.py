@@ -59,15 +59,16 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # autocorrelation function (decimal38/HUGEINT exactness), the co-visitation
 # triangle census (degree-ordered counting), the KMV set-operation algebra,
 # the two-sample Kolmogorov-Smirnov drift test, chi-squared independence
-# with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, and
-# the PSI drift metric;
-# (4) sketch_bloom_probe, whose operator changed this round (probe-key
-# dedup fixing the r10-ADVICE false-negative);
-# (5) the staleness drain: the ENTIRE latest-green-r5 cohort (35 entries),
-# then the oldest r6 entry (2+2+9+1+35+1 = 50). Everything displaced to
-# 51+ keeps its registry order; the full window was re-verified locally
-# this session (50 ok at sf0.01) and the new entries swept at all three
-# SFs.
+# with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, the
+# PSI drift metric, exact-percentile winsorization, and rank
+# normalization;
+# (4) the staleness drain: the ENTIRE latest-green-r5 cohort, 35 entries
+# (2+2+11+35 = 50). sketch_bloom_probe (operator changed this round:
+# probe-key dedup fixing the r10-ADVICE false-negative) and the r6 cohort
+# were verified locally this session and rotate into the r12 window.
+# Everything displaced to 51+ keeps its registry order; the full window
+# was re-verified locally this session (50 ok at sf0.01) and every new
+# entry swept at all three SFs.
 _DRIVER_PRIORITY = [
     # r10 driver-reds, reshaped this round (posexplode → rows) — must go green
     "sim_jl_project", "dedup_weighted_minhash",
@@ -77,8 +78,7 @@ _DRIVER_PRIORITY = [
     "scd2_user_state", "events_acf_daily", "graph_covisit_triangles",
     "sketch_kmv_set_ops", "events_ks_drift", "events_chi2_weekday",
     "text_pmi_collocations", "dedup_fellegi_sunter", "events_psi_drift",
-    # operator code changed r11 (probe-key dedup) — re-prove
-    "sketch_bloom_probe",
+    "curation_winsorize_prices", "curation_rank_normalize",
     # staleness drain: the entire latest-green-r5 cohort (35)
     "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
@@ -92,8 +92,6 @@ _DRIVER_PRIORITY = [
     "text_stats", "text_structure_stats", "text_tfidf_keywords",
     "text_token_entropy", "text_token_totals", "text_unigram_quality",
     "window_ohlc",
-    # oldest r6 entry filling the window to 50
-    "curation_chunks",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1012,3 +1012,66 @@ def curation_weighted_eval_sample(spark: SparkSession, sf: str) -> DataFrame:
         d, n=20, weight="n_chars", group_col="source", seed="wev0"
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+@q(
+    "curation_winsorize_prices",
+    """
+    WITH thr AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS winsor_lo,
+             quantile_cont(o_totalprice, 0.95) AS winsor_hi
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           round(winsor_lo, 6) AS lo_r, round(winsor_hi, 6) AS hi_r,
+           round(least(greatest(o_totalprice, winsor_lo), winsor_hi), 6)
+             AS price_winsor
+    FROM orders, thr
+    """,
+)
+def curation_winsorize_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorize order prices at the exact [5%, 95%] percentiles —
+    outlier clamping that preserves row count (the feature-pipeline
+    form of outlier treatment; a filter would change batch
+    cardinality). The thresholds are one linear-interpolated
+    percentile agg (Spark percentile == DuckDB quantile_cont, the
+    percentile-gate precedent) broadcast onto a map pass. See
+    operators/curation.winsorize."""
+    from denormalized_spark.operators.curation import winsorize
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    w = winsorize(o, "o_totalprice", 0.05, 0.95, out_col="price_winsor")
+    return w.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round("winsor_lo", 6).alias("lo_r"),
+        F.round("winsor_hi", 6).alias("hi_r"),
+        F.round("price_winsor", 6).alias("price_winsor"),
+    )
+
+
+@q(
+    "curation_rank_normalize",
+    """
+    WITH rn AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(rank::DOUBLE / (n + 1)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+             AS quantile_micro
+    FROM rn
+    """,
+)
+def curation_rank_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-normalize order prices to (0,1) quantiles — the
+    distribution-free feature transform. Ranks come from the
+    scale-safe global row number (range partition + broadcast
+    prefix sums), NOT a single-reducer window like the oracle's —
+    same totals, 100 TB-safe. See operators/curation.rank_normalize."""
+    from denormalized_spark.operators.curation import rank_normalize
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return rank_normalize(o, "o_totalprice", "o_orderkey")

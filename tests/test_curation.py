@@ -1041,3 +1041,55 @@ class TestWeightedSampleNPerGroup:
         )
         key = lambda d: sorted((r["source"], r["doc_id"]) for r in d.collect())
         assert key(a) == key(b)
+
+
+class TestWinsorize:
+    def test_clamps_tails_preserves_rows(self, spark):
+        from denormalized_spark.operators.curation import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "id long, v double"
+        )
+        out = winsorize(df, "v", 0.10, 0.90).collect()
+        assert len(out) == 100
+        lo = out[0].winsor_lo
+        hi = out[0].winsor_hi
+        # percentile(0.1) of 1..100 = 10.9 (linear interpolation)
+        assert abs(lo - 10.9) < 1e-9 and abs(hi - 90.1) < 1e-9
+        got = {r.id: r.v_winsor for r in out}
+        assert got[1] == lo and got[100] == hi  # tails clamp
+        assert got[50] == 50.0  # interior untouched
+
+    def test_rejects_bad_percentiles(self, spark):
+        import pytest
+
+        from denormalized_spark.operators.curation import winsorize
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError, match="p_lo"):
+            winsorize(df, "v", 0.9, 0.1)
+
+
+class TestRankNormalize:
+    def test_uniform_quantiles_and_tiebreak(self, spark):
+        from denormalized_spark.operators.curation import rank_normalize
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 5.0), (3, 1.0), (4, 9.0)], "id long, v double"
+        )
+        got = {r.id: (r.rank, r.quantile_micro)
+               for r in rank_normalize(df, "v", "id").collect()}
+        # total order (v, id): 3 < 1 < 2 < 4; quantile = rank/5
+        assert got == {3: (1, 200_000), 1: (2, 400_000),
+                       2: (3, 600_000), 4: (4, 800_000)}
+
+    def test_partitioning_invariant(self, spark):
+        from denormalized_spark.operators.curation import rank_normalize
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(200)], "id long, v double"
+        )
+        key = lambda d: sorted((r.id, r.rank, r.quantile_micro) for r in d.collect())
+        assert key(rank_normalize(df, "v", "id")) == key(
+            rank_normalize(df.repartition(9), "v", "id")
+        )

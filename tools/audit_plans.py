@@ -79,6 +79,7 @@ ALLOW_BNLJ = {
     "events_chi2_weekday",   # 1-row N/R/C + 1-row chi2-total broadcasts onto the R×C cells table
     "text_pmi_collocations", # 1-row pair-total N broadcast — constant fan-out
     "events_psi_drift",      # 1-row totals + 1-row PSI-sum broadcasts onto the bins-row grid
+    "curation_winsorize_prices",  # 1-row percentile-threshold broadcast — constant fan-out
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -140,6 +141,8 @@ ALLOW_SINGLE_PART = {
     "text_pmi_collocations", # 1-row pair-total final + k-row TakeOrdered
     "dedup_fellegi_sunter",  # snm prefix-sum-offsets pattern (with_global_row_number)
     "events_psi_drift",      # 1-row totals/PSI finals over the bins-row grid
+    "curation_winsorize_prices",  # 1-row final of the two-percentile global aggregate
+    "curation_rank_normalize",  # prefix-sum-offsets pattern (with_global_row_number)
     "sketch_hist_quantiles", # cumulative window over the ≤bins-row histogram
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
