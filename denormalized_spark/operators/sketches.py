@@ -886,3 +886,212 @@ def misra_gries_merged(
         .filter(F.col("mg_count") > 0)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl 2019, "Computing extremely accurate
+# quantiles using t-digests"; mergeability: Agarwal et al. 2012)
+# ---------------------------------------------------------------------------
+
+
+def tdigest_scale(q: Column, delta: int) -> Column:
+    """Scale function k(q) = (δ/2)·(√q − √(1−q) + 1) ∈ [0, δ].
+
+    Same family as Dunning's k₁ (k₁' ∝ 1/√(q(1−q)); this one's
+    derivative is (δ/4)(1/√q + 1/√(1−q)) — identical 1/√q tail
+    behavior), chosen over asin-based k₁ for ENGINE PORTABILITY:
+    IEEE-754 requires sqrt to be correctly rounded (asin is not), so
+    with the operation order pinned below, Spark and DuckDB compute
+    bit-identical doubles and cluster assignment can never flip at a
+    boundary. Tails get clusters of weight O(δ·√q), i.e. relative
+    accuracy where quantiles are extreme — the t-digest property."""
+    return F.lit(delta * 0.5) * (F.sqrt(q) - F.sqrt(F.lit(1.0) - q) + F.lit(1.0))
+
+
+def tdigest_scale_sql(q_expr: str, delta: int) -> str:
+    """The oracle replay of :func:`tdigest_scale` — textually the
+    same pinned operation order."""
+    return f"({delta * 0.5}) * (sqrt({q_expr}) - sqrt(1.0 - ({q_expr})) + 1.0)"
+
+
+def tdigest_centroids(
+    df: DataFrame,
+    val_col: str,
+    order_extra: list[str] | None = None,
+    delta: int = 32,
+) -> DataFrame:
+    """Build a t-digest over ``val_col``: ≤ ``delta`` centroid rows
+    ``(cluster, w, mean_e4, vmin, vmax)`` — the rank-space-accurate
+    mergeable quantile summary (relative error at the tails, where
+    the equi-width :func:`hist_sketch` is weakest and needs known
+    [lo, hi) bounds up front; the t-digest needs none).
+
+    This is the deterministic one-pass MERGING form: rank every value
+    under a caller-pinned total order (``order_extra`` are the
+    tiebreak columns — required for determinism when values repeat),
+    map each rank's midpoint quantile q = (2r−1)/(2n) through the
+    scale function, and floor into a cluster. A cluster spanning
+    [q₁, q₂] then has k(q₂)−k(q₁) ≤ 1 by construction — exactly the
+    t-digest size invariant.
+
+    Scale shape: the global rank is ranking.with_global_row_number
+    (range shuffle + local sort + broadcast prefix sums — a
+    distributed ORDER BY, no single-reducer stage), then ONE partial-
+    agg groupBy onto ≤ delta metadata rows. The ranked relation is
+    consumed exactly once (the helper's consumption contract).
+    Means are binary-HALF_UP floored at 4 digits (the registry's
+    round() hazard pattern)."""
+    from denormalized_spark.operators.ranking import with_global_row_number
+
+    extra = [F.col(c).asc() for c in (order_extra or [])]
+    x = F.col(val_col).cast("double")
+    ranked = with_global_row_number(
+        df.select(x.alias("_v"), *(F.col(c) for c in (order_extra or []))),
+        order_by=[F.col("_v").asc(), *extra],
+        out_col="_r",
+        total_col="_n",
+    )
+    q = (2 * F.col("_r") - 1).cast("double") / (2 * F.col("_n")).cast("double")
+    cl = F.least(
+        F.greatest(F.floor(tdigest_scale(q, delta)), F.lit(0)),
+        F.lit(delta - 1),
+    ).cast("long")
+    return (
+        ranked.select(cl.alias("cluster"), F.col("_v"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("w"),
+            (F.floor(F.avg("_v") * 10000 + F.lit(0.5)) / 10000).alias("mean_e4"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+    )
+
+
+def tdigest_merge(delta: int, *digests: DataFrame) -> DataFrame:
+    """Merge t-digests built with the same ``delta``: union the
+    centroid rows, re-rank them by mean (weight-midpoint quantiles),
+    and re-cluster through the same scale function — Dunning's
+    merging-digest compression applied to centroids instead of raw
+    values. The result again satisfies the size invariant; accuracy
+    degrades by at most one compression step (the standard t-digest
+    merge bound).
+
+    The union is ≤ Σ deltas rows of METADATA, so the unpartitioned
+    cumulative window here is a few-KB single task by construction —
+    the sanctioned single-partition shape (same class as
+    hist_quantiles' walk), never data."""
+    from pyspark.sql import Window
+
+    u = digests[0]
+    for d in digests[1:]:
+        u = u.unionByName(d)
+    w_ord = Window.orderBy(
+        F.asc("mean_e4"), F.asc("vmin"), F.asc("w"), F.asc("cluster")
+    )
+    allw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = u.select(
+        "w",
+        "mean_e4",
+        "vmin",
+        "vmax",
+        (F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))).alias("_cum"),
+        F.sum("w").over(allw).alias("_W"),
+    )
+    qmid = (2 * F.col("_cum") - F.col("w")).cast("double") / (
+        2 * F.col("_W")
+    ).cast("double")
+    cl = F.least(
+        F.greatest(F.floor(tdigest_scale(qmid, delta)), F.lit(0)),
+        F.lit(delta - 1),
+    ).cast("long")
+    return (
+        c.select(cl.alias("cluster"), "w", "mean_e4", "vmin", "vmax")
+        .groupBy("cluster")
+        .agg(
+            F.sum("w").cast("long").alias("w"),
+            (
+                F.floor(
+                    F.sum(F.col("mean_e4") * F.col("w").cast("double"))
+                    / F.sum(F.col("w").cast("double"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_e4"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def tdigest_quantiles(
+    centroids: DataFrame, qs: list[float], round_digits: int = 4
+) -> DataFrame:
+    """Quantile estimates from a t-digest: one row, a ``q{...}``
+    column per request. Standard t-digest interpolation — centroid i
+    sits at cumulative-weight midpoint mᵢ = cumᵢ − wᵢ/2; the target
+    rank t = q·W linearly interpolates between the bracketing
+    centroid means, clamping to the first/last mean outside the
+    midpoint range. Runs entirely on the ≤ delta-row centroid table
+    (metadata; the unpartitioned window is a few-KB single task).
+    Every arithmetic step is a pinned-order double chain replayed
+    textually by the oracles; the final estimate is binary-HALF_UP
+    floored."""
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy("cluster")
+    allw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = centroids.select(
+        "cluster",
+        "w",
+        "mean_e4",
+        F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("w").over(allw).alias("_W"),
+    ).select(
+        "cluster",
+        "mean_e4",
+        "_W",
+        ((2 * F.col("_cum") - F.col("w")).cast("double") / F.lit(2.0)).alias("_mid"),
+        F.lead("mean_e4").over(w_ord).alias("_nmean"),
+        F.lead((2 * F.col("_cum") - F.col("w")).cast("double") / F.lit(2.0), 1).over(
+            w_ord
+        ).alias("_nmid"),
+    )
+    outs = []
+    for q in qs:
+        t_ = F.lit(float(q)) * F.col("_W").cast("double")
+        # bracketing row: _mid <= t < _nmid (or the edges)
+        hit = (
+            c.filter(
+                (F.col("_mid") <= t_)
+                & (F.col("_nmid").isNotNull())
+                & (t_ < F.col("_nmid"))
+            )
+            .orderBy("cluster")
+            .limit(1)
+        )
+        est = F.col("mean_e4") + (t_ - F.col("_mid")) / (
+            F.col("_nmid") - F.col("_mid")
+        ) * (F.col("_nmean") - F.col("mean_e4"))
+        name = f"q{str(q).replace('.', '_')}"
+        scale = 10 ** round_digits
+        interp = hit.select(
+            (F.floor(est * scale + F.lit(0.5)) / scale).alias(name)
+        )
+        # clamp: below the first midpoint -> first mean; at/above the
+        # last midpoint (the row with no successor) -> last mean.
+        # Midpoints are strictly increasing (w > 0), so the three
+        # cases are mutually exclusive and the union has exactly 1 row.
+        lo_case = c.orderBy("cluster").limit(1).filter(t_ < F.col("_mid")).select(
+            F.col("mean_e4").alias(name)
+        )
+        hi_case = (
+            c.filter(F.col("_nmid").isNull() & (t_ >= F.col("_mid")))
+            .select(F.col("mean_e4").alias(name))
+        )
+        outs.append(interp.unionByName(lo_case).unionByName(hi_case).limit(1))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.crossJoin(F.broadcast(o))
+    return res

@@ -5016,3 +5016,117 @@ def dedup_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
         "id_a", "id_b", "agr_brand", "agr_type", "agr_size",
         "fs_score_micro", "is_match",
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (Dunning & Ertl 2019)
+# ---------------------------------------------------------------------------
+
+_TD_DELTA = 32
+
+
+def _td_scale_sql(q_expr: str) -> str:
+    from denormalized_spark.operators.sketches import tdigest_scale_sql
+
+    return tdigest_scale_sql(q_expr, _TD_DELTA)
+
+
+_TD_CENT_CTE = f"""
+WITH r AS (
+  SELECT l_extendedprice::DOUBLE AS v,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r,
+         count(*) OVER () AS n
+  FROM lineitem
+),
+k AS (
+  SELECT v,
+         CAST(least(greatest(floor({_td_scale_sql('(2*r - 1)::DOUBLE / (2*n)::DOUBLE')}), 0),
+                    {_TD_DELTA - 1}) AS BIGINT) AS cluster
+  FROM r
+),
+sk AS (
+  SELECT cluster, count(*)::BIGINT AS w,
+         floor(avg(v) * 10000 + 0.5) / 10000 AS mean_e4,
+         min(v) AS vmin, max(v) AS vmax
+  FROM k GROUP BY cluster
+)
+"""
+
+
+@q(
+    "sketch_tdigest_centroids",
+    _TD_CENT_CTE + "SELECT cluster, w, mean_e4, vmin, vmax FROM sk",
+)
+def sketch_tdigest_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """t-digest over line-item extended price: ≤32 centroid rows with
+    rank-space-adaptive sizes — small clusters at the tails (relative
+    accuracy at p1/p99, where the equi-width histogram sketch is
+    weakest), large in the middle. Mergeable (tdigest_merge) and
+    bound-free: unlike hist_sketch it needs no [lo, hi) up front. The
+    scale function is the sqrt-based member of Dunning's k₁ family —
+    chosen because IEEE sqrt is CORRECTLY ROUNDED (asin is not), so
+    the pinned double chain assigns every rank to the same cluster in
+    both engines, bit-exactly. Build: one distributed ORDER BY
+    (range partition + broadcast prefix sums, no single-reducer
+    stage) + one partial-agg groupBy onto metadata.
+    See operators/sketches.tdigest_centroids."""
+    from denormalized_spark.operators import sketches
+
+    li = t(spark, sf, "lineitem")
+    return sketches.tdigest_centroids(
+        li, "l_extendedprice", order_extra=["l_orderkey", "l_linenumber"],
+        delta=_TD_DELTA,
+    )
+
+
+def _td_q_sql(q: float) -> str:
+    name = f"q{str(q).replace('.', '_')}"
+    t_ = f"({q} * tw::DOUBLE)"
+    est = f'mean_e4 + ({t_} - mid) / (nmid - mid) * (nmean - mean_e4)'
+    return f"""(
+      SELECT floor(({est}) * 10000 + 0.5) / 10000 AS {name}
+      FROM m WHERE mid <= {t_} AND nmid IS NOT NULL AND {t_} < nmid
+      UNION ALL
+      SELECT mean_e4 FROM m
+      WHERE cluster = (SELECT min(cluster) FROM m) AND {t_} < mid
+      UNION ALL
+      SELECT mean_e4 FROM m WHERE nmid IS NULL AND {t_} >= mid
+    )"""
+
+
+@q(
+    "sketch_tdigest_quantiles",
+    _TD_CENT_CTE
+    + f""",
+    c AS (SELECT cluster, w, mean_e4,
+                 sum(w) OVER (ORDER BY cluster) AS cum,
+                 sum(w) OVER () AS tw FROM sk),
+    m AS (SELECT cluster, mean_e4, tw,
+                 (2*cum - w)::DOUBLE / 2.0 AS mid,
+                 lead(mean_e4) OVER (ORDER BY cluster) AS nmean,
+                 lead((2*cum - w)::DOUBLE / 2.0) OVER (ORDER BY cluster) AS nmid
+          FROM c)
+    SELECT * FROM {_td_q_sql(0.01)} a, {_td_q_sql(0.25)} b, {_td_q_sql(0.5)} c2,
+                  {_td_q_sql(0.75)} d, {_td_q_sql(0.99)} e
+    """,
+)
+def sketch_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """p1/p25/p50/p75/p99 of extended price from the t-digest: the
+    standard midpoint interpolation over cumulative centroid weights,
+    entirely on the ≤32-row centroid table (metadata — its
+    unpartitioned window is a few-KB single task). The centroid table
+    is localCheckpoint'd first: the quantile walk consumes it several
+    times and the global-rank subplan must not re-execute per
+    consumption (ranking.with_global_row_number's contract). Every
+    arithmetic step is a pinned-order double chain the oracle replays
+    textually; estimates land within one centroid span of exact —
+    ~0.5% here, with RELATIVE tail accuracy by the scale function's
+    construction. See operators/sketches.tdigest_quantiles."""
+    from denormalized_spark.operators import sketches
+
+    li = t(spark, sf, "lineitem")
+    cent = sketches.tdigest_centroids(
+        li, "l_extendedprice", order_extra=["l_orderkey", "l_linenumber"],
+        delta=_TD_DELTA,
+    ).localCheckpoint()
+    return sketches.tdigest_quantiles(cent, [0.01, 0.25, 0.5, 0.75, 0.99])

@@ -524,3 +524,74 @@ def test_kmv_set_estimates_within_error_bound(spark):
     r = sketches.kmv_set_estimates(sa, sb, 64).collect()[0]
     assert abs(r.est_union - 500) < 500 * 0.51, r
     assert abs(r.est_intersect - 100) < 150, r
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, n, scale=1.0):
+    return spark.createDataFrame(
+        [(i, float(((i * 37) % n) + 1) * scale) for i in range(n)], "id long, v double"
+    )
+
+
+def test_tdigest_size_invariant_and_accuracy(spark):
+    """Clusters respect the size invariant (k(q2)-k(q1) <= 1 by
+    construction, so at most delta clusters, tails smaller than the
+    middle) and quantile estimates land within one centroid span of
+    exact over a uniform permutation."""
+    df = _vals(spark, 2000)
+    cent = sketches.tdigest_centroids(df, "v", order_extra=["id"], delta=32)
+    rows = cent.orderBy("cluster").collect()
+    assert len(rows) <= 32
+    ws = [r.w for r in rows]
+    assert sum(ws) == 2000
+    # tail compression: edge clusters strictly smaller than the peak
+    assert ws[0] < max(ws) and ws[-1] < max(ws)
+    est = sketches.tdigest_quantiles(
+        cent.localCheckpoint(), [0.01, 0.5, 0.99]
+    ).collect()[0]
+    # uniform 1..2000: p1=20, p50=1000, p99=1980; spans are ~6% mid
+    assert abs(est.q0_01 - 20) < 40, est
+    assert abs(est.q0_5 - 1000) < 80, est
+    assert abs(est.q0_99 - 1980) < 40, est
+
+
+def test_tdigest_merge_law(spark):
+    """Digest shards independently, merge, and the merged digest's
+    quantiles stay within one compression step of the full-data
+    digest's — the Dunning merge bound (and both within span-accuracy
+    of exact)."""
+    df = _vals(spark, 3000)
+    full = sketches.tdigest_centroids(df, "v", order_extra=["id"], delta=32)
+    a = sketches.tdigest_centroids(
+        df.filter("id % 2 = 0"), "v", order_extra=["id"], delta=32
+    )
+    b = sketches.tdigest_centroids(
+        df.filter("id % 2 = 1"), "v", order_extra=["id"], delta=32
+    )
+    merged = sketches.tdigest_merge(32, a, b)
+    assert merged.agg(F.sum("w")).collect()[0][0] == 3000
+    qf = sketches.tdigest_quantiles(full.localCheckpoint(), [0.5, 0.99]).collect()[0]
+    qm = sketches.tdigest_quantiles(merged.localCheckpoint(), [0.5, 0.99]).collect()[0]
+    assert abs(qf.q0_5 - qm.q0_5) < 3000 * 0.05
+    assert abs(qf.q0_99 - qm.q0_99) < 3000 * 0.03
+
+
+def test_tdigest_partition_order_independent(spark):
+    """The build ranks under a caller-pinned total order, so the
+    centroid table is identical under any input partitioning."""
+    df = _vals(spark, 1000)
+    a = sorted(
+        (r.cluster, r.w, r.mean_e4)
+        for r in sketches.tdigest_centroids(df, "v", order_extra=["id"]).collect()
+    )
+    b = sorted(
+        (r.cluster, r.w, r.mean_e4)
+        for r in sketches.tdigest_centroids(
+            df.repartition(7), "v", order_extra=["id"]
+        ).collect()
+    )
+    assert a == b
