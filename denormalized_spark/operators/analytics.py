@@ -1513,3 +1513,363 @@ def psi_binned(
     return percell.crossJoin(F.broadcast(total)).select(
         "bin", "n_ref", "n_cur", "psi_term_micro", "psi_micro"
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    z_thresh_micro: int = 1_960_000,
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per group (Mann 1945,
+    Kendall 1975; Sen 1968) over a PRE-AGGREGATED regular series (one
+    row per period per group, integer ``value_col`` — cents/counts):
+    the standard nonparametric "is this metric drifting?" monitor —
+    no distribution or linearity assumption, robust to outliers,
+    which is why operational-monitoring pipelines prefer it to OLS
+    slope tests.
+
+        S  = Σ_{i<j} sgn(x_j − x_i)          (integer)
+        Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (tie-corrected,
+                                                        integer)
+        z  = (S∓1)/√(Var)  (continuity-corrected, 0 when S=0)
+
+    Sen's slope is the exact MEDIAN of the pairwise slopes
+    (x_j − x_i)/(j − i), with position rank as the time axis — the
+    same gap policy as :func:`autocorrelation` (rank adjacency, not
+    calendar arithmetic; fill gaps upstream if they matter).
+
+    Engine-exact: S, the tie term, and Var·18 are integers; z is one
+    ÷18.0, one IEEE sqrt (correctly rounded), one division —
+    micro-floored; pairwise slopes are single correctly-rounded
+    divisions and the median is the exact middle order statistic of
+    the sorted array (half-pair averages pinned), micro-floored.
+
+    Scale shape: the input is a PERIOD-level series (the caller's
+    data-sized groupBy already happened), so the per-group quadratic
+    pair join — one GROUP-keyed equi-join shuffle — touches
+    T²/2 metadata rows per group with T = periods (e.g. ~465 pairs
+    for a 31-day month); groups scale out horizontally. Returns
+    ``(group, n_periods, s_stat, var18, z_micro, trend,
+    sen_slope_micro)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    rn = series.select(
+        F.col(group_col),
+        F.row_number().over(w).alias("_rn"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    a = rn.select(
+        group_col, F.col("_rn").alias("_i"), F.col("_x").alias("_xi")
+    )
+    b = rn.select(
+        group_col, F.col("_rn").alias("_j"), F.col("_x").alias("_xj")
+    )
+    sign = (
+        F.when(F.col("_xj") > F.col("_xi"), 1)
+        .when(F.col("_xj") < F.col("_xi"), -1)
+        .otherwise(0)
+    )
+    slope = (F.col("_xj") - F.col("_xi")).cast("double") / (
+        F.col("_j") - F.col("_i")
+    ).cast("double")
+    pairs = a.join(b, group_col).filter(F.col("_i") < F.col("_j"))
+    pagg = pairs.groupBy(group_col).agg(
+        F.sum(sign).cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("_np"),
+        F.array_sort(F.collect_list(slope)).alias("_sl"),
+    )
+    ties = (
+        rn.groupBy(group_col, "_x")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("_ndistinct"),
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).cast("long").alias("_tie"),
+            F.sum("_t").cast("long").alias("n_periods"),
+        )
+    )
+    j = pagg.join(ties, group_col)
+    n = F.col("n_periods")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie")).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(var18 <= 0, F.lit(0.0))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    z_micro = F.floor(z * 1_000_000 + F.lit(0.5)).cast("long")
+    # explicit floor: Spark's double->int cast truncates but DuckDB's
+    # CAST rounds half-even, so the oracle mirrors these as // 2
+    mid_lo = F.element_at(
+        F.col("_sl"), F.floor((F.col("_np") + 1) / 2).cast("int")
+    )
+    mid_hi = F.element_at(
+        F.col("_sl"), (F.floor(F.col("_np") / 2) + 1).cast("int")
+    )
+    med = F.when(
+        F.col("_np") % 2 == 1, mid_lo
+    ).otherwise((mid_lo + mid_hi) / F.lit(2.0))
+    return j.select(
+        F.col(group_col),
+        n.alias("n_periods"),
+        F.col("s_stat"),
+        var18.alias("var18"),
+        z_micro.alias("z_micro"),
+        F.when(z_micro >= z_thresh_micro, F.lit("increasing"))
+        .when(z_micro <= -z_thresh_micro, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+        F.floor(med * 1_000_000 + F.lit(0.5)).cast("long").alias("sen_slope_micro"),
+    )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) with right-censoring: from one row per subject —
+    integer ``duration_col`` (periods until event/censoring, e.g.
+    days) and ``event_col`` (1 = event observed, 0 = censored) — emit
+    the survival curve ``(t, n_risk, n_events, n_censored,
+    survival_micro)``, one row per distinct duration:
+
+        S(t) = Π_{tᵢ ≤ t, dᵢ>0} (1 − dᵢ/nᵢ),   nᵢ = subjects with
+                                                 duration ≥ tᵢ
+
+    — time-to-churn / time-to-failure analysis where simply averaging
+    durations is biased by the still-alive (censored) population.
+
+    Engine-exact: each factor is ONE correctly-rounded division
+    ((n−d)/n), and the running product is an explicit left fold over
+    the time-ordered factor array — the identical IEEE multiply chain
+    in both engines (Spark ``aggregate``; the oracle
+    ``list_reduce(list_prepend(1.0, …))``) — then micro-floored.
+
+    Scale shape: the only data-sized pass is the groupBy(duration)
+    partial agg (billions of subjects → ≤ horizon-periods rows);
+    everything after runs on that metadata curve, where the
+    unpartitioned order window and the broadcast 1-row factor array
+    are a few KB by construction. Durations must be pre-binned
+    (days/weeks) so the curve stays bounded."""
+    from pyspark.sql import Window
+
+    d = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("long")
+    counts = subjects.select(d.alias("t"), ev.alias("_e")).groupBy("t").agg(
+        F.sum("_e").cast("long").alias("n_events"),
+        (F.count("*") - F.sum("_e")).cast("long").alias("n_censored"),
+    )
+    w_ord = Window.orderBy("t")
+    allw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = counts.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(allw)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("long"),
+    ).withColumn("_rk", F.row_number().over(w_ord))
+    factor = (F.col("n_risk") - F.col("n_events")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    withf = c.withColumn("_f", factor)
+    # collect_list order is not guaranteed — sort (t, f) structs and
+    # project, which is deterministic under any partitioning
+    facts = withf.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "_f"))),
+            lambda s: s["_f"],
+        ).alias("_fs")
+    )
+    out = withf.crossJoin(F.broadcast(facts)).select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.floor(
+            F.aggregate(
+                F.slice(F.col("_fs"), F.lit(1), F.col("_rk")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("survival_micro"),
+    )
+    return out
+
+
+def ewma_weight_table(
+    lam_num: int = 1, lam_den: int = 5, scale: int = 1_000_000
+) -> list[tuple[int, int, int, int]]:
+    """Micro-integer weight literals for :func:`ewma_control`:
+    ``(k, w, u, g)`` with w = ⌊λ(1−λ)ᵏ·10⁶⌉ (contribution of the
+    value k steps back), u = ⌊(1−λ)ᵏ·10⁶⌉ (the z₀=x₁ head weight),
+    g = ⌊√(λ/(2−λ)·(1−(1−λ)^{2(k+1)}))·10⁶⌉ (the step-(k+1) control-
+    limit width factor). The table ends where both w and u quantize
+    to 0 — beyond that a value contributes nothing on the micro grid,
+    which is what makes the quantized EWMA well-defined for
+    arbitrarily long series. Generated once in Python and embedded as
+    LITERALS in both the Spark plan and the oracle SQL, so no
+    transcendental is ever evaluated by either engine."""
+    import math
+
+    lam = lam_num / lam_den
+    r = 1.0 - lam
+    rows = []
+    k = 0
+    while True:
+        w = math.floor(lam * r**k * scale + 0.5)
+        u = math.floor(r**k * scale + 0.5)
+        g = math.floor(
+            math.sqrt(lam / (2 - lam) * (1 - r ** (2 * (k + 1)))) * scale + 0.5
+        )
+        if w == 0 and u == 0:
+            break
+        rows.append((k, w, u, g))
+        k += 1
+    return rows
+
+
+def ewma_control(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    lam_num: int = 1,
+    lam_den: int = 5,
+    l_sigma: float = 3.0,
+    baseline: Column | None = None,
+) -> DataFrame:
+    """EWMA control chart per group (Roberts 1959; Lucas & Saccucci
+    1990) over a PRE-AGGREGATED regular integer series: the drift
+    monitor that catches small sustained shifts a Shewhart ±3σ chart
+    misses, because the statistic z_t = λx_t + (1−λ)z_{t−1} pools a
+    geometrically-weighted history. Initialization z₁ = x₁; control
+    width uses the exact finite-t variance factor
+    √(λ/(2−λ)·(1−(1−λ)^{2t})) against the group's σ.
+
+    ``baseline`` is the Phase-I predicate: μ and σ are estimated over
+    the rows where it holds (an in-control reference period), and the
+    whole series is then monitored against them — calibrating on the
+    full series would let a sustained shift inflate its own control
+    limits. Default: the full series (self-calibrating screening).
+    Groups with no baseline rows drop from the output. The breach
+    comparison carries an exact integer quantization guard
+    (Σ|xᵢ|/2 micro — the weight literals are each ≤0.5 micro off), so
+    a flat series never false-alarms on rounding.
+
+    Engine-exact by construction: all EWMA weights and width factors
+    are precomputed micro-INTEGER literals (:func:`ewma_weight_table`
+    — the fellegi_sunter damping-literal pattern), so z_t·10⁶ is a
+    pure integer dot product; σ enters through one exact int→double
+    conversion, one IEEE sqrt and pinned divisions, micro-floored.
+    The result is the micro-QUANTIZED EWMA — weights below 0.5 micro
+    are identically 0, bounding the convolution depth at ~66 steps
+    for λ=0.2.
+
+    Scale shape: input is a PERIOD-level series (caller's data-sized
+    groupBy already happened); the convolution is a group-keyed
+    self-join of T×(≤66) metadata pairs plus one broadcast ≤66-row
+    weight table; groups scale out horizontally. Returns
+    ``(group, order, x, ewma_micro, dev_micro, limit_micro,
+    breach)``."""
+    from pyspark.sql import Window
+
+    wt = ewma_weight_table(lam_num, lam_den)
+    spark = series.sparkSession
+    # underscore-prefixed sketch columns so the broadcast table can
+    # never shadow a caller's group/order/value column names
+    wdf = spark.createDataFrame(wt, "_ewk int, _eww long, _ewu long, _ewg long")
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    rn = series.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.row_number().over(w).alias("_rk"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    base = rn if baseline is None else rn.filter(baseline)
+    stats = base.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_q"),
+    )
+    a = rn.select(
+        group_col, F.col("_rk").alias("_i"), F.col("_x").alias("_xi")
+    )
+    b = rn.select(group_col, order_col, "_rk", "_x")
+    pairs = (
+        b.join(a, group_col)
+        .filter(F.col("_i") <= F.col("_rk"))
+        .withColumn("_ewk", (F.col("_rk") - F.col("_i")).cast("int"))
+        .join(F.broadcast(wdf), "_ewk")
+    )
+    contrib = F.col("_xi") * F.when(F.col("_i") == 1, F.col("_ewu")).otherwise(
+        F.col("_eww")
+    )
+    z = pairs.groupBy(group_col, order_col, "_rk", "_x").agg(
+        F.sum(contrib).cast("long").alias("ewma_micro"),
+        # quantization guard: each weight literal is off by <= 0.5
+        # micro, so |z_quantized - z_exact| <= Sigma|x_i|/2 micro -- an
+        # exact integer slack added to the breach comparison below
+        ((F.sum(F.abs(F.col("_xi"))) + 1) / 2).cast("long").alias("_slack"),
+    )
+    # the width factor g saturates at its asymptote past the table
+    # end — clamp the lookup key so long series keep every row
+    kmax = wt[-1][0]
+    out = (
+        z.withColumn("_gk", F.least(F.col("_rk"), F.lit(kmax + 1)))
+        .join(stats, group_col)
+        .join(
+            F.broadcast(wdf.select((F.col("_ewk") + 1).alias("_gk"), "_ewg")),
+            "_gk",
+        )
+        .select(
+            F.col(group_col),
+            F.col(order_col),
+            F.col("_x").alias("x"),
+            F.col("ewma_micro"),
+            F.floor(
+                F.abs(
+                    F.col("ewma_micro").cast("double")
+                    - F.col("_s").cast("double")
+                    * F.lit(1_000_000.0)
+                    / F.col("_n").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long").alias("dev_micro"),
+            F.floor(
+                F.lit(float(l_sigma))
+                * (
+                    F.sqrt(
+                        (
+                            F.col("_n") * F.col("_q")
+                            - F.col("_s") * F.col("_s")
+                        ).cast("double")
+                    )
+                    / F.col("_n").cast("double")
+                )
+                * F.col("_ewg").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("limit_micro"),
+            F.col("_slack"),
+        )
+        .withColumn(
+            "breach",
+            F.col("dev_micro") > F.col("limit_micro") + F.col("_slack"),
+        )
+        .drop("_slack")
+    )
+    return out

@@ -1596,3 +1596,243 @@ def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     return psi_binned(
         e, "value", F.col("event_id") % 2 == 0, _PSI_LO, _PSI_HI, _PSI_B
     )
+
+
+@q(
+    "events_mann_kendall",
+    """
+    WITH s AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, cents AS x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          FROM s),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
+             (b.x - a.x)::DOUBLE / (b.rn - a.rn)::DOUBLE AS slope
+      FROM r a JOIN r b ON a.event_type = b.event_type AND a.rn < b.rn
+    ),
+    pa AS (SELECT event_type, sum(sg)::BIGINT AS s_stat,
+                  count(*)::BIGINT AS np, list_sort(list(slope)) AS sl
+           FROM p GROUP BY 1),
+    ti AS (SELECT event_type,
+                  sum(t*(t-1)*(2*t+5))::BIGINT AS tie,
+                  sum(t)::BIGINT AS n_periods
+           FROM (SELECT event_type, x, count(*)::BIGINT AS t
+                 FROM r GROUP BY 1, 2)
+           GROUP BY 1),
+    f AS (
+      SELECT pa.event_type, n_periods, s_stat,
+             (n_periods*(n_periods-1)*(2*n_periods+5) - tie)::BIGINT AS var18,
+             np, sl,
+             CASE WHEN np % 2 = 1 THEN sl[CAST((np+1)//2 AS INT)]
+                  ELSE (sl[CAST(np//2 AS INT)] + sl[CAST(np//2+1 AS INT)]) / 2.0
+             END AS med
+      FROM pa JOIN ti USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, n_periods, s_stat, var18,
+             CAST(floor(
+               CASE WHEN var18 <= 0 THEN 0.0
+                    WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+                                         / sqrt(var18::DOUBLE / 18.0)
+                    WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE
+                                         / sqrt(var18::DOUBLE / 18.0)
+                    ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS z_micro,
+             CAST(floor(med * 1000000 + 0.5) AS BIGINT) AS sen_slope_micro
+      FROM f
+    )
+    SELECT event_type, n_periods, s_stat, var18, z_micro,
+           CASE WHEN z_micro >= 1960000 THEN 'increasing'
+                WHEN z_micro <= -1960000 THEN 'decreasing'
+                ELSE 'none' END AS trend,
+           sen_slope_micro
+    FROM g ORDER BY event_type
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope on daily revenue-cents
+    per event type (operators/analytics.mann_kendall): the standard
+    nonparametric drift monitor — S and the tie-corrected Var(S)·18
+    are pure integers, z is one sqrt + one division micro-floored,
+    Sen's slope is the exact median of ~T²/2 pairwise slopes. The
+    data-sized pass is the daily groupBy; the quadratic pair join
+    runs on the period-level series (≤ ~465 pairs per type for a
+    31-day month), group-keyed."""
+    from denormalized_spark.operators.analytics import mann_kendall
+
+    e = t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    return mann_kendall(series, "event_type", "day", "cents")
+
+
+@q(
+    "events_survival_km",
+    """
+    WITH t0 AS (SELECT user_id, min(ts) AS t0
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    te AS (SELECT e.user_id, min(e.ts) AS te
+           FROM events e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'error' AND e.ts > t0.t0
+           GROUP BY e.user_id),
+    mx AS (SELECT max(ts) AS m FROM events),
+    subj AS (
+      SELECT t0.user_id,
+             CASE WHEN te.te IS NOT NULL
+                  THEN date_diff('day', t0.t0::DATE, te.te::DATE)
+                  ELSE date_diff('day', t0.t0::DATE, mx.m::DATE)
+             END::BIGINT AS dur,
+             CASE WHEN te.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN te USING (user_id) CROSS JOIN mx
+    ),
+    counts AS (SELECT dur AS t, sum(ev)::BIGINT AS n_events,
+                      (count(*) - sum(ev))::BIGINT AS n_censored
+               FROM subj GROUP BY 1),
+    c AS (SELECT t, n_events, n_censored,
+                 (sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_risk,
+                 row_number() OVER (ORDER BY t) AS rk
+          FROM counts),
+    f AS (SELECT t, n_events, n_censored, n_risk, rk,
+                 (n_risk - n_events)::DOUBLE / n_risk::DOUBLE AS fct FROM c),
+    arr AS (SELECT list(fct ORDER BY t) AS fs FROM f)
+    SELECT t, n_risk, n_events, n_censored,
+           CAST(floor(list_reduce(list_prepend(1.0, fs[1:rk]),
+                                  (a, b) -> a * b) * 1000000 + 0.5)
+                AS BIGINT) AS survival_micro
+    FROM f, arr ORDER BY t
+    """,
+)
+def events_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival of signup→first-error time with right-
+    censoring at the observation horizon
+    (operators/analytics.kaplan_meier): users who never error are
+    CENSORED, not dropped — the estimator averaging ignores, and the
+    reason KM beats a plain mean time-to-failure. Subjects are built
+    with two user-keyed aggs (signup epoch, first error strictly
+    after it) + a broadcast 1-row horizon; the curve itself is
+    day-binned metadata and the running product is the pinned fold
+    the oracle replays with list_reduce."""
+    from denormalized_spark.operators.analytics import kaplan_meier
+
+    e = t(spark, sf, "events")
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t0"))
+    )
+    te = (
+        e.join(t0, "user_id")
+        .filter((F.col("event_type") == "error") & (F.col("ts") > F.col("_t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_te"))
+    )
+    mx = e.agg(F.max("ts").alias("_m"))
+    subj = (
+        t0.join(te, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.col("_te").cast("date"), F.col("_t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("_m").cast("date"), F.col("_t0").cast("date"))
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    return kaplan_meier(subj, "dur", "ev")
+
+
+def _ewma_values_cte() -> str:
+    from denormalized_spark.operators.analytics import ewma_weight_table
+
+    rows = ", ".join(f"({k}, {w}, {u}, {g})" for k, w, u, g in ewma_weight_table())
+    kmax = ewma_weight_table()[-1][0]
+    return rows, kmax
+
+
+_EWMA_ROWS, _EWMA_KMAX = _ewma_values_cte()
+
+
+@q(
+    "events_ewma_daily",
+    f"""
+    WITH s AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, day, cents AS x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+          FROM s),
+    wt(k, w, u, g) AS (VALUES {_EWMA_ROWS}),
+    st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sm,
+                  sum(x*x)::BIGINT AS q
+           FROM r WHERE day < DATE '2024-01-16' GROUP BY 1),
+    p AS (SELECT b.event_type, b.day, b.rk, b.x,
+                 sum(a.x * CASE WHEN a.rk = 1 THEN wt.u ELSE wt.w END)::BIGINT
+                   AS ewma_micro,
+                 CAST(floor((sum(abs(a.x)) + 1) / 2) AS BIGINT) AS slack
+          FROM r b JOIN r a ON a.event_type = b.event_type AND a.rk <= b.rk
+          JOIN wt ON wt.k = b.rk - a.rk
+          GROUP BY 1, 2, 3, 4),
+    f AS (SELECT p.event_type, p.day, p.x, p.ewma_micro, p.slack,
+                 CAST(floor(abs(p.ewma_micro::DOUBLE
+                     - st.sm::DOUBLE * 1000000.0 / st.n::DOUBLE) + 0.5)
+                   AS BIGINT) AS dev_micro,
+                 CAST(floor(3.0 * (sqrt((st.n * st.q - st.sm * st.sm)::DOUBLE)
+                     / st.n::DOUBLE) * wt2.g::DOUBLE + 0.5)
+                   AS BIGINT) AS limit_micro
+          FROM p JOIN st USING (event_type)
+          JOIN wt wt2 ON wt2.k + 1 = least(p.rk, {_EWMA_KMAX + 1}))
+    SELECT event_type, day, x, ewma_micro, dev_micro, limit_micro,
+           dev_micro > limit_micro + slack AS breach
+    FROM f ORDER BY event_type, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart on daily revenue-cents per event type
+    (operators/analytics.ewma_control, λ=0.2, 3σ): the small-shift
+    drift monitor beside the Shewhart-style MAD/z channels — z_t
+    pools a geometrically-weighted history, with the exact finite-t
+    limit width. Phase-I calibration on the first 15 days (mu, sigma
+    from the in-control window), Phase-II monitoring over the whole
+    month. Every EWMA weight and width factor is a precomputed
+    micro-integer LITERAL baked into both the Spark plan and this
+    oracle, so z_t·10⁶ is an integer dot product and neither engine
+    evaluates a transcendental; the only floats are one sqrt + pinned
+    divisions, micro-floored. The convolution is a group-keyed
+    T×(≤66) metadata self-join after the data-sized daily groupBy."""
+    from denormalized_spark.operators.analytics import ewma_control
+
+    e = t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    return ewma_control(
+        series, "event_type", "day", "cents",
+        baseline=F.col("day") < F.lit("2024-01-16").cast("date"),
+    )

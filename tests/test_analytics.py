@@ -962,3 +962,70 @@ class TestPsiBinned:
             psi_binned(df, "v", F.col("r"), 0.0, 1.0, 1)
         with pytest.raises(ValueError, match="hi > lo"):
             psi_binned(df, "v", F.col("r"), 1.0, 1.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall / Kaplan-Meier / EWMA control (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    """A strictly increasing series has S = T(T-1)/2, an 'increasing'
+    verdict, and Sen's slope equal to the exact step; a constant
+    series is all ties (var18 = 0) and must report z = 0 / 'none'."""
+    rows = [("up", i, 10 * i) for i in range(1, 11)] + [
+        ("flat", i, 7) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    got = {
+        r.g: r for r in analytics.mann_kendall(df, "g", "t", "v").collect()
+    }
+    up = got["up"]
+    assert up.s_stat == 45  # 10*9/2
+    assert up.trend == "increasing"
+    assert up.sen_slope_micro == 10_000_000  # slope exactly 10/period
+    flat = got["flat"]
+    assert flat.s_stat == 0 and flat.var18 == 0
+    assert flat.z_micro == 0 and flat.trend == "none"
+
+
+def test_kaplan_meier_hand_example(spark):
+    """Classic textbook curve: events at t=1 (1 of 5) and t=3 (2 of
+    3), censoring at t=2 and t=4 — S(1)=0.8, S(2)=0.8 (censoring
+    alone never drops the curve), S(3)=0.8*(1/3), S(4) unchanged."""
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)], "dur long, ev int"
+    )
+    got = {
+        r.t: r for r in analytics.kaplan_meier(df, "dur", "ev").collect()
+    }
+    assert got[1].n_risk == 5 and got[1].n_events == 1
+    assert got[1].survival_micro == 800000
+    assert got[2].n_censored == 1 and got[2].survival_micro == 800000
+    assert got[3].n_risk == 3 and got[3].n_events == 2
+    assert got[3].survival_micro == 266667  # 0.8/3 micro-floored
+    assert got[4].n_risk == 1 and got[4].survival_micro == 266667
+
+
+def test_ewma_control_constant_and_step(spark):
+    """A constant series never breaches (EWMA sits on the mean, limit
+    positive is vacuous at sigma=0 -> limit 0 and dev ~0); a step
+    change breaches after the shift once the pooled statistic crosses
+    the finite-t limit."""
+    const = [("c", i, 100) for i in range(1, 21)]
+    step = [("s", i, 100) for i in range(1, 11)] + [
+        ("s", i, 200) for i in range(11, 21)
+    ]
+    df = spark.createDataFrame(const + step, "g string, t int, v long")
+    out = analytics.ewma_control(
+        df, "g", "t", "v", baseline=F.col("t") <= 10
+    ).collect()
+    c_rows = sorted((r for r in out if r.g == "c"), key=lambda r: r.t)
+    assert len(c_rows) == 20
+    for r in c_rows:
+        # quantized EWMA of a constant stays within rounding of x*1e6
+        assert abs(r.ewma_micro - 100_000_000) < 100 * 66  # <=1 micro/term
+        assert not r.breach
+    s_rows = sorted((r for r in out if r.g == "s"), key=lambda r: r.t)
+    assert any(r.breach for r in s_rows if r.t > 10)
+    assert not any(r.breach for r in s_rows if r.t <= 10)
