@@ -1873,3 +1873,92 @@ def ewma_control(
         .drop("_slack")
     )
     return out
+
+
+def cuped_adjustment(
+    units: DataFrame,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B estimate (Deng, Xu, Kohavi & Walker
+    2013, "Improving the sensitivity of online controlled
+    experiments"): one row per experiment unit with a 0/1
+    ``variant_col``, an INTEGER pre-period covariate ``x_col`` and an
+    integer experiment metric ``y_col`` (cents/counts). The adjusted
+    metric Ŷ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) removes the
+    between-user variance the pre-period already explains, shrinking
+    the CI width by the factor √(1−ρ²) — the standard way experiments
+    reach significance weeks earlier on heavy-tailed spend metrics.
+
+    Emits ``(n_a, n_b, theta_micro, diff_raw_micro, diff_cuped_micro,
+    var_reduction_micro)`` — var_reduction = ρ²(X,Y), the fraction of
+    metric variance CUPED removed.
+
+    Engine-exact (the autocorrelation decimal38/HUGEINT pattern):
+    every moment is an integer sum; the centered quantities
+    n·Σxy − Σx·Σy, n·Σxx − (Σx)², n·Σyy − (Σy)² are decimal(38,0) ↔
+    HUGEINT — bit-identical under any partitioning — and each final
+    statistic spends exactly one correctly-rounded ::double
+    conversion per operand in a pinned chain, micro-floored.
+
+    Scale shape: ONE unit-level aggregation to a 2-row arms table +
+    a 1-row pooled-moments frame (broadcast crossJoin of metadata) —
+    billions of units stream through a partial agg."""
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    v = F.col(variant_col).cast("int")
+    pooled = units.agg(
+        F.count("*").cast(d38).alias("_n"),
+        F.sum(x).cast(d38).alias("_sx"),
+        F.sum(y).cast(d38).alias("_sy"),
+        F.sum(x * y).cast(d38).alias("_sxy"),
+        F.sum(x * x).cast(d38).alias("_sxx"),
+        F.sum(y * y).cast(d38).alias("_syy"),
+    ).select(
+        "_n",
+        "_sx",
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias("_cxy"),
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias("_vx"),
+        (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).alias("_vy"),
+    )
+    arms = units.groupBy(v.alias("_v")).agg(
+        F.count("*").cast("long").alias("_na"),
+        F.sum(x).cast("long").alias("_ax"),
+        F.sum(y).cast("long").alias("_ay"),
+    )
+    a = arms.filter(F.col("_v") == 0).select(
+        F.col("_na").alias("n_a"), F.col("_ax").alias("_xa"), F.col("_ay").alias("_ya")
+    )
+    b = arms.filter(F.col("_v") == 1).select(
+        F.col("_na").alias("n_b"), F.col("_ax").alias("_xb"), F.col("_ay").alias("_yb")
+    )
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(pooled))
+    theta = F.col("_cxy").cast("double") / F.col("_vx").cast("double")
+    mean_x_all = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    my_a = F.col("_ya").cast("double") / F.col("n_a").cast("double")
+    my_b = F.col("_yb").cast("double") / F.col("n_b").cast("double")
+    mx_a = F.col("_xa").cast("double") / F.col("n_a").cast("double")
+    mx_b = F.col("_xb").cast("double") / F.col("n_b").cast("double")
+    adj_a = my_a - theta * (mx_a - mean_x_all)
+    adj_b = my_b - theta * (mx_b - mean_x_all)
+    rho2 = (
+        F.col("_cxy").cast("double")
+        * F.col("_cxy").cast("double")
+        / (F.col("_vx").cast("double") * F.col("_vy").cast("double"))
+    )
+    guard = (F.col("_vx") > 0) & (F.col("_vy") > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.floor(F.when(F.col("_vx") > 0, theta).otherwise(F.lit(0.0)) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("theta_micro"),
+        F.floor((my_b - my_a) * 1_000_000 + F.lit(0.5)).cast("long").alias("diff_raw_micro"),
+        F.floor(
+            F.when(F.col("_vx") > 0, adj_b - adj_a).otherwise(my_b - my_a)
+            * 1_000_000 + F.lit(0.5)
+        ).cast("long").alias("diff_cuped_micro"),
+        F.floor(F.when(guard, rho2).otherwise(F.lit(0.0)) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("var_reduction_micro"),
+    )

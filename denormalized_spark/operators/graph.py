@@ -298,3 +298,69 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
             .alias("clustering_micro"),
         )
     )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core of an undirected graph (Seidman 1983; distributed
+    peeling per Montresor, De Pellegrini & Miorandi 2013): repeatedly
+    delete nodes with degree < k until none remain; the survivors are
+    the maximal subgraph where every node keeps ≥ k neighbors — the
+    standard cohesion filter (spam rings, dense communities, "core"
+    users) that a plain degree threshold gets wrong because removing
+    a low-degree node can expose its neighbors.
+
+    ``edges`` are distinct ``u < v`` rows. ``rounds`` runs a FIXED
+    number of peel passes (exact k-core whenever the graph's peel
+    depth is below it — oracle-replayable as unrolled CTEs; callers
+    should verify convergence at their scale); ``rounds=None``
+    iterates to the true fixpoint with a driver-side count probe per
+    pass — the production mode. EVERY pass materializes via
+    localCheckpoint in both modes: one pass consumes its predecessor
+    three times (the degree union reads it twice, the anti-join
+    once), so an unmaterialized unroll re-executes the base ~3^rounds
+    times — measured pathological at 8 rounds even on 10k edges.
+    Materialize-per-round is how iterative graph passes run at scale
+    (the connected_components posture).
+
+    Every pass is: one edge-keyed degree agg + two anti-joins against
+    the (small) victim set — corpus-linear, no pair blowup; peel
+    depth on real graphs is tens of passes. Returns the surviving
+    ``(n, core_degree)`` nodes."""
+    if k < 1:
+        raise ValueError(f"kcore_peel: k must be >= 1, got {k}")
+
+    def peel_once(e: DataFrame) -> DataFrame:
+        low = _degrees(e).filter(F.col("d") < k).select("n")
+        return e.join(
+            low.withColumnRenamed("n", "u"), "u", "left_anti"
+        ).join(low.withColumnRenamed("n", "v"), "v", "left_anti")
+
+    e = edges.select("u", "v").localCheckpoint()
+    if rounds is not None:
+        for _ in range(int(rounds)):
+            e = peel_once(e).localCheckpoint()
+    else:
+        prev = e.count()
+        for _ in range(max_iter):
+            e = peel_once(e).localCheckpoint()
+            cur = e.count()
+            if cur == prev:
+                break
+            prev = cur
+    return _degrees(e).filter(F.col("d") >= k).select(
+        "n", F.col("d").alias("core_degree")
+    )

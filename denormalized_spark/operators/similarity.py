@@ -1359,3 +1359,87 @@ def pca_top_project(
     rows = pca_moments(df, dim, vec_col).collect()
     v = pca_power_top([(r["i"], r["j"], r["s"]) for r in rows], dim, iterations)
     return pca_project(df, v, dim, id_col, vec_col)
+
+
+def ndcg_weight_table(k: int, scale: int = 1_000_000) -> list[tuple[int, int]]:
+    """Micro-integer DCG position discounts ``(rank, ⌊10⁶/log₂(rank+1)⌉)``
+    for ranks 1..k — precomputed in Python and embedded as LITERALS in
+    both the Spark plan and the oracle SQL (the fellegi_sunter /
+    ewma_control damping-literal pattern), so neither engine evaluates
+    a logarithm."""
+    import math
+
+    return [
+        (r, math.floor(scale / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)
+    ]
+
+
+def ndcg_eval(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Ranking-quality evaluation of an approximate retrieval list
+    against the exact one: NDCG@k (Järvelin & Kekäläinen 2002) with
+    graded relevance rel(id) = k+1 − exact_rank (the exact neighbor
+    order IS the gold grading), plus MRR and hit count — the metrics
+    that catch what recall@k cannot: an ANN index can hold 9/10
+    recall while scrambling the head of the list, and NDCG's
+    log-position discount bills exactly that.
+
+    Inputs are ranked lists ``(id, rank)`` with rank 1..k. Emits one
+    row ``(k, n_hits, dcg, idcg, ndcg_micro, mrr_micro)``.
+
+    Engine-exact: position discounts are precomputed micro-integer
+    literals (:func:`ndcg_weight_table`), so DCG and IDCG are pure
+    integer dot products; NDCG is one correctly-rounded division,
+    micro-floored; MRR is ⌊10⁶/first-hit-rank⌉. Everything here runs
+    on two ≤k-row lists — metadata; the data-sized work happened in
+    the retrieval that produced them."""
+    spark = approx.sparkSession
+    wdf = spark.createDataFrame(ndcg_weight_table(k), "_ndr int, _ndw long")
+    ex = exact.select(
+        F.col(id_col), F.col("rank").alias("_xr")
+    )
+    a = (
+        approx.select(F.col(id_col), F.col("rank"))
+        .join(ex, id_col, "left")
+        .withColumn(
+            "_rel",
+            F.coalesce(F.lit(k + 1) - F.col("_xr"), F.lit(0)).cast("long"),
+        )
+        .join(F.broadcast(wdf.withColumnRenamed("_ndr", "rank")), "rank")
+    )
+    dcg = a.agg(
+        F.sum(F.col("_rel") * F.col("_ndw")).cast("long").alias("dcg"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.min(F.when(F.col("_rel") > 0, F.col("rank"))).alias("_first"),
+    )
+    idcg = (
+        exact.join(F.broadcast(wdf.withColumnRenamed("_ndr", "rank")), "rank")
+        .agg(
+            F.sum((F.lit(k + 1) - F.col("rank")).cast("long") * F.col("_ndw"))
+            .cast("long")
+            .alias("idcg")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_hits",
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0,
+            F.floor(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double")
+                * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("ndcg_micro"),
+        F.when(
+            F.col("_first").isNotNull(),
+            F.floor(
+                F.lit(1_000_000.0) / F.col("_first").cast("double") + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("mrr_micro"),
+    )

@@ -1409,3 +1409,64 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-richness / unseen-mass estimators over a corpus —
+    how much vocabulary the crawl has NOT seen yet, the coverage
+    question behind "is more of this source worth scraping?":
+
+    - Chao1 richness (Chao 1984, bias-corrected form):
+      V̂ = V + N₁(N₁−1)/(2(N₂+1)) — a lower bound on true vocabulary
+      size from the singleton/doubleton counts (well-defined at
+      N₂ = 0).
+    - Simple Good-Turing unseen mass (Good 1953; Gale & Sampson
+      1995): P₀ = N₁/N, the probability the next token is novel.
+    - The small-r smoothed counts r* = (r+1)·N_{r+1}/N_r for
+      r = 1, 2 (the Good-Turing discounts LM smoothing uses).
+
+    One row: ``(v_distinct, n_tokens, n1, n2, n3, chao1_milli,
+    p0_unseen_micro, r1_star_milli, r2_star_milli)``. All inputs are
+    integers (token counts and frequency-of-frequency counts); each
+    statistic is one correctly-rounded double division, milli/micro-
+    floored — engine-exact.
+
+    Scale shape: explode → ONE token-keyed partial-agg count (corpus-
+    linear shuffle, the TF-IDF document-frequency budget class), then
+    a frequencies-of-frequencies groupBy on the count value (≤
+    thousands of distinct r), then a 1-row agg. Nothing downstream of
+    the first agg touches data-sized rows."""
+    toks = df.select(F.explode(tokens(text_col)).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count("*").alias("_r"))
+    fof = counts.groupBy("_r").agg(F.count("*").cast("long").alias("_nr"))
+    agg = fof.agg(
+        F.sum("_nr").cast("long").alias("v_distinct"),
+        F.sum(F.col("_r") * F.col("_nr")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_r") == 1, F.col("_nr")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("_r") == 2, F.col("_nr")).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum(F.when(F.col("_r") == 3, F.col("_nr")).otherwise(0))
+        .cast("long").alias("n3"),
+    )
+    chao1 = F.col("v_distinct").cast("double") + (
+        F.col("n1") * (F.col("n1") - 1)
+    ).cast("double") / (2 * (F.col("n2") + 1)).cast("double")
+    p0 = F.col("n1").cast("double") / F.col("n_tokens").cast("double")
+    r1s = (2 * F.col("n2")).cast("double") / F.col("n1").cast("double")
+    r2s = (3 * F.col("n3")).cast("double") / F.col("n2").cast("double")
+    return agg.select(
+        "v_distinct",
+        "n_tokens",
+        "n1",
+        "n2",
+        "n3",
+        F.floor(chao1 * 1000 + F.lit(0.5)).cast("long").alias("chao1_milli"),
+        F.floor(p0 * 1_000_000 + F.lit(0.5)).cast("long").alias("p0_unseen_micro"),
+        F.floor(
+            F.when(F.col("n1") > 0, r1s).otherwise(F.lit(0.0)) * 1000 + F.lit(0.5)
+        ).cast("long").alias("r1_star_milli"),
+        F.floor(
+            F.when(F.col("n2") > 0, r2s).otherwise(F.lit(0.0)) * 1000 + F.lit(0.5)
+        ).cast("long").alias("r2_star_milli"),
+    )

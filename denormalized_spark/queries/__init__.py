@@ -62,13 +62,13 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, the
 # PSI drift metric, exact-percentile winsorization, and rank
 # normalization;
-# (4) the staleness drain: the ENTIRE latest-green-r5 cohort, 35 entries
-# (2+2+11+35 = 50). sketch_bloom_probe (operator changed this round:
-# probe-key dedup fixing the r10-ADVICE false-negative) and the r6 cohort
-# were verified locally this session and rotate into the r12 window.
-# Everything displaced to 51+ keeps its registry order; the full window
-# was re-verified locally this session (50 ok at sf0.01) and every new
-# entry swept at all three SFs.
+# (4) the staleness drain: 26 of the latest-green-r5 cohort
+# (2+2+11+9+26 = 50). The 9 r5 entries displaced by this session's second
+# operator wave (t-digest ×2, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
+# vocab richness, k-core, NDCG — all swept at three SFs locally) plus
+# sketch_bloom_probe (operator changed: probe-key dedup fixing the
+# r10-ADVICE false-negative) and the r6 cohort rotate into the r12
+# window. Everything displaced to 51+ keeps its registry order.
 _DRIVER_PRIORITY = [
     # r10 driver-reds, reshaped this round (posexplode → rows) — must go green
     "sim_jl_project", "dedup_weighted_minhash",
@@ -79,7 +79,12 @@ _DRIVER_PRIORITY = [
     "sketch_kmv_set_ops", "events_ks_drift", "events_chi2_weekday",
     "text_pmi_collocations", "dedup_fellegi_sunter", "events_psi_drift",
     "curation_winsorize_prices", "curation_rank_normalize",
-    # staleness drain: the entire latest-green-r5 cohort (35)
+    # r11 second wave — never driver-verified
+    "sketch_tdigest_centroids", "sketch_tdigest_quantiles",
+    "events_mann_kendall", "events_survival_km", "events_ewma_daily",
+    "events_ab_cuped", "text_vocab_richness", "graph_kcore_parts",
+    "sim_ndcg_ivf",
+    # staleness drain: first 26 of the latest-green-r5 cohort
     "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
@@ -88,10 +93,7 @@ _DRIVER_PRIORITY = [
     "sim_topk_quantized_query0", "sim_topk_query0", "text_bigram_quality",
     "text_bpe_pairs", "text_frequency_spectrum", "text_gopher_rules",
     "text_lang_mismatch", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_quality_classifier", "text_quality_percentile_gate", "text_repetition",
-    "text_stats", "text_structure_stats", "text_tfidf_keywords",
-    "text_token_entropy", "text_token_totals", "text_unigram_quality",
-    "window_ohlc",
+    "text_quality_classifier",
 ]
 
 def _reorder(d: dict) -> dict:

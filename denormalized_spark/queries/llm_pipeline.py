@@ -5130,3 +5130,138 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         delta=_TD_DELTA,
     ).localCheckpoint()
     return sketches.tdigest_quantiles(cent, [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+@q(
+    "text_vocab_richness",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS t FROM documents
+    ),
+    counts AS (SELECT t, count(*)::BIGINT AS r FROM toks GROUP BY t),
+    fof AS (SELECT r, count(*)::BIGINT AS nr FROM counts GROUP BY r),
+    agg AS (
+      SELECT sum(nr)::BIGINT AS v_distinct,
+             sum(r * nr)::BIGINT AS n_tokens,
+             sum(CASE WHEN r = 1 THEN nr ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN r = 2 THEN nr ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN r = 3 THEN nr ELSE 0 END)::BIGINT AS n3
+      FROM fof
+    )
+    SELECT v_distinct, n_tokens, n1, n2, n3,
+           CAST(floor((v_distinct::DOUBLE
+                + (n1 * (n1 - 1))::DOUBLE / (2 * (n2 + 1))::DOUBLE)
+                * 1000 + 0.5) AS BIGINT) AS chao1_milli,
+           CAST(floor(n1::DOUBLE / n_tokens::DOUBLE * 1000000 + 0.5)
+                AS BIGINT) AS p0_unseen_micro,
+           CAST(floor(CASE WHEN n1 > 0
+                  THEN (2 * n2)::DOUBLE / n1::DOUBLE ELSE 0.0 END
+                * 1000 + 0.5) AS BIGINT) AS r1_star_milli,
+           CAST(floor(CASE WHEN n2 > 0
+                  THEN (3 * n3)::DOUBLE / n2::DOUBLE ELSE 0.0 END
+                * 1000 + 0.5) AS BIGINT) AS r2_star_milli
+    FROM agg
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound + simple Good-Turing
+    unseen mass and small-r smoothed counts over the corpus
+    (operators/text.vocab_richness) — the crawl-coverage panel: "how
+    much vocabulary haven't we seen, and what's the chance the next
+    token is novel?" One corpus-linear token-keyed count, then a
+    frequencies-of-frequencies groupBy — the same shuffle budget as
+    the TF-IDF document-frequency table; all statistics are single
+    integer-ratio divisions the oracle replays exactly."""
+    from denormalized_spark.operators.text import vocab_richness
+
+    d = t(spark, sf, "documents")
+    return vocab_richness(d, "text")
+
+
+def _ndcg_oracle(k: int = 10, qid: int = 0, nprobe: int = 3) -> str:
+    """NDCG@k / MRR of IVF vs exact, reusing the IVF oracle chain;
+    discounts are the same Python-generated micro literals the Spark
+    plan embeds."""
+    from denormalized_spark.operators.similarity import ndcg_weight_table
+
+    ivf = _ivf_oracle(nprobe=nprobe, k=k, qid=qid).strip()
+    wrows = ", ".join(f"({r}, {w})" for r, w in ndcg_weight_table(k))
+    brute = f"""
+      SELECT e.vec_id,
+             row_number() OVER (
+               ORDER BY round(({_dot_sql('e.embedding', 'q.qvec')})
+                        / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}), 6)
+                        DESC, e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                                    WHERE vec_id = {qid}) q
+      WHERE e.vec_id != {qid}
+      QUALIFY rank <= {k}
+    """
+    return f"""
+    WITH ivf AS ({ivf}),
+    ar AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+           FROM ivf),
+    brute AS ({brute}),
+    wt(r, w) AS (VALUES {wrows}),
+    rel AS (SELECT a.rank, wt.w,
+                   coalesce({k} + 1 - b.rank, 0)::BIGINT AS rel
+            FROM ar a LEFT JOIN brute b USING (vec_id)
+            JOIN wt ON wt.r = a.rank),
+    d AS (SELECT sum(rel * w)::BIGINT AS dcg,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                 min(CASE WHEN rel > 0 THEN rank END) AS first_hit
+          FROM rel),
+    i AS (SELECT sum(({k} + 1 - b.rank)::BIGINT * wt.w)::BIGINT AS idcg
+          FROM brute b JOIN wt ON wt.r = b.rank)
+    SELECT {k}::BIGINT AS k, n_hits, dcg, idcg,
+           CASE WHEN idcg > 0
+                THEN CAST(floor(dcg::DOUBLE / idcg::DOUBLE * 1000000 + 0.5)
+                          AS BIGINT)
+                ELSE 0 END AS ndcg_micro,
+           CASE WHEN first_hit IS NOT NULL
+                THEN CAST(floor(1000000.0 / first_hit::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS mrr_micro
+    FROM d CROSS JOIN i
+    """
+
+
+@q("sim_ndcg_ivf", _ndcg_oracle())
+def sim_ndcg_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 + MRR of the IVF index against exact brute force
+    (operators/similarity.ndcg_eval): the head-order metric beside
+    sim_ivf_recall's set metric — an index can hold 9/10 recall while
+    scrambling the top of the list, and the log-discount bills that.
+    Graded relevance = exact-rank order; discounts are precomputed
+    micro-integer literals shared with the oracle, so both DCG sums
+    are exact integers. All eval joins run on two 10-row lists."""
+    from denormalized_spark.operators.similarity import ndcg_eval
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    k = 10
+    ivf = similarity.ivf_topk(
+        e, query_vec_id=0, k=k, nprobe=3, dim=64, round_digits=6
+    )
+    # ranked k-row lists: the unpartitioned window is metadata by
+    # construction (k rows)
+    ar = ivf.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("vec_id"))),
+        )
+    )
+    return ndcg_eval(ar, brute, "vec_id", k)

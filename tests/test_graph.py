@@ -218,3 +218,30 @@ class TestTriangles:
         df = spark.createDataFrame(rows, "user long, item string")
         got = [(r.u, r.v) for r in covisitation_edges(df, "user", "item").collect()]
         assert got == [(1, 2)]
+
+
+def test_kcore_path_cascade_and_fixpoint(spark):
+    """A 6-node path has NO 2-core (peeling cascades from the
+    endpoints inward — the case a plain degree>=2 filter gets wrong:
+    only the endpoints have degree 1 initially); a triangle with a
+    pendant keeps exactly its 3 triangle nodes. Fixed-round peeling
+    at sufficient depth equals the fixpoint mode."""
+    from denormalized_spark.operators.graph import kcore_peel
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "u long, v long"
+    )
+    assert kcore_peel(path, 2).count() == 0            # fixpoint
+    assert kcore_peel(path, 2, rounds=1).count() > 0   # too shallow: not yet
+    assert kcore_peel(path, 2, rounds=5).count() == 0  # deep enough
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    got = sorted(r.n for r in kcore_peel(tri, 2).collect())
+    assert got == [1, 2, 3]
+    unrolled = sorted(
+        (r.n, r.core_degree) for r in kcore_peel(tri, 2, rounds=3).collect()
+    )
+    fix = sorted((r.n, r.core_degree) for r in kcore_peel(tri, 2).collect())
+    assert unrolled == fix

@@ -531,7 +531,7 @@ def test_kmv_set_estimates_within_error_bound(spark):
 # ---------------------------------------------------------------------------
 
 
-def _vals(spark, n, scale=1.0):
+def _tdvals(spark, n, scale=1.0):
     return spark.createDataFrame(
         [(i, float(((i * 37) % n) + 1) * scale) for i in range(n)], "id long, v double"
     )
@@ -542,7 +542,7 @@ def test_tdigest_size_invariant_and_accuracy(spark):
     construction, so at most delta clusters, tails smaller than the
     middle) and quantile estimates land within one centroid span of
     exact over a uniform permutation."""
-    df = _vals(spark, 2000)
+    df = _tdvals(spark, 2000)
     cent = sketches.tdigest_centroids(df, "v", order_extra=["id"], delta=32)
     rows = cent.orderBy("cluster").collect()
     assert len(rows) <= 32
@@ -564,7 +564,7 @@ def test_tdigest_merge_law(spark):
     quantiles stay within one compression step of the full-data
     digest's — the Dunning merge bound (and both within span-accuracy
     of exact)."""
-    df = _vals(spark, 3000)
+    df = _tdvals(spark, 3000)
     full = sketches.tdigest_centroids(df, "v", order_extra=["id"], delta=32)
     a = sketches.tdigest_centroids(
         df.filter("id % 2 = 0"), "v", order_extra=["id"], delta=32
@@ -583,7 +583,7 @@ def test_tdigest_merge_law(spark):
 def test_tdigest_partition_order_independent(spark):
     """The build ranks under a caller-pinned total order, so the
     centroid table is identical under any input partitioning."""
-    df = _vals(spark, 1000)
+    df = _tdvals(spark, 1000)
     a = sorted(
         (r.cluster, r.w, r.mean_e4)
         for r in sketches.tdigest_centroids(df, "v", order_extra=["id"]).collect()
