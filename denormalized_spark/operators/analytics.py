@@ -1962,3 +1962,252 @@ def cuped_adjustment(
         F.floor(F.when(guard, rho2).otherwise(F.lit(0.0)) * 1_000_000 + F.lit(0.5))
         .cast("long").alias("var_reduction_micro"),
     )
+
+
+def seasonal_naive_mase(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+    test_len: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest with MASE per group (Hyndman &
+    Koehler 2006, "Another look at measures of forecast accuracy"):
+    over a PRE-AGGREGATED regular integer series, hold out the last
+    ``test_len`` periods, forecast each as x̂_t = x_{t−season}, and
+    score with the Mean Absolute SCALED Error — test MAE divided by
+    the in-sample seasonal-naive MAE, the scale-free metric that lets
+    one number compare forecastability across metrics/groups (MASE
+    < 1000 milli: beats the in-sample naive; the standard gate before
+    deploying any fancier model).
+
+    Integer-exact end to end: both MAEs are sums of |integer diffs|;
+    the final ratio is one cross-multiplied integer fraction
+    (sae_test·n_train·1000 / (n_test·sae_train)) through a single
+    correctly-rounded double division, milli-floored. Lag pairing is
+    by position rank (the autocorrelation gap policy).
+
+    Scale shape: the input is the period-level series; the lag join
+    is a group-keyed equi-join on (rank − season) over metadata rows.
+    Groups whose training window has zero seasonal variation (the
+    denominator is 0) emit mase_milli = -1 (sentinel: naive is
+    already perfect). Returns ``(group, n_train, n_test, sae_train,
+    sae_test, mase_milli)``."""
+    from pyspark.sql import Window
+
+    if season < 1 or test_len < 1:
+        raise ValueError("seasonal_naive_mase: season and test_len must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    rn = series.select(
+        F.col(group_col),
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    lagged = rn.alias("c").join(
+        rn.select(
+            F.col(group_col),
+            (F.col("_rk") + season).alias("_rk"),
+            F.col("_x").alias("_xl"),
+        ).alias("l"),
+        [group_col, "_rk"],
+    )
+    err = lagged.select(
+        F.col(group_col),
+        F.col("c._rk").alias("_rk"),
+        F.col("c._t").alias("_t"),
+        F.abs(F.col("c._x") - F.col("_xl")).alias("_ae"),
+    )
+    agg = err.groupBy(group_col).agg(
+        F.sum(F.when(F.col("_rk") <= F.col("_t") - test_len, F.col("_ae")))
+        .cast("long").alias("sae_train"),
+        F.sum(F.when(F.col("_rk") <= F.col("_t") - test_len, 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("_rk") > F.col("_t") - test_len, F.col("_ae")))
+        .cast("long").alias("sae_test"),
+        F.sum(F.when(F.col("_rk") > F.col("_t") - test_len, 1).otherwise(0))
+        .cast("long").alias("n_test"),
+    )
+    mase = F.floor(
+        (F.col("sae_test") * F.col("n_train") * 1000).cast("double")
+        / (F.col("n_test") * F.col("sae_train")).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        F.col(group_col),
+        "n_train",
+        "n_test",
+        F.coalesce("sae_train", F.lit(0)).alias("sae_train"),
+        F.coalesce("sae_test", F.lit(0)).alias("sae_test"),
+        F.when(
+            (F.col("sae_train") > 0) & (F.col("n_test") > 0), mase
+        ).otherwise(F.lit(-1).cast("long")).alias("mase_milli"),
+    )
+
+
+def score_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile gains/lift table of a scoring model against a binary
+    label — the scorecard diagnostic (cumulative-gains / lift chart)
+    behind every "top-decile capture" claim: rank by score, cut into
+    ``n_bins`` SQL-standard ntiles, and per bin report positives,
+    rate, lift over the base rate, and cumulative gain (share of all
+    positives captured down to that bin).
+
+    ``score_col`` must be an INTEGER score (micro-floor upstream):
+    ranking on raw floats would let equal-to-6-digits neighbors flip
+    bins between engines. The total order is (score desc, id asc).
+
+    Integer-exact: lift = pos·N·1000/(n·P) and gain = cum_pos·1000/P
+    are cross-multiplied integer fractions through one division each,
+    milli-floored.
+
+    Scale shape: the ranking is ranking.global_ranks (range shuffle +
+    broadcast prefix sums — no single-reducer sort over data); the
+    per-bin rollup is an ``n_bins``-row metadata table and its
+    cumulative window is a few-KB single task. Returns
+    ``(bin, n, pos, pos_rate_milli, lift_milli, cum_gain_milli)``."""
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.ranking import global_ranks
+
+    ranked = global_ranks(
+        df.select(
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+            F.col(id_col).alias("_id"),
+        ),
+        order_by=[F.desc("_s"), F.asc("_id")],
+        rank_keys=[F.col("_s")],
+        ntile=n_bins,
+    )
+    per = ranked.groupBy(F.col(f"ntile_{n_bins}").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_N"), F.sum("pos").cast("long").alias("_P")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per.withColumn("_cum", F.sum("pos").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "pos",
+            F.floor((F.col("pos") * 1000).cast("double") / F.col("n").cast("double") + F.lit(0.5))
+            .cast("long").alias("pos_rate_milli"),
+            F.when(
+                F.col("_P") > 0,
+                F.floor(
+                    (F.col("pos") * F.col("_N") * 1000).cast("double")
+                    / (F.col("n") * F.col("_P")).cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("lift_milli"),
+            F.when(
+                F.col("_P") > 0,
+                F.floor(
+                    (F.col("_cum") * 1000).cast("double") / F.col("_P").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("cum_gain_milli"),
+        )
+    )
+    return out
+
+
+def cross_correlation(
+    series: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample cross-correlation function (Box & Jenkins) between two
+    aligned integer series over lags −max_lag..+max_lag:
+
+        r_ℓ = Σ_t (x_t − x̄)(y_{t+ℓ} − ȳ)
+              / √(Σ(x − x̄)²) · √(Σ(y − ȳ)²)
+
+    — the lead/lag probe ("do clicks lead purchases by two days?")
+    in front of any transfer-function or attribution model; the peak
+    lag is the actionable number. Full-series means and denominators
+    (the standard CCF normalization), positional-rank pairing (the
+    autocorrelation gap policy).
+
+    Engine-exact: multiply through by n so deviations are the
+    INTEGERS n·x_t − Sx; products/sums run in decimal(38,0) ↔
+    HUGEINT; the denominator is √(Σdx²)·√(Σdy²) as two separate
+    correctly-rounded sqrts (NOT √ of the product — the product can
+    graze decimal38's ceiling; the factored form never does), then
+    one division, micro-floored.
+
+    Scale shape: the input is a period-level series (metadata); the
+    lag pairing is an equi-join on rank+lag and the 1-row moment
+    frame broadcasts."""
+    if max_lag < 1:
+        raise ValueError(f"cross_correlation: max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rn = series.select(
+        F.row_number().over(Window.orderBy(F.col(order_col))).alias("_rn"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    stats = rn.agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    based = rn.crossJoin(F.broadcast(stats)).select(
+        "_rn",
+        (F.col("_n") * F.col("_x") - F.col("_sx")).cast(d38).alias("_dx"),
+        (F.col("_n") * F.col("_y") - F.col("_sy")).cast(d38).alias("_dy"),
+    )
+    den = based.agg(
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_dxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_dyy"),
+    )
+    lagged = based.select(
+        "_rn",
+        F.col("_dx").alias("_d1"),
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).withColumn("_rn2", F.col("_rn") + F.col("lag"))
+    pairs = lagged.join(
+        based.select(F.col("_rn").alias("_rn2"), F.col("_dy").alias("_d2")),
+        "_rn2",
+    )
+    nums = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("_d1") * F.col("_d2")).alias("_num"),
+    )
+    denom = F.sqrt(F.col("_dxx").cast("double")) * F.sqrt(
+        F.col("_dyy").cast("double")
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.when(
+                (F.col("_dxx") > 0) & (F.col("_dyy") > 0),
+                F.floor(
+                    F.col("_num").cast("double") / denom * 1_000_000 + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("ccf_micro"),
+        )
+        .orderBy("lag")
+    )

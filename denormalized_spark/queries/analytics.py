@@ -1978,3 +1978,114 @@ def graph_kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
         li, "l_partkey", "l_orderkey", max_users_per_item=_KCORE_CAP
     )
     return kcore_peel(edges, _KCORE_K, rounds=_KCORE_ROUNDS).orderBy("n")
+
+
+@q(
+    "events_forecast_mase",
+    """
+    WITH s AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, cents AS x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS t
+          FROM s),
+    lagged AS (
+      SELECT c.event_type, c.rk, c.t, abs(c.x - l.x)::BIGINT AS ae
+      FROM r c JOIN r l ON c.event_type = l.event_type AND l.rk = c.rk - 7
+    ),
+    agg AS (
+      SELECT event_type,
+             coalesce(sum(CASE WHEN rk <= t - 7 THEN ae END), 0)::BIGINT AS sae_train,
+             sum(CASE WHEN rk <= t - 7 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+             coalesce(sum(CASE WHEN rk > t - 7 THEN ae END), 0)::BIGINT AS sae_test,
+             sum(CASE WHEN rk > t - 7 THEN 1 ELSE 0 END)::BIGINT AS n_test
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_train, n_test, sae_train, sae_test,
+           CASE WHEN sae_train > 0 AND n_test > 0
+                THEN CAST(floor((sae_test * n_train * 1000)::DOUBLE
+                         / (n_test * sae_train)::DOUBLE + 0.5) AS BIGINT)
+                ELSE -1 END AS mase_milli
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_forecast_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on daily revenue-cents per
+    event type (operators/analytics.seasonal_naive_mase): hold out the
+    last week, forecast x̂_t = x_{t−7}, score with MASE — the
+    scale-free Hyndman-Koehler metric gating whether any model beats
+    the weekly naive. Integer |diff| sums; one cross-multiplied
+    division, milli-floored. The lag join is group-keyed over the
+    period-level series."""
+    from denormalized_spark.operators.analytics import seasonal_naive_mase
+
+    e = t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    return seasonal_naive_mase(series, "event_type", "day", "cents")
+
+
+@q(
+    "events_ccf_click_purchase",
+    """
+    WITH s AS (
+      SELECT ts::DATE AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT row_number() OVER (ORDER BY day) AS rn, x, y FROM s),
+    st AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                  sum(y)::BIGINT AS sy FROM r),
+    b AS (SELECT rn, (st.n * x - st.sx)::HUGEINT AS dx,
+                 (st.n * y - st.sy)::HUGEINT AS dy
+          FROM r CROSS JOIN st),
+    den AS (SELECT sum(dx * dx)::HUGEINT AS dxx, sum(dy * dy)::HUGEINT AS dyy
+            FROM b),
+    lg AS (SELECT b.rn, b.dx AS d1, l.lag
+           FROM b CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l),
+    p AS (SELECT lg.lag, count(*)::BIGINT AS n_pairs,
+                 sum(lg.d1 * b2.dy)::HUGEINT AS num
+          FROM lg JOIN b b2 ON b2.rn = lg.rn + lg.lag
+          GROUP BY lg.lag)
+    SELECT p.lag::BIGINT AS lag, n_pairs,
+           CASE WHEN dxx > 0 AND dyy > 0
+                THEN CAST(floor(num::DOUBLE
+                     / (sqrt(dxx::DOUBLE) * sqrt(dyy::DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS ccf_micro
+    FROM p CROSS JOIN den ORDER BY lag
+    """,
+)
+def events_ccf_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation of daily click and purchase counts over lags
+    −7..+7 (operators/analytics.cross_correlation): the lead/lag probe
+    beside the ACF — a positive peak at lag ℓ>0 reads "clicks lead
+    purchases by ℓ days". Deviations are integers (decimal38 ↔
+    HUGEINT); the denominator is the factored √·√ form so nothing
+    grazes the 38-digit ceiling; one division per lag, micro-floored.
+    The series is period-level metadata after the one data-sized
+    daily groupBy."""
+    from denormalized_spark.operators.analytics import cross_correlation
+
+    e = t(spark, sf, "events")
+    s = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("y"),
+        )
+    )
+    return cross_correlation(s, "day", "x", "y", max_lag=7)

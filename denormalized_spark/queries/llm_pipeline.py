@@ -5265,3 +5265,143 @@ def sim_ndcg_ivf(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ndcg_eval(ar, brute, "vec_id", k)
+
+
+@q(
+    "sketch_cm_join_size",
+    f"""
+    WITH kc_a AS (SELECT user_id::VARCHAR AS _k, count(*)::BIGINT AS _c
+                  FROM events GROUP BY 1),
+    kc_b AS (SELECT o_custkey::VARCHAR AS _k, count(*)::BIGINT AS _c
+             FROM orders GROUP BY 1),
+    ca AS (
+      SELECT cm_row, ('0x' || substr(md5('cm' || cm_row::VARCHAR || ':' || _k), 1, 8))::BIGINT % 512 AS cm_col,
+             sum(_c)::BIGINT AS cnt
+      FROM kc_a CROSS JOIN range(4) r(cm_row) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT cm_row, ('0x' || substr(md5('cm' || cm_row::VARCHAR || ':' || _k), 1, 8))::BIGINT % 512 AS cm_col,
+             sum(_c)::BIGINT AS cnt
+      FROM kc_b CROSS JOIN range(4) r(cm_row) GROUP BY 1, 2
+    ),
+    ip AS (SELECT ca.cm_row, sum(ca.cnt * cb.cnt)::BIGINT AS p
+           FROM ca JOIN cb USING (cm_row, cm_col) GROUP BY 1),
+    est AS (SELECT min(p)::BIGINT AS join_size_est,
+                   count(*)::BIGINT AS rows_used FROM ip),
+    ex AS (SELECT sum(a._c * b._c)::BIGINT AS exact_join_size
+           FROM kc_a a JOIN kc_b b USING (_k))
+    SELECT join_size_est, rows_used, exact_join_size,
+           CAST(floor(join_size_est::DOUBLE / exact_join_size::DOUBLE
+                * 1000 + 0.5) AS BIGINT) AS over_ratio_milli
+    FROM est CROSS JOIN ex
+    """,
+)
+def sketch_cm_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min inner products
+    (operators/sketches.cm_join_size, AGM/Cormode-Garofalakis): the
+    |events ⋈ orders on user| size a cost-based planner would consult
+    WITHOUT scanning either side — two ≤ depth·width sketch tables,
+    one (row, col) equi-join, a depth-row min. Never undercounts; the
+    entry also computes the exact Σ f_A·f_B so the overestimate ratio
+    itself is driver-verified (the sim_ivf_recall posture). All
+    integers."""
+    from denormalized_spark.operators import sketches
+
+    e = t(spark, sf, "events").select(F.col("user_id").cast("string").alias("k"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").cast("string").alias("k"))
+    sa = sketches.count_min(e, "k", depth=4, width=512)
+    sb = sketches.count_min(o, "k", depth=4, width=512)
+    est = sketches.cm_join_size(sa, sb, depth=4)
+    fa = e.groupBy("k").agg(F.count("*").alias("_ca"))
+    fb = o.groupBy("k").agg(F.count("*").alias("_cb"))
+    ex = fa.join(fb, "k").agg(
+        F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "join_size_est",
+        "rows_used",
+        "exact_join_size",
+        F.floor(
+            F.col("join_size_est").cast("double")
+            / F.col("exact_join_size").cast("double") * 1000 + F.lit(0.5)
+        ).cast("long").alias("over_ratio_milli"),
+    )
+
+
+def _gains_oracle() -> str:
+    """Gains table of the en-trigram-density score vs the en label —
+    same normalization/profile literals as _ngram_lang_sql, micro-
+    floored score, SQL-standard ntile."""
+    norm = (
+        "(' ' || regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),"
+        " ' +', ' ', 'g') || ' ')"
+    )
+    terms = " + ".join(
+        f"((length(n) - length(replace(n, '{g}', ''))) / {len(g)})"
+        for g in text.LANG_TRIGRAM_PROFILES["en"]
+    )
+    return f"""
+    WITH nrm AS (SELECT doc_id, lang, {norm} AS n FROM documents),
+    sc AS (SELECT doc_id,
+                  CAST(floor((({terms}) / greatest(length(n) - 2, 1))
+                       * 1000000 + 0.5) AS BIGINT) AS s,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM nrm),
+    rk AS (SELECT s, y, ntile(10) OVER (ORDER BY s DESC, doc_id) AS bin
+           FROM sc),
+    per AS (SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+                   sum(y)::BIGINT AS pos
+            FROM rk GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS tn, sum(pos)::BIGINT AS tp FROM per),
+    cum AS (SELECT bin, n, pos,
+                   sum(pos) OVER (ORDER BY bin)::BIGINT AS cpos
+            FROM per)
+    SELECT bin, n, pos,
+           CAST(floor((pos * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+             AS pos_rate_milli,
+           CASE WHEN tp > 0
+                THEN CAST(floor((pos * tn * 1000)::DOUBLE / (n * tp)::DOUBLE + 0.5)
+                          AS BIGINT) ELSE 0 END AS lift_milli,
+           CASE WHEN tp > 0
+                THEN CAST(floor((cpos * 1000)::DOUBLE / tp::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS cum_gain_milli
+    FROM cum CROSS JOIN tot ORDER BY bin
+    """
+
+
+@q("text_classifier_gains", _gains_oracle())
+def text_classifier_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile gains/lift table (operators/analytics.score_gains) of
+    the en-trigram-density score against the en label — the scorecard
+    diagnostic ("which decile captures the positives") beside the
+    confusion matrix. Score is micro-floored to an INTEGER before
+    ranking so ntile boundaries can never flip between engines. (Same
+    corpus caveat as text_langid_ngram_confusion: the synthetic docs
+    are English-like for every label, so the verified property is the
+    deterministic ranking/binning contract — lift hovers near 1000
+    milli by construction.) Ranking is the scale-safe global ntile;
+    the rollup is 10-row metadata."""
+    from denormalized_spark.operators.analytics import score_gains
+    from denormalized_spark.operators.text import LANG_TRIGRAM_PROFILES
+
+    d = t(spark, sf, "documents")
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", " "), r" +", " "
+        ),
+        F.lit(" "),
+    )
+    withn = d.withColumn("_lnorm", norm)
+    n = F.col("_lnorm")
+    hits = None
+    for g in LANG_TRIGRAM_PROFILES["en"]:
+        cnt = (F.length(n) - F.length(F.replace(n, F.lit(g), F.lit("")))) / len(g)
+        hits = cnt if hits is None else hits + cnt
+    dens = hits / F.greatest(F.length(n) - 2, F.lit(1))
+    scored = withn.select(
+        "doc_id",
+        F.floor(dens * 1_000_000 + F.lit(0.5)).cast("long").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return score_gains(scored, "s", "y", "doc_id", n_bins=10).orderBy("bin")

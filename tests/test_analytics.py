@@ -1029,3 +1029,55 @@ def test_ewma_control_constant_and_step(spark):
     s_rows = sorted((r for r in out if r.g == "s"), key=lambda r: r.t)
     assert any(r.breach for r in s_rows if r.t > 10)
     assert not any(r.breach for r in s_rows if r.t <= 10)
+
+
+def test_seasonal_naive_mase_perfect_and_noisy(spark):
+    """A perfectly weekly-periodic series has zero test error -> MASE
+    0 (or -1 sentinel when train error is also 0); breaking the test
+    week pushes MASE above 1000 milli."""
+    periodic = [("p", i, 100 + (i % 7) * 10) for i in range(1, 29)]
+    broken = [("b", i, 100 + (i % 7) * 10) for i in range(1, 22)] + [
+        ("b", i, 500) for i in range(22, 29)
+    ]
+    df = spark.createDataFrame(periodic + broken, "g string, t int, v long")
+    got = {
+        r.g: r
+        for r in analytics.seasonal_naive_mase(df, "g", "t", "v").collect()
+    }
+    # periodic: both train and test seasonal error are 0 -> sentinel
+    assert got["p"].sae_test == 0 and got["p"].mase_milli == -1
+    assert got["b"].sae_test > 0
+    assert got["b"].mase_milli > 1000 or got["b"].mase_milli == -1
+
+
+def test_score_gains_separation_and_totals(spark):
+    """A score that perfectly ranks positives first captures all
+    positives in the top bins (cum_gain hits 1000 early); bin sizes
+    follow SQL ntile (first N mod k bins get the extra row)."""
+    rows = [(i, 1000 - i, 1 if i <= 20 else 0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, s long, y long")
+    got = sorted(
+        analytics.score_gains(df, "s", "y", "id", n_bins=10).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.n for r in got] == [10] * 10
+    assert got[0].pos == 10 and got[1].pos == 10
+    assert got[1].cum_gain_milli == 1000       # all positives by bin 2
+    assert got[0].lift_milli == 5000           # 100% vs 20% base rate
+    assert sum(r.pos for r in got) == 20
+
+
+def test_cross_correlation_shifted_copy_peaks_at_lag(spark):
+    """y_t = x_{t-2}: then y_{t+2} = x_t, so the CCF peaks at lag +2
+    under the r_l = corr(x_t, y_{t+l}) convention — a POSITIVE peak
+    lag reads "y lags x" (x leads). Edge truncation and full-series
+    denominators keep the peak below 1."""
+    import random
+
+    xs = [((i * 37) % 19) + ((i * 11) % 7) for i in range(40)]
+    rows = [(i, xs[i], xs[i - 2] if i >= 2 else 0) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "t int, x long, y long")
+    got = {r.lag: r.ccf_micro for r in analytics.cross_correlation(
+        df, "t", "x", "y", max_lag=3).collect()}
+    assert got[2] == max(got.values())
+    assert got[2] > 800_000

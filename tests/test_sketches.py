@@ -595,3 +595,25 @@ def test_tdigest_partition_order_independent(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_cm_join_size_never_undercounts_and_is_close(spark):
+    """The CM inner-product estimate of |A join B| is an upper bound
+    on the exact size, and with width >> distinct keys it is exact."""
+    a = spark.createDataFrame(
+        [(f"k{i % 20}",) for i in range(200)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 30}",) for i in range(150)], "k string"
+    )
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .selectExpr("sum(ca * cb) as s")
+        .collect()[0].s
+    )
+    sa = sketches.count_min(a, "k", depth=4, width=512)
+    sb = sketches.count_min(b, "k", depth=4, width=512)
+    est = sketches.cm_join_size(sa, sb, depth=4).collect()[0]
+    assert est.join_size_est >= exact
+    assert est.join_size_est == exact  # 50 distinct keys vs width 512
