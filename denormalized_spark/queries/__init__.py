@@ -62,10 +62,11 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, the
 # PSI drift metric, exact-percentile winsorization, and rank
 # normalization;
-# (4) the staleness drain: 26 of the latest-green-r5 cohort
-# (2+2+11+9+26 = 50). The 9 r5 entries displaced by this session's second
-# operator wave (t-digest ×2, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
-# vocab richness, k-core, NDCG — all swept at three SFs locally) plus
+# (4) the staleness drain: 22 of the latest-green-r5 cohort
+# (2+2+11+13+22 = 50). The 13 r5 entries displaced by this session's
+# operator waves (t-digest ×2, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
+# vocab richness, k-core, NDCG, CM join-size, MASE, gains table, CCF —
+# all swept at three SFs locally) plus
 # sketch_bloom_probe (operator changed: probe-key dedup fixing the
 # r10-ADVICE false-negative) and the r6 cohort rotate into the r12
 # window. Everything displaced to 51+ keeps its registry order.
@@ -84,7 +85,10 @@ _DRIVER_PRIORITY = [
     "events_mann_kendall", "events_survival_km", "events_ewma_daily",
     "events_ab_cuped", "text_vocab_richness", "graph_kcore_parts",
     "sim_ndcg_ivf",
-    # staleness drain: first 26 of the latest-green-r5 cohort
+    # r11 third wave — never driver-verified
+    "sketch_cm_join_size", "events_forecast_mase", "text_classifier_gains",
+    "events_ccf_click_purchase",
+    # staleness drain: first 22 of the latest-green-r5 cohort
     "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
@@ -92,8 +96,6 @@ _DRIVER_PRIORITY = [
     "sim_outlier_scores", "sim_quantize_int8", "sim_threshold_pairs",
     "sim_topk_quantized_query0", "sim_topk_query0", "text_bigram_quality",
     "text_bpe_pairs", "text_frequency_spectrum", "text_gopher_rules",
-    "text_lang_mismatch", "text_langid_accuracy", "text_langid_ngram_confusion",
-    "text_quality_classifier",
 ]
 
 def _reorder(d: dict) -> dict:
