@@ -53,6 +53,8 @@ class SketchMaintainer:
         decay_key_col: str | None = None,
         bloom_m_bits: int | None = None,
         bloom_hashes: int = 4,
+        tdigest_col: str | None = None,
+        tdigest_delta: int = 32,
     ):
         self.key_col = key_col
         self.depth = depth
@@ -63,6 +65,10 @@ class SketchMaintainer:
         self.decay_key_col = decay_key_col or key_col
         self.bloom_m_bits = bloom_m_bits
         self.bloom_hashes = bloom_hashes
+        self.tdigest_col = tdigest_col
+        self.tdigest_delta = tdigest_delta
+        # accumulated t-digest centroids: list of [w, mean, vmin, vmax]
+        self.td_centroids: list[list] = []
         self.cm_cells: dict[tuple[int, int], int] = {}
         self.hll_regs: dict[int, int] = {}
         self.bloom_bits: set[int] = set()
@@ -101,6 +107,19 @@ class SketchMaintainer:
             ).collect():
                 self.bloom_bits.add(r["bit"])
 
+        # t-digest partial (optional): batch centroids fold into state
+        # by the merging-digest compression (merge law: tdigest_merge —
+        # approximate by design; the parity test asserts quantile
+        # tolerance, not bit equality)
+        if self.tdigest_col is not None:
+            part = [
+                [r["w"], r["mean_e4"], r["vmin"], r["vmax"]]
+                for r in sk.tdigest_centroids(
+                    batch_df, self.tdigest_col, delta=self.tdigest_delta
+                ).collect()
+            ]
+            self._td_fold(part)
+
         if self.half_life_ms is None:
             return
         # decayed partial at the BATCH's own as_of (its max ts), then
@@ -134,6 +153,40 @@ class SketchMaintainer:
                 (mx - t_new) / h
             )
             self.decayed[key] = [t_new, c, n_cur + n_b]
+
+    def _td_fold(self, new_rows: list[list]) -> None:
+        """Driver-side mirror of operators/sketches.tdigest_merge:
+        union centroids, re-rank by mean, re-cluster through the same
+        sqrt scale function. State stays <= delta rows."""
+        import math
+
+        rows = sorted(
+            self.td_centroids + new_rows, key=lambda r: (r[1], r[2], r[0])
+        )
+        if not rows:
+            return
+        total = sum(r[0] for r in rows)
+        delta = self.tdigest_delta
+        out: dict[int, list] = {}
+        cum = 0
+        for w, mean, vmin, vmax in rows:
+            cum += w
+            q = (2 * cum - w) / (2 * total)
+            k = math.floor(
+                delta * 0.5 * (math.sqrt(q) - math.sqrt(1.0 - q) + 1.0)
+            )
+            k = min(max(k, 0), delta - 1)
+            if k not in out:
+                out[k] = [w, mean * w, vmin, vmax]
+            else:
+                o = out[k]
+                o[0] += w
+                o[1] += mean * w
+                o[2] = min(o[2], vmin)
+                o[3] = max(o[3], vmax)
+        self.td_centroids = [
+            [w, ws / w, vmin, vmax] for k, (w, ws, vmin, vmax) in sorted(out.items())
+        ]
 
     # -- state back to DataFrames (for cm_estimate / hll_estimate) ----
     def cm_cells_df(self, spark) -> DataFrame:
@@ -171,4 +224,17 @@ class SketchMaintainer:
         ]
         return spark.createDataFrame(
             rows, f"{self.decay_key_col} string, n_events long, decayed_count double"
+        )
+
+    def tdigest_df(self, spark) -> DataFrame:
+        """Accumulated t-digest centroids in the batch operator's
+        ``(cluster, w, mean_e4, vmin, vmax)`` schema — feed straight
+        to operators/sketches.tdigest_quantiles. Cluster ids are the
+        positional order of the folded state."""
+        rows = [
+            (i, int(w), float(round(mean, 4)), float(vmin), float(vmax))
+            for i, (w, mean, vmin, vmax) in enumerate(self.td_centroids)
+        ]
+        return spark.createDataFrame(
+            rows, "cluster long, w long, mean_e4 double, vmin double, vmax double"
         )

@@ -982,3 +982,67 @@ def test_stream_stream_left_outer_join_null_padding(ctx):
     # they MUST have emitted null-padded
     must = {(u, t_) for (u, t_) in want_unmatched if t_ < at(3)}
     assert must <= got_null, (sorted(must - got_null), sorted(got_null))
+
+
+def test_streaming_tdigest_maintenance_quantile_parity(spark, tmp_path):
+    """t-digest lane of the SketchMaintainer: each micro-batch builds
+    a partial digest with the batch operator and folds it in by the
+    merging-digest compression. The merge law is APPROXIMATE by
+    design (Dunning's bound: one extra compression step), so parity
+    is asserted on quantile ESTIMATES against the one-shot batch
+    digest — within a few centroid spans — plus exact total weight
+    and min/max conservation."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.operators import sketches as sk
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    batches = [
+        [(i, float(((i * 37) % 500) + 1)) for i in range(400)],
+        [(i, float(((i * 53) % 500) + 1)) for i in range(400, 900)],
+        [(i, float(((i * 71) % 500) + 1)) for i in range(900, 1500)],
+    ]
+    stream_dir = tmp_path / "td_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "id long, v double")
+        tmp_out = str(tmp_path / f"_td{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    m = SketchMaintainer("id", tdigest_col="v", tdigest_delta=32)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_td_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert m.n_batches >= 3
+    assert sum(int(w) for w, *_ in m.td_centroids) == len(all_rows)
+    assert min(v for v, *_ in [(r[2],) for r in m.td_centroids]) == 1.0
+    whole = spark.createDataFrame(all_rows, "id long, v double")
+    batch_cent = sk.tdigest_centroids(whole, "v", order_extra=["id"], delta=32)
+    qb = sk.tdigest_quantiles(
+        batch_cent.localCheckpoint(), [0.1, 0.5, 0.9]
+    ).collect()[0]
+    qs = sk.tdigest_quantiles(
+        m.tdigest_df(spark).localCheckpoint(), [0.1, 0.5, 0.9]
+    ).collect()[0]
+    # values span 1..500; a centroid span is ~500/32*2 ~ 31 at the
+    # middle — allow a few spans of drift from the extra compression
+    for name in ("q0_1", "q0_5", "q0_9"):
+        assert abs(qb[name] - qs[name]) < 60, (name, qb[name], qs[name])
