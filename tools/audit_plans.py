@@ -55,6 +55,13 @@ ALLOW_BNLJ = {
     "curation_boilerplate_lines",  # broadcast 1-row boilerplate-line set — constant fan-out
     "curation_decontaminate_bloom",  # broadcast 1-row Bloom bitmap — constant fan-out
     "curation_mixture_solver",  # broadcast 1-row token-budget min — constant fan-out
+    "events_ab_cuped",       # 2-row arms × 1-row pooled-moments crossJoins — metadata
+    "events_ccf_click_purchase",  # broadcast 1-row moment frame onto the period series
+    "events_survival_km",    # broadcast 1-row time-ordered factor array onto the curve
+    "sim_ndcg_ivf",          # 1-row dcg × 1-row idcg crossJoin + query-vector broadcast
+    "sketch_cm_join_size",   # 1-row estimate × 1-row exact-size crossJoin — metadata
+    "sketch_tdigest_quantiles",  # per-quantile 1-row results crossJoined — metadata
+    "text_classifier_gains", # broadcast 1-row totals onto the 10-row bin table
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
     "sketch_hll_intersect",  # 1-row estimate crossJoins (a, b, union, exact) — metadata
@@ -148,6 +155,14 @@ ALLOW_SINGLE_PART = {
     "graph_pagerank_weighted",  # same 1-row aggregate
     "text_bm25_topk",        # 1-row corpus-stats aggregate (N, sum dl)
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
+    "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
+    "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
+    "events_survival_km",    # curve-table windows + 1-row factor-array agg (metadata)
+    "sketch_cm_join_size",   # depth-row min + 1-row exact-size final (metadata)
+    "sketch_tdigest_centroids",  # prefix-sum-offsets pattern (with_global_row_number)
+    "sketch_tdigest_quantiles",  # same rank pattern + ≤delta-row cumulative walks
+    "text_classifier_gains", # prefix-sum-offsets pattern + 10-row cumulative window
+    "text_vocab_richness",   # 1-row final over the frequencies-of-frequencies table
     "sketch_cs_f2",          # 1-row finals + 5-row row-sum median array
     "sim_pca_moments",       # 1-row corpus count beside the keyed moment aggs
     "sim_jl_distortion",     # 1-row min/max/sum finals over the 780-pair micro grid
