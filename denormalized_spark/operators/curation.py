@@ -1066,3 +1066,84 @@ def rank_normalize(
         + F.lit(0.5)
     ).cast("long")
     return rn.withColumn(out_col, q).drop("_n")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    size_col: str | None = None,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Temperature-based mixture reweighting across strata (the
+    multilingual-corpus sampling rule of XLM / mBERT: p_i ∝ n_i^α,
+    α < 1 upweights low-resource strata): from per-stratum sizes
+    (row counts, or Σ``size_col`` for token-weighted sizes) emit the
+    natural share, the temperature share, and the boost each stratum
+    receives — the table that turns "sample web 100:1 over forums"
+    into the standard α-smoothed mixture.
+
+    α is a rational ``alpha_num/alpha_den``; n^α is computed as
+    exp-free nested IEEE sqrts when α is a dyadic rational (1/2, 1/4,
+    3/4 — sqrt is correctly rounded, so the weight chain is engine-
+    exact) and each weight is micro-floored to an INTEGER before the
+    share division, so shares are integer ratios. Non-dyadic α would
+    need pow() — rejected (raise) rather than silently engine-hazard.
+
+    Scale shape: one stratum-keyed partial agg (billions of rows →
+    dozens-to-thousands of strata), then metadata arithmetic with a
+    broadcast 1-row total. Returns ``(stratum, n, share_micro,
+    temp_weight, temp_share_micro, boost_milli)``."""
+    if (alpha_num, alpha_den) not in {(1, 2), (1, 4), (3, 4), (1, 1)}:
+        raise ValueError(
+            "temperature_mixture: alpha must be a dyadic rational in "
+            "{1/2, 1/4, 3/4, 1} so n^alpha stays on correctly-rounded sqrts"
+        )
+    size = (
+        F.count("*") if size_col is None else F.sum(F.col(size_col))
+    ).cast("long")
+    sizes = df.groupBy(F.col(strata_col).alias("stratum")).agg(size.alias("n"))
+    nd = F.col("n").cast("double")
+    if (alpha_num, alpha_den) == (1, 2):
+        w = F.sqrt(nd)
+    elif (alpha_num, alpha_den) == (1, 4):
+        w = F.sqrt(F.sqrt(nd))
+    elif (alpha_num, alpha_den) == (3, 4):
+        w = F.sqrt(nd) * F.sqrt(F.sqrt(nd))
+    else:
+        w = nd
+    weighted = sizes.withColumn(
+        "temp_weight", F.floor(w * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    tot = weighted.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("temp_weight").cast("long").alias("_tw"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n",
+            F.floor(
+                (F.col("n") * 1_000_000).cast("double") / F.col("_tn").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("share_micro"),
+            "temp_weight",
+            F.floor(
+                (F.col("temp_weight") * 1_000_000).cast("double")
+                / F.col("_tw").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("temp_share_micro"),
+        )
+        .withColumn(
+            "boost_milli",
+            F.when(
+                F.col("share_micro") > 0,
+                F.floor(
+                    (F.col("temp_share_micro") * 1000).cast("double")
+                    / F.col("share_micro").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )

@@ -1470,3 +1470,55 @@ def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("n2") > 0, r2s).otherwise(F.lit(0.0)) * 1000 + F.lit(0.5)
         ).cast("long").alias("r2_star_milli"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility panel per language (the multilingual-
+    tokenizer evaluation from the mBERT/XLM/NLLB line of work):
+    fertility = subword tokens per whitespace word, plus characters
+    per subword token — the numbers that expose a tokenizer taxing
+    some languages with 3× the sequence length (and hence 3× the
+    training/inference cost per sentence) before anyone trains on
+    the mix. Uses the repo's BPE-ish segmenter
+    (:func:`bpe_ish_token_count`) as the subword stand-in — swap the
+    count column for a real tokenizer's at deployment; only the
+    expression changes.
+
+    One language-keyed partial agg over integer counts; the ratios
+    are single correctly-rounded divisions, milli-floored. Returns
+    ``(lang, n_docs, n_chars, n_words, n_subwords, fertility_milli,
+    chars_per_subword_milli)``."""
+    agg = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.sum(token_count(text_col)).cast("long").alias("n_words"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z0-9]+"), 0))
+            + F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+        ).cast("long").alias("n_subwords"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                (F.col("n_subwords") * 1000).cast("double")
+                / F.col("n_words").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("fertility_milli"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.floor(
+                (F.col("n_chars") * 1000).cast("double")
+                / F.col("n_subwords").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("chars_per_subword_milli"),
+    )

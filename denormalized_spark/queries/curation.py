@@ -1075,3 +1075,47 @@ def curation_rank_normalize(spark: SparkSession, sf: str) -> DataFrame:
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     return rank_normalize(o, "o_totalprice", "o_orderkey")
+
+
+@q(
+    "curation_temperature_mixture",
+    """
+    WITH sizes AS (SELECT source AS stratum, sum(n_chars)::BIGINT AS n
+                   FROM documents GROUP BY 1),
+    w AS (SELECT stratum, n,
+                 CAST(floor(sqrt(n::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   AS temp_weight
+          FROM sizes),
+    tot AS (SELECT sum(n)::BIGINT AS tn, sum(temp_weight)::BIGINT AS tw
+            FROM w),
+    sh AS (
+      SELECT stratum, n,
+             CAST(floor((n * 1000000)::DOUBLE / tn::DOUBLE + 0.5) AS BIGINT)
+               AS share_micro,
+             temp_weight,
+             CAST(floor((temp_weight * 1000000)::DOUBLE / tw::DOUBLE + 0.5)
+                  AS BIGINT) AS temp_share_micro
+      FROM w CROSS JOIN tot
+    )
+    SELECT stratum, n, share_micro, temp_weight, temp_share_micro,
+           CASE WHEN share_micro > 0
+                THEN CAST(floor((temp_share_micro * 1000)::DOUBLE
+                         / share_micro::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS boost_milli
+    FROM sh ORDER BY stratum
+    """,
+)
+def curation_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """α=0.5 temperature-sampling mixture over sources, sized by
+    character mass (operators/curation.temperature_mixture — the
+    XLM/mBERT p_i ∝ n_i^α rule): natural share, smoothed share, and
+    the boost each low-resource stratum receives. n^α stays on
+    correctly-rounded sqrts (dyadic α only — pow() is rejected as an
+    engine hazard) and every weight is micro-floored to an integer
+    BEFORE the share division, so shares are integer ratios. One
+    stratum-keyed agg; everything after is metadata with a 1-row
+    broadcast total."""
+    from denormalized_spark.operators.curation import temperature_mixture
+
+    d = t(spark, sf, "documents")
+    return temperature_mixture(d, "source", size_col="n_chars").orderBy("stratum")

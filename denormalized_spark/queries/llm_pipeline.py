@@ -5405,3 +5405,43 @@ def text_classifier_gains(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return score_gains(scored, "s", "y", "doc_id", n_bins=10).orderBy("bin")
+
+
+@q(
+    "text_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS n_chars,
+           sum(len({_TOKS}))::BIGINT AS n_words,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+               + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))::BIGINT
+             AS n_subwords,
+           CASE WHEN sum(len({_TOKS})) > 0
+                THEN CAST(floor((sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))
+                          * 1000)::DOUBLE
+                         / sum(len({_TOKS}))::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS fertility_milli,
+           CASE WHEN sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))) > 0
+                THEN CAST(floor((sum(length(text)) * 1000)::DOUBLE
+                         / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                           + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+                         + 0.5) AS BIGINT)
+                ELSE 0 END AS chars_per_subword_milli
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language
+    (operators/text.tokenizer_fertility): subwords per word and chars
+    per subword — the multilingual-tokenizer tax table (a language at
+    3× fertility pays 3× sequence length for the same sentence). The
+    subword segmenter is RE2-safe (alnum runs + punctuation chars) so
+    the oracle replays it exactly; all counts are integers, ratios
+    milli-floored. One language-keyed partial agg at scan speed."""
+    from denormalized_spark.operators.text import tokenizer_fertility
+
+    d = t(spark, sf, "documents")
+    return tokenizer_fertility(d).orderBy("lang")
