@@ -1093,3 +1093,24 @@ class TestRankNormalize:
         assert key(rank_normalize(df, "v", "id")) == key(
             rank_normalize(df.repartition(9), "v", "id")
         )
+
+
+def test_temperature_mixture_upweights_small_strata(spark):
+    """alpha=0.5 lifts low-resource strata: the small stratum's boost
+    exceeds 1000 milli, the dominant one's sits below; shares sum to
+    ~1e6; non-dyadic alpha is rejected."""
+    import pytest
+
+    from denormalized_spark.operators.curation import temperature_mixture
+
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    got = {r.stratum: r for r in temperature_mixture(df, "source").collect()}
+    assert got["small"].boost_milli > 1000 > got["big"].boost_milli
+    assert abs(got["big"].share_micro + got["small"].share_micro - 1_000_000) <= 1
+    assert (
+        abs(got["big"].temp_share_micro + got["small"].temp_share_micro - 1_000_000)
+        <= 1
+    )
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "source", alpha_num=1, alpha_den=3)

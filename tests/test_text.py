@@ -123,3 +123,15 @@ class TestPmiCollocations:
         df = spark.createDataFrame([("x",)], "text string")
         with pytest.raises(ValueError, match="min_count"):
             pmi_collocations(df, "text", min_count=0)
+
+
+def test_tokenizer_fertility_counts(spark):
+    """Hand-countable fertility: 'ab cd.' has 2 words, 3 subwords
+    (ab, cd, '.'), 6 chars; fertility 1500 milli."""
+    from denormalized_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame([("en", "ab cd.")], "lang string, text string")
+    r = tokenizer_fertility(df).collect()[0]
+    assert (r.n_docs, r.n_chars, r.n_words, r.n_subwords) == (1, 6, 2, 3)
+    assert r.fertility_milli == 1500
+    assert r.chars_per_subword_milli == 2000
