@@ -1126,3 +1126,48 @@ def cm_join_size(
         F.min("_ip").cast("long").alias("join_size_est"),
         F.count("*").cast("long").alias("rows_used"),
     )
+
+
+def tdigest_centroids_grouped(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    order_extra: list[str] | None = None,
+    delta: int = 32,
+) -> DataFrame:
+    """Per-group t-digest: ≤ ``delta`` centroid rows per group —
+    per-domain/per-language tail-accurate quantiles in one pass, the
+    grouped twin of :func:`tdigest_centroids` (same scale function,
+    same engine-exact sqrt chain). Every stage shuffles on the GROUP
+    key: the rank window is PARTITIONED by group (bounded state per
+    group — no global sort at all, unlike the global form's range
+    partition), then one (group, cluster) partial agg. The same plan
+    serves millions of groups; a single degenerate giant group is the
+    global form's problem — route it there."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(val_col).asc(), *[F.col(c).asc() for c in (order_extra or [])]
+    )
+    x = F.col(val_col).cast("double")
+    ranked = df.select(
+        F.col(group_col),
+        x.alias("_v"),
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    q = (2 * F.col("_r") - 1).cast("double") / (2 * F.col("_n")).cast("double")
+    cl = F.least(
+        F.greatest(F.floor(tdigest_scale(q, delta)), F.lit(0)),
+        F.lit(delta - 1),
+    ).cast("long")
+    return (
+        ranked.select(F.col(group_col), cl.alias("cluster"), F.col("_v"))
+        .groupBy(group_col, "cluster")
+        .agg(
+            F.count("*").cast("long").alias("w"),
+            (F.floor(F.avg("_v") * 10000 + F.lit(0.5)) / 10000).alias("mean_e4"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+    )

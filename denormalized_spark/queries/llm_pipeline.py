@@ -5445,3 +5445,45 @@ def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return tokenizer_fertility(d).orderBy("lang")
+
+
+@q(
+    "sketch_tdigest_grouped",
+    f"""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice::DOUBLE AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    k AS (
+      SELECT o_orderpriority, v,
+             CAST(least(greatest(floor({{scale}}), 0), {_TD_DELTA - 1})
+                  AS BIGINT) AS cluster
+      FROM r
+    )
+    SELECT o_orderpriority, cluster, count(*)::BIGINT AS w,
+           floor(avg(v) * 10000 + 0.5) / 10000 AS mean_e4,
+           min(v) AS vmin, max(v) AS vmax
+    FROM k GROUP BY 1, 2
+    """.replace(
+        "{scale}", _td_scale_sql("(2*r - 1)::DOUBLE / (2*n)::DOUBLE")
+    ),
+)
+def sketch_tdigest_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority t-digest of order totals
+    (operators/sketches.tdigest_centroids_grouped): the grouped twin
+    of the corpus digest — per-domain tail-accurate quantiles with
+    every stage shuffled on the GROUP key (group-partitioned rank
+    window, (group, cluster) partial agg; no global sort anywhere),
+    the plan shape that serves millions of groups at 100 TB. Same
+    correctly-rounded sqrt scale chain, so cluster assignment is
+    engine-exact."""
+    from denormalized_spark.operators import sketches
+
+    o = t(spark, sf, "orders")
+    return sketches.tdigest_centroids_grouped(
+        o, "o_orderpriority", "o_totalprice", order_extra=["o_orderkey"],
+        delta=_TD_DELTA,
+    )
