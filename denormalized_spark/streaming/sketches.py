@@ -55,6 +55,8 @@ class SketchMaintainer:
         bloom_hashes: int = 4,
         tdigest_col: str | None = None,
         tdigest_delta: int = 32,
+        sample_k: int | None = None,
+        sample_seed: str = "rs0",
     ):
         self.key_col = key_col
         self.depth = depth
@@ -67,6 +69,10 @@ class SketchMaintainer:
         self.bloom_hashes = bloom_hashes
         self.tdigest_col = tdigest_col
         self.tdigest_delta = tdigest_delta
+        self.sample_k = sample_k
+        self.sample_seed = sample_seed
+        # accumulated uniform bottom-k sample: (ticket, key) pairs
+        self.sample: list[tuple[int, str]] = []
         # accumulated t-digest centroids: list of [w, mean, vmin, vmax]
         self.td_centroids: list[list] = []
         self.cm_cells: dict[tuple[int, int], int] = {}
@@ -106,6 +112,37 @@ class SketchMaintainer:
                 n_hashes=self.bloom_hashes,
             ).collect():
                 self.bloom_bits.add(r["bit"])
+
+        # bottom-k reservoir partial (optional): the k smallest
+        # md5-ticket keys of a union are the merge of each side's
+        # bottom-k, so the accumulated sample IS the batch sample of
+        # everything seen — deterministic, EXACTLY stream==batch
+        # (the distributed-reservoir trick behind every "sample the
+        # firehose" monitor; same keys as curation.sample_fraction's
+        # md5 contract)
+        if self.sample_k is not None:
+            part = (
+                batch_df.select(F.col(self.key_col).cast("string").alias("_k"))
+                .distinct()
+                .select(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(self.sample_seed + ":"), F.col("_k"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias("_t"),
+                    "_k",
+                )
+                .orderBy("_t")
+                .limit(self.sample_k)
+                .collect()
+            )
+            merged = {t: k for t, k in self.sample}
+            merged.update({r["_t"]: r["_k"] for r in part})
+            self.sample = sorted(merged.items())[: self.sample_k]
 
         # t-digest partial (optional): batch centroids fold into state
         # by the merging-digest compression (merge law: tdigest_merge —
@@ -237,4 +274,13 @@ class SketchMaintainer:
         ]
         return spark.createDataFrame(
             rows, "cluster long, w long, mean_e4 double, vmin double, vmax double"
+        )
+
+    def sample_df(self, spark) -> DataFrame:
+        """The accumulated exact uniform bottom-k sample of every key
+        the stream has carried — ``(ticket, key)`` rows, ticket
+        ascending. Equal BY CONSTRUCTION to the batch bottom-k over
+        the union of all batches (bottom-k is a mergeable summary)."""
+        return spark.createDataFrame(
+            [(t, k) for t, k in self.sample], "ticket long, key string"
         )

@@ -1046,3 +1046,62 @@ def test_streaming_tdigest_maintenance_quantile_parity(spark, tmp_path):
     # middle — allow a few spans of drift from the extra compression
     for name in ("q0_1", "q0_5", "q0_9"):
         assert abs(qb[name] - qs[name]) < 60, (name, qb[name], qs[name])
+
+
+def test_streaming_reservoir_sample_exactly_equals_batch(spark, tmp_path):
+    """Bottom-k reservoir lane: the k smallest md5-ticket keys of a
+    union ARE the merge of per-batch bottom-ks, so the streamed
+    sample must equal the batch bottom-k over the union EXACTLY
+    (integer tickets — no tolerance)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    batches = [
+        [(f"u{i}",) for i in range(0, 40)],
+        [(f"u{i}",) for i in range(30, 90)],   # overlap: distinct-safe
+        [(f"u{i}",) for i in range(90, 160)],
+    ]
+    stream_dir = tmp_path / "rs_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "k string")
+        tmp_out = str(tmp_path / f"_rs{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    m = SketchMaintainer("k", sample_k=16)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_rs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    whole = spark.createDataFrame(all_rows, "k string").distinct()
+    want = [
+        (r.ticket, r.key)
+        for r in whole.select(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("rs0:"), F.col("k"))), 1, 15),
+                16, 10,
+            ).cast("long").alias("ticket"),
+            F.col("k").alias("key"),
+        ).orderBy("ticket").limit(16).collect()
+    ]
+    got = [(r.ticket, r.key) for r in m.sample_df(spark).orderBy("ticket").collect()]
+    assert got == want
+    assert len(got) == 16
