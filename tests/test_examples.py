@@ -145,3 +145,20 @@ def test_temporal_attribution_example_runs():
         "report complete",
     ):
         assert section in out.stdout, section
+
+
+def test_metric_monitoring_suite_example_runs():
+    env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES / "metric_monitoring_suite.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Mann-Kendall trend verdicts" in out.stdout
+    assert "breach day(s)" in out.stdout
+    assert "S(t)=" in out.stdout
+    assert "CUPED diff" in out.stdout
+    assert "monitoring suite complete" in out.stdout
