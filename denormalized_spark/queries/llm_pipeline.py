@@ -1115,7 +1115,12 @@ def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     methodology, n=5) measures 2.18 s steady-state min — faster than
     both rounds. The +24% was in-session contention from the 21 other
     headline queries sharing the JVM (GC/JIT state), not a code
-    regression."""
+    regression. Late-r11 caveat: the HOST itself became ~1.4× slower
+    and highly variable (the DuckDB bench anchor moved 15.9→23.1 s;
+    an isolated n=8 rerun saw walls 5.3-88 s with one external-load
+    spike), so absolute walls on this box are only comparable within
+    one bench run — the spark_vs_oracle ratio (0.75-0.84× this round)
+    is the number that survives the noise."""
     from denormalized_spark.operators import similarity
 
     e = t(spark, sf, "embeddings")
