@@ -77,6 +77,22 @@ QUERIES = [
     "events_seasonal_residuals", # windowed counts + (key, hod) means
     "dedup_weighted_minhash",    # token pass + capped fan-out + doc-keyed slot mins
     "sketch_mg_heavy_hitters",   # exact (shard, key) agg + counter-table ranks
+    # round-11 additions
+    "sketch_tdigest_centroids",  # distributed ORDER BY + partial agg: n log n
+    "sketch_tdigest_grouped",    # group-keyed rank windows: n log n, no global sort
+    "events_mann_kendall",       # daily groupBy (linear) + metadata pair join
+    "events_ewma_daily",         # daily groupBy + T x <=66 metadata convolution
+    "events_survival_km",        # 2 user-keyed aggs + metadata curve fold
+    "events_forecast_mase",      # daily groupBy + metadata lag join
+    "events_ccf_click_purchase", # daily groupBy + metadata lag join
+    "events_ab_cuped",           # unit-keyed agg -> 2-row arms: linear
+    "text_vocab_richness",       # token-keyed count + freq-of-freq agg: linear
+    "text_tokenizer_fertility",  # scan-speed regex counts + lang agg: linear
+    "text_classifier_gains",     # scan + scale-safe global ntile: n log n
+    "graph_kcore_parts",         # capped pair fan-out + 6 materialized peels
+    "sim_ndcg_ivf",              # probed scan + brute pass + k-row eval joins
+    "sketch_cm_join_size",       # 2 per-key partial aggs + cell join: linear
+    "curation_temperature_mixture",  # stratum-keyed agg: linear
 ]
 
 
