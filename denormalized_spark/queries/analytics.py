@@ -2089,3 +2089,106 @@ def events_ccf_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return cross_correlation(s, "day", "x", "y", max_lag=7)
+
+
+@q(
+    "events_changepoint_effect",
+    """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(floor(avg(n) * 1000000 + 0.5) AS BIGINT) AS mu,
+             CAST(floor(stddev_samp(n) * 1000000 + 0.5) AS BIGINT) AS sig
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_type, ws, n, mu, sig, sig // 2 AS kap
+      FROM c JOIN st USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, ws, n, sig,
+             sum(n * 1000000 - mu - kap) OVER w AS pp,
+             sum(n * 1000000 - mu + kap) OVER w AS pn
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY ws ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT event_type, ws, n, sig,
+             pp - least(0, min(pp) OVER w) AS sp,
+             greatest(0, max(pn) OVER w) - pn AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY ws ROWS UNBOUNDED PRECEDING)
+    ),
+    sp AS (
+      SELECT event_type, min(ws) AS split_order
+      FROM s WHERE sp > sig * 4 OR sn > sig * 4
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT c.event_type, (c.ws < sp.split_order) AS bef, c.n AS x
+      FROM c JOIN sp USING (event_type)
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(CASE WHEN bef THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN bef THEN x ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN bef THEN x*x ELSE 0 END)::BIGINT AS q1,
+             sum(CASE WHEN NOT bef THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN NOT bef THEN x ELSE 0 END)::BIGINT AS s2,
+             sum(CASE WHEN NOT bef THEN x*x ELSE 0 END)::BIGINT AS q2
+      FROM j GROUP BY 1
+    ),
+    calc AS (
+      SELECT event_type, n1, n2, s1, s2,
+             s1::DOUBLE * 1000000.0 / n1::DOUBLE AS m1,
+             s2::DOUBLE * 1000000.0 / n2::DOUBLE AS m2,
+             ((n1 * q1 - s1 * s1)::DOUBLE / n1::DOUBLE
+              + (n2 * q2 - s2 * s2)::DOUBLE / n2::DOUBLE)
+             / (n1 + n2 - 2)::DOUBLE AS sp2,
+             (n1 >= 2 AND n2 >= 2) AS defined
+      FROM agg
+    )
+    SELECT event_type, n1 AS n_before, n2 AS n_after,
+           CAST(floor(CASE WHEN n1 > 0 THEN m1 ELSE 0.0 END + 0.5) AS BIGINT)
+             AS mean_before_micro,
+           CAST(floor(CASE WHEN n2 > 0 THEN m2 ELSE 0.0 END + 0.5) AS BIGINT)
+             AS mean_after_micro,
+           CAST(floor(CASE WHEN n1 > 0 AND n2 > 0 THEN m2 - m1 ELSE 0.0 END
+                + 0.5) AS BIGINT) AS shift_micro,
+           CAST(floor(CASE WHEN defined AND sp2 > 0
+                  THEN (s2::DOUBLE / n2::DOUBLE - s1::DOUBLE / n1::DOUBLE)
+                       / sqrt(sp2)
+                  ELSE 0.0 END * 1000 + 0.5) AS BIGINT) AS cohens_d_milli,
+           defined AS effect_defined
+    FROM calc ORDER BY event_type
+    """,
+)
+def events_changepoint_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """Detection-to-effect-size composition: the first CUSUM alarm
+    hour per event type becomes the split point, and
+    operators/analytics.changepoint_effect quantifies the level shift
+    there — before/after means, shift, pooled-σ Cohen's d. Detection
+    says "something changed"; this ranks incidents by HOW MUCH (in
+    σ). Types that never alarm drop (no changepoint to measure). The
+    CUSUM trajectory is the oracle-proven integer recursion; the
+    effect moments are integer sums with one pinned sqrt chain."""
+    from denormalized_spark.operators.analytics import (
+        changepoint_effect,
+        cusum_changepoints,
+    )
+
+    e = t(spark, sf, "events")
+    cu = cusum_changepoints(e, window_ms=3600_000)
+    splits = (
+        cu.filter("alarm")
+        .groupBy("event_type")
+        .agg(F.min("window_start_time").alias("split_order"))
+    )
+    series = cu.select("event_type", "window_start_time", "n")
+    return changepoint_effect(
+        series, splits, "event_type", "window_start_time", "n"
+    ).orderBy("event_type")

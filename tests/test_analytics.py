@@ -1081,3 +1081,28 @@ def test_cross_correlation_shifted_copy_peaks_at_lag(spark):
         df, "t", "x", "y", max_lag=3).collect()}
     assert got[2] == max(got.values())
     assert got[2] > 800_000
+
+
+def test_changepoint_effect_hand_shift(spark):
+    """A clean level shift at t=11 (100 -> 200, sd 0 within sides
+    except one wiggle to keep variance positive) yields shift_micro
+    ~ +100e6 and a large positive Cohen's d; a group with <2 periods
+    on a side is flagged undefined."""
+    rows = (
+        [("s", i, 100) for i in range(1, 11)]
+        + [("s", 11, 101)]
+        + [("s", i, 200) for i in range(12, 21)]
+        + [("t", i, 50) for i in range(1, 4)]
+    )
+    series = spark.createDataFrame(rows, "g string, t int, v long")
+    splits = spark.createDataFrame([("s", 12), ("t", 3)], "g string, split_order int")
+    got = {
+        r.g: r
+        for r in analytics.changepoint_effect(series, splits, "g", "t", "v").collect()
+    }
+    s_ = got["s"]
+    assert s_.n_before == 11 and s_.n_after == 9
+    assert abs(s_.shift_micro - 99_909_091) < 10  # 200 - mean(100x10,101)
+    assert s_.cohens_d_milli > 5000 and s_.effect_defined
+    t_ = got["t"]
+    assert not t_.effect_defined and t_.cohens_d_milli == 0
