@@ -2292,3 +2292,85 @@ def changepoint_effect(
         ).cast("long").alias("cohens_d_milli"),
         defined.alias("effect_defined"),
     ).withColumnRenamed("n1", "n_before").withColumnRenamed("n2", "n_after")
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    success: Column,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-key success rates toward a
+    beta prior fitted to the key population by method of moments
+    (the standard small-sample fix for ranking CTRs / conversion
+    rates: a 2/2 key must not outrank a 480/1000 one). Per key the
+    posterior mean is (x + α)/(n + α + β) with α, β from the moment
+    fit α + β = m(1−m)/v − 1 over the observed rate distribution.
+
+    Engine-exact: per-key rates land on the micro grid as INTEGERS
+    before the population moments (so the moment sums are integer —
+    no float summation order anywhere); α, β are micro-floored once
+    from a pinned double chain; each posterior mean is one integer
+    cross-multiplication through a single division. Degenerate
+    populations (v ≥ m(1−m): under-dispersed fit undefined, or
+    fewer than 2 keys) emit the RAW rate with ``shrunk`` = false.
+    Caveat of the plain MoM fit: extreme-rate outlier keys inflate v
+    and weaken the prior (a lone 2/2 key softens its own shrinkage);
+    fit on a trusted key subset upstream when that matters.
+
+    Scale shape: one key-keyed partial agg (data-sized), a 1-row
+    moment frame over the key table (broadcast back), then map-side
+    arithmetic. Returns ``(key, n, x, raw_rate_micro, alpha_micro,
+    beta_micro, shrunk_rate_micro, shrunk)``."""
+    keyed = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(success.cast("long")).cast("long").alias("x"),
+    )
+    rate = F.floor(
+        (F.col("x") * 1_000_000).cast("double") / F.col("n").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    r = keyed.withColumn("raw_rate_micro", rate)
+    mom = r.agg(
+        F.count("*").cast("long").alias("_k"),
+        F.sum("raw_rate_micro").cast("long").alias("_sr"),
+        F.sum(F.col("raw_rate_micro") * F.col("raw_rate_micro"))
+        .cast("long").alias("_qr"),
+    )
+    j = r.crossJoin(F.broadcast(mom))
+    k = F.col("_k")
+    # population mean/variance of the micro-grid rates (doubles from
+    # exact integers, pinned order)
+    m = F.col("_sr").cast("double") / k.cast("double")
+    v = (k * F.col("_qr") - F.col("_sr") * F.col("_sr")).cast("double") / (
+        k * k
+    ).cast("double")
+    mv = m * (F.lit(1_000_000.0) - m)  # m(1-m) on the micro^2 scale
+    strength = mv / v - F.lit(1.0)  # alpha + beta (dimensionless)
+    alpha = F.floor(m * strength + F.lit(0.5)).cast("long")  # micro scale
+    beta = F.floor(
+        (F.lit(1_000_000.0) - m) * strength + F.lit(0.5)
+    ).cast("long")
+    ok = (k >= 2) & (v > 0) & (mv > v)
+    post = F.floor(
+        ((F.col("x") * 1_000_000 + F.col("_a")) * 1_000_000).cast("double")
+        / (F.col("n") * 1_000_000 + F.col("_a") + F.col("_b")).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    out = (
+        j.withColumn("_ok", ok)
+        .withColumn("_a", F.when(ok, alpha).otherwise(F.lit(0)))
+        .withColumn("_b", F.when(ok, beta).otherwise(F.lit(0)))
+        .select(
+            "key",
+            "n",
+            "x",
+            "raw_rate_micro",
+            F.col("_a").alias("alpha_micro"),
+            F.col("_b").alias("beta_micro"),
+            F.when(F.col("_ok"), post)
+            .otherwise(F.col("raw_rate_micro"))
+            .alias("shrunk_rate_micro"),
+            F.col("_ok").alias("shrunk"),
+        )
+    )
+    return out

@@ -2192,3 +2192,73 @@ def events_changepoint_effect(spark: SparkSession, sf: str) -> DataFrame:
     return changepoint_effect(
         series, splits, "event_type", "window_start_time", "n"
     ).orderBy("event_type")
+
+
+@q(
+    "events_eb_shrunk_rates",
+    """
+    WITH keyed AS (
+      SELECT (props->>'k') AS key, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT key, n, x,
+                 CAST(floor((x * 1000000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+                   AS raw_rate_micro
+          FROM keyed),
+    mom AS (SELECT count(*)::BIGINT AS k, sum(raw_rate_micro)::BIGINT AS sr,
+                   sum(raw_rate_micro * raw_rate_micro)::BIGINT AS qr
+            FROM r),
+    c AS (
+      SELECT r.*, mom.k,
+             sr::DOUBLE / k::DOUBLE AS m,
+             (k * qr - sr * sr)::DOUBLE / (k * k)::DOUBLE AS v
+      FROM r CROSS JOIN mom
+    ),
+    f AS (
+      SELECT key, n, x, raw_rate_micro,
+             m * (1000000.0 - m) AS mv, v, m, k
+      FROM c
+    ),
+    g AS (
+      SELECT key, n, x, raw_rate_micro,
+             (k >= 2 AND v > 0 AND mv > v) AS ok,
+             CASE WHEN (k >= 2 AND v > 0 AND mv > v)
+                  THEN CAST(floor(m * (mv / v - 1.0) + 0.5) AS BIGINT)
+                  ELSE 0 END AS alpha_micro,
+             CASE WHEN (k >= 2 AND v > 0 AND mv > v)
+                  THEN CAST(floor((1000000.0 - m) * (mv / v - 1.0) + 0.5)
+                       AS BIGINT)
+                  ELSE 0 END AS beta_micro
+      FROM f
+    )
+    SELECT key, n, x, raw_rate_micro, alpha_micro, beta_micro,
+           CASE WHEN ok
+                THEN CAST(floor(((x * 1000000 + alpha_micro) * 1000000)::DOUBLE
+                         / (n * 1000000 + alpha_micro + beta_micro)::DOUBLE
+                         + 0.5) AS BIGINT)
+                ELSE raw_rate_micro END AS shrunk_rate_micro,
+           ok AS shrunk
+    FROM g ORDER BY key
+    """,
+)
+def events_eb_shrunk_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes purchase-rate shrinkage per props-key
+    (operators/analytics.eb_shrunk_rates): fit a beta prior to the
+    population of per-key rates by method of moments, then rank on
+    the posterior mean — the standard small-sample fix before any
+    "top converting segments" list. Rates hit the micro grid as
+    integers BEFORE the moment sums (no float summation order); α/β
+    come from one pinned chain; each posterior is one integer
+    cross-multiplied division. One key-keyed agg + a broadcast 1-row
+    moment frame."""
+    from denormalized_spark.operators.analytics import eb_shrunk_rates
+
+    e = t(spark, sf, "events").select(
+        F.get_json_object("props", "$.k").alias("k"),
+        "event_type",
+    )
+    return eb_shrunk_rates(
+        e, "k", F.col("event_type") == "purchase"
+    ).orderBy("key")

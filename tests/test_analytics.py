@@ -1106,3 +1106,38 @@ def test_changepoint_effect_hand_shift(spark):
     assert s_.cohens_d_milli > 5000 and s_.effect_defined
     t_ = got["t"]
     assert not t_.effect_defined and t_.cohens_d_milli == 0
+
+
+def test_eb_shrunk_rates_pulls_small_samples_to_prior(spark):
+    """A 2/2 key must NOT outrank a 480/1000 key after shrinkage
+    (the motivating example), small-n keys move furthest toward the
+    prior mean, and a single-key population emits raw rates
+    unshrunk."""
+    # a CLUSTERED rate population (many keys near 30%) -> small
+    # variance -> strong prior; one lucky 2/2 key and one solid
+    # 480/1000 key
+    rows = [("tiny", 1)] * 2 + [("big", 1)] * 480 + [("big", 0)] * 520
+    for i in range(10):
+        p_i = 25 + i  # 25%..34%
+        rows += [(f"k{i}", 1)] * p_i + [(f"k{i}", 0)] * (100 - p_i)
+    df = spark.createDataFrame(rows, "k string, s int")
+    got = {
+        r.key: r
+        for r in analytics.eb_shrunk_rates(df, "k", F.col("s") == 1).collect()
+    }
+    assert got["tiny"].raw_rate_micro == 1_000_000
+    assert all(r.shrunk for r in got.values())
+    # prior mean sits inside the population; every key moves TOWARD it
+    a, b = got["big"].alpha_micro, got["big"].beta_micro
+    prior_mean = a * 1_000_000 // (a + b)
+    for r in got.values():
+        if r.raw_rate_micro > prior_mean:
+            assert prior_mean <= r.shrunk_rate_micro <= r.raw_rate_micro, r
+        else:
+            assert r.raw_rate_micro <= r.shrunk_rate_micro <= prior_mean, r
+    # the 2-observation key moves far; the 1000-observation key barely
+    assert got["tiny"].raw_rate_micro - got["tiny"].shrunk_rate_micro > 300_000
+    assert abs(got["big"].raw_rate_micro - got["big"].shrunk_rate_micro) < 5_000
+    one = spark.createDataFrame([("only", 1), ("only", 0)], "k string, s int")
+    r1 = analytics.eb_shrunk_rates(one, "k", F.col("s") == 1).collect()[0]
+    assert not r1.shrunk and r1.shrunk_rate_micro == r1.raw_rate_micro
