@@ -1147,3 +1147,64 @@ def temperature_mixture(
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def mixture_divergence(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """How far is the corpus from its TARGET mixture — per stratum the
+    observed vs target share and the per-stratum contribution to the
+    total-variation distance TV = ½·Σ|p_i − q_i| (the mixture-drift
+    gate a data pipeline alarms on before a bad rebalance ships, and
+    the acceptance check after `mixture_sample` runs). Also emits the
+    chi-square-style (p−q)²/q contribution for strata where the
+    target is nonzero.
+
+    Strata absent from ``targets`` get target 0 (their whole mass is
+    divergence); target entries absent from the corpus still appear
+    as rows (observed 0). Integer-exact: observed shares are
+    micro-floored integer ratios, targets are micro-floored literals,
+    and TV contributions are integer |differences| — no float
+    summation anywhere. One stratum-keyed agg + a broadcast target
+    table. Returns ``(stratum, n, obs_share_micro,
+    target_share_micro, tv_contrib_micro, chi2_contrib_micro)``."""
+    spark = df.sparkSession
+    size = (
+        F.count("*") if size_col is None else F.sum(F.col(size_col))
+    ).cast("long")
+    obs = df.groupBy(F.col(strata_col).alias("stratum")).agg(size.alias("n"))
+    tgt = spark.createDataFrame(
+        [(k, int(v * 1_000_000 + 0.5)) for k, v in sorted(targets.items())],
+        "stratum string, target_share_micro long",
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("_tn"))
+    full = (
+        obs.join(tgt, "stratum", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.floor(
+                (F.coalesce("n", F.lit(0)) * 1_000_000).cast("double")
+                / F.col("_tn").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("obs_share_micro"),
+            F.coalesce("target_share_micro", F.lit(0))
+            .cast("long").alias("target_share_micro"),
+        )
+    )
+    diff = F.abs(F.col("obs_share_micro") - F.col("target_share_micro"))
+    chi = F.when(
+        F.col("target_share_micro") > 0,
+        F.floor(
+            (diff * diff).cast("double")
+            / F.col("target_share_micro").cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return full.withColumn(
+        "tv_contrib_micro", (diff / 2).cast("long")
+    ).withColumn("chi2_contrib_micro", chi)

@@ -1119,3 +1119,55 @@ def curation_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return temperature_mixture(d, "source", size_col="n_chars").orderBy("stratum")
+
+
+_MIX_TARGETS = {
+    "src0": 0.2, "src1": 0.1,
+    **{f"src{i}": 0.05 for i in range(2, 10)},
+    **{f"src{i}": 0.03 for i in range(10, 20)},
+}
+
+
+def _mix_div_oracle() -> str:
+    rows = ", ".join(
+        f"('{k}', {int(v * 1_000_000 + 0.5)})" for k, v in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+    WITH obs AS (SELECT source AS stratum, count(*)::BIGINT AS n
+                 FROM documents GROUP BY 1),
+    tgt(stratum, target_share_micro) AS (VALUES {rows}),
+    tot AS (SELECT sum(n)::BIGINT AS tn FROM obs),
+    fo AS (
+      SELECT coalesce(obs.stratum, tgt.stratum) AS stratum,
+             coalesce(n, 0)::BIGINT AS n,
+             CAST(floor((coalesce(n, 0) * 1000000)::DOUBLE / tot.tn::DOUBLE
+                  + 0.5) AS BIGINT) AS obs_share_micro,
+             coalesce(target_share_micro, 0)::BIGINT AS target_share_micro
+      FROM obs FULL OUTER JOIN tgt USING (stratum) CROSS JOIN tot
+    )
+    SELECT stratum, n, obs_share_micro, target_share_micro,
+           (abs(obs_share_micro - target_share_micro) // 2)::BIGINT
+             AS tv_contrib_micro,
+           CASE WHEN target_share_micro > 0
+                THEN CAST(floor((abs(obs_share_micro - target_share_micro)
+                          * abs(obs_share_micro - target_share_micro))::DOUBLE
+                         / target_share_micro::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS chi2_contrib_micro
+    FROM fo ORDER BY stratum
+    """
+
+
+@q("curation_mixture_divergence", _mix_div_oracle())
+def curation_mixture_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Observed-vs-target mixture divergence per source
+    (operators/curation.mixture_divergence): the total-variation and
+    chi-square contributions against a skewed target mixture — the
+    acceptance gate after mixture_sample and the drift alarm before a
+    bad rebalance ships. Shares are micro-floored integer ratios,
+    targets are micro literals, TV contributions are integer
+    |differences| — no float summation. One stratum agg + broadcast
+    target table."""
+    from denormalized_spark.operators.curation import mixture_divergence
+
+    d = t(spark, sf, "documents")
+    return mixture_divergence(d, _MIX_TARGETS, "source").orderBy("stratum")

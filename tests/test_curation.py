@@ -1114,3 +1114,30 @@ def test_temperature_mixture_upweights_small_strata(spark):
     )
     with pytest.raises(ValueError):
         temperature_mixture(df, "source", alpha_num=1, alpha_den=3)
+
+
+def test_mixture_divergence_tv_and_missing_strata(spark):
+    """Uniform 2-strata corpus vs a 75/25 target: TV = 0.25 (each
+    side contributes |0.5-0.75|/2 = 0.125); a target stratum absent
+    from the corpus appears with observed 0, and an untargeted
+    stratum contributes its whole observed mass."""
+    from denormalized_spark.operators.curation import mixture_divergence
+
+    rows = [("a", i) for i in range(50)] + [("b", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    got = {
+        r.stratum: r
+        for r in mixture_divergence(
+            df, {"a": 0.75, "b": 0.25, "ghost": 0.0}, "source"
+        ).collect()
+    }
+    assert got["a"].tv_contrib_micro == 125_000
+    assert got["b"].tv_contrib_micro == 125_000
+    assert got["ghost"].n == 0 and got["ghost"].obs_share_micro == 0
+    # untargeted stratum: whole mass is divergence
+    got2 = {
+        r.stratum: r
+        for r in mixture_divergence(df, {"a": 1.0}, "source").collect()
+    }
+    assert got2["b"].target_share_micro == 0
+    assert got2["b"].tv_contrib_micro == 250_000

@@ -63,6 +63,7 @@ ALLOW_BNLJ = {
     "sketch_tdigest_quantiles",  # per-quantile 1-row results crossJoined — metadata
     "text_classifier_gains", # broadcast 1-row totals onto the 10-row bin table
     "events_eb_shrunk_rates", # broadcast 1-row moment frame onto the key table
+    "curation_mixture_divergence",  # broadcast 1-row corpus total onto the strata table
     "text_quality_percentile_gate",  # broadcast 1-row percentile threshold
     "sketch_hll_distinct",   # 1-row estimate × 1-row exact-count crossJoin — metadata
     "sketch_hll_intersect",  # 1-row estimate crossJoins (a, b, union, exact) — metadata
@@ -165,6 +166,7 @@ ALLOW_SINGLE_PART = {
     "text_classifier_gains", # prefix-sum-offsets pattern + 10-row cumulative window
     "text_vocab_richness",   # 1-row final over the frequencies-of-frequencies table
     "events_eb_shrunk_rates", # 1-row moment final over the key-rate table
+    "curation_mixture_divergence",  # 1-row corpus-total final (metadata)
     "sketch_cs_f2",          # 1-row finals + 5-row row-sum median array
     "sim_pca_moments",       # 1-row corpus count beside the keyed moment aggs
     "sim_jl_distortion",     # 1-row min/max/sum finals over the 780-pair micro grid
