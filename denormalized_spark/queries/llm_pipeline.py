@@ -5492,3 +5492,62 @@ def sketch_tdigest_grouped(spark: SparkSession, sf: str) -> DataFrame:
         o, "o_orderpriority", "o_totalprice", order_extra=["o_orderkey"],
         delta=_TD_DELTA,
     )
+
+
+@q(
+    "dedup_threshold_curve",
+    _LSH_GATE_CTES
+    + """
+    , jp AS (
+      SELECT round(jaccard, 6) AS j FROM (
+        SELECT j.id_a, j.id_b,
+               count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+        FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                 b.n_sh AS n_b, a.s
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+        GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+      ) t
+    ),
+    b AS (SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS bucket,
+                 count(*)::BIGINT AS n_pairs
+          FROM jp GROUP BY 1)
+    SELECT bucket, n_pairs,
+           sum(n_pairs) OVER (ORDER BY bucket DESC)::BIGINT AS cum_pairs_ge
+    FROM b ORDER BY bucket
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup threshold-tuning curve: exact Jaccard over the LSH
+    candidate survivors bucketed into similarity deciles, with the
+    cumulative pair count at-or-above each bucket — the knee of this
+    curve IS how a production near-dup threshold gets chosen (too low
+    merges distinct docs, too high leaves templated near-dups; the
+    curve shows where pair mass falls off). Same gated verify plan as
+    dedup_jaccard_lsh_verified but UNthresholded, so the whole
+    distribution is visible; the rollup is a ≤10-row metadata table
+    and its suffix-sum window a few-KB task."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.0, candidates=cand
+    )
+    b = (
+        pairs.select(
+            F.least(F.floor(F.round("jaccard", 6) * 10), F.lit(9))
+            .cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return b.select(
+        "bucket",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs_ge"),
+    ).orderBy("bucket")
