@@ -62,11 +62,13 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, the
 # PSI drift metric, exact-percentile winsorization, and rank
 # normalization;
-# (4) the staleness drain: 22 of the latest-green-r5 cohort
-# (2+2+11+13+22 = 50). The 13 r5 entries displaced by this session's
-# operator waves (t-digest ×2, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
-# vocab richness, k-core, NDCG, CM join-size, MASE, gains table, CCF —
-# all swept at three SFs locally) plus
+# (4) the staleness drain: 15 of the latest-green-r5 cohort
+# (2+2+11+13+7+15 = 50). The 20 r5 entries displaced by this session's
+# operator waves (t-digest ×3, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
+# vocab richness, k-core, NDCG, CM join-size, MASE, gains table, CCF,
+# temperature mixture, tokenizer fertility, changepoint effect, EB
+# shrinkage, mixture divergence, threshold curve — all swept at three
+# SFs locally) plus
 # sketch_bloom_probe (operator changed: probe-key dedup fixing the
 # r10-ADVICE false-negative) and the r6 cohort rotate into the r12
 # window. Everything displaced to 51+ keeps its registry order.
@@ -88,14 +90,19 @@ _DRIVER_PRIORITY = [
     # r11 third wave — never driver-verified
     "sketch_cm_join_size", "events_forecast_mase", "text_classifier_gains",
     "events_ccf_click_purchase",
-    # staleness drain: first 22 of the latest-green-r5 cohort
+    # r11 fourth wave — never driver-verified
+    "curation_temperature_mixture", "text_tokenizer_fertility",
+    "sketch_tdigest_grouped", "events_changepoint_effect",
+    "events_eb_shrunk_rates", "curation_mixture_divergence",
+    "dedup_threshold_curve",
+    # staleness drain: first 15 of the latest-green-r5 cohort (the rest
+    # continue in r12 — never-driver-verified entries outrank
+    # re-verification, the r10 verdict's own priority ordering)
     "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
     "dedup_simhash", "sim_batch_topk", "sim_hard_negatives", "sim_ivf_recall",
-    "sim_outlier_scores", "sim_quantize_int8", "sim_threshold_pairs",
-    "sim_topk_quantized_query0", "sim_topk_query0", "text_bigram_quality",
-    "text_bpe_pairs", "text_frequency_spectrum", "text_gopher_rules",
+    "sim_outlier_scores", "sim_quantize_int8",
 ]
 
 def _reorder(d: dict) -> dict:
