@@ -1522,3 +1522,96 @@ def tokenizer_fertility(
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("chars_per_subword_milli"),
     )
+
+
+def heaps_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 10,
+    ngram: int = 1,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: vocabulary size after
+    each successive tenth of the corpus (by ``id_col`` order) — the
+    "is more of this source still yielding new vocabulary?" curve
+    that, with :func:`vocab_richness`'s Chao1 point estimate, decides
+    whether a crawl is exhausted. Sub-linear growth (ratio → 1000
+    milli) means saturation; Heaps' law predicts V(N) ∝ N^β with the
+    ratio per doubling ≈ 2^β.
+
+    The trick that makes it ONE pass: a token first enters the
+    vocabulary at its MINIMUM bin, so V(k) is the cumulative sum of
+    per-first-bin new-token counts — one token-keyed min-agg (the
+    TF-IDF document-frequency budget), never k overlapping distincts.
+    Growth is reported as the integer ratio V(bin)/V(bin−1) in milli
+    — no logarithms. Returns ``(bin, new_tokens, vocab_cum,
+    growth_ratio_milli)``; the rollup is an ``n_bins``-row metadata
+    table (its cumulative window is a few-KB task)."""
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.ranking import with_global_row_number
+
+    ranked = with_global_row_number(
+        df.select(F.col(id_col), F.col(text_col)),
+        order_by=[F.col(id_col).asc()],
+        out_col="_rn",
+        total_col="_nd",
+    )
+    # SQL-standard ntile bin by doc order (matches ntile semantics:
+    # first N mod k bins take the extra row) — small-N safe
+    N, k = F.col("_nd"), F.lit(int(n_bins))
+    q = F.floor(N / k).cast("long")
+    r = N % k
+    big = q + 1
+    bin_ = F.when(
+        F.col("_rn") <= r * big, F.floor((F.col("_rn") - 1) / big).cast("long") + 1
+    ).otherwise(
+        F.when(q > 0, r + F.floor((F.col("_rn") - r * big - 1) / q).cast("long") + 1)
+        .otherwise(r)
+    )
+    # ngram > 1 tracks the n-gram vocabulary — on small/synthetic
+    # unigram vocabularies the curve saturates in the first bin and
+    # says nothing; the n-gram space keeps growing much longer.
+    # The token array is materialized as a COLUMN before the HOF:
+    # element_at over the raw split expression would re-evaluate the
+    # split per element access (the repo's documented HOF pitfall).
+    withtk = ranked.withColumn("_tks", tokens(text_col))
+    tkc = F.col("_tks")
+    if ngram > 1:
+        grams = F.transform(
+            F.slice(tkc, 1, F.greatest(F.size(tkc) - (ngram - 1), F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", *[F.element_at(tkc, i + j + 1) for j in range(ngram)]
+            ),
+        )
+    else:
+        grams = tkc
+    toks = withtk.select(bin_.alias("_bin"), F.explode(grams).alias("_t"))
+    first = toks.groupBy("_t").agg(F.min("_bin").cast("long").alias("_fb"))
+    per = first.groupBy("_fb").agg(F.count("*").cast("long").alias("new_tokens"))
+    # emit EVERY bin — a bin that introduced nothing is the
+    # saturation signal itself, not a row to drop
+    spark = df.sparkSession
+    bins = spark.range(1, n_bins + 1).select(F.col("id").alias("_fb"))
+    per = bins.join(per, "_fb", "left").select(
+        "_fb", F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens")
+    )
+    w = Window.orderBy("_fb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("_fb").alias("bin"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_cum"),
+    )
+    prev = F.lag("vocab_cum").over(Window.orderBy("bin"))
+    return cum.select(
+        "bin",
+        "new_tokens",
+        "vocab_cum",
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            F.floor(
+                (F.col("vocab_cum") * 1000).cast("double") / prev.cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("growth_ratio_milli"),
+    )

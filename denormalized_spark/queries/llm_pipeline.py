@@ -5551,3 +5551,61 @@ def dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("cum_pairs_ge"),
     ).orderBy("bucket")
+
+
+@q(
+    "text_heaps_curve",
+    f"""
+    WITH r AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS nd
+      FROM documents
+    ),
+    b AS (
+      SELECT CASE WHEN rn <= (nd % 10) * (nd // 10 + 1)
+                  THEN CAST(floor((rn - 1) / (nd // 10 + 1)) AS BIGINT) + 1
+                  ELSE CASE WHEN nd // 10 > 0
+                       THEN (nd % 10) + CAST(floor((rn - (nd % 10) * (nd // 10 + 1) - 1)
+                            / (nd // 10)) AS BIGINT) + 1
+                       ELSE nd % 10 END
+             END AS bin, text
+      FROM r
+    ),
+    toks AS (SELECT bin, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in range(1, len(ws) - 1)]) AS t
+             FROM (SELECT bin, {_TOKS} AS ws FROM b) w),
+    first AS (SELECT t, min(bin)::BIGINT AS fb FROM toks GROUP BY t),
+    per0 AS (SELECT fb, count(*)::BIGINT AS new_tokens FROM first GROUP BY fb),
+    per AS (SELECT r2.fb, coalesce(per0.new_tokens, 0)::BIGINT AS new_tokens
+            FROM (SELECT unnest(range(1, 11))::BIGINT AS fb) r2
+            LEFT JOIN per0 USING (fb)),
+    cum AS (SELECT fb AS bin, new_tokens,
+                   sum(new_tokens) OVER (ORDER BY fb)::BIGINT AS vocab_cum
+            FROM per)
+    SELECT bin, new_tokens, vocab_cum,
+           CASE WHEN lag(vocab_cum) OVER (ORDER BY bin) > 0
+                THEN CAST(floor((vocab_cum * 1000)::DOUBLE
+                     / lag(vocab_cum) OVER (ORDER BY bin)::DOUBLE + 0.5)
+                     AS BIGINT)
+                ELSE 0 END AS growth_ratio_milli
+    FROM cum ORDER BY bin
+    """,
+)
+def text_heaps_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over corpus tenths
+    (operators/text.heaps_curve): cumulative vocabulary after each
+    successive tenth of the corpus, with the per-step growth ratio —
+    the crawl-saturation curve beside text_vocab_richness's Chao1
+    point estimate. One token-keyed min-bin agg (a token enters the
+    vocabulary at its MINIMUM bin, so the curve is one cumulative sum
+    — never k overlapping distincts); logarithm-free integer ratios.
+    Tracks the word-TRIGRAM vocabulary: the synthetic corpus's
+    unigram vocabulary saturates inside the first tenth (a 1-row
+    curve that says nothing), while the trigram space keeps growing
+    across all ten bins — the same reason production Heaps fits use
+    n-gram or subword vocabularies."""
+    from denormalized_spark.operators.text import heaps_curve
+
+    d = t(spark, sf, "documents")
+    return heaps_curve(d, ngram=3).orderBy("bin")

@@ -135,3 +135,25 @@ def test_tokenizer_fertility_counts(spark):
     assert (r.n_docs, r.n_chars, r.n_words, r.n_subwords) == (1, 6, 2, 3)
     assert r.fertility_milli == 1500
     assert r.chars_per_subword_milli == 2000
+
+
+def test_heaps_curve_cumulative_and_saturation(spark):
+    """Each token is counted once at its FIRST bin: vocab_cum is
+    monotone, its final value equals the corpus distinct count, and a
+    corpus whose second half repeats the first contributes zero new
+    vocabulary there (ratio 1000 milli)."""
+    from denormalized_spark.operators.text import heaps_curve
+
+    docs = [(i, f"w{i} w{i+1} common") for i in range(10)] + [
+        (i, f"w{i-10} w{i-9} common") for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(heaps_curve(df, n_bins=4).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in got] == [1, 2, 3, 4]  # zero-new bins emit too
+    assert [r.vocab_cum for r in got] == sorted(r.vocab_cum for r in got)
+    assert got[-1].vocab_cum == 12  # w0..w10 + common
+    # second half adds nothing new: saturation visible as ratio 1000
+    assert got[2].new_tokens == 0 and got[3].new_tokens == 0
+    assert got[3].growth_ratio_milli == 1000
+    tri = sorted(heaps_curve(df, n_bins=2, ngram=3).collect(), key=lambda r: r.bin)
+    assert tri[-1].vocab_cum == 10  # 10 distinct trigram contexts

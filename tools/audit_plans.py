@@ -168,6 +168,7 @@ ALLOW_SINGLE_PART = {
     "events_eb_shrunk_rates", # 1-row moment final over the key-rate table
     "curation_mixture_divergence",  # 1-row corpus-total final (metadata)
     "dedup_threshold_curve", # suffix-sum window over the <=10-row decile table
+    "text_heaps_curve",      # prefix-sum-offsets rank pattern + 10-row cumulative walk
     "sketch_cs_f2",          # 1-row finals + 5-row row-sum median array
     "sim_pca_moments",       # 1-row corpus count beside the keyed moment aggs
     "sim_jl_distortion",     # 1-row min/max/sum finals over the 780-pair micro grid
