@@ -62,8 +62,8 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # with Cramér's V, PMI collocations, Fellegi-Sunter linkage scoring, the
 # PSI drift metric, exact-percentile winsorization, and rank
 # normalization;
-# (4) the staleness drain: 15 of the latest-green-r5 cohort
-# (2+2+11+13+7+15 = 50). The 20 r5 entries displaced by this session's
+# (4) the staleness drain: 14 of the latest-green-r5 cohort
+# (2+2+11+13+8+14 = 50). The 20 r5 entries displaced by this session's
 # operator waves (t-digest ×3, Mann-Kendall, Kaplan-Meier, EWMA, CUPED,
 # vocab richness, k-core, NDCG, CM join-size, MASE, gains table, CCF,
 # temperature mixture, tokenizer fertility, changepoint effect, EB
@@ -94,7 +94,7 @@ _DRIVER_PRIORITY = [
     "curation_temperature_mixture", "text_tokenizer_fertility",
     "sketch_tdigest_grouped", "events_changepoint_effect",
     "events_eb_shrunk_rates", "curation_mixture_divergence",
-    "dedup_threshold_curve",
+    "dedup_threshold_curve", "text_heaps_curve",
     # staleness drain: first 15 of the latest-green-r5 cohort (the rest
     # continue in r12 — never-driver-verified entries outrank
     # re-verification, the r10 verdict's own priority ordering)
@@ -102,7 +102,7 @@ _DRIVER_PRIORITY = [
     "curation_drift_report", "curation_quality_monitor", "curation_validate",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
     "dedup_simhash", "sim_batch_topk", "sim_hard_negatives", "sim_ivf_recall",
-    "sim_outlier_scores", "sim_quantize_int8",
+    "sim_outlier_scores",
 ]
 
 def _reorder(d: dict) -> dict:
