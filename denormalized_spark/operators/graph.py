@@ -375,3 +375,81 @@ def kcore_peel(
     return _degrees(e).filter(F.col("d") >= k).select(
         "n", F.col("d").alias("core_degree")
     )
+
+
+def item_cf_similarity(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_items_per_user: int | None = 64,
+    min_cocount: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar, Karypis,
+    Konstan & Riedl 2001): cosine over binary user-interaction
+    vectors, cos(a, b) = |U_a ∩ U_b| / √|U_a|·√|U_b| — the
+    "customers who touched this also touched" primitive behind
+    item-to-item recommenders, computable without ever materializing
+    the user×item matrix.
+
+    Scale shape — the repo bucket-cap contract: distinct (user, item)
+    first, per-USER capped bucket-collect (a user who touched
+    everything is not co-interaction evidence — over-cap users drop
+    WHOLE, HAVING-mirrored by oracles), pair fan-out ≤ cap²/2 per
+    user, then ONE pair-keyed count shuffle. ``min_cocount`` kills
+    the singleton pair tail at the reducer. Frequencies join back
+    item-keyed; the cosine is one integer co-count over a pinned
+    √·√ product, milli-floored. Returns
+    ``(item_a, item_b, cocount, n_a, n_b, cosine_milli)``."""
+    from denormalized_spark.operators._bucketing import capped_bucket_collect
+
+    iu = df.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_it")
+    ).distinct()
+    freqs = iu.groupBy(F.col("_it")).agg(F.count("*").cast("long").alias("_f"))
+    buckets = capped_bucket_collect(
+        iu, ["_u"], F.col("_it"), "_its", max_items_per_user
+    )
+    its = F.col("_its")
+    pair_arrays = F.flatten(
+        F.transform(
+            its,
+            lambda x, i: F.transform(
+                F.slice(its, i + 2, F.greatest(F.size(its) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select("_p.item_a", "_p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("cocount"))
+        .filter(F.col("cocount") >= int(min_cocount))
+    )
+    out = (
+        pairs.join(
+            freqs.select(F.col("_it").alias("item_a"), F.col("_f").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            freqs.select(F.col("_it").alias("item_b"), F.col("_f").alias("n_b")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "cocount",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("cocount").cast("double")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                )
+                * 1000
+                + F.lit(0.5)
+            ).cast("long").alias("cosine_milli"),
+        )
+    )
+    return out

@@ -2262,3 +2262,52 @@ def events_eb_shrunk_rates(spark: SparkSession, sf: str) -> DataFrame:
     return eb_shrunk_rates(
         e, "k", F.col("event_type") == "purchase"
     ).orderBy("key")
+
+
+@q(
+    "graph_item_cf_parts",
+    """
+    WITH iu AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ok AS (SELECT u FROM iu GROUP BY u HAVING count(*) BETWEEN 2 AND 64),
+    freqs AS (SELECT it, count(*)::BIGINT AS f FROM iu GROUP BY it),
+    p AS (
+      SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS cocount
+      FROM iu a JOIN iu b ON a.u = b.u AND a.it < b.it
+      JOIN ok ON ok.u = a.u
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    s AS (
+      SELECT p.item_a, p.item_b, p.cocount, fa.f AS n_a, fb.f AS n_b,
+             CAST(floor(p.cocount::DOUBLE
+                  / (sqrt(fa.f::DOUBLE) * sqrt(fb.f::DOUBLE)) * 1000 + 0.5)
+                  AS BIGINT) AS cosine_milli
+      FROM p JOIN freqs fa ON fa.it = p.item_a
+             JOIN freqs fb ON fb.it = p.item_b
+    )
+    SELECT * FROM s
+    ORDER BY cosine_milli DESC, item_a, item_b LIMIT 100
+    """,
+)
+def graph_item_cf_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchased parts
+    (operators/graph.item_cf_similarity, Sarwar et al. 2001): cosine
+    over binary customer vectors, top-100 "bought together" pairs —
+    the recommender primitive, computed under the repo bucket-cap
+    contract (per-customer capped collect, one pair-keyed count
+    shuffle, min_cocount killing the singleton tail at the reducer;
+    no user×item matrix anywhere). Deterministic TakeOrdered with
+    full tiebreaks."""
+    from denormalized_spark.operators.graph import item_cf_similarity
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    ui = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+    sim = item_cf_similarity(ui, "cust", "part", max_items_per_user=64, min_cocount=2)
+    return sim.orderBy(
+        F.desc("cosine_milli"), F.asc("item_a"), F.asc("item_b")
+    ).limit(100)

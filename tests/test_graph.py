@@ -245,3 +245,27 @@ def test_kcore_path_cascade_and_fixpoint(spark):
     )
     fix = sorted((r.n, r.core_degree) for r in kcore_peel(tri, 2).collect())
     assert unrolled == fix
+
+
+def test_item_cf_similarity_hand_cosine(spark):
+    """3 users: items A,B co-occur for 2 of them; A appears for all
+    3, B for 2 -> cos(A,B) = 2/(sqrt(3)*sqrt(2)) ~ 0.8165. Over-cap
+    users drop whole; singleton pairs are killed by min_cocount."""
+    from denormalized_spark.operators.graph import item_cf_similarity
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+    ]
+    df = spark.createDataFrame(rows, "u long, it string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in item_cf_similarity(df, "u", "it", min_cocount=2).collect()
+    }
+    assert set(got) == {("A", "B")}  # (A,C) cocount 1 -> killed
+    ab = got[("A", "B")]
+    assert (ab.cocount, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.cosine_milli == 816  # 2/sqrt(6) milli-floored
+    capped = item_cf_similarity(df, "u", "it", max_items_per_user=1)
+    assert capped.count() == 0  # every user over... under min_size=2
