@@ -73,36 +73,39 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 # r10-ADVICE false-negative) and the r6 cohort rotate into the r12
 # window. Everything displaced to 51+ keeps its registry order.
 _DRIVER_PRIORITY = [
-    # r10 driver-reds, reshaped this round (posexplode → rows) — must go green
-    "sim_jl_project", "dedup_weighted_minhash",
-    # landed r10 after the window filled — never driver-run
-    "events_drawdown", "agg_backlog_ledger",
-    # brand-new r11 operators — never driver-verified
-    "scd2_user_state", "events_acf_daily", "graph_covisit_triangles",
-    "sketch_kmv_set_ops", "events_ks_drift", "events_chi2_weekday",
-    "text_pmi_collocations", "dedup_fellegi_sunter", "events_psi_drift",
-    "curation_winsorize_prices", "curation_rank_normalize",
-    # r11 second wave — never driver-verified
-    "sketch_tdigest_centroids", "sketch_tdigest_quantiles",
-    "events_mann_kendall", "events_survival_km", "events_ewma_daily",
-    "events_ab_cuped", "text_vocab_richness", "graph_kcore_parts",
-    "sim_ndcg_ivf",
-    # r11 third wave — never driver-verified
-    "sketch_cm_join_size", "events_forecast_mase", "text_classifier_gains",
-    "events_ccf_click_purchase",
-    # r11 fourth wave — never driver-verified
-    "curation_temperature_mixture", "text_tokenizer_fertility",
-    "sketch_tdigest_grouped", "events_changepoint_effect",
-    "events_eb_shrunk_rates", "curation_mixture_divergence",
-    "dedup_threshold_curve", "text_heaps_curve",
-    # staleness drain: first 15 of the latest-green-r5 cohort (the rest
-    # continue in r12 — never-driver-verified entries outrank
-    # re-verification, the r10 verdict's own priority ordering)
-    "curation_data_card", "curation_decontaminate_bloom", "curation_dedup_lines",
-    "curation_drift_report", "curation_quality_monitor", "curation_validate",
-    "dedup_exact", "dedup_jaccard_pairs", "dedup_ngram_duplication_rate",
-    "dedup_simhash", "sim_batch_topk", "sim_hard_negatives", "sim_ivf_recall",
-    "sim_outlier_scores",
+    # the only registry entry with no driver row ever (r11 verdict item 2)
+    "graph_item_cf_parts",
+    # operator changed r11 (probe-key dedup) AFTER its last driver green —
+    # stale evidence; judge re-ran locally green, driver row still needed
+    "sketch_bloom_probe",
+    # --- new r12 operators are inserted here as they land ---
+    # staleness drain, oldest-first (r11 verdict item 3): the full
+    # latest-green-r5 cohort (21 entries) ...
+    "sim_quantize_int8", "sim_threshold_pairs", "sim_topk_quantized_query0",
+    "sim_topk_query0", "text_bigram_quality", "text_bpe_pairs",
+    "text_frequency_spectrum", "text_gopher_rules", "text_lang_mismatch",
+    "text_langid_accuracy", "text_langid_ngram_confusion",
+    "text_quality_classifier", "text_quality_percentile_gate",
+    "text_repetition", "text_stats", "text_structure_stats",
+    "text_tfidf_keywords", "text_token_entropy", "text_token_totals",
+    "text_unigram_quality", "window_ohlc",
+    # ... then as much of the latest-green-r6 cohort (42 entries) as fits
+    # the 50-slot window; the remainder carries to r13
+    "curation_chunks", "curation_contamination_report", "curation_decontaminate",
+    "curation_eval_sample", "curation_mixture", "curation_mixture_solver",
+    "curation_pack", "curation_split_leakage", "dedup_cluster_representatives",
+    "dedup_connected_components", "dedup_containment_pairs",
+    "dedup_corpus_overlap", "dedup_fuzzy_names", "dedup_fuzzy_names_char",
+    "dedup_jaccard_lsh_verified", "dedup_minhash_estimate",
+    "dedup_minhash_signatures", "events_anomaly_online",
+    "events_anomaly_windows", "events_key_skew", "events_latency_percentiles",
+    "events_props_breakdown", "events_transitions", "explode_top_tokens",
+    "over_nth_value", "over_ntile_percentrank", "scalar_case_json",
+    "scalar_encode_digest", "scalar_hash_funcs", "scalar_math_checksums",
+    "scalar_regex", "scalar_string_funcs", "scalar_struct_funcs",
+    "sim_ivf_batch", "sim_ivf_pq_topk", "sim_pq_topk", "sim_projection_topk",
+    "text_bpe_encode", "text_bpe_encode_full", "text_bpe_train",
+    "text_train_linear_langid", "window_rollup_cascade",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -89,6 +89,10 @@ ALLOW_BNLJ = {
     "text_pmi_collocations", # 1-row pair-total N broadcast — constant fan-out
     "events_psi_drift",      # 1-row totals + 1-row PSI-sum broadcasts onto the bins-row grid
     "curation_winsorize_prices",  # 1-row percentile-threshold broadcast — constant fan-out
+    "curation_temperature_mixture",  # 1-row corpus-total broadcast onto the
+                                     # ~20-row stratum table (same metadata
+                                     # class as events_ab_cuped; r11-judge
+                                     # adjudicated not-a-scale-killer)
 }
 ALLOW_PYTHON = {
     "udf_revenue_by_flag",
@@ -176,6 +180,8 @@ ALLOW_SINGLE_PART = {
     "sim_rrf_fusion_query0", # rank windows over the 20-row retrieved lists
     "text_ccnet_buckets",    # 1-row LM total (same as text_unigram_quality)
     "events_decayed_counts", # 1-row as-of max-ts aggregate (metadata)
+    "curation_temperature_mixture",  # 1-row totals + ≤20-row ordered stratum
+                                     # output (metadata sort)
 }
 MARKERS_PY = (
     "BatchEvalPython",
