@@ -2374,3 +2374,295 @@ def eb_shrunk_rates(
         )
     )
     return out
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / histogram-binning calibration table
+    (Zadrozny & Elkan 2001; the reliability-diagram binning of
+    Niculescu-Mizil & Caruana 2005): cut a predicted probability into
+    ``n_bins`` fixed-width bins and report, per bin, how often the
+    positive label actually occurred (accuracy) next to the mean
+    predicted probability (confidence). The per-bin accuracy column
+    IS the histogram-binning calibration map — join it back with
+    :func:`calibration_apply` to calibrate scores.
+
+    ``score_col`` must be an INTEGER milli-probability in [0, 1000]
+    (micro-floor upstream, the repo's standard): fixed-width binning
+    on floats would let boundary-adjacent scores flip bins between
+    engines. Bin b covers [b·1000/n_bins, (b+1)·1000/n_bins); the
+    score 1000 is clamped into the last bin.
+
+    Integer-exact: conf = Σs/(1000·n), acc = pos/n and the per-bin
+    |acc − conf| gap share the integer numerator |1000·pos − Σs|, so
+    each output column is one floored division of exact integers —
+    engine-stable. Empty bins are absent from the output (no row —
+    the reliability diagram's standard presentation).
+
+    Scale shape: one partial/final aggregation keyed by bin (map-side
+    combine shrinks every partition to ≤ ``n_bins`` rows before the
+    exchange); output is an ``n_bins``-row metadata table. Returns
+    ``(bin, n, pos, conf_milli, acc_milli, gap_micro)``."""
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        F.least(
+            F.floor(s * n_bins / 1000).cast("long"), F.lit(n_bins - 1).cast("long")
+        ).alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("pos"),
+        F.sum("_s").cast("long").alias("_ssum"),
+    )
+    num = F.abs(F.col("pos") * 1000 - F.col("_ssum"))
+    return per.select(
+        "bin",
+        "n",
+        "pos",
+        F.floor(F.col("_ssum").cast("double") / F.col("n").cast("double") + F.lit(0.5))
+        .cast("long").alias("conf_milli"),
+        F.floor((F.col("pos") * 1000).cast("double") / F.col("n").cast("double") + F.lit(0.5))
+        .cast("long").alias("acc_milli"),
+        F.floor((num * 1000).cast("double") / F.col("n").cast("double") + F.lit(0.5))
+        .cast("long").alias("gap_micro"),
+    )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row calibration scorecard over the same fixed-width bins as
+    :func:`calibration_bins`: ECE (expected calibration error — the
+    bin-weighted mean |accuracy − confidence|, Naeini et al. 2015),
+    MCE (the worst bin's gap), and the Brier score (mean squared
+    error of the milli-probability against the 0/1 label).
+
+    Integer-exact: ECE telescopes to Σ_b|1000·pos_b − Σs_b|/(1000·N)
+    — an integer numerator through ONE floored division; MCE is the
+    max of the per-bin single-division gap_micro values; Brier's
+    numerator Σ(s − 1000·y)² is a pure integer sum. No transcendental
+    is evaluated by either engine.
+
+    Scale shape: one keyed partial/final aggregation to the
+    ``n_bins``-row table, then a 1-row metadata final. Returns
+    ``(n, pos, base_rate_milli, ece_micro, mce_micro, brier_micro)``."""
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        F.least(
+            F.floor(s * n_bins / 1000).cast("long"), F.lit(n_bins - 1).cast("long")
+        ).alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+        ((s - y * 1000) * (s - y * 1000)).cast("long").alias("_sq"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+        F.sum("_s").cast("long").alias("_ssum"),
+        F.sum("_sq").cast("long").alias("_sqsum"),
+    )
+    num = F.abs(F.col("_pos") * 1000 - F.col("_ssum"))
+    gap_micro = F.floor(
+        (num * 1000).cast("double") / F.col("_n").cast("double") + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.select("_n", "_pos", "_ssum", "_sqsum", num.alias("_num"), gap_micro.alias("_gap"))
+        .agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.sum("_pos").cast("long").alias("pos"),
+            F.sum("_num").cast("long").alias("_tnum"),
+            F.sum("_sqsum").cast("long").alias("_tsq"),
+            F.max("_gap").cast("long").alias("mce_micro"),
+        )
+        .select(
+            "n",
+            "pos",
+            F.floor(
+                (F.col("pos") * 1000).cast("double") / F.col("n").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("base_rate_milli"),
+            F.floor(
+                (F.col("_tnum") * 1000).cast("double") / F.col("n").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("ece_micro"),
+            "mce_micro",
+            F.floor(
+                F.col("_tsq").cast("double") / F.col("n").cast("double") + F.lit(0.5)
+            ).cast("long").alias("brier_micro"),
+        )
+    )
+
+
+def calibration_apply(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Apply histogram-binning calibration in one pass: fit the
+    ``n_bins`` calibration map with :func:`calibration_bins` on the
+    (score, label) pairs and map every row's raw milli-probability to
+    its bin's empirical accuracy — the calibrated probability a
+    downstream quality gate should threshold on instead of the raw
+    classifier output (Zadrozny & Elkan 2001's histogram method;
+    the standard cheap alternative to Platt scaling that needs no
+    exp/log on either engine).
+
+    Scale shape: the map is an ``n_bins``-row broadcast; the apply is
+    a map-side broadcast-hash join — the corpus side never shuffles.
+    Returns the input rows with ``bin`` and ``calibrated_milli``
+    appended."""
+    bins = calibration_bins(df, score_col, label_col, n_bins=n_bins).select(
+        "bin", F.col("acc_milli").alias("calibrated_milli")
+    )
+    s = F.col(score_col).cast("long")
+    withbin = df.withColumn(
+        "bin",
+        F.least(
+            F.floor(s * n_bins / 1000).cast("long"), F.lit(n_bins - 1).cast("long")
+        ),
+    )
+    return withbin.join(F.broadcast(bins), "bin", "left")
+
+
+def holt_weight_table(
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    scale: int = 1_000_000,
+) -> list[tuple[int, int, int, int, int]]:
+    """Micro-integer impulse-response literals for :func:`holt_linear`
+    (the ewma_weight_table pattern extended to the two-state Holt
+    recursion): row ``(k, wl, wb, ul, ub)`` gives the coefficient of
+    the observation k steps back in the current level (wl) and trend
+    (wb), and the distinct coefficients of the FIRST observation
+    (ul, ub — y₁ enters through the l₁=y₁, b₁=0 initialization, so
+    its response differs from the generic lag-k response). Computed
+    by running the exact recursion on a unit impulse (position 1 and
+    position 2) and micro-flooring; the table ends where all four
+    quantize to 0, which bounds the convolution depth (~101 steps for
+    α=β=1/4 — the complex eigenpair of the companion matrix has
+    modulus √((1−α)(1−αβ)+αβ(1−α)) ≈ 0.866). Generated once in Python
+    and embedded as LITERALS in both the Spark plan and the oracle
+    SQL, so neither engine evaluates the recursion in floats."""
+    alpha = alpha_num / alpha_den
+    beta = beta_num / beta_den
+
+    def impulse(pos: int, n: int) -> list[tuple[float, float]]:
+        y = [0.0] * (n + 1)
+        y[pos] = 1.0
+        lvl, b = y[1], 0.0
+        out = [(lvl, b)]
+        for t_ in range(2, n + 1):
+            nl = alpha * y[t_] + (1 - alpha) * (lvl + b)
+            b = beta * (nl - lvl) + (1 - beta) * b
+            lvl = nl
+            out.append((lvl, b))
+        return out
+
+    n = 4096
+    gen = impulse(2, n)   # gen[t-1] = response at time t to impulse at 2
+    ini = impulse(1, n)   # ini[t-1] = response at time t to impulse at 1
+    rows = []
+    k = 0
+    while True:
+        # generic lag-k response: observation at i=2, read at t=2+k
+        wl = int((gen[1 + k][0]) * scale + (0.5 if gen[1 + k][0] >= 0 else -0.5))
+        wb = int((gen[1 + k][1]) * scale + (0.5 if gen[1 + k][1] >= 0 else -0.5))
+        ul = int((ini[k][0]) * scale + (0.5 if ini[k][0] >= 0 else -0.5))
+        ub = int((ini[k][1]) * scale + (0.5 if ini[k][1] >= 0 else -0.5))
+        if wl == 0 and wb == 0 and ul == 0 and ub == 0:
+            break
+        rows.append((k, wl, wb, ul, ub))
+        k += 1
+        if k > n - 4:  # pragma: no cover - guard against non-decaying params
+            raise ValueError("holt_weight_table: response did not quantize to 0")
+    return rows
+
+
+def holt_linear(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957 /
+    Winters 1960, no seasonal term) per group over a PRE-AGGREGATED
+    regular integer series: the level+trend state every short-horizon
+    ops forecast ("where is this metric heading next week") starts
+    from, one step up from the EWMA chart's level-only statistic.
+    Emits per period the smoothed level, the trend, and the one-step-
+    ahead forecast l_t + b_t the next period should be compared to.
+
+    Engine-exact: the Holt recursion is a LINEAR filter, so l_t·10⁶
+    and b_t·10⁶ are integer dot products of the series against the
+    precomputed micro-integer impulse-response literals of
+    :func:`holt_weight_table` — the quantized-filter semantics of
+    ewma_control (weights below 0.5 micro are identically 0, bounding
+    the lookback at ~101 steps for α=β=1/4). No float recursion runs
+    on either engine.
+
+    Scale shape: input is a PERIOD-level series (the caller's
+    data-sized groupBy already happened); the convolution is a
+    group-keyed self-join of T×(≤table) metadata pairs plus one
+    broadcast weight table — the ewma_control plan. Returns
+    ``(group, order, x, level_micro, trend_micro,
+    forecast_next_micro)``."""
+    from pyspark.sql import Window
+
+    wt = holt_weight_table(alpha_num, alpha_den, beta_num, beta_den)
+    spark = series.sparkSession
+    wdf = spark.createDataFrame(
+        wt, "_hk int, _hwl long, _hwb long, _hul long, _hub long"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    rn = series.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.row_number().over(w).alias("_rk"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    a = rn.select(group_col, F.col("_rk").alias("_i"), F.col("_x").alias("_xi"))
+    b = rn.select(group_col, order_col, "_rk", "_x")
+    pairs = (
+        b.join(a, group_col)
+        .filter(F.col("_i") <= F.col("_rk"))
+        .withColumn("_hk", (F.col("_rk") - F.col("_i")).cast("int"))
+        .join(F.broadcast(wdf), "_hk")
+    )
+    first = F.col("_i") == 1
+    lc = F.col("_xi") * F.when(first, F.col("_hul")).otherwise(F.col("_hwl"))
+    bc = F.col("_xi") * F.when(first, F.col("_hub")).otherwise(F.col("_hwb"))
+    return (
+        pairs.groupBy(group_col, order_col, "_rk", "_x")
+        .agg(
+            F.sum(lc).cast("long").alias("level_micro"),
+            F.sum(bc).cast("long").alias("trend_micro"),
+        )
+        .select(
+            group_col,
+            order_col,
+            F.col("_x").alias("x"),
+            "level_micro",
+            "trend_micro",
+            (F.col("level_micro") + F.col("trend_micro"))
+            .cast("long")
+            .alias("forecast_next_micro"),
+        )
+    )

@@ -453,3 +453,68 @@ def item_cf_similarity(
         )
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over a distinct undirected ``u < v`` edge
+    list: every node starts labeled with its own id; each round every
+    node simultaneously adopts the most frequent label among its
+    neighbors AND itself (the self-vote is the standard damping that
+    keeps the synchronous schedule from oscillating on bipartite
+    pieces), ties broken toward the SMALLEST label — a pinned total
+    order, so the whole trajectory is deterministic and replayable as
+    unrolled CTEs by an oracle. Runs a FIXED number of rounds (the
+    kcore_peel posture: exact whenever the propagation stabilizes
+    within them; callers verify convergence at their scale).
+
+    Scale shape per round: one node-keyed equi-join of the label
+    table against the (both-directions) edge list, one (node, label)
+    partial-aggregated count, and one node-keyed argmax window —
+    all shuffles on the node key, no pair blowup, no driver loops
+    over data. EVERY round localCheckpoints its label table (the
+    measured ~3^rounds re-execution hazard of unmaterialized
+    iterative plans — see kcore_peel) and unpersists the superseded
+    generation. Returns ``(n, label)`` — nodes sharing a label after
+    the last round are one community."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    both = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("t"))
+        .unionAll(edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("t")))
+        .localCheckpoint()
+    )
+    labels = (
+        both.select(F.col("s").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint()
+    )
+    first = labels
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(int(rounds)):
+        nbr = both.join(
+            labels.withColumnRenamed("n", "s"), "s"
+        ).select(F.col("t").alias("n"), "label")
+        votes = (
+            nbr.unionAll(labels.select("n", "label"))
+            .groupBy("n", "label")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        nxt = (
+            votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("n", "label")
+            .localCheckpoint()
+        )
+        if labels is not first:
+            labels.unpersist()
+        labels = nxt
+    return labels

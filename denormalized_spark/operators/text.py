@@ -1615,3 +1615,76 @@ def heaps_curve(
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("growth_ratio_milli"),
     )
+
+
+def zipf_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law diagnostic over octave (log₂) rank buckets: count
+    corpus token frequencies, rank types by frequency (ties broken
+    toward the lexicographically smaller token — a pinned total
+    order), and roll ranks into buckets [2ᵇ, 2ᵇ⁺¹). Under Zipf's law
+    with exponent s, the total frequency mass of consecutive octaves
+    falls by ~2^(s−1) and the per-type mean frequency by ~2^s — so
+    ``ratio_to_next_milli`` ≈ 2000 milli across buckets diagnoses
+    s ≈ 1 (natural text), flatter ratios flag boilerplate/spam-heavy
+    crawls. This is the log-binned Zipf check of Piantadosi 2014
+    re-expressed WITHOUT logarithms: the octave index is the bit
+    length of the integer rank (length(bin(rank)) − 1 — exact in both
+    engines), and the slope proxy is one milli-floored integer ratio
+    per bucket, so no transcendental is evaluated anywhere.
+
+    Scale shape: one token-keyed partial/final count (map-side
+    combine), one scale-safe global rank (ranking.global_ranks —
+    range shuffle + broadcast prefix sums, no single-reducer sort),
+    then a ≤64-row octave rollup and its 1-step lead join — metadata.
+    Returns ``(bucket, rank_lo, rank_hi, n_types, total_freq,
+    mean_freq_milli, ratio_to_next_milli)`` ordered by bucket."""
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.ranking import global_ranks
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    ranked = global_ranks(
+        counts,
+        order_by=[F.desc("freq"), F.asc("tok")],
+        rank_keys=[F.col("freq"), F.col("tok")],
+    ).select(
+        F.col("freq"),
+        (F.length(F.bin(F.col("row_number"))) - 1).cast("long").alias("bucket"),
+        F.col("row_number").alias("rank"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.min("rank").cast("long").alias("rank_lo"),
+        F.max("rank").cast("long").alias("rank_hi"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("total_freq"),
+    )
+    w = Window.orderBy("bucket")
+    nxt = F.lead("total_freq").over(w)
+    return (
+        per.withColumn("_next", nxt)
+        .select(
+            "bucket",
+            "rank_lo",
+            "rank_hi",
+            "n_types",
+            "total_freq",
+            F.floor(
+                (F.col("total_freq") * 1000).cast("double")
+                / F.col("n_types").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("mean_freq_milli"),
+            F.when(
+                F.col("_next") > 0,
+                F.floor(
+                    (F.col("total_freq") * 1000).cast("double")
+                    / F.col("_next").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(None).cast("long")).alias("ratio_to_next_milli"),
+        )
+        .orderBy("bucket")
+    )

@@ -78,7 +78,10 @@ _DRIVER_PRIORITY = [
     # operator changed r11 (probe-key dedup) AFTER its last driver green —
     # stale evidence; judge re-ran locally green, driver row still needed
     "sketch_bloom_probe",
-    # --- new r12 operators are inserted here as they land ---
+    # --- new r12 operators (never driver-verified) ---
+    "graph_label_propagation", "events_holt_linear",
+    "text_calibration_reliability", "text_calibration_summary",
+    "text_calibration_apply", "text_zipf_buckets",
     # staleness drain, oldest-first (r11 verdict item 3): the full
     # latest-green-r5 cohort (21 entries) ...
     "sim_quantize_int8", "sim_threshold_pairs", "sim_topk_quantized_query0",

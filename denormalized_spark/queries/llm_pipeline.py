@@ -579,7 +579,13 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
     score every doc by its mean token log-probability under the
     corpus's own unigram model. Explode → token-shuffle for the
     vocabulary (bounded output) → broadcast the LM back → per-doc
-    re-aggregation; zero Python, two shuffles of the token stream."""
+    re-aggregation; zero Python, two shuffles of the token stream.
+
+    Perf note (r12): the r11 bench's 1.04 s / 5.7× own-oracle was
+    host-state, not code — a same-box bisect ran the r10 TREE at
+    1.83 s vs this tree's 0.97 s on identical hardware, and the r12
+    idle-box bench is back to 0.55 s (~3× own-oracle, the r10
+    level). Plan unchanged (test_plans-verified)."""
     d = t(spark, sf, "documents")
     out = text.unigram_logprob_scores(d)
     return out.select(
@@ -5609,3 +5615,226 @@ def text_heaps_curve(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return heaps_curve(d, ngram=3).orderBy("bin")
+
+
+# ---- classifier calibration (reliability bins / ECE / histogram apply) ----
+
+_CALIB_MULT = 12000  # density → milli-probability spread (measured: occupies
+                     # all 10 fixed-width bins at sf0.01)
+
+
+def _calib_score_cte() -> str:
+    """Shared oracle CTE: the en-trigram-density score of the gains
+    table mapped to an integer milli-probability (×12000, clamped to
+    [0, 1000]) plus the en label."""
+    norm = (
+        "(' ' || regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),"
+        " ' +', ' ', 'g') || ' ')"
+    )
+    terms = " + ".join(
+        f"((length(n) - length(replace(n, '{g}', ''))) / {len(g)})"
+        for g in text.LANG_TRIGRAM_PROFILES["en"]
+    )
+    return f"""
+    WITH nrm AS (SELECT doc_id, lang, {norm} AS n FROM documents),
+    sc AS (SELECT doc_id,
+                  least(1000, CAST(floor((({terms}) / greatest(length(n) - 2, 1))
+                       * {_CALIB_MULT} + 0.5) AS BIGINT)) AS s,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM nrm),
+    b AS (SELECT least(CAST(floor((s * 10)::DOUBLE / 1000.0) AS BIGINT), 9) AS bin,
+                 s, y
+          FROM sc)
+    """
+
+
+def _calib_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of _calib_score_cte: (doc_id, s, y)."""
+    from denormalized_spark.operators.text import LANG_TRIGRAM_PROFILES
+
+    d = t(spark, sf, "documents")
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", " "), r" +", " "
+        ),
+        F.lit(" "),
+    )
+    withn = d.withColumn("_lnorm", norm)
+    n = F.col("_lnorm")
+    hits = None
+    for g in LANG_TRIGRAM_PROFILES["en"]:
+        cnt = (F.length(n) - F.length(F.replace(n, F.lit(g), F.lit("")))) / len(g)
+        hits = cnt if hits is None else hits + cnt
+    dens = hits / F.greatest(F.length(n) - 2, F.lit(1))
+    return withn.select(
+        "doc_id",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(dens * _CALIB_MULT + F.lit(0.5)).cast("long"),
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+
+
+@q(
+    "text_calibration_reliability",
+    _calib_score_cte()
+    + """
+    , per AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+                     sum(s)::BIGINT AS ssum
+              FROM b GROUP BY 1)
+    SELECT bin, n, pos,
+           CAST(floor(ssum::DOUBLE / n::DOUBLE + 0.5) AS BIGINT) AS conf_milli,
+           CAST(floor((pos * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+             AS acc_milli,
+           CAST(floor((abs(pos * 1000 - ssum) * 1000)::DOUBLE / n::DOUBLE + 0.5)
+                AS BIGINT) AS gap_micro
+    FROM per ORDER BY bin
+    """,
+)
+def text_calibration_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram / histogram-binning calibration table
+    (operators/analytics.calibration_bins; Zadrozny & Elkan 2001,
+    Niculescu-Mizil & Caruana 2005) of the en-trigram-density
+    pseudo-probability against the en label: per fixed-width bin, how
+    often the label actually occurred (accuracy) vs the mean claimed
+    probability (confidence) — the table every quality-classifier
+    gate should be checked against before its scores are trusted as
+    probabilities. The score is milli-floored to an INTEGER before
+    binning (fixed-width binning on floats would flip boundary docs
+    between engines); per-bin gaps share the integer numerator
+    |1000·pos − Σs| through one floored division each. (Same
+    synthetic-corpus caveat as text_classifier_gains: the verified
+    property is the deterministic binning/arithmetic contract.)
+    Scale shape: one bin-keyed partial/final agg → ≤10-row metadata."""
+    from denormalized_spark.operators.analytics import calibration_bins
+
+    return calibration_bins(_calib_scored(spark, sf), "s", "y").orderBy("bin")
+
+
+@q(
+    "text_calibration_summary",
+    _calib_score_cte()
+    + """
+    , per AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+                     sum(s)::BIGINT AS ssum,
+                     sum((s - 1000 * y) * (s - 1000 * y))::BIGINT AS sqsum
+              FROM b GROUP BY 1),
+    g AS (SELECT n, pos, ssum, sqsum,
+                 abs(pos * 1000 - ssum)::BIGINT AS num,
+                 CAST(floor((abs(pos * 1000 - ssum) * 1000)::DOUBLE / n::DOUBLE
+                      + 0.5) AS BIGINT) AS gap
+          FROM per),
+    tot AS (SELECT sum(n)::BIGINT AS n, sum(pos)::BIGINT AS pos,
+                   sum(num)::BIGINT AS tnum, sum(sqsum)::BIGINT AS tsq,
+                   max(gap)::BIGINT AS mce_micro
+            FROM g)
+    SELECT n, pos,
+           CAST(floor((pos * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+             AS base_rate_milli,
+           CAST(floor((tnum * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+             AS ece_micro,
+           mce_micro,
+           CAST(floor(tsq::DOUBLE / n::DOUBLE + 0.5) AS BIGINT) AS brier_micro
+    FROM tot
+    """,
+)
+def text_calibration_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row calibration scorecard
+    (operators/analytics.calibration_summary): ECE (Naeini et al.
+    2015 — telescopes to Σ|1000·pos_b − Σs_b|/(1000·N), an integer
+    numerator through ONE division), MCE (worst bin's single-division
+    gap) and the Brier score (integer numerator Σ(s−1000y)²) of the
+    en-trigram pseudo-probability vs the en label. No transcendental
+    on either engine. Scale shape: bin-keyed partial/final agg to
+    ≤10 rows, then a 1-row metadata final."""
+    from denormalized_spark.operators.analytics import calibration_summary
+
+    return calibration_summary(_calib_scored(spark, sf), "s", "y")
+
+
+@q(
+    "text_calibration_apply",
+    _calib_score_cte()
+    + """
+    , per AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+              FROM b GROUP BY 1),
+    mp AS (SELECT bin,
+                  CAST(floor((pos * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+                    AS calibrated_milli
+           FROM per),
+    wb AS (SELECT sc.doc_id, sc.s, sc.y,
+                  least(CAST(floor((sc.s * 10)::DOUBLE / 1000.0) AS BIGINT), 9)
+                    AS bin
+           FROM sc)
+    SELECT wb.doc_id, wb.s AS score_milli, wb.bin, mp.calibrated_milli
+    FROM wb LEFT JOIN mp USING (bin)
+    """,
+)
+def text_calibration_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-binning calibration APPLIED per document
+    (operators/analytics.calibration_apply): fit the 10-bin map on
+    the (score, label) pairs and rewrite every doc's raw
+    milli-probability to its bin's empirical accuracy — the
+    calibrated probability a downstream quality gate should threshold
+    on (the cheap no-exp/no-log alternative to Platt scaling). Scale
+    shape: the map is a ≤10-row broadcast; the apply is a map-side
+    broadcast-hash join — the corpus side never shuffles."""
+    from denormalized_spark.operators.analytics import calibration_apply
+
+    scored = _calib_scored(spark, sf)
+    return calibration_apply(scored, "s", "y").select(
+        "doc_id",
+        F.col("s").alias("score_milli"),
+        "bin",
+        "calibrated_milli",
+    )
+
+
+@q(
+    "text_zipf_buckets",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*)::BIGINT AS freq FROM tok GROUP BY tok),
+    r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM c),
+    bk AS (SELECT freq, rank,
+                  (length(bin(rank)) - 1)::BIGINT AS bucket
+           FROM r),
+    per AS (SELECT bucket, min(rank)::BIGINT AS rank_lo,
+                   max(rank)::BIGINT AS rank_hi,
+                   count(*)::BIGINT AS n_types, sum(freq)::BIGINT AS total_freq
+            FROM bk GROUP BY 1),
+    led AS (SELECT *, lead(total_freq) OVER (ORDER BY bucket) AS nxt FROM per)
+    SELECT bucket, rank_lo, rank_hi, n_types, total_freq,
+           CAST(floor((total_freq * 1000)::DOUBLE / n_types::DOUBLE + 0.5)
+                AS BIGINT) AS mean_freq_milli,
+           CASE WHEN nxt > 0
+                THEN CAST(floor((total_freq * 1000)::DOUBLE / nxt::DOUBLE + 0.5)
+                          AS BIGINT)
+                ELSE -1 END AS ratio_to_next_milli
+    FROM led ORDER BY bucket
+    """,
+)
+def text_zipf_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law octave diagnostic (operators/text.zipf_buckets;
+    Piantadosi 2014's log-binned rank/frequency check, logarithm-free):
+    corpus token frequencies ranked with a pinned total order, ranks
+    rolled into [2ᵇ, 2ᵇ⁺¹) buckets via the integer bit length
+    (length(bin(rank))−1 — exact in both engines), and per-octave
+    mass ratios milli-floored; ratio ≈ 2000 across octaves diagnoses
+    the Zipf exponent ≈ 1 of natural text, flatter ratios flag
+    boilerplate-heavy crawls. Scale shape: token-keyed count with
+    map-side combine, the scale-safe global rank (range shuffle +
+    broadcast prefix sums), then a ≤64-row metadata rollup. The last
+    bucket's ratio is the −1 sentinel (no next octave)."""
+    from denormalized_spark.operators.text import zipf_buckets
+
+    d = t(spark, sf, "documents")
+    out = zipf_buckets(d)
+    return out.withColumn(
+        "ratio_to_next_milli",
+        F.coalesce(F.col("ratio_to_next_milli"), F.lit(-1).cast("long")),
+    )

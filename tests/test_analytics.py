@@ -1141,3 +1141,110 @@ def test_eb_shrunk_rates_pulls_small_samples_to_prior(spark):
     one = spark.createDataFrame([("only", 1), ("only", 0)], "k string, s int")
     r1 = analytics.eb_shrunk_rates(one, "k", F.col("s") == 1).collect()[0]
     assert not r1.shrunk and r1.shrunk_rate_micro == r1.raw_rate_micro
+
+
+class TestHoltLinear:
+    def _mirror(self, xs):
+        """Exact integer dot product against the micro weight table —
+        the same arithmetic both engines run."""
+        from denormalized_spark.operators.analytics import holt_weight_table
+
+        wt = {k: (wl, wb, ul, ub) for k, wl, wb, ul, ub in holt_weight_table()}
+        out = []
+        for t_i in range(1, len(xs) + 1):
+            lvl = trend = 0
+            for i in range(1, t_i + 1):
+                k = t_i - i
+                if k not in wt:
+                    continue
+                wl, wb, ul, ub = wt[k]
+                lvl += xs[i - 1] * (ul if i == 1 else wl)
+                trend += xs[i - 1] * (ub if i == 1 else wb)
+            out.append((lvl, trend))
+        return out
+
+    def test_constant_series_flat_trend(self, spark):
+        from denormalized_spark.operators.analytics import holt_linear
+
+        xs = [10] * 8
+        rows = [("a", i + 1, x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, o int, x long")
+        got = {
+            r.o: (r.level_micro, r.trend_micro, r.forecast_next_micro)
+            for r in holt_linear(df, "g", "o", "x").collect()
+        }
+        exp = self._mirror(xs)
+        for i, (lvl, b) in enumerate(exp):
+            assert got[i + 1] == (lvl, b, lvl + b)
+        # level tracks the constant to quantization; trend ~ 0. Each
+        # weight literal is <= 0.5 micro off, so the exact bound is
+        # sum|x|/2 micro.
+        slack = sum(abs(x) for x in xs) // 2 + 1
+        assert abs(got[8][0] - 10_000_000) <= slack
+        assert abs(got[8][1]) <= slack
+
+    def test_linear_ramp_learns_slope(self, spark):
+        from denormalized_spark.operators.analytics import holt_linear
+
+        xs = [100 + 7 * i for i in range(30)]
+        rows = [("a", i + 1, x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, o int, x long")
+        last = (
+            holt_linear(df, "g", "o", "x")
+            .filter(F.col("o") == 30)
+            .collect()[0]
+        )
+        exp = self._mirror(xs)[-1]
+        assert (last.level_micro, last.trend_micro) == exp
+        # trend converges toward the true slope 7 (micro units)
+        assert abs(last.trend_micro - 7_000_000) < 500_000
+        # one-step forecast ~ next ramp value 100 + 7*30
+        assert abs(last.forecast_next_micro - 310_000_000) < 2_000_000
+
+
+class TestCalibration:
+    ROWS = [
+        # (score_milli, label): bin 0 gets 3 rows 1 pos; bin 9 gets 2 rows 2 pos
+        (50, 0), (80, 1), (20, 0),
+        (950, 1), (1000, 1),
+        (550, 0), (520, 1),
+    ]
+
+    def test_bins_exact(self, spark):
+        from denormalized_spark.operators.analytics import calibration_bins
+
+        df = spark.createDataFrame(self.ROWS, "s long, y long")
+        got = {r.bin: r for r in calibration_bins(df, "s", "y").collect()}
+        assert set(got) == {0, 5, 9}
+        b0 = got[0]
+        # n=3 pos=1 ssum=150 -> conf=50, acc=333, gap=|1000-150|*1000/3
+        assert (b0.n, b0.pos, b0.conf_milli, b0.acc_milli) == (3, 1, 50, 333)
+        assert b0.gap_micro == round(850 * 1000 / 3)
+        b9 = got[9]
+        assert (b9.n, b9.pos, b9.conf_milli, b9.acc_milli) == (2, 2, 975, 1000)
+        assert b9.gap_micro == round(abs(2000 - 1950) * 1000 / 2)
+
+    def test_summary_telescopes(self, spark):
+        from denormalized_spark.operators.analytics import calibration_summary
+
+        df = spark.createDataFrame(self.ROWS, "s long, y long")
+        r = calibration_summary(df, "s", "y").collect()[0]
+        assert (r.n, r.pos) == (7, 4)
+        assert r.base_rate_milli == round(4000 / 7)
+        # per-bin |1000*pos - ssum|: bin0 |1000-150|=850, bin5 |1000-1070|=70,
+        # bin9 |2000-1950|=50 -> ece = (850+70+50)*1000/7
+        assert r.ece_micro == round(970 * 1000 / 7)
+        assert r.mce_micro == round(850 * 1000 / 3)
+        sq = sum((s - 1000 * y) ** 2 for s, y in self.ROWS)
+        assert r.brier_micro == round(sq / 7)
+
+    def test_apply_broadcasts_map(self, spark):
+        from denormalized_spark.operators.analytics import calibration_apply
+
+        df = spark.createDataFrame(self.ROWS, "s long, y long")
+        out = calibration_apply(df, "s", "y").collect()
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault(r.bin, set()).add(r.calibrated_milli)
+        # every row in a bin maps to the bin's single accuracy value
+        assert by_bin[0] == {333} and by_bin[9] == {1000} and by_bin[5] == {500}

@@ -269,3 +269,26 @@ def test_item_cf_similarity_hand_cosine(spark):
     assert ab.cosine_milli == 816  # 2/sqrt(6) milli-floored
     capped = item_cf_similarity(df, "u", "it", max_items_per_user=1)
     assert capped.count() == 0  # every user over... under min_size=2
+
+
+def test_label_propagation_barbell(spark):
+    """Two triangles joined by one bridge edge: 4 synchronous rounds
+    with self-vote + min-label ties converge to one community per
+    clique (expectations from the exact Python mirror of the pinned
+    tie-break order)."""
+    from denormalized_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.n: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_validates_rounds(spark):
+    import pytest
+
+    from denormalized_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)

@@ -157,3 +157,23 @@ def test_heaps_curve_cumulative_and_saturation(spark):
     assert got[3].growth_ratio_milli == 1000
     tri = sorted(heaps_curve(df, n_bins=2, ngram=3).collect(), key=lambda r: r.bin)
     assert tri[-1].vocab_cum == 10  # 10 distinct trigram contexts
+
+
+def test_zipf_buckets_hand_counts(spark):
+    """Vocab of 7 types with frequencies 8,4,4,2,1,1,1: ranks 1..7 ->
+    octaves {1}, {2,3}, {4..7}; masses 8, 8, 5."""
+    from denormalized_spark.operators.text import zipf_buckets
+
+    docs = [
+        ("a " * 8 + "b " * 4 + "c " * 4 + "d " * 2 + "e f g",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = {r.bucket: r for r in zipf_buckets(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].rank_lo, got[0].rank_hi, got[0].n_types, got[0].total_freq) == (1, 1, 1, 8)
+    assert (got[1].rank_lo, got[1].rank_hi, got[1].total_freq) == (2, 3, 8)
+    assert (got[2].rank_lo, got[2].rank_hi, got[2].total_freq) == (4, 7, 5)
+    assert got[0].ratio_to_next_milli == 1000  # 8/8
+    assert got[1].ratio_to_next_milli == 1600  # 8/5
+    assert got[2].ratio_to_next_milli is None
+    assert got[2].mean_freq_milli == 1250  # 5*1000/4

@@ -182,6 +182,10 @@ ALLOW_SINGLE_PART = {
     "events_decayed_counts", # 1-row as-of max-ts aggregate (metadata)
     "curation_temperature_mixture",  # 1-row totals + ≤20-row ordered stratum
                                      # output (metadata sort)
+    "text_calibration_summary",  # 1-row scorecard final over the ≤10-row
+                                 # bin table (metadata)
+    "text_zipf_buckets",         # prefix-sum-offsets rank pattern +
+                                 # ≤64-row octave rollup/lead (metadata)
 }
 MARKERS_PY = (
     "BatchEvalPython",
