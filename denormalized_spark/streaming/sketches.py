@@ -36,6 +36,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fold_centroids(cur: list[list], new_rows: list[list], delta: int) -> list[list]:
+    """Driver-side mirror of operators/sketches.tdigest_merge: union
+    centroids, re-rank by mean, re-cluster through the same sqrt
+    scale function. Output stays <= delta rows. Shared by the global
+    and per-group streaming t-digest lanes."""
+    import math
+
+    rows = sorted(cur + new_rows, key=lambda r: (r[1], r[2], r[0]))
+    if not rows:
+        return cur
+    total = sum(r[0] for r in rows)
+    out: dict[int, list] = {}
+    cum = 0
+    for w, mean, vmin, vmax in rows:
+        cum += w
+        q = (2 * cum - w) / (2 * total)
+        k = math.floor(delta * 0.5 * (math.sqrt(q) - math.sqrt(1.0 - q) + 1.0))
+        k = min(max(k, 0), delta - 1)
+        if k not in out:
+            out[k] = [w, mean * w, vmin, vmax]
+        else:
+            o = out[k]
+            o[0] += w
+            o[1] += mean * w
+            o[2] = min(o[2], vmin)
+            o[3] = max(o[3], vmax)
+    return [
+        [w, ws / w, vmin, vmax] for k, (w, ws, vmin, vmax) in sorted(out.items())
+    ]
+
+
 class SketchMaintainer:
     """foreachBatch sink body that maintains CM + HLL + decayed-counter
     state across micro-batches. Call :meth:`update` per batch; read
@@ -55,6 +86,7 @@ class SketchMaintainer:
         bloom_hashes: int = 4,
         tdigest_col: str | None = None,
         tdigest_delta: int = 32,
+        tdigest_group_col: str | None = None,
         sample_k: int | None = None,
         sample_seed: str = "rs0",
     ):
@@ -69,6 +101,13 @@ class SketchMaintainer:
         self.bloom_hashes = bloom_hashes
         self.tdigest_col = tdigest_col
         self.tdigest_delta = tdigest_delta
+        self.tdigest_group_col = tdigest_group_col
+        if tdigest_group_col is not None and tdigest_col is None:
+            raise ValueError(
+                "SketchMaintainer: tdigest_group_col requires tdigest_col"
+            )
+        # group key (string) -> list of [w, mean, vmin, vmax]
+        self.td_group_centroids: dict[str, list[list]] = {}
         self.sample_k = sample_k
         self.sample_seed = sample_seed
         # accumulated uniform bottom-k sample: (ticket, key) pairs
@@ -157,6 +196,31 @@ class SketchMaintainer:
             ]
             self._td_fold(part)
 
+        # grouped t-digest partial (optional): one digest PER GROUP —
+        # per-domain tail quantiles maintained live. The distributed
+        # partial agg (tdigest_centroids_grouped: group-partitioned
+        # rank window + (group, cluster) agg) reduces the batch to
+        # ≤ delta rows per group before the driver fold, so state is
+        # groups × delta metadata rows; the merge law per group is the
+        # same merging-digest compression as the global lane.
+        if self.tdigest_col is not None and self.tdigest_group_col is not None:
+            by_group: dict[str, list[list]] = {}
+            for r in sk.tdigest_centroids_grouped(
+                batch_df.withColumn(
+                    "_tdg", F.col(self.tdigest_group_col).cast("string")
+                ),
+                "_tdg",
+                self.tdigest_col,
+                delta=self.tdigest_delta,
+            ).collect():
+                by_group.setdefault(r["_tdg"], []).append(
+                    [r["w"], r["mean_e4"], r["vmin"], r["vmax"]]
+                )
+            for g, rows in by_group.items():
+                self.td_group_centroids[g] = _fold_centroids(
+                    self.td_group_centroids.get(g, []), rows, self.tdigest_delta
+                )
+
         if self.half_life_ms is None:
             return
         # decayed partial at the BATCH's own as_of (its max ts), then
@@ -192,38 +256,9 @@ class SketchMaintainer:
             self.decayed[key] = [t_new, c, n_cur + n_b]
 
     def _td_fold(self, new_rows: list[list]) -> None:
-        """Driver-side mirror of operators/sketches.tdigest_merge:
-        union centroids, re-rank by mean, re-cluster through the same
-        sqrt scale function. State stays <= delta rows."""
-        import math
-
-        rows = sorted(
-            self.td_centroids + new_rows, key=lambda r: (r[1], r[2], r[0])
+        self.td_centroids = _fold_centroids(
+            self.td_centroids, new_rows, self.tdigest_delta
         )
-        if not rows:
-            return
-        total = sum(r[0] for r in rows)
-        delta = self.tdigest_delta
-        out: dict[int, list] = {}
-        cum = 0
-        for w, mean, vmin, vmax in rows:
-            cum += w
-            q = (2 * cum - w) / (2 * total)
-            k = math.floor(
-                delta * 0.5 * (math.sqrt(q) - math.sqrt(1.0 - q) + 1.0)
-            )
-            k = min(max(k, 0), delta - 1)
-            if k not in out:
-                out[k] = [w, mean * w, vmin, vmax]
-            else:
-                o = out[k]
-                o[0] += w
-                o[1] += mean * w
-                o[2] = min(o[2], vmin)
-                o[3] = max(o[3], vmax)
-        self.td_centroids = [
-            [w, ws / w, vmin, vmax] for k, (w, ws, vmin, vmax) in sorted(out.items())
-        ]
 
     # -- state back to DataFrames (for cm_estimate / hll_estimate) ----
     def cm_cells_df(self, spark) -> DataFrame:
@@ -274,6 +309,24 @@ class SketchMaintainer:
         ]
         return spark.createDataFrame(
             rows, "cluster long, w long, mean_e4 double, vmin double, vmax double"
+        )
+
+    def tdigest_groups_df(self, spark) -> DataFrame:
+        """Accumulated PER-GROUP t-digest centroids —
+        ``(group, cluster, w, mean_e4, vmin, vmax)`` in the batch
+        tdigest_centroids_grouped schema (group typed string; cluster
+        ids are positional within the group's folded state). Filter
+        one group out and feed operators/sketches.tdigest_quantiles
+        for that group's live tail quantiles."""
+        rows = [
+            (g, i, int(w), float(round(mean, 4)), float(vmin), float(vmax))
+            for g, cents in sorted(self.td_group_centroids.items())
+            for i, (w, mean, vmin, vmax) in enumerate(cents)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "group string, cluster long, w long, mean_e4 double,"
+            " vmin double, vmax double",
         )
 
     def sample_df(self, spark) -> DataFrame:

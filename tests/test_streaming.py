@@ -1105,3 +1105,96 @@ def test_streaming_reservoir_sample_exactly_equals_batch(spark, tmp_path):
     got = [(r.ticket, r.key) for r in m.sample_df(spark).orderBy("ticket").collect()]
     assert got == want
     assert len(got) == 16
+
+
+def test_streaming_grouped_tdigest_quantile_parity(spark, tmp_path):
+    """Per-GROUP t-digest lane (r12): each micro-batch reduces to
+    <= delta centroid rows PER GROUP via the group-partitioned batch
+    operator, and each group's partial folds into its own digest by
+    the same merging-digest compression as the global lane. Parity
+    per group: quantile estimates vs the one-shot batch grouped
+    digest within a few centroid spans; weight/min/max conservation
+    exact."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.operators import sketches as sk
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    def val(i, g):
+        return float(((i * (37 + g * 16)) % 500) + 1 + g * 1000)
+
+    batches = []
+    n = 0
+    for b in range(3):
+        rows = []
+        for i in range(400 + 100 * b):
+            g = i % 3
+            rows.append((n + i, f"g{g}", val(n + i, g)))
+        n += len(rows)
+        batches.append(rows)
+
+    stream_dir = tmp_path / "tdg_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        tmp_out = str(tmp_path / f"_tdg{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    m = SketchMaintainer(
+        "id", tdigest_col="v", tdigest_delta=32, tdigest_group_col="g"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_tdg_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert m.n_batches >= 3
+    assert set(m.td_group_centroids) == {"g0", "g1", "g2"}
+    whole = spark.createDataFrame(all_rows, "id long, g string, v double")
+    per_group_rows = {}
+    for r in all_rows:
+        per_group_rows.setdefault(r[1], []).append(r)
+    groups_df = m.tdigest_groups_df(spark).localCheckpoint()
+    for g, rows in per_group_rows.items():
+        cents = m.td_group_centroids[g]
+        # exact conservation per group
+        assert sum(int(w) for w, *_ in cents) == len(rows)
+        assert min(c[2] for c in cents) == min(r[2] for r in rows)
+        assert max(c[3] for c in cents) == max(r[2] for r in rows)
+        batch_cent = sk.tdigest_centroids_grouped(
+            whole.filter(F.col("g") == g), "g", "v", delta=32
+        ).drop("g").localCheckpoint()
+        qb = sk.tdigest_quantiles(batch_cent, [0.1, 0.5, 0.9]).collect()[0]
+        stream_cent = (
+            groups_df.filter(F.col("group") == g)
+            .drop("group")
+            .localCheckpoint()
+        )
+        qs = sk.tdigest_quantiles(stream_cent, [0.1, 0.5, 0.9]).collect()[0]
+        for name in ("q0_1", "q0_5", "q0_9"):
+            assert abs(qb[name] - qs[name]) < 60, (g, name, qb[name], qs[name])
+
+
+def test_sketch_maintainer_grouped_tdigest_requires_value_col(spark):
+    import pytest
+
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    with pytest.raises(ValueError):
+        SketchMaintainer("id", tdigest_group_col="g")
