@@ -1688,3 +1688,109 @@ def zipf_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    num_merges: int = 6,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """TRAIN a WordPiece merge table over the corpus (Schuster &
+    Nakajima 2012 — the BERT tokenizer's induction rule): identical
+    loop shape to :func:`bpe_train`, but each round merges the
+    adjacent pair maximizing the LIKELIHOOD score
+    count(ab)/(count(a)·count(b)) — the pair whose fusion most
+    increases the unigram-LM corpus likelihood — instead of BPE's raw
+    pair count. Returns (rank, sym_a, sym_b, merged, pair_count,
+    count_a, count_b, score_e12).
+
+    Engine-identical selection at ANY corpus scale: the score is
+    quantized BEFORE ranking — score_e12 = ⌊cnt·10¹²/(c_a·c_b)⌋
+    computed in IEEE double arithmetic (same operations, same
+    rounding in Spark and DuckDB), ties broken (a, b) lexicographic —
+    the repo's micro-floor-before-ranking discipline (score_gains).
+    No decimal-division rounding-mode hazard, no cross-engine
+    transcendental.
+
+    Distributed shape — same 100 TB contract as bpe_train: ONE
+    corpus-sized reduction (word-count shuffle); per round, on the
+    vocabulary table only, the pair counts AND the symbol unit counts
+    (one extra vocab-bounded explode/agg — the WordPiece-specific
+    statistic), a broadcast-sized join of pairs to unit counts, and a
+    1-ROW argmax collect; vocab rewrites localCheckpoint per round.
+    Words containing the \\x01/\\x02 sentinels are excluded (oracle
+    encoding contract, as bpe_train)."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(~F.col("word").contains("\x01") & ~F.col("word").contains("\x02"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    if max_vocab is not None:
+        words = words.orderBy(F.desc("wcount"), F.asc("word")).limit(max_vocab)
+    vocab = words.select(
+        "word", "wcount", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        n = F.size("syms")
+        pa = F.slice("syms", 1, F.greatest(n - 1, F.lit(0)))
+        pb = F.slice("syms", 2, F.greatest(n - 1, F.lit(0)))
+        pairs = (
+            vocab.select(
+                F.col("wcount"),
+                F.explode(
+                    F.zip_with(
+                        pa, pb, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wcount").cast("long").alias("cnt"))
+        )
+        units = (
+            vocab.select("wcount", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("wcount").cast("long").alias("c"))
+        )
+        ua = units.select(F.col("sym").alias("a"), F.col("c").alias("count_a"))
+        ub = units.select(F.col("sym").alias("b"), F.col("c").alias("count_b"))
+        score = F.floor(
+            F.col("cnt").cast("double") * F.lit(1_000_000_000_000.0)
+            / (F.col("count_a").cast("double") * F.col("count_b").cast("double"))
+        ).cast("long")
+        best = (
+            pairs.join(F.broadcast(ua), "a")
+            .join(F.broadcast(ub), "b")
+            .withColumn("score_e12", score)
+            .orderBy(F.desc("score_e12"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # 1 row of metadata per round
+        )
+        if not best:
+            break
+        r = best[0]
+        merges.append(
+            (
+                rank,
+                r["a"],
+                r["b"],
+                r["a"] + r["b"],
+                int(r["cnt"]),
+                int(r["count_a"]),
+                int(r["count_b"]),
+                int(r["score_e12"]),
+            )
+        )
+        vocab = vocab.withColumn(
+            "syms", _merge_adjacent(F.col("syms"), r["a"], r["b"])
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "rank int, sym_a string, sym_b string, merged string,"
+        " pair_count long, count_a long, count_b long, score_e12 long",
+    )

@@ -81,7 +81,7 @@ _DRIVER_PRIORITY = [
     # --- new r12 operators (never driver-verified) ---
     "graph_label_propagation", "events_holt_linear",
     "text_calibration_reliability", "text_calibration_summary",
-    "text_calibration_apply", "text_zipf_buckets",
+    "text_calibration_apply", "text_zipf_buckets", "text_wordpiece_train",
     # staleness drain, oldest-first (r11 verdict item 3): the full
     # latest-green-r5 cohort (21 entries) ...
     "sim_quantize_int8", "sim_threshold_pairs", "sim_topk_quantized_query0",

@@ -5838,3 +5838,86 @@ def text_zipf_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "ratio_to_next_milli",
         F.coalesce(F.col("ratio_to_next_milli"), F.lit(-1).cast("long")),
     )
+
+
+def _wordpiece_oracle(num_merges: int, max_vocab: int) -> str:
+    """Unrolled-iteration oracle for wordpiece_train: the _bpe_oracle
+    round structure (pair-count CTE + argmax + sentinel-replace vocab
+    rewrite) extended with the WordPiece unit-count CTE per round and
+    the e12-quantized likelihood score ordering — the identical IEEE
+    double floor both engines compute."""
+    enc = (
+        "list_aggregate(list_transform(syms, s -> chr(1)||s||chr(2)), "
+        "'string_agg', '')"
+    )
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT word, count(*) AS wcount FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+      GROUP BY word
+      ORDER BY wcount DESC, word ASC LIMIT {max_vocab}
+    ),
+    v1 AS (SELECT word, wcount,
+                  [word[j] for j in range(1, length(word)+1)] AS syms
+           FROM w)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f""",
+    u{i} AS (
+      SELECT t.s AS sym, sum(wcount)::BIGINT AS c
+      FROM v{i}, unnest(syms) AS t(s) GROUP BY t.s
+    ),
+    p{i} AS (
+      SELECT t.u.a AS a, t.u.b AS b, sum(wcount)::BIGINT AS cnt
+      FROM v{i}, unnest([{{'a': syms[j], 'b': syms[j+1]}}
+                         for j in range(1, len(syms))]) AS t(u)
+      GROUP BY t.u.a, t.u.b
+    ),
+    b{i} AS (
+      SELECT a, b, cnt, ca.c AS count_a, cb.c AS count_b,
+             CAST(floor(cnt::DOUBLE * 1000000000000.0
+                  / (ca.c::DOUBLE * cb.c::DOUBLE)) AS BIGINT) AS score_e12
+      FROM p{i} JOIN u{i} ca ON ca.sym = p{i}.a
+                JOIN u{i} cb ON cb.sym = p{i}.b
+      ORDER BY score_e12 DESC, a ASC, b ASC LIMIT 1)""")
+        if i < num_merges:
+            parts.append(f""",
+    v{i + 1} AS (
+      SELECT word, wcount,
+        list_filter(list_transform(string_split(
+            replace({enc},
+                    chr(1)||b{i}.a||chr(2)||chr(1)||b{i}.b||chr(2),
+                    chr(1)||b{i}.a||b{i}.b||chr(2)),
+            chr(2)||chr(1)),
+          x -> replace(replace(x, chr(1), ''), chr(2), '')), x -> x != '')
+          AS syms
+      FROM v{i}, b{i}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS sym_a, b AS sym_b, a||b AS merged, "
+        f"cnt AS pair_count, count_a, count_b, score_e12 FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({selects}) ORDER BY rank"
+
+
+@q("text_wordpiece_train", _wordpiece_oracle(num_merges=6, max_vocab=2000))
+def text_wordpiece_train(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece tokenizer induction (operators/text.wordpiece_train;
+    Schuster & Nakajima 2012 — the BERT tokenizer's training rule)
+    beside text_bpe_train: same vocabulary-bounded merge loop, but
+    each round fuses the pair maximizing the unigram-LM likelihood
+    ratio count(ab)/(count(a)·count(b)) rather than the raw count —
+    so frequent-but-expected pairs lose to rarer, more "surprising"
+    collocations. Selection ranks the e12-QUANTIZED score (one IEEE
+    double floor both engines replay identically; ties (a, b)
+    lexicographic), the micro-floor-before-ranking discipline. The
+    oracle replays all 6 rounds as unrolled CTEs with the same unit-
+    count and score arithmetic. Per round: vocab-bounded pair + unit
+    aggs, a broadcast join, and a 1-row argmax collect."""
+    from denormalized_spark.operators.text import wordpiece_train
+
+    d = t(spark, sf, "documents")
+    return wordpiece_train(d, num_merges=6, max_vocab=2000).orderBy("rank")

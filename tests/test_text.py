@@ -177,3 +177,22 @@ def test_zipf_buckets_hand_counts(spark):
     assert got[1].ratio_to_next_milli == 1600  # 8/5
     assert got[2].ratio_to_next_milli is None
     assert got[2].mean_freq_milli == 1250  # 5*1000/4
+
+
+def test_wordpiece_train_prefers_surprising_pair(spark):
+    """Corpus 'ab'×3 + 'cd'×1: BPE merges (a,b) first (count 3), but
+    WordPiece's likelihood score ranks (c,d) first — 1/(1·1) = 1e12
+    beats 3/(3·3) ≈ 0.33e12. Round 2 then merges (a,b)."""
+    from denormalized_spark.operators.text import bpe_train, wordpiece_train
+
+    df = spark.createDataFrame([("ab ab ab cd",)], "text string")
+    wp = wordpiece_train(df, num_merges=2).collect()
+    assert [(r.sym_a, r.sym_b) for r in wp] == [("c", "d"), ("a", "b")]
+    r1 = wp[0]
+    assert (r1.pair_count, r1.count_a, r1.count_b) == (1, 1, 1)
+    assert r1.score_e12 == 1_000_000_000_000
+    r2 = wp[1]
+    assert (r2.pair_count, r2.count_a, r2.count_b) == (3, 3, 3)
+    assert r2.score_e12 == 333_333_333_333
+    bp = bpe_train(df, num_merges=1).collect()
+    assert (bp[0].sym_a, bp[0].sym_b) == ("a", "b")
