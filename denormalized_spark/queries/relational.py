@@ -1266,3 +1266,213 @@ def agg_weighted_percentile_column(spark: SparkSession, sf: str) -> DataFrame:
             for p, name in [(0.25, "wp25"), (0.5, "wp50"), (0.9, "wp90")]
         ]
     )
+
+
+@q(
+    "join_small_order_revenue",
+    """
+    WITH q AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM lineitem),
+    pa AS (SELECT l_partkey, count(*)::BIGINT AS n, sum(qty)::BIGINT AS sq
+           FROM q GROUP BY 1),
+    sel AS (SELECT q.cents FROM q JOIN pa USING (l_partkey)
+            WHERE q.qty * 5 * pa.n < pa.sq)
+    SELECT count(*)::BIGINT AS n_small_orders,
+           coalesce(sum(cents), 0)::BIGINT AS revenue_cents,
+           CAST(floor(coalesce(sum(cents), 0)::DOUBLE / 7.0) AS BIGINT)
+             AS avg_yearly_cents
+    FROM sel
+    """,
+)
+def join_small_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems below 20% of their part's average quantity — the
+    correlated-scalar-subquery pattern decorrelated into a per-part
+    aggregate + join, which is exactly how Catalyst (and every MPP
+    planner) executes it. The 20%-of-avg gate is the repo's
+    cross-multiplied integer comparison (qty·5·n < Σqty — quantities
+    are integral; no float avg crosses an engine boundary), and
+    revenue is summed in integer cents. Plan: one part-keyed partial
+    agg of lineitem + one part-keyed equi-join back (AQE picks
+    broadcast when the agg side is small), then a 1-row global final.
+    Reference parity: joins/aggregates (datastream.rs join/aggregate
+    surface); the Q17 shape itself exceeds the reference's own
+    examples."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n"), F.sum("qty").cast("long").alias("sq")
+    )
+    sel = li.join(pa, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("n") < F.col("sq")
+    )
+    return sel.agg(
+        F.count("*").cast("long").alias("n_small_orders"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("revenue_cents"),
+    ).select(
+        "n_small_orders",
+        "revenue_cents",
+        F.floor(F.col("revenue_cents").cast("double") / 7.0)
+        .cast("long")
+        .alias("avg_yearly_cents"),
+    )
+
+
+@q(
+    "join_large_volume_orders",
+    """
+    WITH tq AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           tq.total_qty
+    FROM orders o JOIN tq ON tq.l_orderkey = o.o_orderkey
+    ORDER BY tq.total_qty DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def join_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    items total > 150 units — the groupBy-HAVING-then-join pattern.
+    Plan: one orderkey-keyed partial/final agg with the HAVING pushed
+    into the agg (only qualifying keys survive to the join), one
+    equi-join against orders, top-100 via TakeOrderedAndProject
+    (never a global sort). Integer quantity sums; price in cents."""
+    li = t(spark, sf, "lineitem")
+    tq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = t(spark, sf, "orders")
+    return (
+        o.join(tq, o.o_orderkey == tq.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "agg_value_concentration",
+    """
+    WITH pv AS (SELECT l_partkey,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+                         AS value_cents
+                FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(value_cents)::BIGINT AS t, count(*)::BIGINT AS n FROM pv)
+    SELECT pv.l_partkey, pv.value_cents
+    FROM pv CROSS JOIN tot
+    WHERE pv.value_cents * tot.n * 5 > tot.t * 6
+    ORDER BY pv.value_cents DESC, pv.l_partkey
+    """,
+)
+def agg_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (value concentration): parts whose summed
+    lineitem value exceeds 1.2× the mean part's value — the
+    group-sum-vs-global-sum gate behind every "significant inventory"
+    report, with a SCALE-FREE relative threshold (a fixed share gate
+    degenerates as the part count grows; 1.2×-mean qualifies a stable
+    ~15% tail at every SF). The global (total, count) is a 1-ROW
+    broadcast crossJoin (the sanctioned metadata pattern) and the
+    gate is the cross-multiplied integer comparison v·n·5 > t·6 — no
+    float share is ever compared. Plan: one part-keyed partial/final
+    agg, a 1-row broadcast, and the filter."""
+    li = t(spark, sf, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("value_cents")
+    )
+    tot = pv.agg(
+        F.sum("value_cents").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n") * 5 > F.col("t") * 6)
+        .select("l_partkey", "value_cents")
+        # no orderBy: the qualifying tail is part-count-sized (~15% of
+        # parts) — a global sort on it would be a real data sort at
+        # scale, and the driver compare is order-independent
+    )
+
+
+@q(
+    "join_idle_rich_customers",
+    """
+    WITH bal AS (SELECT c_custkey, c_mktsegment,
+                        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+                 FROM customer),
+    avgpos AS (SELECT count(*)::BIGINT AS n, sum(bal_cents)::BIGINT AS s
+               FROM bal WHERE bal_cents > 0),
+    cutoff AS (SELECT max(o_orderdate) - INTERVAL 180 DAY AS c0 FROM orders),
+    idle AS (SELECT b.c_custkey, b.c_mktsegment, b.bal_cents
+             FROM bal b CROSS JOIN avgpos a
+             WHERE b.bal_cents * a.n > a.s
+               AND NOT EXISTS (SELECT 1 FROM orders o, cutoff
+                               WHERE o.o_custkey = b.c_custkey
+                                 AND o.o_orderdate >= cutoff.c0))
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           sum(bal_cents)::BIGINT AS total_bal_cents
+    FROM idle GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with an
+    above-average positive balance and NO order in the trailing 180
+    days of the corpus — scalar-subquery threshold (1-row broadcast
+    of the positive-balance moments; the gate is the cross-multiplied
+    integer bal·n > Σbal, so no float average crosses engines) plus
+    an ANTI join against recent orders, rolled up per market segment.
+    (The literal Q22 "never ordered" predicate is empty on this
+    synthetic corpus — every customer orders; the recency window
+    keeps the anti join non-degenerate at every SF: 70/708/7081
+    qualifying customers at sf0.001/0.01/0.1.) Plan: two 1-row
+    broadcasts (moments, cutoff), one custkey-keyed LEFT ANTI
+    (broadcast or shuffled-hash per AQE), one segment-keyed metadata
+    rollup."""
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    avgpos = c.filter(F.col("bal_cents") > 0).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_cents").cast("long").alias("s"),
+    )
+    o = t(spark, sf, "orders")
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate").cast("date"), 180).alias("c0")
+    )
+    recent = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") >= F.col("c0"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = (
+        c.crossJoin(F.broadcast(avgpos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -89,6 +89,10 @@ ALLOW_BNLJ = {
     "text_pmi_collocations", # 1-row pair-total N broadcast — constant fan-out
     "events_psi_drift",      # 1-row totals + 1-row PSI-sum broadcasts onto the bins-row grid
     "curation_winsorize_prices",  # 1-row percentile-threshold broadcast — constant fan-out
+    "agg_value_concentration",   # 1-row (total, n) broadcast onto the
+                                 # part-value table — constant fan-out
+    "join_idle_rich_customers",  # 1-row moment + 1-row cutoff broadcasts
+                                 # — constant fan-out
     "curation_temperature_mixture",  # 1-row corpus-total broadcast onto the
                                      # ~20-row stratum table (same metadata
                                      # class as events_ab_cuped; r11-judge
@@ -184,6 +188,11 @@ ALLOW_SINGLE_PART = {
                                      # output (metadata sort)
     "text_calibration_summary",  # 1-row scorecard final over the ≤10-row
                                  # bin table (metadata)
+    "join_small_order_revenue",  # 1-row global revenue final (metadata)
+    "agg_value_concentration",   # 1-row (total, n) final for the broadcast
+                                 # gate (metadata)
+    "join_idle_rich_customers",  # 1-row moment/cutoff finals + ≤segments-row
+                                 # ordered rollup (metadata)
     "text_zipf_buckets",         # prefix-sum-offsets rank pattern +
                                  # ≤64-row octave rollup/lead (metadata)
 }
