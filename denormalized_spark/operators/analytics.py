@@ -2666,3 +2666,95 @@ def holt_linear(
             .alias("forecast_next_micro"),
         )
     )
+
+
+def poisson_cdf_literals(lam: float = 1.0, cap: int = 8) -> list[float]:
+    """Cumulative Poisson(λ) probabilities P(X ≤ k) for k < cap,
+    computed once in Python and embedded as double LITERALS in both
+    engines (the ewma/holt damping-literal pattern): the bootstrap
+    weight is the inverse-CDF lookup of a deterministic md5 uniform
+    against these thresholds, so both engines draw identical weights.
+    ``cap`` truncates the tail (P(X > 8 | λ=1) ≈ 1e-6 — one in a
+    million rows gets weight 8 instead of 9+; documented bias far
+    below bootstrap noise)."""
+    import math
+
+    term = math.exp(-lam)
+    cum = []
+    s = 0.0
+    for k in range(cap):
+        s += term
+        cum.append(s)
+        term *= lam / (k + 1)
+    return cum
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of an
+    INTEGER value column (the streaming-friendly bootstrap of
+    Chamandy, Muralidharan, Najmi & Naidu 2012, built for exactly
+    this setting: data too large to multinomial-resample, so each
+    replicate gives every row an independent Poisson(1) weight). ONE
+    pass, ZERO extra shuffles: all ``n_replicates`` weighted sums are
+    columns of a single partial/final aggregation — the replicate
+    fan-out lives in the aggregation expressions, never in the rows.
+
+    Determinism/engine-parity: the per-(row, replicate) weight is the
+    inverse-CDF lookup of the md5 uniform (curation.sample_fraction's
+    contract, seeded ``seed:b:``) against the Poisson CDF double
+    LITERALS of :func:`poisson_cdf_literals` — both engines draw the
+    identical integer weight, so replicate sums are exact integers.
+    Replicate means are milli-floored, sorted (a ≤n_replicates-element
+    array in one row), and the CI is the (2nd smallest, 2nd largest)
+    order-statistic pair — a 1−2·(1.5/B) ≈ 94% interval at B=32,
+    reported alongside the point mean. Returns 1 metadata row
+    ``(n, mean_milli, boot_lo_milli, boot_hi_milli, n_replicates)``."""
+    from denormalized_spark.operators.curation import sample_fraction
+
+    cum = poisson_cdf_literals()
+    x = F.col(value_col).cast("long")
+
+    def weight(b: int):
+        u = sample_fraction(id_col, seed=f"{seed}:{b}:")
+        w = F.lit(len(cum))
+        for k in range(len(cum) - 1, -1, -1):
+            w = F.when(u < F.lit(cum[k]), F.lit(k)).otherwise(w)
+        return w.cast("long")
+
+    aggs = [
+        F.count("*").cast("long").alias("_n"),
+        F.sum(x).cast("long").alias("_sx"),
+    ]
+    for b in range(n_replicates):
+        wb = weight(b)
+        aggs.append(F.sum(wb * x).cast("long").alias(f"_swx{b}"))
+        aggs.append(F.sum(wb).cast("long").alias(f"_sw{b}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.floor(
+                    (F.col(f"_swx{b}") * 1000).cast("double")
+                    / F.col(f"_sw{b}").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                for b in range(n_replicates)
+            ]
+        )
+    )
+    return one.select(
+        F.col("_n").alias("n"),
+        F.floor(
+            (F.col("_sx") * 1000).cast("double") / F.col("_n").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("mean_milli"),
+        F.element_at(means, 2).alias("boot_lo_milli"),
+        F.element_at(means, n_replicates - 1).alias("boot_hi_milli"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

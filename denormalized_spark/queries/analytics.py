@@ -2438,3 +2438,64 @@ def events_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     return holt_linear(series, "event_type", "day", "cents").orderBy(
         "event_type", "day"
     )
+
+
+def _bootstrap_oracle(n_replicates: int = 32) -> str:
+    from denormalized_spark.operators.analytics import poisson_cdf_literals
+
+    cum = poisson_cdf_literals()
+
+    def w(b: int) -> str:
+        u = (
+            f"(('0x' || substr(md5('boot:{b}:' || CAST(event_id AS VARCHAR)),"
+            f" 1, 8))::BIGINT / 4294967296.0)"
+        )
+        cases = " ".join(
+            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(cum)
+        )
+        return f"(CASE {cases} ELSE {len(cum)} END)"
+
+    sums = ", ".join(
+        f"sum({w(b)} * x)::BIGINT AS swx{b}, sum({w(b)})::BIGINT AS sw{b}"
+        for b in range(n_replicates)
+    )
+    means = ", ".join(
+        f"CAST(floor((swx{b} * 1000)::DOUBLE / sw{b}::DOUBLE + 0.5) AS BIGINT)"
+        for b in range(n_replicates)
+    )
+    return f"""
+    WITH e AS (SELECT event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events),
+    s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, {sums} FROM e),
+    m AS (SELECT n, sx, list_sort([{means}]) AS ms FROM s)
+    SELECT n,
+           CAST(floor((sx * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+             AS mean_milli,
+           ms[2]::BIGINT AS boot_lo_milli,
+           ms[{n_replicates - 1}]::BIGINT AS boot_hi_milli,
+           CAST({n_replicates} AS BIGINT) AS n_replicates
+    FROM m
+    """
+
+
+@q("events_bootstrap_ci", _bootstrap_oracle())
+def events_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean event value-cents
+    (operators/analytics.poisson_bootstrap_ci; Chamandy et al. 2012 —
+    Google's estimating-uncertainty-for-massive-data bootstrap): all
+    32 replicates' weighted sums are COLUMNS of one partial/final
+    aggregation — the replicate fan-out lives in agg expressions, so
+    the plan is one scan + one 1-row final regardless of B. Weights
+    are inverse-CDF lookups of deterministic md5 uniforms against
+    Poisson CDF double literals (both engines draw identical integer
+    weights; replicate sums exact integers; means milli-floored); the
+    CI is the (2nd, 31st) order statistic of the 32 sorted replicate
+    means — ≈94% coverage, reported beside the point mean."""
+    from denormalized_spark.operators.analytics import poisson_bootstrap_ci
+
+    e = t(spark, sf, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_ci(e, "cents", "event_id")

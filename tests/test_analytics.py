@@ -1248,3 +1248,60 @@ class TestCalibration:
             by_bin.setdefault(r.bin, set()).add(r.calibrated_milli)
         # every row in a bin maps to the bin's single accuracy value
         assert by_bin[0] == {333} and by_bin[9] == {1000} and by_bin[5] == {500}
+
+
+class TestPoissonBootstrap:
+    def test_constant_series_degenerate_ci(self, spark):
+        """Constant values: every replicate mean equals the constant
+        exactly (weights scale numerator and denominator identically),
+        so the CI collapses to the point estimate."""
+        from denormalized_spark.operators.analytics import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, 70) for i in range(100)], "id long, v long"
+        )
+        r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        assert (r.n, r.mean_milli) == (100, 70_000)
+        assert r.boot_lo_milli == r.boot_hi_milli == 70_000
+
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from denormalized_spark.operators.analytics import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 200) for i in range(500)], "id long, v long"
+        )
+        r1 = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        r2 = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        assert r1 == r2  # md5 weights: rerun- and partition-stable
+        assert r1.boot_lo_milli <= r1.mean_milli <= r1.boot_hi_milli
+        assert r1.boot_lo_milli < r1.boot_hi_milli
+
+    def test_weights_match_python_mirror(self, spark):
+        """Spot-check the inverse-CDF weight draw against hashlib."""
+        import hashlib
+
+        from denormalized_spark.operators.analytics import (
+            poisson_bootstrap_ci,
+            poisson_cdf_literals,
+        )
+
+        cum = poisson_cdf_literals()
+        rows = [(i, 10 + i) for i in range(50)]
+
+        def w(b, i):
+            u = int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+            for k, c in enumerate(cum):
+                if u < c:
+                    return k
+            return len(cum)
+
+        means = []
+        for b in range(32):
+            swx = sum(w(b, i) * v for i, v in rows)
+            sw = sum(w(b, i) for i, v in rows)
+            means.append(int((swx * 1000) / sw + 0.5))
+        means.sort()
+        df = spark.createDataFrame(rows, "id long, v long")
+        r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        assert r.boot_lo_milli == means[1]
+        assert r.boot_hi_milli == means[30]

@@ -189,6 +189,9 @@ ALLOW_SINGLE_PART = {
     "text_calibration_summary",  # 1-row scorecard final over the ≤10-row
                                  # bin table (metadata)
     "join_small_order_revenue",  # 1-row global revenue final (metadata)
+    "events_bootstrap_ci",       # 1-row final of the 66-column bootstrap
+                                 # aggregate (all replicates are agg
+                                 # COLUMNS — metadata)
     "agg_value_concentration",   # 1-row (total, n) final for the broadcast
                                  # gate (metadata)
     "join_idle_rich_customers",  # 1-row moment/cutoff finals + ≤segments-row
