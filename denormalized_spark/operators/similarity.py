@@ -1443,3 +1443,68 @@ def ndcg_eval(
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("mrr_micro"),
     )
+
+
+def mips_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Brute-force maximum-inner-product top-k against a 1-row query
+    side: score = ⟨x, q⟩ WITHOUT normalization — the retrieval
+    objective of recommendation / learned-embedding scoring where
+    vector magnitude carries signal (popularity, confidence) and
+    cosine would throw it away. Plan: broadcast the 1-row query,
+    scan+score map-side, TakeOrderedAndProject — k rows per partition
+    cross the wire; this IS the 100 TB exact plan. For the sublinear
+    path, run :func:`mips_augment` and reuse the cosine LSH machinery
+    unchanged (the reduction makes MIPS ≡ cosine)."""
+    scored = df.crossJoin(F.broadcast(query_df)).select(
+        F.col(id_col),
+        dot(F.col(vec_col), F.col(query_vec_col)).alias("inner_product"),
+    )
+    return scored.orderBy(F.desc("inner_product"), F.asc(id_col)).limit(k)
+
+
+def mips_augment(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    aug_col: str = "aug",
+) -> DataFrame:
+    """Norm-augmentation reduction from MIPS to cosine similarity
+    (Neyshabur & Srebro 2015's SIMPLE-LSH; Shrivastava & Li 2014's
+    ALSH is the asymmetric ancestor): with M = max‖x‖ over the
+    corpus, map every data vector to x' = [x/M, √(1 − ‖x‖²/M²)] —
+    a UNIT vector — and a query to q' = [q/‖q‖, 0]. Then
+    cos(q', x') = ⟨q, x⟩/(‖q‖·M), so cosine ORDER equals
+    inner-product ORDER and every cosine-LSH index (hyperplane
+    signatures, bucketed neighbors) serves MIPS unchanged.
+
+    Scale shape: M is a 1-row broadcast (global max of a per-row
+    norm — one partial/final agg); the augmentation is a per-row
+    projection, no shuffle. Appends ``aug_col`` (dim+1 doubles)."""
+    spark_norms = df.withColumn("_nrm", norm(F.col(vec_col)))
+    mx = spark_norms.agg(F.max("_nrm").alias("_m"))
+    return (
+        spark_norms.crossJoin(F.broadcast(mx))
+        .withColumn(
+            aug_col,
+            F.concat(
+                F.transform(F.col(vec_col), lambda v: v.cast("double") / F.col("_m")),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.lit(1.0)
+                            - (F.col("_nrm") * F.col("_nrm"))
+                            / (F.col("_m") * F.col("_m")),
+                        )
+                    )
+                ),
+            ),
+        )
+        .drop("_nrm", "_m")
+    )

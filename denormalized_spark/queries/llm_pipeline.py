@@ -5921,3 +5921,33 @@ def text_wordpiece_train(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return wordpiece_train(d, num_merges=6, max_vocab=2000).orderBy("rank")
+
+
+@q(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'q.embedding')}, 6) AS inner_product
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY inner_product DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum-inner-product top-k (operators/similarity.mips_topk) —
+    the recommendation-scoring objective where magnitude carries
+    signal and cosine would erase it. Exact plan: 1-row query
+    broadcast, map-side dot products (identical left-fold term order
+    to the oracle, so the doubles match bit-for-bit), TakeOrdered.
+    The sublinear path is operators/similarity.mips_augment
+    (Neyshabur & Srebro 2015's MIPS→cosine unit-sphere reduction,
+    order-equivalence proven in tests/test_similarity.py) feeding the
+    existing hyperplane-LSH index unchanged."""
+    from denormalized_spark.operators.similarity import mips_topk
+
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    out = mips_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
+    return out.select("vec_id", F.round("inner_product", 6).alias("inner_product"))

@@ -833,3 +833,48 @@ def test_pca_moments_partitioning_invariant(embeddings):
     assert key(similarity.pca_moments(e, dim=64)) == key(
         similarity.pca_moments(e.repartition(13), dim=64)
     )
+
+
+def test_mips_augment_order_equals_inner_product(spark):
+    """SIMPLE-LSH reduction invariant: cosine over augmented vectors
+    ranks exactly like the raw inner product (for a fixed query) —
+    the property that lets every cosine-LSH index serve MIPS."""
+    from denormalized_spark.operators.similarity import (
+        cosine,
+        dot,
+        mips_augment,
+        mips_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [3.0, 1.0, 0.5]),
+        (3, [0.5, 2.0, 1.0]),
+        (4, [-1.0, 4.0, 0.0]),
+        (5, [0.1, 0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrow = [(0, [2.0, 1.0, -0.5])]
+    qdf = spark.createDataFrame(qrow, "qid long, qvec array<double>").select("qvec")
+
+    by_ip = [
+        r.vec_id for r in mips_topk(df, qdf, k=5).collect()
+    ]
+    aug = mips_augment(df)
+    qn = sum(v * v for v in qrow[0][1]) ** 0.5
+    qaug = spark.createDataFrame(
+        [([v / qn for v in qrow[0][1]] + [0.0],)], "qa array<double>"
+    )
+    by_cos = [
+        r.vec_id
+        for r in aug.crossJoin(F.broadcast(qaug))
+        .select("vec_id", cosine(F.col("aug"), F.col("qa")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .collect()
+    ]
+    assert by_ip == by_cos
+    # augmented vectors are unit-norm (the reduction's precondition)
+    norms = aug.select(
+        F.sqrt(dot(F.col("aug"), F.col("aug"))).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)

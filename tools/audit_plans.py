@@ -34,6 +34,7 @@ ALLOW_BNLJ = {
     "join_theta_price",      # genuine theta join — non-equi by definition
     "dedup_jaccard_pairs",   # ungated oracle baseline; scale path = *_lsh_verified
     "sim_topk_query0",       # 1-row broadcast to every row — constant fan-out
+    "sim_mips_topk",         # same 1-row query-vector broadcast (inner product)
     "sim_topk_quantized_query0",  # same 1-row broadcast over the quantized store
     "sim_ivf_topk_query0",   # broadcast 1-row query vector / tiny centroid table
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
