@@ -1794,3 +1794,103 @@ def wordpiece_train(
         "rank int, sym_a string, sym_b string, merged string,"
         " pair_count long, count_a long, count_b long, score_e12 long",
     )
+
+
+#: demo piece inventory for the unigram-LM Viterbi segmenter: pinned
+#: micro-cost literals (≈ −ln p · 10⁶ for a plausible English subword
+#: unigram LM, hand-pinned — the LANG_TRIGRAM_PROFILES posture: a
+#: LITERAL both engines share, not a trained artifact). A piece is
+#: preferred over its characters whenever its cost beats the sum of
+#: their fallback costs (4e6 each).
+UNIGRAM_DEMO_COSTS = {
+    "th": 6_200_000, "he": 6_300_000, "in": 6_300_000, "er": 6_400_000,
+    "an": 6_400_000, "re": 6_500_000, "ed": 6_500_000, "on": 6_500_000,
+    "es": 6_600_000, "ti": 6_600_000, "te": 6_600_000, "or": 6_700_000,
+    "at": 6_700_000, "en": 6_700_000, "nd": 6_800_000,
+    "the": 8_600_000, "ing": 8_800_000, "ion": 9_000_000,
+    "ent": 9_200_000, "and": 9_200_000, "for": 9_400_000,
+    "tion": 11_000_000,
+}
+
+
+def unigram_viterbi_stats(
+    df: DataFrame,
+    vocab_costs: dict[str, int] | None = None,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    char_cost: int = 4_000_000,
+    max_vocab: int = 200,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Unigram-LM Viterbi segmentation statistics (the DECODE side of
+    Kudo 2018's SentencePiece unigram model): segment each word into
+    the minimum-cost piece sequence under an integer micro-cost table
+    (cost ≈ −log p; single characters are the universal fallback) and
+    report pieces-per-word and total cost — the segmenter every
+    unigram-LM tokenizer runs at inference, next to wordpiece_train /
+    bpe_train on the induction side.
+
+    Engine-exact DP without floats or backtracking: the per-position
+    state is ONE integer v = cost·1024 + n_pieces — additive across
+    pieces (each contributes cost·1024 + 1), so min v IS the
+    lexicographic (cost, pieces) optimum for any word under 1024
+    pieces, and both engines replay the identical integer recursion
+    (Spark: an aggregate fold appending to the DP array; oracle: a
+    recursive CTE carrying the DP list). Pieces absent from the
+    vocabulary cost 10¹² (an unreachable sentinel — the char fallback
+    always bounds the path below it).
+
+    Scale shape: one corpus-sized token reduction to (word, count),
+    a deterministic top-``max_vocab`` cap, then the DP runs on the
+    CAPPED vocabulary table only — ≤ max_vocab · max_word_len ·
+    max_piece_len integer ops total, corpus-size-independent (the
+    bpe_train posture). Returns ``(word, wcount, n_pieces,
+    cost_micro)``."""
+    costs = UNIGRAM_DEMO_COSTS if vocab_costs is None else vocab_costs
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wcount"))
+        .orderBy(F.desc("wcount"), F.asc("word"))
+        .limit(max_vocab)
+    )
+    map_lit = F.create_map(
+        *[F.lit(x) for k, c in sorted(costs.items()) for x in (k, c)]
+    )
+
+    def pc(s: Column) -> Column:
+        return F.coalesce(
+            F.element_at(map_lit, s),
+            F.when(F.length(s) == 1, F.lit(char_cost)).otherwise(
+                F.lit(1_000_000_000_000)
+            ),
+        ).cast("long")
+
+    L = F.length("word")
+    v = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.sequence(
+                            F.greatest(F.lit(0), i - F.lit(max_piece_len)), i - 1
+                        ),
+                        lambda j: F.element_at(acc, (j + 1).cast("int"))
+                        + pc(F.col("word").substr(j + 1, i - j)) * 1024
+                        + 1,
+                    )
+                )
+            ),
+        ),
+    )
+    final = F.element_at(v, (L + 1).cast("int"))
+    return words.select(
+        "word",
+        "wcount",
+        (final % 1024).cast("long").alias("n_pieces"),
+        F.floor(final.cast("double") / 1024.0).cast("long").alias("cost_micro"),
+    )

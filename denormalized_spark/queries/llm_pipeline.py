@@ -5951,3 +5951,61 @@ def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     out = mips_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
     return out.select("vec_id", F.round("inner_product", 6).alias("inner_product"))
+
+
+def _viterbi_oracle(max_piece_len: int = 4, max_vocab: int = 200,
+                    max_word_len: int = 32) -> str:
+    """Recursive-CTE replay of the packed-integer Viterbi DP: each
+    iteration appends position pos+1's min to the carried DP list —
+    the identical v = cost·1024 + n_pieces recursion Spark folds."""
+    from denormalized_spark.operators.text import UNIGRAM_DEMO_COSTS
+
+    piece = "substr(word, j + 1, pos + 1 - j)"
+    cases = " ".join(
+        f"WHEN '{k}' THEN {c}" for k, c in sorted(UNIGRAM_DEMO_COSTS.items())
+    )
+    pc = (
+        f"(CASE {piece} {cases} ELSE CASE WHEN length({piece}) = 1 "
+        f"THEN 4000000 ELSE 1000000000000 END END)"
+    )
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT word, count(*)::BIGINT AS wcount FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      WHERE length(word) <= {max_word_len}
+      GROUP BY word ORDER BY wcount DESC, word ASC LIMIT {max_vocab}
+    ),
+    dp AS (
+      SELECT word, wcount, 0 AS pos, [0::BIGINT] AS v FROM w
+      UNION ALL
+      SELECT word, wcount, pos + 1,
+             list_append(v, list_min([
+                v[j + 1] + {pc} * 1024 + 1
+                for j in range(greatest(0, pos + 1 - {max_piece_len}), pos + 1)]))
+      FROM dp WHERE pos < length(word)
+    )
+    SELECT word, wcount,
+           (v[length(word) + 1] % 1024)::BIGINT AS n_pieces,
+           (v[length(word) + 1] // 1024)::BIGINT AS cost_micro
+    FROM dp WHERE pos = length(word)
+    """
+
+
+@q("text_unigram_viterbi", _viterbi_oracle())
+def text_unigram_viterbi(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation of the top-200 corpus words
+    (operators/text.unigram_viterbi_stats; the decode side of Kudo
+    2018's SentencePiece unigram model) under the pinned
+    UNIGRAM_DEMO_COSTS micro-cost literals: min-cost piece sequence
+    per word with single-character fallback, reporting pieces and
+    total cost. The DP state is ONE packed integer
+    v = cost·1024 + n_pieces (additive per piece, so min v is the
+    lexicographic (cost, pieces) optimum) — Spark folds the DP array
+    with aggregate(), the oracle replays it as a recursive CTE
+    carrying the same list, and every operation is integer, so the
+    trajectories are identical. Corpus work is one token reduction;
+    the DP itself runs on ≤200 capped words — metadata."""
+    from denormalized_spark.operators.text import unigram_viterbi_stats
+
+    d = t(spark, sf, "documents")
+    return unigram_viterbi_stats(d)

@@ -196,3 +196,30 @@ def test_wordpiece_train_prefers_surprising_pair(spark):
     assert r2.score_e12 == 333_333_333_333
     bp = bpe_train(df, num_merges=1).collect()
     assert (bp[0].sym_a, bp[0].sym_b) == ("a", "b")
+
+
+def test_unigram_viterbi_hand_segmentations(spark):
+    """'the' -> 1 piece (8.6e6 beats t+h+e=12e6 and th+e=10.2e6);
+    'forth' -> 'for'+'th' (9.4+6.2=15.6e6); 'zq' has no pieces ->
+    2 char-fallbacks; packed tie-break prefers fewer pieces at equal
+    cost."""
+    from denormalized_spark.operators.text import unigram_viterbi_stats
+
+    df = spark.createDataFrame(
+        [("the the forth zq",)], "text string"
+    )
+    got = {r.word: (r.n_pieces, r.cost_micro)
+           for r in unigram_viterbi_stats(df).collect()}
+    assert got["the"] == (1, 8_600_000)
+    assert got["forth"] == (2, 15_600_000)
+    assert got["zq"] == (2, 8_000_000)
+
+
+def test_unigram_viterbi_char_fallback_bounds_unknown(spark):
+    """A word with NO vocabulary piece segments into length many
+    chars — the fallback keeps every path finite."""
+    from denormalized_spark.operators.text import unigram_viterbi_stats
+
+    df = spark.createDataFrame([("xyzzy",)], "text string")
+    r = unigram_viterbi_stats(df).collect()[0]
+    assert (r.word, r.n_pieces, r.cost_micro) == ("xyzzy", 5, 20_000_000)
