@@ -2758,3 +2758,138 @@ def poisson_bootstrap_ci(
         F.element_at(means, n_replicates - 1).alias("boot_hi_milli"),
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (rank the user's distinct active days,
+    subtract the rank from the day: consecutive days collapse to one
+    constant island key), the retention statistic behind every
+    "day streak" metric. Integer/date-exact: the island key is
+    date_sub(day, rank) — pure date arithmetic, no floats.
+
+    Scale shape: one distinct (user, day) reduction (map-side
+    combine), one user-keyed rank window (bounded per-user state),
+    one (user, island) count, one user-keyed max — every stage
+    shuffles on the user key, and days-per-user is bounded by the
+    calendar. Returns ``(user, n_active_days, n_streaks,
+    longest_streak, current_streak_end)``."""
+    from pyspark.sql import Window
+
+    days = (
+        df.select(F.col(user_col).alias("u"), F.col(ts_col).cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("d")
+    isl = days.withColumn(
+        "_isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("u", "_isl").agg(
+        F.count("*").cast("long").alias("_len"), F.max("d").alias("_end")
+    )
+    return (
+        streaks.groupBy("u")
+        .agg(
+            F.sum("_len").cast("long").alias("n_active_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("_len").cast("long").alias("longest_streak"),
+            # packed numeric argmax key: streak length then recency —
+            # deterministic in both engines (no struct-order reliance)
+            F.max_by(
+                "_end",
+                F.col("_len") * 1_000_000
+                + F.datediff(F.col("_end"), F.lit("1970-01-01").cast("date")),
+            ).alias("_best_end"),
+        )
+        .select(
+            F.col("u").alias(user_col),
+            "n_active_days",
+            "n_streaks",
+            "longest_streak",
+            F.col("_best_end").alias("longest_streak_end"),
+        )
+    )
+
+
+def sprt_literals(
+    p0: float, p1: float, alpha: float = 0.05, beta: float = 0.05,
+    scale: int = 1_000_000,
+) -> tuple[int, int, int, int]:
+    """Micro-integer literals for Wald's SPRT on a Bernoulli rate:
+    per-success and per-failure log-likelihood-ratio increments
+    a = ⌊ln(p1/p0)·10⁶⌉, b = ⌊ln((1−p1)/(1−p0))·10⁶⌉ and the decision
+    thresholds upper = ⌊ln((1−β)/α)·10⁶⌉, lower = ⌊ln(β/(1−α))·10⁶⌉.
+    Computed once in Python and embedded as LITERALS in both engines
+    (the ewma/holt damping-literal pattern), so the cumulative LLR is
+    a pure integer dot product s·a + (n−s)·b and no transcendental is
+    evaluated by either engine."""
+    import math
+
+    def r(x: float) -> int:
+        return int(math.floor(x * scale + 0.5)) if x >= 0 else -int(
+            math.floor(-x * scale + 0.5)
+        )
+
+    return (
+        r(math.log(p1 / p0)),
+        r(math.log((1 - p1) / (1 - p0))),
+        r(math.log((1 - beta) / alpha)),
+        r(math.log(beta / (1 - alpha))),
+    )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    success: Column,
+    ts_col: str = "ts",
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) monitored
+    daily: the always-valid alternative to a fixed-horizon rate test —
+    after each day, the cumulative log-likelihood ratio of H1: rate=p1
+    vs H0: rate=p0 either crosses the upper bound (accept H1), the
+    lower bound (accept H0), or the monitor continues. This is the
+    earliest-stopping test with both error rates controlled — the
+    reason launch-monitoring systems prefer it to daily re-running a
+    z-test (which inflates false positives).
+
+    Engine-exact: llr·10⁶ = s·a + (n−s)·b over the pinned integer
+    literals of :func:`sprt_literals`; the daily reduction is the only
+    data-sized stage, the cumulative window runs over the day-level
+    metadata series. Returns ``(day, n_day, s_day, n_cum, s_cum,
+    llr_micro, decision)`` — decision ∈ accept_h1/accept_h0/continue;
+    rows after a crossing keep reporting their side (the caller stops
+    at the FIRST non-continue row; Wald's test is defined up to the
+    stopping time)."""
+    from pyspark.sql import Window
+
+    a, b, hi, lo = sprt_literals(p0, p1, alpha, beta)
+    daily = (
+        df.select(F.col(ts_col).cast("date").alias("day"),
+                  success.cast("long").alias("_s"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_day"),
+             F.sum("_s").cast("long").alias("s_day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", "n_day", "s_day",
+        F.sum("n_day").over(w).cast("long").alias("n_cum"),
+        F.sum("s_day").over(w).cast("long").alias("s_cum"),
+    )
+    llr = (F.col("s_cum") * a + (F.col("n_cum") - F.col("s_cum")) * b).cast("long")
+    return cum.select(
+        "day", "n_day", "s_day", "n_cum", "s_cum",
+        llr.alias("llr_micro"),
+        F.when(llr >= hi, F.lit("accept_h1"))
+        .when(llr <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

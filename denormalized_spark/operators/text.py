@@ -1894,3 +1894,101 @@ def unigram_viterbi_stats(
         (final % 1024).cast("long").alias("n_pieces"),
         F.floor(final.cast("double") / 1024.0).cast("long").alias("cost_micro"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+    Rose, Engel, Cramer & Cowley 2010): candidate phrases are maximal
+    runs of non-stopword tokens (gaps-and-islands split at stopword
+    boundaries), each word scores degree/frequency over the phrase
+    co-occurrence graph (deg(w) = Σ phrase length over phrases
+    containing w; freq(w) = occurrences — the paper's definitions),
+    and a phrase scores the sum of its words' scores — the
+    unsupervised keyword baseline every corpus exploration starts
+    with.
+
+    Exactness contract: word scores are milli-floored BEFORE the
+    phrase sum (⌊deg·1000/freq⌋, one integer division per word), so
+    every phrase score is an integer sum both engines replay
+    identically; ties rank (phrase asc).
+
+    Scale shape: normalize+tokenize is a per-row projection; the
+    island split is a doc-keyed rank window (per-doc state bounded by
+    doc length); word stats are one token-keyed partial/final agg,
+    scored back over phrase words via a vocabulary-sized broadcast;
+    top-k via TakeOrderedAndProject — no global sort. Returns
+    ``(phrase, n_words, n_occurrences, score_milli)``."""
+    from pyspark.sql import Window
+
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", " "), r" +", " "
+        ),
+        F.lit(" "),
+    )
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(norm)).alias("_pos", "_w"),
+    )
+    nonstop = toks.filter(~F.col("_w").isin(*stopwords))
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    # one row per phrase OCCURRENCE: (doc, island) with its ordered words
+    occ_ph = (
+        nonstop.withColumn("_isl", F.col("_pos") - F.row_number().over(w))
+        .groupBy("_doc", "_isl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_w")))
+            ).alias("_ws")
+        )
+        .select(
+            "_doc",
+            "_isl",
+            F.transform(F.col("_ws"), lambda s: s["_w"]).alias("_words"),
+        )
+    )
+    occ_words = occ_ph.select(
+        "_doc", "_isl", F.size("_words").cast("long").alias("n_words"),
+        F.explode("_words").alias("word"),
+    )
+    stats = occ_words.groupBy("word").agg(
+        F.sum("n_words").cast("long").alias("_deg"),
+        F.count("*").cast("long").alias("_freq"),
+    )
+    wscore = stats.select(
+        "word",
+        F.floor(
+            (F.col("_deg") * 1000).cast("double") / F.col("_freq").cast("double")
+        ).cast("long").alias("_wsm"),
+    )
+    per_occ = (
+        occ_words.join(F.broadcast(wscore), "word")
+        .groupBy("_doc", "_isl", "n_words")
+        .agg(F.sum("_wsm").cast("long").alias("_score"),
+             F.concat_ws(" ", F.collect_list("word")).alias("_unordered"))
+    )
+    # rebuild the ordered phrase string from occ_ph (collect_list after
+    # the join has no order guarantee)
+    per_occ = per_occ.drop("_unordered").join(
+        occ_ph.select(
+            "_doc", "_isl",
+            F.concat_ws(" ", F.col("_words")).alias("phrase"),
+        ),
+        ["_doc", "_isl"],
+    )
+    return (
+        per_occ.groupBy("phrase", "n_words")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("_score").cast("long").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("phrase"))
+        .limit(top_k)
+    )

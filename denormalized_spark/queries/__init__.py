@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "join_small_order_revenue", "join_large_volume_orders",
     "agg_value_concentration", "join_idle_rich_customers",
     "events_bootstrap_ci", "sim_mips_topk", "text_unigram_viterbi",
+    "events_active_streaks", "events_sprt_monitor", "text_rake_keywords",
     # staleness drain, oldest-first (r11 verdict item 3): the full
     # latest-green-r5 cohort (21 entries) ...
     "sim_quantize_int8", "sim_threshold_pairs", "sim_topk_quantized_query0",

@@ -2499,3 +2499,83 @@ def events_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     return poisson_bootstrap_ci(e, "cents", "event_id")
+
+
+@q(
+    "events_active_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+    isl AS (SELECT u, d,
+                   d - CAST(row_number() OVER (PARTITION BY u ORDER BY d)
+                            AS INTEGER) AS island
+            FROM days),
+    st AS (SELECT u, island, count(*)::BIGINT AS len, max(d) AS e
+           FROM isl GROUP BY 1, 2)
+    SELECT u AS user_id,
+           sum(len)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks,
+           max(len)::BIGINT AS longest_streak,
+           arg_max(e, len * 1000000
+                      + date_diff('day', DATE '1970-01-01', e))
+             AS longest_streak_end
+    FROM st GROUP BY 1
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user
+    (operators/analytics.activity_streaks) — the canonical
+    gaps-and-islands pattern: rank each user's distinct active days
+    and subtract the rank; consecutive days collapse to one island
+    key (pure date arithmetic, engine-exact). The argmax of the
+    longest streak's end date uses a packed numeric key (length then
+    recency) so ties resolve identically everywhere. Plan: distinct
+    reduction → user-keyed rank window → two user-keyed rollups, all
+    on the same key; per-user state is calendar-bounded."""
+    from denormalized_spark.operators.analytics import activity_streaks
+
+    e = t(spark, sf, "events")
+    return activity_streaks(e)
+
+
+def _sprt_oracle() -> str:
+    from denormalized_spark.operators.analytics import sprt_literals
+
+    a, b, hi, lo = sprt_literals(0.18, 0.22)
+    return f"""
+    WITH daily AS (
+      SELECT ts::DATE AS day, count(*)::BIGINT AS n_day,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS s_day
+      FROM events GROUP BY 1
+    ),
+    cum AS (SELECT day, n_day, s_day,
+                   sum(n_day) OVER (ORDER BY day)::BIGINT AS n_cum,
+                   sum(s_day) OVER (ORDER BY day)::BIGINT AS s_cum
+            FROM daily)
+    SELECT day, n_day, s_day, n_cum, s_cum,
+           (s_cum * {a} + (n_cum - s_cum) * {b})::BIGINT AS llr_micro,
+           CASE WHEN s_cum * {a} + (n_cum - s_cum) * {b} >= {hi}
+                THEN 'accept_h1'
+                WHEN s_cum * {a} + (n_cum - s_cum) * {b} <= {lo}
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum ORDER BY day
+    """
+
+
+@q("events_sprt_monitor", _sprt_oracle())
+def events_sprt_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald SPRT launch monitor (operators/analytics.sprt_monitor;
+    Wald 1945) on the daily purchase share: H0 rate=0.18 vs H1
+    rate=0.22, α=β=0.05 — the always-valid sequential test that stops
+    the moment the cumulative evidence crosses either bound, instead
+    of re-running a fixed-horizon z-test daily (which inflates false
+    positives). The LLR is the pure integer dot product
+    s·a + (n−s)·b over pinned micro literals (sprt_literals — the
+    damping-literal pattern), so neither engine evaluates a log. The
+    daily reduction is the only data-sized stage; the cumulative
+    window runs over the ~30-row day series (metadata)."""
+    from denormalized_spark.operators.analytics import sprt_monitor
+
+    e = t(spark, sf, "events")
+    return sprt_monitor(e, F.col("event_type") == "purchase").orderBy("day")

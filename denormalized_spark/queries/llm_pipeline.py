@@ -6009,3 +6009,58 @@ def text_unigram_viterbi(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return unigram_viterbi_stats(d)
+
+
+def _rake_oracle(top_k: int = 20) -> str:
+    from denormalized_spark.operators.text import STOPWORDS
+
+    norm = (
+        "(' ' || regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),"
+        " ' +', ' ', 'g') || ' ')"
+    )
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH nrm AS (SELECT doc_id,
+                        list_filter(string_split({norm}, ' '), x -> x != '')
+                          AS toks
+                 FROM documents),
+    tk AS (SELECT doc_id, t.u.w AS w, t.u.i AS i
+           FROM nrm, unnest([{{'w': toks[i], 'i': i}}
+                             for i in range(1, len(toks) + 1)]) AS t(u)),
+    ns AS (SELECT doc_id, w, i FROM tk WHERE w NOT IN ({stop})),
+    isl AS (SELECT doc_id, w, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM ns),
+    occw AS (SELECT doc_id, g, w, i,
+                    count(*) OVER (PARTITION BY doc_id, g) AS n_words
+             FROM isl),
+    stats AS (SELECT w, sum(n_words)::BIGINT AS deg, count(*)::BIGINT AS freq
+              FROM occw GROUP BY w),
+    ws AS (SELECT w, CAST(floor((deg * 1000)::DOUBLE / freq::DOUBLE) AS BIGINT)
+                    AS wsm
+           FROM stats),
+    po AS (SELECT o.doc_id, o.g, max(o.n_words)::BIGINT AS n_words,
+                  sum(ws.wsm)::BIGINT AS score,
+                  string_agg(o.w, ' ' ORDER BY o.i) AS phrase
+           FROM occw o JOIN ws ON ws.w = o.w GROUP BY o.doc_id, o.g)
+    SELECT phrase, n_words, count(*)::BIGINT AS n_occurrences,
+           max(score)::BIGINT AS score_milli
+    FROM po GROUP BY phrase, n_words
+    ORDER BY score_milli DESC, phrase LIMIT {top_k}
+    """
+
+
+@q("text_rake_keywords", _rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.rake_keywords; Rose et
+    al. 2010) over the corpus: stopword-boundary phrase candidates
+    (the gaps-and-islands split), degree/frequency word scores
+    milli-floored BEFORE the phrase sum so both engines replay the
+    identical integer arithmetic, top-20 via TakeOrdered. The plan's
+    only data-sized stages are the tokenize projection and the
+    doc-keyed island window; word scoring is a vocabulary-sized
+    broadcast join."""
+    from denormalized_spark.operators.text import rake_keywords
+
+    d = t(spark, sf, "documents")
+    return rake_keywords(d)

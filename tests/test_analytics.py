@@ -1305,3 +1305,48 @@ class TestPoissonBootstrap:
         r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
         assert r.boot_lo_milli == means[1]
         assert r.boot_hi_milli == means[30]
+
+
+class TestStreaksAndSprt:
+    def test_streaks_hand_islands(self, spark):
+        import datetime as dt
+
+        from denormalized_spark.operators.analytics import activity_streaks
+
+        d0 = dt.datetime(2024, 1, 1)
+        days = [0, 1, 2, 4, 9, 10]
+        rows = [(i, d0 + dt.timedelta(days=d), 7) for i, d in enumerate(days)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        r = activity_streaks(df).collect()[0]
+        assert (r.n_active_days, r.n_streaks, r.longest_streak) == (6, 3, 3)
+        assert r.longest_streak_end == dt.date(2024, 1, 3)
+        # duplicate events in a day don't inflate the streak
+        df2 = df.union(df)
+        r2 = activity_streaks(df2).collect()[0]
+        assert (r2.n_active_days, r2.longest_streak) == (6, 3)
+
+    def test_sprt_crosses_upper_on_pure_successes(self, spark):
+        import datetime as dt
+
+        from denormalized_spark.operators.analytics import (
+            sprt_literals,
+            sprt_monitor,
+        )
+
+        a, b, hi, lo = sprt_literals(0.18, 0.22)
+        d0 = dt.datetime(2024, 1, 1)
+        # 20 successes/day: LLR grows by 20a/day; crosses hi on day
+        # ceil(hi / (20a))
+        rows = []
+        eid = 0
+        for day in range(10):
+            for k in range(20):
+                rows.append((eid, d0 + dt.timedelta(days=day, minutes=k), "purchase"))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = sprt_monitor(df, F.col("event_type") == "purchase").orderBy("day").collect()
+        first_h1 = next(r for r in out if r.decision == "accept_h1")
+        import math
+        expected_day = math.ceil(hi / (20 * a))
+        assert out.index(first_h1) + 1 == expected_day
+        assert first_h1.llr_micro == 20 * a * expected_day

@@ -223,3 +223,31 @@ def test_unigram_viterbi_char_fallback_bounds_unknown(spark):
     df = spark.createDataFrame([("xyzzy",)], "text string")
     r = unigram_viterbi_stats(df).collect()[0]
     assert (r.word, r.n_pieces, r.cost_micro) == ("xyzzy", 5, 20_000_000)
+
+
+def test_rake_hand_example(spark):
+    """'deep learning of deep networks': 'of' splits two phrases;
+    deg(deep)=4 freq=2 -> 2000 milli, learning/networks 2000 each ->
+    both phrases score 4000; tie orders by phrase."""
+    from denormalized_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep networks")], "doc_id long, text string"
+    )
+    got = rake_keywords(df).collect()
+    assert [(r.phrase, r.n_words, r.n_occurrences, r.score_milli) for r in got] == [
+        ("deep learning", 2, 1, 4000),
+        ("deep networks", 2, 1, 4000),
+    ]
+
+
+def test_rake_repeated_phrase_counts_occurrences(spark):
+    from denormalized_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "big data and big data")], "doc_id long, text string"
+    )
+    got = {r.phrase: r for r in rake_keywords(df).collect()}
+    bd = got["big data"]
+    # deg(big)=4 freq 2 -> 2000; data same -> phrase 4000, seen twice
+    assert (bd.n_occurrences, bd.score_milli) == (2, 4000)

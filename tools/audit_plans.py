@@ -193,6 +193,8 @@ ALLOW_SINGLE_PART = {
     "events_bootstrap_ci",       # 1-row final of the 66-column bootstrap
                                  # aggregate (all replicates are agg
                                  # COLUMNS — metadata)
+    "events_sprt_monitor",       # cumulative window over the ~30-row
+                                 # day-level series (metadata)
     "agg_value_concentration",   # 1-row (total, n) final for the broadcast
                                  # gate (metadata)
     "join_idle_rich_customers",  # 1-row moment/cutoff finals + ≤segments-row
