@@ -2893,3 +2893,69 @@ def sprt_monitor(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) — the additive companion to :func:`kaplan_meier` on the
+    same right-censored subjects table:
+
+        H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ,      Var ≈ Σ_{tᵢ ≤ t} dᵢ/nᵢ²
+
+    Cumulative hazard is what rate-based reasoning wants (an
+    approximately-exponential fit reads the rate straight off the
+    slope; −ln S(t) ≈ H(t)) and its variance is simpler and stabler
+    than Greenwood's for S(t).
+
+    Engine-exact (quantized-estimator semantics): each per-time term
+    d·10⁶/n (and d·10¹²·? — the variance term d·10⁶·10⁶/n² stays in
+    micro² units) is ONE floored division, and the cumulative sums
+    run over the FLOORED integer terms — both engines replay the
+    identical integers; no float accumulation crosses an engine.
+
+    Scale shape: identical to kaplan_meier — one groupBy(duration)
+    partial agg is the only data-sized stage; the curve windows are
+    metadata. Returns ``(t, n_risk, n_events, n_censored,
+    hazard_micro, hazard_var_micro2)``."""
+    from pyspark.sql import Window
+
+    counts = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
+        (F.count("*") - F.sum(F.col(event_col).cast("long")))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at = F.col("n_events") + F.col("n_censored")
+    risked = counts.withColumn(
+        "n_risk",
+        (F.sum(at).over(w_all) - F.coalesce(F.sum(at).over(w_prev), F.lit(0)))
+        .cast("long"),
+    )
+    term = F.floor(
+        (F.col("n_events") * 1_000_000).cast("double")
+        / F.col("n_risk").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    vterm = F.floor(
+        (F.col("n_events") * 1_000_000_000_000).cast("double")
+        / (F.col("n_risk") * F.col("n_risk")).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    stepped = risked.withColumn("_h", term).withColumn("_v", vterm)
+    return stepped.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum("_h").over(w_cum).cast("long").alias("hazard_micro"),
+        F.sum("_v").over(w_cum).cast("long").alias("hazard_var_micro2"),
+    )

@@ -2579,3 +2579,87 @@ def events_sprt_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t(spark, sf, "events")
     return sprt_monitor(e, F.col("event_type") == "purchase").orderBy("day")
+
+
+@q(
+    "events_hazard_na",
+    """
+    WITH t0 AS (SELECT user_id, min(ts) AS t0
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    te AS (SELECT e.user_id, min(e.ts) AS te
+           FROM events e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'error' AND e.ts > t0.t0
+           GROUP BY e.user_id),
+    mx AS (SELECT max(ts) AS m FROM events),
+    subj AS (
+      SELECT t0.user_id,
+             CASE WHEN te.te IS NOT NULL
+                  THEN date_diff('day', t0.t0::DATE, te.te::DATE)
+                  ELSE date_diff('day', t0.t0::DATE, mx.m::DATE)
+             END::BIGINT AS dur,
+             CASE WHEN te.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN te USING (user_id) CROSS JOIN mx
+    ),
+    counts AS (SELECT dur AS t, sum(ev)::BIGINT AS n_events,
+                      (count(*) - sum(ev))::BIGINT AS n_censored
+               FROM subj GROUP BY 1),
+    c AS (SELECT t, n_events, n_censored,
+                 (sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_risk
+          FROM counts),
+    terms AS (SELECT t, n_risk, n_events, n_censored,
+                     CAST(floor((n_events * 1000000)::DOUBLE / n_risk::DOUBLE
+                          + 0.5) AS BIGINT) AS h,
+                     CAST(floor((n_events * 1000000000000)::DOUBLE
+                          / (n_risk * n_risk)::DOUBLE + 0.5) AS BIGINT) AS v
+              FROM c)
+    SELECT t, n_risk, n_events, n_censored,
+           sum(h) OVER (ORDER BY t)::BIGINT AS hazard_micro,
+           sum(v) OVER (ORDER BY t)::BIGINT AS hazard_var_micro2
+    FROM terms ORDER BY t
+    """,
+)
+def events_hazard_na(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of signup→first-error time
+    (operators/analytics.nelson_aalen) on the SAME censored subjects
+    table as events_survival_km — the additive companion the
+    rate-based reading wants (slope ≈ hazard rate; −ln S ≈ H), plus
+    its variance. Per-time terms d/n and d/n² are floored ONCE each
+    and the cumulative sums run over the floored integers — the
+    quantized-estimator semantics both engines replay exactly. Same
+    scale shape as KM: one groupBy(duration) partial agg, then
+    metadata curve windows."""
+    from denormalized_spark.operators.analytics import nelson_aalen
+
+    e = t(spark, sf, "events")
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t0"))
+    )
+    te = (
+        e.join(t0, "user_id")
+        .filter((F.col("event_type") == "error") & (F.col("ts") > F.col("_t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_te"))
+    )
+    mx = e.agg(F.max("ts").alias("_m"))
+    subj = (
+        t0.join(te, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.col("_te").cast("date"), F.col("_t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("_m").cast("date"), F.col("_t0").cast("date"))
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    return nelson_aalen(subj, "dur", "ev").orderBy("t")

@@ -1350,3 +1350,22 @@ class TestStreaksAndSprt:
         expected_day = math.ceil(hi / (20 * a))
         assert out.index(first_h1) + 1 == expected_day
         assert first_h1.llr_micro == 20 * a * expected_day
+
+
+def test_nelson_aalen_hand_curve(spark):
+    """5 subjects: events at t=1 (d=1, n=5), t=2 (d=2, n=4), censor
+    at t=3 (n=2), event t=4 (d=1, n=1): H = 1/5, +2/4, +0, +1/1."""
+    from denormalized_spark.operators.analytics import nelson_aalen
+
+    rows = [(1, 1), (2, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev long")
+    got = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert got[1].hazard_micro == 200_000
+    assert got[2].hazard_micro == 700_000
+    assert got[3].hazard_micro == 700_000  # censoring adds nothing
+    assert got[4].hazard_micro == 1_700_000
+    assert (got[1].n_risk, got[2].n_risk, got[3].n_risk, got[4].n_risk) == (5, 4, 2, 1)
+    # variance terms: 1/25, 2/16, 0, 1/1 in micro^2 (1e-12) steps
+    assert got[4].hazard_var_micro2 == (
+        40_000_000_000 + 125_000_000_000 + 0 + 1_000_000_000_000
+    )

@@ -59,6 +59,7 @@ ALLOW_BNLJ = {
     "events_ab_cuped",       # 2-row arms × 1-row pooled-moments crossJoins — metadata
     "events_ccf_click_purchase",  # broadcast 1-row moment frame onto the period series
     "events_survival_km",    # broadcast 1-row time-ordered factor array onto the curve
+    "events_hazard_na",      # same 1-row horizon broadcast (KM subjects table)
     "sim_ndcg_ivf",          # 1-row dcg × 1-row idcg crossJoin + query-vector broadcast
     "sketch_cm_join_size",   # 1-row estimate × 1-row exact-size crossJoin — metadata
     "sketch_tdigest_quantiles",  # per-quantile 1-row results crossJoined — metadata
@@ -169,6 +170,7 @@ ALLOW_SINGLE_PART = {
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
     "events_survival_km",    # curve-table windows + 1-row factor-array agg (metadata)
+    "events_hazard_na",      # same curve-table metadata windows (NA twin)
     "sketch_cm_join_size",   # depth-row min + 1-row exact-size final (metadata)
     "sketch_tdigest_centroids",  # prefix-sum-offsets pattern (with_global_row_number)
     "sketch_tdigest_quantiles",  # same rank pattern + ≤delta-row cumulative walks
