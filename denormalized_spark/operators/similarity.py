@@ -1508,3 +1508,69 @@ def mips_augment(
         )
         .drop("_nrm", "_m")
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick k items maximizing
+    λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s) — the diversified
+    top-k every RAG retriever and dedup-aware search layer runs when
+    plain top-k returns near-duplicates. Round 1 is pure relevance;
+    each later round penalizes similarity to everything already
+    picked; ties break (id asc).
+
+    Engine-exact: relevance and penalty are the repo's shared-fold
+    cosines (identical IEEE term order in Spark and the oracle), the
+    argmax compares those raw doubles, and λ enters as the same
+    double literal — so the greedy trajectory is identical in both
+    engines; scores are rounded only at output.
+
+    Scale shape: k driver rounds, each one scan + TakeOrdered(1) —
+    the kmeans/bpe sanctioned metadata-probe loop; the selected set
+    re-enters as ≤k literal vectors (a few KB in the plan), never a
+    join. Returns ``(round, id, relevance_r6, mmr_score_r6)``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_rel", cosine(F.col("_v"), q))
+    selected: list[tuple] = []
+    out_rows = []
+    for rnd in range(1, k + 1):
+        rem = base
+        if selected:
+            rem = rem.filter(~F.col("_id").isin([s[0] for s in selected]))
+            pen = F.greatest(
+                *[
+                    cosine(F.col("_v"), F.array(*[F.lit(float(c)) for c in s[1]]))
+                    for s in selected
+                ]
+            ) if len(selected) > 1 else cosine(
+                F.col("_v"),
+                F.array(*[F.lit(float(c)) for c in selected[0][1]]),
+            )
+        else:
+            pen = F.lit(0.0)
+        score = F.lit(float(lam)) * F.col("_rel") - F.lit(1.0 - float(lam)) * pen
+        best = (
+            rem.withColumn("_s", score)
+            .orderBy(F.desc("_s"), F.asc("_id"))
+            .limit(1)
+            .collect()  # 1 metadata row per round
+        )
+        if not best:
+            break
+        r = best[0]
+        selected.append((r["_id"], list(r["_v"])))
+        out_rows.append(
+            (rnd, r["_id"], round(float(r["_rel"]), 6), round(float(r["_s"]), 6))
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows, f"round int, {id_col} long, relevance_r6 double, mmr_score_r6 double"
+    )

@@ -6064,3 +6064,59 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return rake_keywords(d)
+
+
+def _mmr_oracle(k: int = 8) -> str:
+    """Unrolled greedy MMR: round r's CTE cross-joins the r−1 1-row
+    selections, penalizes by the greatest selected-cosine, and takes
+    the deterministic argmax — the exact trajectory Spark's k
+    metadata probes walk."""
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(({_dot_sql(a, b)}) / ({_norm_sql(a)} * {_norm_sql(b)}))"
+        )
+
+    parts = [f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id, e.embedding,
+                      {cos('e.embedding', 'q.embedding')} AS rel
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+    s1 AS (SELECT vec_id, embedding, rel, 0.5 * rel AS sc
+           FROM scored ORDER BY sc DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k + 1):
+        prevs = ", ".join(f"s{j}" for j in range(1, r))
+        notin = ", ".join(f"s{j}.vec_id" for j in range(1, r))
+        coss = [cos("e.embedding", f"s{j}.embedding") for j in range(1, r)]
+        pen = coss[0] if len(coss) == 1 else "greatest(" + ", ".join(coss) + ")"
+        parts.append(f""",
+    s{r} AS (SELECT e.vec_id, e.embedding, e.rel,
+                    0.5 * e.rel - 0.5 * {pen} AS sc
+             FROM scored e, {prevs}
+             WHERE e.vec_id NOT IN ({notin})
+             ORDER BY sc DESC, e.vec_id LIMIT 1)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id, round(rel, 6) AS relevance_r6, "
+        f"round(sc, 6) AS mmr_score_r6 FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({sel}) ORDER BY round"
+
+
+@q("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-8 for query vector 0
+    (operators/similarity.mmr_select; Carbonell & Goldstein 1998,
+    λ=0.5): round 1 takes the most relevant vector, each later round
+    the best relevance-minus-redundancy tradeoff against everything
+    already picked — the rerank RAG retrievers run so near-duplicate
+    passages don't crowd the context window. The greedy trajectory is
+    engine-identical (shared-fold cosines, same λ literal, id
+    tie-break); the oracle unrolls the 8 rounds as 1-row CTE
+    selections. Plan: 8 scan+TakeOrdered(1) metadata probes (the
+    kmeans/bpe loop posture); selected vectors re-enter as ≤8 literal
+    arrays, never a join."""
+    from denormalized_spark.operators.similarity import mmr_select
+
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return mmr_select(e.filter(F.col("vec_id") != 0), list(qv), k=8)

@@ -878,3 +878,58 @@ def test_mips_augment_order_equals_inner_product(spark):
         F.sqrt(dot(F.col("aug"), F.col("aug"))).alias("n")
     ).collect()
     assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+
+
+def test_mmr_matches_exact_greedy_mirror(spark):
+    """The greedy trajectory equals an exact Python mirror of
+    λ·rel − (1−λ)·max-sim-to-selected with id tie-breaks — including
+    a near-duplicate of the first pick being deferred to last."""
+    import math
+
+    from denormalized_spark.operators.similarity import mmr_select
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = [1.0, 0.0]
+    vecs = {
+        1: unit([0.985, 0.172]),    # most relevant
+        2: unit([0.98, 0.199]),     # near-duplicate of 1
+        3: unit([0.5, -0.866]),     # diverse, moderately relevant
+        4: unit([0.0, 1.0]),        # orthogonal to q
+    }
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    sel, order = [], []
+    for _ in range(4):
+        best = None
+        for vid in sorted(vecs):
+            if vid in order:
+                continue
+            rel = cos(vecs[vid], q)
+            pen = max((cos(vecs[vid], vecs[s_]) for s_ in order), default=0.0)
+            sc = 0.5 * rel - 0.5 * pen
+            if best is None or sc > best[0] + 1e-12:
+                best = (sc, vid)
+        order.append(best[1])
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [r.vec_id for r in mmr_select(df, q, k=4).collect()]
+    assert got == order
+    # the near-duplicate must NOT be second
+    assert got[0] == 1 and got[1] != 2
+
+
+def test_mmr_round1_is_pure_relevance_with_id_ties(spark):
+    from denormalized_spark.operators.similarity import mmr_select
+
+    rows = [(5, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select(df, [1.0, 0.0], k=1).collect()
+    assert got[0].vec_id == 2  # equal relevance -> smaller id
+    assert got[0].mmr_score_r6 == 0.5
