@@ -2959,3 +2959,75 @@ def nelson_aalen(
         F.sum("_h").over(w_cum).cast("long").alias("hazard_micro"),
         F.sum("_v").over(w_cum).cast("long").alias("hazard_var_micro2"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat: Column,
+    post: Column,
+    value_col: str,
+) -> DataFrame:
+    """Two-period difference-in-differences estimator (Card & Krueger
+    1994's canonical 2×2design): with a treatment indicator and a
+    pre/post indicator, DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    ȳ_C,pre) — the parallel-trends-adjusted effect estimate every
+    natural-experiment readout starts from, immune to fixed group
+    differences AND common time shocks (which a naive post-vs-pre or
+    treat-vs-control comparison both conflate).
+
+    Engine-exact (quantized-cell semantics): the four cell means are
+    each ONE milli-floored integer division (Σvalue·1000/n), and the
+    estimator is integer arithmetic over those four milli values —
+    both engines replay it exactly. Output also carries the four
+    cells so the parallel-trends eyeball check is one row away.
+
+    Scale shape: ONE partial/final aggregation keyed by the 2×2 cell
+    (map-side combine → 4 rows), then a 1-row metadata pivot.
+    Returns ``(n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre_milli,
+    mean_tpost_milli, mean_cpre_milli, mean_cpost_milli,
+    did_milli)``."""
+    x = F.col(value_col).cast("long")
+    cells = (
+        df.select(
+            treat.cast("int").alias("_t"),
+            post.cast("int").alias("_p"),
+            x.alias("_x"),
+        )
+        .groupBy("_t", "_p")
+        .agg(F.count("*").cast("long").alias("_n"), F.sum("_x").cast("long").alias("_s"))
+    )
+
+    def cell(tv: int, pv: int, what: str) -> Column:
+        cond = (F.col("_t") == tv) & (F.col("_p") == pv)
+        return F.sum(F.when(cond, F.col(what))).cast("long")
+
+    one = cells.agg(
+        cell(1, 0, "_n").alias("n_tpre"),
+        cell(1, 1, "_n").alias("n_tpost"),
+        cell(0, 0, "_n").alias("n_cpre"),
+        cell(0, 1, "_n").alias("n_cpost"),
+        cell(1, 0, "_s").alias("_s_tpre"),
+        cell(1, 1, "_s").alias("_s_tpost"),
+        cell(0, 0, "_s").alias("_s_cpre"),
+        cell(0, 1, "_s").alias("_s_cpost"),
+    )
+
+    def m(s: str, n: str) -> Column:
+        return F.floor(
+            (F.col(s) * 1000).cast("double") / F.col(n).cast("double") + F.lit(0.5)
+        ).cast("long")
+
+    out = one.select(
+        "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+        m("_s_tpre", "n_tpre").alias("mean_tpre_milli"),
+        m("_s_tpost", "n_tpost").alias("mean_tpost_milli"),
+        m("_s_cpre", "n_cpre").alias("mean_cpre_milli"),
+        m("_s_cpost", "n_cpost").alias("mean_cpost_milli"),
+    )
+    return out.withColumn(
+        "did_milli",
+        (
+            (F.col("mean_tpost_milli") - F.col("mean_tpre_milli"))
+            - (F.col("mean_cpost_milli") - F.col("mean_cpre_milli"))
+        ).cast("long"),
+    )

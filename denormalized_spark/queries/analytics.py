@@ -2663,3 +2663,58 @@ def events_hazard_na(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return nelson_aalen(subj, "dur", "ev").orderBy("t")
+
+
+@q(
+    "events_did_estimate",
+    """
+    WITH e AS (SELECT CAST(user_id % 2 = 1 AS INT) AS t,
+                      CAST(ts::DATE >= DATE '2024-01-16' AS INT) AS p,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events),
+    cells AS (SELECT t, p, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+              FROM e GROUP BY 1, 2),
+    one AS (SELECT
+      sum(CASE WHEN t = 1 AND p = 0 THEN n END)::BIGINT AS n_tpre,
+      sum(CASE WHEN t = 1 AND p = 1 THEN n END)::BIGINT AS n_tpost,
+      sum(CASE WHEN t = 0 AND p = 0 THEN n END)::BIGINT AS n_cpre,
+      sum(CASE WHEN t = 0 AND p = 1 THEN n END)::BIGINT AS n_cpost,
+      sum(CASE WHEN t = 1 AND p = 0 THEN s END)::BIGINT AS s_tpre,
+      sum(CASE WHEN t = 1 AND p = 1 THEN s END)::BIGINT AS s_tpost,
+      sum(CASE WHEN t = 0 AND p = 0 THEN s END)::BIGINT AS s_cpre,
+      sum(CASE WHEN t = 0 AND p = 1 THEN s END)::BIGINT AS s_cpost
+      FROM cells),
+    mm AS (SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+      CAST(floor((s_tpre * 1000)::DOUBLE / n_tpre::DOUBLE + 0.5) AS BIGINT) AS mean_tpre_milli,
+      CAST(floor((s_tpost * 1000)::DOUBLE / n_tpost::DOUBLE + 0.5) AS BIGINT) AS mean_tpost_milli,
+      CAST(floor((s_cpre * 1000)::DOUBLE / n_cpre::DOUBLE + 0.5) AS BIGINT) AS mean_cpre_milli,
+      CAST(floor((s_cpost * 1000)::DOUBLE / n_cpost::DOUBLE + 0.5) AS BIGINT) AS mean_cpost_milli
+      FROM one)
+    SELECT *, ((mean_tpost_milli - mean_tpre_milli)
+               - (mean_cpost_milli - mean_cpre_milli))::BIGINT AS did_milli
+    FROM mm
+    """,
+)
+def events_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-period difference-in-differences
+    (operators/analytics.diff_in_diff; the Card-Krueger 2×2 design)
+    on event value-cents: treatment = odd user ids, post = the back
+    half of the month — the parallel-trends-adjusted effect readout
+    beside the CUPED and A/B entries (synthetic assignment, so the
+    verified property is the deterministic 2×2 arithmetic contract;
+    DiD ≈ 0 by construction). Four milli-floored cell means, integer
+    estimator — engine-exact. Plan: one cell-keyed partial/final agg
+    (4 rows) + a 1-row metadata pivot."""
+    from denormalized_spark.operators.analytics import diff_in_diff
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return diff_in_diff(
+        e,
+        (F.col("user_id") % 2) == 1,
+        F.col("day") >= F.lit("2024-01-16").cast("date"),
+        "cents",
+    )

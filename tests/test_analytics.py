@@ -1369,3 +1369,19 @@ def test_nelson_aalen_hand_curve(spark):
     assert got[4].hazard_var_micro2 == (
         40_000_000_000 + 125_000_000_000 + 0 + 1_000_000_000_000
     )
+
+
+def test_diff_in_diff_hand_2x2(spark):
+    """T: 10→18 (+8); C: 5→9 (+4) -> DiD = +4 (in milli: 4000)."""
+    from denormalized_spark.operators.analytics import diff_in_diff
+
+    rows = (
+        [(1, 0, 10), (1, 0, 10), (1, 1, 18), (1, 1, 18)]
+        + [(0, 0, 5), (0, 1, 9)]
+    )
+    df = spark.createDataFrame(rows, "t int, p int, v long")
+    r = diff_in_diff(df, F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
+    assert (r.mean_tpre_milli, r.mean_tpost_milli) == (10_000, 18_000)
+    assert (r.mean_cpre_milli, r.mean_cpost_milli) == (5_000, 9_000)
+    assert r.did_milli == 4_000
+    assert (r.n_tpre, r.n_tpost, r.n_cpre, r.n_cpost) == (2, 2, 1, 1)

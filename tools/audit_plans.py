@@ -197,6 +197,8 @@ ALLOW_SINGLE_PART = {
                                  # COLUMNS — metadata)
     "events_sprt_monitor",       # cumulative window over the ~30-row
                                  # day-level series (metadata)
+    "events_did_estimate",       # 1-row pivot final over the 4-cell
+                                 # table (metadata)
     "agg_value_concentration",   # 1-row (total, n) final for the broadcast
                                  # gate (metadata)
     "join_idle_rich_customers",  # 1-row moment/cutoff finals + ≤segments-row
