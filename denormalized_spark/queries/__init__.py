@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "events_bootstrap_ci", "sim_mips_topk", "text_unigram_viterbi",
     "events_active_streaks", "events_sprt_monitor", "text_rake_keywords",
     "events_hazard_na", "sim_mmr_rerank", "events_did_estimate",
+    "graph_link_prediction",
     # staleness drain, oldest-first (r11 verdict item 3): the full
     # latest-green-r5 cohort (21 entries) ...
     "sim_quantize_int8", "sim_threshold_pairs", "sim_topk_quantized_query0",

@@ -2718,3 +2718,78 @@ def events_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("day") >= F.lit("2024-01-16").cast("date"),
         "cents",
     )
+
+
+_LINKPRED_CAP = 8
+_LINKPRED_MAXDEG = 32
+
+
+@q(
+    "graph_link_prediction",
+    f"""
+    WITH iu AS (SELECT DISTINCT l_orderkey AS it, l_partkey AS u FROM lineitem),
+    ok AS (SELECT it FROM iu GROUP BY it
+           HAVING count(*) BETWEEN 2 AND {_LINKPRED_CAP}),
+    pe AS (SELECT a.u AS u, b.u AS v, count(*)::BIGINT AS w
+           FROM iu a JOIN iu b ON a.it = b.it AND a.u < b.u
+           JOIN ok ON ok.it = a.it GROUP BY 1, 2),
+    e AS (SELECT u, v FROM pe WHERE w >= 2),
+    deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+              SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+    keep AS (SELECT n, d FROM deg WHERE d <= {_LINKPRED_MAXDEG}),
+    adj AS (SELECT s, t FROM (
+              SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e) a
+            WHERE EXISTS (SELECT 1 FROM keep WHERE keep.n = a.s)
+              AND EXISTS (SELECT 1 FROM keep WHERE keep.n = a.t)),
+    wedges AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS cn
+               FROM adj a JOIN adj b ON a.t = b.t AND a.s < b.s
+               GROUP BY 1, 2 HAVING count(*) >= 1),
+    ne AS (SELECT w.* FROM wedges w
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.u = w.u AND e.v = w.v)),
+    sc AS (SELECT ne.u, ne.v, ne.cn AS common_neighbors,
+                  CAST(floor((ne.cn * 1000)::DOUBLE
+                       / (du.d + dv.d - ne.cn)::DOUBLE) AS BIGINT)
+                    AS jaccard_milli,
+                  (du.d * dv.d)::BIGINT AS pref_attachment
+           FROM ne JOIN keep du ON du.n = ne.u JOIN keep dv ON dv.n = ne.v)
+    SELECT * FROM sc ORDER BY common_neighbors DESC, u, v LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the SUPPORT-THRESHOLDED part co-purchase
+    graph (operators/graph.link_prediction_scores; Liben-Nowell &
+    Kleinberg 2003): an edge needs ≥2 distinct co-purchase orders
+    (raw single-co-occurrence edges make this synthetic graph a
+    quasi-random dense blob with no distance-2 structure — the
+    support threshold is the standard association-rule sparsifier),
+    then distance-2 non-edges score common-neighbors / Jaccard /
+    preferential-attachment. Hub cap {d} drops over-degree nodes
+    whole (the covisitation/LSH whole-bucket posture); fan-out is
+    bounded by cap² per shared node. Integer scores except one
+    milli-floored Jaccard division; top-50 on the pinned
+    (cn, u, v) order.""".format(d=_LINKPRED_MAXDEG)
+    from denormalized_spark.operators.graph import link_prediction_scores
+
+    li = t(spark, sf, "lineitem")
+    iu = li.select(
+        F.col("l_orderkey").alias("it"), F.col("l_partkey").alias("u")
+    ).distinct()
+    ok = (
+        iu.groupBy("it")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c").between(2, _LINKPRED_CAP))
+        .select("it")
+    )
+    a = iu.join(ok, "it")
+    b = a.select(F.col("it"), F.col("u").alias("v"))
+    pe = (
+        a.join(b, "it")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_w"))
+    )
+    edges = pe.filter(F.col("_w") >= 2).select("u", "v")
+    return link_prediction_scores(
+        edges, max_degree=_LINKPRED_MAXDEG, min_common=1
+    )

@@ -292,3 +292,35 @@ def test_label_propagation_validates_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "u long, v long")
     with pytest.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+def test_link_prediction_hand_wedges(spark):
+    """Path graph 1-2-3 plus 3-4: non-edges at distance 2 are (1,3)?
+    no — (1,3) IS distance 2 via node 2: cn=1, jaccard=1/(1+2-1)=500;
+    (2,4) via 3: cn=1, jaccard=1/(2+1-1)=500; (1,4) is distance 3 —
+    absent."""
+    from denormalized_spark.operators.graph import link_prediction_scores
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r.u, r.v): r
+        for r in link_prediction_scores(df, min_common=1).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)].common_neighbors == 1
+    assert got[(1, 3)].jaccard_milli == 500
+    assert got[(2, 4)].jaccard_milli == 500
+    assert got[(1, 3)].pref_attachment == 1 * 2
+
+
+def test_link_prediction_hub_cap_drops_whole(spark):
+    """A star hub over cap contributes no wedges at all."""
+    from denormalized_spark.operators.graph import link_prediction_scores
+
+    star = [(0, i) for i in range(1, 6)]  # hub 0, degree 5
+    df = spark.createDataFrame(star, "u long, v long")
+    assert link_prediction_scores(df, max_degree=4, min_common=1).count() == 0
+    # under the cap, all leaf pairs become candidates
+    out = link_prediction_scores(df, max_degree=5, min_common=1)
+    assert out.count() == 10  # C(5,2)
