@@ -93,6 +93,15 @@ QUERIES = [
     "sim_ndcg_ivf",              # probed scan + brute pass + k-row eval joins
     "sketch_cm_join_size",       # 2 per-key partial aggs + cell join: linear
     "curation_temperature_mixture",  # stratum-keyed agg: linear
+    # round-12 additions
+    "graph_label_propagation",   # 4 materialized node-keyed rounds: edge-linear
+    "graph_link_prediction",     # support threshold + hub-capped wedge join
+    "text_wordpiece_train",      # corpus reduction + vocab-bounded score rounds
+    "text_rake_keywords",        # doc-keyed island window + vocab broadcast
+    "events_active_streaks",     # distinct(user, day) + user-keyed windows
+    "events_bootstrap_ci",       # one 66-column partial/final agg: linear
+    "text_calibration_apply",    # bin map broadcast: scan-speed
+    "sim_mips_topk",             # 1-row broadcast scan + TakeOrdered: linear
 ]
 
 
