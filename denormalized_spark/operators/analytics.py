@@ -3031,3 +3031,110 @@ def diff_in_diff(
             - (F.col("mean_cpost_milli") - F.col("mean_cpre_milli"))
         ).cast("long"),
     )
+
+
+def power_analysis_proportions(
+    df: DataFrame,
+    success: Column,
+    ts_col: str = "ts",
+    mde_milli: int = 20,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """A/B sample-size calculator for a two-proportion test (the
+    standard normal-approximation power formula, Fleiss et al.):
+    n per arm = 2·(z_{α/2}+z_β)²·p̄(1−p̄)/δ² for the observed baseline
+    rate p̄ and an absolute minimum-detectable-effect δ — plus the
+    runway readout ("how many days at current traffic") every
+    experiment-review meeting actually asks for.
+
+    Engine-exact: the baseline rate and daily traffic are milli/int
+    aggregates; z quantiles are double LITERALS (no inverse-normal is
+    evaluated by either engine); the formula is the same double
+    arithmetic from the same integers in both engines, ceil'd once.
+
+    Scale shape: one global partial/final agg (+ one distinct-day
+    count) — 1 metadata row out: ``(n_events, n_days, p_base_milli,
+    mde_milli, n_required_per_arm, days_required_both_arms)``."""
+    y = success.cast("long")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(y).cast("long").alias("_s"),
+        F.countDistinct(F.col(ts_col).cast("date")).cast("long").alias("n_days"),
+    )
+    p_milli = F.floor(
+        (F.col("_s") * 1000).cast("double") / F.col("n_events").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    staged = agg.withColumn("p_base_milli", p_milli)
+    p = F.col("p_base_milli").cast("double") / F.lit(1000.0)
+    delta = F.lit(float(mde_milli)) / F.lit(1000.0)
+    zsum = F.lit(float(z_alpha) + float(z_beta))
+    n_req = F.ceil(
+        F.lit(2.0) * zsum * zsum * p * (F.lit(1.0) - p) / (delta * delta)
+    ).cast("long")
+    staged = staged.withColumn("n_required_per_arm", n_req)
+    daily = F.col("n_events").cast("double") / F.col("n_days").cast("double")
+    return staged.select(
+        "n_events",
+        "n_days",
+        "p_base_milli",
+        F.lit(int(mde_milli)).cast("long").alias("mde_milli"),
+        "n_required_per_arm",
+        F.ceil(
+            (F.col("n_required_per_arm") * 2).cast("double") / daily
+        ).cast("long").alias("days_required_both_arms"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification (the 80-15-5 rule of
+    Dickie 1951's ABC analysis): rank keys by INTEGER value, take the
+    running share of the total, and label A while the cumulative
+    share is ≤ a_pct%, B while ≤ b_pct%, else C — the segmentation
+    behind every "20% of SKUs are 80% of revenue" readout.
+
+    Engine-exact: the class gates are cross-multiplied integer
+    comparisons (cum·100 ≤ pct·total — no float share), and the
+    ranking order is pinned (value desc, key asc).
+
+    Scale shape: one key-keyed partial/final agg, then the scale-safe
+    global rank (ranking.with_global_running_sum — range shuffle +
+    broadcast prefix sums, no single-reducer sort over data), one
+    1-row total broadcast. Returns ``(key, value, cum_value,
+    abc_class)``."""
+    from denormalized_spark.operators.ranking import with_global_running_sum
+
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("value")
+    )
+    ranked = with_global_running_sum(
+        per,
+        order_by=[F.desc("value"), F.asc("key")],
+        value=F.col("value"),
+        out_col="cum_value",
+        exclusive=False,
+    )
+    tot = per.agg(F.sum("value").cast("long").alias("_t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "value",
+            F.col("cum_value").cast("long").alias("cum_value"),
+            F.when(
+                F.col("cum_value") * 100 <= F.lit(int(a_pct)) * F.col("_t"), "A"
+            )
+            .when(
+                F.col("cum_value") * 100 <= F.lit(int(b_pct)) * F.col("_t"), "B"
+            )
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -1208,3 +1208,89 @@ def mixture_divergence(
     return full.withColumn(
         "tv_contrib_micro", (diff / 2).cast("long")
     ).withColumn("chi2_contrib_micro", chi)
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_rate_milli: int = 50,
+    max_span: int = 5,
+    seed: str = "sc",
+) -> DataFrame:
+    """T5-style span-corruption mask PLANNING (Raffel et al. 2020's
+    pre-training objective; UL2's denoisers generalize it): choose
+    deterministic span starts at ``start_rate_milli``/1000 per token
+    and a per-start span length in [1, max_span], then count the
+    UNION coverage per document — the token-budget readout a
+    pre-training data pipeline needs before materializing corrupted
+    examples (expected mask rate = start_rate · (max_span+1)/2, the
+    T5 ~15% for the defaults). Mask selection is md5-keyed on
+    (seed, doc, position) — the sample_fraction contract — so the
+    plan is reproducible across reruns, partitionings AND engines;
+    no RNG state exists anywhere.
+
+    Engine-exact: starts and span lengths are integer md5 draws
+    against literal thresholds; union coverage is a bounded-lookback
+    OR (a position is masked iff a start within the last max_span
+    positions reaches it) — pure integer/boolean array ops both
+    engines replay. Scale shape: one per-row projection over the
+    token array (no shuffle, no join); output is one row per doc.
+    Returns ``(id, n_tokens, n_starts, n_masked, mask_rate_milli)``."""
+    from denormalized_spark.operators.text import tokens
+
+    c_id = F.col(id_col).cast("string")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pos = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+
+    def frac(j: Column, tag: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}{tag}:"), c_id, F.lit(":"),
+                                   j.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        )
+
+    def is_start(j: Column) -> Column:
+        return frac(j, "s") < F.lit(start_rate_milli / 1000.0)
+
+    def span_len(j: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}l:"), c_id, F.lit(":"),
+                                   j.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % max_span
+            + 1
+        )
+
+    def masked(p: Column) -> Column:
+        back = F.sequence(F.greatest(p - (max_span - 1), F.lit(1)), p)
+        return F.exists(
+            back, lambda j: is_start(j) & (span_len(j) >= p - j + 1)
+        )
+
+    starts = F.size(F.filter(pos, is_start)).cast("long")
+    n_masked = F.size(F.filter(pos, masked)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        starts.alias("n_starts"),
+        n_masked.alias("n_masked"),
+        F.when(
+            n > 0,
+            F.floor(
+                (n_masked * 1000).cast("double") / n.cast("double") + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("mask_rate_milli"),
+    )

@@ -98,6 +98,10 @@ _DRIVER_PRIORITY = [
     "text_repetition", "text_stats", "text_structure_stats",
     "text_tfidf_keywords", "text_token_entropy", "text_token_totals",
     "text_unigram_quality", "window_ohlc",
+    # late-r12 wave: placed AFTER the r5 staleness drain so these
+    # never-driver-run entries take window slots from the r6 cohort
+    # (re-verification), not from the oldest (r5) drain
+    "events_power_analysis", "agg_pareto_abc", "curation_span_corruption",
     # ... then as much of the latest-green-r6 cohort (42 entries) as fits
     # the 50-slot window; the remainder carries to r13
     "curation_chunks", "curation_contamination_report", "curation_decontaminate",

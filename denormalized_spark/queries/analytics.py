@@ -2793,3 +2793,86 @@ def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     return link_prediction_scores(
         edges, max_degree=_LINKPRED_MAXDEG, min_common=1
     )
+
+
+@q(
+    "events_power_analysis",
+    """
+    WITH a AS (SELECT count(*)::BIGINT AS n_events,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS s,
+                      count(DISTINCT ts::DATE)::BIGINT AS n_days
+               FROM events),
+    b AS (SELECT n_events, n_days,
+                 CAST(floor((s * 1000)::DOUBLE / n_events::DOUBLE + 0.5) AS BIGINT)
+                   AS p_base_milli
+          FROM a),
+    c AS (SELECT *,
+                 CAST(ceil(2.0 * 2.801585 * 2.801585
+                      * (p_base_milli::DOUBLE / 1000.0)
+                      * (1.0 - p_base_milli::DOUBLE / 1000.0)
+                      / ((20.0 / 1000.0) * (20.0 / 1000.0))) AS BIGINT)
+                   AS n_required_per_arm
+          FROM b)
+    SELECT n_events, n_days, p_base_milli, CAST(20 AS BIGINT) AS mde_milli,
+           n_required_per_arm,
+           CAST(ceil((n_required_per_arm * 2)::DOUBLE
+                / (n_events::DOUBLE / n_days::DOUBLE)) AS BIGINT)
+             AS days_required_both_arms
+    FROM c
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B sample-size + runway calculator
+    (operators/analytics.power_analysis_proportions; the standard
+    two-proportion normal-approximation power formula) for detecting
+    a 20-milli absolute lift on the purchase rate at α=0.05 /
+    power 80%: the "how long must this experiment run at current
+    traffic" readout beside the SPRT monitor. z quantiles are double
+    LITERALS (1.959964 + 0.841621 = 2.801585 — no inverse normal is
+    evaluated by either engine); the baseline rate is milli-floored
+    before entering the identical double formula, ceil'd once. Plan:
+    one global partial/final agg — 1 metadata row."""
+    from denormalized_spark.operators.analytics import (
+        power_analysis_proportions,
+    )
+
+    e = t(spark, sf, "events")
+    return power_analysis_proportions(e, F.col("event_type") == "purchase")
+
+
+@q(
+    "agg_pareto_abc",
+    """
+    WITH pv AS (SELECT l_partkey AS key,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+                         AS value
+                FROM lineitem GROUP BY 1),
+    r AS (SELECT key, value,
+                 sum(value) OVER (ORDER BY value DESC, key)::BIGINT AS cum_value
+          FROM pv),
+    t AS (SELECT sum(value)::BIGINT AS tt FROM pv)
+    SELECT key, value, cum_value,
+           CASE WHEN cum_value * 100 <= 80 * tt THEN 'A'
+                WHEN cum_value * 100 <= 95 * tt THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r CROSS JOIN t
+    """,
+)
+def agg_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto/ABC classification of parts by lineitem revenue
+    (operators/analytics.abc_classification; Dickie 1951's ABC rule,
+    80/95 cut points): the "20% of SKUs are 80% of revenue"
+    segmentation. Class gates are cross-multiplied integer
+    comparisons (cum·100 ≤ pct·total); the running share uses the
+    scale-safe global running sum (range shuffle + broadcast prefix
+    sums — never a single-reducer sort over parts); total is a 1-row
+    broadcast."""
+    from denormalized_spark.operators.analytics import abc_classification
+
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return abc_classification(li, "l_partkey", "cents")

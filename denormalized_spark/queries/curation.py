@@ -1185,3 +1185,45 @@ def curation_mixture_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return mixture_divergence(d, _MIX_TARGETS, "source").orderBy("stratum")
+
+
+@q(
+    "curation_span_corruption",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           len([j for j in range(1, len(toks) + 1)
+                if ('0x' || substr(md5('scs:' || CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.05])::BIGINT AS n_starts,
+           len([p for p in range(1, len(toks) + 1)
+                if len([j for j in range(greatest(1, p - 4), p + 1)
+                        if ('0x' || substr(md5('scs:' || CAST(doc_id AS VARCHAR)
+                               || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                              / 4294967296.0 < 0.05
+                       AND ('0x' || substr(md5('scl:' || CAST(doc_id AS VARCHAR)
+                               || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 5
+                              + 1 >= p - j + 1]) > 0])::BIGINT AS n_masked
+           FROM d)
+    SELECT doc_id, n_tokens, n_starts, n_masked,
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor((n_masked * 1000)::DOUBLE / n_tokens::DOUBLE
+                          + 0.5) AS BIGINT)
+                ELSE 0 END AS mask_rate_milli
+    FROM st
+    """,
+)
+def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5/UL2 span-corruption mask planning
+    (operators/curation.span_corruption_plan; Raffel et al. 2020):
+    deterministic md5-keyed span starts at 5%/token with lengths in
+    [1,5] (expected mask rate ≈ 15%, the T5 objective), union
+    coverage counted per document — the token-budget readout before
+    materializing corrupted examples, reproducible across reruns,
+    partitionings and engines because the only randomness is the
+    md5 draw both engines replay. One per-row projection over the
+    token array — scan speed, no shuffle."""
+    from denormalized_spark.operators.curation import span_corruption_plan
+
+    d = t(spark, sf, "documents")
+    return span_corruption_plan(d)

@@ -1385,3 +1385,38 @@ def test_diff_in_diff_hand_2x2(spark):
     assert (r.mean_cpre_milli, r.mean_cpost_milli) == (5_000, 9_000)
     assert r.did_milli == 4_000
     assert (r.n_tpre, r.n_tpost, r.n_cpre, r.n_cpost) == (2, 2, 1, 1)
+
+
+def test_abc_classification_hand_cuts(spark):
+    """Values 80, 15, 4, 1 (total 100): cum 80/95/99/100 -> A,B,C,C."""
+    from denormalized_spark.operators.analytics import abc_classification
+
+    rows = [(1, 80), (2, 15), (3, 4), (4, 1)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.key: (r.cum_value, r.abc_class)
+           for r in abc_classification(df, "k", "v").collect()}
+    assert got == {1: (80, "A"), 2: (95, "B"), 3: (99, "C"), 4: (100, "C")}
+
+
+def test_power_analysis_formula_mirror(spark):
+    """p=0.2 exactly: n = ceil(2*2.801585^2*0.2*0.8/0.0004)."""
+    import math
+
+    from denormalized_spark.operators.analytics import (
+        power_analysis_proportions,
+    )
+
+    import datetime as dt
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        for k in range(10):
+            rows.append((len(rows), d0 + dt.timedelta(days=day, minutes=k),
+                         "purchase" if k < 2 else "view"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = power_analysis_proportions(df, F.col("event_type") == "purchase").collect()[0]
+    assert (r.n_events, r.n_days, r.p_base_milli) == (100, 10, 200)
+    z = 2.801585
+    exp_n = math.ceil(2 * z * z * 0.2 * 0.8 / (0.02 * 0.02))
+    assert r.n_required_per_arm == exp_n
+    assert r.days_required_both_arms == math.ceil(exp_n * 2 / 10.0)

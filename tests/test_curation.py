@@ -1141,3 +1141,30 @@ def test_mixture_divergence_tv_and_missing_strata(spark):
     }
     assert got2["b"].target_share_micro == 0
     assert got2["b"].tv_contrib_micro == 250_000
+
+
+def test_span_corruption_deterministic_and_bounded(spark):
+    """Masks are md5-deterministic (rerun-identical), coverage is
+    within [n_starts, n_starts*max_span], and the zero-token doc is
+    all zeros."""
+    import hashlib
+
+    from denormalized_spark.operators.curation import span_corruption_plan
+
+    df = spark.createDataFrame(
+        [(1, "w " * 200), (2, "")], "doc_id long, text string"
+    )
+    a = {r.doc_id: r for r in span_corruption_plan(df).collect()}
+    b = {r.doc_id: r for r in span_corruption_plan(df).collect()}
+    assert a == b
+    r = a[1]
+    assert r.n_tokens == 200
+    assert r.n_starts >= 1
+    assert r.n_starts <= r.n_masked <= r.n_starts * 5
+    # python mirror of the start draw
+    exp_starts = sum(
+        1 for j in range(1, 201)
+        if int(hashlib.md5(f"scs:1:{j}".encode()).hexdigest()[:8], 16) / 2**32 < 0.05
+    )
+    assert r.n_starts == exp_starts
+    assert (a[2].n_tokens, a[2].n_masked, a[2].mask_rate_milli) == (0, 0, 0)

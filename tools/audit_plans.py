@@ -93,6 +93,8 @@ ALLOW_BNLJ = {
     "curation_winsorize_prices",  # 1-row percentile-threshold broadcast — constant fan-out
     "agg_value_concentration",   # 1-row (total, n) broadcast onto the
                                  # part-value table — constant fan-out
+    "agg_pareto_abc",            # 1-row total broadcast onto the ranked
+                                 # part-value table — constant fan-out
     "join_idle_rich_customers",  # 1-row moment + 1-row cutoff broadcasts
                                  # — constant fan-out
     "curation_temperature_mixture",  # 1-row corpus-total broadcast onto the
@@ -199,6 +201,10 @@ ALLOW_SINGLE_PART = {
                                  # day-level series (metadata)
     "events_did_estimate",       # 1-row pivot final over the 4-cell
                                  # table (metadata)
+    "agg_pareto_abc",            # prefix-sum-offsets running-sum pattern
+                                 # (with_global_running_sum) + 1-row total
+    "events_power_analysis",     # 1-row final of the global moment agg
+                                 # (metadata)
     "agg_value_concentration",   # 1-row (total, n) final for the broadcast
                                  # gate (metadata)
     "join_idle_rich_customers",  # 1-row moment/cutoff finals + ≤segments-row
