@@ -3138,3 +3138,84 @@ def abc_classification(
             .alias("abc_class"),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Weekly cohort lifetime-value triangle — the revenue companion
+    to the cohort-retention triangle: users are cohorted by their
+    first-event week, every later week's revenue lands at its offset,
+    and each (cohort, offset) cell reports active users, the week's
+    revenue, the cohort's CUMULATIVE revenue, and LTV-per-cohort-user
+    so far — the curve every "payback period" readout is drawn from.
+
+    Engine-exact: revenue is integer cents; the per-user LTV is one
+    milli-floored division of the integer running sum by the integer
+    cohort size; cum sums run over floored integers.
+
+    Scale shape: one user-keyed min (first event), one user-keyed
+    join back (both shuffle on the user key), one (cohort, offset)
+    partial/final agg — the output triangle is weeks² metadata, and
+    its cumulative window partitions by cohort (bounded). Returns
+    ``(cohort, offset, n_active, revenue_cents, cum_revenue_cents,
+    ltv_per_user_milli)``."""
+    from pyspark.sql import Window
+
+    val = (
+        F.col(value_col).cast("long")
+        if value_col is not None
+        else F.lit(0).cast("long")
+    )
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("_csize")
+    )
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col),
+        val.alias("_v"),
+    ).join(first, "_u")
+    cells = (
+        ev.withColumn(
+            "offset",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort"),
+                )
+                / 7
+            ).cast("long"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(
+            F.countDistinct("_u").cast("long").alias("n_active"),
+            F.sum("_v").cast("long").alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+        )
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.floor(
+                (F.col("cum_revenue_cents") * 1000).cast("double")
+                / F.col("_csize").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("ltv_per_user_milli"),
+        )
+    )

@@ -119,6 +119,9 @@ _DRIVER_PRIORITY = [
     "sim_ivf_batch", "sim_ivf_pq_topk", "sim_pq_topk", "sim_projection_topk",
     "text_bpe_encode", "text_bpe_encode_full", "text_bpe_train",
     "text_train_linear_langid", "window_rollup_cascade",
+    # r12 overflow wave (beyond the 50-slot window): these land at the
+    # BACK of the r12 priority so they front the r13 window next round
+    "join_salted_priority_revenue", "events_cohort_ltv",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -2876,3 +2876,48 @@ def agg_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cents"),
     )
     return abc_classification(li, "l_partkey", "cents")
+
+
+@q(
+    "events_cohort_ltv",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort
+               FROM events GROUP BY 1),
+    sz AS (SELECT cohort, count(*)::BIGINT AS csize FROM f GROUP BY 1),
+    ev AS (SELECT e.user_id, f.cohort,
+                  CAST(floor(
+                    date_diff('day', f.cohort,
+                              date_trunc('week', e.ts)::DATE)::DOUBLE / 7)
+                    AS BIGINT) AS "offset",
+                  CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events e JOIN f USING (user_id)),
+    cells AS (SELECT cohort, "offset",
+                     count(DISTINCT user_id)::BIGINT AS n_active,
+                     sum(cents)::BIGINT AS revenue_cents
+              FROM ev GROUP BY 1, 2),
+    cum AS (SELECT *, sum(revenue_cents) OVER (
+                        PARTITION BY cohort ORDER BY "offset")::BIGINT
+                      AS cum_revenue_cents
+            FROM cells)
+    SELECT cohort, "offset", n_active, revenue_cents, cum_revenue_cents,
+           CAST(floor((cum_revenue_cents * 1000)::DOUBLE / sz.csize::DOUBLE
+                + 0.5) AS BIGINT) AS ltv_per_user_milli
+    FROM cum JOIN sz USING (cohort)
+    ORDER BY cohort, "offset"
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort LTV triangle (operators/analytics.cohort_ltv) on
+    event value-cents — the revenue companion to
+    events_cohort_retention: cumulative revenue and LTV-per-cohort-
+    user at every week offset, integer cents with one milli-floored
+    division per cell. Plan: user-keyed first-event min + join back
+    (same key, exchange reused), a (cohort, offset) agg, and a
+    cohort-partitioned cumulative window over the weeks² metadata
+    triangle."""
+    from denormalized_spark.operators.analytics import cohort_ltv
+
+    e = t(spark, sf, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    return cohort_ltv(e, value_col="cents").orderBy("cohort", "offset")

@@ -1476,3 +1476,52 @@ def join_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "join_salted_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_items,
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_salted_priority_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by order priority through the SKEW-SAFE salted join
+    (operators/joins.salted_join, 8 salts): the fact side carries a
+    deterministic (orderkey·7 + linenumber) % 8 salt, the dim side
+    replicates once per salt, and the shuffle runs on (key, salt) —
+    a hot orderkey's rows land on 8 reducers instead of one. The
+    oracle is the PLAIN join: hash-equality IS the proof that salting
+    preserves join semantics exactly. (AQE's skew splitting is the
+    first answer and is on in this repo's sessions; the explicit form
+    is for skewed-aggregation feeds and AQE-less engines — see the
+    module docstring.)"""
+    from denormalized_spark.operators.joins import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        o,
+        "o_orderkey",
+        left_salt=F.col("o_orderkey") * 7 + F.col("l_linenumber"),
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

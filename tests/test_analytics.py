@@ -1420,3 +1420,26 @@ def test_power_analysis_formula_mirror(spark):
     exp_n = math.ceil(2 * z * z * 0.2 * 0.8 / (0.02 * 0.02))
     assert r.n_required_per_arm == exp_n
     assert r.days_required_both_arms == math.ceil(exp_n * 2 / 10.0)
+
+
+def test_cohort_ltv_hand_triangle(spark):
+    """Cohort of 2 users starting week 0 (rev 100+50), one returns
+    week 1 (rev 30): cum 150 -> 180; LTV/user 75000 -> 90000 milli."""
+    import datetime as dt
+
+    from denormalized_spark.operators.analytics import cohort_ltv
+
+    d0 = dt.datetime(2024, 3, 4)  # a Monday
+    rows = [
+        (1, d0, 1, 100), (2, d0 + dt.timedelta(days=1), 2, 50),
+        (3, d0 + dt.timedelta(days=8), 2, 30),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, cents long")
+    got = {(str(r.cohort), r.offset): r
+           for r in cohort_ltv(df, value_col="cents").collect()}
+    c = str(dt.date(2024, 3, 4))
+    assert got[(c, 0)].revenue_cents == 150
+    assert got[(c, 0)].ltv_per_user_milli == 75_000
+    assert got[(c, 1)].n_active == 1
+    assert got[(c, 1)].cum_revenue_cents == 180
+    assert got[(c, 1)].ltv_per_user_milli == 90_000

@@ -1,0 +1,34 @@
+"""operators/joins.py: the salted skew-safe equi-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from denormalized_spark.operators.joins import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 2, 3) for i in range(20)], "k long, i long"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, v string")
+    plain = left.join(right, "k").select("k", "i", "v")
+    salted = salted_join(
+        left, right, "k", left_salt=F.col("i"), n_salts=4
+    ).select("k", "i", "v")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 0), (9, 1)], "k long, i long")
+    right = spark.createDataFrame([(1, "a")], "k long, v string")
+    out = salted_join(left, right, "k", left_salt=F.col("i"), n_salts=3, how="left")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 9: None}
+
+
+def test_salted_join_validates_how(spark):
+    df = spark.createDataFrame([(1, 0)], "k long, i long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", left_salt=F.col("i"), how="full")
