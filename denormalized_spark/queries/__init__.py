@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = [
     # r12 overflow wave (beyond the 50-slot window): these land at the
     # BACK of the r12 priority so they front the r13 window next round
     "join_salted_priority_revenue", "events_cohort_ltv",
+    "sim_recall_curve", "curation_contamination_sensitivity",
 ]
 
 def _reorder(d: dict) -> dict:

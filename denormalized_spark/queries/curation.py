@@ -1227,3 +1227,66 @@ def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return span_corruption_plan(d)
+
+
+def _contamination_n_oracle(n: int) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    g AS (SELECT doc_id, {_gram_sql(n)} AS grams FROM hh),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 7),
+    cont AS (SELECT DISTINCT x.doc_id
+             FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE doc_id % 20 != 7) x
+             JOIN bench USING (gram)),
+    tot AS (SELECT count(*)::BIGINT AS n_corpus FROM documents
+            WHERE doc_id % 20 != 7)
+    SELECT CAST({n} AS BIGINT) AS n, tot.n_corpus,
+           (SELECT count(*) FROM cont)::BIGINT AS n_contaminated,
+           CAST(floor(((SELECT count(*) FROM cont) * 1000)::DOUBLE
+                / tot.n_corpus::DOUBLE + 0.5) AS BIGINT) AS rate_milli
+    FROM tot
+    """
+
+
+@q(
+    "curation_contamination_sensitivity",
+    " SELECT * FROM ("
+    + " UNION ALL ".join(f"({_contamination_n_oracle(n)})" for n in (3, 5, 8))
+    + ") ORDER BY n",
+)
+def curation_contamination_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination-rate sensitivity to the n-gram size — the tuning
+    curve behind the "13-gram rule": at n=3 the overlap test is so
+    loose it flags boilerplate as contamination, at large n only
+    verbatim passages fire; the curve (n ∈ {3, 5, 8}) shows where the
+    corpus's knee is, which is how the production n is actually
+    chosen. Each point is one broadcast-gated decontaminate pass
+    (operators/curation.decontaminate flags form — the corpus never
+    shuffles); the rollup is 3 metadata rows."""
+    corpus, bench = _split(spark, sf)
+    frames = []
+    for n in (3, 5, 8):
+        flagged = curation.decontaminate(corpus, bench, n=n, return_flags=True)
+        frames.append(
+            flagged.agg(
+                F.count("*").cast("long").alias("n_corpus"),
+                F.sum(F.col("contaminated").cast("long")).cast("long")
+                .alias("n_contaminated"),
+            ).select(
+                F.lit(n).cast("long").alias("n"),
+                "n_corpus",
+                "n_contaminated",
+                F.floor(
+                    (F.col("n_contaminated") * 1000).cast("double")
+                    / F.col("n_corpus").cast("double")
+                    + F.lit(0.5)
+                ).cast("long").alias("rate_milli"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out.orderBy("n")

@@ -6120,3 +6120,55 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return mmr_select(e.filter(F.col("vec_id") != 0), list(qv), k=8)
+
+
+def _recall_curve_oracle(ks=(1, 5, 10, 20)) -> str:
+    parts = [f"SELECT * FROM ({_ivf_recall_oracle(k=k)})" for k in ks]
+    return " SELECT * FROM (" + " UNION ALL ".join(
+        f"({p})" for p in parts
+    ) + ") ORDER BY k"
+
+
+@q("sim_recall_curve", _recall_curve_oracle())
+def sim_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k CURVE of the IVF index vs exact brute force for
+    k ∈ {1, 5, 10, 20} — the tuning plot (not just the single
+    recall@10 point of sim_ivf_recall) an ANN deployment reads before
+    picking k/nprobe: small-k recall shows head quality, large-k the
+    tail the reranker can recover. Each point is the driver-verified
+    probed-scan + broadcast top-k intersect; the oracle replays all
+    four quantizer/probe/exact chains. Four bounded probed scans —
+    corpus passes stay O(len(ks)), never O(k)."""
+    frames = []
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    for k in (1, 5, 10, 20):
+        ivf = similarity.ivf_topk(
+            e, query_vec_id=0, k=k, nprobe=3, dim=64, round_digits=6
+        )
+        brute = (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(
+                    similarity.cosine(F.col("embedding"), F.col("qvec")), 6
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(k)
+        )
+        overlap = ivf.select("vec_id").join(
+            brute.select("vec_id"), "vec_id", "left_semi"
+        )
+        frames.append(
+            overlap.agg(F.count("*").alias("n_overlap")).select(
+                F.lit(k).alias("k"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall_at_k"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out.orderBy("k")

@@ -43,6 +43,7 @@ ALLOW_BNLJ = {
     "sim_batch_topk",        # broadcast query-block crossJoin — constant fan-out (8 rows)
     "sim_hard_negatives",    # same broadcast query-block pattern (16 anchors)
     "sim_ivf_recall",        # 1-row query-vector broadcast + k-row top-k intersect
+    "sim_recall_curve",      # same pattern × the 4 curve points
     "sim_ivf_batch",         # k-centroid × broadcast query-block crossJoin (metadata-sized probe table)
     "sim_projection_topk",   # 1-row broadcast projected query vector — constant fan-out
     "dedup_corpus_overlap",  # 1-row × 1-row signature crossJoin — metadata
@@ -203,6 +204,8 @@ ALLOW_SINGLE_PART = {
                                  # table (metadata)
     "agg_pareto_abc",            # prefix-sum-offsets running-sum pattern
                                  # (with_global_running_sum) + 1-row total
+    "curation_contamination_sensitivity",  # three 1-row flag-count finals
+                                           # (metadata; one per n)
     "events_power_analysis",     # 1-row final of the global moment agg
                                  # (metadata)
     "agg_value_concentration",   # 1-row (total, n) final for the broadcast
