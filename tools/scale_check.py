@@ -213,6 +213,10 @@ STRESS_QUERIES = [
     "join_range_order_bursts",   # bin-bucketed range join: <=2-bin fanout claim
     "dedup_connected_components",# iterative min-label propagation: iteration-count claim
     "dedup_repeated_spans",      # linear-in-tokens claim: gram + id shuffles only
+    # round-12 additions: the iterative/wedge claims at one decade up
+    "graph_label_propagation",   # 4 materialized rounds: edge-linear claim
+    "graph_link_prediction",     # hub-capped wedge join: ≤cap² fan-out claim
+    "events_bootstrap_ci",       # 66-column one-pass agg: linear claim
     "dedup_span_strip",          # same machinery + HOF rebuild
     "sim_kcenter_select",        # k argmax scans over the 10x vector corpus
     "sketch_cm_cells",           # distinct-key cell sums at 10x token mass
