@@ -2736,14 +2736,26 @@ def poisson_bootstrap_ci(
         aggs.append(F.sum(wb * x).cast("long").alias(f"_swx{b}"))
         aggs.append(F.sum(wb).cast("long").alias(f"_sw{b}"))
     one = df.agg(*aggs)
+    point_mean = F.floor(
+        (F.col("_sx") * 1000).cast("double") / F.col("_n").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
     means = F.array_sort(
         F.array(
             *[
-                F.floor(
-                    (F.col(f"_swx{b}") * 1000).cast("double")
-                    / F.col(f"_sw{b}").cast("double")
-                    + F.lit(0.5)
-                ).cast("long")
+                # Empty-replicate guard: a replicate whose Poisson
+                # weights are all zero (possible on tiny inputs) has
+                # no resample — pin it to the point mean instead of
+                # 0/0 → engine-divergent Inf/NaN.
+                F.when(
+                    F.col(f"_sw{b}") > 0,
+                    F.floor(
+                        (F.col(f"_swx{b}") * 1000).cast("double")
+                        / F.col(f"_sw{b}").cast("double")
+                        + F.lit(0.5)
+                    ).cast("long"),
+                )
+                .otherwise(point_mean)
                 for b in range(n_replicates)
             ]
         )
@@ -2777,7 +2789,7 @@ def activity_streaks(
     one (user, island) count, one user-keyed max — every stage
     shuffles on the user key, and days-per-user is bounded by the
     calendar. Returns ``(user, n_active_days, n_streaks,
-    longest_streak, current_streak_end)``."""
+    longest_streak, longest_streak_end)``."""
     from pyspark.sql import Window
 
     days = (

@@ -1452,6 +1452,7 @@ def mips_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qvec",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Brute-force maximum-inner-product top-k against a 1-row query
     side: score = ⟨x, q⟩ WITHOUT normalization — the retrieval
@@ -1461,10 +1462,18 @@ def mips_topk(
     scan+score map-side, TakeOrderedAndProject — k rows per partition
     cross the wire; this IS the 100 TB exact plan. For the sublinear
     path, run :func:`mips_augment` and reuse the cosine LSH machinery
-    unchanged (the reduction makes MIPS ≡ cosine)."""
+    unchanged (the reduction makes MIPS ≡ cosine).
+
+    ``round_digits`` quantizes the score BEFORE ranking (one IEEE
+    ``round`` both engines replay identically), so raw-score ties
+    that round equal at the top-k boundary break on the id column
+    in both engines instead of on engine-dependent raw-double
+    ordering — the micro-floor-before-ranking exactness discipline."""
+    score = dot(F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     scored = df.crossJoin(F.broadcast(query_df)).select(
-        F.col(id_col),
-        dot(F.col(vec_col), F.col(query_vec_col)).alias("inner_product"),
+        F.col(id_col), score.alias("inner_product")
     )
     return scored.orderBy(F.desc("inner_product"), F.asc(id_col)).limit(k)
 
@@ -1571,6 +1580,21 @@ def mmr_select(
         out_rows.append(
             (rnd, r["_id"], round(float(r["_rel"]), 6), round(float(r["_s"]), 6))
         )
-    return df.sparkSession.createDataFrame(
-        out_rows, f"round int, {id_col} long, relevance_r6 double, mmr_score_r6 double"
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    # The id field keeps the INPUT column's type (string/int/long ids
+    # all round-trip) instead of a hardcoded long.
+    out_schema = StructType(
+        [
+            StructField("round", IntegerType()),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("relevance_r6", DoubleType()),
+            StructField("mmr_score_r6", DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, out_schema)

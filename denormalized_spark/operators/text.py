@@ -1971,12 +1971,11 @@ def rake_keywords(
     per_occ = (
         occ_words.join(F.broadcast(wscore), "word")
         .groupBy("_doc", "_isl", "n_words")
-        .agg(F.sum("_wsm").cast("long").alias("_score"),
-             F.concat_ws(" ", F.collect_list("word")).alias("_unordered"))
+        .agg(F.sum("_wsm").cast("long").alias("_score"))
     )
-    # rebuild the ordered phrase string from occ_ph (collect_list after
-    # the join has no order guarantee)
-    per_occ = per_occ.drop("_unordered").join(
+    # the ordered phrase string comes from occ_ph (collect_list after
+    # the join has no order guarantee, so it can't be built here)
+    per_occ = per_occ.join(
         occ_ph.select(
             "_doc", "_isl",
             F.concat_ws(" ", F.col("_words")).alias("phrase"),

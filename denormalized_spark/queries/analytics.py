@@ -2459,8 +2459,13 @@ def _bootstrap_oracle(n_replicates: int = 32) -> str:
         f"sum({w(b)} * x)::BIGINT AS swx{b}, sum({w(b)})::BIGINT AS sw{b}"
         for b in range(n_replicates)
     )
+    # Empty-replicate guard mirrors the operator: an all-zero-weight
+    # replicate pins to the point mean rather than dividing by zero.
+    point = "CAST(floor((sx * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)"
     means = ", ".join(
-        f"CAST(floor((swx{b} * 1000)::DOUBLE / sw{b}::DOUBLE + 0.5) AS BIGINT)"
+        f"CASE WHEN sw{b} > 0 THEN "
+        f"CAST(floor((swx{b} * 1000)::DOUBLE / sw{b}::DOUBLE + 0.5) AS BIGINT) "
+        f"ELSE {point} END"
         for b in range(n_replicates)
     )
     return f"""

@@ -5944,13 +5944,15 @@ def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
     The sublinear path is operators/similarity.mips_augment
     (Neyshabur & Srebro 2015's MIPS→cosine unit-sphere reduction,
     order-equivalence proven in tests/test_similarity.py) feeding the
-    existing hyperplane-LSH index unchanged."""
+    existing hyperplane-LSH index unchanged. Both engines rank the
+    e6-ROUNDED score (round_digits=6 here; the oracle's ORDER BY
+    refers to the round(...,6) alias), so raw-score ties that round
+    equal at the top-k boundary break on vec_id identically."""
     from denormalized_spark.operators.similarity import mips_topk
 
     e = t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    out = mips_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
-    return out.select("vec_id", F.round("inner_product", 6).alias("inner_product"))
+    return mips_topk(e.filter(F.col("vec_id") != 0), qv, k=10, round_digits=6)
 
 
 def _viterbi_oracle(max_piece_len: int = 4, max_vocab: int = 200,

@@ -1306,6 +1306,23 @@ class TestPoissonBootstrap:
         assert r.boot_lo_milli == means[1]
         assert r.boot_hi_milli == means[30]
 
+    def test_empty_replicate_pins_to_point_mean(self, spark):
+        """ADVICE_r12: a replicate whose Poisson weights are ALL zero
+        (near-certain somewhere in 32 replicates of a 1-row input,
+        P(w=0) ≈ 1/e each) must pin to the point mean instead of
+        0/0 → Inf. With one row of value v every replicate mean is
+        either exactly v·1000 (w > 0) or the fallback v·1000 — so
+        the CI must collapse to the point mean."""
+        from denormalized_spark.operators.analytics import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame([(1, 7)], "id long, v long")
+        r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        assert r.mean_milli == 7000
+        assert r.boot_lo_milli == 7000
+        assert r.boot_hi_milli == 7000
+
 
 class TestStreaksAndSprt:
     def test_streaks_hand_islands(self, spark):

@@ -933,3 +933,24 @@ def test_mmr_round1_is_pure_relevance_with_id_ties(spark):
     got = mmr_select(df, [1.0, 0.0], k=1).collect()
     assert got[0].vec_id == 2  # equal relevance -> smaller id
     assert got[0].mmr_score_r6 == 0.5
+
+
+def test_mmr_preserves_non_long_id_type(spark):
+    """ADVICE_r12: the output id field derives its type from the
+    input column instead of a hardcoded long — string and int ids
+    round-trip without createDataFrame coercion errors."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    from denormalized_spark.operators.similarity import mmr_select
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    out = mmr_select(df, [1.0, 0.0], k=2, id_col="doc")
+    assert isinstance(out.schema["doc"].dataType, StringType)
+    assert [r.doc for r in out.collect()] == ["a", "b"]
+
+    rows_i = [(7, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df_i = spark.createDataFrame(rows_i, "vec_id int, embedding array<double>")
+    out_i = mmr_select(df_i, [1.0, 0.0], k=1)
+    assert isinstance(out_i.schema["vec_id"].dataType, IntegerType)
+    assert out_i.collect()[0].vec_id == 7

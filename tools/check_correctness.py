@@ -10,6 +10,14 @@ The scale factor comes from --sf-dir, else $SPARK_GRAFT_SF_DIR, else
 sf0.01. (--sf-dir support added in r10: before that, passing the flag
 silently put the tokens into the query-name filter and NOTHING ran —
 a sweep claiming another SF actually re-ran sf0.01.)
+
+Oracles run in a CHILD process by default (tools/_oracle_runner.py,
+r12 verdict item): the r11/r12 transient "bad allocation" OOMs were
+DuckDB and a 100+ GiB Spark JVM sharing one address space during long
+mixed sweeps — isolating the oracle kills that class outright instead
+of retrying around it. Pass --oracle-inprocess to get the old
+same-process connection (slightly faster per query; fine for short
+targeted runs).
 """
 
 from __future__ import annotations
@@ -74,6 +82,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def run_oracle_subprocess(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Execute one oracle statement in a fresh child process (own
+    address space, 24 GB DuckDB memory cap) and return its DataFrame.
+    Raises RuntimeError with the child's stderr tail on failure."""
+    import subprocess
+    import tempfile
+
+    runner = str(Path(__file__).resolve().parent / "_oracle_runner.py")
+    with tempfile.NamedTemporaryFile(suffix=".pkl") as tmp:
+        proc = subprocess.run(
+            [sys.executable, runner, sf_dir, tmp.name],
+            input=sql.encode(),
+            capture_output=True,
+            timeout=1800,
+        )
+        if proc.returncode != 0:
+            tail = proc.stderr.decode(errors="replace").strip().splitlines()
+            raise RuntimeError(tail[-1] if tail else "oracle child died silently")
+        return pd.read_pickle(tmp.name)
+
+
 def main() -> int:
     global SF_DIR
     args = sys.argv[1:]
@@ -81,17 +110,22 @@ def main() -> int:
         i = args.index("--sf-dir")
         SF_DIR = args[i + 1]
         del args[i : i + 2]
+    in_process = "--oracle-inprocess" in args
+    if in_process:
+        args.remove("--oracle-inprocess")
     sys.argv = [sys.argv[0]] + args
 
     import __spark_entry__ as entrymod
     from denormalized_spark.session import get_spark
 
     spark = get_spark("check_correctness")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = None
+    if in_process:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{SF_DIR}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -128,13 +162,20 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            if con is None:
+                odf = run_oracle_subprocess(oracles[name], SF_DIR)
+            else:
+                odf = con.execute(oracles[name]).df()
         except Exception as e:
             msg = str(e)
-            if "bad allocation" in msg or "Out of Memory" in msg:
-                # Transient DuckDB allocator pressure under the Spark
-                # JVM during long mixed sweeps (r11/r12 finding: zero
-                # value mismatches, always reproducible-green serially).
+            if con is not None and (
+                "bad allocation" in msg or "Out of Memory" in msg
+            ):
+                # In-process-only path: transient DuckDB allocator
+                # pressure under the Spark JVM during long mixed
+                # sweeps (r11/r12 finding: zero value mismatches,
+                # always reproducible-green serially). The default
+                # subprocess oracle doesn't hit this class at all.
                 # Retry ONCE on a fresh connection before failing.
                 try:
                     con.close()
