@@ -1828,3 +1828,95 @@ def fs_weights_micro(comparisons: list[tuple[str, object, float, float]]) -> dic
         )
         for name, _c, m, u in comparisons
     }
+
+
+def paragraph_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """Non-overlapping ``block_tokens``-token blocks per document
+    ("pseudo-paragraphs"), each with a rolling content hash — the
+    unit of paragraph-granularity substring dedup. Where the suffix-
+    array ExactSubstr of Lee et al. 2021 finds ANY >=50-token repeat,
+    block granularity is its distributable fixed-partition relaxation:
+    a shared passage of >= 2·k tokens is guaranteed to contain a fully
+    shared block, and the gram-keyed shuffle volume drops from
+    corpus_tokens (overlapping shingles) to corpus_tokens / k.
+
+    Hashing matches shingle_hashes' short-doc fallback: one md5 per
+    token, then the (acc·31 + h) mod 2^32 left fold — pure long
+    arithmetic, bit-identical in DuckDB's list_reduce. The trailing
+    partial block is kept (duplicate docs share their tails too).
+
+    Scale shape: per-row projection + one posexplode — no shuffle;
+    emits ``(id, block_idx, block_hash)``."""
+    from denormalized_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    th = F.transform(toks, token_hash32)
+    n_blk = F.ceil(F.size(th) / F.lit(block_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_blk - 1, F.lit(0))),
+        lambda b: F.aggregate(
+            F.slice(th, b * block_tokens + 1, block_tokens),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(SHINGLE_MOD),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "block_hash")
+    )
+
+
+def paragraph_block_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """Paragraph-level substring dedup report: per document, how many
+    of its ``block_tokens``-token blocks also occur in ANOTHER
+    document — the passage-reuse signal that doc-level minhash misses
+    (a page quoting one viral paragraph scores low doc-Jaccard but
+    100% block overlap on that span). Emits only documents with >= 1
+    cross-document duplicated block: ``(id, n_blocks, n_dup_blocks,
+    dup_frac_milli)``.
+
+    Scale shape: blocks are a scan-side projection (paragraph_blocks,
+    no shuffle); duplicated hashes come from ONE block_hash-keyed
+    count-distinct-docs aggregation (map-side combine; volume ∝
+    corpus_tokens / k); the per-doc rollup joins blocks to the
+    duplicated-hash set on the same key and reduces by doc. At 100 TB
+    both shuffles are on uniformly-distributed hash keys — no skew."""
+    blocks = paragraph_blocks(df, id_col, text_col, block_tokens)
+    dup_hashes = (
+        blocks.groupBy("block_hash")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("block_hash")
+    )
+    flagged = blocks.join(
+        dup_hashes.withColumn("_dup", F.lit(1)), "block_hash", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+            .alias("n_dup_blocks"),
+        )
+        .filter(F.col("n_dup_blocks") > 0)
+        .select(
+            id_col,
+            "n_blocks",
+            "n_dup_blocks",
+            F.floor(
+                (F.col("n_dup_blocks") * 1000).cast("double")
+                / F.col("n_blocks").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("dup_frac_milli"),
+        )
+        .orderBy(id_col)
+    )

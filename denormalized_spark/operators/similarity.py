@@ -501,6 +501,100 @@ def kmeans_fit(
     return assign_clusters(df, cent, id_col, vec_col, round_digits)
 
 
+def ivf_incremental_update(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming IVF index maintenance: fold an ARRIVING batch into an
+    existing coarse quantizer without refitting — the per-cluster
+    running-mean update of mini-batch / web-scale k-means (Sculley
+    2010, WWW): c' = (n·c + Σ_new x)/(n + m). This is what keeps an
+    IVF index (ivf_topk / ivf_batch_topk) serving while the corpus
+    grows: new vectors are assigned to their nearest existing list,
+    list sizes and centroids drift, and the reported per-cluster
+    drift is the signal for scheduling a full refit.
+
+    Engine-exact: the blend uses only ROUNDED quantities — the stored
+    6-digit centroid, the 6-digit per-component mean of the new batch,
+    and integer counts — combined with one fixed IEEE expression per
+    component, then re-rounded; the drift is the micro-floored L2 norm
+    of the (fixed-order, unrolled) component deltas, so both engines
+    replay it bit-for-bit.
+
+    Scale shape (streaming posture): the old side is ONE already-keyed
+    per-cluster count (at 100 TB this is index metadata, not a scan —
+    list sizes are maintained with the index); the new batch does one
+    broadcast-assign pass (k centroid rows map-side, per-id window
+    argmax) and one partial/final per-cluster agg; the blend itself is
+    a k-row broadcast join. Per micro-batch cost ∝ batch size, never
+    corpus size. Returns ``(cluster, n_before, n_added, shift_micro,
+    c0, c1, c2)`` — the first three updated components ride along as
+    the value check."""
+    a_old = assign_clusters(old, centroids, id_col, vec_col, round_digits)
+    n_old = a_old.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    a_new = assign_clusters(new, centroids, id_col, vec_col, round_digits)
+    new_stats = a_new.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_added"),
+        *[
+            F.round(
+                F.avg(F.element_at(vec_col, j + 1).cast("double")), round_digits
+            ).alias(f"_m{j}")
+            for j in range(dim)
+        ],
+    )
+    blended = (
+        centroids.join(F.broadcast(n_old), "cluster", "left")
+        .join(F.broadcast(new_stats), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n_before"), F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce(F.col("n_added"), F.lit(0)).cast("long").alias("n_added"),
+            "centroid",
+            *[F.col(f"_m{j}") for j in range(dim)],
+        )
+    )
+    upd = [
+        F.when(
+            F.col("n_added") > 0,
+            F.round(
+                (
+                    F.col("n_before").cast("double")
+                    * F.element_at("centroid", j + 1)
+                    + F.col("n_added").cast("double") * F.col(f"_m{j}")
+                )
+                / (F.col("n_before") + F.col("n_added")).cast("double"),
+                round_digits,
+            ),
+        )
+        .otherwise(F.element_at("centroid", j + 1))
+        .alias(f"_u{j}")
+        for j in range(dim)
+    ]
+    up = blended.select("cluster", "n_before", "n_added", "centroid", *upd)
+    # fixed-order unrolled L2 over the component deltas — identical
+    # IEEE accumulation order in both engines
+    sq = None
+    for j in range(dim):
+        d = F.col(f"_u{j}") - F.element_at("centroid", j + 1)
+        term = d * d
+        sq = term if sq is None else sq + term
+    return up.select(
+        "cluster",
+        "n_before",
+        "n_added",
+        F.floor(F.sqrt(sq) * 1_000_000.0 + F.lit(0.5)).cast("long")
+        .alias("shift_micro"),
+        *[F.col(f"_u{j}").alias(f"c{j}") for j in range(min(3, dim))],
+    ).orderBy("cluster")
+
+
 def semdedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -1598,3 +1692,66 @@ def mmr_select(
         ]
     )
     return df.sparkSession.createDataFrame(out_rows, out_schema)
+
+
+def blend_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_df: DataFrame,
+    w_lex: float,
+    w_dense: float,
+    k: int = 15,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Calibrated lexical+dense score-blend rerank — the hybrid
+    retrieval second stage (Ma, Korotkov & Lin 2021's linear
+    interpolation of BM25 and dense scores; Karpukhin et al. 2020 use
+    the same convex-blend form): the BM25 candidate set is re-scored
+    by ``w_lex·lex_norm + w_dense·dense_norm`` where the weights come
+    from a calibration fit (in production, calibration_summary's
+    Platt coefficients — here pinned literals; ranking by the linear
+    blend ≡ ranking by the calibrated sigmoid, since σ is monotone).
+    Normalizations are self-contained and engine-exact: lex_norm =
+    bm25_micro / max(bm25_micro) (two exact longs, one IEEE divide),
+    dense_norm = (cos_r6 + 1)/2 (bounded, no corpus stats).
+
+    Scale shape: the lexical leg is bm25_micro_scores' |q|-term
+    postings plan; the candidate set (docs matching >= 1 query term)
+    joins the embedding table on the ID KEY — one keyed shuffle whose
+    left side is candidates, not corpus; the 1-row query vector and
+    the 1-row max broadcast; top-k is TakeOrderedAndProject. Returns
+    ``(id, bm25_micro, cosine_r6, blend_micro)``."""
+    from denormalized_spark.operators.text import bm25_micro_scores
+
+    lex = bm25_micro_scores(docs, query_terms, id_col=doc_id_col)
+    mx = lex.agg(F.max("bm25_micro").alias("_mx"))
+    dense = emb.crossJoin(F.broadcast(query_df)).select(
+        F.col(vec_id_col).alias(doc_id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_r6"),
+    )
+    blend = F.floor(
+        (
+            F.lit(float(w_lex))
+            * (F.col("bm25_micro").cast("double") / F.col("_mx").cast("double"))
+            + F.lit(float(w_dense))
+            * ((F.col("cosine_r6") + F.lit(1.0)) / F.lit(2.0))
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        lex.join(dense, doc_id_col)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            doc_id_col,
+            "bm25_micro",
+            "cosine_r6",
+            blend.alias("blend_micro"),
+        )
+        .orderBy(F.desc("blend_micro"), F.asc(doc_id_col))
+        .limit(k)
+    )

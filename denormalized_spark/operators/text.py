@@ -1306,6 +1306,29 @@ def bm25_topk(
     grid is ulp-proof (the grid is ~10¹⁰ coarser than a double ulp).
     Ties break by ascending id. Returns ``(id, bm25)``.
     """
+    ms = bm25_micro_scores(df, query_terms, k1, b, id_col, text_col)
+    out = ms.select(
+        id_col, (F.col("bm25_micro") / F.lit(1_000_000.0)).alias("bm25")
+    )
+    return out.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_micro_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-candidate BM25 scores in exact integer micro-units —
+    :func:`bm25_topk`'s scoring core without the top-k, for consumers
+    that re-rank or blend the full lexical candidate set (e.g.
+    operators/similarity.blend_rerank). Same plan contract: postings
+    pruned to the |q| query terms map-side, corpus stats a 1-row
+    broadcast, per-(doc, term) contributions micro-floored so the
+    per-doc sum is partition-order exact. Returns ``(id,
+    bm25_micro)`` for every document matching >= 1 query term."""
     toks = tokens(text_col)
     qlit = [str(x) for x in query_terms]
     ex = (
@@ -1332,13 +1355,11 @@ def bm25_topk(
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
     micro = F.floor(idf * tfn * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
-    out = (
+    return (
         scored.select(F.col(id_col), micro.alias("_m"))
         .groupBy(id_col)
-        .agg(F.sum("_m").alias("_ms"))
-        .select(id_col, (F.col("_ms") / F.lit(1_000_000.0)).alias("bm25"))
+        .agg(F.sum("_m").cast("long").alias("bm25_micro"))
     )
-    return out.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
 def pmi_collocations(

@@ -87,6 +87,10 @@ _DRIVER_PRIORITY = [
     "text_train_linear_langid", "window_rollup_cascade",
     # --- (4) r13 new wave: first 3 take the window's remaining slots;
     # the rest land just past slot 50 to front the r14 window ---
+    "curation_contamination_ngram13", "sim_ivf_incremental",
+    "dedup_paragraph_blocks",
+    # --- r13 overflow (slots 51+): front these in r14 ---
+    "sim_blend_rerank",
 ]
 
 def _reorder(d: dict) -> dict:

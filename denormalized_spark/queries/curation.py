@@ -1290,3 +1290,64 @@ def curation_contamination_sensitivity(spark: SparkSession, sf: str) -> DataFram
     for f_ in frames[1:]:
         out = out.unionAll(f_)
     return out.orderBy("n")
+
+
+@q(
+    "curation_contamination_ngram13",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id, source,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    g AS (SELECT doc_id, source, {_gram_sql(13)} AS grams FROM hh),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 7),
+    cont AS (SELECT DISTINCT x.doc_id
+             FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE doc_id % 20 != 7) x
+             JOIN bench USING (gram))
+    SELECT source,
+           count(*)::BIGINT AS n_corpus,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+           CAST(floor((sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                               THEN 1 ELSE 0 END) * 1000)::DOUBLE
+                / count(*)::DOUBLE + 0.5) AS BIGINT) AS rate_milli
+    FROM documents WHERE doc_id % 20 != 7
+    GROUP BY source ORDER BY source
+    """,
+)
+def curation_contamination_ngram13(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical 13-gram contamination point (the GPT-3 appendix-C
+    / PaLM decontamination rule, run at its PRODUCTION n rather than
+    the small-vocabulary n of curation_decontaminate), broken down by
+    source — the audit that tells a corpus owner WHICH feed is leaking
+    eval data, not just how much. One broadcast-gated decontaminate
+    pass (operators/curation.decontaminate, flags form: the corpus
+    never shuffles; benchmark 13-gram hash set in, contaminated-id
+    set out — both tiny broadcasts), then a per-source rollup.
+    Docs shorter than 13 tokens take shingle_hashes' whole-doc
+    rolling-hash fallback in BOTH engines, so the gram universe is
+    identical. Completes the r12 sensitivity curve (n ∈ {3, 5, 8})
+    with the production operating point, per the r12 advisor's
+    new-wave list."""
+    corpus, bench = _split(spark, sf)
+    flagged = curation.decontaminate(corpus, bench, n=13, return_flags=True)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus"),
+            F.sum(F.col("contaminated").cast("long")).cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_corpus",
+            "n_contaminated",
+            F.floor(
+                (F.col("n_contaminated") * 1000).cast("double")
+                / F.col("n_corpus").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("rate_milli"),
+        )
+        .orderBy("source")
+    )

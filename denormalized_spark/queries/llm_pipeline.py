@@ -6174,3 +6174,220 @@ def sim_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionAll(f_)
     return out.orderBy("k")
+
+
+def _ivf_incr_oracle(dim: int = 64, mod: int = 5, rem: int = 3) -> str:
+    """CTE replay of the Sculley running-mean IVF update: label
+    centroids from the OLD batch, rounded-cosine argmax assignment of
+    both batches, then the per-component blended mean and the
+    micro-floored L2 drift — every float op in the same fixed order
+    the Spark operator unrolls."""
+
+    def assign(src: str) -> str:
+        dot = " + ".join(
+            f"(e.embedding[{j}]::DOUBLE * c.c_{j})" for j in range(1, dim + 1)
+        )
+        nc = (
+            "sqrt("
+            + " + ".join(f"(c.c_{j} * c.c_{j})" for j in range(1, dim + 1))
+            + ")"
+        )
+        return f"""
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(({dot}) / ({_norm_sql('e.embedding')} * {nc}), 6) DESC,
+                              c.cluster ASC
+                   ) AS rn
+            FROM {src} e CROSS JOIN c0 c
+          ) WHERE rn = 1
+        """
+
+    m_cols = ", ".join(
+        f"round(avg(embedding[{j}]::DOUBLE), 6) AS m_{j}" for j in range(1, dim + 1)
+    )
+    u_cols = ", ".join(
+        f"CASE WHEN n_added > 0 THEN "
+        f"round((n_before::DOUBLE * c_{j} + n_added::DOUBLE * m_{j})"
+        f" / (n_before + n_added)::DOUBLE, 6) ELSE c_{j} END AS u_{j}"
+        for j in range(1, dim + 1)
+    )
+    l2 = " + ".join(f"((u_{j} - c_{j}) * (u_{j} - c_{j}))" for j in range(1, dim + 1))
+    return f"""
+    WITH old AS (SELECT * FROM embeddings WHERE vec_id % {mod} != {rem}),
+    newb AS (SELECT * FROM embeddings WHERE vec_id % {mod} = {rem}),
+    c0 AS (SELECT label AS cluster, {_cent_select_sql('embedding')}
+           FROM old GROUP BY label),
+    a_old AS ({assign('old')}),
+    a_new AS ({assign('newb')}),
+    nold AS (SELECT cluster, count(*)::BIGINT AS n_before FROM a_old GROUP BY cluster),
+    nst AS (SELECT cluster, count(*)::BIGINT AS n_added, {m_cols}
+            FROM a_new GROUP BY cluster),
+    up AS (SELECT c0.cluster,
+                  coalesce(nold.n_before, 0)::BIGINT AS n_before,
+                  coalesce(nst.n_added, 0)::BIGINT AS n_added,
+                  c0.* EXCLUDE (cluster), nst.* EXCLUDE (cluster, n_added)
+           FROM c0 LEFT JOIN nold USING (cluster) LEFT JOIN nst USING (cluster)),
+    fin AS (SELECT cluster, n_before, n_added, {u_cols},
+                   {", ".join(f"c_{j}" for j in range(1, dim + 1))}
+            FROM up)
+    SELECT cluster, n_before, n_added,
+           CAST(floor(sqrt({l2}) * 1000000.0 + 0.5) AS BIGINT) AS shift_micro,
+           u_1 AS c0, u_2 AS c1, u_3 AS c2
+    FROM fin ORDER BY cluster
+    """
+
+
+@q("sim_ivf_incremental", _ivf_incr_oracle())
+def sim_ivf_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming IVF index maintenance (operators/similarity.
+    ivf_incremental_update; Sculley 2010's web-scale mini-batch
+    k-means update) — the r12 advisor's "streaming IVF maintenance"
+    new-wave item: an arriving batch (vec_id % 5 == 3 plays the
+    micro-batch) is broadcast-assigned to the existing label-seeded
+    quantizer, then each list's centroid takes the running-mean blend
+    c' = (n·c + m·x̄)/(n + m) from ROUNDED quantities only, and the
+    micro-floored L2 drift per cluster is the refit-scheduling signal.
+    Per-batch cost ∝ batch size (one broadcast-assign + one partial
+    agg + a k-row join), never corpus size — the posture that keeps
+    an IVF index serving while 100 TB accretes. The whole trajectory
+    is value-checked against the DuckDB CTE replay."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 3)
+    new = e.filter(F.col("vec_id") % 5 == 3)
+    cent = similarity.label_centroids(old)
+    return similarity.ivf_incremental_update(old, new, cent)
+
+
+_PB_K = 20  # block size in tokens
+
+
+def _pblock_cte(k: int = _PB_K) -> str:
+    """documents → (doc_id, block_idx, block_hash): the same
+    non-overlapping k-token rolling-hash blocks paragraph_blocks
+    projects (one md5 per token, (acc·31 + h) mod 2^32 fold)."""
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    blk AS (SELECT doc_id, u.b AS block_idx,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                                  th[u.b * {k} + 1 : least((u.b + 1) * {k}, len(th))]),
+                     (acc, x) -> (acc * 31 + x) % 4294967296) AS block_hash
+            FROM hh,
+                 (SELECT unnest(range(0, greatest(ceil(len(th) / {k})::INT, 1))) AS b) u)
+    """
+
+
+@q(
+    "dedup_paragraph_blocks",
+    _pblock_cte()
+    + """
+    , dup AS (SELECT block_hash FROM blk GROUP BY block_hash
+              HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_blocks,
+           sum(CASE WHEN block_hash IN (SELECT block_hash FROM dup)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
+           CAST(floor((sum(CASE WHEN block_hash IN (SELECT block_hash FROM dup)
+                                THEN 1 ELSE 0 END) * 1000)::DOUBLE
+                / count(*)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_milli
+    FROM blk GROUP BY doc_id
+    HAVING sum(CASE WHEN block_hash IN (SELECT block_hash FROM dup)
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level substring dedup (operators/dedup.
+    paragraph_block_dedup) — the r12 advisor's new-wave item: the
+    distributable fixed-block relaxation of Lee et al. 2021's
+    suffix-array ExactSubstr. Per document, the count and fraction of
+    its 20-token blocks that also appear in another document — the
+    passage-reuse signal doc-level minhash misses. Blocks are a
+    scan-side projection (no shuffle); the duplicated-hash set is one
+    uniformly-keyed aggregation at corpus_tokens/20 volume; the
+    rollup re-joins on the same key."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    return dedup.paragraph_block_dedup(d, block_tokens=_PB_K)
+
+
+# Platt-style calibration weights for the hybrid blend (in production
+# these are calibration_summary's fitted (A, B) rescaled; pinned here
+# so both engines replay the same literals)
+_BLEND_W_LEX, _BLEND_W_DENSE = 1.7159, 2.3481
+
+
+@q(
+    "sim_blend_rerank",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM tok WHERE term IN ('scan', 'join', 'filter')
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(len({_TOKS})) AS sdl FROM documents
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             floor(
+               ln(1.0 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * ((tf * (1.2::DOUBLE + 1.0))
+                  / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75)
+                                         + 0.75::DOUBLE * dl / (sdl::DOUBLE / n))))
+               * 1000000.0 + 0.5
+             )::BIGINT AS m
+      FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+    ),
+    lex AS (SELECT doc_id, sum(m)::BIGINT AS bm25_micro FROM scored GROUP BY doc_id),
+    mx AS (SELECT max(bm25_micro)::BIGINT AS mxv FROM lex),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             round(({_dot_sql('e.embedding', 'q')})
+                   / ({_norm_sql('e.embedding')} * {_norm_sql('q')}), 6) AS cosine_r6
+      FROM embeddings e CROSS JOIN qv
+    )
+    SELECT lex.doc_id, bm25_micro, cosine_r6,
+           CAST(floor(
+             ({_BLEND_W_LEX}::DOUBLE * (bm25_micro::DOUBLE / mxv::DOUBLE)
+              + {_BLEND_W_DENSE}::DOUBLE * ((cosine_r6 + 1.0::DOUBLE) / 2.0::DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS blend_micro
+    FROM lex JOIN dense USING (doc_id) CROSS JOIN mx
+    ORDER BY blend_micro DESC, doc_id ASC LIMIT 15
+    """,
+)
+def sim_blend_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibrated lexical+dense score-blend rerank (operators/
+    similarity.blend_rerank; Ma, Korotkov & Lin 2021's BM25-dense
+    linear interpolation) — the r12 advisor's "calibrated score-blend
+    rerank" new-wave item. The BM25 candidate set for the fixed query
+    {scan, join, filter} is re-scored by w_lex·lex_norm +
+    w_dense·dense_norm with pinned Platt-style weights (ranking by
+    the linear blend ≡ by the calibrated sigmoid — σ is monotone);
+    lex_norm divides two exact longs, dense_norm is the bounded
+    (cos_r6+1)/2, and the blend is micro-floored before ranking so
+    both engines break ties on doc_id identically. One keyed
+    candidate-side join + two 1-row broadcasts + TakeOrdered."""
+    from denormalized_spark.operators import similarity
+
+    d = t(spark, sf, "documents")
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return similarity.blend_rerank(
+        d, e, ["scan", "join", "filter"], qv,
+        w_lex=_BLEND_W_LEX, w_dense=_BLEND_W_DENSE, k=15,
+    )

@@ -921,3 +921,49 @@ class TestFellegiSunter:
             )
         with pytest.raises(ValueError, match="non-empty"):
             dedup.fellegi_sunter_scores(self._pairs(spark), [])
+
+
+def test_paragraph_block_dedup_hand_computed(spark):
+    """Two docs sharing their first 4-token block (k=4) are both
+    flagged with 1 duplicated block; a unique doc is absent."""
+    from denormalized_spark.operators.dedup import paragraph_block_dedup
+
+    shared = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " e f g h i"),   # blocks: [a b c d], [e f g h], [i]
+            (2, shared + " x y z"),        # blocks: [a b c d], [x y z]
+            (3, "p q r s t u v w"),        # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_block_dedup(docs, block_tokens=4).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_blocks, out[1].n_dup_blocks) == (3, 1)
+    assert (out[2].n_blocks, out[2].n_dup_blocks) == (2, 1)
+    assert out[1].dup_frac_milli == 333  # floor(1000/3 + .5)
+    assert out[2].dup_frac_milli == 500
+
+
+def test_paragraph_blocks_trailing_partial_and_short_doc(spark):
+    from denormalized_spark.operators.dedup import paragraph_blocks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    )
+    rows = paragraph_blocks(docs, block_tokens=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: one full block + one trailing partial
+    assert [r.block_idx for r in sorted(by_doc[1], key=lambda r: r.block_idx)] == [0, 1]
+    # doc 2: a single sub-k block, still emitted
+    assert len(by_doc[2]) == 1
+    # identical token prefixes hash equal across docs
+    docs2 = spark.createDataFrame(
+        [(10, "a b c d zzz")], "doc_id long, text string"
+    )
+    h1 = sorted(by_doc[1], key=lambda r: r.block_idx)[0].block_hash
+    h2 = paragraph_blocks(docs2, block_tokens=4).collect()
+    h2 = sorted(h2, key=lambda r: r.block_idx)[0].block_hash
+    assert h1 == h2

@@ -954,3 +954,80 @@ def test_mmr_preserves_non_long_id_type(spark):
     out_i = mmr_select(df_i, [1.0, 0.0], k=1)
     assert isinstance(out_i.schema["vec_id"].dataType, IntegerType)
     assert out_i.collect()[0].vec_id == 7
+
+
+def test_ivf_incremental_update_hand_computed(spark):
+    """Sculley running-mean update on a 2-cluster, 2-dim fixture:
+    blend, counts, and micro-floored L2 drift all hand-computed."""
+    from denormalized_spark.operators.similarity import (
+        ivf_incremental_update,
+        label_centroids,
+    )
+
+    # old batch: cluster 0 at x-axis, cluster 1 at y-axis
+    old = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.2], 0),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # new batch: two vectors near cluster 0, none near cluster 1
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.4]), (11, [1.0, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = label_centroids(old, dim=2)
+    out = {
+        r.cluster: r
+        for r in ivf_incremental_update(old, new, cent, dim=2).collect()
+    }
+    # cluster 0: c = (1.0, 0.1), n=2; new mean = (1.0, 0.5), m=2
+    # c' = ((2*1.0 + 2*1.0)/4, (2*0.1 + 2*0.5)/4) = (1.0, 0.3)
+    r0 = out[0]
+    assert (r0.n_before, r0.n_added) == (2, 2)
+    assert (r0.c0, r0.c1) == (1.0, 0.3)
+    import math
+
+    exp_shift = math.floor(math.sqrt(0.0 + 0.2 * 0.2) * 1e6 + 0.5)
+    assert r0.shift_micro == exp_shift
+    # cluster 1: nothing arrives -> unchanged, zero drift
+    r1 = out[1]
+    assert (r1.n_before, r1.n_added, r1.shift_micro) == (1, 0, 0)
+    assert (r1.c0, r1.c1) == (0.0, 1.0)
+
+
+def test_blend_rerank_hand_computed(spark):
+    """Blend = w_lex·(bm25/max) + w_dense·(cos+1)/2, micro-floored;
+    candidates are the lexical-match set only."""
+    from denormalized_spark.operators.similarity import blend_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan scan scan x"),   # strong lexical
+            (2, "scan y z w"),          # weak lexical
+            (3, "nothing here at all"), # no match -> not a candidate
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qv = spark.createDataFrame([([1.0, 0.0],)], "qvec array<double>")
+    out = blend_rerank(
+        docs, emb, ["scan"], qv, w_lex=1.0, w_dense=1.0, k=10
+    ).collect()
+    assert [r.doc_id for r in out] == [2, 1]  # doc 3 excluded
+    by = {r.doc_id: r for r in out}
+    # doc 2: lex_norm = bm25_2/max, dense = (1+1)/2 = 1
+    assert by[2].cosine_r6 == 1.0 and by[1].cosine_r6 == 0.0
+    mx = max(by[1].bm25_micro, by[2].bm25_micro)
+    assert mx == by[1].bm25_micro  # tf=3 beats tf=1
+    import math
+
+    exp2 = math.floor((by[2].bm25_micro / mx + 1.0) * 1e6 + 0.5)
+    exp1 = math.floor((1.0 + 0.5) * 1e6 + 0.5)
+    assert by[2].blend_micro == exp2
+    assert by[1].blend_micro == exp1

@@ -38,6 +38,8 @@ ALLOW_BNLJ = {
     "sim_topk_quantized_query0",  # same 1-row broadcast over the quantized store
     "sim_ivf_topk_query0",   # broadcast 1-row query vector / tiny centroid table
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
+    "sim_ivf_incremental",   # same broadcast k-centroid crossJoin (assign of both batches)
+    "sim_blend_rerank",      # 1-row query-vector + 1-row max-bm25 broadcasts — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
     "sim_batch_topk",        # broadcast query-block crossJoin — constant fan-out (8 rows)
@@ -169,6 +171,7 @@ ALLOW_SINGLE_PART = {
     "graph_pagerank_events", # 1-row dangling-mass aggregate (metadata)
     "graph_pagerank_weighted",  # same 1-row aggregate
     "text_bm25_topk",        # 1-row corpus-stats aggregate (N, sum dl)
+    "sim_blend_rerank",      # same 1-row corpus-stats + 1-row max-bm25 aggregates
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
