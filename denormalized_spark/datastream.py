@@ -335,6 +335,26 @@ class DataStream:
         no shuffle."""
         return self._wrap(self._df.unpivot(list(ids), list(values), var_name, value_name))
 
+    def pivot_agg(
+        self,
+        group_cols: Sequence[Column | str],
+        pivot_col: str,
+        pivot_values: Sequence[str],
+        aggr_exprs: Sequence[Column],
+    ) -> "DataStream":
+        """Long→wide pivot: one output column per (pivot value, agg).
+        ``pivot_values`` is REQUIRED (not inferred): an explicit value
+        list keeps the schema static and skips the extra distinct-scan
+        job Spark otherwise runs to discover values — the only form
+        that's sane at 100 TB, and the only one whose schema a
+        downstream contract can depend on. One shuffle (same keyed agg
+        as group_by; the pivot is column fan-out, not row fan-out)."""
+        return self._wrap(
+            self._df.groupBy(*[_as_col(c) for c in group_cols])
+            .pivot(pivot_col, list(pivot_values))
+            .agg(*aggr_exprs)
+        )
+
     def join_asof(
         self,
         right: "DataStream | DataFrame",

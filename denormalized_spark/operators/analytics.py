@@ -3231,3 +3231,155 @@ def cohort_ltv(
             ).cast("long").alias("ltv_per_user_milli"),
         )
     )
+
+
+def ipw_ate_stratified(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with
+    STRATIFIED (empirical) propensities — Rosenbaum & Rubin 1983's
+    subclassification estimator in its IPW form, the workhorse of
+    observational A/B readouts where exposure wasn't randomized: the
+    per-stratum propensity ê_s = n_treat_s / n_s reweights each
+    stratum's treated and control means, removing confounding carried
+    by the stratum variable.
+
+    Per stratum s the IPW contribution to the ATE is
+
+        (Σ_{T=1} y)·n_s/n_treat_s − (Σ_{T=0} y)·n_s/(n_s − n_treat_s)
+        ─────────────────────────────────────────────────────────────
+                                  N
+
+    Engine-exact: counts and value sums are exact integers
+    (``value_col`` must be integer units — cents); each stratum's
+    contribution is a fixed-order IEEE expression over those
+    integers, milli-floored (one floored division per output —
+    quantized-estimator semantics); the 'ALL' rollup row is the EXACT
+    integer sum of the per-stratum floored contributions (Σ of floors,
+    not floor of Σ — pinned, documented grid semantics). Strata where
+    either arm is empty contribute 0 (positivity violation — flagged
+    by the NULL propensity passing through as n_treat 0 or n_s).
+
+    Scale shape: ONE stratum-keyed partial/final aggregation over the
+    corpus + a metadata-sized rollup union — no joins, no corpus
+    re-scan. Returns one row per stratum plus the 'ALL' row:
+    ``(stratum, n, n_treat, propensity_milli, ate_term_milli)``."""
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(treat_col).cast("long")).cast("long").alias("n_treat"),
+        F.sum(
+            F.when(F.col(treat_col).cast("boolean"), F.col(value_col)).otherwise(0)
+        ).cast("long").alias("_sy_t"),
+        F.sum(
+            F.when(~F.col(treat_col).cast("boolean"), F.col(value_col)).otherwise(0)
+        ).cast("long").alias("_sy_c"),
+    )
+    total = per.agg(F.sum("n").cast("long").alias("_N"))
+    term = F.when(
+        (F.col("n_treat") > 0) & (F.col("n_treat") < F.col("n")),
+        F.floor(
+            (
+                F.col("_sy_t").cast("double")
+                * F.col("n").cast("double")
+                / F.col("n_treat").cast("double")
+                - F.col("_sy_c").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n") - F.col("n_treat")).cast("double")
+            )
+            / F.col("_N").cast("double")
+            * F.lit(1000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    strata = per.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n",
+        "n_treat",
+        F.floor(
+            (F.col("n_treat") * 1000).cast("double") / F.col("n").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("propensity_milli"),
+        term.alias("ate_term_milli"),
+    )
+    rollup = strata.agg(
+        F.lit("ALL").alias("stratum"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_treat").cast("long").alias("n_treat"),
+        F.floor(
+            (F.sum("n_treat") * 1000).cast("double")
+            / F.sum("n").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("propensity_milli"),
+        F.sum("ate_term_milli").cast("long").alias("ate_term_milli"),
+    )
+    return strata.unionAll(rollup).orderBy("stratum")
+
+
+def seasonal_strength(
+    df: DataFrame,
+    window_ms: int = 3600_000,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal-strength feature F_s = max(0, 1 − Var(R)/Var(S+R))
+    (Wang, Smith & Hyndman 2006 — the time-series feature behind
+    Hyndman's feasts/FPP "strength of seasonality"): how much of a
+    series' variance the seasonal component explains, the one number
+    that decides whether a seasonally-aware monitor (seasonal_
+    residuals) is worth running on a key. Built on the SAME quantized
+    hourly decomposition as :func:`seasonal_residuals`: S is the
+    micro-floored per-(key, hour-of-day) mean, R = X − S exact on the
+    micro grid.
+
+    Engine-exact: X_micro and R_micro are exact longs; both variances
+    share the same m, so Var(R)/Var(X) = (m·ΣR² − (ΣR)²)/(m·ΣX² −
+    (ΣX)²) — numerator and denominator are EXACT decimal(38)/HUGEINT
+    integers, the single division is one IEEE op, milli-floored.
+
+    Scale shape: one window-count agg (corpus-linear), one
+    (key, hour) mean over the window table, one key-keyed moment agg
+    — all metadata-sized after the first. Returns ``(group,
+    n_windows, strength_milli)``."""
+    gcols = group_cols or ["event_type"]
+    secs = f"{window_ms // 1000} seconds"
+    counts = (
+        df.groupBy(F.window(F.col(ts_col), secs).alias("_w"), *gcols)
+        .agg(F.count("*").alias("n"))
+        .select(*gcols, F.col("_w.start").alias("_ws"), "n")
+        .withColumn("hod", F.hour("_ws"))
+    )
+    seasonal = counts.groupBy(*gcols, "hod").agg(
+        F.floor(F.avg("n") * 1_000_000 + F.lit(0.5)).cast("long")
+        .alias("_s_micro")
+    )
+    base = counts.join(F.broadcast(seasonal), [*gcols, "hod"]).select(
+        *gcols,
+        (F.col("n") * 1_000_000).cast("long").alias("_x"),
+        (F.col("n") * 1_000_000 - F.col("_s_micro")).cast("long").alias("_r"),
+    )
+    dx = F.col("_x").cast("decimal(19,0)")
+    dr = F.col("_r").cast("decimal(19,0)")
+    mom = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(dx).cast("decimal(38,0)").alias("_sx"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("_sx2"),
+        F.sum(dr).cast("decimal(38,0)").alias("_sr"),
+        F.sum(dr * dr).cast("decimal(38,0)").alias("_sr2"),
+    )
+    m = F.col("n_windows").cast("decimal(38,0)")
+    var_r = (m * F.col("_sr2") - F.col("_sr") * F.col("_sr")).cast("double")
+    var_x = (m * F.col("_sx2") - F.col("_sx") * F.col("_sx")).cast("double")
+    strength = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var_r / var_x
+    )
+    return mom.select(
+        *gcols,
+        "n_windows",
+        F.when(
+            var_x > 0,
+            F.floor(strength * F.lit(1000.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("strength_milli"),
+    ).orderBy(*gcols)

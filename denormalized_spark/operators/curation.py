@@ -1294,3 +1294,93 @@ def span_corruption_plan(
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("mask_rate_milli"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): give
+    stratum h the share n_h ∝ N_h·S_h of the sampling ``budget`` —
+    the allocation that minimizes the stratified-mean variance for a
+    fixed total n, the first sizing decision of any corpus
+    subsampling / eval-panel draw. Integer seats come from the
+    LARGEST-REMAINDER method (Hamilton), so the allocations sum to
+    the budget exactly.
+
+    Engine-exact, and almost entirely integer: per-stratum Σy and Σy²
+    are exact longs; S_h is one fixed-order IEEE expression
+    (sqrt((n·Σy² − (Σy)²)/(n·(n−1)))) micro-floored to the integer
+    weight w_h = ⌊N_h·S_h·10⁶⌉; base seats are EXACT integer division
+    (budget·w_h) DIV Σw, remainders EXACT integer modulo, and the
+    leftover seats go to the largest remainders (stratum-asc
+    tiebreak) — no float ever decides a seat. (At 100 TB move Σy² to
+    DECIMAL(38) — the value column here is bounded so a long's 2^63
+    headroom suffices.)
+
+    Scale shape: ONE stratum-keyed partial/final agg over the corpus;
+    everything after is a k-row metadata table (a k-row window for
+    the remainder ranking). Returns ``(stratum, n_rows, sigma_micro,
+    w_micro, alloc)`` with Σ alloc = budget."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("_sy"),
+        F.sum(
+            (F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+        ).cast("long").alias("_sy2"),
+    )
+    num = (
+        F.col("n_rows").cast("double") * F.col("_sy2").cast("double")
+        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    den = (
+        F.col("n_rows").cast("double")
+        * (F.col("n_rows") - F.lit(1)).cast("double")
+    )
+    sigma = F.when(
+        F.col("n_rows") > 1, F.sqrt(F.greatest(num, F.lit(0.0)) / den)
+    ).otherwise(F.lit(0.0))
+    w = per.select(
+        "stratum",
+        "n_rows",
+        F.floor(sigma * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        .alias("sigma_micro"),
+        F.floor(
+            F.col("n_rows").cast("double") * sigma * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("_tw"))
+    seats = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sigma_micro",
+        "w_micro",
+        F.expr(f"CAST({budget} AS BIGINT) * w_micro DIV _tw").cast("long")
+        .alias("_base"),
+        F.expr(f"(CAST({budget} AS BIGINT) * w_micro) % _tw").cast("long")
+        .alias("_rem"),
+    )
+    extras = seats.agg(
+        (F.lit(int(budget)) - F.sum("_base")).cast("long").alias("_extra")
+    )
+    rk = Window.orderBy(F.desc("_rem"), F.asc("stratum"))
+    return (
+        seats.crossJoin(F.broadcast(extras))
+        .withColumn("_rk", F.row_number().over(rk))
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma_micro",
+            "w_micro",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_extra"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("stratum")
+    )

@@ -1920,3 +1920,97 @@ def paragraph_block_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a new chunk
+    starts at every token whose 32-bit hash ≡ 0 (mod ``boundary_mod``)
+    — the hash-anchored cut rule of CDC dedup (Muthitacharoen et al.
+    2001's LBFS; gear/FastCDC are the byte-level descendants), giving
+    expected ``boundary_mod``-token chunks whose BOUNDARIES MOVE WITH
+    CONTENT: an insertion early in a document shifts fixed blocks
+    (paragraph_blocks) permanently out of alignment but re-synchronizes
+    CDC chunks at the next anchor — the shift-robustness that makes
+    CDC the storage-dedup standard.
+
+    Scale shape: one posexplode (scan-side), one per-doc windowed
+    prefix sum for the chunk id (doc-keyed, bounded state), one
+    (doc, chunk) grouped ordered fold for the rolling chunk hash —
+    all shuffles on the doc key. Emits ``(id, chunk_idx, n_tokens,
+    chunk_hash)`` with the same (acc·31 + h) mod 2^32 rolling hash as
+    paragraph_blocks, so the two chunkers' outputs are directly
+    comparable."""
+    from pyspark.sql import Window
+
+    from denormalized_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.transform(toks, token_hash32))
+        .alias("_pos", "_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grp = ex.withColumn(
+        "_flag", (F.col("_h") % boundary_mod == 0).cast("int")
+    ).withColumn("chunk_idx", F.sum("_flag").over(w).cast("long"))
+    per = grp.groupBy(id_col, "chunk_idx").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_h"))),
+                lambda s: s["_h"],
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(SHINGLE_MOD),
+        ).alias("chunk_hash"),
+    )
+    return per
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Cross-document duplicated-chunk report over CDC chunks — the
+    shift-robust twin of :func:`paragraph_block_dedup` (same output
+    schema, same duplicated-hash aggregation, chunker swapped), so a
+    pipeline can A/B the two chunkers on the same corpus. Returns
+    docs with >= 1 cross-document duplicated chunk: ``(id, n_chunks,
+    n_dup_chunks, dup_frac_milli)``."""
+    chunks = cdc_chunks(df, id_col, text_col, boundary_mod)
+    dup_hashes = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = chunks.join(
+        dup_hashes.withColumn("_dup", F.lit(1)), "chunk_hash", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.floor(
+                (F.col("n_dup_chunks") * 1000).cast("double")
+                / F.col("n_chunks").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("dup_frac_milli"),
+        )
+        .orderBy(id_col)
+    )

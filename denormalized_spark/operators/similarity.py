@@ -1755,3 +1755,48 @@ def blend_rerank(
         .orderBy(F.desc("blend_micro"), F.asc(doc_id_col))
         .limit(k)
     )
+
+
+def split_centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding-centroid drift between two corpus splits —
+    the train/serve skew check every embedding pipeline runs before
+    trusting a split (a group whose two half-centroids diverge is
+    either drifting or too small to trust). For each label present in
+    either split: both counts and the 6-rounded cosine between the
+    two half-centroids (1.0 = identical direction).
+
+    Engine-exact: each half-centroid is the 6-rounded per-component
+    mean (label_centroids' contract); the cosine runs the shared
+    fixed-order fold over those rounded components, then rounds.
+
+    Scale shape: two partial/final per-label aggs (map-side combine)
+    + one k-row join — no corpus-sized shuffle beyond the keyed aggs.
+    Returns ``(label, n_a, n_b, drift_cosine_r6)``."""
+    ca = label_centroids(a, label_col, vec_col, dim, round_digits).select(
+        F.col("cluster").alias(label_col), F.col("centroid").alias("_ca")
+    )
+    cb = label_centroids(b, label_col, vec_col, dim, round_digits).select(
+        F.col("cluster").alias(label_col), F.col("centroid").alias("_cb")
+    )
+    na = a.groupBy(label_col).agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.groupBy(label_col).agg(F.count("*").cast("long").alias("n_b"))
+    return (
+        ca.join(cb, label_col)
+        .join(na, label_col)
+        .join(nb, label_col)
+        .select(
+            label_col,
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("_ca"), F.col("_cb")), round_digits)
+            .alias("drift_cosine_r6"),
+        )
+        .orderBy(label_col)
+    )

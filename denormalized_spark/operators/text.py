@@ -2012,3 +2012,138 @@ def rake_keywords(
         .orderBy(F.desc("score_milli"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+def absolute_discount_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Absolute-discounting bigram language model (Ney, Essen &
+    Kneser 1994 — the discounting rule Kneser-Ney inherits), with the
+    Kneser-Ney CONTINUATION distribution as the back-off:
+
+        P_AD(w2|w1) = (max(c12 − D, 0) + D·T(w1)·P_cont(w2)) / c1
+        P_cont(w2)  = |{w : c(w, w2) > 0}| / |distinct bigram types|
+
+    The top-``k`` bigrams by count (ties lexicographic) are emitted
+    with the MLE and the discounted probability side by side — the
+    diagnostic table an LM-smoothing choice is made from (AD moves
+    mass from frequent-but-expected pairs toward pairs with diverse
+    continuations).
+
+    Engine-exact: every count is an exact integer; the formula is one
+    fixed-order IEEE expression over those integers and the literal
+    D, micro-floored (the repo's quantized-estimator discipline) —
+    no transcendentals at all.
+
+    Scale shape: pair generation is a per-row zip_with (no shuffle);
+    one pair-keyed count; marginals/continuation tables derive from
+    the pair table (no second corpus pass; vocab-sized, AQE picks
+    the join strategy); one 1-row type-count broadcast; k-row
+    TakeOrdered. Returns ``(w1, w2, n_xy, n_x, p_mle_micro,
+    p_ad_micro)``."""
+    toks = tokens(text_col)
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.select(F.explode(pairs_arr).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_xy"))
+    )
+    left = pairs.groupBy("w1").agg(
+        F.sum("n_xy").cast("long").alias("n_x"),
+        F.count("*").cast("long").alias("n_follow"),
+    )
+    cont = pairs.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    types = pairs.agg(F.count("*").cast("long").alias("_nt"))
+    d_lit = F.lit(float(discount))
+    p_ad = (
+        (
+            F.greatest(F.col("n_xy").cast("double") - d_lit, F.lit(0.0))
+            + d_lit
+            * F.col("n_follow").cast("double")
+            * (F.col("n_pred").cast("double") / F.col("_nt").cast("double"))
+        )
+        / F.col("n_x").cast("double")
+    )
+    return (
+        pairs.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            F.floor(
+                F.col("n_xy").cast("double") / F.col("n_x").cast("double")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("p_mle_micro"),
+            F.floor(p_ad * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+            .alias("p_ad_micro"),
+        )
+        .orderBy(F.desc("n_xy"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def flesch_kincaid_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch-Kincaid grade level per group (Kincaid et al. 1975 —
+    0.39·(words/sentences) + 11.8·(syllables/word) − 15.59), the
+    readability gate corpus curation stacks run beside the Gopher
+    rules. Syllables use the standard vowel-group proxy (count of
+    ``[aeiou]+`` runs, min 1 per word); this corpus has no sentence
+    punctuation, so each document is ONE sentence (words/sentences =
+    word count — documented, deterministic; real corpora would split
+    on [.!?]).
+
+    Engine-exact: word and vowel-group counts are exact integers per
+    document; the grade is one fixed-order IEEE expression over them,
+    milli-floored per document; the group mean divides two exact
+    longs then milli-floors.
+
+    Scale shape: per-row projection (regexp over each token — scan
+    speed, no Python), one group-keyed partial/final agg. Returns
+    ``(group, n_docs, avg_fk_milli)``."""
+    toks = tokens(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiou]+")), F.lit(1)).cast("long"),
+    )
+    grade_milli = F.floor(
+        (
+            F.lit(0.39) * n_words.cast("double")
+            + F.lit(11.8) * (syl.cast("double") / n_words.cast("double"))
+            - F.lit(15.59)
+        )
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per = df.select(F.col(group_col).alias("grp"), grade_milli.alias("_g"))
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.floor(
+                F.sum("_g").cast("double") / F.count("*").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("avg_fk_milli"),
+        )
+        .orderBy("grp")
+    )

@@ -90,7 +90,10 @@ _DRIVER_PRIORITY = [
     "curation_contamination_ngram13", "sim_ivf_incremental",
     "dedup_paragraph_blocks",
     # --- r13 overflow (slots 51+): front these in r14 ---
-    "sim_blend_rerank",
+    "sim_blend_rerank", "sim_split_drift", "events_ipw_ate",
+    "curation_neyman_alloc", "dedup_eval_pairs", "dedup_cdc_chunks",
+    "text_ad_bigram", "text_readability_fk", "pivot_user_event_matrix",
+    "events_seasonal_strength",
 ]
 
 def _reorder(d: dict) -> dict:

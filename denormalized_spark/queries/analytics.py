@@ -2926,3 +2926,117 @@ def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
         "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     )
     return cohort_ltv(e, value_col="cents").orderBy("cohort", "offset")
+
+
+@q(
+    "events_ipw_ate",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN (('0x' || substr(md5('ipw:' || CAST(event_id AS VARCHAR)),
+                         1, 8))::BIGINT / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    per AS (
+      SELECT event_type AS stratum,
+             count(*)::BIGINT AS n,
+             sum(t)::BIGINT AS n_treat,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS sy_t,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS sy_c
+      FROM e GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nn FROM per),
+    strata AS (
+      SELECT stratum, n, n_treat,
+             CAST(floor((n_treat * 1000)::DOUBLE / n::DOUBLE + 0.5) AS BIGINT)
+               AS propensity_milli,
+             CASE WHEN n_treat > 0 AND n_treat < n THEN
+               CAST(floor(
+                 (sy_t::DOUBLE * n::DOUBLE / n_treat::DOUBLE
+                  - sy_c::DOUBLE * n::DOUBLE / (n - n_treat)::DOUBLE)
+                 / nn::DOUBLE * 1000.0 + 0.5) AS BIGINT)
+             ELSE 0 END AS ate_term_milli
+      FROM per CROSS JOIN tot
+    )
+    SELECT * FROM (
+      SELECT * FROM strata
+      UNION ALL
+      SELECT 'ALL', sum(n)::BIGINT, sum(n_treat)::BIGINT,
+             CAST(floor((sum(n_treat) * 1000)::DOUBLE / sum(n)::DOUBLE + 0.5)
+                  AS BIGINT),
+             sum(ate_term_milli)::BIGINT
+      FROM strata
+    ) ORDER BY stratum
+    """,
+)
+def events_ipw_ate(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified inverse-propensity-weighted ATE (operators/
+    analytics.ipw_ate_stratified; Rosenbaum & Rubin 1983): a
+    deterministic md5 exposure bit (curation.sample_fraction's
+    cross-engine RNG, seed 'ipw:') plays the non-randomized
+    treatment, event value-cents the outcome, event_type the
+    confounding stratum. One stratum-keyed aggregation + a metadata
+    rollup; per-stratum contributions milli-floored, the ALL row the
+    exact integer sum of the floors."""
+    from denormalized_spark.operators.analytics import ipw_ate_stratified
+    from denormalized_spark.operators.curation import sample_fraction
+
+    e = t(spark, sf, "events").select(
+        "event_type",
+        (sample_fraction("event_id", "ipw:") < 0.5).cast("int").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return ipw_ate_stratified(e, "t", "cents", "event_type")
+
+
+@q(
+    "events_seasonal_strength",
+    """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (SELECT event_type, ws, n, extract(hour FROM ws) AS hod FROM c),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(floor(avg(n) * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM h GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT h.event_type,
+             (h.n * 1000000)::HUGEINT AS x,
+             (h.n * 1000000 - s.s_micro)::HUGEINT AS r
+      FROM h JOIN seas s ON s.event_type = h.event_type AND s.hod = h.hod
+    ),
+    mom AS (
+      SELECT event_type, count(*)::BIGINT AS n_windows,
+             sum(x)::HUGEINT AS sx, sum(x * x)::HUGEINT AS sx2,
+             sum(r)::HUGEINT AS sr, sum(r * r)::HUGEINT AS sr2
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n_windows,
+           CASE WHEN (n_windows::HUGEINT * sx2 - sx * sx)::DOUBLE > 0 THEN
+             CAST(floor(greatest(0.0,
+               1.0 - (n_windows::HUGEINT * sr2 - sr * sr)::DOUBLE
+                     / (n_windows::HUGEINT * sx2 - sx * sx)::DOUBLE)
+               * 1000.0 + 0.5) AS BIGINT)
+           ELSE 0::BIGINT END AS strength_milli
+    FROM mom ORDER BY event_type
+    """,
+)
+def events_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength feature per event type (operators/analytics.
+    seasonal_strength; Wang, Smith & Hyndman 2006 — FPP's "strength
+    of seasonality" F_s = max(0, 1 − Var(R)/Var(S+R))) on the same
+    quantized hourly decomposition as events_seasonal_residuals.
+    Both variances share m, so the ratio is (m·ΣR² − (ΣR)²)/(m·ΣX² −
+    (ΣX)²) over EXACT decimal38/HUGEINT sums — one IEEE division,
+    milli-floored. One window-count agg, then metadata-sized
+    moments."""
+    from denormalized_spark.operators.analytics import seasonal_strength
+
+    e = t(spark, sf, "events")
+    return seasonal_strength(e)

@@ -1351,3 +1351,63 @@ def curation_contamination_ngram13(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_NEYMAN_BUDGET = 200
+
+
+@q(
+    "curation_neyman_alloc",
+    f"""
+    WITH per AS (
+      SELECT source AS stratum,
+             count(*)::BIGINT AS n_rows,
+             sum(n_chars)::BIGINT AS sy,
+             sum(n_chars * n_chars)::BIGINT AS sy2
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT stratum, n_rows,
+             CAST(floor(
+               CASE WHEN n_rows > 1 THEN
+                 sqrt(greatest(n_rows::DOUBLE * sy2::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE, 0.0)
+                      / (n_rows::DOUBLE * (n_rows - 1)::DOUBLE))
+               ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS sigma_micro,
+             CAST(floor(
+               n_rows::DOUBLE *
+               CASE WHEN n_rows > 1 THEN
+                 sqrt(greatest(n_rows::DOUBLE * sy2::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE, 0.0)
+                      / (n_rows::DOUBLE * (n_rows - 1)::DOUBLE))
+               ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM per
+    ),
+    tot AS (SELECT sum(w_micro)::BIGINT AS tw FROM w),
+    seats AS (
+      SELECT stratum, n_rows, sigma_micro, w_micro,
+             ({_NEYMAN_BUDGET}::BIGINT * w_micro) // tw AS base,
+             ({_NEYMAN_BUDGET}::BIGINT * w_micro) % tw AS rem
+      FROM w CROSS JOIN tot
+    ),
+    ex AS (SELECT ({_NEYMAN_BUDGET} - sum(base))::BIGINT AS extra FROM seats)
+    SELECT stratum, n_rows, sigma_micro, w_micro,
+           (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                             <= extra THEN 1 ELSE 0 END)::BIGINT AS alloc
+    FROM seats CROSS JOIN ex
+    ORDER BY stratum
+    """,
+)
+def curation_neyman_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (operators/
+    curation.neyman_allocation; Neyman 1934 + Hamilton largest-
+    remainder seats): how a 200-doc eval panel should split across
+    sources when within-source length variance differs — the
+    variance-minimizing n_h ∝ N_h·S_h rule. One source-keyed agg;
+    seats decided ENTIRELY in integer arithmetic (micro-floored
+    weights, integer DIV/MOD, remainder ranking over the k-row
+    metadata table), so Σ alloc = 200 exactly in both engines."""
+    from denormalized_spark.operators.curation import neyman_allocation
+
+    d = t(spark, sf, "documents")
+    return neyman_allocation(d, "source", "n_chars", _NEYMAN_BUDGET)

@@ -6391,3 +6391,246 @@ def sim_blend_rerank(spark: SparkSession, sf: str) -> DataFrame:
         d, e, ["scan", "join", "filter"], qv,
         w_lex=_BLEND_W_LEX, w_dense=_BLEND_W_DENSE, k=15,
     )
+
+
+@q(
+    "sim_split_drift",
+    f"""
+    WITH a AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+    ca AS (SELECT label, {_cent_select_sql('embedding')} FROM a GROUP BY label),
+    cb AS (SELECT label, {_cent_select_sql('embedding')} FROM b GROUP BY label),
+    na AS (SELECT label, count(*)::BIGINT AS n_a FROM a GROUP BY label),
+    nb AS (SELECT label, count(*)::BIGINT AS n_b FROM b GROUP BY label)
+    SELECT ca.label, n_a, n_b,
+           round(({" + ".join(f"(ca.c_{j} * cb.c_{j})" for j in range(1, 65))})
+                 / (sqrt({" + ".join(f"(ca.c_{j} * ca.c_{j})" for j in range(1, 65))})
+                    * sqrt({" + ".join(f"(cb.c_{j} * cb.c_{j})" for j in range(1, 65))})), 6)
+             AS drift_cosine_r6
+    FROM ca JOIN cb USING (label) JOIN na USING (label) JOIN nb USING (label)
+    ORDER BY ca.label
+    """,
+)
+def sim_split_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid drift between the even/odd vec_id halves
+    (operators/similarity.split_centroid_drift) — the train/serve
+    split-skew check: a label whose half-centroids' cosine falls
+    far from 1.0 is drifting or undersized. Two per-label partial
+    aggs + a k-row join; the cosine runs the shared fixed-order fold
+    over 6-rounded component means, so both engines agree
+    bit-for-bit."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    return similarity.split_centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
+@q(
+    "dedup_eval_pairs",
+    _LSH_GATE_CTES
+    + """,
+    tk AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    fr AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+    od AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks, count(*) AS sz
+           FROM tk JOIN fr USING (tok) GROUP BY doc_id),
+    pf AS (SELECT doc_id, sz,
+                  unnest(toks[1 : sz - ((60 * sz + 99) // 100) + 1]) AS tok
+           FROM od),
+    cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND 60 * a.sz <= 100 * b.sz AND 60 * b.sz <= 100 * a.sz),
+    vr AS (SELECT c.id_a, c.id_b, len(list_intersect(x.toks, y.toks)) AS i,
+                  x.sz AS sa, y.sz AS sb
+           FROM cd c JOIN od x ON c.id_a = x.doc_id JOIN od y ON c.id_b = y.doc_id),
+    gold AS (SELECT id_a, id_b FROM vr WHERE 100 * i >= 60 * (sa + sb - i)),
+    cnt AS (
+      SELECT (SELECT count(*) FROM cand)::BIGINT AS n_system,
+             (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+             (SELECT count(*) FROM cand SEMI JOIN gold g
+               ON cand.id_a = g.id_a AND cand.id_b = g.id_b)::BIGINT AS n_both
+    )
+    SELECT n_system, n_gold, n_both,
+           CAST(floor((n_both * 1000)::DOUBLE / n_system::DOUBLE + 0.5) AS BIGINT)
+             AS precision_milli,
+           CAST(floor((n_both * 1000)::DOUBLE / n_gold::DOUBLE + 0.5) AS BIGINT)
+             AS recall_milli,
+           CAST(floor((n_both * 2000)::DOUBLE / (n_system + n_gold)::DOUBLE + 0.5)
+                AS BIGINT) AS f1_milli
+    FROM cnt
+    """,
+)
+def dedup_eval_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-counting evaluation of the minhash-LSH CANDIDATE stage
+    against an independent exact detector (the pairwise member of the
+    clustering-eval family — the pair-F1 counterpart of B-cubed,
+    Amigo et al. 2009): SYSTEM = 8-hash/4-band LSH candidate pairs,
+    GOLD = prefix-filtered exact trigram Jaccard >= 0.6 (Bayardo et
+    al. 2007's AllPairs — NO LSH gate, so the two detectors share no
+    machinery). Precision is the banding stage's false-candidate
+    rate (what the verify stage must filter: 0.34-0.89 across SFs);
+    recall confirms the 2-row-band OR-construction catches every
+    true pair at these thresholds; pair-F1 uses the exact integer
+    identity F1 = 2|S∩G|/(|S|+|G|). All three milli-floored from
+    exact pair counts. Both legs are existing sub-quadratic plans;
+    the intersection is one (id, id)-keyed semi-join; the rollup 1
+    metadata row."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    sys_pairs = dedup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4
+    ).select("id_a", "id_b")
+    gold = dedup.prefix_filter_jaccard_join(d, threshold_pct=60, ngram=3).select(
+        "id_a", "id_b"
+    )
+    both = sys_pairs.join(gold, ["id_a", "id_b"], "left_semi")
+    counts = (
+        sys_pairs.agg(F.count("*").cast("long").alias("n_system"))
+        .crossJoin(gold.agg(F.count("*").cast("long").alias("n_gold")))
+        .crossJoin(both.agg(F.count("*").cast("long").alias("n_both")))
+    )
+    return counts.select(
+        "n_system",
+        "n_gold",
+        "n_both",
+        F.floor(
+            (F.col("n_both") * 1000).cast("double")
+            / F.col("n_system").cast("double") + F.lit(0.5)
+        ).cast("long").alias("precision_milli"),
+        F.floor(
+            (F.col("n_both") * 1000).cast("double")
+            / F.col("n_gold").cast("double") + F.lit(0.5)
+        ).cast("long").alias("recall_milli"),
+        F.floor(
+            (F.col("n_both") * 2000).cast("double")
+            / (F.col("n_system") + F.col("n_gold")).cast("double") + F.lit(0.5)
+        ).cast("long").alias("f1_milli"),
+    )
+
+
+_CDC_MOD = 16
+
+
+@q(
+    "dedup_cdc_chunks",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d),
+    ex AS (SELECT doc_id, u.i AS pos, th[u.i] AS h
+           FROM hh, (SELECT unnest(range(1, len(th) + 1)) AS i) u),
+    g AS (SELECT doc_id, pos, h,
+                 sum(CASE WHEN h % {_CDC_MOD} = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS chunk_idx
+          FROM ex),
+    chunk AS (
+      SELECT doc_id, chunk_idx,
+             count(*)::BIGINT AS n_tokens,
+             list_reduce(list_prepend(0::BIGINT, list(h ORDER BY pos)),
+                         (acc, x) -> (acc * 31 + x) % 4294967296) AS chunk_hash
+      FROM g GROUP BY doc_id, chunk_idx
+    ),
+    dup AS (SELECT chunk_hash FROM chunk GROUP BY chunk_hash
+            HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           CAST(floor((sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                                THEN 1 ELSE 0 END) * 1000)::DOUBLE
+                / count(*)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_milli
+    FROM chunk GROUP BY doc_id
+    HAVING sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined-chunking dedup report (operators/dedup.
+    cdc_chunk_dedup; Muthitacharoen et al. 2001's LBFS cut rule at
+    token granularity): chunks re-anchor at hash-boundary tokens, so
+    an early insertion shifts fixed blocks permanently but CDC chunks
+    re-synchronize at the next anchor — the shift-robust twin of
+    dedup_paragraph_blocks with the SAME output schema for chunker
+    A/B. One posexplode + one doc-keyed prefix-sum window + one
+    (doc, chunk) ordered fold; dup detection is the same uniformly-
+    keyed chunk_hash aggregation."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    return dedup.cdc_chunk_dedup(d, boundary_mod=_CDC_MOD)
+
+
+@q(
+    "text_ad_bigram",
+    f"""
+    WITH d AS (SELECT {_TOKS} AS ws FROM documents),
+    pr AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p FROM d
+           WHERE len(ws) >= 2),
+    pairs AS (SELECT p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS n_xy
+              FROM pr GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(n_xy)::BIGINT AS n_x, count(*)::BIGINT AS n_follow
+            FROM pairs GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_pred FROM pairs GROUP BY w2),
+    ty AS (SELECT count(*)::BIGINT AS nt FROM pairs)
+    SELECT w1, w2, n_xy, n_x,
+           CAST(floor(n_xy::DOUBLE / n_x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+             AS p_mle_micro,
+           CAST(floor(
+             (greatest(n_xy::DOUBLE - 0.75, 0.0)
+              + 0.75 * n_follow::DOUBLE * (n_pred::DOUBLE / nt::DOUBLE))
+             / n_x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS p_ad_micro
+    FROM pairs JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+    ORDER BY n_xy DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def text_ad_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Absolute-discounting bigram LM table (operators/text.
+    absolute_discount_bigram; Ney, Essen & Kneser 1994, with the
+    Kneser-Ney continuation back-off): MLE vs discounted probability
+    for the corpus's top-20 bigrams — the smoothing diagnostic beside
+    text_bpe_pairs/pmi. Pure integer counts + one fixed-order IEEE
+    expression per value, micro-floored; no transcendentals. Pair
+    generation per-row, one pair-keyed count, vocab-sized marginal
+    joins, 1-row type-count broadcast, 20-row TakeOrdered."""
+    from denormalized_spark.operators import text as T
+
+    return T.absolute_discount_bigram(
+        t(spark, sf, "documents"), discount=0.75, k=20
+    )
+
+
+@q(
+    "text_readability_fk",
+    f"""
+    WITH d AS (SELECT source, {_TOKS} AS ws FROM documents),
+    per AS (
+      SELECT source,
+             CAST(floor(
+               (0.39 * greatest(len(ws), 1)::DOUBLE
+                + 11.8 * (list_sum(list_transform(ws,
+                    w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1)))::DOUBLE
+                          / greatest(len(ws), 1)::DOUBLE)
+                - 15.59) * 1000.0 + 0.5) AS BIGINT) AS g
+      FROM d
+    )
+    SELECT source AS grp, count(*)::BIGINT AS n_docs,
+           CAST(floor(sum(g)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT)
+             AS avg_fk_milli
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-Kincaid grade level per source (operators/text.
+    flesch_kincaid_by_group; Kincaid et al. 1975) with the vowel-group
+    syllable proxy — the readability lens of the quality-gate family.
+    Integer counts per doc, one fixed-order IEEE grade expression
+    milli-floored, one source-keyed agg."""
+    from denormalized_spark.operators import text as T
+
+    return T.flesch_kincaid_by_group(t(spark, sf, "documents"))

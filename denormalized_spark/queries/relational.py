@@ -1525,3 +1525,64 @@ def join_salted_priority_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "pivot_user_event_matrix",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    m AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click_n,
+             sum(CASE WHEN event_type = 'click'    THEN cents ELSE 0 END)::BIGINT AS click_cents,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_n,
+             sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::BIGINT AS purchase_cents,
+             sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view_n,
+             sum(CASE WHEN event_type = 'view'     THEN cents ELSE 0 END)::BIGINT AS view_cents,
+             sum(cents)::BIGINT AS total_cents
+      FROM e GROUP BY user_id
+    )
+    SELECT * FROM m ORDER BY total_cents DESC, user_id ASC LIMIT 100
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Long→wide PIVOT (datastream.pivot_agg over the reference's
+    aggregation surface): per-user event-type count/value matrix with
+    an EXPLICIT pivot-value list — the static-schema form that skips
+    Spark's value-discovery scan and is the only pivot shape that
+    survives 100 TB. One user-keyed shuffle (the pivot is column
+    fan-out, not row fan-out), then a 100-row TakeOrdered by total
+    spend. Oracle is the equivalent CASE-sum matrix."""
+    from denormalized_spark.datastream import DataStream
+
+    ds = DataStream(t(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ))
+    wide = ds.pivot_agg(
+        ["user_id"],
+        "event_type",
+        ["click", "purchase", "view"],
+        [F.count(F.lit(1)).cast("long").alias("n"),
+         F.sum("cents").cast("long").alias("cents")],
+    ).df
+    out = wide.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("click_n"),
+        F.coalesce("click_cents", F.lit(0)).cast("long").alias("click_cents"),
+        F.coalesce("purchase_n", F.lit(0)).cast("long").alias("purchase_n"),
+        F.coalesce("purchase_cents", F.lit(0)).cast("long").alias("purchase_cents"),
+        F.coalesce("view_n", F.lit(0)).cast("long").alias("view_n"),
+        F.coalesce("view_cents", F.lit(0)).cast("long").alias("view_cents"),
+    )
+    totals = t(spark, sf, "events").groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("total_cents")
+    )
+    return (
+        out.join(totals, "user_id")
+        .orderBy(F.desc("total_cents"), F.asc("user_id"))
+        .limit(100)
+    )

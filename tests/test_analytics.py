@@ -1460,3 +1460,65 @@ def test_cohort_ltv_hand_triangle(spark):
     assert got[(c, 1)].n_active == 1
     assert got[(c, 1)].cum_revenue_cents == 180
     assert got[(c, 1)].ltv_per_user_milli == 90_000
+
+
+class TestIpwAndSeasonalStrength:
+    def test_ipw_ate_hand_computed(self, spark):
+        """One confounded stratum fixture: stratum A is 75% treated
+        with high outcomes, B 25% treated with low outcomes — the
+        stratified IPW terms match the hand calculation, and the ALL
+        row is the exact sum of the floored terms."""
+        from denormalized_spark.operators.analytics import ipw_ate_stratified
+
+        rows = (
+            [("A", 1, 10), ("A", 1, 12), ("A", 1, 14), ("A", 0, 8)]
+            + [("B", 1, 4), ("B", 0, 2), ("B", 0, 2), ("B", 0, 4)]
+        )
+        df = spark.createDataFrame(rows, "s string, t int, y long")
+        out = {r.stratum: r for r in ipw_ate_stratified(df, "t", "y", "s").collect()}
+        import math
+
+        n = 8
+        # A: n=4, nt=3, sy_t=36, sy_c=8 -> (36*4/3 - 8*4/1)/8 = (48-32)/8 = 2.0
+        t_a = math.floor((36 * 4 / 3 - 8 * 4 / 1) / n * 1000 + 0.5)
+        # B: n=4, nt=1, sy_t=4, sy_c=8 -> (16 - 8*4/3)/8
+        t_b = math.floor((4 * 4 / 1 - 8 * 4 / 3) / n * 1000 + 0.5)
+        assert out["A"].ate_term_milli == t_a == 2000
+        assert out["B"].ate_term_milli == t_b
+        assert out["ALL"].ate_term_milli == t_a + t_b
+        assert out["A"].propensity_milli == 750
+        assert out["ALL"].n == 8 and out["ALL"].n_treat == 4
+
+    def test_ipw_one_armed_stratum_contributes_zero(self, spark):
+        from denormalized_spark.operators.analytics import ipw_ate_stratified
+
+        df = spark.createDataFrame(
+            [("A", 1, 5), ("A", 1, 7), ("B", 1, 3), ("B", 0, 1)],
+            "s string, t int, y long",
+        )
+        out = {r.stratum: r for r in ipw_ate_stratified(df, "t", "y", "s").collect()}
+        assert out["A"].ate_term_milli == 0  # no control arm -> positivity guard
+
+    def test_seasonal_strength_bounds(self, spark):
+        """A perfectly periodic hourly series has strength 1000; a
+        constant series is degenerate (VarX = 0 -> pinned 0)."""
+        import datetime
+
+        from denormalized_spark.operators.analytics import seasonal_strength
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        # periodic: hour h of every day gets h+1 events (exact hod means)
+        for day in range(4):
+            for h in range(0, 24, 6):
+                for i in range(h + 1):
+                    rows.append(("p", base + datetime.timedelta(days=day, hours=h, minutes=i % 50)))
+        # constant: every occupied hour gets exactly 2 events
+        for day in range(4):
+            for h in range(0, 24, 6):
+                for i in range(2):
+                    rows.append(("c", base + datetime.timedelta(days=day, hours=h, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = {r.event_type: r for r in seasonal_strength(df).collect()}
+        assert out["p"].strength_milli == 1000  # residuals identically 0
+        assert out["c"].strength_milli == 0     # VarX = 0 -> pinned

@@ -1168,3 +1168,30 @@ def test_span_corruption_deterministic_and_bounded(spark):
     )
     assert r.n_starts == exp_starts
     assert (a[2].n_tokens, a[2].n_masked, a[2].mask_rate_milli) == (0, 0, 0)
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Two strata, one with zero variance: all non-base seats go to
+    the variable stratum; allocations sum to the budget exactly."""
+    from denormalized_spark.operators.curation import neyman_allocation
+
+    rows = [("a", 10), ("a", 20), ("a", 30)] + [("b", 5), ("b", 5), ("b", 5)]
+    df = spark.createDataFrame(rows, "s string, y long")
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "y", 10).collect()}
+    # stratum a: sigma = 10 exactly -> w = 3*10e6; b: sigma 0 -> w 0
+    assert out["a"].sigma_micro == 10_000_000
+    assert out["b"].sigma_micro == 0
+    assert out["a"].alloc == 10 and out["b"].alloc == 0
+    assert sum(r.alloc for r in out.values()) == 10
+
+
+def test_neyman_largest_remainder_sums_to_budget(spark):
+    from denormalized_spark.operators.curation import neyman_allocation
+
+    rows = []
+    for s, ys in [("a", [1, 9]), ("b", [2, 8]), ("c", [3, 7])]:
+        rows += [(s, y) for y in ys]
+    df = spark.createDataFrame(rows, "s string, y long")
+    out = neyman_allocation(df, "s", "y", 7).collect()
+    assert sum(r.alloc for r in out) == 7
+    assert all(r.alloc >= 0 for r in out)

@@ -967,3 +967,63 @@ def test_paragraph_blocks_trailing_partial_and_short_doc(spark):
     h2 = paragraph_blocks(docs2, block_tokens=4).collect()
     h2 = sorted(h2, key=lambda r: r.block_idx)[0].block_hash
     assert h1 == h2
+
+
+def test_cdc_chunks_shift_robustness(spark):
+    """The CDC property fixed blocks lack: inserting one token at the
+    FRONT of a document leaves every post-anchor chunk hash intact,
+    so the two versions still share chunks."""
+    from denormalized_spark.operators.dedup import cdc_chunks
+
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "INSERTED " + text)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs, boundary_mod=4).collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    shared = h1 & h2
+    assert shared, "CDC chunks must re-synchronize after an insertion"
+
+
+def test_cdc_chunk_boundaries_match_hash_rule(spark):
+    """Every chunk after the first must START at a boundary token
+    (hash % mod == 0) — verified against a per-token recomputation."""
+    import hashlib
+
+    from denormalized_spark.operators.dedup import cdc_chunks
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mod = 4
+    toks = text.split()
+    hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in toks]
+    # expected chunk partition
+    exp_chunks, cur = [], []
+    for h in hs:
+        if h % mod == 0 and cur:
+            exp_chunks.append(cur)
+            cur = []
+        elif h % mod == 0:
+            pass
+        cur.append(h)
+    if cur:
+        exp_chunks.append(cur)
+    # expected rolling hashes
+    MOD = 1 << 32
+    def roll(seq):
+        acc = 0
+        for x in seq:
+            acc = (acc * 31 + x) % MOD
+        return acc
+    # handle the first-token-is-boundary edge the same way the
+    # operator does (prefix-sum grouping): recompute via groups
+    flags = [1 if h % mod == 0 else 0 for h in hs]
+    grp, groups = 0, {}
+    for h, f in zip(hs, flags):
+        grp += f
+        groups.setdefault(grp, []).append(h)
+    exp = sorted(roll(v) for v in groups.values())
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(r.chunk_hash for r in cdc_chunks(df, boundary_mod=mod).collect())
+    assert got == exp

@@ -1031,3 +1031,20 @@ def test_blend_rerank_hand_computed(spark):
     exp1 = math.floor((1.0 + 0.5) * 1e6 + 0.5)
     assert by[2].blend_micro == exp2
     assert by[1].blend_micro == exp1
+
+
+def test_split_centroid_drift_identical_and_orthogonal(spark):
+    from denormalized_spark.operators.similarity import split_centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    b = spark.createDataFrame(
+        [(2, [1.0, 0.0], 0), (3, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r.label: r for r in split_centroid_drift(a, b, dim=2).collect()}
+    assert out[0].drift_cosine_r6 == 1.0   # same direction
+    assert out[1].drift_cosine_r6 == 0.0   # orthogonal halves
+    assert (out[0].n_a, out[0].n_b) == (1, 1)

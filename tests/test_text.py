@@ -251,3 +251,46 @@ def test_rake_repeated_phrase_counts_occurrences(spark):
     bd = got["big data"]
     # deg(big)=4 freq 2 -> 2000; data same -> phrase 4000, seen twice
     assert (bd.n_occurrences, bd.score_milli) == (2, 4000)
+
+
+def test_absolute_discount_bigram_hand_computed(spark):
+    """c(a b)=2, c(a c)=1, D=0.75: MLE and discounted probabilities
+    match the published formula computed by hand."""
+    from denormalized_spark.operators.text import absolute_discount_bigram
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    out = {(r.w1, r.w2): r for r in
+           absolute_discount_bigram(df, discount=0.75, k=10).collect()}
+    # pairs: (a,b)x2 (b,a)x2 (a,c)x1 -> types=3
+    # left a: n_x=3, follows 2; left b: n_x=2, follows 1
+    # cont: b preceded by {a}=1, a by {b}=1, c by {a}=1
+    import math
+
+    def ad(c12, nf, npred, cx, nt=3, d=0.75):
+        return math.floor((max(c12 - d, 0.0) + d * nf * (npred / nt)) / cx * 1e6 + 0.5)
+
+    assert out[("a", "b")].p_mle_micro == math.floor(2 / 3 * 1e6 + 0.5)
+    assert out[("a", "b")].p_ad_micro == ad(2, 2, 1, 3)
+    assert out[("a", "c")].p_ad_micro == ad(1, 2, 1, 3)
+    assert out[("b", "a")].p_ad_micro == ad(2, 1, 1, 2)
+    # discounting moves (a,c) below its MLE and keeps order sane
+    assert out[("a", "c")].p_ad_micro < out[("a", "c")].p_mle_micro
+
+
+def test_flesch_kincaid_hand_computed(spark):
+    from denormalized_spark.operators.text import flesch_kincaid_by_group
+
+    # "go to it" -> 3 words, syllables: go=1, to=1, it=1
+    df = spark.createDataFrame(
+        [("s1", "go to it"), ("s1", "aeiou xyz")], "source string, text string"
+    )
+    import math
+
+    g1 = math.floor((0.39 * 3 + 11.8 * (3 / 3) - 15.59) * 1000 + 0.5)
+    # "aeiou xyz": 2 words; aeiou = 1 vowel group, xyz = 0 -> min 1
+    g2 = math.floor((0.39 * 2 + 11.8 * (2 / 2) - 15.59) * 1000 + 0.5)
+    out = flesch_kincaid_by_group(df, "source").collect()[0]
+    assert out.n_docs == 2
+    assert out.avg_fk_milli == math.floor((g1 + g2) / 2 + 0.5)

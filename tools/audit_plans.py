@@ -40,6 +40,10 @@ ALLOW_BNLJ = {
     "kmeans_clusters",       # broadcast k-centroid crossJoin — constant fan-out
     "sim_ivf_incremental",   # same broadcast k-centroid crossJoin (assign of both batches)
     "sim_blend_rerank",      # 1-row query-vector + 1-row max-bm25 broadcasts — constant fan-out
+    "events_ipw_ate",        # 1-row N-total crossJoin onto the k-stratum metadata table
+    "curation_neyman_alloc", # 1-row Σw + 1-row leftover-seats crossJoins onto the k-stratum table
+    "dedup_eval_pairs",      # three 1-row pair-count crossJoins (metadata rollup)
+    "text_ad_bigram",        # 1-row bigram-type-count broadcast — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
     "sim_batch_topk",        # broadcast query-block crossJoin — constant fan-out (8 rows)
@@ -172,6 +176,10 @@ ALLOW_SINGLE_PART = {
     "graph_pagerank_weighted",  # same 1-row aggregate
     "text_bm25_topk",        # 1-row corpus-stats aggregate (N, sum dl)
     "sim_blend_rerank",      # same 1-row corpus-stats + 1-row max-bm25 aggregates
+    "events_ipw_ate",        # 1-row N total + the ALL-row rollup over the k-stratum table
+    "curation_neyman_alloc", # k-row remainder-ranking window + 1-row Σw/extra aggregates (metadata)
+    "dedup_eval_pairs",      # 1-row system/gold/intersection pair-count finals
+    "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
