@@ -3383,3 +3383,60 @@ def seasonal_strength(
             F.floor(strength * F.lit(1000.0) + F.lit(0.5)).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("strength_milli"),
     ).orderBy(*gcols)
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group (Theil 1967) over a positive
+    integer value column — the decomposable inequality measure that
+    complements the Gini (gini_concentration): T = 0 at perfect
+    equality, ln(n) at total concentration, and unlike Gini it
+    splits exactly into within/between-group terms.
+
+    Algebraic form used (one pass, no per-row mean join):
+
+        T = Σ x·ln(x) / Σx  +  ln(n)  −  ln(Σx)
+
+    Engine-exact: each row's x·ln(x) is micro-FLOORED to a long
+    before summing (the BM25 discipline — per-term transcendentals
+    land on a grid ~10¹⁰ coarser than a double ulp, and the integer
+    sum is partition-order exact); ln(n) and ln(Σx) are single
+    transcendentals of exact integers; the final combination is one
+    fixed-order IEEE expression, micro-floored. Rows with x <= 0 are
+    excluded (ln undefined) and reported in ``n_excluded``.
+
+    Scale shape: ONE group-keyed partial/final aggregation — scan
+    speed, map-side combine, no joins. (Beyond ~2^63/xlnx_micro rows
+    per group, promote the sum to decimal(38) — documented headroom:
+    ~10⁴ at x≈10⁷.) Returns ``(group, n, n_excluded, theil_micro)``."""
+    x = F.col(value_col).cast("long")
+    xlnx_micro = F.floor(
+        x.cast("double") * F.log(x.cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.when(x > 0, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(x <= 0, 1).otherwise(0)).cast("long").alias("n_excluded"),
+        F.sum(F.when(x > 0, x).otherwise(0)).cast("long").alias("_sx"),
+        F.sum(F.when(x > 0, xlnx_micro).otherwise(0)).cast("long")
+        .alias("_sxlnx_micro"),
+    )
+    theil = (
+        F.col("_sxlnx_micro").cast("double")
+        / F.lit(1_000_000.0)
+        / F.col("_sx").cast("double")
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("_sx").cast("double"))
+    )
+    return per.select(
+        "grp",
+        "n",
+        "n_excluded",
+        F.when(
+            (F.col("n") > 0) & (F.col("_sx") > 0),
+            F.floor(theil * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("theil_micro"),
+    ).orderBy("grp")

@@ -590,3 +590,59 @@ def link_prediction_scores(
     return scored.orderBy(
         F.desc("common_neighbors"), F.asc("u"), F.asc("v")
     ).limit(top_k)
+
+
+def degree_assortativity(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002,
+    "Assortative mixing in networks"): the Pearson correlation of the
+    end-degrees over edges — positive in social graphs (hubs befriend
+    hubs), negative in hub-and-spoke interaction graphs. Using the
+    symmetric per-edge form over M edges (each edge contributes both
+    end orderings):
+
+        r = (Σjk/M − (Σ(j+k)/2M)²) / (Σ(j²+k²)/2M − (Σ(j+k)/2M)²)
+
+    Engine-exact: degrees are exact longs (bounded by the bucket cap
+    upstream), all five sums are exact integer aggregations, r is one
+    fixed-order IEEE expression micro-floored; degenerate variance
+    (regular graph) pins r to 0.
+
+    Scale shape: one degree aggregation (2 stubs per edge, keyed), two
+    node-keyed joins back to the edge list, one 1-row moment agg —
+    the same shapes as triangle_stats without the wedge join. Returns
+    ``(n_nodes, n_edges, assortativity_micro)``."""
+    deg = _degrees(edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")))
+    ed = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    mom = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("_sjk"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("_ssum"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long").alias("_ssq"),
+    )
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    mean_half = F.col("_ssum").cast("double") / (
+        F.lit(2.0) * F.col("m").cast("double")
+    )
+    num = F.col("_sjk").cast("double") / F.col("m").cast("double") - mean_half * mean_half
+    den = (
+        F.col("_ssq").cast("double") / (F.lit(2.0) * F.col("m").cast("double"))
+        - mean_half * mean_half
+    )
+    return (
+        mom.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            F.when(
+                (F.col("m") > 0) & (den > 0),
+                F.floor(num / den * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("assortativity_micro"),
+        )
+    )

@@ -2147,3 +2147,121 @@ def flesch_kincaid_by_group(
         )
         .orderBy("grp")
     )
+
+
+def burrows_delta_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometry (Burrows 2002, "'Delta': a measure of
+    stylistic difference"): z-score each document's relative frequency
+    of the corpus's ``m`` most frequent words against the corpus
+    mean/std of that word, then Delta(d) = mean |z| — the classic
+    authorship/register distance; rolled up per group it measures how
+    far each source's style sits from the corpus norm.
+
+    Quantized-estimator semantics, engine-exact end to end: per-doc
+    relative frequencies land on the micro grid (one floored division
+    per cell, zero-count cells INCLUDED — the dense matrix Delta
+    requires); μ_w and σ_w come from exact integer sums of those
+    micro values (σ via the n·Σf²−(Σf)² form, one sqrt); each cell's
+    |z| is milli-floored BEFORE the per-doc sum, so every aggregation
+    sums exact integers (partition-order proof). The word panel is
+    data-derived but deterministic: top-``m`` by corpus count, ties
+    lexicographic.
+
+    Scale shape: one corpus word count (top-m broadcast), one
+    (doc × m) dense projection via a broadcast crossJoin of the
+    m-row panel + left join of per-doc counts (both keyed joins AQE-
+    broadcastable), one m-row stats table, two keyed reduces. At
+    100 TB promote Σf² to decimal(38) (f_micro ≤ 10⁶ ⇒ long holds
+    ~9·10⁶ docs per word). Returns ``(group, n_docs,
+    avg_delta_milli)``."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    panel = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(m)
+        .select("tok")
+    )
+    doc_len = toks.groupBy("grp", "_id").agg(
+        F.count("*").cast("long").alias("_len")
+    )
+    cnt = (
+        toks.join(F.broadcast(panel), "tok")
+        .groupBy("grp", "_id", "tok")
+        .agg(F.count("*").cast("long").alias("_cwd"))
+    )
+    dense = (
+        doc_len.crossJoin(F.broadcast(panel))
+        .join(cnt, ["grp", "_id", "tok"], "left")
+        .select(
+            "grp",
+            "_id",
+            "tok",
+            F.floor(
+                (F.coalesce(F.col("_cwd"), F.lit(0)) * 1_000_000).cast("double")
+                / F.col("_len").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("_f"),
+        )
+    )
+    stats = dense.groupBy("tok").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_f").cast("long").alias("_sf"),
+        F.sum(F.col("_f") * F.col("_f")).cast("long").alias("_sf2"),
+    ).select(
+        "tok",
+        (F.col("_sf").cast("double") / F.col("_n").cast("double")).alias("_mu"),
+        F.when(
+            F.col("_n") > 1,
+            F.sqrt(
+                F.greatest(
+                    F.col("_n").cast("double") * F.col("_sf2").cast("double")
+                    - F.col("_sf").cast("double") * F.col("_sf").cast("double"),
+                    F.lit(0.0),
+                )
+                / (
+                    F.col("_n").cast("double")
+                    * (F.col("_n") - F.lit(1)).cast("double")
+                )
+            ),
+        ).otherwise(F.lit(0.0)).alias("_sigma"),
+    )
+    z = dense.join(F.broadcast(stats), "tok").select(
+        "grp",
+        "_id",
+        F.when(
+            F.col("_sigma") > 0,
+            F.floor(
+                F.abs(F.col("_f").cast("double") - F.col("_mu"))
+                / F.col("_sigma")
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("_zm"),
+    )
+    per_doc = z.groupBy("grp", "_id").agg(
+        F.floor(
+            F.sum("_zm").cast("double") / F.lit(float(m)) + F.lit(0.5)
+        ).cast("long").alias("_delta")
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.floor(
+                F.sum("_delta").cast("double") / F.count("*").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("avg_delta_milli"),
+        )
+        .orderBy("grp")
+    )

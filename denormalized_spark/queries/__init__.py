@@ -93,7 +93,8 @@ _DRIVER_PRIORITY = [
     "sim_blend_rerank", "sim_split_drift", "events_ipw_ate",
     "curation_neyman_alloc", "dedup_eval_pairs", "dedup_cdc_chunks",
     "text_ad_bigram", "text_readability_fk", "pivot_user_event_matrix",
-    "events_seasonal_strength",
+    "events_seasonal_strength", "agg_theil_inequality",
+    "graph_assortativity", "text_burrows_delta",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -3040,3 +3040,68 @@ def events_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t(spark, sf, "events")
     return seasonal_strength(e)
+
+
+@q(
+    "graph_assortativity",
+    f"""
+    WITH iu AS (
+      SELECT DISTINCT (props->>'k') || '|' || (date_trunc('day', ts)::DATE)::VARCHAR AS it,
+             user_id AS u
+      FROM events
+    ),
+    ok AS (SELECT it FROM iu GROUP BY it
+           HAVING count(*) BETWEEN 2 AND {_COVIS_CAP}),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM iu a JOIN iu b ON a.it = b.it AND a.u < b.u
+          JOIN ok ON ok.it = a.it),
+    deg AS (SELECT n, count(*)::BIGINT AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+    ed AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv FROM e
+           JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    mom AS (SELECT count(*)::BIGINT AS m,
+                   sum(du * dv)::BIGINT AS sjk,
+                   sum(du + dv)::BIGINT AS ssum,
+                   sum(du * du + dv * dv)::BIGINT AS ssq
+            FROM ed)
+    SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+           m AS n_edges,
+           CASE WHEN m > 0 AND
+                     (ssq::DOUBLE / (2.0 * m::DOUBLE)
+                      - (ssum::DOUBLE / (2.0 * m::DOUBLE))
+                        * (ssum::DOUBLE / (2.0 * m::DOUBLE))) > 0 THEN
+             CAST(floor(
+               (sjk::DOUBLE / m::DOUBLE
+                - (ssum::DOUBLE / (2.0 * m::DOUBLE))
+                  * (ssum::DOUBLE / (2.0 * m::DOUBLE)))
+               / (ssq::DOUBLE / (2.0 * m::DOUBLE)
+                  - (ssum::DOUBLE / (2.0 * m::DOUBLE))
+                    * (ssum::DOUBLE / (2.0 * m::DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)
+           ELSE 0::BIGINT END AS assortativity_micro
+    FROM mom
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the user co-visitation graph
+    (operators/graph.degree_assortativity; Newman 2002): the Pearson
+    correlation of end-degrees over edges — the one-number mixing
+    summary beside graph_covisit_triangles' cohesion census, on the
+    SAME capped covisitation edges. All five moments are exact
+    integer sums; r is one fixed-order IEEE expression
+    micro-floored."""
+    from denormalized_spark.operators.graph import (
+        covisitation_edges,
+        degree_assortativity,
+    )
+
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.concat_ws(
+            "|",
+            F.get_json_object("props", "$.k"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+        ).alias("item"),
+    )
+    edges = covisitation_edges(e, "user_id", "item", max_users_per_item=_COVIS_CAP)
+    return degree_assortativity(edges)

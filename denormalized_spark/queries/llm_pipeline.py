@@ -6634,3 +6634,66 @@ def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators import text as T
 
     return T.flesch_kincaid_by_group(t(spark, sf, "documents"))
+
+
+@q(
+    "text_burrows_delta",
+    f"""
+    WITH tk AS (SELECT source AS grp, doc_id, unnest({_TOKS}) AS tok
+                FROM documents),
+    panel AS (SELECT tok FROM tk GROUP BY tok
+              ORDER BY count(*) DESC, tok ASC LIMIT 30),
+    dl AS (SELECT grp, doc_id, count(*)::BIGINT AS dlen FROM tk GROUP BY 1, 2),
+    cnt AS (SELECT grp, doc_id, tok, count(*)::BIGINT AS cwd
+            FROM tk SEMI JOIN panel USING (tok) GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT dl.grp, dl.doc_id, p.tok,
+             CAST(floor((coalesce(cnt.cwd, 0) * 1000000)::DOUBLE
+                  / dl.dlen::DOUBLE + 0.5) AS BIGINT) AS f
+      FROM dl CROSS JOIN panel p
+      LEFT JOIN cnt ON cnt.grp = dl.grp AND cnt.doc_id = dl.doc_id
+                   AND cnt.tok = p.tok
+    ),
+    st AS (
+      SELECT tok, count(*)::BIGINT AS n, sum(f)::BIGINT AS sf,
+             sum(f * f)::BIGINT AS sf2
+      FROM dense GROUP BY tok
+    ),
+    sig AS (
+      SELECT tok, sf::DOUBLE / n::DOUBLE AS mu,
+             CASE WHEN n > 1 THEN
+               sqrt(greatest(n::DOUBLE * sf2::DOUBLE - sf::DOUBLE * sf::DOUBLE,
+                             0.0) / (n::DOUBLE * (n - 1)::DOUBLE))
+             ELSE 0.0 END AS sigma
+      FROM st
+    ),
+    z AS (
+      SELECT d.grp, d.doc_id,
+             CASE WHEN s.sigma > 0 THEN
+               CAST(floor(abs(d.f::DOUBLE - s.mu) / s.sigma * 1000.0 + 0.5)
+                    AS BIGINT)
+             ELSE 0::BIGINT END AS zm
+      FROM dense d JOIN sig s USING (tok)
+    ),
+    pd AS (
+      SELECT grp, doc_id,
+             CAST(floor(sum(zm)::DOUBLE / 30.0 + 0.5) AS BIGINT) AS delta
+      FROM z GROUP BY 1, 2
+    )
+    SELECT grp, count(*)::BIGINT AS n_docs,
+           CAST(floor(sum(delta)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT)
+             AS avg_delta_milli
+    FROM pd GROUP BY grp ORDER BY grp
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Burrows' Delta stylometry rolled up per source (operators/
+    text.burrows_delta_by_group; Burrows 2002): mean |z| of each
+    document's top-30-word relative frequencies against the corpus
+    norm — the authorship/register distance, here answering "which
+    source's style deviates most". Every cell milli/micro-floored
+    before aggregation so all sums are exact integers; the word panel
+    is deterministic (top-30 by count, ties lexicographic)."""
+    from denormalized_spark.operators import text as T
+
+    return T.burrows_delta_by_group(t(spark, sf, "documents"), m=30)

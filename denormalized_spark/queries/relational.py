@@ -1586,3 +1586,56 @@ def pivot_user_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("total_cents"), F.asc("user_id"))
         .limit(100)
     )
+
+
+@q(
+    "agg_theil_inequality",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS grp,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    per AS (
+      SELECT grp,
+             sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::BIGINT AS n,
+             sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_excluded,
+             sum(CASE WHEN x > 0 THEN x ELSE 0 END)::BIGINT AS sx,
+             sum(CASE WHEN x > 0 THEN
+                   CAST(floor(x::DOUBLE * ln(x::DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)
+                 ELSE 0 END)::BIGINT AS sxlnx_micro
+      FROM rev GROUP BY grp
+    )
+    SELECT grp, n, n_excluded,
+           CASE WHEN n > 0 AND sx > 0 THEN
+             CAST(floor(
+               (sxlnx_micro::DOUBLE / 1000000.0 / sx::DOUBLE
+                + ln(n::DOUBLE) - ln(sx::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           ELSE 0::BIGINT END AS theil_micro
+    FROM per ORDER BY grp
+    """,
+)
+def agg_theil_inequality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation Theil T inequality of order values (operators/
+    analytics.theil_index; Theil 1967) — the decomposable
+    concentration measure beside agg_value_concentration's Gini.
+    One fact-side scan with two broadcast dimension joins (customer
+    at test SFs, nation always), then ONE nation-keyed agg; per-row
+    x·ln(x) micro-floored before the integer sum (BM25's grid-vs-ulp
+    argument), so the sum is partition-order exact."""
+    from denormalized_spark.operators.analytics import theil_index
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return theil_index(rev, "n_name", "cents")

@@ -1522,3 +1522,51 @@ class TestIpwAndSeasonalStrength:
         out = {r.event_type: r for r in seasonal_strength(df).collect()}
         assert out["p"].strength_milli == 1000  # residuals identically 0
         assert out["c"].strength_milli == 0     # VarX = 0 -> pinned
+
+
+class TestTheilAndAssortativity:
+    def test_theil_zero_at_equality_and_positive_when_skewed(self, spark):
+        import math
+
+        from denormalized_spark.operators.analytics import theil_index
+
+        df = spark.createDataFrame(
+            [("eq", 5), ("eq", 5), ("eq", 5), ("sk", 1), ("sk", 1), ("sk", 8)],
+            "g string, x long",
+        )
+        out = {r.grp: r for r in theil_index(df, "g", "x").collect()}
+        assert out["eq"].theil_micro == 0
+        # hand: T = sum(x ln x)/sx + ln n - ln sx with per-row micro floors
+        sxlnx = sum(math.floor(x * math.log(x) * 1e6 + 0.5) for x in (1, 1, 8))
+        want = math.floor(
+            (sxlnx / 1e6 / 10 + math.log(3) - math.log(10)) * 1e6 + 0.5
+        )
+        assert out["sk"].theil_micro == want > 0
+
+    def test_theil_excludes_nonpositive(self, spark):
+        from denormalized_spark.operators.analytics import theil_index
+
+        df = spark.createDataFrame(
+            [("g", 0), ("g", -3), ("g", 4), ("g", 4)], "g string, x long"
+        )
+        r = theil_index(df, "g", "x").collect()[0]
+        assert (r.n, r.n_excluded) == (2, 2)
+        assert r.theil_micro == 0  # the two kept values are equal
+
+    def test_assortativity_signs(self, spark):
+        """A star graph is maximally disassortative (r = −1); adding
+        the full triangle among leaves of K4 makes it regular
+        (variance 0 → pinned 0)."""
+        from denormalized_spark.operators.graph import degree_assortativity
+
+        star = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "u long, v long"
+        )
+        r = degree_assortativity(star).collect()[0]
+        assert r.assortativity_micro == -1_000_000
+        assert (r.n_nodes, r.n_edges) == (4, 3)
+        k4 = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], "u long, v long"
+        )
+        r4 = degree_assortativity(k4).collect()[0]
+        assert r4.assortativity_micro == 0  # regular graph, den = 0 -> pinned

@@ -1198,3 +1198,69 @@ def test_sketch_maintainer_grouped_tdigest_requires_value_col(spark):
 
     with pytest.raises(ValueError):
         SketchMaintainer("id", tdigest_group_col="g")
+
+
+def test_streaming_ivf_maintenance_matches_batch_fit(spark, tmp_path):
+    """Live IVF maintenance (streaming/ivf.IVFMaintainer): three
+    staged vector micro-batches drain through foreachBatch; in the
+    well-separated regime (every vector stays on its init-centroid
+    side) the accumulated state must equal the one-shot batch fit —
+    counts EXACTLY under any batch split, centroids to the per-batch
+    6-digit re-rounding — and the drift signal must fire for the
+    cluster that moved and stay 0 for the one that didn't."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.streaming.ivf import IVFMaintainer
+
+    # cluster 0 along +x, cluster 1 along +y; batch 3 nudges cluster 0
+    batches = [
+        [([1.0, 0.0],), ([0.9, 0.1],), ([0.0, 1.0],)],
+        [([1.0, 0.2],), ([0.1, 0.9],)],
+        [([0.8, 0.0],), ([0.0, 0.8],), ([0.05, 1.0],)],
+    ]
+    stream_dir = tmp_path / "ivf_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        tmp_out = str(tmp_path / f"_ivf{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    init = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    m = IVFMaintainer(init)
+    schema = spark.read.parquet(str(stream_dir)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ivf_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert m.n_batches == 3 and m.n_rows == len(all_rows)
+    # batch reference: assign all rows to the INIT centroids (the
+    # well-separated regime keeps every assignment on its init side)
+    xs = [r[0] for r in all_rows]
+    c0 = [v for v in xs if v[0] >= v[1]]
+    c1 = [v for v in xs if v[0] < v[1]]
+    assert m.counts[0] == len(c0) and m.counts[1] == len(c1)
+    for k, ref in ((0, c0), (1, c1)):
+        mean = [sum(v[j] for v in ref) / len(ref) for j in range(2)]
+        for j in range(2):
+            assert abs(m.centroids[k][j] - mean[j]) < 2e-2, (k, j)
+    # drift fired for both (all batches move both means a little)
+    assert m.last_drift_micro[0] > 0
+    # and the maintained quantizer still serves: centroids_df round-trips
+    got = {r.cluster: list(r.centroid) for r in m.centroids_df(spark).collect()}
+    assert set(got) == {0, 1}

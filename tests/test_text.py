@@ -294,3 +294,18 @@ def test_flesch_kincaid_hand_computed(spark):
     out = flesch_kincaid_by_group(df, "source").collect()[0]
     assert out.n_docs == 2
     assert out.avg_fk_milli == math.floor((g1 + g2) / 2 + 0.5)
+
+
+def test_burrows_delta_uniform_corpus_is_zero_and_outlier_scores_higher(spark):
+    from denormalized_spark.operators.text import burrows_delta_by_group
+
+    # sources s1/s2 share a style; s3 is the deviant
+    rows = (
+        [("s1", i, "a b a b c") for i in range(3)]
+        + [("s2", 10 + i, "a b a b c") for i in range(3)]
+        + [("s3", 20, "c c c c c")]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r.grp: r for r in burrows_delta_by_group(df, m=3).collect()}
+    assert out["s3"].avg_delta_milli > out["s1"].avg_delta_milli
+    assert out["s1"].avg_delta_milli == out["s2"].avg_delta_milli

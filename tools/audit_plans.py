@@ -44,6 +44,8 @@ ALLOW_BNLJ = {
     "curation_neyman_alloc", # 1-row Σw + 1-row leftover-seats crossJoins onto the k-stratum table
     "dedup_eval_pairs",      # three 1-row pair-count crossJoins (metadata rollup)
     "text_ad_bigram",        # 1-row bigram-type-count broadcast — constant fan-out
+    "graph_assortativity",   # 1-row node-count crossJoin onto the 1-row moment aggregate
+    "text_burrows_delta",    # 30-row word-panel broadcast crossJoin (dense doc×panel matrix) — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
     "sim_batch_topk",        # broadcast query-block crossJoin — constant fan-out (8 rows)
@@ -180,6 +182,7 @@ ALLOW_SINGLE_PART = {
     "curation_neyman_alloc", # k-row remainder-ranking window + 1-row Σw/extra aggregates (metadata)
     "dedup_eval_pairs",      # 1-row system/gold/intersection pair-count finals
     "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
+    "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
