@@ -3440,3 +3440,140 @@ def theil_index(
             F.floor(theil * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("theil_micro"),
     ).orderBy("grp")
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iterations: int = 8,
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by power iteration (the long-run behavioral mix the
+    transition matrix implies — where users END UP spending their
+    events, vs the raw event-type histogram of where they started;
+    the PageRank-without-teleport of event_transitions' matrix).
+
+    Quantized power iteration, engine-exact: the transition
+    probabilities live on the micro grid (one floored division per
+    cell — exactly event_transitions' probability discipline), the
+    state vector starts uniform on the micro grid, and every
+    iteration re-floors π'_j = Σ_i π_i·p_ij to micro units — both
+    engines replay the identical integer-in/integer-out trajectory,
+    the same per-round re-synchronization kmeans_fit uses. Fixed
+    ``iterations`` (8 rounds contract a 5-state chain far below the
+    micro grid).
+
+    Scale shape: ONE user-keyed exchange builds the transition pairs
+    (the corpus-sized step); everything after runs on the |types|²
+    metadata matrix — each iteration one k²-row join + k-row agg.
+    Returns ``(state, pi_micro, p_self_micro)`` ordered by state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    pmat = pairs.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        "to_type",
+        F.floor(
+            (F.col("n") * 1_000_000).cast("double") / F.col("tot").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("p_micro"),
+    )
+    states = pmat.select(F.col("from_type").alias("state")).union(
+        pmat.select("to_type")
+    ).distinct()
+    k_expr = states.agg(F.count("*").cast("long").alias("_k"))
+    pi = states.crossJoin(F.broadcast(k_expr)).select(
+        "state",
+        F.floor(F.lit(1_000_000.0) / F.col("_k").cast("double") + F.lit(0.5))
+        .cast("long").alias("pi_micro"),
+    )
+    for _ in range(iterations):
+        pi = (
+            pi.join(pmat, pi["state"] == pmat["from_type"])
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.floor(
+                    F.sum(F.col("pi_micro") * F.col("p_micro")).cast("double")
+                    / F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long").alias("pi_micro")
+            )
+        )
+        pi = pi.localCheckpoint(eager=False)
+    self_p = pmat.filter(F.col("from_type") == F.col("to_type")).select(
+        F.col("from_type").alias("state"), F.col("p_micro").alias("p_self_micro")
+    )
+    return (
+        pi.join(self_p, "state", "left")
+        .select(
+            "state",
+            "pi_micro",
+            F.coalesce("p_self_micro", F.lit(0)).cast("long")
+            .alias("p_self_micro"),
+        )
+        .orderBy("state")
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group (Herfindahl
+    1950 / Hirschman 1945 — the antitrust market-concentration
+    standard): HHI = Σ_i s_i² over member shares s_i within the
+    group; 1/n at perfect dispersion, 1.0 at monopoly. Completes the
+    inequality panel beside Gini (agg_value_concentration) and Theil
+    (theil_index) — HHI is the one that's a simple sum of squares, so
+    it's the cheapest to maintain incrementally.
+
+    Engine-exact: member totals are exact longs; each member's
+    s² lands on the pico grid (ONE floored expression per member —
+    (x/T)²·10¹², the quantized-estimator discipline), the group sum
+    is an exact integer, and the reported micro value is one more
+    floored division. Two keyed aggs (member then group), a 1-row-
+    per-group total join — map-side combinable throughout. Returns
+    ``(group, n_members, hhi_micro)``."""
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(member_col).alias("_m")
+    ).agg(F.sum(F.col(value_col).cast("long")).cast("long").alias("_x"))
+    tot = per.groupBy("grp").agg(
+        F.sum("_x").cast("long").alias("_t"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    term = F.floor(
+        (F.col("_x").cast("double") / F.col("_t").cast("double"))
+        * (F.col("_x").cast("double") / F.col("_t").cast("double"))
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.join(tot, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n_members").alias("n_members"),
+            F.sum(term).cast("long").alias("_s"),
+        )
+        .select(
+            "grp",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.floor(F.col("_s").cast("double") / F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("hhi_micro"),
+        )
+        .orderBy("grp")
+    )

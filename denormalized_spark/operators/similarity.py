@@ -1800,3 +1800,56 @@ def split_centroid_drift(
         )
         .orderBy(label_col)
     )
+
+
+def knn_ood_scores(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN-distance out-of-distribution scoring (Sun, Ming, Zhu & Li
+    2022, "Out-of-Distribution Detection with Deep Nearest Neighbors"):
+    a vector's OOD score is its mean cosine DISTANCE to its ``k``
+    nearest neighbors — high = isolated = out-of-distribution. The
+    non-parametric complement of :func:`outlier_scores` (which needs a
+    label/centroid structure; k-NN distance needs nothing).
+
+    Exactness: per-pair cosines run the shared fixed-order fold, are
+    micro-FLOORED to longs, and the k-NN selection ranks that
+    quantized value (neighbor-id tiebreak) — so the k-set, its exact
+    integer sum, and the one floored division per score replay
+    identically in both engines.
+
+    Scale shape: THIS form is the all-pairs oracle baseline (score a
+    deterministic sample, as the query does); the corpus-scale path
+    feeds the same scoring through the LSH/IVF candidate machinery
+    (lsh_bucketed_neighbors / ivf_batch_topk) exactly like the dedup
+    stack gates its verify stage. Returns ``(id, knn_dist_micro)``."""
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("_ia") != F.col("_ib")).select(
+        "_ia",
+        "_ib",
+        F.floor(
+            cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long").alias("_cm"),
+    )
+    w = Window.partitionBy("_ia").orderBy(F.desc("_cm"), F.asc("_ib"))
+    top = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        top.groupBy(F.col("_ia").alias(id_col))
+        .agg(F.sum("_cm").cast("long").alias("_s"), F.count("*").alias("_k"))
+        .select(
+            id_col,
+            F.floor(
+                (F.col("_k") * 1_000_000 - F.col("_s")).cast("double")
+                / F.col("_k").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("knn_dist_micro"),
+        )
+    )

@@ -95,6 +95,8 @@ _DRIVER_PRIORITY = [
     "text_ad_bigram", "text_readability_fk", "pivot_user_event_matrix",
     "events_seasonal_strength", "agg_theil_inequality",
     "graph_assortativity", "text_burrows_delta",
+    "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
+    "agg_hhi_concentration",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -3105,3 +3105,66 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = covisitation_edges(e, "user_id", "item", max_users_per_item=_COVIS_CAP)
     return degree_assortativity(edges)
+
+
+def _markov_oracle(iterations: int = 8) -> str:
+    its = ""
+    prev = "pi0"
+    for r in range(1, iterations + 1):
+        its += f""",
+    pi{r} AS (
+      SELECT p.to_type AS state,
+             CAST(floor(sum(x.pi_micro * p.p_micro)::DOUBLE / 1000000.0 + 0.5)
+                  AS BIGINT) AS pi_micro
+      FROM {prev} x JOIN pmat p ON p.from_type = x.state
+      GROUP BY p.to_type
+    )"""
+        prev = f"pi{r}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outs AS (SELECT from_type, sum(n)::BIGINT AS tot FROM pairs GROUP BY 1),
+    pmat AS (
+      SELECT p.from_type, p.to_type,
+             CAST(floor((p.n * 1000000)::DOUBLE / o.tot::DOUBLE + 0.5) AS BIGINT)
+               AS p_micro
+      FROM pairs p JOIN outs o USING (from_type)
+    ),
+    st AS (SELECT DISTINCT from_type AS state FROM pmat
+           UNION SELECT DISTINCT to_type FROM pmat),
+    kk AS (SELECT count(*)::BIGINT AS k FROM st),
+    pi0 AS (
+      SELECT state,
+             CAST(floor(1000000.0 / k::DOUBLE + 0.5) AS BIGINT) AS pi_micro
+      FROM st CROSS JOIN kk
+    ){its}
+    SELECT f.state, f.pi_micro,
+           coalesce(sp.p_micro, 0)::BIGINT AS p_self_micro
+    FROM {prev} f
+    LEFT JOIN (SELECT from_type AS state, p_micro FROM pmat
+               WHERE from_type = to_type) sp USING (state)
+    ORDER BY f.state
+    """
+
+
+@q("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (operators/analytics.markov_stationary) by quantized power
+    iteration: 8 rounds of π' = πP with every probability and state
+    mass re-floored to the micro grid each round — the kmeans-style
+    per-round re-synchronization that makes an ITERATIVE fixed-point
+    engine-checkable (the oracle unrolls all 8 rounds as CTEs). One
+    user-keyed exchange builds the pairs; iterations run on the
+    |types|² metadata matrix."""
+    from denormalized_spark.operators.analytics import markov_stationary
+
+    return markov_stationary(t(spark, sf, "events"))

@@ -6697,3 +6697,119 @@ def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators import text as T
 
     return T.burrows_delta_by_group(t(spark, sf, "documents"), m=30)
+
+
+def _textrank_iter_sql(i: int) -> str:
+    """One unrolled weighted-PageRank iteration over the word graph —
+    float ops ordered exactly as operators/graph.pagerank with
+    weight_col set (the _prw_iter_sql recipe on word nodes)."""
+    p, r = i - 1, i
+    return f"""tc{r} AS (SELECT e.dst, sum(r.rank * e.n / od.outdeg) AS s
+           FROM e JOIN od USING (src) JOIN tr{p} r ON e.src = r.node
+           GROUP BY e.dst),
+    td{r} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+             FROM tr{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+    tr{r} AS (SELECT n.node,
+                    round(0.15 / (SELECT n FROM nn)
+                          + 0.85 * (coalesce(c.s, 0.0)
+                                    + (SELECT dang FROM td{r}) / (SELECT n FROM nn)),
+                          9) AS rank
+             FROM nodes n LEFT JOIN tc{r} c ON n.node = c.dst)"""
+
+
+@q(
+    "text_textrank_keywords",
+    f"""
+    WITH d AS (SELECT {_TOKS} AS ws FROM documents),
+    pr AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p FROM d
+           WHERE len(ws) >= 2),
+    und AS (SELECT p[1] AS a, p[2] AS b FROM pr),
+    e AS (
+      SELECT src, dst, count(*)::BIGINT AS n FROM (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+      ) GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    od AS (SELECT src, sum(n)::DOUBLE AS outdeg FROM e GROUP BY src),
+    tr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {_textrank_iter_sql(1)},
+    {_textrank_iter_sql(2)},
+    {_textrank_iter_sql(3)}
+    SELECT node AS word, rank FROM tr3
+    ORDER BY rank DESC, word ASC LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the adjacent-token co-occurrence graph (undirected
+    — each pair feeds both directions), top-20 words by rank. Reuses
+    operators/graph.pagerank with weight_col (the Markov random-walk
+    machinery), with its per-iteration 9-digit re-rounding making the
+    3-round trajectory oracle-checkable as unrolled CTEs. The graph
+    build is a per-row zip_with + pair-keyed count; iterations run on
+    the vocab-sized metadata graph."""
+    from denormalized_spark.operators import graph
+    from denormalized_spark.operators.text import tokens
+
+    d = t(spark, sf, "documents")
+    toks = tokens("text")
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    und = d.select(F.explode(pairs_arr).alias("_p")).select("_p.a", "_p.b")
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight_col="n")
+    return (
+        ranks.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@q(
+    "sim_knn_ood",
+    f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(floor(({_dot_sql('a.embedding', 'b.embedding')})
+                  / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})
+                  * 1000000.0 + 0.5) AS BIGINT) AS cm
+      FROM s a JOIN s b ON a.vec_id != b.vec_id
+    ),
+    top AS (
+      SELECT ia, cm,
+             row_number() OVER (PARTITION BY ia ORDER BY cm DESC, ib ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, knn_dist_micro FROM (
+      SELECT ia AS vec_id,
+             CAST(floor((count(*) * 1000000 - sum(cm))::DOUBLE
+                  / count(*)::DOUBLE + 0.5) AS BIGINT) AS knn_dist_micro
+      FROM top WHERE rn <= 5 GROUP BY ia
+    ) ORDER BY knn_dist_micro DESC, vec_id ASC LIMIT 20
+    """,
+)
+def sim_knn_ood(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN-distance OOD detection (operators/similarity.
+    knn_ood_scores; Sun et al. 2022): top-20 most isolated vectors of
+    a deterministic 20% sample by mean quantized cosine distance to
+    their 5 nearest neighbors — the label-free curation screen beside
+    outlier_scores' centroid form. All-pairs on the SAMPLE is the
+    oracle baseline; the corpus path gates the same scoring through
+    the LSH/IVF candidate machinery."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    scores = similarity.knn_ood_scores(e, k=5)
+    return scores.orderBy(F.desc("knn_dist_micro"), F.asc("vec_id")).limit(20)

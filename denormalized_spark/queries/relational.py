@@ -1639,3 +1639,46 @@ def agg_theil_inequality(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
     return theil_index(rev, "n_name", "cents")
+
+
+@q(
+    "agg_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS grp, c.c_custkey AS m,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS x
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, sum(x)::BIGINT AS t, count(*)::BIGINT AS n_members
+            FROM rev GROUP BY grp)
+    SELECT rev.grp, any_value(tot.n_members)::BIGINT AS n_members,
+           CAST(floor(sum(CAST(floor((x::DOUBLE / t::DOUBLE)
+                                     * (x::DOUBLE / t::DOUBLE)
+                                     * 1e12 + 0.5) AS BIGINT))::DOUBLE
+                / 1e6 + 0.5) AS BIGINT) AS hhi_micro
+    FROM rev JOIN tot USING (grp)
+    GROUP BY rev.grp ORDER BY rev.grp
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation Herfindahl-Hirschman index of customer revenue
+    concentration (operators/analytics.hhi_concentration) — the
+    sum-of-squared-shares member of the inequality panel beside Gini
+    and Theil. Member totals exact longs, per-member s² pico-floored,
+    integer group sum; two keyed aggs + one group-total join."""
+    from denormalized_spark.operators.analytics import hhi_concentration
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return hhi_concentration(rev, "n_name", "c_custkey", "cents")

@@ -1570,3 +1570,35 @@ class TestTheilAndAssortativity:
         )
         r4 = degree_assortativity(k4).collect()[0]
         assert r4.assortativity_micro == 0  # regular graph, den = 0 -> pinned
+
+
+class TestMarkovAndHHI:
+    def test_markov_stationary_two_state_chain(self, spark):
+        """A deterministic A<->B alternator has stationary (1/2, 1/2);
+        the quantized power iteration lands exactly on 500000 each."""
+        import datetime
+
+        from denormalized_spark.operators.analytics import markov_stationary
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for u in range(3):
+            for i in range(20):
+                rows.append(
+                    (u, i, base + datetime.timedelta(minutes=i), "A" if i % 2 == 0 else "B")
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        out = {r.state: r for r in markov_stationary(df).collect()}
+        assert out["A"].pi_micro == 500_000 and out["B"].pi_micro == 500_000
+        assert out["A"].p_self_micro == 0  # strict alternation
+
+    def test_hhi_monopoly_and_uniform(self, spark):
+        from denormalized_spark.operators.analytics import hhi_concentration
+
+        rows = [("mono", 1, 100)] + [("unif", i, 25) for i in range(4)]
+        df = spark.createDataFrame(rows, "g string, m long, x long")
+        out = {r.grp: r for r in hhi_concentration(df, "g", "m", "x").collect()}
+        assert out["mono"].hhi_micro == 1_000_000
+        assert out["unif"].hhi_micro == 250_000  # 4 * (1/4)^2

@@ -1048,3 +1048,17 @@ def test_split_centroid_drift_identical_and_orthogonal(spark):
     assert out[0].drift_cosine_r6 == 1.0   # same direction
     assert out[1].drift_cosine_r6 == 0.0   # orthogonal halves
     assert (out[0].n_a, out[0].n_b) == (1, 1)
+
+
+def test_knn_ood_isolated_vector_scores_highest(spark):
+    from denormalized_spark.operators.similarity import knn_ood_scores
+
+    # a tight cluster near +x and one isolated vector near -x
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [0.98, 0.1]),
+        (4, [0.97, 0.15]), (9, [-1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.knn_dist_micro for r in knn_ood_scores(df, k=2).collect()}
+    assert out[9] == max(out.values())
+    assert out[9] > 10 * out[1]
