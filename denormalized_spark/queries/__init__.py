@@ -96,7 +96,7 @@ _DRIVER_PRIORITY = [
     "events_seasonal_strength", "agg_theil_inequality",
     "graph_assortativity", "text_burrows_delta",
     "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
-    "agg_hhi_concentration",
+    "agg_hhi_concentration", "dedup_lsh_scurve",
 ]
 
 def _reorder(d: dict) -> dict:

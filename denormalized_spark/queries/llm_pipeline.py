@@ -6813,3 +6813,132 @@ def sim_knn_ood(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
     scores = similarity.knn_ood_scores(e, k=5)
     return scores.orderBy(F.desc("knn_dist_micro"), F.asc("vec_id")).limit(20)
+
+
+_SCURVE_EDGES = [0.02, 0.05, 0.1, 0.2, 0.5, 0.8]  # bucket lower edges
+_SCURVE_MIDS = [0.035, 0.075, 0.15, 0.35, 0.65, 0.9]
+
+
+def _scurve_theory_milli() -> list[int]:
+    """Theoretical banding capture probability 1−(1−j^r)^b at each
+    Jaccard-bucket midpoint for the 8-hash/4-band (r=2) config —
+    Python-computed literals embedded in BOTH engines (the EWMA/NDCG
+    literal-table discipline). Buckets follow this corpus's bimodal
+    pair mass (a background cloud at j<0.1 and a near-dup cliff at
+    j>=0.8): [0.02,0.05), [0.05,0.1), [0.1,0.2), [0.2,0.5),
+    [0.5,0.8), [0.8,1]."""
+    import math
+
+    return [
+        math.floor((1.0 - (1.0 - m ** 2) ** 4) * 1000 + 0.5)
+        for m in _SCURVE_MIDS
+    ]
+
+
+_SCURVE_THEO = _scurve_theory_milli()
+
+_SCURVE_BUCKET_SQL = (
+    "CASE WHEN j < 0.05 THEN 0 WHEN j < 0.1 THEN 1 WHEN j < 0.2 THEN 2 "
+    "WHEN j < 0.5 THEN 3 WHEN j < 0.8 THEN 4 ELSE 5 END"
+)
+
+
+@q(
+    "dedup_lsh_scurve",
+    _LSH_GATE_CTES
+    + f""",
+    truth AS (
+      SELECT id_a, id_b, round(jaccard, 6) AS j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)) AS jaccard
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      ) t WHERE jaccard >= 0.02
+    ),
+    bucketed AS (
+      SELECT ({_SCURVE_BUCKET_SQL})::INT AS bucket, id_a, id_b FROM truth
+    ),
+    caught AS (
+      SELECT b.bucket, count(*)::BIGINT AS n_caught
+      FROM bucketed b SEMI JOIN cand c
+        ON b.id_a = c.id_a AND b.id_b = c.id_b
+      GROUP BY b.bucket
+    ),
+    theo AS (
+      SELECT unnest(range(6))::INT AS bucket,
+             unnest([{", ".join(str(v) for v in _SCURVE_THEO)}])::BIGINT
+               AS theo_milli
+    )
+    SELECT t.bucket, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(n_caught, 0)::BIGINT AS n_caught,
+           CASE WHEN coalesce(n_pairs, 0) > 0 THEN
+             CAST(floor((coalesce(n_caught, 0) * 1000)::DOUBLE
+                  / n_pairs::DOUBLE + 0.5) AS BIGINT)
+           ELSE 0::BIGINT END AS capture_milli,
+           t.theo_milli
+    FROM theo t
+    LEFT JOIN (SELECT bucket, count(*)::BIGINT AS n_pairs FROM bucketed
+               GROUP BY bucket) np USING (bucket)
+    LEFT JOIN caught USING (bucket)
+    ORDER BY t.bucket
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf: str) -> DataFrame:
+    """Banding S-curve validation (the minhash-LSH tuning chart of
+    Leskovec/Rajaraman/Ullman's MMDS ch. 3): bucket the TRUE Jaccard
+    pairs (>= 0.02, exact inverted-index join) by similarity and
+    report the measured candidate-capture rate of the 8-hash/4-band
+    config beside the theoretical 1−(1−j²)⁴ at each bucket midpoint
+    (Python-computed literals in both engines). Buckets track this
+    corpus's bimodal pair mass — the j<0.1 background cloud (where
+    capture must be ≈0: the banding FALSE-POSITIVE budget) and the
+    j>=0.8 near-dup cliff (where it must be ≈1) — which is exactly
+    how b and r are tuned against a dedup threshold. Shares the LSH
+    gate CTEs; the rollup is a 6-row metadata table."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    truth = dedup.jaccard_pairs(d, "doc_id", "text", shingle_n=3, min_jaccard=0.02)
+    cand = dedup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4
+    ).withColumn("_c", F.lit(1))
+    j = F.round("jaccard", 6)
+    bucketed = truth.select(
+        F.when(j < 0.05, 0)
+        .when(j < 0.1, 1)
+        .when(j < 0.2, 2)
+        .when(j < 0.5, 3)
+        .when(j < 0.8, 4)
+        .otherwise(5)
+        .cast("int")
+        .alias("bucket"),
+        "id_a",
+        "id_b",
+    )
+    joined = bucketed.join(cand, ["id_a", "id_b"], "left")
+    measured = joined.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_caught"),
+    )
+    theo = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_SCURVE_THEO)],
+        "bucket int, theo_milli long",
+    )
+    return (
+        theo.join(measured, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.when(
+                F.coalesce(F.col("n_pairs"), F.lit(0)) > 0,
+                F.floor(
+                    (F.col("n_caught") * 1000).cast("double")
+                    / F.col("n_pairs").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("capture_milli"),
+            "theo_milli",
+        )
+        .orderBy("bucket")
+    )
