@@ -96,7 +96,8 @@ _DRIVER_PRIORITY = [
     "events_seasonal_strength", "agg_theil_inequality",
     "graph_assortativity", "text_burrows_delta",
     "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
-    "agg_hhi_concentration", "dedup_lsh_scurve",
+    "agg_hhi_concentration", "dedup_lsh_scurve", "events_qini_uplift",
+    "join_bloom_semi_revenue",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -3168,3 +3168,62 @@ def events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     from denormalized_spark.operators.analytics import markov_stationary
 
     return markov_stationary(t(spark, sf, "events"))
+
+
+@q(
+    "events_qini_uplift",
+    """
+    WITH e AS (
+      SELECT least(CAST(floor(
+               (1.0 - (('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)),
+                        1, 8))::BIGINT / 4294967296.0)) * 10) AS INT), 9)
+               AS bucket,
+             CASE WHEN (('0x' || substr(md5('qt:' || CAST(event_id AS VARCHAR)),
+                        1, 8))::BIGINT / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS t,
+             CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per AS (
+      SELECT bucket,
+             sum(t)::BIGINT AS n_treat,
+             sum(1 - t)::BIGINT AS n_ctrl,
+             sum(t * y)::BIGINT AS conv_treat,
+             sum((1 - t) * y)::BIGINT AS conv_ctrl
+      FROM e GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n_treat, n_ctrl, conv_treat, conv_ctrl,
+             sum(n_treat) OVER w AS cnt, sum(n_ctrl) OVER w AS cnc,
+             sum(conv_treat) OVER w AS cct, sum(conv_ctrl) OVER w AS ccc
+      FROM per
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT bucket, n_treat, n_ctrl, conv_treat, conv_ctrl,
+           CASE WHEN cnc > 0 THEN
+             CAST(floor((cct::DOUBLE - ccc::DOUBLE * cnt::DOUBLE / cnc::DOUBLE)
+                  * 1000.0 + 0.5) AS BIGINT)
+           ELSE (cct * 1000)::BIGINT END AS qini_milli
+    FROM cum ORDER BY bucket
+    """,
+)
+def events_qini_uplift(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini uplift curve (operators/analytics.qini_uplift; Radcliffe
+    2007): cumulative incremental conversions over score deciles,
+    with a deterministic md5 targeting score (seed 'qs:'), an md5
+    exposure bit ('qt:'), and conversion = value >= 100. Since the
+    synthetic score is independent of treatment, the curve should
+    hug the random-targeting diagonal — the null-calibration check an
+    uplift eval harness must pass. One bucket-keyed agg + metadata
+    windows; bucket membership from the QUANTIZED score (no global
+    ntile)."""
+    from denormalized_spark.operators.analytics import qini_uplift
+    from denormalized_spark.operators.curation import sample_fraction
+
+    e = t(spark, sf, "events").select(
+        sample_fraction("event_id", "qs:").alias("score"),
+        (sample_fraction("event_id", "qt:") < 0.5).cast("int").alias("t"),
+        (F.col("value") >= 100.0).cast("int").alias("y"),
+    )
+    return qini_uplift(e, "score", "t", "y", n_buckets=10)

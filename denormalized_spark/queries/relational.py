@@ -1682,3 +1682,52 @@ def agg_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
     return hhi_concentration(rev, "n_name", "c_custkey", "cents")
+
+
+@q(
+    "join_bloom_semi_revenue",
+    """
+    WITH hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+    gated AS (
+      SELECT l.l_returnflag,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem l SEMI JOIN hot h ON l.l_orderkey = h.o_orderkey
+    )
+    SELECT l_returnflag, count(*)::BIGINT AS n_items,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM gated GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_bloom_semi_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-gated semi join (operators/joins.bloom_semi_join; the
+    hand-rolled runtime filter — Bloom 1970 + the R* semijoin of
+    Mackert & Lohman 1986): revenue of line items belonging to
+    hot (>400k) orders, with the fact side prefiltered MAP-SIDE by a
+    broadcast 2^16-bit bitmap of the hot keys before the exact semi
+    join drops the Bloom false positives. The oracle is the PLAIN
+    semi join — a hash match PROVES the gate is semantics-preserving
+    (the salted_join proof pattern), while the plan moves only
+    might-match fact rows into the join shuffle."""
+    from denormalized_spark.operators.joins import bloom_semi_join
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("cents"),
+    )
+    hot = t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey"
+    )
+    gated = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+    return (
+        gated.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

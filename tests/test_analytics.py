@@ -1602,3 +1602,25 @@ class TestMarkovAndHHI:
         out = {r.grp: r for r in hhi_concentration(df, "g", "m", "x").collect()}
         assert out["mono"].hhi_micro == 1_000_000
         assert out["unif"].hhi_micro == 250_000  # 4 * (1/4)^2
+
+
+def test_qini_uplift_hand_computed(spark):
+    """Two buckets, uplift concentrated in the top bucket: Qini values
+    match the cumulative formula by hand; empty-control edge pins to
+    treated conversions."""
+    import math
+
+    from denormalized_spark.operators.analytics import qini_uplift
+
+    rows = (
+        # top bucket (score >= .5): 3 treated (2 convert), 2 ctrl (0)
+        [(0.9, 1, 1), (0.8, 1, 1), (0.7, 1, 0), (0.9, 0, 0), (0.6, 0, 0)]
+        # bottom: 2 treated (1), 2 ctrl (1)
+        + [(0.3, 1, 1), (0.2, 1, 0), (0.4, 0, 1), (0.1, 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "score double, t int, y int")
+    out = {r.bucket: r for r in qini_uplift(df, "score", "t", "y", 2).collect()}
+    # bucket 0: cum ct=2, cc=0, nt=3, nc=2 -> 2 - 0*3/2 = 2.0
+    assert out[0].qini_milli == 2000
+    # bucket 1: cum ct=3, cc=1, nt=5, nc=4 -> 3 - 1*5/4 = 1.75
+    assert out[1].qini_milli == math.floor(1.75 * 1000 + 0.5)

@@ -32,3 +32,25 @@ def test_salted_join_validates_how(spark):
     df = spark.createDataFrame([(1, 0)], "k long, i long")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", left_salt=F.col("i"), how="full")
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    """The Bloom gate is semantics-preserving: result == plain left
+    semi join, including keys that are Bloom false positives of the
+    bitmap (they're dropped by the exact stage)."""
+    from denormalized_spark.operators.joins import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(k, k * 10) for k in range(200)], "k long, v long"
+    )
+    keys = spark.createDataFrame([(3,), (77,), (150,)], "kk long")
+    got = sorted(
+        r.k for r in bloom_semi_join(fact, keys, "k", "kk", bits=256, probes=3)
+        .collect()
+    )
+    want = sorted(
+        r.k for r in fact.join(
+            keys.withColumnRenamed("kk", "k"), "k", "left_semi"
+        ).collect()
+    )
+    assert got == want == [3, 77, 150]

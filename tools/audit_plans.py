@@ -47,6 +47,7 @@ ALLOW_BNLJ = {
     "graph_assortativity",   # 1-row node-count crossJoin onto the 1-row moment aggregate
     "text_textrank_keywords", # 1-row node-count/dangling-mass broadcasts per PageRank iteration (vocab-sized graph)
     "sim_knn_ood",           # all-pairs oracle baseline on a deterministic SAMPLE; corpus path = LSH/IVF gating
+    "join_bloom_semi_revenue", # 1-row Bloom bitmap broadcast crossJoin (the decontaminate-bloom pattern) — constant fan-out
     "text_burrows_delta",    # 30-row word-panel broadcast crossJoin (dense doc×panel matrix) — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
@@ -186,6 +187,7 @@ ALLOW_SINGLE_PART = {
     "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
     "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "text_textrank_keywords", # 1-row dangling-mass finals per iteration (same as graph_pagerank_*)
+    "events_qini_uplift",    # cumulative window over the 10-bucket metadata table + 1-row bitmap-style finals
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series
