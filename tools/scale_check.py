@@ -220,6 +220,12 @@ STRESS_QUERIES = [
     "dedup_span_strip",          # same machinery + HOF rebuild
     "sim_kcenter_select",        # k argmax scans over the 10x vector corpus
     "sketch_cm_cells",           # distinct-key cell sums at 10x token mass
+    # round-13 additions: the new dedup/text/vector lanes one decade up
+    "dedup_paragraph_blocks",    # tokens/k-volume gram shuffle claim
+    "dedup_cdc_chunks",          # doc-keyed prefix-sum window + ordered fold claim
+    "text_burrows_delta",        # (doc×30) dense-matrix shuffle claim
+    "sim_ivf_incremental",       # batch-size-not-corpus claim (10x batch here)
+    "curation_contamination_ngram13",  # corpus-never-shuffles broadcast-gate claim
 ]
 
 
