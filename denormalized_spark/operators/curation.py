@@ -1384,3 +1384,49 @@ def neyman_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def softdedup_weights(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_id: str = "id",
+    comp_label: str = "label",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, give
+    every document the loss weight 1/|its duplicate cluster| so each
+    piece of content contributes unit mass regardless of copy count —
+    the downweight-don't-delete alternative studied for LM training
+    mixes (count-normalized sampling; the same principle as DoReMi/
+    DSIR-style reweighting applied to duplication). Keeps rare
+    context that strict dedup's survivor choice would discard.
+
+    ``components`` is a near-dup clustering (e.g.
+    dedup.connected_components over LSH-verified pairs); documents
+    absent from it are singletons with weight 1. Weights land on the
+    milli grid (one floored division per doc — exact integer sums
+    downstream).
+
+    Scale shape: one cluster-size agg over the (tiny relative to
+    corpus) component table, one left join back on the id key, one
+    projection. Returns the input plus ``(cluster_size,
+    weight_milli)``."""
+    sizes = components.groupBy(comp_label).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    labeled = components.join(sizes, comp_label).select(
+        F.col(comp_id).alias(id_col), "cluster_size"
+    )
+    return (
+        df.join(F.broadcast(labeled), id_col, "left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"),
+        )
+        .withColumn(
+            "weight_milli",
+            F.floor(
+                F.lit(1000.0) / F.col("cluster_size").cast("double") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )

@@ -2014,3 +2014,135 @@ def cdc_chunk_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def fastcdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """CDC with FastCDC-style minimum chunk size (Xia et al. 2016,
+    USENIX ATC "FastCDC"): a hash boundary (token hash ≡ 0 mod
+    ``boundary_mod``) is ACCEPTED only if at least ``min_tokens``
+    tokens passed since the last accepted cut — the normalization
+    that kills :func:`cdc_chunks`' pathological 1-token chunks (which
+    collide trivially across documents) while keeping the cut rule
+    content-defined, so re-synchronization after edits survives.
+
+    Boundary acceptance is inherently SEQUENTIAL per document (each
+    cut depends on the previous accepted cut), so it runs as a
+    per-row array fold — no shuffle, but O(tokens·cuts) per row in
+    the chunk-id projection; at book-length documents move this fold
+    into a mapInPandas kernel (same recurrence, NumPy-segmented).
+    Emits ``(id, chunk_idx, n_tokens, chunk_hash)`` with the shared
+    (acc·31 + h) mod 2^32 rolling hash — directly comparable to
+    cdc_chunks / paragraph_blocks output."""
+    from denormalized_spark.operators.text import tokens
+
+    th = F.transform(tokens(text_col), token_hash32)
+
+    def cuts_of(thb):
+        # accepted cut positions (1-based chunk starts; position 1 is
+        # the implicit first cut): fold positions 2..n, appending i
+        # when th[i] % mod == 0 and i - last_cut >= min_tokens. thb is
+        # a BOUND lambda variable — element_at reads are cheap.
+        idx = F.sequence(F.lit(2), F.greatest(F.size(thb), F.lit(2)))
+        return F.when(
+            F.size(thb) >= 2,
+            F.aggregate(
+                idx,
+                F.array(F.lit(1)),
+                lambda acc, i: F.when(
+                    (F.element_at(thb, i) % boundary_mod == 0)
+                    & (i - F.element_at(acc, -1) >= min_tokens)
+                    & (i <= F.size(thb)),
+                    F.concat(acc, F.array(i)),
+                ).otherwise(acc),
+            ),
+        ).otherwise(F.array(F.lit(1)))
+
+    # one expression, th and cuts each evaluated ONCE per row
+    # (eval_once-bound); emits [(chunk_idx, h) ...] in token order
+    zipped = eval_once(
+        th,
+        lambda thb: eval_once(
+            cuts_of(thb),
+            lambda cb: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(thb), F.lit(1))),
+                lambda i: F.struct(
+                    (F.size(F.filter(cb, lambda c: c <= i)) - 1)
+                    .cast("long").alias("cid"),
+                    F.element_at(thb, i).alias("h"),
+                ),
+            ),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), zipped.alias("_z"))
+        .filter(F.size("_z") > 0)
+        .select(F.col(id_col), F.posexplode("_z").alias("_pos", "_e"))
+        .filter(F.col("_e.h").isNotNull())  # guards the 0-token doc edge
+        .select(
+            id_col,
+            F.col("_e.cid").alias("chunk_idx"),
+            F.col("_e.h").alias("_h"),
+            "_pos",
+        )
+    )
+    return ex.groupBy(id_col, "chunk_idx").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_h"))),
+                lambda s: s["_h"],
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(SHINGLE_MOD),
+        ).alias("chunk_hash"),
+    )
+
+
+def fastcdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Cross-document duplicated-chunk report over FastCDC chunks —
+    same output schema as :func:`cdc_chunk_dedup` and
+    :func:`paragraph_block_dedup`, so all three chunkers A/B on the
+    same corpus. The min-size clamp removes the 1-token-chunk
+    collision class, so its dup fractions are the trustworthy ones."""
+    chunks = fastcdc_chunks(df, id_col, text_col, boundary_mod, min_tokens)
+    dup_hashes = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = chunks.join(
+        dup_hashes.withColumn("_dup", F.lit(1)), "chunk_hash", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.floor(
+                (F.col("n_dup_chunks") * 1000).cast("double")
+                / F.col("n_chunks").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("dup_frac_milli"),
+        )
+        .orderBy(id_col)
+    )

@@ -97,7 +97,8 @@ _DRIVER_PRIORITY = [
     "graph_assortativity", "text_burrows_delta",
     "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
     "agg_hhi_concentration", "dedup_lsh_scurve", "events_qini_uplift",
-    "join_bloom_semi_revenue",
+    "join_bloom_semi_revenue", "dedup_fastcdc_chunks",
+    "curation_softdedup_weights",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -6942,3 +6942,143 @@ def dedup_lsh_scurve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_FCDC_MOD, _FCDC_MIN = 16, 4
+
+
+@q(
+    "dedup_fastcdc_chunks",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    hh AS (SELECT doc_id,
+                  list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+           FROM d WHERE len(ws) >= 1),
+    cr AS (
+      SELECT doc_id, 1 AS pos, [1::BIGINT] AS cuts, th FROM hh
+      UNION ALL
+      SELECT doc_id, pos + 1,
+             CASE WHEN th[pos + 1] % {_FCDC_MOD} = 0
+                       AND (pos + 1 - cuts[len(cuts)]) >= {_FCDC_MIN}
+                  THEN list_append(cuts, (pos + 1)::BIGINT) ELSE cuts END,
+             th
+      FROM cr WHERE pos < len(th)
+    ),
+    fin AS (SELECT doc_id, cuts, th FROM cr WHERE pos = len(th)),
+    ex AS (SELECT doc_id, u.i AS pos,
+                  len(list_filter(cuts, c -> c <= u.i)) - 1 AS cid,
+                  th[u.i] AS h
+           FROM fin, (SELECT unnest(range(1, len(th) + 1)) AS i) u),
+    chunk AS (
+      SELECT doc_id, cid AS chunk_idx,
+             count(*)::BIGINT AS n_tokens,
+             list_reduce(list_prepend(0::BIGINT, list(h ORDER BY pos)),
+                         (acc, x) -> (acc * 31 + x) % 4294967296) AS chunk_hash
+      FROM ex GROUP BY doc_id, cid
+    ),
+    dup AS (SELECT chunk_hash FROM chunk GROUP BY chunk_hash
+            HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           CAST(floor((sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                                THEN 1 ELSE 0 END) * 1000)::DOUBLE
+                / count(*)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_milli
+    FROM chunk GROUP BY doc_id
+    HAVING sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup)
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_fastcdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """FastCDC-normalized chunk dedup (operators/dedup.
+    fastcdc_chunk_dedup; Xia et al. 2016): content-defined cuts with a
+    4-token minimum chunk size — the clamp that removes cdc_chunks'
+    trivially-colliding 1-token chunks while keeping edit
+    re-synchronization. Boundary acceptance is a per-row sequential
+    fold (eval_once-bound, no re-evaluation blowup); the oracle
+    replays the identical recurrence as a recursive CTE carrying the
+    accepted-cut list (the Viterbi state-carry pattern). Same output
+    schema as dedup_cdc_chunks / dedup_paragraph_blocks for the
+    three-way chunker A/B."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    return dedup.fastcdc_chunk_dedup(
+        d, boundary_mod=_FCDC_MOD, min_tokens=_FCDC_MIN
+    )
+
+
+@q(
+    "curation_softdedup_weights",
+    _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    vp AS (
+      SELECT id_a, id_b FROM (
+        SELECT j.id_a, j.id_b,
+               count(*)::DOUBLE / (j.n_a + j.n_b - count(*)) AS jaccard
+        FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, a.s
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        ) j SEMI JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+        GROUP BY j.id_a, j.id_b, j.n_a, j.n_b
+      ) t WHERE jaccard >= 0.2
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+    reach(id, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS lab FROM reach GROUP BY id),
+    csz AS (SELECT lab, count(*)::BIGINT AS cluster_size FROM comp GROUP BY lab),
+    wts AS (
+      SELECT dd.doc_id, dd.source,
+             coalesce(csz.cluster_size, 1)::BIGINT AS cluster_size
+      FROM documents dd
+      LEFT JOIN comp ON comp.doc_id = dd.doc_id
+      LEFT JOIN csz ON csz.lab = comp.lab
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CAST(floor(1000.0 / cluster_size::DOUBLE + 0.5) AS BIGINT))::BIGINT
+             AS effective_milli,
+           CAST(floor(sum(CAST(floor(1000.0 / cluster_size::DOUBLE + 0.5)
+                                AS BIGINT))::DOUBLE / count(*)::DOUBLE + 0.5)
+                AS BIGINT) AS keep_ratio_milli
+    FROM wts GROUP BY source ORDER BY source
+    """,
+)
+def curation_softdedup_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication rollup (operators/curation.softdedup_weights):
+    every document weighted 1/|near-dup cluster| (clusters = the
+    LSH-gated Jaccard >= 0.2 transitive closure of
+    dedup_connected_components; absent docs are singletons) — the
+    downweight-don't-delete alternative to survivor-pick dedup, so
+    each piece of content contributes unit training mass however many
+    copies exist. Per source: exact integer sum of milli weights
+    (effective corpus size) and the implied keep ratio. The oracle
+    replays the closure as the same recursive CTE."""
+    from denormalized_spark.operators import curation, dedup
+
+    d = t(spark, sf, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, min_jaccard=0.2, candidates=cand
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    weighted = curation.softdedup_weights(d, cc)
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("weight_milli").cast("long").alias("effective_milli"),
+            F.floor(
+                F.sum("weight_milli").cast("double")
+                / F.count("*").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("keep_ratio_milli"),
+        )
+        .orderBy("source")
+    )

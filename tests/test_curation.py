@@ -1195,3 +1195,19 @@ def test_neyman_largest_remainder_sums_to_budget(spark):
     out = neyman_allocation(df, "s", "y", 7).collect()
     assert sum(r.alloc for r in out) == 7
     assert all(r.alloc >= 0 for r in out)
+
+
+def test_softdedup_weights_cluster_and_singleton(spark):
+    from denormalized_spark.operators.curation import softdedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, label long"
+    )
+    out = {r.doc_id: r for r in softdedup_weights(docs, comp).collect()}
+    assert out[1].cluster_size == 3 and out[1].weight_milli == 333
+    assert out[4].cluster_size == 1 and out[4].weight_milli == 1000
+    # unit-mass property: the triplicate cluster contributes ~1 total
+    assert sum(out[i].weight_milli for i in (1, 2, 3)) == 999

@@ -1027,3 +1027,55 @@ def test_cdc_chunk_boundaries_match_hash_rule(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = sorted(r.chunk_hash for r in cdc_chunks(df, boundary_mod=mod).collect())
     assert got == exp
+
+
+def test_fastcdc_min_size_suppresses_early_boundary(spark):
+    """A boundary token closer than min_tokens to the previous cut is
+    skipped; the chunk partition matches a Python replay of the
+    recurrence, and no chunk (except possibly the tail) is shorter
+    than min_tokens."""
+    import hashlib
+
+    from denormalized_spark.operators.dedup import fastcdc_chunks
+
+    words = [f"w{i}" for i in range(24)]
+    text = " ".join(words)
+    mod, mn = 4, 4
+    hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words]
+    cuts = [1]
+    for i in range(2, len(hs) + 1):
+        if hs[i - 1] % mod == 0 and i - cuts[-1] >= mn:
+            cuts.append(i)
+    # python replay of chunk hashes
+    MOD = 1 << 32
+    chunks = {}
+    for pos, h in enumerate(hs, start=1):
+        cid = sum(1 for c in cuts if c <= pos) - 1
+        chunks.setdefault(cid, []).append(h)
+    def roll(seq):
+        acc = 0
+        for x in seq:
+            acc = (acc * 31 + x) % MOD
+        return acc
+    want = {cid: (len(v), roll(v)) for cid, v in chunks.items()}
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.chunk_idx: (r.n_tokens, r.chunk_hash)
+        for r in fastcdc_chunks(df, boundary_mod=mod, min_tokens=mn).collect()
+    }
+    assert got == want
+    sizes = [n for n, _ in got.values()]
+    assert all(s >= mn for s in sizes[:-1])
+
+
+def test_fastcdc_vs_cdc_chunk_counts(spark):
+    """The min-size clamp can only reduce (or keep) the cut count —
+    FastCDC never yields more chunks than plain CDC."""
+    from denormalized_spark.operators.dedup import cdc_chunks, fastcdc_chunks
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_cdc = cdc_chunks(df, boundary_mod=4).count()
+    n_fast = fastcdc_chunks(df, boundary_mod=4, min_tokens=5).count()
+    assert n_fast <= n_cdc
