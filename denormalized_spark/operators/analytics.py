@@ -3651,3 +3651,79 @@ def qini_uplift(
         "bucket", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
         qini.alias("qini_milli"),
     ).orderBy("bucket")
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iterations: int = 8,
+) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain
+    (Shannon 1948; Cover & Thomas ch. 4): H = −Σ_i π_i Σ_j p_ij ln p_ij
+    — bits-per-event unpredictability of user behavior under the
+    fitted chain, the one-number complement of markov_stationary (a
+    near-zero rate means journeys are script-like; ln|types| means
+    uniform chaos). Also reports each state's conditional next-event
+    entropy H_i = −Σ_j p_ij ln p_ij.
+
+    Quantized, engine-exact: transition probabilities and the
+    stationary vector live on the micro grid (markov_stationary's
+    discipline); each cell's −p·ln(p) is micro-floored BEFORE the
+    per-state integer sum (the BM25 grid-vs-ulp argument); the rate
+    is Σ_i π_i·H_i on exact integers with one final floored division.
+
+    Scale shape: the one user-keyed exchange from the pair build;
+    everything after is |types|²-metadata. Returns one row per state
+    ``(state, pi_micro, h_cond_micro)`` plus the 'RATE' rollup row
+    carrying the chain's entropy rate in h_cond_micro."""
+    pi = markov_stationary(df, user_col, ts_col, type_col, id_col, iterations)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    cell = pairs.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        F.floor(
+            (F.col("n") * 1_000_000).cast("double") / F.col("tot").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("_pm"),
+    )
+    # −p·ln(p) per cell, micro-floored from the micro-grid p
+    term = F.floor(
+        -(F.col("_pm").cast("double") / F.lit(1_000_000.0))
+        * F.log(F.col("_pm").cast("double") / F.lit(1_000_000.0))
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    hcond = cell.filter(F.col("_pm") > 0).groupBy(
+        F.col("from_type").alias("state")
+    ).agg(F.sum(term).cast("long").alias("h_cond_micro"))
+    per_state = pi.join(hcond, "state", "left").select(
+        "state",
+        "pi_micro",
+        F.coalesce("h_cond_micro", F.lit(0)).cast("long").alias("h_cond_micro"),
+    )
+    rate = per_state.agg(
+        F.lit("RATE").alias("state"),
+        F.lit(1_000_000).cast("long").alias("pi_micro"),
+        F.floor(
+            F.sum(F.col("pi_micro") * F.col("h_cond_micro")).cast("double")
+            / F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("h_cond_micro"),
+    )
+    return per_state.select("state", "pi_micro", "h_cond_micro").unionAll(
+        rate
+    ).orderBy("state")

@@ -1853,3 +1853,105 @@ def knn_ood_scores(
             ).cast("long").alias("knn_dist_micro"),
         )
     )
+
+
+def pca_power_top_component(
+    df: DataFrame,
+    dim: int = 8,
+    iterations: int = 8,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component of the first ``dim`` embedding
+    coordinates by POWER ITERATION (von Mises & Pollaczek-Geiringer
+    1929; the iteration inside every truncated-PCA/SVD solver): build
+    the dim×dim sample covariance in ONE pass, then iterate
+    v ← C·v / ‖C·v‖ from the deterministic e₁ start. Power iteration
+    is the PCA that actually scales — the data is touched once for C;
+    every iteration runs on dim² METADATA.
+
+    Engine-exact: means and covariance cells are 6-rounded avg()
+    aggregates (the label_centroids discipline — rounding absorbs
+    partition-order noise); every iteration's matrix-vector product
+    is a fixed-order literal-unrolled sum over the bound 1-row C
+    frame and re-rounds each component after normalizing, the
+    kmeans-style per-round re-synchronization that makes the float
+    trajectory oracle-checkable as unrolled CTEs.
+
+    Returns ``dim`` rows ``(idx, loading_r6)`` plus an 'eigenvalue'
+    summary row (idx = -1) carrying the Rayleigh quotient vᵀCv —
+    the variance captured along the component."""
+    x = [F.element_at(vec_col, j + 1).cast("double") for j in range(dim)]
+    means = df.agg(
+        *[F.round(F.avg(x[j]), round_digits).alias(f"m{j}") for j in range(dim)]
+    )
+    centered = df.crossJoin(F.broadcast(means))
+    cov = centered.agg(
+        *[
+            F.round(
+                F.avg(
+                    (x[j] - F.col(f"m{j}")) * (x[k] - F.col(f"m{k}"))
+                ),
+                round_digits,
+            ).alias(f"c{j}_{k}")
+            for j in range(dim)
+            for k in range(dim)
+        ]
+    )
+    # v0 = e1; iterate on the 1-row covariance frame
+    frame = cov.select(
+        "*", *[F.lit(1.0 if j == 0 else 0.0).alias(f"v{j}") for j in range(dim)]
+    )
+    for _ in range(iterations):
+        prod = [
+            sum(
+                [F.col(f"c{j}_{k}") * F.col(f"v{k}") for k in range(dim)],
+                F.lit(0.0),
+            ).alias(f"w{j}")
+            for j in range(dim)
+        ]
+        frame = frame.select(
+            *[F.col(f"c{j}_{k}") for j in range(dim) for k in range(dim)],
+            *prod,
+        )
+        nrm = F.sqrt(
+            sum([F.col(f"w{j}") * F.col(f"w{j}") for j in range(dim)], F.lit(0.0))
+        )
+        # zero-norm guard: if v landed in C's null space (e.g. the e1
+        # start with a zero first row/column), fall back to e1 rather
+        # than dividing by zero — deterministic, oracle-mirrored
+        frame = frame.select(
+            *[F.col(f"c{j}_{k}") for j in range(dim) for k in range(dim)],
+            *[
+                F.when(
+                    nrm > 0, F.round(F.col(f"w{j}") / nrm, round_digits)
+                )
+                .otherwise(F.lit(1.0 if j == 0 else 0.0))
+                .alias(f"v{j}")
+                for j in range(dim)
+            ],
+        )
+    # Rayleigh quotient on the final rounded vector
+    quad = sum(
+        [
+            F.col(f"v{j}") * F.col(f"c{j}_{k}") * F.col(f"v{k}")
+            for j in range(dim)
+            for k in range(dim)
+        ],
+        F.lit(0.0),
+    )
+    out = frame.select(
+        *[F.col(f"v{j}") for j in range(dim)],
+        F.round(quad, round_digits).alias("_ev"),
+    )
+    rows = None
+    for j in range(dim):
+        r = out.select(
+            F.lit(j).cast("int").alias("idx"),
+            F.col(f"v{j}").alias("loading_r6"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    ev = out.select(
+        F.lit(-1).cast("int").alias("idx"), F.col("_ev").alias("loading_r6")
+    )
+    return rows.unionAll(ev).orderBy("idx")

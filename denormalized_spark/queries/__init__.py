@@ -98,7 +98,8 @@ _DRIVER_PRIORITY = [
     "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
     "agg_hhi_concentration", "dedup_lsh_scurve", "events_qini_uplift",
     "join_bloom_semi_revenue", "dedup_fastcdc_chunks",
-    "curation_softdedup_weights",
+    "curation_softdedup_weights", "events_markov_entropy_rate",
+    "sim_pca_top_component",
 ]
 
 def _reorder(d: dict) -> dict:

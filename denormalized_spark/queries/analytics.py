@@ -3107,7 +3107,7 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
-def _markov_oracle(iterations: int = 8) -> str:
+def _markov_oracle(iterations: int = 8, tail: str | None = None) -> str:
     its = ""
     prev = "pi0"
     for r in range(1, iterations + 1):
@@ -3120,6 +3120,17 @@ def _markov_oracle(iterations: int = 8) -> str:
       GROUP BY p.to_type
     )"""
         prev = f"pi{r}"
+    if tail is not None:
+        final = tail.replace("{prev}", prev)
+    else:
+        final = f"""
+    SELECT f.state, f.pi_micro,
+           coalesce(sp.p_micro, 0)::BIGINT AS p_self_micro
+    FROM {prev} f
+    LEFT JOIN (SELECT from_type AS state, p_micro FROM pmat
+               WHERE from_type = to_type) sp USING (state)
+    ORDER BY f.state
+    """
     return f"""
     WITH seq AS (
       SELECT user_id, event_type,
@@ -3145,14 +3156,7 @@ def _markov_oracle(iterations: int = 8) -> str:
       SELECT state,
              CAST(floor(1000000.0 / k::DOUBLE + 0.5) AS BIGINT) AS pi_micro
       FROM st CROSS JOIN kk
-    ){its}
-    SELECT f.state, f.pi_micro,
-           coalesce(sp.p_micro, 0)::BIGINT AS p_self_micro
-    FROM {prev} f
-    LEFT JOIN (SELECT from_type AS state, p_micro FROM pmat
-               WHERE from_type = to_type) sp USING (state)
-    ORDER BY f.state
-    """
+    ){its}{final}"""
 
 
 @q("events_markov_stationary", _markov_oracle())
@@ -3227,3 +3231,42 @@ def events_qini_uplift(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("value") >= 100.0).cast("int").alias("y"),
     )
     return qini_uplift(e, "score", "t", "y", n_buckets=10)
+
+
+@q(
+    "events_markov_entropy_rate",
+    _markov_oracle(tail="""
+    , hc AS (
+      SELECT from_type AS state,
+             sum(CAST(floor(-(p_micro::DOUBLE / 1000000.0)
+                            * ln(p_micro::DOUBLE / 1000000.0)
+                            * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+               AS h_cond_micro
+      FROM pmat WHERE p_micro > 0 GROUP BY from_type
+    ),
+    ps AS (
+      SELECT f.state, f.pi_micro,
+             coalesce(hc.h_cond_micro, 0)::BIGINT AS h_cond_micro
+      FROM {prev} f LEFT JOIN hc USING (state)
+    )
+    SELECT * FROM (
+      SELECT state, pi_micro, h_cond_micro FROM ps
+      UNION ALL
+      SELECT 'RATE', 1000000::BIGINT,
+             CAST(floor(sum(pi_micro * h_cond_micro)::DOUBLE / 1000000.0 + 0.5)
+                  AS BIGINT)
+      FROM ps
+    ) ORDER BY state
+    """),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain (operators/
+    analytics.markov_entropy_rate; Shannon 1948, Cover & Thomas ch.4):
+    per-state conditional next-event entropy plus the π-weighted
+    'RATE' rollup — the unpredictability number beside
+    events_markov_stationary's long-run mix, on the same quantized
+    chain (each −p·ln p cell micro-floored before integer sums; the
+    oracle extends the 8-round unrolled-CTE replay)."""
+    from denormalized_spark.operators.analytics import markov_entropy_rate
+
+    return markov_entropy_rate(t(spark, sf, "events"))

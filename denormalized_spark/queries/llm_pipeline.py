@@ -7082,3 +7082,83 @@ def curation_softdedup_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _pca_oracle(dim: int = 8, iterations: int = 8) -> str:
+    """Unrolled power-iteration replay: 6-rounded means/covariance
+    avg() cells, then per-iteration matrix-vector product + re-rounded
+    normalization — float ops in exactly the operator's fold order
+    (a leading 0.0 term, left-associated sums)."""
+    xs = [f"embedding[{j + 1}]::DOUBLE" for j in range(dim)]
+    m_cols = ", ".join(
+        f"round(avg({xs[j]}), 6) AS m{j}" for j in range(dim)
+    )
+    c_cols = ", ".join(
+        f"round(avg(({xs[j]} - m{j}) * ({xs[k]} - m{k})), 6) AS c{j}_{k}"
+        for j in range(dim)
+        for k in range(dim)
+    )
+    c_list = ", ".join(f"c{j}_{k}" for j in range(dim) for k in range(dim))
+    v0 = ", ".join(
+        f"{'1.0' if j == 0 else '0.0'}::DOUBLE AS v{j}" for j in range(dim)
+    )
+    its = ""
+    prev = "it0"
+    for r in range(1, iterations + 1):
+        w_cols = ", ".join(
+            "(0.0 + "
+            + " + ".join(f"(c{j}_{k} * v{k})" for k in range(dim))
+            + f") AS w{j}"
+            for j in range(dim)
+        )
+        nrm = (
+            "sqrt(0.0 + "
+            + " + ".join(f"(w{j} * w{j})" for j in range(dim))
+            + ")"
+        )
+        v_cols = ", ".join(
+            f"CASE WHEN {nrm} > 0 THEN round(w{j} / {nrm}, 6) "
+            f"ELSE {'1.0' if j == 0 else '0.0'}::DOUBLE END AS v{j}"
+            for j in range(dim)
+        )
+        its += f""",
+    pw{r} AS (SELECT {c_list}, {w_cols} FROM {prev}),
+    it{r} AS (SELECT {c_list}, {v_cols} FROM pw{r})"""
+        prev = f"it{r}"
+    quad = (
+        "0.0 + "
+        + " + ".join(
+            f"(v{j} * c{j}_{k} * v{k})" for j in range(dim) for k in range(dim)
+        )
+    )
+    sel = " UNION ALL ".join(
+        f"SELECT {j}::INT AS idx, v{j} AS loading_r6 FROM {prev}"
+        for j in range(dim)
+    )
+    return f"""
+    WITH mm AS (SELECT {m_cols} FROM embeddings),
+    cov AS (SELECT {c_cols} FROM embeddings CROSS JOIN mm),
+    it0 AS (SELECT {c_list}, {v0} FROM cov){its}
+    SELECT * FROM (
+      {sel}
+      UNION ALL
+      SELECT -1::INT, round({quad}, 6) FROM {prev}
+    ) ORDER BY idx
+    """
+
+
+@q("sim_pca_top_component", _pca_oracle())
+def sim_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the first 8 embedding coordinates
+    (operators/similarity.pca_power_top_component; von Mises power
+    iteration — the kernel inside every truncated-PCA solver): ONE
+    data pass builds the 8×8 covariance (6-rounded avg cells), then
+    8 iterations of v ← C·v/‖C·v‖ run on 1-row metadata with
+    per-round re-rounding (the kmeans/pagerank discipline), making
+    the whole float trajectory checkable against the unrolled-CTE
+    replay. Returns the 8 loadings plus the Rayleigh-quotient
+    eigenvalue row (idx = -1)."""
+    from denormalized_spark.operators import similarity
+
+    e = t(spark, sf, "embeddings")
+    return similarity.pca_power_top_component(e, dim=8, iterations=8)

@@ -89,6 +89,7 @@ class SketchMaintainer:
         tdigest_group_col: str | None = None,
         sample_k: int | None = None,
         sample_seed: str = "rs0",
+        mg_k: int | None = None,
     ):
         self.key_col = key_col
         self.depth = depth
@@ -108,6 +109,12 @@ class SketchMaintainer:
             )
         # group key (string) -> list of [w, mean, vmin, vmax]
         self.td_group_centroids: dict[str, list[list]] = {}
+        self.mg_k = mg_k
+        # Misra-Gries k-counter state: key -> undercounted count, plus
+        # the certified total undercount bound (grows with every
+        # residual subtraction — batch-side and merge-side)
+        self.mg_counters: dict[str, int] = {}
+        self.mg_error: int = 0
         self.sample_k = sample_k
         self.sample_seed = sample_seed
         # accumulated uniform bottom-k sample: (ticket, key) pairs
@@ -220,6 +227,41 @@ class SketchMaintainer:
                 self.td_group_centroids[g] = _fold_centroids(
                     self.td_group_centroids.get(g, []), rows, self.tdigest_delta
                 )
+
+        # Misra-Gries partial (optional): the batch's deterministic MG
+        # summary (exact per-key counts, subtract the (k+1)-th largest,
+        # keep positives — operators/sketches.misra_gries_merged's
+        # shard form) folds into state by the Agarwal et al. 2013
+        # mergeable-summaries law: counter-wise sum, then one more
+        # (k+1)-th-largest subtraction if over k counters. Both
+        # subtractions add to the certified undercount bound; the
+        # parity test asserts the MG sandwich
+        # mg_count <= true <= mg_count + error for every key.
+        if self.mg_k is not None:
+            kk = self.mg_k
+            top = (
+                batch_df.groupBy(F.col(self.key_col).cast("string").alias("_k"))
+                .count()
+                .orderBy(F.desc("count"), F.asc("_k"))
+                .limit(kk + 1)
+                .collect()  # k+1 metadata rows
+            )
+            resid = int(top[kk]["count"]) if len(top) > kk else 0
+            self.mg_error += resid
+            for r in top[:kk]:
+                c = int(r["count"]) - resid
+                if c > 0:
+                    self.mg_counters[r["_k"]] = (
+                        self.mg_counters.get(r["_k"], 0) + c
+                    )
+            if len(self.mg_counters) > kk:
+                cut = sorted(self.mg_counters.values(), reverse=True)[kk]
+                self.mg_error += cut
+                self.mg_counters = {
+                    key: c - cut
+                    for key, c in self.mg_counters.items()
+                    if c - cut > 0
+                }
 
         if self.half_life_ms is None:
             return

@@ -1624,3 +1624,35 @@ def test_qini_uplift_hand_computed(spark):
     assert out[0].qini_milli == 2000
     # bucket 1: cum ct=3, cc=1, nt=5, nc=4 -> 3 - 1*5/4 = 1.75
     assert out[1].qini_milli == math.floor(1.75 * 1000 + 0.5)
+
+
+def test_markov_entropy_rate_deterministic_and_uniform(spark):
+    import datetime
+    import math
+
+    from denormalized_spark.operators.analytics import markov_entropy_rate
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 0: strict alternation A,B,A,B -> both conditionals 0
+    for i in range(20):
+        rows.append((0, i, base + datetime.timedelta(minutes=i),
+                     "A" if i % 2 == 0 else "B"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.state: r for r in markov_entropy_rate(df).collect()}
+    assert out["A"].h_cond_micro == 0 and out["B"].h_cond_micro == 0
+    assert out["RATE"].h_cond_micro == 0
+    # uniform 2-state chain: A->A/B and B->A/B equally -> H = ln 2
+    rows2 = []
+    seq = ["A", "A", "B", "B"] * 10  # transitions: A->A,A->B,B->B,B->A equally
+    for i, s in enumerate(seq):
+        rows2.append((0, i, base + datetime.timedelta(minutes=i), s))
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out2 = {r.state: r for r in markov_entropy_rate(df2).collect()}
+    ln2_micro_terms = 2 * math.floor(-0.5 * math.log(0.5) * 1e6 + 0.5)
+    # boundary effects make counts near-equal, not exact — allow 2% slack
+    assert abs(out2["RATE"].h_cond_micro - ln2_micro_terms) < 0.02 * ln2_micro_terms

@@ -1062,3 +1062,36 @@ def test_knn_ood_isolated_vector_scores_highest(spark):
     out = {r.vec_id: r.knn_dist_micro for r in knn_ood_scores(df, k=2).collect()}
     assert out[9] == max(out.values())
     assert out[9] > 10 * out[1]
+
+
+def test_pca_power_recovers_dominant_axis(spark):
+    """Variance concentrated on coordinate 2 (plus a little on 1 so
+    the e1 start has a gradient): the top component aligns with e2
+    and the Rayleigh eigenvalue matches the dominant variance."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[0] = 0.1 if i % 2 == 0 else -0.1     # small variance on dim 1
+        v[1] = 2.0 if i % 2 == 0 else -2.0     # dominant on dim 2
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from denormalized_spark.operators.similarity import pca_power_top_component
+
+    out = {r.idx: r.loading_r6 for r in
+           pca_power_top_component(df, dim=8, iterations=8).collect()}
+    assert abs(abs(out[1]) - 1.0) < 0.01       # e2 direction dominates
+    assert abs(out[-1] - 4.0 - 0.01) < 0.15    # eigenvalue ~ var(2.0 signs)+cross
+    assert all(abs(out[j]) < 0.06 for j in range(2, 8))
+
+
+def test_pca_power_zero_matrix_guard(spark):
+    """A constant dataset has a zero covariance: the iteration must
+    pin to the deterministic e1 fallback instead of NaN."""
+    rows = [(i, [1.0] * 8) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from denormalized_spark.operators.similarity import pca_power_top_component
+
+    out = {r.idx: r.loading_r6 for r in
+           pca_power_top_component(df, dim=8, iterations=3).collect()}
+    assert out[0] == 1.0 and out[-1] == 0.0
+    assert all(out[j] == 0.0 for j in range(1, 8))

@@ -1264,3 +1264,66 @@ def test_streaming_ivf_maintenance_matches_batch_fit(spark, tmp_path):
     # and the maintained quantizer still serves: centroids_df round-trips
     got = {r.cluster: list(r.centroid) for r in m.centroids_df(spark).collect()}
     assert set(got) == {0, 1}
+
+
+def test_streaming_mg_heavy_hitters_sandwich(spark, tmp_path):
+    """Live Misra-Gries maintenance (SketchMaintainer mg_k): three
+    staged micro-batches fold per-batch MG summaries by the Agarwal
+    et al. mergeable-summaries law. The MG guarantees must hold
+    against exact truth over the union: every surviving counter
+    UNDERcounts, every key's true count is within the certified
+    error bound, and every true heavy hitter whose count exceeds the
+    bound survives."""
+    import os
+    import tempfile
+    import time as _time
+
+    from denormalized_spark.streaming.sketches import SketchMaintainer
+
+    # skewed stream: u0 dominates, u1 medium, long tail
+    batches = [
+        [(f"u{0 if i % 2 == 0 else i % 9}",) for i in range(60)],
+        [(f"u{0 if i % 3 == 0 else (i % 11) + 1}",) for i in range(50)],
+        [(f"u{1 if i % 2 == 0 else (i % 7) + 3}",) for i in range(40)],
+    ]
+    stream_dir = tmp_path / "mg_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows += rows
+        df = spark.createDataFrame(rows, "k string")
+        tmp_out = str(tmp_path / f"_mg{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    m = SketchMaintainer("k", mg_k=4)
+    schema = spark.read.parquet(str(stream_dir)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(lambda df, e: m.update(df, e))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_mg_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert m.n_batches == 3 and len(m.mg_counters) <= 4
+    truth: dict[str, int] = {}
+    for (k,) in all_rows:
+        truth[k] = truth.get(k, 0) + 1
+    # sandwich: undercount, bounded
+    for key, c in m.mg_counters.items():
+        assert c <= truth[key] <= c + m.mg_error, (key, c, truth[key], m.mg_error)
+    # every heavy hitter above the certified bound survives
+    for key, n in truth.items():
+        if n > m.mg_error:
+            assert key in m.mg_counters, (key, n, m.mg_error)
+    # the dominant key is ranked first
+    top = max(m.mg_counters.items(), key=lambda kv: kv[1])[0]
+    assert top == max(truth.items(), key=lambda kv: kv[1])[0]

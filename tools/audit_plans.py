@@ -48,6 +48,7 @@ ALLOW_BNLJ = {
     "text_textrank_keywords", # 1-row node-count/dangling-mass broadcasts per PageRank iteration (vocab-sized graph)
     "sim_knn_ood",           # all-pairs oracle baseline on a deterministic SAMPLE; corpus path = LSH/IVF gating
     "join_bloom_semi_revenue", # 1-row Bloom bitmap broadcast crossJoin (the decontaminate-bloom pattern) — constant fan-out
+    "sim_pca_top_component", # 1-row means broadcast crossJoin (covariance centering) — constant fan-out
     "text_burrows_delta",    # 30-row word-panel broadcast crossJoin (dense doc×panel matrix) — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
     "text_bigram_quality",   # same 1-row vocab-total crossJoin (unigram interpolation term)
@@ -188,6 +189,9 @@ ALLOW_SINGLE_PART = {
     "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "text_textrank_keywords", # 1-row dangling-mass finals per iteration (same as graph_pagerank_*)
     "events_qini_uplift",    # cumulative window over the 10-bucket metadata table + 1-row bitmap-style finals
+    "sim_pca_top_component", # 1-row covariance/means finals; iterations run on 1-row metadata
+    "events_markov_stationary",  # |types|-row power-iteration aggs (metadata matrix)
+    "events_markov_entropy_rate",  # same |types|-row metadata finals + the 1-row RATE rollup
     "sketch_bloom_probe",    # 1-row final over the 3k-row membership table (metadata)
     "events_ab_cuped",       # 1-row pooled-moment/arm finals (metadata)
     "events_ccf_click_purchase",  # row_number + 1-row moment finals over the period series

@@ -195,6 +195,27 @@ def build_stress_tier(spark, base_sf: str, out_dir: str, factor: int = 10) -> st
         )
         .write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
     )
+    li = load_table(spark, base_sf, "lineitem")
+    maxes = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    p_off, s_off = int(maxes["mp"]) + 1, int(maxes["ms"]) + 1
+    # replica r offsets EVERY graph key (order/part/supp) — the r12
+    # "key-offset lineitem recipe": replicas become disjoint subgraphs,
+    # so covisitation/LPA lanes see a factor-x LARGER graph with the
+    # same degree structure (edge-linear growth is then measurable),
+    # and l_orderkey stays consistent with the offset orders table.
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("_rep") * n_ord * 4).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("_rep") * p_off).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("_rep") * s_off).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
     return out_dir
 
 
@@ -509,7 +530,13 @@ def main() -> None:
         print(f"\nstress tier (10x sf0.1) at {stress}:")
         for name in STRESS_QUERIES:
             t0 = time.time()
-            queries[name](spark, stress).write.format("noop").mode("overwrite").save()
+            try:
+                queries[name](spark, stress).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — one bad lane must not kill the sweep
+                print(f"{name:30s} FAILED: {str(e).splitlines()[0][:120]}")
+                continue
             print(f"{name:30s} {time.time() - t0:9.2f}s")
         stress_ann(spark, stress)
         stress_semantic_dedup(spark, stress)
