@@ -3442,34 +3442,19 @@ def theil_index(
     ).orderBy("grp")
 
 
-def markov_stationary(
+def _markov_chain(
     df: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    id_col: str = "event_id",
-    iterations: int = 8,
-) -> DataFrame:
-    """Stationary distribution of the first-order event-type Markov
-    chain by power iteration (the long-run behavioral mix the
-    transition matrix implies — where users END UP spending their
-    events, vs the raw event-type histogram of where they started;
-    the PageRank-without-teleport of event_transitions' matrix).
-
-    Quantized power iteration, engine-exact: the transition
-    probabilities live on the micro grid (one floored division per
-    cell — exactly event_transitions' probability discipline), the
-    state vector starts uniform on the micro grid, and every
-    iteration re-floors π'_j = Σ_i π_i·p_ij to micro units — both
-    engines replay the identical integer-in/integer-out trajectory,
-    the same per-round re-synchronization kmeans_fit uses. Fixed
-    ``iterations`` (8 rounds contract a 5-state chain far below the
-    micro grid).
-
-    Scale shape: ONE user-keyed exchange builds the transition pairs
-    (the corpus-sized step); everything after runs on the |types|²
-    metadata matrix — each iteration one k²-row join + k-row agg.
-    Returns ``(state, pi_micro, p_self_micro)`` ordered by state."""
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    iterations: int,
+):
+    """Shared chain build for markov_stationary / markov_entropy_rate:
+    ONE user-keyed exchange produces the transition pairs; returns
+    (pmat, pi) — the micro-grid transition matrix and the stationary
+    vector after ``iterations`` quantized power-iteration rounds
+    (localCheckpoint per round bounds lineage)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -3513,6 +3498,38 @@ def markov_stationary(
             )
         )
         pi = pi.localCheckpoint(eager=False)
+    return pmat, pi
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iterations: int = 8,
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by power iteration (the long-run behavioral mix the
+    transition matrix implies — where users END UP spending their
+    events, vs the raw event-type histogram of where they started;
+    the PageRank-without-teleport of event_transitions' matrix).
+
+    Quantized power iteration, engine-exact: the transition
+    probabilities live on the micro grid (one floored division per
+    cell — exactly event_transitions' probability discipline), the
+    state vector starts uniform on the micro grid, and every
+    iteration re-floors π'_j = Σ_i π_i·p_ij to micro units — both
+    engines replay the identical integer-in/integer-out trajectory,
+    the same per-round re-synchronization kmeans_fit uses. Fixed
+    ``iterations`` (8 rounds contract a 5-state chain far below the
+    micro grid).
+
+    Scale shape: ONE user-keyed exchange builds the transition pairs
+    (the corpus-sized step); everything after runs on the |types|²
+    metadata matrix — each iteration one k²-row join + k-row agg.
+    Returns ``(state, pi_micro, p_self_micro)`` ordered by state."""
+    pmat, pi = _markov_chain(df, user_col, ts_col, type_col, id_col, iterations)
     self_p = pmat.filter(F.col("from_type") == F.col("to_type")).select(
         F.col("from_type").alias("state"), F.col("p_micro").alias("p_self_micro")
     )
@@ -3679,27 +3696,8 @@ def markov_entropy_rate(
     everything after is |types|²-metadata. Returns one row per state
     ``(state, pi_micro, h_cond_micro)`` plus the 'RATE' rollup row
     carrying the chain's entropy rate in h_cond_micro."""
-    pi = markov_stationary(df, user_col, ts_col, type_col, id_col, iterations)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    pairs = (
-        df.select(
-            F.lag(type_col).over(w).alias("from_type"),
-            F.col(type_col).alias("to_type"),
-        )
-        .filter(F.col("from_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
-    cell = pairs.join(F.broadcast(outs), "from_type").select(
-        "from_type",
-        F.floor(
-            (F.col("n") * 1_000_000).cast("double") / F.col("tot").cast("double")
-            + F.lit(0.5)
-        ).cast("long").alias("_pm"),
-    )
+    pmat, pi = _markov_chain(df, user_col, ts_col, type_col, id_col, iterations)
+    cell = pmat.select("from_type", F.col("p_micro").alias("_pm"))
     # −p·ln(p) per cell, micro-floored from the micro-grid p
     term = F.floor(
         -(F.col("_pm").cast("double") / F.lit(1_000_000.0))
