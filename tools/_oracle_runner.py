@@ -31,8 +31,11 @@ def main() -> int:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     sql = sys.stdin.read()
     con = duckdb.connect()
+    # memory is the resource the isolation exists to protect; THREADS
+    # must stay at the box default — the wordpiece 6-merge unrolled
+    # oracle ran in minutes at 32 threads in-process but timed out at
+    # a 8-thread cap (found by the r13 full-registry sweep)
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET threads=8")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -95,7 +95,9 @@ def run_oracle_subprocess(sql: str, sf_dir: str) -> pd.DataFrame:
             [sys.executable, runner, sf_dir, tmp.name],
             input=sql.encode(),
             capture_output=True,
-            timeout=1800,
+            # headroom above the heaviest oracle (text_wordpiece_train:
+            # ~570 s at 32 threads, idle box) under co-running load
+            timeout=3000,
         )
         if proc.returncode != 0:
             tail = proc.stderr.decode(errors="replace").strip().splitlines()
