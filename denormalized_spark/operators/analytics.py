@@ -3266,8 +3266,12 @@ def ipw_ate_stratified(
     Scale shape: ONE stratum-keyed partial/final aggregation over the
     corpus + a metadata-sized rollup union — no joins, no corpus
     re-scan. Returns one row per stratum plus the 'ALL' row:
-    ``(stratum, n, n_treat, propensity_milli, ate_term_milli)``."""
-    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+    ``(stratum, n, n_treat, propensity_milli, ate_term_milli)``; the
+    stratum column is cast to STRING so the 'ALL' rollup row unions
+    cleanly whatever type the caller stratified on."""
+    per = df.groupBy(
+        F.col(stratum_col).cast("string").alias("stratum")
+    ).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col(treat_col).cast("long")).cast("long").alias("n_treat"),
         F.sum(
@@ -3486,7 +3490,7 @@ def _markov_chain(
         .cast("long").alias("pi_micro"),
     )
     for _ in range(iterations):
-        pi = (
+        nxt = (
             pi.join(pmat, pi["state"] == pmat["from_type"])
             .groupBy(F.col("to_type").alias("state"))
             .agg(
@@ -3494,8 +3498,16 @@ def _markov_chain(
                     F.sum(F.col("pi_micro") * F.col("p_micro")).cast("double")
                     / F.lit(1_000_000.0)
                     + F.lit(0.5)
-                ).cast("long").alias("pi_micro")
+                ).cast("long").alias("_pi_next")
             )
+        )
+        # Re-anchor on the FULL state set: states nothing transitions
+        # into (and absorbing-source states whose mass leaks away)
+        # keep a row with mass 0 instead of silently vanishing — the
+        # 'one row per state' contract of both markov_* operators.
+        pi = states.join(nxt, "state", "left").select(
+            "state",
+            F.coalesce("_pi_next", F.lit(0)).cast("long").alias("pi_micro"),
         )
         pi = pi.localCheckpoint(eager=False)
     return pmat, pi
@@ -3612,8 +3624,11 @@ def qini_uplift(
     gives a straight line; a good model bows above it).
 
     Engine-exact and almost all integer: bucket membership comes from
-    the quantized score (floor(score·n_buckets), capped — no global
-    rank needed, so no single-partition ntile); per-bucket counts and
+    the quantized score (floor(score·n_buckets), clamped to
+    [0, n_buckets−1] at BOTH ends so uncalibrated scores outside
+    [0, 1] land in the edge buckets instead of minting spurious
+    negative bucket ids — no global rank needed, so no
+    single-partition ntile); per-bucket counts and
     conversions are exact longs; cumulative sums run over the
     n_buckets-row metadata table; Q_k is one fixed-order IEEE
     expression per row, milli-floored. Buckets with an empty control
@@ -3624,9 +3639,12 @@ def qini_uplift(
     conv_treat, conv_ctrl, qini_milli)`` — bucket 0 = highest scores."""
     from pyspark.sql import Window
 
-    b = F.least(
-        F.floor((F.lit(1.0) - F.col(score_col)) * n_buckets).cast("int"),
-        F.lit(n_buckets - 1),
+    b = F.greatest(
+        F.least(
+            F.floor((F.lit(1.0) - F.col(score_col)) * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
     )
     per = df.select(
         b.alias("bucket"),

@@ -1320,6 +1320,12 @@ def neyman_allocation(
     DECIMAL(38) — the value column here is bounded so a long's 2^63
     headroom suffices.)
 
+    Degenerate corpora (every stratum zero-variance, so Σw = 0) fall
+    back to allocation PROPORTIONAL to stratum size — Neyman's
+    optimum when all S_h are equal — instead of letting the integer
+    division emit NULLs; the reported ``w_micro`` stays 0 so callers
+    can see the fallback fired.
+
     Scale shape: ONE stratum-keyed partial/final agg over the corpus;
     everything after is a k-row metadata table (a k-row window for
     the remainder ranking). Returns ``(stratum, n_rows, sigma_micro,
@@ -1354,16 +1360,32 @@ def neyman_allocation(
             + F.lit(0.5)
         ).cast("long").alias("w_micro"),
     )
-    tot = w.agg(F.sum("w_micro").cast("long").alias("_tw"))
-    seats = w.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "n_rows",
-        "sigma_micro",
-        "w_micro",
-        F.expr(f"CAST({budget} AS BIGINT) * w_micro DIV _tw").cast("long")
-        .alias("_base"),
-        F.expr(f"(CAST({budget} AS BIGINT) * w_micro) % _tw").cast("long")
-        .alias("_rem"),
+    tot = w.agg(
+        F.sum("w_micro").cast("long").alias("_tw"),
+        F.sum("n_rows").cast("long").alias("_tn"),
+    )
+    seats = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_weff",
+            F.when(F.col("_tw") == 0, F.col("n_rows"))
+            .otherwise(F.col("w_micro")).cast("long"),
+        )
+        .withColumn(
+            "_tweff",
+            F.when(F.col("_tw") == 0, F.col("_tn"))
+            .otherwise(F.col("_tw")).cast("long"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma_micro",
+            "w_micro",
+            F.expr(f"CAST({budget} AS BIGINT) * _weff DIV _tweff")
+            .cast("long").alias("_base"),
+            F.expr(f"(CAST({budget} AS BIGINT) * _weff) % _tweff")
+            .cast("long").alias("_rem"),
+        )
     )
     extras = seats.agg(
         (F.lit(int(budget)) - F.sum("_base")).cast("long").alias("_extra")

@@ -3112,12 +3112,16 @@ def _markov_oracle(iterations: int = 8, tail: str | None = None) -> str:
     prev = "pi0"
     for r in range(1, iterations + 1):
         its += f""",
-    pi{r} AS (
+    nx{r} AS (
       SELECT p.to_type AS state,
              CAST(floor(sum(x.pi_micro * p.p_micro)::DOUBLE / 1000000.0 + 0.5)
                   AS BIGINT) AS pi_micro
       FROM {prev} x JOIN pmat p ON p.from_type = x.state
       GROUP BY p.to_type
+    ),
+    pi{r} AS (
+      SELECT s.state, coalesce(n.pi_micro, 0)::BIGINT AS pi_micro
+      FROM st s LEFT JOIN nx{r} n USING (state)
     )"""
         prev = f"pi{r}"
     if tail is not None:
@@ -3178,9 +3182,9 @@ def events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     "events_qini_uplift",
     """
     WITH e AS (
-      SELECT least(CAST(floor(
+      SELECT greatest(least(CAST(floor(
                (1.0 - (('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)),
-                        1, 8))::BIGINT / 4294967296.0)) * 10) AS INT), 9)
+                        1, 8))::BIGINT / 4294967296.0)) * 10) AS INT), 9), 0)
                AS bucket,
              CASE WHEN (('0x' || substr(md5('qt:' || CAST(event_id AS VARCHAR)),
                         1, 8))::BIGINT / 4294967296.0) < 0.5

@@ -1383,11 +1383,16 @@ _NEYMAN_BUDGET = 200
                ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS w_micro
       FROM per
     ),
-    tot AS (SELECT sum(w_micro)::BIGINT AS tw FROM w),
+    tot AS (SELECT sum(w_micro)::BIGINT AS tw,
+                   sum(n_rows)::BIGINT AS tn FROM w),
     seats AS (
       SELECT stratum, n_rows, sigma_micro, w_micro,
-             ({_NEYMAN_BUDGET}::BIGINT * w_micro) // tw AS base,
-             ({_NEYMAN_BUDGET}::BIGINT * w_micro) % tw AS rem
+             ({_NEYMAN_BUDGET}::BIGINT *
+              CASE WHEN tw = 0 THEN n_rows ELSE w_micro END)
+               // CASE WHEN tw = 0 THEN tn ELSE tw END AS base,
+             ({_NEYMAN_BUDGET}::BIGINT *
+              CASE WHEN tw = 0 THEN n_rows ELSE w_micro END)
+               % CASE WHEN tw = 0 THEN tn ELSE tw END AS rem
       FROM w CROSS JOIN tot
     ),
     ex AS (SELECT ({_NEYMAN_BUDGET} - sum(base))::BIGINT AS extra FROM seats)

@@ -1656,3 +1656,57 @@ def test_markov_entropy_rate_deterministic_and_uniform(spark):
     ln2_micro_terms = 2 * math.floor(-0.5 * math.log(0.5) * 1e6 + 0.5)
     # boundary effects make counts near-equal, not exact — allow 2% slack
     assert abs(out2["RATE"].h_cond_micro - ln2_micro_terms) < 0.02 * ln2_micro_terms
+
+
+def test_qini_uplift_clamps_out_of_range_scores(spark):
+    """Uncalibrated scores outside [0,1] land in the edge buckets
+    instead of minting negative bucket ids (r13 advisor edge)."""
+    from denormalized_spark.operators.analytics import qini_uplift
+
+    rows = [(1.5, 1, 1), (-0.3, 0, 0), (0.5, 1, 0), (0.5, 0, 1)]
+    df = spark.createDataFrame(rows, "score double, t int, y int")
+    out = qini_uplift(df, "score", "t", "y", 2).collect()
+    assert all(0 <= r.bucket <= 1 for r in out)
+    # score 1.5 -> bucket 0 (top); score -0.3 -> bucket 1 (bottom)
+    by_bucket = {r.bucket: r for r in out}
+    assert by_bucket[0].n_treat == 1 and by_bucket[0].conv_treat == 1
+    assert by_bucket[1].n_ctrl == 2
+
+
+def test_ipw_ate_integer_stratum_column(spark):
+    """A non-string stratum column unions cleanly with the 'ALL'
+    rollup row (r13 advisor edge): output stratum is string."""
+    from denormalized_spark.operators.analytics import ipw_ate_stratified
+
+    rows = [(1, 1, 100), (1, 0, 50), (2, 1, 200), (2, 0, 100)]
+    df = spark.createDataFrame(rows, "grp int, t int, cents long")
+    out = {r.stratum: r for r in ipw_ate_stratified(df, "t", "cents", "grp").collect()}
+    assert set(out) == {"1", "2", "ALL"}
+    # stratum 1: (100*2/1 - 50*2/1)/4 = 25.0 -> 25000 milli
+    assert out["1"].ate_term_milli == 25_000
+    assert out["ALL"].n == 4
+
+
+def test_markov_stationary_keeps_dangling_states(spark):
+    """States with no outgoing transitions (chain-terminal) and
+    states nothing transitions into keep a row (mass may decay to 0)
+    instead of vanishing from the output (r13 advisor edge)."""
+    import datetime
+
+    from denormalized_spark.operators.analytics import markov_stationary
+
+    base = datetime.datetime(2024, 1, 1)
+    # one user: B, A, A, A -> transitions B->A, A->A, A->A.
+    # B has no incoming edge: before the full-state re-anchor it
+    # dropped out of pi after round 1.
+    rows = [
+        (0, i, base + datetime.timedelta(minutes=i), s)
+        for i, s in enumerate(["B", "A", "A", "A"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.state: r for r in markov_stationary(df).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["B"].pi_micro == 0
+    assert out["A"].pi_micro == 1_000_000

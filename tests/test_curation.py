@@ -1211,3 +1211,17 @@ def test_softdedup_weights_cluster_and_singleton(spark):
     assert out[4].cluster_size == 1 and out[4].weight_milli == 1000
     # unit-mass property: the triplicate cluster contributes ~1 total
     assert sum(out[i].weight_milli for i in (1, 2, 3)) == 999
+
+
+def test_neyman_all_zero_variance_falls_back_proportional(spark):
+    """Every stratum constant (sigma 0 for all, so total weight 0):
+    allocation falls back to proportional-to-size instead of NULL
+    (r13 advisor edge), and still sums to the budget exactly."""
+    from denormalized_spark.operators.curation import neyman_allocation
+
+    rows = [("a", 5)] * 6 + [("b", 7)] * 3 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "s string, y long")
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "y", 10).collect()}
+    assert all(r.w_micro == 0 for r in out.values())
+    assert out["a"].alloc == 6 and out["b"].alloc == 3 and out["c"].alloc == 1
+    assert sum(r.alloc for r in out.values()) == 10
