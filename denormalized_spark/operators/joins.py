@@ -54,13 +54,25 @@ def salted_join(
     return ls.join(rs, [on, "_salt"], how).drop("_salt")
 
 
+def _derive_bloom_bits(
+    n_keys: int, floor_bits: int = 1 << 16, cap_bits: int = 1 << 27
+) -> int:
+    """Power-of-two bitmap size with m/n ≈ 10 (fp ≈ 1.7% at k=3),
+    floored at 8 KB and capped at the 16 MB broadcast comfort zone."""
+    bits = floor_bits
+    while bits < 10 * max(n_keys, 1) and bits < cap_bits:
+        bits <<= 1
+    return bits
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,
     fact_key: str,
     keys_key: str,
-    bits: int = 1 << 16,
+    bits: int | None = None,
     probes: int = 3,
+    gate_only: bool = False,
 ) -> DataFrame:
     """Bloom-gated LEFT SEMI join — the hand-rolled form of the
     runtime filter every warehouse engine injects when a selective
@@ -78,6 +90,16 @@ def bloom_semi_join(
     (selectivity · (1 + fp_rate)), not the whole fact table — the
     bitmap rides the broadcast lane (bits/8 bytes: 8 KB at 2^16).
 
+    ``bits=None`` (the default) SIZES THE BITMAP FROM THE BUILD SIDE:
+    one distinct-count of the keys, then bits = the next power of two
+    ≥ 10·|keys| (m/n = 10 with k = 3 probes → fp ≈ (1−e^(−0.3))³ ≈
+    1.7%), floored at 2^16 (8 KB) and capped at 2^27 (16 MB — the
+    broadcast lane's comfort zone; past 13M distinct keys the gate
+    degrades gracefully toward pass-through rather than growing the
+    broadcast). A FIXED ``bits`` saturates once |keys| ≳ bits/10:
+    fp→1 and the gate becomes a correct but useless pass-through —
+    which is why the default now derives it.
+
     Reuses curation's double-hashed probe layout and dense-bitmap
     builder (the decontaminate prefilter), md5-mixing the key so
     sequential integer keys spread across the table."""
@@ -85,6 +107,9 @@ def bloom_semi_join(
         _bench_gram_bloom,
         _bloom_hit,
     )
+
+    if bits is None:
+        bits = _derive_bloom_bits(keys.select(keys_key).distinct().count())
 
     def mix(c):
         return F.conv(
@@ -96,6 +121,10 @@ def bloom_semi_join(
     gated = fact.crossJoin(F.broadcast(bm)).filter(
         _bloom_hit(F.col("_bm"), F.array(mix(fact_key)), bits, probes)
     ).drop("_bm")
+    if gate_only:
+        # Debug/measurement surface: the Bloom-passed rows BEFORE the
+        # exact semi join, so tests can observe the fp rate directly.
+        return gated
     return gated.join(
         F.broadcast(keys.select(F.col(keys_key).alias(fact_key)).distinct()),
         fact_key,

@@ -54,3 +54,32 @@ def test_bloom_semi_join_equals_plain_semi(spark):
         ).collect()
     )
     assert got == want == [3, 77, 150]
+
+
+def test_bloom_derive_bits_sizing():
+    """bits ≈ next pow2 ≥ 10·|keys|, floored 2^16, capped 2^27."""
+    from denormalized_spark.operators.joins import _derive_bloom_bits
+
+    assert _derive_bloom_bits(0) == 1 << 16
+    assert _derive_bloom_bits(6000) == 1 << 16      # 60k ≤ 65536
+    assert _derive_bloom_bits(8000) == 1 << 17      # 80k > 65536
+    assert _derive_bloom_bits(100_000) == 1 << 20
+    assert _derive_bloom_bits(10**9) == 1 << 27     # broadcast cap
+
+
+def test_bloom_semi_join_derived_bits_fp_rate(spark):
+    """At the regime where the OLD fixed 2^16 default saturated
+    (8k build keys ≳ bits/10), the derived sizing keeps the Bloom
+    gate useful: fp-rate on a disjoint probe set stays well under
+    50% (expected ≈1.7% at m/n=10, k=3). r13 verdict item 4."""
+    from denormalized_spark.operators.joins import bloom_semi_join
+
+    n = 8000
+    keys = spark.range(n).selectExpr("id AS kk")
+    # probe set fully disjoint from the build keys: every gate pass
+    # is a false positive.
+    fact = spark.range(10**6, 10**6 + n).selectExpr("id AS k")
+    passed = bloom_semi_join(fact, keys, "k", "kk", gate_only=True).count()
+    assert passed / n < 0.5
+    # and with the sized bitmap it should actually be tight
+    assert passed / n < 0.1
