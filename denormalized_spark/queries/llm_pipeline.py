@@ -6137,43 +6137,73 @@ def sim_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     k ∈ {1, 5, 10, 20} — the tuning plot (not just the single
     recall@10 point of sim_ivf_recall) an ANN deployment reads before
     picking k/nprobe: small-k recall shows head quality, large-k the
-    tail the reranker can recover. Each point is the driver-verified
-    probed-scan + broadcast top-k intersect; the oracle replays all
-    four quantizer/probe/exact chains. Four bounded probed scans —
-    corpus passes stay O(len(ks)), never O(k)."""
-    frames = []
+    tail the reranker can recover. Under the deterministic total
+    order (rounded score desc, vec_id asc) top-k lists are NESTED
+    PREFIXES of top-20 for both the IVF and the exact scan, so the
+    whole curve comes from ONE quantizer fit + ONE probed scan + ONE
+    brute scan at k=max(ks): rank both 20-row lists, join on vec_id,
+    and count pairs with both ranks ≤ k per curve point — ≤80
+    metadata rows after the two scans (r13 verdict: the old form ran
+    the fit+assign+scan chain FOUR times, ~4× this wall). The oracle
+    (unchanged) still replays all four chains; the nested-prefix
+    property makes the values identical."""
+    from pyspark.sql import Window
+
+    ks = (1, 5, 10, 20)
+    kmax = max(ks)
     e = t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    for k in (1, 5, 10, 20):
-        ivf = similarity.ivf_topk(
-            e, query_vec_id=0, k=k, nprobe=3, dim=64, round_digits=6
+    ivf = similarity.ivf_topk(
+        e, query_vec_id=0, k=kmax, nprobe=3, dim=64, round_digits=6
+    )
+    # rank within the kmax-row lists (metadata-sized windows)
+    ivfr = ivf.select(
+        "vec_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        ).alias("_ri"),
+    )
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("_s"),
         )
-        brute = (
-            e.filter(F.col("vec_id") != 0)
-            .crossJoin(F.broadcast(qv))
-            .select(
-                "vec_id",
-                F.round(
-                    similarity.cosine(F.col("embedding"), F.col("qvec")), 6
-                ).alias("s"),
-            )
-            .orderBy(F.desc("s"), F.asc("vec_id"))
-            .limit(k)
+        .orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(kmax)
+    )
+    bruter = brute.select(
+        "vec_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("_s"), F.asc("vec_id"))
+        ).alias("_rb"),
+    )
+    both = ivfr.join(bruter, "vec_id")
+    ks_df = spark.range(0, len(ks)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in ks]), (F.col("id") + 1).cast("int")
+        ).cast("int").alias("k")
+    )
+    counts = (
+        both.crossJoin(F.broadcast(ks_df.select(F.col("k").alias("_k"))))
+        .filter((F.col("_ri") <= F.col("_k")) & (F.col("_rb") <= F.col("_k")))
+        .groupBy(F.col("_k").alias("k"))
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        ks_df.join(counts, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_k"),
         )
-        overlap = ivf.select("vec_id").join(
-            brute.select("vec_id"), "vec_id", "left_semi"
-        )
-        frames.append(
-            overlap.agg(F.count("*").alias("n_overlap")).select(
-                F.lit(k).alias("k"),
-                F.col("n_overlap").cast("long").alias("n_overlap"),
-                F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall_at_k"),
-            )
-        )
-    out = frames[0]
-    for f_ in frames[1:]:
-        out = out.unionAll(f_)
-    return out.orderBy("k")
+        .orderBy("k")
+    )
 
 
 def _ivf_incr_oracle(dim: int = 64, mod: int = 5, rem: int = 3) -> str:
