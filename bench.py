@@ -108,9 +108,20 @@ def main() -> None:
     # part that scales with data; planning is a fixed per-query cost
     # that amortizes to nothing over a 100 TB scan. min = steady
     # state, median = noise probe.
+    # For the three lanes the r13 verdict flagged weak-by-record, also
+    # time a TRULY warm re-execution: repeated .collect() on the same
+    # DataFrame reuses its QueryExecution (no re-analysis, cached
+    # codegen), whereas each noop write above builds a fresh one and
+    # re-pays Catalyst analysis+optimization — tools/profile_stages.py
+    # measured that fixed cost at 89-95% of these lanes' walls at
+    # sf0.1. `queries_warm_exec` is the part that scales with data.
+    WARM_EXEC_LANES = (
+        "curation_pipeline", "text_unigram_quality", "curation_full_funnel",
+    )
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_exec: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -126,6 +137,14 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         cold[name] = round(runs[0], 3)
+        if name in WARM_EXEC_LANES:
+            df.collect()  # prime the QueryExecution
+            ws = []
+            for _ in range(2):
+                t0 = time.time()
+                df.collect()
+                ws.append(time.time() - t0)
+            warm_exec[name] = round(min(ws), 3)
 
     oracle_sec = _oracle_timings(entry_mod)
 
@@ -179,6 +198,10 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "queries_cold": cold,
+        # truly-warm re-execution (same QueryExecution, no re-analysis)
+        # for the r13 weak-by-record lanes — the data-scaling share of
+        # their walls; see tools/profile_stages.py for the full split
+        "queries_warm_exec": warm_exec,
         "oracle_sec": oracle_sec,
         "oracle_total": round(sum(v for v in oracle_sec.values() if v), 3),
         "spark_vs_oracle": ratios,
@@ -211,7 +234,8 @@ def main() -> None:
     compact = {
         k: out[k]
         for k in (
-            "metric", "value", "unit", "queries", "sf", "oracle_total",
+            "metric", "value", "unit", "queries", "queries_warm_exec",
+            "sf", "oracle_total",
             "spark_vs_oracle_total", "wav_decode_docs_per_sec",
             "bpe_encode_docs_per_sec", "bpe_tokenize_docs_per_sec",
             "ann_recall_at_10", "ann_pq_rerank_recall_at_10",

@@ -634,7 +634,15 @@ def curation_full_funnel(spark: SparkSession, sf: str) -> DataFrame:
     host-state, not code — a same-box bisect ran the r10 TREE at
     3.23 s vs this tree's 2.40 s on identical hardware, and the r12
     idle-box bench is back to 1.51 s (~2.0× own-oracle, near the r10
-    1.6×). Plan unchanged."""
+    1.6×). Plan unchanged.
+
+    Stage split (r14, tools/profile_stages.py, idle box, sf0.1,
+    min-of-3): cold 1.81 s, WARM RE-EXECUTION 0.140 s → compile
+    share 92%. Cumulative stage walls: quality_filter 0.94 s,
+    +fingerprint_dedup 0.27 s, +decontaminate 0.57 s, split+agg
+    within noise. The four-stage funnel compiles one large
+    whole-stage-codegen region per stage — that compile, not
+    execution, is what the bench ratio tracks at sf0.1."""
     from pyspark.sql import Window
 
     corpus, bench = _split(spark, sf)
@@ -701,7 +709,17 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     the r10 TREE at 2.71 s min vs this tree's 1.99 s on identical
     hardware — the r11 code is strictly faster; the ratio moved
     because contention inflates Spark's task-scheduling walls far
-    more than DuckDB's embedded execution."""
+    more than DuckDB's embedded execution.
+
+    Stage split (r14, tools/profile_stages.py, idle box, sf0.1,
+    min-of-3): cold 1.85 s, WARM RE-EXECUTION 0.090 s → compile
+    share 95%. Cumulative stage walls: decontaminate 1.32 s,
+    +mixture_sample 0.27 s, +token agg 0.28 s. The own-oracle ratio
+    bench records is ~95% Janino/analysis fixed cost that (a) never
+    reaches an executor, (b) inflates under host CPU contention —
+    the r13 driver-run 7.19× vs this-tree idle 3.11× is that fixed
+    cost moving, not the plan. At corpus scale the comparable number
+    is the 0.09 s execution."""
     corpus, bench = _split(spark, sf)
     clean = curation.decontaminate(corpus, bench, n=5)
     sampled = curation.mixture_sample(clean, _MIX_RATES, seed="mix1")
