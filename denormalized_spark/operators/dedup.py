@@ -2016,12 +2016,24 @@ def cdc_chunk_dedup(
     )
 
 
+def _fcdc_accept(thb, acc, i, boundary_mod, min_tokens, max_tokens):
+    """FastCDC cut-acceptance predicate: a hash boundary past the
+    min-size clamp, OR (when ``max_tokens`` is set) a forced cut at
+    the max-size clamp."""
+    gap = i - F.element_at(acc, -1)
+    cond = (F.element_at(thb, i) % boundary_mod == 0) & (gap >= min_tokens)
+    if max_tokens is not None:
+        cond = cond | (gap >= max_tokens)
+    return cond
+
+
 def fastcdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     boundary_mod: int = 16,
     min_tokens: int = 4,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """CDC with FastCDC-style minimum chunk size (Xia et al. 2016,
     USENIX ATC "FastCDC"): a hash boundary (token hash ≡ 0 mod
@@ -2030,6 +2042,15 @@ def fastcdc_chunks(
     that kills :func:`cdc_chunks`' pathological 1-token chunks (which
     collide trivially across documents) while keeping the cut rule
     content-defined, so re-synchronization after edits survives.
+
+    ``max_tokens`` adds FastCDC's other clamp: once ``max_tokens``
+    tokens have passed since the last accepted cut, a cut is FORCED
+    at that position regardless of the hash — bounding the worst-case
+    chunk (a boundary-free run otherwise becomes one document-sized
+    chunk, the long tail that blows dedup-index entry sizes). Forced
+    cuts re-synchronize lazily (the next hash boundary re-aligns),
+    the documented FastCDC trade. ``None`` (default) keeps the
+    min-only behavior.
 
     Boundary acceptance is inherently SEQUENTIAL per document (each
     cut depends on the previous accepted cut), so it runs as a
@@ -2055,8 +2076,9 @@ def fastcdc_chunks(
                 idx,
                 F.array(F.lit(1)),
                 lambda acc, i: F.when(
-                    (F.element_at(thb, i) % boundary_mod == 0)
-                    & (i - F.element_at(acc, -1) >= min_tokens)
+                    _fcdc_accept(
+                        thb, acc, i, boundary_mod, min_tokens, max_tokens
+                    )
                     & (i <= F.size(thb)),
                     F.concat(acc, F.array(i)),
                 ).otherwise(acc),
@@ -2110,13 +2132,18 @@ def fastcdc_chunk_dedup(
     text_col: str = "text",
     boundary_mod: int = 16,
     min_tokens: int = 4,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-chunk report over FastCDC chunks —
     same output schema as :func:`cdc_chunk_dedup` and
     :func:`paragraph_block_dedup`, so all three chunkers A/B on the
     same corpus. The min-size clamp removes the 1-token-chunk
-    collision class, so its dup fractions are the trustworthy ones."""
-    chunks = fastcdc_chunks(df, id_col, text_col, boundary_mod, min_tokens)
+    collision class, so its dup fractions are the trustworthy ones;
+    ``max_tokens`` (see :func:`fastcdc_chunks`) additionally bounds
+    the worst-case chunk."""
+    chunks = fastcdc_chunks(
+        df, id_col, text_col, boundary_mod, min_tokens, max_tokens
+    )
     dup_hashes = (
         chunks.groupBy("chunk_hash")
         .agg(F.count_distinct(id_col).alias("_nd"))

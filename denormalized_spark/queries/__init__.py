@@ -100,6 +100,10 @@ _DRIVER_PRIORITY = [
     "join_bloom_semi_revenue", "dedup_fastcdc_chunks",
     "curation_softdedup_weights", "events_markov_entropy_rate",
     "sim_pca_top_component",
+    # --- r14 new wave (slots 75+): window-neutral this round — the
+    # r13 window re-runs unchanged per the r13 verdict; front the
+    # overflow + these in r15 ---
+    "dedup_fastcdc_maxclamp",
 ]
 
 def _reorder(d: dict) -> dict:

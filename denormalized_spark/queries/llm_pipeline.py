@@ -6982,12 +6982,18 @@ def dedup_lsh_scurve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_FCDC_MOD, _FCDC_MIN = 16, 4
+_FCDC_MOD, _FCDC_MIN, _FCDC_MAX = 16, 4, 12
 
 
-@q(
-    "dedup_fastcdc_chunks",
-    f"""
+def _fastcdc_oracle(mod: int, min_t: int, max_t: int | None = None) -> str:
+    """Recursive-CTE replay of the FastCDC cut recurrence; when
+    ``max_t`` is set the acceptance test mirrors the operator's
+    forced-cut clamp (boundary-past-min OR gap ≥ max)."""
+    accept = (f"(th[pos + 1] % {mod} = 0"
+              f" AND (pos + 1 - cuts[len(cuts)]) >= {min_t})")
+    if max_t is not None:
+        accept = f"({accept} OR (pos + 1 - cuts[len(cuts)]) >= {max_t})"
+    return f"""
     WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
     hh AS (SELECT doc_id,
                   list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
@@ -6996,12 +7002,15 @@ _FCDC_MOD, _FCDC_MIN = 16, 4
       SELECT doc_id, 1 AS pos, [1::BIGINT] AS cuts, th FROM hh
       UNION ALL
       SELECT doc_id, pos + 1,
-             CASE WHEN th[pos + 1] % {_FCDC_MOD} = 0
-                       AND (pos + 1 - cuts[len(cuts)]) >= {_FCDC_MIN}
+             CASE WHEN {accept}
                   THEN list_append(cuts, (pos + 1)::BIGINT) ELSE cuts END,
              th
       FROM cr WHERE pos < len(th)
-    ),
+    ),"""
+
+
+# chunk materialization shared by every FastCDC oracle variant
+_FCDC_CHUNK_TAIL = """
     fin AS (SELECT doc_id, cuts, th FROM cr WHERE pos = len(th)),
     ex AS (SELECT doc_id, u.i AS pos,
                   len(list_filter(cuts, c -> c <= u.i)) - 1 AS cid,
@@ -7013,7 +7022,14 @@ _FCDC_MOD, _FCDC_MIN = 16, 4
              list_reduce(list_prepend(0::BIGINT, list(h ORDER BY pos)),
                          (acc, x) -> (acc * 31 + x) % 4294967296) AS chunk_hash
       FROM ex GROUP BY doc_id, cid
-    ),
+    )"""
+
+
+@q(
+    "dedup_fastcdc_chunks",
+    _fastcdc_oracle(_FCDC_MOD, _FCDC_MIN)
+    + _FCDC_CHUNK_TAIL
+    + f""",
     dup AS (SELECT chunk_hash FROM chunk GROUP BY chunk_hash
             HAVING count(DISTINCT doc_id) >= 2)
     SELECT doc_id,
@@ -7045,6 +7061,47 @@ def dedup_fastcdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     return dedup.fastcdc_chunk_dedup(
         d, boundary_mod=_FCDC_MOD, min_tokens=_FCDC_MIN
+    )
+
+
+@q(
+    "dedup_fastcdc_maxclamp",
+    _fastcdc_oracle(_FCDC_MOD, _FCDC_MIN, _FCDC_MAX)
+    + _FCDC_CHUNK_TAIL
+    + """
+    SELECT n_tokens,
+           count(*)::BIGINT AS n_chunks,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM chunk GROUP BY n_tokens ORDER BY n_tokens
+    """,
+)
+def dedup_fastcdc_maxclamp(spark: SparkSession, sf: str) -> DataFrame:
+    """FastCDC with BOTH clamps (operators/dedup.fastcdc_chunks with
+    max_tokens; Xia et al. 2016 §3.2's normalized chunking): gap ≥ 12
+    forces a cut regardless of the hash, bounding the worst-case
+    chunk that a boundary-free token run otherwise grows to document
+    size. Reported as the chunk-size histogram ``(n_tokens, n_chunks,
+    n_docs)`` — every row must sit in [1, 12] with the clamp on
+    (min-only chunking has a geometric tail past 12; the unit test
+    pins the bound). Same per-row sequential fold as
+    dedup_fastcdc_chunks — the clamp only widens the cut-acceptance
+    predicate; oracle = the shared recursive CTE with the OR'd
+    forced-cut test. Completes the r13 FastCDC seed (docstring
+    documented the min-only gap)."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    chunks = dedup.fastcdc_chunks(
+        d, boundary_mod=_FCDC_MOD, min_tokens=_FCDC_MIN,
+        max_tokens=_FCDC_MAX,
+    )
+    return (
+        chunks.groupBy("n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_tokens")
     )
 
 

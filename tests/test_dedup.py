@@ -1079,3 +1079,52 @@ def test_fastcdc_vs_cdc_chunk_counts(spark):
     n_cdc = cdc_chunks(df, boundary_mod=4).count()
     n_fast = fastcdc_chunks(df, boundary_mod=4, min_tokens=5).count()
     assert n_fast <= n_cdc
+
+
+def test_fastcdc_max_clamp_bounds_chunks_and_matches_replay(spark):
+    """With max_tokens set, every chunk is <= max_tokens, forced cuts
+    fire exactly where the Python replay of the widened acceptance
+    predicate says, and max_tokens=None keeps the min-only behavior."""
+    import hashlib
+
+    from denormalized_spark.operators.dedup import fastcdc_chunks
+
+    words = [f"w{i}" for i in range(40)]
+    text = " ".join(words)
+    mod, mn, mx = 16, 4, 6  # mod 16 -> sparse boundaries, clamp fires often
+    hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words]
+    cuts = [1]
+    for i in range(2, len(hs) + 1):
+        gap = i - cuts[-1]
+        if (hs[i - 1] % mod == 0 and gap >= mn) or gap >= mx:
+            cuts.append(i)
+    MOD = 1 << 32
+    chunks = {}
+    for pos, h in enumerate(hs, start=1):
+        cid = sum(1 for c in cuts if c <= pos) - 1
+        chunks.setdefault(cid, []).append(h)
+
+    def roll(seq):
+        acc = 0
+        for x in seq:
+            acc = (acc * 31 + x) % MOD
+        return acc
+
+    want = {cid: (len(v), roll(v)) for cid, v in chunks.items()}
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.chunk_idx: (r.n_tokens, r.chunk_hash)
+        for r in fastcdc_chunks(
+            df, boundary_mod=mod, min_tokens=mn, max_tokens=mx
+        ).collect()
+    }
+    assert got == want
+    assert all(n <= mx for n, _ in got.values())
+    assert len(got) > 1  # the clamp actually forced cuts here
+    # default (max_tokens=None) unchanged: min-only recurrence
+    cuts_min = [1]
+    for i in range(2, len(hs) + 1):
+        if hs[i - 1] % mod == 0 and i - cuts_min[-1] >= mn:
+            cuts_min.append(i)
+    got_min = fastcdc_chunks(df, boundary_mod=mod, min_tokens=mn).collect()
+    assert len(got_min) == len(cuts_min)
