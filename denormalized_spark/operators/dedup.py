@@ -2173,3 +2173,95 @@ def fastcdc_chunk_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def bcubed_eval(
+    universe: DataFrame,
+    sys_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; the
+    extrinsic-constraint-complete metric of Amigó et al. 2009, "A
+    comparison of extrinsic clustering evaluation metrics") of a
+    SYSTEM dedup clustering against a GOLD one — the CLUSTER-level
+    complement of pair-counting F1: per element e, precision(e) =
+    |C(e)∩L(e)|/|C(e)| and recall(e) = |C(e)∩L(e)|/|L(e)| where C/L
+    are e's system/gold clusters; B³P/B³R average these over ALL
+    elements (Amigó's item-weighted form), so over-merging one giant
+    cluster is punished per trapped element, which pair-F1
+    under-weights.
+
+    Both clusterings come from :func:`connected_components` over the
+    given pair frames; elements of ``universe`` absent from a pair
+    frame are singletons (their own cluster), the standard treatment.
+
+    Engine-exact integer discipline: since clusters partition the
+    universe, |C(e)∩L(e)| for every e in contingency cell (sc, gc) is
+    exactly the cell count n, so B³P = Σ_cells n²/|sc| / N. Each
+    cell's n²·10⁶ is an exact long, the per-cell division is INTEGER
+    DIV (floor), the sums and the final DIV by N are exact — Σ of
+    floors, the repo's pinned grid semantics — and F1 =
+    2·P·R/(P+R) runs on the micro integers with one final DIV.
+
+    Scale shape: two CC closures (each O(diameter) rounds of an
+    edge-keyed shuffle — near-dup clusters are shallow), one
+    (sc, gc)-keyed cell agg over the universe, two cluster-size aggs
+    on the cell table (cells ≤ clusters, metadata-sized), one 1-row
+    rollup. Returns ``(n_docs, n_sys_clusters, n_gold_clusters,
+    bcubed_precision_micro, bcubed_recall_micro, bcubed_f1_micro)``."""
+    sysl = connected_components(sys_pairs, id_a, id_b).select(
+        F.col("id"), F.col("label").alias("_sc")
+    )
+    goldl = connected_components(gold_pairs, id_a, id_b).select(
+        F.col("id"), F.col("label").alias("_gc")
+    )
+    u = universe.select(F.col(id_col).alias("id"))
+    lab = (
+        u.join(sysl, "id", "left")
+        .join(goldl, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_sc", F.col("id")).cast("long").alias("sc"),
+            F.coalesce("_gc", F.col("id")).cast("long").alias("gc"),
+        )
+    )
+    cells = lab.groupBy("sc", "gc").agg(F.count("*").cast("long").alias("n"))
+    scs = cells.groupBy("sc").agg(F.sum("n").cast("long").alias("sc_size"))
+    gcs = cells.groupBy("gc").agg(F.sum("n").cast("long").alias("gc_size"))
+    per = (
+        cells.join(scs, "sc")
+        .join(gcs, "gc")
+        .select(
+            "sc",
+            "gc",
+            "n",
+            F.expr("n * n * 1000000 DIV sc_size").cast("long").alias("_p"),
+            F.expr("n * n * 1000000 DIV gc_size").cast("long").alias("_r"),
+        )
+    )
+    roll = per.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count_distinct("sc").cast("long").alias("n_sys_clusters"),
+        F.count_distinct("gc").cast("long").alias("n_gold_clusters"),
+        F.sum("_p").cast("long").alias("_ps"),
+        F.sum("_r").cast("long").alias("_rs"),
+    )
+    bp = F.expr("_ps DIV n_docs")
+    br = F.expr("_rs DIV n_docs")
+    return roll.select(
+        "n_docs",
+        "n_sys_clusters",
+        "n_gold_clusters",
+        bp.cast("long").alias("bcubed_precision_micro"),
+        br.cast("long").alias("bcubed_recall_micro"),
+        F.when(
+            (bp + br) > 0,
+            F.expr(
+                "(2 * (_ps DIV n_docs) * (_rs DIV n_docs))"
+                " DIV ((_ps DIV n_docs) + (_rs DIV n_docs))"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("bcubed_f1_micro"),
+    )

@@ -6548,6 +6548,102 @@ def dedup_eval_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_eval_bcubed",
+    _LSH_GATE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    tk AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    fr AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+    od AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks, count(*) AS sz
+           FROM tk JOIN fr USING (tok) GROUP BY doc_id),
+    pf AS (SELECT doc_id, sz,
+                  unnest(toks[1 : sz - ((60 * sz + 99) // 100) + 1]) AS tok
+           FROM od),
+    cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND 60 * a.sz <= 100 * b.sz AND 60 * b.sz <= 100 * a.sz),
+    vr AS (SELECT c.id_a, c.id_b, len(list_intersect(x.toks, y.toks)) AS i,
+                  x.sz AS sa, y.sz AS sb
+           FROM cd c JOIN od x ON c.id_a = x.doc_id JOIN od y ON c.id_b = y.doc_id),
+    gold AS (SELECT id_a, id_b FROM vr WHERE 100 * i >= 60 * (sa + sb - i)),
+    ssym AS (SELECT id_a AS a, id_b AS b FROM cand
+             UNION SELECT id_b, id_a FROM cand),
+    sreach(id, label) AS (
+      SELECT a, a FROM ssym
+      UNION
+      SELECT s.b, r.label FROM sreach r JOIN ssym s ON r.id = s.a
+    ),
+    sysc AS (SELECT id, min(label) AS c FROM sreach GROUP BY id),
+    gsym AS (SELECT id_a AS a, id_b AS b FROM gold UNION SELECT id_b, id_a FROM gold),
+    greach(id, label) AS (
+      SELECT a, a FROM gsym
+      UNION
+      SELECT s.b, r.label FROM greach r JOIN gsym s ON r.id = s.a
+    ),
+    goldc AS (SELECT id, min(label) AS c FROM greach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id,
+             coalesce(s.c, d.doc_id)::BIGINT AS sc,
+             coalesce(g.c, d.doc_id)::BIGINT AS gc
+      FROM documents d LEFT JOIN sysc s ON d.doc_id = s.id
+                       LEFT JOIN goldc g ON d.doc_id = g.id
+    ),
+    cells AS (SELECT sc, gc, count(*)::BIGINT AS n FROM lab GROUP BY sc, gc),
+    scs AS (SELECT sc, sum(n)::BIGINT AS sc_size FROM cells GROUP BY sc),
+    gcs AS (SELECT gc, sum(n)::BIGINT AS gc_size FROM cells GROUP BY gc),
+    per AS (SELECT c.sc, c.gc, c.n,
+                   (c.n * c.n * 1000000) // s.sc_size AS p,
+                   (c.n * c.n * 1000000) // g.gc_size AS r
+            FROM cells c JOIN scs s USING (sc) JOIN gcs g USING (gc)),
+    roll AS (SELECT sum(n)::BIGINT AS n_docs,
+                    count(DISTINCT sc)::BIGINT AS n_sys_clusters,
+                    count(DISTINCT gc)::BIGINT AS n_gold_clusters,
+                    sum(p)::BIGINT AS ps, sum(r)::BIGINT AS rs
+             FROM per)
+    SELECT n_docs, n_sys_clusters, n_gold_clusters,
+           (ps // n_docs)::BIGINT AS bcubed_precision_micro,
+           (rs // n_docs)::BIGINT AS bcubed_recall_micro,
+           (CASE WHEN (ps // n_docs) + (rs // n_docs) > 0
+                THEN (2 * (ps // n_docs) * (rs // n_docs))
+                     // ((ps // n_docs) + (rs // n_docs))
+                ELSE 0 END)::BIGINT AS bcubed_f1_micro
+    FROM roll
+    """,
+)
+def dedup_eval_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed CLUSTER-level evaluation of the production dedup
+    pipeline (operators/dedup.bcubed_eval; Bagga & Baldwin 1998,
+    Amigó et al. 2009) — the r13 verdict's new-wave complement of
+    dedup_eval_pairs, which only counts PAIRS: SYSTEM = connected
+    components over the RAW 8-hash/4-band LSH candidate pairs (the
+    same system leg dedup_eval_pairs scores — banding false
+    positives CHAIN here, so over-merge shows up as trapped-element
+    precision loss), GOLD = components over the exact
+    prefix-filtered AllPairs join at Jaccard ≥ 0.6 (Bayardo et al.
+    2007 — no LSH machinery shared), universe = every document
+    (absent docs are singletons). B³ punishes over-merge per trapped
+    element, the failure mode pair counting under-weights — the
+    verified pipeline (dedup_connected_components' clustering) scores
+    B³=1.0 against this gold at bench SFs, which is why the
+    UNVERIFIED stage is the one worth grading. All arithmetic is
+    Σ-of-floors integer
+    (cell n²·10⁶ DIV cluster size; final DIV by N; F1 on the micro
+    grid). Both detector legs are existing sub-quadratic plans; the
+    closures run on the (tiny) pair graphs; the cell agg is one
+    (sc, gc)-keyed corpus pass; the oracle replays BOTH min-label
+    closures as recursive CTEs."""
+    from denormalized_spark.operators import dedup
+
+    d = t(spark, sf, "documents")
+    sys_pairs = dedup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4
+    ).select("id_a", "id_b")
+    gold = dedup.prefix_filter_jaccard_join(
+        d, threshold_pct=60, ngram=3
+    ).select("id_a", "id_b")
+    return dedup.bcubed_eval(d, sys_pairs, gold, id_col="doc_id")
+
+
 _CDC_MOD = 16
 
 

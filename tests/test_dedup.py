@@ -1128,3 +1128,41 @@ def test_fastcdc_max_clamp_bounds_chunks_and_matches_replay(spark):
             cuts_min.append(i)
     got_min = fastcdc_chunks(df, boundary_mod=mod, min_tokens=mn).collect()
     assert len(got_min) == len(cuts_min)
+
+
+def test_bcubed_eval_hand_computed(spark):
+    """Textbook B-cubed: universe {1..6}; gold clusters {1,2},{3,4},
+    {5},{6}; system over-merges {1,2,3,4} and leaves 5,6 singletons.
+    Per element in the merged cluster: P=2/4, R=2/2; elements 5,6:
+    P=R=1. B3P=(4*0.5+2*1)/6=2/3, B3R=1, F1=0.8."""
+    from denormalized_spark.operators.dedup import bcubed_eval
+
+    universe = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    sys_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    gold_pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    r = bcubed_eval(universe, sys_pairs, gold_pairs).collect()[0]
+    assert r.n_docs == 6
+    assert r.n_sys_clusters == 3 and r.n_gold_clusters == 4
+    # cells: ({1234},{12}) n=2 -> p=2*2e6//4=1e6 each side of the sum
+    # sum_p = 1000000+1000000+1000000+1000000 = 4_000_000? replay:
+    # cells (sys{1,2,3,4}): (s1,g12) n=2 p=4e6//4=1e6 r=4e6//2=2e6
+    #                        (s1,g34) n=2 p=1e6 r=2e6
+    # (5,5) n=1 p=1e6 r=1e6 ; (6,6) n=1 p=1e6 r=1e6
+    assert r.bcubed_precision_micro == (1_000_000 * 2 + 2_000_000) // 6  # 666666
+    assert r.bcubed_recall_micro == 1_000_000
+    # F1 = 2PR/(P+R) on the micro grid
+    p, q_ = 666666, 1_000_000
+    assert r.bcubed_f1_micro == (2 * p * q_) // (p + q_)
+
+
+def test_bcubed_eval_perfect_match(spark):
+    from denormalized_spark.operators.dedup import bcubed_eval
+
+    universe = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = bcubed_eval(universe, pairs, pairs).collect()[0]
+    assert r.bcubed_precision_micro == 1_000_000
+    assert r.bcubed_recall_micro == 1_000_000
+    assert r.bcubed_f1_micro == 1_000_000
