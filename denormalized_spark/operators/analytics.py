@@ -3743,3 +3743,131 @@ def markov_entropy_rate(
     return per_state.select("state", "pi_micro", "h_cond_micro").unionAll(
         rate
     ).orderBy("state")
+
+
+def holt_winters_additive(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    season_length: int = 7,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 4),
+    gamma: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960; Hyndman & Athanasopoulos FPP §8.3) per group over a
+    PRE-AGGREGATED regular integer series — :func:`holt_linear` plus
+    the seasonal state the ops forecast actually needs once the
+    metric has a weekly/daily cycle:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_t)    + (1−γ) s_{t−m}
+        x̂_{t+1} = l_t + b_t + s_{t+1−m}
+
+    Engine-exact QUANTIZED recursion (the Viterbi/FastCDC state-carry
+    pattern, NOT the impulse-response table — the seasonal lag makes
+    the filter time-periodic, so the holt_linear convolution form no
+    longer applies): all state lives on the micro grid as longs; each
+    smoothing step is integer arithmetic with ONE truncating integer
+    division by the rational denominator (Spark ``DIV`` ≡ DuckDB
+    ``//`` ≡ trunc-toward-zero — verified), so both engines replay
+    the identical integer trajectory. Pinned init: l₁ = x₁·10⁶,
+    b₁ = 0, s = 0⃗ (seasonality learned from cycle 2 on).
+
+    Scale shape: the caller's data-sized groupBy already produced the
+    period-level series, so the fold here runs over ONE collected
+    per-group array (T ≈ tens of periods — metadata); one group-keyed
+    exchange, zero Python, the recursion is a single Catalyst
+    ``aggregate`` fold per group row. Returns ``(group, order, x,
+    level_micro, trend_micro, season_micro, forecast_next_micro)``.
+    """
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    m = int(season_length)
+    otype = series.schema[order_col].dataType.simpleString()
+
+    def idiv(a: Column, d: int) -> Column:
+        # trunc-toward-zero integer division (matches DuckDB //)
+        return ((a - (a % F.lit(d))) / F.lit(d)).cast("long")
+
+    ser = series.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("_ser")
+    )
+    out_t = (
+        f"array<struct<o:{otype},x:bigint,lm:bigint,bm:bigint,"
+        "sm:bigint,fm:bigint>>"
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.array_repeat(F.lit(0).cast("long"), m).alias("s"),
+        F.lit(None).cast(out_t).alias("out"),
+    )
+
+    def step(acc, e):
+        t = acc["n"] + 1
+        phase = (t - 1) % m
+        xm = e["x"] * F.lit(1_000_000)
+        sm_prev = F.element_at(acc["s"], (phase + 1).cast("int"))
+        first = t == 1
+        l_new = F.when(first, xm).otherwise(
+            idiv(
+                F.lit(an) * (xm - sm_prev)
+                + F.lit(ad - an) * (acc["l"] + acc["b"]),
+                ad,
+            )
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            idiv(F.lit(bn) * (l_new - acc["l"]) + F.lit(bd - bn) * acc["b"], bd)
+        )
+        s_upd = idiv(F.lit(gn) * (xm - l_new) + F.lit(gd - gn) * sm_prev, gd)
+        s_new = F.transform(
+            acc["s"],
+            lambda v, i: F.when(i == phase.cast("int"), s_upd).otherwise(v),
+        )
+        nxt = t % m
+        fc = l_new + b_new + F.element_at(s_new, (nxt + 1).cast("int"))
+        row = F.struct(
+            e["o"].alias("o"),
+            e["x"].alias("x"),
+            l_new.alias("lm"),
+            b_new.alias("bm"),
+            s_upd.alias("sm"),
+            fc.alias("fm"),
+        )
+        return F.struct(
+            t.cast("long").alias("n"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            F.when(acc["out"].isNull(), F.array(row))
+            .otherwise(F.concat(acc["out"], F.array(row))).alias("out"),
+        )
+
+    folded = ser.select(
+        group_col,
+        F.aggregate(F.col("_ser"), acc0, step)["out"].alias("_out"),
+    )
+    return (
+        folded.select(group_col, F.explode("_out").alias("_e"))
+        .select(
+            group_col,
+            F.col("_e.o").alias(order_col),
+            F.col("_e.x").alias("x"),
+            F.col("_e.lm").alias("level_micro"),
+            F.col("_e.bm").alias("trend_micro"),
+            F.col("_e.sm").alias("season_micro"),
+            F.col("_e.fm").alias("forecast_next_micro"),
+        )
+    )

@@ -103,7 +103,7 @@ _DRIVER_PRIORITY = [
     # --- r14 new wave (slots 75+): window-neutral this round — the
     # r13 window re-runs unchanged per the r13 verdict; front the
     # overflow + these in r15 ---
-    "dedup_fastcdc_maxclamp", "dedup_eval_bcubed",
+    "dedup_fastcdc_maxclamp", "dedup_eval_bcubed", "events_holt_winters",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1710,3 +1710,58 @@ def test_markov_stationary_keeps_dangling_states(spark):
     assert set(out) == {"A", "B"}
     assert out["B"].pi_micro == 0
     assert out["A"].pi_micro == 1_000_000
+
+
+def test_holt_winters_additive_matches_python_replay(spark):
+    """The quantized HW trajectory equals an integer Python replay
+    (trunc-div semantics), and on a perfectly periodic series the
+    learned seasonal state converges toward the period offsets."""
+    from denormalized_spark.operators.analytics import holt_winters_additive
+
+    xs = [10, 20, 30, 12, 22, 32, 14, 24, 34]
+    rows = [("g", i, x) for i, x in enumerate(xs, start=1)]
+    df = spark.createDataFrame(rows, "g string, o int, x long")
+    out = holt_winters_additive(df, "g", "o", "x", season_length=3).orderBy(
+        "o"
+    ).collect()
+
+    def idiv(a, d):
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    an, ad, bn, bd, gn, gd, m = 1, 4, 1, 4, 1, 2, 3
+    l = b = 0
+    s = [0] * m
+    exp = []
+    for t_, (_, _, x) in enumerate(rows, start=1):
+        ph = (t_ - 1) % m
+        xm = x * 1_000_000
+        smp = s[ph]
+        if t_ == 1:
+            ln, bnn = xm, 0
+        else:
+            ln = idiv(an * (xm - smp) + (ad - an) * (l + b), ad)
+            bnn = idiv(bn * (ln - l) + (bd - bn) * b, bd)
+        su = idiv(gn * (xm - ln) + (gd - gn) * smp, gd)
+        s[ph] = su
+        exp.append((ln, bnn, su, ln + bnn + s[t_ % m]))
+        l, b = ln, bnn
+    got = [
+        (r.level_micro, r.trend_micro, r.season_micro, r.forecast_next_micro)
+        for r in out
+    ]
+    assert got == exp
+    # periodic series with +2/period drift: phase-2 seasonal state
+    # (the +20 offset) should be clearly positive by cycle 3
+    assert out[-1].season_micro > 5_000_000
+
+
+def test_holt_winters_single_period_group(spark):
+    """One-point series: level = x, trend 0, season 0, forecast = x."""
+    from denormalized_spark.operators.analytics import holt_winters_additive
+
+    df = spark.createDataFrame([("g", 1, 42)], "g string, o int, x long")
+    r = holt_winters_additive(df, "g", "o", "x", season_length=7).collect()[0]
+    assert r.level_micro == 42_000_000
+    assert r.trend_micro == 0 and r.season_micro == 0
+    assert r.forecast_next_micro == 42_000_000
