@@ -1327,3 +1327,123 @@ def test_streaming_mg_heavy_hitters_sandwich(spark, tmp_path):
     # the dominant key is ranked first
     top = max(m.mg_counters.items(), key=lambda kv: kv[1])[0]
     assert top == max(truth.items(), key=lambda kv: kv[1])[0]
+
+
+def test_lsh_dedup_maintainer_direct_updates(spark, tmp_path):
+    """Durable-index streaming near-dup (streaming/lsh.
+    LSHDedupMaintainer): within a batch the min-id doc owns each new
+    bucket and survives; identical content in a LATER batch hits the
+    persisted index and is flagged; the index parquet grows only by
+    new buckets."""
+    from denormalized_spark.streaming.lsh import LSHDedupMaintainer
+
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tc = "completely different content about spark structured streaming"
+    te = "a third unrelated document mentioning parquet columnar files"
+    m = LSHDedupMaintainer(str(tmp_path / "idx"))
+    b1 = spark.createDataFrame(
+        [(1, ta), (2, ta), (3, tc)], "doc_id long, text string"
+    )
+    s1 = sorted(r.doc_id for r in m.update(b1).collect())
+    assert s1 == [1, 3]           # 2 loses every bucket to 1
+    assert m.n_seen == 3 and m.n_survived == 2 and m.n_flagged == 1
+    n_buckets_after_b1 = m.n_buckets_added
+    assert n_buckets_after_b1 == 8  # 4 bands x 2 distinct contents
+
+    b2 = spark.createDataFrame([(4, ta), (5, te)], "doc_id long, text string")
+    s2 = sorted(r.doc_id for r in m.update(b2).collect())
+    assert s2 == [5]              # 4 replays batch-1 content -> flagged
+    assert m.n_flagged == 2 and m.n_survived == 3
+    assert m.n_buckets_added == n_buckets_after_b1 + 4  # only te's bands
+
+
+def test_lsh_dedup_maintainer_stream_parity_with_sequential_replay(
+    spark, tmp_path
+):
+    """Real writeStream drain: maintained survivors equal a Python
+    replay of sequential bucket ownership over the same (batch, id)
+    order — the maintainer's determinism contract."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from denormalized_spark.operators.dedup import (
+        band_structs,
+        minhash_signature,
+    )
+    from denormalized_spark.streaming.lsh import LSHDedupMaintainer
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3: "one two three four five six seven eight nine ten eleven",
+        4: "totally novel content in the second micro batch here now",
+        5: "one two three four five six seven eight nine ten eleven",
+        6: "yet another fresh document arriving in the third batch",
+    }
+    batches = [[1, 2, 3], [4, 5], [6]]
+    stream_dir = tmp_path / "lsh_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    for i, ids in enumerate(batches):
+        df = spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        )
+        tmp_out = str(tmp_path / f"_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+        dest = str(stream_dir / f"b{i}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (now - 300 + i * 100,) * 2)
+
+    m = LSHDedupMaintainer(str(tmp_path / "idx2"))
+    survivors: list[int] = []
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(
+            lambda df, e: survivors.extend(
+                r.doc_id for r in m.update(df, e).collect()
+            )
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_lsh_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # python replay: sequential bucket ownership in (batch, id) order
+    all_df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    rows = (
+        all_df.select(
+            "doc_id",
+            F.explode(
+                band_structs(minhash_signature("text", 8, 3), 8, 4)
+            ).alias("_bk"),
+        )
+        .select("doc_id", "_bk.band", "_bk.band_key")
+        .collect()
+    )
+    doc_bands = {}
+    for r in rows:
+        doc_bands.setdefault(r.doc_id, []).append((r.band, r.band_key))
+    owned: set = set()
+    want = []
+    for ids in batches:
+        batch_new = {}
+        for d in sorted(ids):
+            keys = doc_bands[d]
+            if all(
+                k not in owned and batch_new.get(k, d) == d for k in keys
+            ):
+                want.append(d)
+            for k in keys:
+                batch_new.setdefault(k, d)
+        owned.update(batch_new)
+    assert sorted(survivors) == sorted(want)
+    assert m.n_batches == 3 and m.n_seen == 6
