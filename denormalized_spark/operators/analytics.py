@@ -3871,3 +3871,74 @@ def holt_winters_additive(
             F.col("_e.fm").alias("forecast_next_micro"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC by the Mann-Whitney U identity with MIDRANK tie
+    handling (Hanley & McNeil 1982; Mason & Graham 2002) — the
+    model-eval number beside the calibration family: AUC =
+    P(score⁺ > score⁻) + ½P(tie), computed from rank sums, never from
+    a thresholds sweep. ``score_col`` must be an integer-quantized
+    score (rank on a micro-floored margin, not a raw float — the
+    repo's quantized-estimator discipline); ``label_col`` is 0/1.
+
+    Engine-exact and all-integer: group scores into distinct-value
+    cells (n⁺, n⁻ per cell); with cb = count of strictly-smaller
+    scores, every member of a cell has midrank cb + (n+1)/2, so
+    2·R⁺ = Σ_cells n⁺·(2·cb + n + 1) — exact longs throughout — and
+    AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), micro-floored with one
+    integer DIV. Gini = 2·AUC − 1 on the same grid. A degenerate
+    single-class input pins AUC to the chance value 500000
+    (documented convention, mirrored in oracles).
+
+    Scale shape: ONE score-keyed cell aggregation over the corpus,
+    then the scale-safe prefix-sum-offsets pattern
+    (ranking.with_global_running_sum — range shuffle + local cumsum +
+    numPartitions-row broadcast, no single-reducer sort) over the
+    cells, one 1-row rollup. Returns ``(n_pos, n_neg, auc_micro,
+    gini_micro)``."""
+    from denormalized_spark.operators.ranking import with_global_running_sum
+
+    cells = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("_y").cast("long").alias("np"),
+            F.sum(F.lit(1) - F.col("_y")).cast("long").alias("nn"),
+        )
+    )
+    c2 = with_global_running_sum(
+        cells,
+        [F.col("s").asc()],
+        F.col("np") + F.col("nn"),
+        out_col="_cb",
+        exclusive=True,
+    )
+    roll = c2.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np")
+            * (F.lit(2) * F.col("_cb") + F.col("np") + F.col("nn") + F.lit(1))
+        ).cast("long").alias("_r2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.expr(
+            "((_r2 - n_pos * (n_pos + 1)) * 1000000)"
+            " DIV (2 * n_pos * n_neg)"
+        ),
+    ).otherwise(F.lit(500_000))
+    return roll.select(
+        "n_pos",
+        "n_neg",
+        auc.cast("long").alias("auc_micro"),
+        (auc * 2 - F.lit(1_000_000)).cast("long").alias("gini_micro"),
+    )

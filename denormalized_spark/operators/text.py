@@ -358,6 +358,41 @@ def bigram_logprob_scores(
     )
 
 
+def hashed_linear_margin(
+    text: Column | str,
+    weights: Column | None = None,
+    n_buckets: int = 1 << 16,
+    seed: str = "qc0",
+) -> Column:
+    """The PRE-SIGMOID linear margin of :func:`hashed_linear_score`
+    (mean of per-token hashed-bucket weights) — the monotone score to
+    RANK on (AUC, percentile gates): ranking by the margin equals
+    ranking by the sigmoid without the cross-engine exp() ulp risk.
+    Same IEEE operation order in both engines (sequential fold over
+    the token array, one division), so quantizations of it
+    hash-match."""
+    from denormalized_spark.operators.dedup import token_hash32
+
+    toks = tokens(text)
+    buckets = F.transform(toks, lambda t: token_hash32(t) % F.lit(n_buckets))
+    if weights is not None:
+        w = F.transform(buckets, lambda b: F.coalesce(weights[b], F.lit(0.0)))
+    else:
+        # pseudo-weight(b) = first-8-hex(md5(seed||b)) / 2^32 * 2 - 1
+        w = F.transform(
+            buckets,
+            lambda b: F.conv(
+                F.substring(F.md5(F.concat(F.lit(seed), b.cast("string"))), 1, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(1 << 32))
+            * 2
+            - 1,
+        )
+    return F.aggregate(
+        w, F.lit(0.0), lambda a, x: a + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
 def hashed_linear_score(
     text: Column | str,
     weights: Column | None = None,
@@ -376,26 +411,7 @@ def hashed_linear_score(
     exactly, and the plumbing (hash → lookup → mean → sigmoid) is the
     part under test. Pure per-row projection: zero shuffles, zero
     Python, whole-stage codegen."""
-    from denormalized_spark.operators.dedup import token_hash32
-
-    toks = tokens(text)
-    buckets = F.transform(toks, lambda t: token_hash32(t) % F.lit(n_buckets))
-    if weights is not None:
-        w = F.transform(buckets, lambda b: F.coalesce(weights[b], F.lit(0.0)))
-    else:
-        # pseudo-weight(b) = first-8-hex(md5(seed||b)) / 2^32 * 2 - 1
-        w = F.transform(
-            buckets,
-            lambda b: F.conv(
-                F.substring(F.md5(F.concat(F.lit(seed), b.cast("string"))), 1, 8), 16, 10
-            ).cast("double")
-            / F.lit(float(1 << 32))
-            * 2
-            - 1,
-        )
-    mean = F.aggregate(
-        w, F.lit(0.0), lambda a, x: a + x
-    ) / F.greatest(F.size(toks), F.lit(1))
+    mean = hashed_linear_margin(text, weights, n_buckets, seed)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
 
 

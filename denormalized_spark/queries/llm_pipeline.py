@@ -2526,6 +2526,87 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_AUC_MARGIN = (
+    "coalesce(list_sum(list_transform(toks, t -> "
+    "('0x' || substr(md5('qc0' || CAST(('0x' || substr(md5(t), 1, 8))::BIGINT"
+    " % 65536 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 * 2 - 1)), 0.0)"
+    " / greatest(len(toks), 1)"
+)
+
+
+@q(
+    "text_quality_auc",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(floor(({_AUC_MARGIN}) * 1000000) AS BIGINT) AS s,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mean_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter({_GOPHER_STOP_SQL},
+                             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+               AS stop_hits
+      FROM d
+    ),
+    sc AS (
+      SELECT s,
+             CASE WHEN (n >= 50 AND n <= 100000)
+                       AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                       AND (n_sym / greatest(n, 1) <= 0.1)
+                       AND (n_alpha::DOUBLE / greatest(n, 1) >= 0.8)
+                       AND (stop_hits >= 2) THEN 1 ELSE 0 END AS y
+      FROM m
+    ),
+    cells AS (SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+              FROM sc GROUP BY s),
+    c2 AS (SELECT s, np, nn,
+                  coalesce(sum(np + nn) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM cells),
+    roll AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+                    sum(np * (2 * cb + np + nn + 1))::BIGINT AS r2
+             FROM c2)
+    SELECT n_pos, n_neg,
+           (CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ((r2 - n_pos * (n_pos + 1)) * 1000000)
+                     // (2 * n_pos * n_neg)
+                ELSE 500000 END)::BIGINT AS auc_micro,
+           ((CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ((r2 - n_pos * (n_pos + 1)) * 1000000)
+                     // (2 * n_pos * n_neg)
+                ELSE 500000 END) * 2 - 1000000)::BIGINT AS gini_micro
+    FROM roll
+    """,
+)
+def text_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact midrank ROC-AUC (operators/analytics.roc_auc; Hanley &
+    McNeil 1982) of the hashed-linear quality score against the
+    Gopher rule gate as the reference label — "does the cheap model
+    score rank rule-passing docs above rule-failing ones?", the eval
+    beside the calibration family. Ranks on the micro-floored
+    PRE-SIGMOID margin (text.hashed_linear_margin — monotone in the
+    sigmoid, no cross-engine exp ulp risk). With the default
+    md5-pseudo-weights the honest readout is chance (≈0.5) — the
+    null-calibration check, same posture as events_qini_uplift; swap
+    in a trained weights map for the real readout. One score-keyed
+    cell agg + the scale-safe prefix-sum-offsets pattern + a 1-row
+    rollup; all rank arithmetic exact integers."""
+    from denormalized_spark.operators.analytics import roc_auc
+
+    d = t(spark, sf, "documents")
+    g = text.gopher_rules(d)
+    scored = g.select(
+        F.floor(text.hashed_linear_margin("text") * F.lit(1_000_000.0))
+        .cast("long").alias("s"),
+        F.col("gopher_pass").cast("int").alias("y"),
+    )
+    return roc_auc(scored, "s", "y")
+
+
 @q(
     "text_quality_percentile_gate",
     f"""

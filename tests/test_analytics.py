@@ -1765,3 +1765,31 @@ def test_holt_winters_single_period_group(spark):
     assert r.level_micro == 42_000_000
     assert r.trend_micro == 0 and r.season_micro == 0
     assert r.forecast_next_micro == 42_000_000
+
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    """Midrank AUC on a 6-row set with a tied score pair:
+    scores/labels -> AUC = (U statistic)/(n+ * n-) by hand."""
+    from denormalized_spark.operators.analytics import roc_auc
+
+    # scores: pos {10, 8, 5}, neg {8, 3, 1}
+    # pairs: (10>8,3,1)=3, (8 vs 8 tie=0.5, >3,>1)=2.5, (5<8, >3,>1)=2
+    # U = 7.5, AUC = 7.5/9 = 0.8333...
+    rows = [(10, 1), (8, 1), (5, 1), (8, 0), (3, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 3)
+    assert r.auc_micro == (15 * 1_000_000) // 18  # 833333
+    assert r.gini_micro == 2 * r.auc_micro - 1_000_000
+
+
+def test_roc_auc_perfect_and_degenerate(spark):
+    from denormalized_spark.operators.analytics import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(5, 1), (4, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0].auc_micro == 1_000_000
+    one_class = spark.createDataFrame([(5, 1), (4, 1)], "s long, y int")
+    r = roc_auc(one_class, "s", "y").collect()[0]
+    assert r.auc_micro == 500_000 and r.gini_micro == 0

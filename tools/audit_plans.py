@@ -186,6 +186,7 @@ ALLOW_SINGLE_PART = {
     "curation_neyman_alloc", # k-row remainder-ranking window + 1-row Σw/extra aggregates (metadata)
     "dedup_eval_pairs",      # 1-row system/gold/intersection pair-count finals
     "dedup_eval_bcubed",     # 1-row B³ rollup final over the cells table (metadata)
+    "text_quality_auc",      # prefix-sum-offsets pattern (with_global_running_sum) + 1-row U rollup
     "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
     "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "text_textrank_keywords", # 1-row dangling-mass finals per iteration (same as graph_pagerank_*)
