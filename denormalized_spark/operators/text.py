@@ -2281,3 +2281,114 @@ def burrows_delta_by_group(
         )
         .orderBy("grp")
     )
+
+
+def js_divergence_matrix(
+    counts: DataFrame,
+    group_col: str = "source",
+    token_col: str = "token",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the token
+    distributions of every group pair (Lin 1991) — the corpus-drift
+    matrix a mixture designer reads to see which sources are
+    linguistically close (candidates for merging) and which are the
+    diversity outliers; symmetric and bounded in [0, ln 2], unlike
+    the KL it averages. Input is a pre-aggregated (group, token,
+    count) table (one corpus-linear tokenize+count upstream).
+
+    JS(a,b) = ½Σ_t p ln(p/m) + ½Σ_t q ln(q/m), m = (p+q)/2. Exactness
+    discipline: tokens present in BOTH groups contribute a per-token
+    term pico-floored BEFORE the integer sum (Σ of floors — order
+    free); the one-sided mass contributes ½·mass·ln2 where mass =
+    (total − Σ matched counts)/total is ONE IEEE division of exact
+    longs, pico-floored once per side — so every output value is an
+    integer built from order-independent pieces and both engines
+    hash-match. ln(2) is a Python literal baked into both plans.
+
+    Scale shape: one k-row totals broadcast, ONE token-keyed
+    self-join of the distribution table (output ≤ vocab·k²/2 rows),
+    one (a, b)-keyed agg → k²/2 metadata rows. Returns ``(source_a,
+    source_b, n_common_tokens, js_pico)``."""
+    import math
+
+    ln2 = math.log(2.0)
+    totals = counts.groupBy(group_col).agg(
+        F.sum(count_col).cast("long").alias("_tot")
+    )
+    dist = counts.join(F.broadcast(totals), group_col).select(
+        F.col(group_col).alias("_g"),
+        F.col(token_col).alias("_t"),
+        F.col(count_col).cast("long").alias("_c"),
+        F.col("_tot"),
+    )
+    a = dist.select(
+        F.col("_g").alias("_ga"), F.col("_t"),
+        F.col("_c").alias("_ca"), F.col("_tot").alias("_ta"),
+    )
+    b = dist.select(
+        F.col("_g").alias("_gb"), F.col("_t"),
+        F.col("_c").alias("_cb"), F.col("_tot").alias("_tb"),
+    )
+    j = a.join(b, "_t").filter(F.col("_ga") < F.col("_gb"))
+    p = F.col("_ca").cast("double") / F.col("_ta").cast("double")
+    q_ = F.col("_cb").cast("double") / F.col("_tb").cast("double")
+    m = (p + q_) / F.lit(2.0)
+    term = F.floor(
+        (
+            F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q_ * F.log(q_ / m)
+        ) * F.lit(1e12)
+    ).cast("long")
+    matched = j.groupBy(
+        F.col("_ga").alias("source_a"), F.col("_gb").alias("source_b")
+    ).agg(
+        F.count("*").cast("long").alias("_nc"),
+        F.sum(term).cast("long").alias("_mt0"),
+        F.sum("_ca").cast("long").alias("_sca0"),
+        F.sum("_cb").cast("long").alias("_scb0"),
+    )
+    # re-anchor on the FULL pair grid so disjoint-vocabulary pairs
+    # keep a row (their JS is the ln 2 bound from the one-sided mass)
+    # instead of vanishing from the matrix
+    grid = (
+        totals.select(
+            F.col(group_col).alias("source_a"), F.col("_tot").alias("_tta")
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col(group_col).alias("source_b"),
+                    F.col("_tot").alias("_ttb"),
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    per = grid.join(matched, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("n_common_tokens"),
+        F.coalesce("_mt0", F.lit(0)).cast("long").alias("_mt"),
+        F.coalesce("_sca0", F.lit(0)).cast("long").alias("_sca"),
+        F.coalesce("_scb0", F.lit(0)).cast("long").alias("_scb"),
+        "_tta",
+        "_ttb",
+    )
+    only_a = F.floor(
+        F.lit(0.5 * ln2)
+        * (F.col("_tta") - F.col("_sca")).cast("double")
+        / F.col("_tta").cast("double")
+        * F.lit(1e12)
+    ).cast("long")
+    only_b = F.floor(
+        F.lit(0.5 * ln2)
+        * (F.col("_ttb") - F.col("_scb")).cast("double")
+        / F.col("_ttb").cast("double")
+        * F.lit(1e12)
+    ).cast("long")
+    return per.select(
+        "source_a",
+        "source_b",
+        "n_common_tokens",
+        (F.col("_mt") + only_a + only_b).cast("long").alias("js_pico"),
+    ).orderBy("source_a", "source_b")

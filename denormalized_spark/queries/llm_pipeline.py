@@ -2526,6 +2526,76 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _js_oracle() -> str:
+    import math
+
+    h = repr(0.5 * math.log(2.0))
+    p = "(ca::DOUBLE / ta::DOUBLE)"
+    q_ = "(cb::DOUBLE / tb::DOUBLE)"
+    m = f"(({p} + {q_}) / 2.0)"
+    return f"""
+    WITH d AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+    tt AS (SELECT source, sum(cnt)::BIGINT AS tot FROM c GROUP BY 1),
+    ds AS (SELECT c.source AS g, c.tok AS t, c.cnt AS cc, tt.tot
+           FROM c JOIN tt USING (source)),
+    j AS (SELECT a.g AS ga, b.g AS gb, a.cc AS ca, a.tot AS ta,
+                 b.cc AS cb, b.tot AS tb
+          FROM ds a JOIN ds b ON a.t = b.t AND a.g < b.g),
+    mtc AS (
+      SELECT ga AS source_a, gb AS source_b,
+             count(*)::BIGINT AS nc,
+             sum(CAST(floor((0.5 * {p} * ln({p} / {m})
+                             + 0.5 * {q_} * ln({q_} / {m})) * 1e12)
+                      AS BIGINT))::BIGINT AS mt0,
+             sum(ca)::BIGINT AS sca0, sum(cb)::BIGINT AS scb0
+      FROM j GROUP BY 1, 2),
+    grid AS (
+      SELECT a.source AS source_a, a.tot AS tta,
+             b.source AS source_b, b.tot AS ttb
+      FROM tt a CROSS JOIN tt b WHERE a.source < b.source
+    ),
+    per AS (
+      SELECT g.source_a, g.source_b,
+             coalesce(m.nc, 0)::BIGINT AS n_common_tokens,
+             coalesce(m.mt0, 0)::BIGINT AS mt,
+             coalesce(m.sca0, 0)::BIGINT AS sca,
+             coalesce(m.scb0, 0)::BIGINT AS scb,
+             g.tta, g.ttb
+      FROM grid g LEFT JOIN mtc m USING (source_a, source_b))
+    SELECT source_a, source_b, n_common_tokens,
+           (mt
+            + CAST(floor({h} * (tta - sca)::DOUBLE / tta::DOUBLE * 1e12)
+                   AS BIGINT)
+            + CAST(floor({h} * (ttb - scb)::DOUBLE / ttb::DOUBLE * 1e12)
+                   AS BIGINT))::BIGINT AS js_pico
+    FROM per ORDER BY source_a, source_b
+    """
+
+
+@q("text_js_divergence_matrix", _js_oracle())
+def text_js_divergence_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every source pair's
+    token distribution (operators/text.js_divergence_matrix; Lin
+    1991) — the corpus-drift matrix for mixture design, symmetric and
+    bounded unlike KL. Complements curation_mixture_divergence (which
+    compares source SHARES to a target) by comparing the sources'
+    CONTENT to each other. One tokenize+count pass, a k-row totals
+    broadcast, one token-keyed self-join, a (pair)-keyed agg →
+    k(k−1)/2 rows. Matched-token terms pico-floored before integer
+    sums; one-sided mass from exact count sums with one IEEE division
+    per side."""
+    from denormalized_spark.operators.text import js_divergence_matrix
+
+    d = t(spark, sf, "documents")
+    counts = (
+        d.select("source", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return js_divergence_matrix(counts)
+
+
 _AUC_MARGIN = (
     "coalesce(list_sum(list_transform(toks, t -> "
     "('0x' || substr(md5('qc0' || CAST(('0x' || substr(md5(t), 1, 8))::BIGINT"

@@ -309,3 +309,50 @@ def test_burrows_delta_uniform_corpus_is_zero_and_outlier_scores_higher(spark):
     out = {r.grp: r for r in burrows_delta_by_group(df, m=3).collect()}
     assert out["s3"].avg_delta_milli > out["s1"].avg_delta_milli
     assert out["s1"].avg_delta_milli == out["s2"].avg_delta_milli
+
+
+def test_js_divergence_matrix_identical_and_disjoint(spark):
+    """Identical distributions -> JS ~ 0 (exactly 0 on the pico grid
+    up to per-token floor loss); fully disjoint vocabularies ->
+    JS = ln 2 (the upper bound, from the one-sided mass terms)."""
+    import math
+
+    from denormalized_spark.operators.text import js_divergence_matrix
+
+    rows = [
+        ("a", "x", 3), ("a", "y", 1),
+        ("b", "x", 3), ("b", "y", 1),     # identical to a
+        ("c", "p", 2), ("c", "q", 2),     # disjoint from a and b
+    ]
+    df = spark.createDataFrame(rows, "source string, token string, cnt long")
+    out = {(r.source_a, r.source_b): r for r in js_divergence_matrix(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab.n_common_tokens == 2
+    # identical: every matched term is 0·ln(1)=0; floor can lose at
+    # most 1 pico per token
+    assert -2 <= ab.js_pico <= 0
+    ln2_pico = math.floor(0.5 * math.log(2.0) * 1e12) * 2
+    ac = out[("a", "c")]
+    assert ac.n_common_tokens == 0 or ac.n_common_tokens is None
+    assert abs(ac.js_pico - ln2_pico) <= 2
+
+
+def test_js_divergence_matrix_hand_computed_skew(spark):
+    """Hand-checked asymmetric overlap: shared token with different
+    masses plus one-sided tokens — matches the float formula to pico
+    floor loss."""
+    import math
+
+    from denormalized_spark.operators.text import js_divergence_matrix
+
+    rows = [("a", "x", 3), ("a", "z", 1), ("b", "x", 1), ("b", "w", 3)]
+    df = spark.createDataFrame(rows, "source string, token string, cnt long")
+    r = js_divergence_matrix(df).collect()[0]
+    p, q = 3 / 4, 1 / 4
+    m = (p + q) / 2
+    want = (
+        0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        + 0.5 * math.log(2) * (1 / 4) + 0.5 * math.log(2) * (3 / 4)
+    )
+    assert abs(r.js_pico / 1e12 - want) < 1e-9

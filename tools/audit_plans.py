@@ -48,6 +48,7 @@ ALLOW_BNLJ = {
     "text_textrank_keywords", # 1-row node-count/dangling-mass broadcasts per PageRank iteration (vocab-sized graph)
     "sim_knn_ood",           # all-pairs oracle baseline on a deterministic SAMPLE; corpus path = LSH/IVF gating
     "join_bloom_semi_revenue", # 1-row Bloom bitmap broadcast crossJoin (the decontaminate-bloom pattern) — constant fan-out
+    "text_js_divergence_matrix",  # k-row × k-row totals crossJoin building the source-pair grid (k≈20 metadata rows)
     "sim_pca_top_component", # 1-row means broadcast crossJoin (covariance centering) — constant fan-out
     "text_burrows_delta",    # 30-row word-panel broadcast crossJoin (dense doc×panel matrix) — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
