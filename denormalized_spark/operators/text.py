@@ -2392,3 +2392,63 @@ def js_divergence_matrix(
         "n_common_tokens",
         (F.col("_mt") + only_a + only_b).cast("long").alias("js_pico"),
     ).orderBy("source_a", "source_b")
+
+
+def word_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Word burstiness à la Church & Gale 1995 ("Poisson mixtures"):
+    content words are BURSTY — once a document uses one it tends to
+    repeat it — while function words scatter ~Poisson across
+    documents. Per token: collection frequency cf, document frequency
+    dfreq, the burst rate cf/dfreq (mean occurrences per containing
+    doc), and the Poisson gap dfreq / (N·(1−e^(−cf/N))) — the
+    observed-vs-Poisson document spread, ≪1 for bursty terms. The
+    ranked report is the stopword/keyword discriminator a pipeline
+    reads before hand-tuning stopword lists (an IDF column alone
+    can't separate "frequent because everywhere" from "frequent
+    because bursty").
+
+    Exactness: burst_milli = floor(cf·1000 / dfreq) is integer DIV;
+    the Poisson gap is ONE fixed-order IEEE expression over exact
+    longs, milli-floored once (the one-floored-division-per-output
+    discipline); exp/ln are trusted bit-identical cross-engine (the
+    theil/entropy precedent).
+
+    Scale shape: one explode + token-keyed agg (count + distinct-doc
+    count, partials map-side), a 1-row corpus-count broadcast, then
+    TakeOrderedAndProject(top_k). Returns ``(token, cf, dfreq,
+    burst_milli, poisson_gap_milli)`` ordered cf desc, token asc."""
+    tok = df.select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(text_col)).alias("token"))
+    per = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.count_distinct("_id").cast("long").alias("dfreq"),
+    )
+    n = df.agg(F.count("*").cast("long").alias("_n"))
+    gap = F.floor(
+        F.col("dfreq").cast("double")
+        / (
+            F.col("_n").cast("double")
+            * (
+                F.lit(1.0)
+                - F.exp(-(F.col("cf").cast("double") / F.col("_n").cast("double")))
+            )
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "cf",
+            "dfreq",
+            F.expr("cf * 1000 DIV dfreq").cast("long").alias("burst_milli"),
+            gap.alias("poisson_gap_milli"),
+        )
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -104,7 +104,7 @@ _DRIVER_PRIORITY = [
     # r13 window re-runs unchanged per the r13 verdict; front the
     # overflow + these in r15 ---
     "dedup_fastcdc_maxclamp", "dedup_eval_bcubed", "events_holt_winters",
-    "text_quality_auc", "text_js_divergence_matrix",
+    "text_quality_auc", "text_js_divergence_matrix", "text_word_burstiness",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -2526,6 +2526,38 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "text_word_burstiness",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    per AS (SELECT token, count(*)::BIGINT AS cf,
+                   count(DISTINCT doc_id)::BIGINT AS dfreq
+            FROM tok GROUP BY token),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+    SELECT token, cf, dfreq,
+           (cf * 1000 // dfreq)::BIGINT AS burst_milli,
+           CAST(floor(dfreq::DOUBLE
+                      / (n::DOUBLE * (1.0 - exp(-(cf::DOUBLE / n::DOUBLE))))
+                      * 1000.0) AS BIGINT) AS poisson_gap_milli
+    FROM per CROSS JOIN nn
+    ORDER BY cf DESC, token ASC LIMIT 30
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Church-Gale word burstiness report (operators/text.
+    word_burstiness; Church & Gale 1995): per high-frequency token,
+    the burst rate cf/df and the observed-vs-Poisson document-spread
+    gap — the statistic that separates "frequent because everywhere"
+    (function words, gap ≈ 1) from "frequent because bursty" (content
+    words, gap ≪ 1), which IDF alone cannot. One explode + token agg,
+    1-row corpus-count broadcast, TakeOrdered(30)."""
+    from denormalized_spark.operators.text import word_burstiness
+
+    d = t(spark, sf, "documents")
+    return word_burstiness(d)
+
+
 def _js_oracle() -> str:
     import math
 

@@ -356,3 +356,26 @@ def test_js_divergence_matrix_hand_computed_skew(spark):
         + 0.5 * math.log(2) * (1 / 4) + 0.5 * math.log(2) * (3 / 4)
     )
     assert abs(r.js_pico / 1e12 - want) < 1e-9
+
+
+def test_word_burstiness_hand_computed(spark):
+    """Bursty vs scattered: 'zz' appears 4x in one doc (burst 4000,
+    Poisson gap well under 1000); 'aa' once in each of 4 docs (burst
+    1000, gap near the Poisson expectation)."""
+    from denormalized_spark.operators.text import word_burstiness
+
+    rows = [
+        (1, "aa zz zz zz zz"), (2, "aa bb"), (3, "aa bb"), (4, "aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in word_burstiness(df, top_k=10).collect()}
+    assert out["zz"].cf == 4 and out["zz"].dfreq == 1
+    assert out["zz"].burst_milli == 4000
+    assert out["aa"].cf == 4 and out["aa"].dfreq == 4
+    assert out["aa"].burst_milli == 1000
+    # Poisson-expected docs for cf=4, N=4: 4*(1-e^-1) ~= 2.528
+    import math
+    exp_docs = 4 * (1 - math.exp(-1.0))
+    assert out["zz"].poisson_gap_milli == math.floor(1 / exp_docs * 1000)
+    assert out["aa"].poisson_gap_milli == math.floor(4 / exp_docs * 1000)
+    assert out["zz"].poisson_gap_milli < 1000 < out["aa"].poisson_gap_milli

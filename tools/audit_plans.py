@@ -49,6 +49,7 @@ ALLOW_BNLJ = {
     "sim_knn_ood",           # all-pairs oracle baseline on a deterministic SAMPLE; corpus path = LSH/IVF gating
     "join_bloom_semi_revenue", # 1-row Bloom bitmap broadcast crossJoin (the decontaminate-bloom pattern) — constant fan-out
     "text_js_divergence_matrix",  # k-row × k-row totals crossJoin building the source-pair grid (k≈20 metadata rows)
+    "text_word_burstiness",  # 1-row corpus-count broadcast crossJoin — constant fan-out
     "sim_pca_top_component", # 1-row means broadcast crossJoin (covariance centering) — constant fan-out
     "text_burrows_delta",    # 30-row word-panel broadcast crossJoin (dense doc×panel matrix) — constant fan-out
     "text_unigram_quality",  # broadcast 1-row vocab-total crossJoin — constant fan-out
@@ -188,6 +189,7 @@ ALLOW_SINGLE_PART = {
     "dedup_eval_pairs",      # 1-row system/gold/intersection pair-count finals
     "dedup_eval_bcubed",     # 1-row B³ rollup final over the cells table (metadata)
     "text_quality_auc",      # prefix-sum-offsets pattern (with_global_running_sum) + 1-row U rollup
+    "text_word_burstiness",  # 1-row corpus-count aggregate final (metadata)
     "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
     "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "text_textrank_keywords", # 1-row dangling-mass finals per iteration (same as graph_pagerank_*)
