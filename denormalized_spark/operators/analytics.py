@@ -3942,3 +3942,78 @@ def roc_auc(
         auc.cast("long").alias("auc_micro"),
         (auc * 2 - F.lit(1_000_000)).cast("long").alias("gini_micro"),
     )
+
+
+def changepoint_binseg(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-changepoint binary segmentation per group (Scott &
+    Knott 1974; the recursion step of binseg/PELT changepoint
+    families, Killick et al. 2012) over a PRE-AGGREGATED integer
+    series: pick the split that maximizes the between-segment SSE
+    reduction — equivalently argmax over splits of Q(s) = S_L²/n_L +
+    S_R²/n_R (prefix-sum identity; the total Σx² term is constant).
+    The level-shift locator that complements ewma/cusum's sequential
+    alarms with a retrospective "WHERE did the mean change" answer.
+
+    Engine-exact ranking: S_L/S_R are exact longs from a group-keyed
+    prefix-sum window; Q(s) is ONE fixed-order IEEE expression (two
+    divisions + one add) floored to an integer score, and the argmax
+    breaks ties on the earlier split — both engines replay the same
+    floored ranking (at 100 TB value scales, move S² to DECIMAL(38);
+    the cents-level series here stays far inside double's 2⁵³).
+
+    Scale shape: the caller's data-sized groupBy already produced the
+    period series; everything here is group-keyed windows over ~T-row
+    partitions (never a global sort). Groups with T < 2 have no valid
+    split and are omitted. Returns one row per group: ``(group,
+    split_order, n_left, n_right, mean_left_milli, mean_right_milli,
+    score_floor)`` where ``split_order`` is the first period of the
+    right segment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = series.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(value_col).cast("long").alias("_x"),
+    ).select(
+        group_col,
+        order_col,
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_x").over(wc).cast("long").alias("_sl"),
+        F.sum("_x").over(wall).cast("long").alias("_st"),
+        F.count("*").over(wall).cast("long").alias("_nt"),
+        F.lead(F.col(order_col)).over(w).alias("_next_o"),
+    ).filter(F.col("_rk") < F.col("_nt"))
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_st") - F.col("_sl")).cast("double")
+    nl = F.col("_rk").cast("double")
+    nr = (F.col("_nt") - F.col("_rk")).cast("double")
+    q_ = sl * sl / nl + sr * sr / nr
+    scored = r.withColumn("_q", F.floor(q_).cast("long"))
+    best = Window.partitionBy(group_col).orderBy(
+        F.desc("_q"), F.asc("_rk")
+    )
+    return (
+        scored.withColumn("_bn", F.row_number().over(best))
+        .filter(F.col("_bn") == 1)
+        .select(
+            group_col,
+            F.col("_next_o").alias("split_order"),
+            F.col("_rk").alias("n_left"),
+            (F.col("_nt") - F.col("_rk")).cast("long").alias("n_right"),
+            F.expr("_sl * 1000 DIV _rk").cast("long").alias("mean_left_milli"),
+            F.expr("(_st - _sl) * 1000 DIV (_nt - _rk)").cast("long")
+            .alias("mean_right_milli"),
+            F.col("_q").alias("score_floor"),
+        )
+        .orderBy(group_col)
+    )

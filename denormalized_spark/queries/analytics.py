@@ -2481,6 +2481,70 @@ def _hw_oracle(m=7, an=1, ad=4, bn=1, bd=4, gn=1, gd=2) -> str:
     """
 
 
+@q(
+    "events_changepoint_binseg",
+    """
+    WITH s0 AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day,
+             row_number() OVER w AS rk,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS sl,
+             sum(x) OVER (PARTITION BY event_type)::BIGINT AS st,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS nt,
+             lead(day) OVER w AS next_o
+      FROM s0
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    sc AS (
+      SELECT *, CAST(floor(sl::DOUBLE * sl::DOUBLE / rk::DOUBLE
+                           + (st - sl)::DOUBLE * (st - sl)::DOUBLE
+                             / (nt - rk)::DOUBLE) AS BIGINT) AS q
+      FROM r WHERE rk < nt
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY q DESC, rk ASC) AS bn
+      FROM sc
+    )
+    SELECT event_type, next_o AS split_order,
+           rk::BIGINT AS n_left, (nt - rk)::BIGINT AS n_right,
+           (sl * 1000 // rk)::BIGINT AS mean_left_milli,
+           ((st - sl) * 1000 // (nt - rk))::BIGINT AS mean_right_milli,
+           q AS score_floor
+    FROM best WHERE bn = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrospective level-shift locator: single-changepoint binary
+    segmentation (operators/analytics.changepoint_binseg; Scott &
+    Knott 1974 / the binseg recursion of Killick et al. 2012) on
+    daily revenue-cents per event type — WHERE the mean changed, the
+    complement of the cusum/ewma sequential alarms. Prefix-sum
+    identity ranks splits by S_L²/n_L + S_R²/n_R (exact longs in, one
+    floored IEEE expression per split, earlier-split tiebreak). One
+    data-sized daily agg; all windows group-keyed over ~30-row
+    partitions."""
+    from denormalized_spark.operators.analytics import changepoint_binseg
+
+    e = t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("x"))
+    )
+    return changepoint_binseg(series, "event_type", "day", "x")
+
+
 @q("events_holt_winters", _hw_oracle())
 def events_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     """Holt-Winters ADDITIVE seasonal smoothing of daily revenue-cents

@@ -1793,3 +1793,35 @@ def test_roc_auc_perfect_and_degenerate(spark):
     one_class = spark.createDataFrame([(5, 1), (4, 1)], "s long, y int")
     r = roc_auc(one_class, "s", "y").collect()[0]
     assert r.auc_micro == 500_000 and r.gini_micro == 0
+
+
+def test_changepoint_binseg_finds_planted_shift(spark):
+    """Series 10,10,10,10,50,50,50: the split lands at the first
+    period of the right segment; means are exact; a constant series
+    still returns a (meaningless) best split with equal means."""
+    from denormalized_spark.operators.analytics import changepoint_binseg
+
+    rows = [("g", i, 10 if i <= 4 else 50) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, o int, x long")
+    r = changepoint_binseg(df, "g", "o", "x").collect()[0]
+    assert r.split_order == 5
+    assert (r.n_left, r.n_right) == (4, 3)
+    assert r.mean_left_milli == 10_000 and r.mean_right_milli == 50_000
+    flat = spark.createDataFrame(
+        [("g", i, 7) for i in range(1, 5)], "g string, o int, x long"
+    )
+    fr = changepoint_binseg(flat, "g", "o", "x").collect()[0]
+    assert fr.mean_left_milli == fr.mean_right_milli == 7_000
+    # tiebreak: all splits of a constant series score equally -> earliest
+    assert fr.split_order == 2
+
+
+def test_changepoint_binseg_single_point_group_omitted(spark):
+    from denormalized_spark.operators.analytics import changepoint_binseg
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 3), ("b", 2, 9)], "g string, o int, x long"
+    )
+    out = {r.g: r for r in changepoint_binseg(df, "g", "o", "x").collect()}
+    assert set(out) == {"b"}
+    assert out["b"].split_order == 2
