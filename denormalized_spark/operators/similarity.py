@@ -1955,3 +1955,63 @@ def pca_power_top_component(
         F.lit(-1).cast("int").alias("idx"), F.col("_ev").alias("loading_r6")
     )
     return rows.unionAll(ev).orderBy("idx")
+
+
+def pq_distortion(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-subspace PQ reconstruction error (the distortion E[‖x−q(x)‖²]
+    of Jégou et al. 2011 §2, reported per subquantizer): the mean
+    squared distance between each sub-vector and its chosen codebook
+    cell — the index-health number that tells you WHICH subspace's
+    codebook has gone stale (refit candidate) and bounds the ADC
+    score error (ADC bias grows with exactly this quantity). Read
+    beside the recall curves: recall says the index degraded,
+    distortion says where.
+
+    Engine-exact: the per-row min cell reuses pq_encode's
+    rounded-distance argmin (same struct-min tie-break); each row's
+    chosen distance is micro-floored BEFORE the integer sum (Σ of
+    floors — order-free), and the final mean is one integer DIV.
+
+    Scale shape: pure per-row projection against constant-folded
+    codebook literals (the pq_encode HOF form) + ONE global partial
+    agg; the stack to m rows happens on the 1-row aggregate. Returns
+    ``(subspace, n_vectors, mse_micro)``."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    cols = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cell]) for cell in book]
+        )
+        sub_vec = F.slice(F.col(vec_col), s * sub + 1, sub)
+        pairs = F.transform(
+            book_lit,
+            lambda cell, i: F.struct(
+                F.round(_sub_sqdist(sub_vec, cell), round_digits).alias("d"),
+                i.alias("c"),
+            ),
+        )
+        cols.append(
+            F.floor(
+                F.array_min(pairs)["d"] * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias(f"_d{s}")
+        )
+    agg = df.select(*cols).agg(
+        F.count("*").cast("long").alias("_n"),
+        *[F.sum(f"_d{s}").cast("long").alias(f"_s{s}") for s in range(m)],
+    )
+    stack_expr = ", ".join(f"{s}, _s{s}" for s in range(m))
+    return (
+        agg.selectExpr("_n", f"stack({m}, {stack_expr}) AS (subspace, _sum)")
+        .select(
+            F.col("subspace").cast("int"),
+            F.col("_n").alias("n_vectors"),
+            F.expr("_sum DIV _n").cast("long").alias("mse_micro"),
+        )
+        .orderBy("subspace")
+    )

@@ -105,7 +105,7 @@ _DRIVER_PRIORITY = [
     # overflow + these in r15 ---
     "dedup_fastcdc_maxclamp", "dedup_eval_bcubed", "events_holt_winters",
     "text_quality_auc", "text_js_divergence_matrix", "text_word_burstiness",
-    "events_changepoint_binseg", "sim_nprobe_curve",
+    "events_changepoint_binseg", "sim_nprobe_curve", "sim_pq_distortion",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -3820,6 +3820,68 @@ def _pq_topk_oracle(
     """
 
 
+def _pq_distortion_oracle(m: int = 4, dim: int = 64) -> str:
+    """Per-subspace PQ reconstruction MSE over the same label-derived
+    codebooks and rounded-argmin encode as _pq_topk_oracle; per-row
+    chosen distances micro-floored before integer sums."""
+    sub = dim // m
+    cent_comps = ", ".join(
+        f"round(avg(embedding[{j + 1}]::DOUBLE), 6) AS c{j}" for j in range(dim)
+    )
+
+    def vdist(s: int) -> str:
+        return " + ".join(
+            f"(v.embedding[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            f" * (v.embedding[{s * sub + j + 1}]::DOUBLE - c.c{s * sub + j})"
+            for j in range(sub)
+        )
+
+    mins = ", ".join(
+        f"min({{'d': round({vdist(s)}, 6), 'c': c.code}}) AS m{s}"
+        for s in range(m)
+    )
+    sums = ", ".join(
+        f"sum(CAST(floor(m{s}.d * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS s{s}"
+        for s in range(m)
+    )
+    points = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, n AS n_vectors, (s{s} // n)::BIGINT AS"
+        f" mse_micro FROM agg"
+        for s in range(m)
+    )
+    return f"""
+    WITH cent0 AS (SELECT label, {cent_comps} FROM embeddings GROUP BY label),
+    cent AS (SELECT row_number() OVER (ORDER BY label) - 1 AS code, * FROM cent0),
+    enc0 AS (
+      SELECT v.vec_id, {mins}
+      FROM embeddings v CROSS JOIN cent c GROUP BY v.vec_id
+    ),
+    agg AS (SELECT count(*)::BIGINT AS n, {sums} FROM enc0)
+    SELECT subspace, n_vectors, mse_micro FROM ({points}) ORDER BY subspace
+    """
+
+
+@q("sim_pq_distortion", _pq_distortion_oracle())
+def sim_pq_distortion(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-subquantizer PQ reconstruction MSE (operators/similarity.
+    pq_distortion; the distortion of Jégou et al. 2011 §2) over the
+    label-derived codebooks the PQ/ADC entries serve from — the
+    index-health report that localizes WHICH subspace's codebook has
+    drifted (recall curves say the index degraded; this says where,
+    and it bounds the ADC score bias). Pure per-row projection
+    against constant-folded codebook literals + one global partial
+    agg; the m-row stack runs on the 1-row aggregate. Per-row chosen
+    distances micro-floored before exact integer sums."""
+    from denormalized_spark.operators.similarity import (
+        pq_codebooks_from_labels,
+        pq_distortion,
+    )
+
+    e = t(spark, sf, "embeddings")
+    books = pq_codebooks_from_labels(e, m=4)
+    return pq_distortion(e, books)
+
+
 def _ivf_pq_oracle(
     m: int = 4, dim: int = 64, k: int = 10, nprobe: int = 3, qid: int = 0
 ) -> str:

@@ -1109,3 +1109,25 @@ def test_nprobe_curve_monotone_and_saturates(spark):
     # should be at-or-near saturation on this corpus
     assert recalls[-1] >= recalls[0]
     assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_pq_distortion_zero_on_centroid_vectors(spark):
+    """Vectors that ARE the codebook centroids quantize losslessly
+    (mse 0 per subspace); a perturbed vector raises exactly the
+    expected micro distortion in the perturbed subspace only."""
+    from denormalized_spark.operators.similarity import pq_distortion
+
+    # dim=4, m=2, one cell per subspace at [1,0] / [0,1]
+    books = [[[1.0, 0.0]], [[0.0, 1.0]]]
+    exact = [(1, [1.0, 0.0, 0.0, 1.0]), (2, [1.0, 0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(exact, "vec_id long, embedding array<double>")
+    out = {r.subspace: r for r in pq_distortion(df, books).collect()}
+    assert out[0].mse_micro == 0 and out[1].mse_micro == 0
+    assert out[0].n_vectors == 2
+    # perturb subspace 1 of one vector by 0.1 in one component:
+    # sqdist = 0.01 -> rounded 0.01 -> micro 10000; mean over 2 = 5000
+    pert = exact + [(3, [1.0, 0.0, 0.1, 1.0])]
+    df2 = spark.createDataFrame(pert, "vec_id long, embedding array<double>")
+    out2 = {r.subspace: r for r in pq_distortion(df2, books).collect()}
+    assert out2[0].mse_micro == 0
+    assert out2[1].mse_micro == (0 + 0 + 10_000) // 3

@@ -190,6 +190,7 @@ ALLOW_SINGLE_PART = {
     "dedup_eval_bcubed",     # 1-row B³ rollup final over the cells table (metadata)
     "text_quality_auc",      # prefix-sum-offsets pattern (with_global_running_sum) + 1-row U rollup
     "text_word_burstiness",  # 1-row corpus-count aggregate final (metadata)
+    "sim_pq_distortion",     # 1-row global distortion-sum final; m-row stack on the aggregate
     "text_ad_bigram",        # 1-row bigram-type-count final + 20-row TakeOrdered
     "graph_assortativity",   # 1-row edge-moment + 1-row node-count finals (metadata)
     "text_textrank_keywords", # 1-row dangling-mass finals per iteration (same as graph_pagerank_*)
