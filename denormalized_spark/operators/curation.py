@@ -107,6 +107,7 @@ def decontaminate(
     return_flags: bool = False,
     prefilter_bits: int | None = None,
     prefilter_probes: int = 3,
+    gram_source: DataFrame | None = None,
 ) -> DataFrame:
     """Remove corpus documents that share any word ``n``-gram with a
     benchmark/eval set (training-set decontamination, the standard
@@ -141,12 +142,23 @@ def decontaminate(
     enable at corpus scales where the explode dominates (the
     100 TB default). Results are identical either way (no false
     negatives), driver-proven by ``curation_decontaminate_bloom``.
+
+    ``gram_source`` (optional) decouples the contaminated-id probe
+    from the filtered stream: when ``corpus`` is itself an expensive
+    pipeline (filters, dedup windows), passing the RAW table here
+    explodes grams of that cheap scan instead of re-executing the
+    pipeline subtree a second time. Any id-superset of ``corpus``
+    gives an IDENTICAL result — the anti-join/flag step only consults
+    ids that exist in ``corpus``, so extra contaminated ids from
+    rows the pipeline already dropped never surface (r14: removed a
+    duplicated corpus-wide fingerprint-window shuffle from
+    curation_full_funnel's plan this way).
     """
     bench_grams = (
         benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("gram"))
         .distinct()
     )
-    explode_src = corpus
+    explode_src = corpus if gram_source is None else gram_source
     if prefilter_bits:
         # normalize to a multiple of 64: the bitmap packs 64 bits/word
         # and build+probe must agree on the table size — a ragged tail
@@ -155,7 +167,7 @@ def decontaminate(
         prefilter_bits = ((prefilter_bits + 63) // 64) * 64
         bloom = _bench_gram_bloom(bench_grams, prefilter_bits, prefilter_probes)
         explode_src = (
-            corpus.join(F.broadcast(bloom))
+            explode_src.join(F.broadcast(bloom))
             .filter(
                 _bloom_hit(
                     F.col("_bm"),

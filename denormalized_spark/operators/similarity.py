@@ -155,12 +155,77 @@ def lsh_signature(
     """b-bit random-hyperplane signature as a long. ``table`` offsets
     the plane indices so multiple independent hash tables (the
     OR-construction that buys recall) draw disjoint hyperplanes."""
-    sig = F.lit(0).cast("long")
-    for i in range(num_planes):
-        plane = _hyperplane(table * num_planes + i, dim)
-        bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = sig + bit
-    return sig
+    return F.element_at(
+        lsh_signature_arrays(vec_col, dim, num_planes, num_tables=1, first_table=table),
+        1,
+    )
+
+
+def lsh_signature_arrays(
+    vec_col: Column,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 1,
+    first_table: int = 0,
+) -> Column:
+    """ALL tables' hyperplane signatures as one array<long> — a single
+    nested-HOF expression instead of ``num_tables × num_planes``
+    separate fold chains.
+
+    Value-identical to folding :func:`lsh_signature` per table: each
+    plane's dot product is the same sequential zip_with/aggregate fold
+    (identical IEEE op order), the bit is ``1 << i`` exactly
+    (shiftleft), and the per-table bit sum is a sequential integer
+    fold — bit-for-bit the arithmetic the per-plane form (and every
+    oracle's unrolled SQL literal) evaluates.
+
+    Why this form: Catalyst analysis/optimization walks the expression
+    tree per pass, and 32 independent zip_with+aggregate chains (8
+    tables × 4 planes at 64 dims ≈ thousands of nodes) made driver-side
+    plan work the dominant cost of the LSH lanes at bench scale
+    (measured r14: signature-stage analysis 3.5 s → 1.2 s, first
+    execution 1.3 s → 0.4 s on the 8×4×64 config). The planes become
+    one constant-folded 3-D literal and the lambda count drops from
+    O(tables×planes) to 5, while per-row arithmetic is unchanged."""
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(c)
+                            for c in hyperplane_components(
+                                (first_table + t) * num_planes + i, dim
+                            )
+                        ]
+                    )
+                    for i in range(num_planes)
+                ]
+            )
+            for t in range(num_tables)
+        ]
+    )
+
+    def _dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.transform(
+        planes,
+        lambda tp: F.aggregate(
+            F.transform(
+                tp,
+                lambda p, i: F.when(
+                    _dot(p) > 0, F.call_function("shiftleft", F.lit(1), i)
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + b,
+        ),
+    )
 
 
 def lsh_bucketed_neighbors(
@@ -192,21 +257,17 @@ def lsh_bucketed_neighbors(
     region puts a whole corpus in one bucket): oversized buckets are
     dropped before pair generation, bounding memory; pairs inside them
     can still surface through the other tables."""
+    # one nested-HOF expression computes every table's signature (see
+    # lsh_signature_arrays: same arithmetic, ~order-of-magnitude less
+    # Catalyst work than per-plane fold chains); posexplode's position
+    # is the table index the per-table struct form carried explicitly
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_signature(F.col(vec_col), dim, num_planes, t).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+        F.posexplode(
+            lsh_signature_arrays(F.col(vec_col), dim, num_planes, num_tables)
+        ).alias("tbl", "bucket"),
+    ).select(id_col, vec_col, "tbl", "bucket")
     # bucket-collect instead of a self-join: one aggregation gathers
     # each bucket's (id, vector, norm) members (signatures computed
     # ONCE — a self-join would re-evaluate the num_planes dot products
@@ -293,14 +354,22 @@ def project_embeddings(
     floats) and runs are reproducible without shipping a matrix.
     See :func:`jl_project` for the Achlioptas ±1-sign variant with a
     measured distortion entry."""
-    rows = [
-        F.array(*[F.lit(c) for c in projection_components(i, dim)])
-        for i in range(out_dim)
-    ]
-    comps = [dot(F.col(vec_col), r) for r in rows]
-    if round_digits is not None:
-        comps = [F.round(c, round_digits) for c in comps]
-    return df.withColumn(out_col, F.array(*comps))
+    # one nested-HOF expression over a constant-folded 2-D literal
+    # matrix (the lsh_signature_arrays trick): same per-component
+    # sequential dot fold — bit-identical values — with O(1) lambdas
+    # instead of out_dim separate fold chains for Catalyst to walk
+    rows2d = F.array(
+        *[
+            F.array(*[F.lit(c) for c in projection_components(i, dim)])
+            for i in range(out_dim)
+        ]
+    )
+    comp = (
+        (lambda r: F.round(dot(F.col(vec_col), r), round_digits))
+        if round_digits is not None
+        else (lambda r: dot(F.col(vec_col), r))
+    )
+    return df.withColumn(out_col, F.transform(rows2d, comp))
 
 
 # ---------------------------------------------------------------------------
@@ -887,21 +956,33 @@ def pq_encode(
     ingest the codes are stored next to the vector (or instead of
     it)."""
     sub = len(codebooks[0][0])
-    codes = []
-    for s, book in enumerate(codebooks):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cell]) for cell in book]
-        )
-        sub_vec = F.slice(F.col(vec_col), s * sub + 1, sub)
-        pairs = F.transform(
-            book_lit,
-            lambda cell, i: F.struct(
-                F.round(_sub_sqdist(sub_vec, cell), round_digits).alias("d"),
-                i.alias("c"),
-            ),
-        )
-        codes.append(F.array_min(pairs)["c"])
-    return df.withColumn(out_col, F.array(*codes))
+    # all m subquantizers in ONE nested-HOF expression over a 3-D
+    # constant-folded codebook literal (the lsh_signature_arrays
+    # trick): per-cell arithmetic is the identical rounded fold, but
+    # Catalyst walks O(1) lambda chains instead of m of them
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cell]) for cell in book])
+            for book in codebooks
+        ]
+    )
+    vec = F.col(vec_col)
+    codes = F.transform(
+        books_lit,
+        lambda book, s: F.array_min(
+            F.transform(
+                book,
+                lambda cell, i: F.struct(
+                    F.round(
+                        _sub_sqdist(F.slice(vec, s * sub + 1, sub), cell),
+                        round_digits,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+    return df.withColumn(out_col, codes)
 
 
 def pq_topk(
@@ -935,13 +1016,17 @@ def pq_topk(
             )
             row.append(round(d, round_digits))
         lut.append(row)
-    dist = None
-    for s, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in row]),
-            F.element_at(code_col, s + 1) + 1,
-        )
-        dist = term if dist is None else dist + term
+    # one zip_with+fold over a 2-D LUT literal instead of m chained
+    # element_at terms: the fold seeds 0.0 (+0.0 + x ≡ x for the
+    # non-negative rounded distances) and adds in the same s-ascending
+    # order, so the sum is bit-identical to the chained form
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    dist = F.aggregate(
+        F.zip_with(lut_lit, code, lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         encoded.select(
             id_col, F.round(dist, round_digits).alias("adc_dist")

@@ -659,8 +659,15 @@ def curation_full_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Bloom prefilter off at bench scale — see curation_pipeline's
     # docstring for the r6 measurement (gate on at explode-dominated
-    # corpus scales; results identical either way)
-    clean = curation.decontaminate(dd, bench, n=5)
+    # corpus scales; results identical either way).
+    # gram_source=corpus (r14): probe contamination on the RAW corpus
+    # scan instead of the dd stream — dd's subtree (quality classifier
+    # + fingerprint-window SHUFFLE of the whole corpus) was duplicated
+    # into the gram-explode branch, i.e. two corpus shuffles per run.
+    # Identical result (the oracle's cont CTE already probes the raw
+    # corpus; extra ids never match the anti-join), one corpus-wide
+    # shuffle instead of two.
+    clean = curation.decontaminate(dd, bench, n=5, gram_source=corpus)
     sp = curation.split_assign(clean, {"train": 0.9, "val": 0.1})
     return sp.groupBy("split", "source").agg(
         F.count("*").alias("n_docs"),
