@@ -116,7 +116,10 @@ def decontaminate(
 
     Plan shape (the corpus side never shuffles):
 
-    1. benchmark → distinct n-gram hashes (small; broadcast),
+    1. benchmark → n-gram hashes (small; broadcast — no distinct:
+       LEFT SEMI ignores duplicate build keys, the benchmark side is
+       bounded by the eval suite not the corpus, and dedup'ing it
+       cost a shuffle + two AQE stages per run for nothing — r14),
     2. corpus → explode n-gram hashes (flatMap, no shuffle) →
        broadcast LEFT SEMI against the benchmark grams,
     3. the surviving (id, gram) rows — only contaminated docs — are
@@ -154,9 +157,8 @@ def decontaminate(
     duplicated corpus-wide fingerprint-window shuffle from
     curation_full_funnel's plan this way).
     """
-    bench_grams = (
-        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("gram"))
-        .distinct()
+    bench_grams = benchmark.select(
+        F.explode(shingle_hashes(text_col, n)).alias("gram")
     )
     explode_src = corpus if gram_source is None else gram_source
     if prefilter_bits:
