@@ -411,21 +411,23 @@ def mixture_sample(
     fraction of its rows — how training mixtures ("2 parts web, 1
     part code, 0.1 parts forums") are materialized.
 
-    The rate table is a broadcast join (dozens of strata); the keep
-    decision is a per-row md5 fraction — scan speed, zero shuffles,
-    and idempotent: re-running over the same ids keeps the same rows,
-    so incremental pipeline runs stay consistent.
+    The rate table is a constant-folded MAP literal (dozens of
+    strata), looked up per row — scan speed, zero shuffles, zero join
+    nodes (r14: this was a broadcast left-join, which cost a
+    broadcast-build job and a join stage per run for a lookup the
+    expression layer does inline; an absent stratum falls through to
+    ``default_rate`` exactly as the left join's NULL did). The keep
+    decision is a per-row md5 fraction, idempotent: re-running over
+    the same ids keeps the same rows, so incremental pipeline runs
+    stay consistent.
     """
-    spark = df.sparkSession
-    rate_df = spark.createDataFrame(
-        [(k, float(v)) for k, v in rates.items()], [strata_col, "_rate"]
+    rate_map = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
     )
-    return (
-        df.join(F.broadcast(rate_df), strata_col, "left")
-        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
-        .filter(sample_fraction(id_col, seed) < F.col("_rate"))
-        .drop("_rate")
+    rate = F.coalesce(
+        rate_map[F.col(strata_col)], F.lit(float(default_rate))
     )
+    return df.filter(sample_fraction(id_col, seed) < rate)
 
 
 def sample_n_per_group(
