@@ -6378,10 +6378,49 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _recall_curve_oracle(ks=(1, 5, 10, 20)) -> str:
-    parts = [f"SELECT * FROM ({_ivf_recall_oracle(k=k)})" for k in ks]
-    return " SELECT * FROM (" + " UNION ALL ".join(
-        f"({p})" for p in parts
-    ) + ") ORDER BY k"
+    """ONE k=max(ks) IVF chain + ONE exact top-max(ks) scan, both
+    ranked, prefix-counted per curve point — the same nested-prefix
+    property the Spark side uses: under the total order (rounded
+    score DESC, vec_id ASC) every top-k list is a prefix of the
+    top-max(ks) list, so |top_k(ivf) ∩ top_k(brute)| =
+    #{v : rank_ivf(v) ≤ k AND rank_brute(v) ≤ k} over the two
+    max(ks)-row lists. The previous form unrolled the whole
+    fit+assign+probe chain once PER curve point — a 170 KB statement
+    whose DuckDB execution intermittently exhausted the oracle
+    child's memory cap (r14: 4× smaller SQL, ~10× lighter peak,
+    value-identical — verified row-for-row against the unrolled
+    form at all three SFs)."""
+    kmax = max(ks)
+    ivf = _ivf_oracle(nprobe=3, k=kmax, qid=0).strip()
+    brute = f"""
+      SELECT e.vec_id,
+             round(({_dot_sql('e.embedding', 'q.qvec')})
+                   / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}), 6) AS s
+      FROM embeddings e CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                                    WHERE vec_id = 0) q
+      WHERE e.vec_id != 0
+      ORDER BY s DESC, e.vec_id
+      LIMIT {kmax}
+    """
+    ks_values = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH ivf AS ({ivf}),
+    ivfr AS (SELECT vec_id,
+                    row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS ri
+             FROM ivf),
+    brute AS ({brute}),
+    bruter AS (SELECT vec_id,
+                      row_number() OVER (ORDER BY s DESC, vec_id ASC) AS rb
+               FROM brute),
+    both_r AS (SELECT ri, rb FROM ivfr JOIN bruter USING (vec_id)),
+    ks(k) AS (VALUES {ks_values})
+    SELECT k,
+           CAST((SELECT count(*) FROM both_r WHERE ri <= k AND rb <= k)
+                AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM both_r WHERE ri <= k AND rb <= k)::DOUBLE
+                 / k, 6) AS recall_at_k
+    FROM ks ORDER BY k
+    """
 
 
 @q("sim_recall_curve", _recall_curve_oracle())

@@ -34,8 +34,14 @@ def main() -> int:
     # memory is the resource the isolation exists to protect; THREADS
     # must stay at the box default — the wordpiece 6-merge unrolled
     # oracle ran in minutes at 32 threads in-process but timed out at
-    # a 8-thread cap (found by the r13 full-registry sweep)
-    con.execute("SET memory_limit='24GB'")
+    # a 8-thread cap (found by the r13 full-registry sweep).
+    # 48GB (was 24GB, r14): sim_recall_curve's unrolled-IVF oracle
+    # peaks right at the old cap at 32 threads — it passed or OOM'd
+    # ("bad allocation" on a 16KB block) run-to-run depending on box
+    # pressure. One child runs at a time next to a 16GB-heap JVM on a
+    # 128GB box, so 48GB still bounds a runaway query while clearing
+    # the measured peak with 2x headroom.
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
