@@ -1987,6 +1987,7 @@ def pca_power_top_component(
     frame = cov.select(
         "*", *[F.lit(1.0 if j == 0 else 0.0).alias(f"v{j}") for j in range(dim)]
     )
+    ccols = [F.col(f"c{j}_{k}") for j in range(dim) for k in range(dim)]
     for _ in range(iterations):
         prod = [
             sum(
@@ -1995,10 +1996,7 @@ def pca_power_top_component(
             ).alias(f"w{j}")
             for j in range(dim)
         ]
-        frame = frame.select(
-            *[F.col(f"c{j}_{k}") for j in range(dim) for k in range(dim)],
-            *prod,
-        )
+        frame = frame.select(*ccols, *prod)
         nrm = F.sqrt(
             sum([F.col(f"w{j}") * F.col(f"w{j}") for j in range(dim)], F.lit(0.0))
         )
@@ -2006,7 +2004,7 @@ def pca_power_top_component(
         # start with a zero first row/column), fall back to e1 rather
         # than dividing by zero — deterministic, oracle-mirrored
         frame = frame.select(
-            *[F.col(f"c{j}_{k}") for j in range(dim) for k in range(dim)],
+            *ccols,
             *[
                 F.when(
                     nrm > 0, F.round(F.col(f"w{j}") / nrm, round_digits)
@@ -2029,17 +2027,23 @@ def pca_power_top_component(
         *[F.col(f"v{j}") for j in range(dim)],
         F.round(quad, round_digits).alias("_ev"),
     )
-    rows = None
-    for j in range(dim):
-        r = out.select(
-            F.lit(j).cast("int").alias("idx"),
-            F.col(f"v{j}").alias("loading_r6"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    ev = out.select(
-        F.lit(-1).cast("int").alias("idx"), F.col("_ev").alias("loading_r6")
-    )
-    return rows.unionAll(ev).orderBy("idx")
+    # r14: emit the dim+1 output rows from ONE execution of the
+    # iteration chain. The previous per-component unionAll referenced
+    # the whole chain once PER OUTPUT ROW — 9 copies of the subtree in
+    # the analyzed plan (~1 MB of plan text, ~14 s of driver plan
+    # work) and 9 redundant covariance jobs per run. The chain's
+    # result is ONE row of dim+1 doubles — exactly the bounded
+    # 1-row-metadata collect the MMR/k-means operators already use —
+    # so collect it once and return a local relation (values
+    # unchanged: the same rounded floats round-trip exactly).
+    row = out.collect()[0]
+    spark = df.sparkSession
+    out_rows = [(-1, float(row["_ev"]))] + [
+        (j, float(row[f"v{j}"])) for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        out_rows, "idx int, loading_r6 double"
+    ).orderBy("idx")
 
 
 def pq_distortion(
