@@ -636,11 +636,13 @@ def curation_full_funnel(spark: SparkSession, sf: str) -> DataFrame:
     idle-box bench is back to 1.51 s (~2.0× own-oracle, near the r10
     1.6×). Plan unchanged.
 
-    Stage split (r14, tools/profile_stages.py, idle box, sf0.1,
-    min-of-3): cold 1.81 s, WARM RE-EXECUTION 0.140 s → compile
-    share 92%. Cumulative stage walls: quality_filter 0.94 s,
-    +fingerprint_dedup 0.27 s, +decontaminate 0.57 s, split+agg
-    within noise. The four-stage funnel compiles one large
+    Stage split (r14 post-optimization, tools/profile_stages.py,
+    idle box, sf0.1, min-of-3): cold 1.53 s, WARM RE-EXECUTION
+    0.089 s → compile share 94%. Cumulative stage walls:
+    quality_filter 0.75 s, +fingerprint_dedup 0.03 s, +decontaminate
+    0.52 s, split+agg within noise (r14 removed the duplicated
+    corpus shuffle via gram_source=corpus; pre-optimization: cold
+    1.81 s, fingerprint_dedup marginal 0.27 s). The four-stage funnel compiles one large
     whole-stage-codegen region per stage — that compile, not
     execution, is what the bench ratio tracks at sf0.1."""
     from pyspark.sql import Window
@@ -718,10 +720,12 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     because contention inflates Spark's task-scheduling walls far
     more than DuckDB's embedded execution.
 
-    Stage split (r14, tools/profile_stages.py, idle box, sf0.1,
-    min-of-3): cold 1.85 s, WARM RE-EXECUTION 0.090 s → compile
-    share 95%. Cumulative stage walls: decontaminate 1.32 s,
-    +mixture_sample 0.27 s, +token agg 0.28 s. The own-oracle ratio
+    Stage split (r14 post-optimization, tools/profile_stages.py,
+    idle box, sf0.1, min-of-3): cold 1.01 s, WARM RE-EXECUTION
+    0.071 s → compile share 93%. Cumulative stage walls:
+    decontaminate 0.78 s, +mixture_sample 0.06 s, +token agg 0.32 s
+    (r14 cut the bench-gram distinct and the rate-table join; the
+    pre-optimization split was cold 1.85 s / decontaminate 1.32 s). The own-oracle ratio
     bench records is ~95% Janino/analysis fixed cost that (a) never
     reaches an executor, (b) inflates under host CPU contention —
     the r13 driver-run 7.19× vs this-tree idle 3.11× is that fixed

@@ -587,10 +587,11 @@ def text_unigram_quality(spark: SparkSession, sf: str) -> DataFrame:
     idle-box bench is back to 0.55 s (~3× own-oracle, the r10
     level). Plan unchanged (test_plans-verified).
 
-    Stage split (r14, tools/profile_stages.py, idle box, sf0.1,
-    min-of-3): cold 0.76 s, WARM RE-EXECUTION 0.087 s → compile
-    share 89%. Cumulative stage walls: tokenize 0.08 s, +vocab agg
-    0.24 s, full score agg within noise of vocab. The 4.46× r13
+    Stage split (r14 post-optimization, tools/profile_stages.py,
+    idle box, sf0.1, min-of-3): cold 1.61-0.76 s across host states,
+    WARM RE-EXECUTION 0.09-0.15 s → compile share ~90%. Cumulative
+    stage walls: tokenize 0.20 s, +vocab agg 0.53 s, full score agg
+    within noise of vocab. The 4.46× r13
     driver ratio is ~0.77 s of analysis+codegen fixed cost over an
     0.09 s execution — the execution beats the oracle's token-stream
     pass; the fixed cost amortizes to zero at scale."""
