@@ -28,6 +28,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def bucket_pin_partitions(df: DataFrame) -> int:
+    """Scale-adaptive partition pin for compute-bound bucket shuffles:
+    max(defaultParallelism, configured shuffle partitions) never drops
+    below the core count or the cluster's tuned pre-AQE width, so at
+    byte-heavy scale it is what ENSURE_REQUIREMENTS would have used
+    anyway, while in the byte-tiny/compute-heavy regime it keeps every
+    core busy where AQE's byte-based coalescing would not."""
+    spark = df.sparkSession
+    try:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        configured = 0
+    return max(spark.sparkContext.defaultParallelism, configured)
+
+
 def capped_bucket_collect(
     banded: DataFrame,
     bucket_cols: list[str],
@@ -35,13 +50,30 @@ def capped_bucket_collect(
     alias: str,
     max_bucket_size: int | None,
     min_size: int = 2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Collect each bucket's members into one sorted array under the
     cap contract (see module docstring): members ``array_sort``-ed
     ascending, buckets below ``min_size`` dropped (no pairs), buckets
     above ``max_bucket_size`` dropped WHOLE. One keyed shuffle; the
     output arrays are bounded by the cap, so downstream higher-order
-    pair generation is O(cap²) worst-case per bucket."""
+    pair generation is O(cap²) worst-case per bucket.
+
+    ``num_partitions`` pins the shuffle's partition count (user
+    repartition on the bucket key — same single exchange, groupBy's
+    distribution requirement is already satisfied) instead of leaving
+    it to AQE. Opt in ONLY when the per-pair work downstream is heavy
+    (e.g. an O(dim) dot per pair): AQE coalesces post-shuffle
+    partitions by BYTES, so a byte-tiny bucket shuffle collapses to a
+    handful of partitions that then serialize the O(cap²) scoring —
+    interleaved A/B at sf0.1: sim_lsh_buckets 2.54→0.94 s,
+    dedup_embedding_neardup 3.06→1.53 s min wall. For cheap id-only
+    pair generation the extra tasks cost more than they recover
+    (dedup_lsh_candidates 0.87→1.03 s pinned), hence the unpinned
+    default. :func:`bucket_pin_partitions` derives the scale-adaptive
+    count."""
+    if num_partitions is not None:
+        banded = banded.repartition(num_partitions, *bucket_cols)
     out = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member)).alias(alias))

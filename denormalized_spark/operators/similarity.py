@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from denormalized_spark.operators._bucketing import capped_bucket_collect
+from denormalized_spark.operators._bucketing import (
+    bucket_pin_partitions,
+    capped_bucket_collect,
+)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -282,8 +285,12 @@ def lsh_bucketed_neighbors(
     )
     # cap contract: operators/_bucketing.py — over-cap buckets drop
     # WHOLE, mirrored by the oracles' HAVING count BETWEEN 2 AND cap.
+    # The shuffle is partition-pinned: each bucket row carries O(cap²)
+    # downstream dot products, so AQE's byte-based coalescing would
+    # serialize the scoring onto a few partitions (see _bucketing).
     buckets = capped_bucket_collect(
-        sig, ["tbl", "bucket"], member, "_ms", max_bucket_size
+        sig, ["tbl", "bucket"], member, "_ms", max_bucket_size,
+        num_partitions=bucket_pin_partitions(sig),
     )
     ms = F.col("_ms")
     # score INSIDE the pair generation: the dedup shuffle then carries

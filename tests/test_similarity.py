@@ -1131,3 +1131,52 @@ def test_pq_distortion_zero_on_centroid_vectors(spark):
     out2 = {r.subspace: r for r in pq_distortion(df2, books).collect()}
     assert out2[0].mse_micro == 0
     assert out2[1].mse_micro == (0 + 0 + 10_000) // 3
+
+
+def test_bucket_shuffle_pin_inert_and_effective(embeddings, spark):
+    """The partition pin on the LSH bucket shuffle (a compute-bound
+    stage AQE would coalesce by bytes) must not change the emitted
+    pair set, and must actually pin: the executed bucket exchange
+    carries the derived partition count, not an AQE-coalesced one."""
+    from denormalized_spark.operators import _bucketing
+
+    pinned = similarity.lsh_bucketed_neighbors(
+        embeddings, dim=64, num_planes=4, num_tables=2
+    )
+    n = _bucketing.bucket_pin_partitions(embeddings)
+    assert n == max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert "hashpartitioning(tbl" in plan
+
+    unpinned_buckets = _bucketing.capped_bucket_collect(
+        embeddings.select(
+            "vec_id",
+            F.posexplode(
+                similarity.lsh_signature_arrays(F.col("embedding"), 64, 4, 2)
+            ).alias("tbl", "bucket"),
+        ),
+        ["tbl", "bucket"],
+        F.col("vec_id"),
+        "_ids",
+        None,
+    )
+    pinned_buckets = _bucketing.capped_bucket_collect(
+        embeddings.select(
+            "vec_id",
+            F.posexplode(
+                similarity.lsh_signature_arrays(F.col("embedding"), 64, 4, 2)
+            ).alias("tbl", "bucket"),
+        ),
+        ["tbl", "bucket"],
+        F.col("vec_id"),
+        "_ids",
+        None,
+        num_partitions=n,
+    )
+    a = sorted(map(tuple, unpinned_buckets.collect()))
+    b = sorted(map(tuple, pinned_buckets.collect()))
+    assert a == b
