@@ -3472,6 +3472,11 @@ def _markov_chain(
         .agg(F.count("*").cast("long").alias("n"))
     )
     outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    # pmat/states are loop-invariant but referenced by EVERY power-
+    # iteration round: without a checkpoint each round's plan re-embeds
+    # (and each checkpoint segment re-executes) the whole user-window
+    # + double-groupBy chain — measured 18.4 s of build-time Catalyst
+    # on events_markov_stationary at sf0.1. Checkpointed once, lazily.
     pmat = pairs.join(F.broadcast(outs), "from_type").select(
         "from_type",
         "to_type",
@@ -3479,10 +3484,10 @@ def _markov_chain(
             (F.col("n") * 1_000_000).cast("double") / F.col("tot").cast("double")
             + F.lit(0.5)
         ).cast("long").alias("p_micro"),
-    )
+    ).localCheckpoint(eager=False)
     states = pmat.select(F.col("from_type").alias("state")).union(
         pmat.select("to_type")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     k_expr = states.agg(F.count("*").cast("long").alias("_k"))
     pi = states.crossJoin(F.broadcast(k_expr)).select(
         "state",

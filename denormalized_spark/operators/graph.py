@@ -60,17 +60,25 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("_w")
     )
+    # The loop-invariant tables are localCheckpoint-ed ONCE: every
+    # iteration (and every post-materialize_every segment) re-embeds
+    # their subtrees, so an unmaterialized edge stream — e.g. the
+    # tokenize+explode graph build of textrank — would be re-planned
+    # per round at build and re-executed per checkpoint segment at
+    # runtime (measured on text_textrank_keywords: build 11.2 s,
+    # noop 4-5 s before; the checkpoint cuts both).
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()  # one scalar to the driver
+    n = nodes.count()  # one scalar to the driver; materializes nodes
     outdeg = e.groupBy("src").agg(F.sum("_w").alias("outdeg"))
-    ew = e.join(outdeg, "src")
+    ew = e.join(outdeg, "src").localCheckpoint(eager=False)
     dangling_nodes = nodes.join(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
-    )
+    ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
     for i in range(iterations):
         contribs = (
@@ -130,11 +138,18 @@ def hits(
     trajectory engine-portable. Use on the link graph the reference's
     event-transition matrix induces: hubs = types that lead
     everywhere, authorities = types everything leads to."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Loop-invariant e/nodes checkpointed once — each _half joins
+    # against both, so an unmaterialized edge subtree re-executes
+    # 2x per iteration (measured on graph_hits_events: noop 7-10 s
+    # before, dominated by re-deriving the transition edges).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hub = nodes.withColumn("hub", F.lit(1.0))
 

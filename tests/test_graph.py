@@ -324,3 +324,25 @@ def test_link_prediction_hub_cap_drops_whole(spark):
     # under the cap, all leaf pairs become candidates
     out = link_prediction_scores(df, max_degree=5, min_common=1)
     assert out.count() == 10  # C(5,2)
+
+
+def test_iterative_loop_invariants_checkpointed(spark):
+    """pagerank/hits read their loop-invariant tables (edges, nodes,
+    out-degrees) from a localCheckpoint instead of re-embedding the
+    edge subtree per iteration: the final plan scans materialized
+    RDDs, and the values still match the exact Python replay (the
+    checkpoint must be semantically inert)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    pr = graph.pagerank(_edges(spark, pairs), iterations=3)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    assert got == _replay(pairs, 3)
+
+    ht = graph.hits(_edges(spark, pairs), iterations=2)
+    plan = ht._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    rows = {r["node"]: (r["hub"], r["auth"]) for r in ht.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    for hub, auth in rows.values():
+        assert 0.0 <= hub <= 1.0 and 0.0 <= auth <= 1.0
