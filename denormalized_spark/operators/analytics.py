@@ -3457,8 +3457,25 @@ def _markov_chain(
     """Shared chain build for markov_stationary / markov_entropy_rate:
     ONE user-keyed exchange produces the transition pairs; returns
     (pmat, pi) — the micro-grid transition matrix and the stationary
-    vector after ``iterations`` quantized power-iteration rounds
-    (localCheckpoint per round bounds lineage)."""
+    vector after ``iterations`` quantized power-iteration rounds —
+    both as LOCAL relations.
+
+    The transition matrix is |types|²-bounded metadata, so (like
+    pca_power_top_component) it is collected ONCE — the corpus-sized
+    work stays in Spark up to the (from_type, to_type, p_micro) cells
+    — and the power iteration replays driver-side on exact Python
+    integers. Bit-exactness vs the former distributed loop: the
+    per-round long sum Σ πᵢ·pᵢⱼ is integer (order-free), and
+    long→double cast, /1e6, +0.5, floor are the identical IEEE-754
+    ops in CPython and the JVM. States with no incoming edge keep a
+    mass-0 row, exactly the old left-join+coalesce re-anchoring.
+
+    NOTE: collecting pmat makes this operator EAGER at DataFrame-build
+    time (one bounded Spark job over the pair build; the result is
+    ≤|types|² rows of longs). Each call recomputes from the input —
+    nothing is memoized across invocations."""
+    import math
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -3472,50 +3489,40 @@ def _markov_chain(
         .agg(F.count("*").cast("long").alias("n"))
     )
     outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
-    # pmat/states are loop-invariant but referenced by EVERY power-
-    # iteration round: without a checkpoint each round's plan re-embeds
-    # (and each checkpoint segment re-executes) the whole user-window
-    # + double-groupBy chain — measured 18.4 s of build-time Catalyst
-    # on events_markov_stationary at sf0.1. Checkpointed once, lazily.
-    pmat = pairs.join(F.broadcast(outs), "from_type").select(
+    pmat_dist = pairs.join(F.broadcast(outs), "from_type").select(
         "from_type",
         "to_type",
         F.floor(
             (F.col("n") * 1_000_000).cast("double") / F.col("tot").cast("double")
             + F.lit(0.5)
         ).cast("long").alias("p_micro"),
-    ).localCheckpoint(eager=False)
-    states = pmat.select(F.col("from_type").alias("state")).union(
-        pmat.select("to_type")
-    ).distinct().localCheckpoint(eager=False)
-    k_expr = states.agg(F.count("*").cast("long").alias("_k"))
-    pi = states.crossJoin(F.broadcast(k_expr)).select(
-        "state",
-        F.floor(F.lit(1_000_000.0) / F.col("_k").cast("double") + F.lit(0.5))
-        .cast("long").alias("pi_micro"),
     )
+    cells = [
+        (r["from_type"], r["to_type"], int(r["p_micro"]))
+        for r in pmat_dist.collect()
+    ]
+    states = sorted(
+        {c[0] for c in cells} | {c[1] for c in cells},
+        key=lambda s: (s is None, s),
+    )
+    # π₀ uniform on the micro grid; 8 rounds of π'ⱼ = ⌊Σᵢ πᵢ·pᵢⱼ/1e6 + ½⌋
+    pi = {s: int(math.floor(1_000_000.0 / len(states) + 0.5)) for s in states}
     for _ in range(iterations):
-        nxt = (
-            pi.join(pmat, pi["state"] == pmat["from_type"])
-            .groupBy(F.col("to_type").alias("state"))
-            .agg(
-                F.floor(
-                    F.sum(F.col("pi_micro") * F.col("p_micro")).cast("double")
-                    / F.lit(1_000_000.0)
-                    + F.lit(0.5)
-                ).cast("long").alias("_pi_next")
-            )
-        )
-        # Re-anchor on the FULL state set: states nothing transitions
-        # into (and absorbing-source states whose mass leaks away)
-        # keep a row with mass 0 instead of silently vanishing — the
-        # 'one row per state' contract of both markov_* operators.
-        pi = states.join(nxt, "state", "left").select(
-            "state",
-            F.coalesce("_pi_next", F.lit(0)).cast("long").alias("pi_micro"),
-        )
-        pi = pi.localCheckpoint(eager=False)
-    return pmat, pi
+        acc = dict.fromkeys(states, 0)
+        for frm, to, p in cells:
+            acc[to] += pi[frm] * p
+        pi = {
+            s: int(math.floor(float(acc[s]) / 1_000_000.0 + 0.5))
+            for s in states
+        }
+    spark = df.sparkSession
+    pmat = spark.createDataFrame(
+        cells, schema="from_type string, to_type string, p_micro long"
+    )
+    pi_local = spark.createDataFrame(
+        [(s, pi[s]) for s in states], schema="state string, pi_micro long"
+    )
+    return pmat, pi_local
 
 
 def markov_stationary(
