@@ -176,8 +176,14 @@ def sessionize_stream(
         if closed:
             yield _emit(key, closed)
 
+    # Project to keys + event_time BEFORE the stateful operator: the
+    # function reads nothing else, but applyInPandasWithState is opaque
+    # to Catalyst — without the explicit select every input column
+    # (including wide payloads like events.props) is Arrow-shipped to
+    # the Python workers per batch (guide §4.1 column-pruning rule).
     return (
-        df.withWatermark(event_time, watermark)
+        df.select(*dict.fromkeys([*keys, event_time]))
+        .withWatermark(event_time, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
@@ -587,8 +593,12 @@ def anomaly_stream(
         if out:
             yield _emit(key, out)
 
+    # keys + event_time are all fn reads — explicit projection keeps
+    # the opaque stateful operator from Arrow-shipping every column
+    # (guide §4.1), same as sessionize_stream.
     return (
-        df.withWatermark(event_time, watermark)
+        df.select(*dict.fromkeys([*keys, event_time]))
+        .withWatermark(event_time, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
@@ -717,8 +727,15 @@ def scd2_stream(
         if closed:
             yield _emit(key, closed)
 
+    # fn reads keys + event_time + attr + tiebreak only — explicit
+    # projection keeps the opaque stateful operator from Arrow-shipping
+    # unrelated columns (guide §4.1), same as sessionize_stream.
+    cols = [*keys, event_time, attr_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
     return (
-        df.withWatermark(event_time, watermark)
+        df.select(*dict.fromkeys(cols))
+        .withWatermark(event_time, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
