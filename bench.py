@@ -108,16 +108,22 @@ def main() -> None:
     # part that scales with data; planning is a fixed per-query cost
     # that amortizes to nothing over a 100 TB scan. min = steady
     # state, median = noise probe.
-    # For the three lanes the r13 verdict flagged weak-by-record, also
-    # time a TRULY warm re-execution: repeated .collect() on the same
-    # DataFrame reuses its QueryExecution (no re-analysis, cached
-    # codegen), whereas each noop write above builds a fresh one and
-    # re-pays Catalyst analysis+optimization — tools/profile_stages.py
-    # measured that fixed cost at 89-95% of these lanes' walls at
-    # sf0.1. `queries_warm_exec` is the part that scales with data.
-    WARM_EXEC_LANES = (
-        "curation_pipeline", "text_unigram_quality", "curation_full_funnel",
-    )
+    # For EVERY headline lane (r14: the three r13 weak-by-record lanes;
+    # the r14 verdict asked for all 22 so the low-core/high-core scaling
+    # comparison can run on a data-dominated number), also time a TRULY
+    # warm re-execution: repeated .collect() on the same DataFrame
+    # reuses its QueryExecution (no re-analysis, cached codegen),
+    # whereas each noop write above builds a fresh one and re-pays
+    # Catalyst analysis+optimization — tools/profile_stages.py measured
+    # that fixed cost at 89-95% of these lanes' walls at sf0.1.
+    # `queries_warm_exec` is the part that scales with data. Caveat
+    # (documented since r14): a warm re-collect reuses AQE's already-
+    # materialized shuffle stages, so it UNDERSTATES multi-stage
+    # execution — it is a scaling signal, not a replacement for
+    # `queries` (whose noop-write methodology is unchanged). Every
+    # headline result is small (<=100k rows of scalars at sf0.1), so
+    # the collect itself is driver-bounded.
+    WARM_EXEC_LANES = tuple(HEADLINE)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}

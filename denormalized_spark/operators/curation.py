@@ -156,10 +156,26 @@ def decontaminate(
     rows the pipeline already dropped never surface (r14: removed a
     duplicated corpus-wide fingerprint-window shuffle from
     curation_full_funnel's plan this way).
+
+    WARNING: the superset contract is the CALLER'S obligation and is
+    only cheaply checkable here (column presence). A ``gram_source``
+    that is NOT an id-superset of ``corpus`` with identical text per
+    id silently UNDER-decontaminates — contaminated documents pass
+    through with no error. When in doubt, pass the raw table both
+    pipelines derive from, or leave ``gram_source`` unset.
     """
     bench_grams = benchmark.select(
         F.explode(shingle_hashes(text_col, n)).alias("gram")
     )
+    if gram_source is not None:
+        missing = {id_col, text_col} - set(gram_source.columns)
+        if missing:
+            raise ValueError(
+                f"decontaminate: gram_source lacks column(s) {sorted(missing)}; "
+                f"it must carry the same id/text columns as corpus "
+                f"({id_col!r}, {text_col!r}) and be an id-superset of corpus "
+                "— a mismatched source silently under-decontaminates"
+            )
     explode_src = corpus if gram_source is None else gram_source
     if prefilter_bits:
         # normalize to a multiple of 64: the bitmap packs 64 bits/word

@@ -12,6 +12,14 @@ shuffles, which is exactly how GraphFrames executes it too.
 Engine portability: ranks are rounded per iteration (the kmeans
 trick), so the whole trajectory is value-checkable against a DuckDB
 unrolled-CTE replay despite being float arithmetic.
+
+Fault-tolerance note: the iterative operators here materialize
+loop-invariant tables and periodic iterates with ``localCheckpoint``,
+whose blocks are NON-replicated executor-local storage — losing an
+executor mid-job fails the job (Spark re-runs it from the source on
+retry). That is the standard perf/fault-tolerance trade for iterative
+lineage truncation; jobs needing checkpoint durability across executor
+loss should set a checkpoint dir and use ``checkpoint()`` instead.
 """
 
 from __future__ import annotations

@@ -216,14 +216,19 @@ def lsh_signature_arrays(
             lambda acc, v: acc + v,
         )
 
+    # the shift base must be LONG: a Java int shift masks the count to
+    # 5 bits, so plane 31 would land on the sign bit and plane 32 wrap
+    # to bit 0 — the long shift (6-bit mask) matches the old unrolled
+    # ``F.lit(1 << i)`` long literals through plane 62 (ADVICE r14)
     return F.transform(
         planes,
         lambda tp: F.aggregate(
             F.transform(
                 tp,
                 lambda p, i: F.when(
-                    _dot(p) > 0, F.call_function("shiftleft", F.lit(1), i)
-                ).otherwise(F.lit(0)),
+                    _dot(p) > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long")),
             ),
             F.lit(0).cast("long"),
             lambda acc, b: acc + b,
@@ -1989,7 +1994,12 @@ def pca_power_top_component(
 
     Returns ``dim`` rows ``(idx, loading_r6)`` plus an 'eigenvalue'
     summary row (idx = -1) carrying the Rayleigh quotient vᵀCv —
-    the variance captured along the component."""
+    the variance captured along the component.
+
+    EAGER: the iteration chain's 1-row result is collected at
+    DataFrame-BUILD time (one bounded Spark job) and returned as a
+    local relation — each call recomputes from the input; an empty
+    input yields NULL loadings (nullable schema), not an error."""
     x = [F.element_at(vec_col, j + 1).cast("double") for j in range(dim)]
     means = df.agg(
         *[F.round(F.avg(x[j]), round_digits).alias(f"m{j}") for j in range(dim)]
@@ -2060,10 +2070,16 @@ def pca_power_top_component(
     # 1-row-metadata collect the MMR/k-means operators already use —
     # so collect it once and return a local relation (values
     # unchanged: the same rounded floats round-trip exactly).
+    # NOTE: the collect makes this operator EAGER at DataFrame-build
+    # time (one bounded Spark job; the result is dim+1 doubles). On an
+    # empty input the avg() aggregates are NULL — pass the NULLs
+    # through (nullable schema) exactly like the old unionAll form,
+    # which emitted NULL loadings, instead of crashing on float(None).
     row = out.collect()[0]
     spark = df.sparkSession
-    out_rows = [(-1, float(row["_ev"]))] + [
-        (j, float(row[f"v{j}"])) for j in range(dim)
+    _f = lambda v: None if v is None else float(v)  # noqa: E731
+    out_rows = [(-1, _f(row["_ev"]))] + [
+        (j, _f(row[f"v{j}"])) for j in range(dim)
     ]
     return spark.createDataFrame(
         out_rows, "idx int, loading_r6 double"
