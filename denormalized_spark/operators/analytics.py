@@ -3456,9 +3456,9 @@ def _markov_chain(
 ):
     """Shared chain build for markov_stationary / markov_entropy_rate:
     ONE user-keyed exchange produces the transition pairs; returns
-    (pmat, pi) — the micro-grid transition matrix and the stationary
-    vector after ``iterations`` quantized power-iteration rounds —
-    both as LOCAL relations.
+    ``(cells, states, pi)`` — the micro-grid transition cells as
+    Python tuples, the sorted state list, and the stationary dict
+    after ``iterations`` quantized power-iteration rounds.
 
     The transition matrix is |types|²-bounded metadata, so (like
     pca_power_top_component) it is collected ONCE — the corpus-sized
@@ -3515,14 +3515,7 @@ def _markov_chain(
             s: int(math.floor(float(acc[s]) / 1_000_000.0 + 0.5))
             for s in states
         }
-    spark = df.sparkSession
-    pmat = spark.createDataFrame(
-        cells, schema="from_type string, to_type string, p_micro long"
-    )
-    pi_local = spark.createDataFrame(
-        [(s, pi[s]) for s in states], schema="state string, pi_micro long"
-    )
-    return pmat, pi_local
+    return cells, states, pi
 
 
 def markov_stationary(
@@ -3553,20 +3546,18 @@ def markov_stationary(
     (the corpus-sized step); everything after runs on the |types|²
     metadata matrix — each iteration one k²-row join + k-row agg.
     Returns ``(state, pi_micro, p_self_micro)`` ordered by state."""
-    pmat, pi = _markov_chain(df, user_col, ts_col, type_col, id_col, iterations)
-    self_p = pmat.filter(F.col("from_type") == F.col("to_type")).select(
-        F.col("from_type").alias("state"), F.col("p_micro").alias("p_self_micro")
+    cells, states, pi = _markov_chain(
+        df, user_col, ts_col, type_col, id_col, iterations
     )
-    return (
-        pi.join(self_p, "state", "left")
-        .select(
-            "state",
-            "pi_micro",
-            F.coalesce("p_self_micro", F.lit(0)).cast("long")
-            .alias("p_self_micro"),
-        )
-        .orderBy("state")
-    )
+    # pure-metadata assembly (the chain is already collected): the old
+    # left join + coalesce over local relations planned as a
+    # SortMergeJoin (createDataFrame RDDs carry no size statistics, so
+    # nothing broadcasts) — 3 exchanges of overhead for |types| rows
+    self_p = {frm: p for frm, to, p in cells if frm == to}
+    rows = [(s, pi[s], self_p.get(s, 0)) for s in states]
+    return df.sparkSession.createDataFrame(
+        rows, schema="state string, pi_micro long, p_self_micro long"
+    ).orderBy("state")
 
 
 def hhi_concentration(
@@ -3726,34 +3717,44 @@ def markov_entropy_rate(
     everything after is |types|²-metadata. Returns one row per state
     ``(state, pi_micro, h_cond_micro)`` plus the 'RATE' rollup row
     carrying the chain's entropy rate in h_cond_micro."""
-    pmat, pi = _markov_chain(df, user_col, ts_col, type_col, id_col, iterations)
-    cell = pmat.select("from_type", F.col("p_micro").alias("_pm"))
-    # −p·ln(p) per cell, micro-floored from the micro-grid p
+    import math
+
+    cells, states, pi = _markov_chain(
+        df, user_col, ts_col, type_col, id_col, iterations
+    )
+    spark = df.sparkSession
+    # −p·ln(p) per cell, micro-floored from the micro-grid p. The ln
+    # stays IN SPARK (one tiny agg over a local relation of ≤|types|²
+    # cells): java.lang.Math.log is the value every oracle row was
+    # hash-matched against, and a C-library log could differ in the
+    # last ulp right at a floor(+0.5) boundary. Everything around it
+    # is exact integer metadata, assembled in Python (the old local-
+    # relation joins planned as statistics-free SortMergeJoins).
+    cell = spark.createDataFrame(
+        [(frm, p) for frm, to, p in cells if p > 0],
+        schema="from_type string, _pm long",
+    )
     term = F.floor(
         -(F.col("_pm").cast("double") / F.lit(1_000_000.0))
         * F.log(F.col("_pm").cast("double") / F.lit(1_000_000.0))
         * F.lit(1_000_000.0)
         + F.lit(0.5)
     ).cast("long")
-    hcond = cell.filter(F.col("_pm") > 0).groupBy(
-        F.col("from_type").alias("state")
-    ).agg(F.sum(term).cast("long").alias("h_cond_micro"))
-    per_state = pi.join(hcond, "state", "left").select(
-        "state",
-        "pi_micro",
-        F.coalesce("h_cond_micro", F.lit(0)).cast("long").alias("h_cond_micro"),
+    hcond = {
+        r["state"]: int(r["h_cond_micro"])
+        for r in cell.groupBy(F.col("from_type").alias("state"))
+        .agg(F.sum(term).cast("long").alias("h_cond_micro"))
+        .collect()
+    }
+    per_state = [(s, pi[s], hcond.get(s, 0)) for s in states]
+    rate = int(
+        math.floor(
+            float(sum(p * h for _, p, h in per_state)) / 1_000_000.0 + 0.5
+        )
     )
-    rate = per_state.agg(
-        F.lit("RATE").alias("state"),
-        F.lit(1_000_000).cast("long").alias("pi_micro"),
-        F.floor(
-            F.sum(F.col("pi_micro") * F.col("h_cond_micro")).cast("double")
-            / F.lit(1_000_000.0)
-            + F.lit(0.5)
-        ).cast("long").alias("h_cond_micro"),
-    )
-    return per_state.select("state", "pi_micro", "h_cond_micro").unionAll(
-        rate
+    return spark.createDataFrame(
+        per_state + [("RATE", 1_000_000, rate)],
+        schema="state string, pi_micro long, h_cond_micro long",
     ).orderBy("state")
 
 
