@@ -245,6 +245,7 @@ def lsh_bucketed_neighbors(
     vec_col: str = "embedding",
     num_tables: int = 1,
     max_bucket_size: int | None = None,
+    salt_target_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate neighbor pairs sharing an LSH bucket, scored exactly.
 
@@ -264,7 +265,20 @@ def lsh_bucketed_neighbors(
     for under-planed configs and degenerate data (a constant embedding
     region puts a whole corpus in one bucket): oversized buckets are
     dropped before pair generation, bounding memory; pairs inside them
-    can still surface through the other tables."""
+    can still surface through the other tables.
+
+    ``salt_target_pairs`` (opt-in) splits each bucket's anchor range
+    into contiguous sub-ranges of ≈ that many pairs and redistributes
+    them on (tbl, bucket, range-start) before scoring — guide-§2.5
+    work salting for corpora whose bucket-size skew leaves the
+    quadratic scoring stage straggling (AQE cannot split a single hot
+    key). Output is bit-identical (proven by collected-value equality
+    at 2 SFs + 3 edge configs). Default OFF: at bench scale the extra
+    exchange costs more than the ~2.4× pair skew it recovers
+    (interleaved r15 A/B, 8 alternating runs/arm: sim_lsh_buckets
+    0.69→0.82–0.97 s, dedup_embedding_neardup ≈wash); enable it when
+    the scoring stage is minutes long and straggler-bound, where the
+    one extra exchange amortizes."""
     # one nested-HOF expression computes every table's signature (see
     # lsh_signature_arrays: same arithmetic, ~order-of-magnitude less
     # Catalyst work than per-plane fold chains); posexplode's position
@@ -295,32 +309,104 @@ def lsh_bucketed_neighbors(
     # serialize the scoring onto a few partitions (see _bucketing).
     buckets = capped_bucket_collect(
         sig, ["tbl", "bucket"], member, "_ms", max_bucket_size,
-        num_partitions=bucket_pin_partitions(sig),
+        # when pair-range salting redistributes the scoring (below),
+        # the collect itself is cheap — let AQE coalesce it and let
+        # the salt exchange do the spreading; unsalted, the pin keeps
+        # the quadratic scoring off a handful of AQE-coalesced tasks
+        num_partitions=None if salt_target_pairs else bucket_pin_partitions(sig),
     )
-    ms = F.col("_ms")
     # score INSIDE the pair generation: the dedup shuffle then carries
     # narrow (id_a, id_b, cos) rows, not two 64-float vectors, and the
     # min_cosine filter prunes before the exchange. A pair found in k
     # tables is scored k times (k ≤ num_tables, dupes only) — far
     # cheaper than shuffling vectors.
-    pair_arrays = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["mid"].alias("id_a"),
-                    y["mid"].alias("id_b"),
-                    (dot(x["mvec"], y["mvec"]) / (x["mnorm"] * y["mnorm"])).alias(
-                        "cosine_sim"
+    def _pairs_over(arr: Column, n_anchors: Column | None = None) -> Column:
+        """Anchor×suffix pair structs with the exact cosine scored
+        inline; ``n_anchors`` limits anchors to the array's first
+        elements (the salted form) — the pair SET and every score are
+        the expressions of the unsalted full-array form verbatim."""
+        anchors = arr if n_anchors is None else F.slice(arr, 1, n_anchors)
+        return F.flatten(
+            F.transform(
+                anchors,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.greatest(F.size(arr) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x["mid"].alias("id_a"),
+                        y["mid"].alias("id_b"),
+                        (dot(x["mvec"], y["mvec"]) / (x["mnorm"] * y["mnorm"])).alias(
+                            "cosine_sim"
+                        ),
                     ),
                 ),
-            ),
+            )
         )
-    )
-    out = buckets.select(F.explode(pair_arrays).alias("p")).select(
-        "p.id_a", "p.id_b", "p.cosine_sim"
-    )
+
+    ms = F.col("_ms")
+    if salt_target_pairs:
+        # Hot-bucket pair-range salting (guide §2.5): a bucket of n
+        # members costs n(n−1)/2 dot products downstream, so the pinned
+        # (tbl, bucket) shuffle still lands 2–3× more PAIR work on some
+        # partitions than others (hash placement is per bucket; work is
+        # quadratic in bucket size). Split each bucket's ANCHOR range
+        # into contiguous sub-ranges of ≈``salt_target_pairs`` pairs —
+        # boundaries from the inverse of the triangular pair count
+        # (placement-only float math: the ranges partition [0, n−1)
+        # whatever the rounding) — and redistribute on (tbl, bucket,
+        # range-start). Each salt row carries only the member-array
+        # SUFFIX its anchors pair against, so the extra exchange ships
+        # O(split × bucket) bytes, proportional to the pair work being
+        # moved. Pair set and scores are bit-identical: anchors i∈
+        # [lo, hi) pair with members[i+1:], exactly the unsalted
+        # enumeration, and the cap contract is applied before any
+        # splitting. The whole-bucket cap semantics are untouched.
+        n = F.size(ms)
+        npairs = (n * (n - F.lit(1))).cast("double") / F.lit(2.0)
+        sb = F.least(
+            F.greatest(
+                F.ceil(npairs / F.lit(float(salt_target_pairs))).cast("int"),
+                F.lit(1),
+            ),
+            n - F.lit(1),
+        )
+        tn = (n * 2 - F.lit(1)).cast("double")
+
+        def _lo(s: Column) -> Column:
+            # smallest anchor index whose preceding pair count reaches
+            # s/sb of the bucket's total: inverse of i(2n−1−i)/2
+            return F.floor(
+                (
+                    tn
+                    - F.sqrt(
+                        tn * tn
+                        - F.lit(8.0) * npairs * s.cast("double") / sb.cast("double")
+                    )
+                )
+                / F.lit(2.0)
+            ).cast("int")
+
+        ranges = F.transform(
+            F.sequence(F.lit(0), sb - F.lit(1)),
+            lambda s: F.struct(_lo(s).alias("lo"), _lo(s + 1).alias("hi")),
+        )
+        salted = (
+            buckets.select("tbl", "bucket", "_ms", F.explode(ranges).alias("_r"))
+            .select(
+                "tbl",
+                "bucket",
+                F.col("_r.lo").alias("_lo"),
+                (F.col("_r.hi") - F.col("_r.lo")).alias("_na"),
+                F.slice(ms, F.col("_r.lo") + 1, F.size(ms) - F.col("_r.lo")).alias("_sfx"),
+            )
+            .repartition(bucket_pin_partitions(df), "tbl", "bucket", "_lo")
+        )
+        out = salted.select(
+            F.explode(_pairs_over(F.col("_sfx"), F.col("_na"))).alias("p")
+        ).select("p.id_a", "p.id_b", "p.cosine_sim")
+    else:
+        out = buckets.select(F.explode(_pairs_over(ms)).alias("p")).select(
+            "p.id_a", "p.id_b", "p.cosine_sim"
+        )
     if min_cosine > 0:
         out = out.filter(F.col("cosine_sim") >= min_cosine)
     return out.dropDuplicates(["id_a", "id_b"])

@@ -1180,3 +1180,27 @@ def test_bucket_shuffle_pin_inert_and_effective(embeddings, spark):
     a = sorted(map(tuple, unpinned_buckets.collect()))
     b = sorted(map(tuple, pinned_buckets.collect()))
     assert a == b
+
+
+def test_lsh_pair_range_salting_inert_and_redistributes(embeddings):
+    """The opt-in hot-bucket pair-range salt must emit the EXACT pair
+    set and scores of the unsalted form (the ranges partition the
+    anchor indices; scoring expressions are shared), and its executed
+    plan must carry the salted redistribution key."""
+    plain = similarity.lsh_bucketed_neighbors(
+        embeddings, dim=64, num_planes=2, num_tables=2, max_bucket_size=64
+    )
+    for tgt in (1, 64, 100_000):
+        salted = similarity.lsh_bucketed_neighbors(
+            embeddings, dim=64, num_planes=2, num_tables=2,
+            max_bucket_size=64, salt_target_pairs=tgt,
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, f"salt_target_pairs={tgt} changed the pair set"
+    salted = similarity.lsh_bucketed_neighbors(
+        embeddings, dim=64, num_planes=2, num_tables=2,
+        max_bucket_size=64, salt_target_pairs=64,
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(tbl" in plan and "_lo" in plan
