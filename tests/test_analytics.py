@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from denormalized_spark.operators import analytics
@@ -1264,6 +1265,7 @@ class TestPoissonBootstrap:
         assert (r.n, r.mean_milli) == (100, 70_000)
         assert r.boot_lo_milli == r.boot_hi_milli == 70_000
 
+    @pytest.mark.slow  # stress tier: 32-replicate wide agg; fast cover = the other bootstrap tests
     def test_ci_brackets_mean_and_is_deterministic(self, spark):
         from denormalized_spark.operators.analytics import poisson_bootstrap_ci
 

@@ -8,6 +8,7 @@ one runs end-to-end as a subprocess."""
 import os
 import pathlib
 import py_compile
+import pytest
 import subprocess
 import sys
 
@@ -34,6 +35,7 @@ def test_csv_streaming_example_runs():
     assert "Data written to csv" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_streaming_llm_gate_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -49,6 +51,7 @@ def test_streaming_llm_gate_example_runs():
     assert "dynamic-gap sessionization emitted" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_llm_corpus_curation_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -64,6 +67,7 @@ def test_llm_corpus_curation_example_runs():
     assert "data card" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_incremental_dedup_load_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -80,6 +84,7 @@ def test_incremental_dedup_load_example_runs():
     assert "day 0: arrived=167 dup_of_history=0" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_streaming_quality_to_feast_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -95,6 +100,7 @@ def test_streaming_quality_to_feast_example_runs():
     assert "pushed 8 hourly quality rows" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_ann_index_serving_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -112,6 +118,7 @@ def test_ann_index_serving_example_runs():
     assert "partition pruning visible in plan: True" in out.stdout
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_event_analytics_report_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -129,6 +136,7 @@ def test_event_analytics_report_example_runs():
         assert section in out.stdout, section
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_temporal_attribution_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(
@@ -147,6 +155,7 @@ def test_temporal_attribution_example_runs():
         assert section in out.stdout, section
 
 
+@pytest.mark.slow  # integration tier: subprocess boots its own JVM; csv_streaming stays as the fast end-to-end example
 def test_metric_monitoring_suite_example_runs():
     env = dict(os.environ, PYTHONPATH=str(EXAMPLES.parent))
     out = subprocess.run(

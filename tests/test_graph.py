@@ -136,6 +136,7 @@ def test_hits_matches_python_replay(spark):
     assert max(got, key=lambda v: got[v][1]) == "c"
 
 
+@pytest.mark.slow  # stress tier: deep-unroll Catalyst cost, hits covered fast by test_hits_matches_python_replay
 def test_hits_scores_sum_to_one(spark):
     pairs = [(f"n{i}", f"n{(i * 3 + 2) % 13}") for i in range(13)]
     res = graph.hits(_edges(spark, pairs), iterations=4).collect()
@@ -143,6 +144,7 @@ def test_hits_scores_sum_to_one(spark):
     assert sum(r["auth"] for r in res) == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.slow  # stress tier: two full hits builds
 def test_hits_partitioning_invariant(spark):
     pairs = [(f"n{i}", f"n{(i * 7 + 3) % 19}") for i in range(19)]
     a = graph.hits(_edges(spark, pairs), iterations=3).collect()

@@ -195,6 +195,7 @@ def test_sessionize_matches_naive(spark, events, gap):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # brute-force property sweep; fast cover in tests/test_dedup.py
 def test_connected_components_matches_union_find(spark, edges):
     from denormalized_spark.operators.dedup import connected_components
 

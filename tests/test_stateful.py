@@ -291,8 +291,14 @@ def test_asof_join_stream_out_of_order(spark):
         # left30: back 28 (Δ2) beats fwd 36 (Δ6) — and 28 arrives a
         # batch LATE; left42: back 36 / fwd 48 both Δ6 → tie backward;
         # left95: nothing within 10 s either side
-        ("nearest", {30: ("B", 28), 42: ("A", 36), 95: (None, None)}),
-        ("forward", {30: ("A", 36), 42: ("C", 48), 95: (None, None)}),
+        pytest.param(
+            "nearest", {30: ("B", 28), 42: ("A", 36), 95: (None, None)},
+            marks=pytest.mark.slow,  # stress tier: backward stays fast
+        ),
+        pytest.param(
+            "forward", {30: ("A", 36), 42: ("C", 48), 95: (None, None)},
+            marks=pytest.mark.slow,
+        ),
         ("backward", {30: ("B", 28), 42: ("A", 36), 95: (None, None)}),
     ],
 )
@@ -514,6 +520,7 @@ def test_anomaly_stream_equals_batch(spark, events):
     assert not missing, f"{len(missing)} closed windows never emitted"
 
 
+@pytest.mark.slow  # stress tier: multi-drain idle-gap scenario; fast cover = test_anomaly_stream_equals_batch
 def test_anomaly_stream_history_survives_idle_gap(spark):
     """A key whose open window is flushed by the event-time timeout
     (the key goes idle while other keys advance the watermark) must
