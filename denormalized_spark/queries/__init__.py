@@ -46,31 +46,47 @@ for mod in (relational, streaming_windows, llm_pipeline, udf_queries, temporal, 
 
 # The external correctness driver samples the FIRST 50 registry entries in
 # order, so the front of the registry is a rotating re-verification window.
-# Cumulative coverage through r12: every entry except the four overflow
-# entries named first below has at least one driver-green row (r1-r12
-# union; latest-green per entry computable from the CORRECTNESS_r*.json
-# union — after r12 the histogram is 50×r12 + 39×r6 + those 4 never-run).
-# Round-13 window, in priority order:
-# (1) the 4 r12-overflow entries with no driver row ever (judge-run green
-# at sf0.01 in the r12 session, but a driver row is the primary evidence);
-# (2) the 4 entries whose OPERATOR code changed this round closing
-# ADVICE_r12 (quantized-rank mips, empty-replicate-guarded bootstrap,
-# dead-agg-free RAKE, schema-derived MMR) — their old green rows predate
-# the change, so they re-verify;
-# (3) the staleness drain: the ENTIRE latest-green-r6 cohort (39 entries),
-# after which no entry's newest driver green is older than r12;
-# (4) the front of the r13 new-operator wave (never driver-verified) in
-# the remaining slots; the rest of the wave sits just past slot 50 and
-# fronts the r14 window, mirroring the r12-overflow pattern. Everything
-# displaced to 51+ keeps its registry order.
+# Cumulative coverage through r14: r14 ran its 50-slot window green
+# (CORRECTNESS_r14.json, 50/50), so the only entries with NO driver row
+# ever are the 24 r13-overflow entries (slots 51-74 of the r14 list) and
+# the 9 r14-wave entries (slots 75+). Round-15 window, in priority order:
+# (1) those 33 never-driver-run entries — exactly the rotation the r14
+# verdict's hygiene item asked for now that the front-50 clocks reset;
+# (2) the entries whose OPERATOR code changed in r15 (markov driver-side
+# power iteration; lsh_signature_arrays long shift + the salting knob on
+# lsh_bucketed_neighbors; the decontaminate gram_source guard; the pca
+# NULL passthrough) — their r14 greens predate the change, so they
+# re-verify. markov/pca are already in cohort (1).
+# (3) The remaining slots and everything past 50 keep the r14 window's
+# order (all freshly green in r14), so the next staleness drain starts
+# from the r12 cohort in a later round.
 _DRIVER_PRIORITY = [
-    # --- (1) never-driver-run r12 overflow ---
+    # --- (1) never-driver-run: r13 overflow (24) ---
+    "sim_blend_rerank", "sim_split_drift", "events_ipw_ate",
+    "curation_neyman_alloc", "dedup_eval_pairs", "dedup_cdc_chunks",
+    "text_ad_bigram", "text_readability_fk", "pivot_user_event_matrix",
+    "events_seasonal_strength", "agg_theil_inequality",
+    "graph_assortativity", "text_burrows_delta",
+    "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
+    "agg_hhi_concentration", "dedup_lsh_scurve", "events_qini_uplift",
+    "join_bloom_semi_revenue", "dedup_fastcdc_chunks",
+    "curation_softdedup_weights", "events_markov_entropy_rate",
+    "sim_pca_top_component",
+    # --- (1) never-driver-run: r14 wave (9) ---
+    "dedup_fastcdc_maxclamp", "dedup_eval_bcubed", "events_holt_winters",
+    "text_quality_auc", "text_js_divergence_matrix", "text_word_burstiness",
+    "events_changepoint_binseg", "sim_nprobe_curve", "sim_pq_distortion",
+    # --- (2) operator code changed in r15: re-verify ---
+    "sim_lsh_buckets", "dedup_embedding_neardup",
+    "curation_semantic_decontaminate", "curation_decontaminate",
+    "curation_decontaminate_bloom", "curation_full_funnel",
+    "curation_pipeline",
+    # --- (3) the r14 window in its prior order (fills slots 41-50;
+    # the rest land 51+ keeping that order) ---
     "join_salted_priority_revenue", "events_cohort_ltv",
     "sim_recall_curve", "curation_contamination_sensitivity",
-    # --- (2) operator changed this round (ADVICE_r12 closures) ---
     "sim_mips_topk", "events_bootstrap_ci", "text_rake_keywords",
     "sim_mmr_rerank",
-    # --- (3) r6-staleness drain (39 = the whole remaining r6 cohort) ---
     "curation_eval_sample", "curation_mixture", "curation_mixture_solver",
     "curation_pack", "curation_split_leakage", "dedup_cluster_representatives",
     "dedup_connected_components", "dedup_containment_pairs",
@@ -85,27 +101,8 @@ _DRIVER_PRIORITY = [
     "sim_ivf_batch", "sim_ivf_pq_topk", "sim_pq_topk", "sim_projection_topk",
     "text_bpe_encode", "text_bpe_encode_full", "text_bpe_train",
     "text_train_linear_langid", "window_rollup_cascade",
-    # --- (4) r13 new wave: first 3 take the window's remaining slots;
-    # the rest land just past slot 50 to front the r14 window ---
     "curation_contamination_ngram13", "sim_ivf_incremental",
     "dedup_paragraph_blocks",
-    # --- r13 overflow (slots 51+): front these in r14 ---
-    "sim_blend_rerank", "sim_split_drift", "events_ipw_ate",
-    "curation_neyman_alloc", "dedup_eval_pairs", "dedup_cdc_chunks",
-    "text_ad_bigram", "text_readability_fk", "pivot_user_event_matrix",
-    "events_seasonal_strength", "agg_theil_inequality",
-    "graph_assortativity", "text_burrows_delta",
-    "events_markov_stationary", "text_textrank_keywords", "sim_knn_ood",
-    "agg_hhi_concentration", "dedup_lsh_scurve", "events_qini_uplift",
-    "join_bloom_semi_revenue", "dedup_fastcdc_chunks",
-    "curation_softdedup_weights", "events_markov_entropy_rate",
-    "sim_pca_top_component",
-    # --- r14 new wave (slots 75+): window-neutral this round — the
-    # r13 window re-runs unchanged per the r13 verdict; front the
-    # overflow + these in r15 ---
-    "dedup_fastcdc_maxclamp", "dedup_eval_bcubed", "events_holt_winters",
-    "text_quality_auc", "text_js_divergence_matrix", "text_word_burstiness",
-    "events_changepoint_binseg", "sim_nprobe_curve", "sim_pq_distortion",
 ]
 
 def _reorder(d: dict) -> dict:
