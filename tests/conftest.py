@@ -21,7 +21,7 @@ def spark():
 
     s = get_spark(
         "tests",
-        master="local[4]",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
         extra_conf={"spark.sql.shuffle.partitions": "4"},
     )
     yield s

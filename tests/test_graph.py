@@ -222,6 +222,7 @@ class TestTriangles:
         assert got == [(1, 2)]
 
 
+@pytest.mark.slow  # stress tier: multi-round peel; operator oracle-covered by graph_kcore_parts
 def test_kcore_path_cascade_and_fixpoint(spark):
     """A 6-node path has NO 2-core (peeling cascades from the
     endpoints inward — the case a plain degree>=2 filter gets wrong:

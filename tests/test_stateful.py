@@ -400,6 +400,7 @@ def test_asof_join_stream_forward_requires_tolerance(spark):
         )
 
 
+@pytest.mark.slow  # stress tier: payload-type variant; out_of_order/backward stay fast
 def test_asof_join_stream_array_payload(spark):
     """Regression: uniform-length array payload columns used to be
     collapsed into a 2-D numpy array by np.asarray(dtype=object),

@@ -898,6 +898,7 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
         ), k
 
 
+@pytest.mark.slow  # stress tier: outer-mode variant; inner/range/windowed joins stay fast
 def test_stream_stream_left_outer_join_null_padding(ctx):
     """LEFT OUTER stream-stream join: unmatched left rows must emit
     null-padded ONCE the watermark passes their join bound (Spark
