@@ -144,11 +144,17 @@ def main() -> None:
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         cold[name] = round(runs[0], 3)
         if name in WARM_EXEC_LANES:
-            df.collect()  # prime the QueryExecution
+            # toPandas, not collect: both reuse the same QueryExecution,
+            # but collect pickles rows through the driver (0.5-0.9 s of
+            # SERIAL cost on the two ~95k-row lanes, which would read
+            # as "doesn't scale" in the core-scaling comparison this
+            # number exists to feed); the Arrow path ships columnar
+            # batches and keeps the measurement execution-dominated.
+            df.toPandas()  # prime the QueryExecution
             ws = []
             for _ in range(2):
                 t0 = time.time()
-                df.collect()
+                df.toPandas()
                 ws.append(time.time() - t0)
             warm_exec[name] = round(min(ws), 3)
 
