@@ -3747,10 +3747,16 @@ def markov_entropy_rate(
         .collect()
     }
     per_state = [(s, pi[s], hcond.get(s, 0)) for s in states]
-    rate = int(
-        math.floor(
-            float(sum(p * h for _, p, h in per_state)) / 1_000_000.0 + 0.5
+    # empty-input fidelity: the old per_state.agg(F.sum(...)) produced
+    # a NULL rate over zero rows (SQL SUM of nothing), not 0
+    rate = (
+        int(
+            math.floor(
+                float(sum(p * h for _, p, h in per_state)) / 1_000_000.0 + 0.5
+            )
         )
+        if per_state
+        else None
     )
     return spark.createDataFrame(
         per_state + [("RATE", 1_000_000, rate)],
